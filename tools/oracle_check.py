@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+for each <outDir>/<name> result parquet, executes the matching SQL from
+<outDir>/oracle_sql.json in DuckDB over the same sf parquet tables, sorts
+columns by name and rows by all columns, and hash-compares values.
+
+Usage: python3 tools/oracle_check.py <sfDir> <outDir>
+(Driver-side tooling only — not part of the shipped library.)
+"""
+import sys, os, json, glob, hashlib
+import duckdb
+import pandas as pd
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def hash_df(df: pd.DataFrame) -> str:
+    h = hashlib.sha256()
+    for c in df.columns:
+        col = df[c]
+        for v in col:
+            if isinstance(v, float):
+                h.update(repr(round(v, 9)).encode())
+            else:
+                h.update(repr(v).encode())
+        h.update(b"|")
+    return h.hexdigest()
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    ok = bad = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
+        if name not in oracles:
+            print(f"  [rows-only] {name}: {len(got)} rows")
+            continue
+        want = con.execute(oracles[name]).df()
+        g, w = canon(got), canon(want)
+        schema_ok = list(g.columns) == list(w.columns)
+        rows_ok = len(g) == len(w)
+        # dtype-tolerant value compare, then strict hash
+        hg, hw = hash_df(g), hash_df(w)
+        if schema_ok and rows_ok and hg == hw:
+            print(f"  [OK]   {name}: {len(g)} rows")
+            ok += 1
+        else:
+            print(f"  [FAIL] {name}: cols {list(g.columns)} vs {list(w.columns)}; "
+                  f"rows {len(g)} vs {len(w)}; hash {'=' if hg==hw else '!='}")
+            if schema_ok and rows_ok:
+                for c in g.columns:
+                    if hash_df(g[[c]]) != hash_df(w[[c]]):
+                        gd = g[c]; wd = w[c]
+                        diff = (gd != wd)
+                        try:
+                            idx = diff[diff].index[:3]
+                            print(f"    col {c} ({gd.dtype} vs {wd.dtype}): "
+                                  f"got {gd.loc[idx].tolist()} want {wd.loc[idx].tolist()}")
+                        except Exception as e:
+                            print(f"    col {c}: dtypes {gd.dtype} vs {wd.dtype} ({e})")
+            bad += 1
+    print(f"{ok} ok, {bad} fail")
+    return 1 if bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
