@@ -1,26 +1,63 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main — times SparkEntry.benchQueries on SPARK_GRAFT_SF_DIR.
+  *
+  * Measurement fixes from round-1 feedback (VERDICT.md "What's wrong"):
+  *  - results are written to the `noop` datasource, not `.count()`ed —
+  *    a count lets Catalyst's EliminateSorts delete ORDER BYs and prune
+  *    projections, so the timed plan wasn't the query's plan;
+  *  - one unmeasured warm-up pass absorbs JVM/codegen/parquet-footer
+  *    startup that round 1 charged entirely to whichever query ran first;
+  *  - the JSON line is also written to SPARK_GRAFT_BENCH_OUT
+  *    (default /tmp/bench.json) so the driver parses a file instead of
+  *    regex-scraping sbt's interleaved stdout;
+  *  - a failing query records null and lands in "errors" instead of
+  *    silently contributing a near-zero time.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
+    val spark = Sessions.local("graft-bench")
+    val names = SparkEntry.benchQueries
+
+    def runOnce(name: String): Option[String] =
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        None
+      } catch {
+        case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
+
+    names.foreach(runOnce) // warm-up pass, unmeasured
+
+    val errors = collection.mutable.ListBuffer[String]()
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = runOnce(name)
+      err.foreach(errors += _)
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> (if (err.isEmpty) Some(sec) else None)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = results
+      .map { case (k, v) => jstr(k) + ":" + v.map(s => f"$s%.4f").getOrElse("null") }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.flatMap(_._2).sum
+    val errJson = errors.map(jstr).mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}"""
+    println(json)
+    Files.writeString(Paths.get(outFile), json)
     spark.stop()
   }
 }

@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult.{TypeCheckFailure, TypeCheckSuccess}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions with full codegen.
+  *
+  * These stay inside WholeStageCodegen (no UDF boxing, no Scala-collection
+  * conversion): `doGenCode` emits a single static call into the
+  * [[VectorKernels]]/[[HashKernels]]/[[HexKernels]] loops, which operate on
+  * Catalyst's primitive containers directly. All are null-intolerant
+  * (null in → null out) via the `nullSafeEval`/`nullSafeCodeGen` contract.
+  *
+  * Input validation is hand-rolled `checkInputDataTypes` because Spark's
+  * `ExpectsInputTypes`/`AbstractDataType` are `private[sql]`.
+  */
+private[graft] object TypeChecks {
+  def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true; case _ => false
+  }
+  def isLongArray(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true; case _ => false
+  }
+  def expect(name: String, ok: Boolean, want: String, got: Seq[DataType]): TypeCheckResult =
+    if (ok) TypeCheckSuccess
+    else TypeCheckFailure(s"$name expects $want, got ${got.map(_.catalogString).mkString(", ")}")
+}
+import TypeChecks._
+
+/** `hex_to_dec(hexString)` → arbitrary-precision decimal string.
+  * Exists for MD5-pseudonym parity with the reference (see HexKernels). */
+case class HexToDecimal(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hex_to_dec"
+  override def checkInputDataTypes(): TypeCheckResult =
+    expect(prettyName, child.dataType.isInstanceOf[StringType], "string", Seq(child.dataType))
+
+  override def nullSafeEval(input: Any): Any =
+    HexKernels.hexToDec(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.HexKernels.hexToDec($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): HexToDecimal =
+    copy(child = newChild)
+}
+
+/** `cosine_sim(array<float>, array<float>)` → double. */
+case class CosineSimilarity(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+  override def checkInputDataTypes(): TypeCheckResult =
+    expect(prettyName, isFloatArray(left.dataType) && isFloatArray(right.dataType),
+      "(array<float>, array<float>)", Seq(left.dataType, right.dataType))
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.cosine($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `dot_f(array<float>, array<float>)` → double. */
+case class DotProductF(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_f"
+  override def checkInputDataTypes(): TypeCheckResult =
+    expect(prettyName, isFloatArray(left.dataType) && isFloatArray(right.dataType),
+      "(array<float>, array<float>)", Seq(left.dataType, right.dataType))
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.dot($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductF =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `minhash_sig(array<long>, k, seed)` → array<long> of k MinHash values. */
+case class MinHashSig(child: Expression, k: Int, seed: Long) extends UnaryExpression {
+  require(k > 0, "minhash_sig: k must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def checkInputDataTypes(): TypeCheckResult =
+    expect(prettyName, isLongArray(child.dataType), "array<bigint>", Seq(child.dataType))
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.minhash(input.asInstanceOf[ArrayData], k, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.minhash($c, $k, ${seed}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `simhash64(array<long>)` → 64-bit SimHash fingerprint. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def checkInputDataTypes(): TypeCheckResult =
+    expect(prettyName, isLongArray(child.dataType), "array<bigint>", Seq(child.dataType))
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashKernels.simhash($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

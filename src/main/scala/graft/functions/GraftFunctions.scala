@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+
+/** Column-level API + SQL registration for the custom expressions.
+  *
+  * Registered through [[GraftExtensions]] (the public
+  * `SparkSessionExtensions.injectFunction` hook) so the same functions are
+  * reachable from `spark.sql("… cosine_sim(a,b) …")` and from the typed
+  * Column helpers below.
+  */
+object GraftFunctions {
+
+  private def col(e: Expression): Column = Bridge.column(e)
+  private def expr(c: Column): Expression = Bridge.expression(c)
+
+  /** Arbitrary-precision hex→decimal string (MD5 pseudonym building block). */
+  def hexToDec(c: Column): Column = col(HexToDecimal(expr(c)))
+
+  /** Reference `encrypt_zip` parity: decimal string of the 128-bit MD5.
+    * (dags/producer/kafka_streaming_service.py:142-146) */
+  def md5Pseudonym(c: Column): Column = {
+    import org.apache.spark.sql.functions.md5
+    hexToDec(md5(c.cast("string").cast("binary")))
+  }
+
+  def cosineSim(a: Column, b: Column): Column = col(CosineSimilarity(expr(a), expr(b)))
+  def dotF(a: Column, b: Column): Column = col(DotProductF(expr(a), expr(b)))
+  def minhashSig(c: Column, k: Int, seed: Long): Column = col(MinHashSig(expr(c), k, seed))
+  def simhash64(c: Column): Column = col(SimHash64(expr(c)))
+
+  private def litInt(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$name expects an int literal, got $other")
+  }
+  private def litLong(e: Expression, name: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _)  => v.toLong
+    case other => throw new IllegalArgumentException(s"$name expects a long literal, got $other")
+  }
+
+  private def info(name: String, cls: Class[_]): ExpressionInfo =
+    new ExpressionInfo(cls.getCanonicalName, name)
+
+  /** (name, info, builder) triples for SparkSessionExtensions.injectFunction. */
+  val registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("hex_to_dec"), info("hex_to_dec", classOf[HexToDecimal]),
+      (es: Seq[Expression]) => HexToDecimal(es.head)),
+    (FunctionIdentifier("cosine_sim"), info("cosine_sim", classOf[CosineSimilarity]),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    (FunctionIdentifier("dot_f"), info("dot_f", classOf[DotProductF]),
+      (es: Seq[Expression]) => DotProductF(es(0), es(1))),
+    (FunctionIdentifier("minhash_sig"), info("minhash_sig", classOf[MinHashSig]),
+      (es: Seq[Expression]) => MinHashSig(es(0), litInt(es(1), "minhash_sig k"), litLong(es(2), "minhash_sig seed"))),
+    (FunctionIdentifier("simhash64"), info("simhash64", classOf[SimHash64]),
+      (es: Seq[Expression]) => SimHash64(es.head)),
+  )
+}
+
+/** Install with `SparkSession.builder.withExtensions(new GraftExtensions)`
+  * or `spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.registry.foreach(ext.injectFunction)
+}

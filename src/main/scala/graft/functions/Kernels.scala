@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight loops shared by interpreted `eval` and generated Java code.
+  *
+  * Each method is a static call on primitive Catalyst containers
+  * (`ArrayData`, `UTF8String`) so whole-stage codegen can invoke it without
+  * converting to Scala collections — the expression stays inside the
+  * codegen'd stage and never pays the UDF SerDe tax. At 100 TB these loops
+  * run once per row, so they avoid allocation wherever possible.
+  */
+object VectorKernels {
+  /** Cosine similarity of two float vectors, accumulated in double.
+    * Zero-norm input yields NaN (same as dot/(0*n)) — callers filter. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  /** Plain dot product of two float vectors in double precision. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+}
+
+object HashKernels {
+  /** SplitMix64 — deterministic stream of well-mixed 64-bit constants. */
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature: k permutations h_j(x) = a_j*x + b_j over the input
+    * hash set, taking the min of each. a_j forced odd so the multiply is a
+    * bijection on Z/2^64. Empty input yields Long.MaxValue sentinels.
+    *
+    * This is the signature stage of the banded-LSH dedup (SURVEY §7.3):
+    * computed row-at-a-time, no state, so it scales embarrassingly — the
+    * only shuffle in the dedup pipeline is the later band-bucket join. */
+  def minhash(hashes: ArrayData, k: Int, seed: Long): ArrayData = {
+    val out = new Array[Long](k)
+    val n = hashes.numElements()
+    var j = 0
+    while (j < k) {
+      val a = splitmix64(seed + 2L * j) | 1L
+      val b = splitmix64(seed + 2L * j + 1L)
+      var m = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val v = a * hashes.getLong(i) + b
+        if (v < m) m = v
+        i += 1
+      }
+      out(j) = m
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** 64-bit SimHash over pre-hashed tokens: per bit, +1 if set else -1,
+    * summed over tokens; output bit = sign of the sum. Near-duplicate docs
+    * land within a small Hamming distance. */
+  def simhash(hashes: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
+object HexKernels {
+  /** Hex string → decimal string with arbitrary precision.
+    *
+    * Exact parity with the reference's `encrypt_zip`
+    * (dags/producer/kafka_streaming_service.py:142-146): Python's
+    * `int(md5_hex, 16)` is a 128-bit value, so Spark's built-in
+    * `conv(hex, 16, 10)` (64-bit, wraps) is NOT equivalent — this is the
+    * parity trap flagged in SURVEY §7.4.1. Returns null on non-hex input. */
+  def hexToDec(s: UTF8String): UTF8String = {
+    try UTF8String.fromString(new java.math.BigInteger(s.toString.trim, 16).toString)
+    catch { case _: NumberFormatException => null }
+  }
+}

@@ -14,7 +14,9 @@ import graft.sources.Tables
   * top-k (TakeOrderedAndProject — no global sort materialization) or a
   * two-phase hash aggregate (partial map-side combine before the shuffle).
   * Filters are plain column predicates so they push down to the Parquet
-  * row-group level.
+  * row-group level. Round-1 feedback: the full-result ORDER BYs q3/q5 used
+  * to carry were a gratuitous global range-shuffle+sort (the oracle
+  * canonicalizes row order itself) — removed.
   */
 object RefQueries {
 
@@ -34,22 +36,42 @@ object RefQueries {
     Tables.load(spark, dir, "lineitem").agg(count(lit(1)).as("cnt"))
 
   /** Q3 analogue (athena-integrity-check.md:59): IS NULL OR = '' filter —
-    * the reference's data-quality scan for blank names. */
+    * the reference's data-quality scan for blank names, verbatim semantics.
+    * The testdata has no null/blank text at any SF (probed round 2), so the
+    * gate entry for IS-NULL semantics on non-empty output is
+    * [[antiJoinNull]]; this form is kept for reference parity + unit tests. */
   def nullBlankFilter(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .filter(col("text").isNull || col("text") === "")
       .select("doc_id", "lang", "source")
-      .orderBy("doc_id")
+
+  /** Q3b: IS NULL on genuinely-null data — customers with no signup event,
+    * LEFT JOIN + IS NULL (the classic anti-join spelling; 1350 rows at
+    * sf0.01, de-vacuating round 1's q3). The distinct signup-user set is
+    * tiny relative to customer, so it is broadcast: no shuffle of the
+    * customer side at any scale, which is exactly the plan you want when
+    * the probe side is 100 TB and the build side is a key list. */
+  def antiJoinNull(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val signups = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "signup")
+      .select(col("user_id")).distinct()
+    customer
+      .join(broadcast(signups), customer("c_custkey") === signups("user_id"), "left")
+      .filter(col("user_id").isNull)
+      .select("c_custkey", "c_name", "c_mktsegment")
+  }
 
   /** Q4 analogue (athena-integrity-check.md:60): GROUP BY + HAVING count>1
-    * — duplicate detection, the seed of the §7.3 dedup operators. */
+    * — duplicate detection. Re-pointed at events.user_id (150 real dup
+    * groups at sf0.01; round 1's documents.text target had zero, making the
+    * green row vacuous). Two-phase hash aggregate: partial counts map-side,
+    * only one row per distinct key crosses the shuffle. */
   def dupHaving(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
-      .groupBy("text")
-      .agg(count(lit(1)).as("n_copies"))
-      .filter(col("n_copies") > 1)
-      .select(col("text"), col("n_copies"))
-      .orderBy(desc("n_copies"), asc("text"))
+    Tables.load(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") > 1)
 
   /** Q5 analogue (athena-integrity-check.md:61): NOT BETWEEN range check,
     * OR of two predicates, NULL rows excluded (SQL three-valued logic). */
@@ -57,5 +79,4 @@ object RefQueries {
     Tables.load(spark, dir, "events")
       .filter(!col("value").between(0, 100) || !col("user_id").between(0, 1000000))
       .select("event_id", "user_id", "value")
-      .orderBy("event_id")
 }

@@ -9,8 +9,9 @@ columns by name and rows by all columns, and hash-compares values.
 Usage: python3 tools/oracle_check.py <sfDir> <outDir>
 (Driver-side tooling only — not part of the shipped library.)
 """
-import sys, os, json, glob, hashlib
+import sys, os, json, glob, hashlib, math
 import duckdb
+import numpy as np
 import pandas as pd
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -19,15 +20,39 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
+def _norm(v) -> str:
+    """Dtype-tolerant canonical form: int32/int64/float32/float64 and
+    Python scalars that are numerically equal hash identically."""
+    if v is None:
+        return "<null>"
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return repr(int(v))
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            return "<nan>"
+        if f == int(f) and abs(f) < 2**53:
+            return repr(int(f))  # 5.0 (double) == 5 (int64)
+        return f"{f:.9g}"
+    if isinstance(v, (np.bool_, bool)):
+        return repr(bool(v))
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(_norm(x) for x in v.tolist()) + "]"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    return repr(v)
+
 def hash_df(df: pd.DataFrame) -> str:
     h = hashlib.sha256()
     for c in df.columns:
-        col = df[c]
-        for v in col:
-            if isinstance(v, float):
-                h.update(repr(round(v, 9)).encode())
-            else:
-                h.update(repr(v).encode())
+        for v in df[c]:
+            try:
+                if pd.isna(v):
+                    h.update(b"<null>")
+                    continue
+            except ValueError:
+                pass  # arrays: pd.isna is elementwise
+            h.update(_norm(v).encode())
         h.update(b"|")
     return h.hexdigest()
 
@@ -40,23 +65,26 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     ok = bad = 0
+    seen = set()
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
+        seen.add(name)
         files = glob.glob(os.path.join(d, "*.parquet"))
         got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
         if name not in oracles:
-            print(f"  [rows-only] {name}: {len(got)} rows")
+            print(f"  [rows-only] {name}: {len(got)} rows"
+                  + (" [VACUOUS]" if len(got) == 0 else ""))
             continue
         want = con.execute(oracles[name]).df()
         g, w = canon(got), canon(want)
         schema_ok = list(g.columns) == list(w.columns)
         rows_ok = len(g) == len(w)
-        # dtype-tolerant value compare, then strict hash
         hg, hw = hash_df(g), hash_df(w)
         if schema_ok and rows_ok and hg == hw:
-            print(f"  [OK]   {name}: {len(g)} rows")
+            tag = " [VACUOUS]" if len(g) == 0 else ""
+            print(f"  [OK]   {name}: {len(g)} rows{tag}")
             ok += 1
         else:
             print(f"  [FAIL] {name}: cols {list(g.columns)} vs {list(w.columns)}; "
@@ -65,14 +93,19 @@ def main(sf_dir, out_dir):
                 for c in g.columns:
                     if hash_df(g[[c]]) != hash_df(w[[c]]):
                         gd = g[c]; wd = w[c]
-                        diff = (gd != wd)
                         try:
+                            diff = (gd != wd)
                             idx = diff[diff].index[:3]
                             print(f"    col {c} ({gd.dtype} vs {wd.dtype}): "
                                   f"got {gd.loc[idx].tolist()} want {wd.loc[idx].tolist()}")
                         except Exception as e:
                             print(f"    col {c}: dtypes {gd.dtype} vs {wd.dtype} ({e})")
             bad += 1
+    # A query that threw inside Verify writes no result dir — that is a
+    # FAIL, not a skip (round-1 ADVICE: broken queries silently passed).
+    for name in sorted(set(oracles) - seen):
+        print(f"  [FAIL] {name}: no result directory (query threw in Verify?)")
+        bad += 1
     print(f"{ok} ok, {bad} fail")
     return 1 if bad else 0
 
