@@ -27,6 +27,9 @@ object SparkEntry {
     "q3b_anti_join"   -> (RefQueries.antiJoinNull _),
     "q4_dup_having"   -> (RefQueries.dupHaving _),
     "q5_range"        -> (RefQueries.rangeFilter _),
+    // ── Ingest half (SURVEY §2.1/§2.2 — the reference's main program) ─
+    "s5_stream_ingest" -> (IngestQueries.streamIngestRoundtrip _),
+    "p7_normalize"     -> (IngestQueries.normalizeCustomers _),
   )
 
   /** Subset timed by [[Bench]] at sf0.1 (streaming/DDL entries excluded —
@@ -56,5 +59,26 @@ object SparkEntry {
       """SELECT event_id, user_id, value FROM events
         |WHERE value NOT BETWEEN 0 AND 100
         |   OR user_id NOT BETWEEN 0 AND 1000000""".stripMargin,
+    "s5_stream_ingest" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
+    // zip = decimal string of the 128-bit int(md5hex, 16), rebuilt from two
+    // unsigned-64 halves (DuckDB's md5_number uses a different byte order).
+    "p7_normalize" ->
+      """SELECT
+        |  'Ms. ' || c_name || ' ' || c_mktsegment AS name,
+        |  CASE WHEN c_custkey % 2 = 0 THEN 'female' ELSE 'male' END AS gender,
+        |  CAST(c_custkey AS VARCHAR) || ', ' || c_name AS address,
+        |  c_mktsegment AS city,
+        |  'Nation-' || CAST(c_nationkey AS VARCHAR) AS nation,
+        |  (CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 16)) AS UBIGINT)::UHUGEINT
+        |     * 18446744073709551616::UHUGEINT
+        |   + CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 17, 16)) AS UBIGINT)::UHUGEINT
+        |  )::VARCHAR AS zip,
+        |  TRY_CAST(CASE WHEN c_custkey % 7 = 0 THEN 'bad'
+        |                ELSE CAST(c_custkey AS VARCHAR) END AS DOUBLE) AS latitude,
+        |  TRY_CAST(CASE WHEN c_custkey % 5 = 0 THEN ''
+        |                ELSE CAST(c_nationkey AS VARCHAR) END AS DOUBLE) AS longitude,
+        |  c_name || '@example.com' AS email
+        |FROM customer""".stripMargin,
   )
 }
