@@ -2,7 +2,7 @@ package graft.ingest
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** The stream-processor parse stage (reference `transform_streaming_data`,
   * spark/app/spark_processing.py:131-148): CAST the source's binary/string
@@ -15,21 +15,36 @@ import org.apache.spark.sql.types.StructType
   */
 object Parse {
 
-  /** PERMISSIVE parity (default): malformed JSON → NULL struct → all-NULL
-    * row, exactly what `from_json` + `select(data.*)` gives the reference.
+  /** PERMISSIVE parity (default): malformed JSON → all-NULL row, exactly
+    * what `from_json` + `select(data.*)` gives the reference.
     *
     * `strict = true` instead DROPS malformed rows, matching the Athena
     * query layer's `ignore.malformed.json=true` semantics
     * (docs/athena-integrity-check.md:38,44) — the parity fork flagged in
-    * SURVEY §7.4.2. The filter runs on the parsed struct before
-    * flattening, so it costs one null check per row, no extra parse.
+    * SURVEY §7.4.2. Spark 4's `from_json` never yields a NULL struct for
+    * malformed input (it yields a struct of NULL fields), so "was this row
+    * malformed" is only observable through a corrupt-record column: strict
+    * mode parses with `columnNameOfCorruptRecord` and keeps rows whose
+    * corrupt column is NULL. Still one parse + one null check per row,
+    * stateless, scan-side, fully codegen'd.
     */
   def parse(raw: DataFrame, schema: StructType, strict: Boolean = false): DataFrame = {
-    val parsed = raw
-      .selectExpr("CAST(value AS STRING) AS json_str")
-      .select(from_json(col("json_str"), schema).alias("data"))
-    val kept = if (strict) parsed.filter(col("data").isNotNull) else parsed
-    kept.select("data.*")
+    val json = raw.selectExpr("CAST(value AS STRING) AS json_str")
+    if (!strict) {
+      json.select(from_json(col("json_str"), schema).alias("data"))
+        .select("data.*")
+    } else {
+      val corrupt = "_corrupt"
+      require(!schema.fieldNames.contains(corrupt),
+        s"schema already has a '$corrupt' column")
+      val withCorrupt = schema.add(corrupt, StringType, nullable = true)
+      json
+        .select(from_json(col("json_str"), withCorrupt,
+          Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt)).alias("data"))
+        .filter(col(s"data.$corrupt").isNull)
+        .select("data.*")
+        .drop(corrupt)
+    }
   }
 
   /** P10 (JSON serialize, kafka_streaming_service.py:203-206): the inverse

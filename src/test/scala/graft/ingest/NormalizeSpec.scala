@@ -81,6 +81,6 @@ class NormalizeSpec extends SparkTestBase {
   test("zip pseudonym is deterministic per postcode (join-stable pseudonymization)") {
     val twice = Normalize(UserGen.users(spark, 50)).select("zip").collect() ++
       Normalize(UserGen.users(spark, 50)).select("zip").collect()
-    assert(twice.map(_.getString(0)).grouped(50).toSeq.distinct.size == 1)
+    assert(twice.map(_.getString(0)).grouped(50).map(_.toSeq).toSeq.distinct.size == 1)
   }
 }
