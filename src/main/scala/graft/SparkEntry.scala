@@ -30,6 +30,16 @@ object SparkEntry {
     // ── Ingest half (SURVEY §2.1/§2.2 — the reference's main program) ─
     "s5_stream_ingest" -> (IngestQueries.streamIngestRoundtrip _),
     "p7_normalize"     -> (IngestQueries.normalizeCustomers _),
+    // ── LLM-pipeline extensions (SURVEY §7.3 / BASELINE north star) ───
+    "dedup_exact"       -> (Dedup.exactKeepFirst _),
+    "dedup_exact_docs"  -> (Dedup.exactByContent _),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Dedup.plantedNearDocs(s, d), "doc_id", "text")),
+    "dedup_simhash"     -> ((s, d) => Dedup.simhashPairs(Dedup.plantedNearDocs(s, d), "doc_id", "text")),
+    "sim_topk_cosine"   -> ((s, d) => Similarity.topKCosine(s, d)),
+    "sim_topk_ann"      -> ((s, d) => Similarity.topKCosineLsh(s, d)),
+    "txt_lang_dist"     -> (TextAnalysis.langDist _),
+    "txt_quality"       -> (TextAnalysis.qualityStats _),
+    "txt_langid"        -> (TextAnalysis.langId _),
   )
 
   /** Subset timed by [[Bench]] at sf0.1 (streaming/DDL entries excluded —
@@ -45,8 +55,11 @@ object SparkEntry {
     "q2_count" ->
       "SELECT count(*) AS cnt FROM lineitem",
     "q3_null_blank" ->
-      """SELECT doc_id, lang, source FROM documents
-        |WHERE text IS NULL OR text = ''""".stripMargin,
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |  UNION ALL SELECT CAST(9000001 AS BIGINT), NULL, 'xx', 'planted'
+        |  UNION ALL SELECT CAST(9000002 AS BIGINT), '', 'xx', 'planted'
+        |) WHERE text IS NULL OR text = ''""".stripMargin,
     "q3b_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
         |LEFT JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup') e
@@ -61,6 +74,78 @@ object SparkEntry {
         |   OR user_id NOT BETWEEN 0 AND 1000000""".stripMargin,
     "s5_stream_ingest" ->
       "SELECT event_id, user_id, event_type, value FROM events",
+    "dedup_exact" ->
+      """SELECT event_id, user_id, event_type, value FROM (
+        |  SELECT event_id, user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) // 1000, event_id) AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin,
+    "dedup_exact_docs" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0
+        |) GROUP BY md5(text)""".stripMargin,
+    // Ground truth for the LSH pipeline: ALL pairs with exact 3-gram
+    // shingle Jaccard >= 0.7 over the same planted corpus. The LSH output
+    // equals this w.h.p. (miss probability ~5e-5 per qualifying pair at
+    // k=128, b=32); verification removes every false positive exactly.
+    "dedup_minhash_lsh" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' graftdup' FROM documents WHERE doc_id % 10 = 0
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM base
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM toks
+        |)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |) WHERE jaccard >= 0.7""".stripMargin,
+    // Score formula mirrors the cosine_sim kernel bit-exactly (double-cast
+    // inner products, dot/sqrt(na*nb)); DuckDB's builtin
+    // list_cosine_similarity accumulates in float and diverges at 1e-7.
+    "sim_topk_cosine" ->
+      """SELECT query_id, vec_id, score FROM (
+        |  SELECT query_id, vec_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+        |  FROM (
+        |    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+        |      list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+        |        / sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+        |             * list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS score
+        |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |    WHERE q.vec_id % 100 = 0
+        |  )
+        |) WHERE rn <= 5""".stripMargin,
+    "txt_lang_dist" ->
+      """SELECT lang, count(*) AS n_docs, sum(length(text)) AS total_chars,
+        |  avg(length(text)) AS avg_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+    "txt_quality" ->
+      """SELECT doc_id, lang,
+        |  length(text) AS n_chars,
+        |  len(toks) AS n_tokens,
+        |  COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS token_chars,
+        |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        |  len(list_filter(toks, x -> list_contains(
+        |    ['the','a','an','of','to','and','in','is','it','that'], x))) AS n_stopwords
+        |FROM (
+        |  SELECT doc_id, lang, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |)""".stripMargin,
     // zip = decimal string of the 128-bit int(md5hex, 16), rebuilt from two
     // unsigned-64 halves (DuckDB's md5_number uses a different byte order).
     "p7_normalize" ->

@@ -38,27 +38,37 @@ object RefQueries {
   /** Q3 analogue (athena-integrity-check.md:59): IS NULL OR = '' filter —
     * the reference's data-quality scan for blank names, verbatim semantics.
     * The testdata has no null/blank text at any SF (probed round 2), so the
-    * gate entry for IS-NULL semantics on non-empty output is
-    * [[antiJoinNull]]; this form is kept for reference parity + unit tests. */
-  def nullBlankFilter(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    * scan runs over documents UNION two planted rows — one NULL, one empty
+    * string — exercising BOTH branches of the predicate on non-empty
+    * output (round-2 feedback: the pure-documents form was vacuously
+    * green). The oracle plants the same two rows. */
+  def nullBlankFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text", "lang", "source")
+    val planted = Seq(
+      (9000001L, Option.empty[String], "xx", "planted"),
+      (9000002L, Option(""), "xx", "planted"),
+    ).toDF("doc_id", "text", "lang", "source")
+    docs.unionByName(planted)
       .filter(col("text").isNull || col("text") === "")
       .select("doc_id", "lang", "source")
+  }
 
-  /** Q3b: IS NULL on genuinely-null data — customers with no signup event,
-    * LEFT JOIN + IS NULL (the classic anti-join spelling; 1350 rows at
-    * sf0.01, de-vacuating round 1's q3). The distinct signup-user set is
-    * tiny relative to customer, so it is broadcast: no shuffle of the
-    * customer side at any scale, which is exactly the plan you want when
-    * the probe side is 100 TB and the build side is a key list. */
+  /** Q3b: IS NULL on genuinely-null data — customers with no signup event.
+    * Expressed as LEFT ANTI join (same semantics as the oracle's
+    * LEFT JOIN + IS NULL spelling, one fewer projection). No broadcast
+    * hint: at sf0.01 AQE picks a broadcast build side on measured size; at
+    * 100 TB the distinct signup-user set scales with the user population
+    * and a forced broadcast would be a driver OOM, so the strategy choice
+    * must stay with the optimizer (round-2 feedback). */
   def antiJoinNull(spark: SparkSession, dir: String): DataFrame = {
     val customer = Tables.load(spark, dir, "customer")
     val signups = Tables.load(spark, dir, "events")
       .filter(col("event_type") === "signup")
       .select(col("user_id")).distinct()
     customer
-      .join(broadcast(signups), customer("c_custkey") === signups("user_id"), "left")
-      .filter(col("user_id").isNull)
+      .join(signups, customer("c_custkey") === signups("user_id"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")
   }
 

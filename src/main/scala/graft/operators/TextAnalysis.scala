@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table: corpus language
+  * distribution, per-document quality scoring, and a stopword-profile
+  * language-ID heuristic. Extends the reference's query surface (its only
+  * text op is the null/blank QC scan, docs/athena-integrity-check.md:59)
+  * with the ops a training-data pipeline runs before filtering.
+  *
+  * Everything here is built-ins (split / filter / transform / aggregate /
+  * regexp_replace) — per-row, scan-side, whole-stage-codegen'd, no UDFs.
+  * The only shuffle in the file is langDist's two-phase aggregate, which
+  * moves one row per language.
+  */
+object TextAnalysis {
+
+  /** Tokens: lowercase, split on non-alphanumeric runs, drop empties.
+    * The same tokenizer the dedup shingles use — one definition of
+    * "token" across the engine. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Corpus language distribution + char mass: one output row per lang.
+    * Two-phase hash aggregate; at 100 TB only |langs| rows shuffle. */
+  def langDist(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"),
+        avg(length(col("text"))).as("avg_chars"))
+
+  private val qcStopwords =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
+
+  /** Per-document quality scoring: char/token counts, token char mass,
+    * sentence punctuation count, stopword hits — the raw signals behind
+    * length/punct/stopword-ratio quality filters. Pure projection. */
+  def qualityStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      col("lang"),
+      length(col("text")).as("n_chars"),
+      size(toks).as("n_tokens"),
+      aggregate(toks, lit(0), (acc, t) => acc + length(t)).as("token_chars"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("n_punct"),
+      size(filter(toks, t => t.isInCollection(qcStopwords))).as("n_stopwords"))
+  }
+
+  /** Stopword profiles for the language-ID heuristic: tiny, hand-picked
+    * high-frequency function words per language. Deliberately public
+    * common knowledge, not a trained model. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "is", "of", "to", "in", "it", "that", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "den", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "es", "un", "una", "que", "por", "para"),
+  )
+
+  /** N-gram/stopword language-ID heuristic: score = stopword hits per
+    * profile; prediction = argmax (ties broken by language code, via
+    * lexicographic struct max — deterministic). Row-local: the argmax is
+    * an array_max over a fixed-width literal array, no shuffle, no state. */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), langIdCol(col("text")))
+      .select(col("doc_id"), col("lang"),
+        col("langid.pred_lang").as("pred_lang"),
+        col("langid.score").as("score"))
+
+  /** The langId projection as a reusable column: struct(pred_lang, score). */
+  def langIdCol(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = langProfiles.map { case (lang, words) =>
+      struct(
+        size(filter(toks, t => t.isInCollection(words))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    struct(
+      best.getField("lang").as("pred_lang"),
+      best.getField("score").as("score")).as("langid")
+  }
+}
