@@ -27,6 +27,7 @@ object SparkEntry {
     "q3b_anti_join"   -> (RefQueries.antiJoinNull _),
     "q4_dup_having"   -> (RefQueries.dupHaving _),
     "q5_range"        -> (RefQueries.rangeFilter _),
+    "s8_catalog_q1"   -> ((s, d) => graft.sources.Catalog.q1ViaCatalog(s, d)),
     // ── Ingest half (SURVEY §2.1/§2.2 — the reference's main program) ─
     "s5_stream_ingest" -> (IngestQueries.streamIngestRoundtrip _),
     "p7_normalize"     -> (IngestQueries.normalizeCustomers _),
@@ -35,11 +36,21 @@ object SparkEntry {
     "dedup_exact_docs"  -> (Dedup.exactByContent _),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Dedup.plantedNearDocs(s, d), "doc_id", "text")),
     "dedup_simhash"     -> ((s, d) => Dedup.simhashPairs(Dedup.plantedNearDocs(s, d), "doc_id", "text")),
+    "dedup_embed_cos"   -> ((s, d) => Dedup.embedCosinePairs(Dedup.plantedNearVectors(s, d))),
     "sim_topk_cosine"   -> ((s, d) => Similarity.topKCosine(s, d)),
     "sim_topk_ann"      -> ((s, d) => Similarity.topKCosineLsh(s, d)),
     "txt_lang_dist"     -> (TextAnalysis.langDist _),
     "txt_quality"       -> (TextAnalysis.qualityStats _),
     "txt_langid"        -> (TextAnalysis.langId _),
+    "txt_tokens"        -> (TextAnalysis.tokenCounts _),
+    "txt_fingerprint"   -> (TextAnalysis.fingerprints _),
+    "mm_decode"         -> ((s, d) => Multimodal.probe(s, d)),
+    "mm_frames"         -> ((s, d) => Multimodal.frameSample(s, d)),
+    "mm_features"       -> ((s, d) => Multimodal.features(s, d)),
+    // ── Stateful event-time ops (batch form of the streaming operators) ─
+    "win_agg_daily"     -> ((s, d) => graft.streaming.WindowedAgg.byTypeTumbling(
+                             graft.sources.Tables.load(s, d, "events"), "1 day")),
+    "sess_30min"        -> (Sessionization.sessionize _),
   )
 
   /** Subset timed by [[Bench]] at sf0.1 (streaming/DDL entries excluded —
@@ -54,6 +65,11 @@ object SparkEntry {
         |ORDER BY c_name ASC, c_custkey ASC LIMIT 20""".stripMargin,
     "q2_count" ->
       "SELECT count(*) AS cnt FROM lineitem",
+    // Same result set as q1 — the entry exercises the S8/Q6 DDL path
+    // (CREATE DATABASE/TABLE IF NOT EXISTS) in front of the same scan.
+    "s8_catalog_q1" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_name ASC, c_custkey ASC LIMIT 20""".stripMargin,
     "q3_null_blank" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, text, lang, source FROM documents
@@ -129,6 +145,48 @@ object SparkEntry {
         |    WHERE q.vec_id % 100 = 0
         |  )
         |) WHERE rn <= 5""".stripMargin,
+    // Planted scaled copies (×1.01 re-rounded to float) are the only pairs
+    // that can clear cosine ≥ 0.999 on a random corpus; the LSH-bucketed
+    // Spark plan recalls them exactly (scaling preserves every sign bit).
+    "dedup_embed_cos" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 500000,
+        |         list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT))
+        |  FROM embeddings WHERE vec_id % 20 = 0
+        |)
+        |SELECT vec_a, vec_b, round(score, 6) AS score FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |      / sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
+        |           * list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) AS score
+        |  FROM base a JOIN base b ON a.vec_id < b.vec_id
+        |) WHERE score >= 0.999""".stripMargin,
+    "txt_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+    // Same fold as the codegen'd TextKernels: init-7 polynomial over
+    // codepoints (== UTF-8 bytes on the ASCII corpus) for the whole doc;
+    // init-0 per-window fold, min over all 8-char windows, for the
+    // rolling fingerprint — recomputed independently per window here vs
+    // Rabin-Karp rolled in the engine, so agreement checks the rolling
+    // update algebra too.
+    "txt_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(7 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp,
+        |  list_min(list_transform(range(1, length(text) - 8 + 2),
+        |    i -> list_reduce(
+        |      list_transform(range(i, i + 8),
+        |        j -> CAST(ascii(substr(text, j, 1)) AS BIGINT)),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007))) AS rolling_fp
+        |FROM documents""".stripMargin,
     "txt_lang_dist" ->
       """SELECT lang, count(*) AS n_docs, sum(length(text)) AS total_chars,
         |  avg(length(text)) AS avg_chars
@@ -145,6 +203,79 @@ object SparkEntry {
         |  SELECT doc_id, lang, text,
         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
         |  FROM documents
+        |)""".stripMargin,
+    // argmax via struct-max mirrors Spark's array_max(struct(score, lang)):
+    // both compare (score, lang) lexicographically, ties → larger lang code.
+    "txt_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, lang, list_aggregate([
+        |    {'score': len(list_filter(toks, x -> list_contains(
+        |       ['the','and','is','of','to','in','it','that','was','for'], x))), 'lang': 'en'},
+        |    {'score': len(list_filter(toks, x -> list_contains(
+        |       ['der','die','das','und','ist','nicht','ein','mit','den','von'], x))), 'lang': 'de'},
+        |    {'score': len(list_filter(toks, x -> list_contains(
+        |       ['le','la','les','et','est','un','une','dans','que','pour'], x))), 'lang': 'fr'},
+        |    {'score': len(list_filter(toks, x -> list_contains(
+        |       ['el','la','los','las','es','un','una','que','por','para'], x))), 'lang': 'es'}
+        |  ], 'max') AS best
+        |  FROM t
+        |)
+        |SELECT doc_id, lang, best.lang AS pred_lang, best.score AS score FROM s""".stripMargin,
+    // Spark's window('1 day') aligns to the epoch in UTC == date_trunc day.
+    "win_agg_daily" ->
+      """SELECT date_trunc('day', ts) AS win_start, event_type,
+        |  count(*) AS n_events, sum(value) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // lag + running-sum gap rule — the batch-equivalent of the streaming
+    // flatMapGroupsWithState sessionizer (30-minute gap, micros domain).
+    "sess_30min" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_ns(ts) // 1000) OVER w IS NULL
+        |           OR epoch_ns(ts) // 1000 - lag(epoch_ns(ts) // 1000) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, sum(value) AS sum_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    // Multimodal decode is a DETERMINISTIC STUB (no codecs in the
+    // container): every "decoded" property is fixed arithmetic on the
+    // byte count, so the oracle recomputes it from length(text) (ASCII —
+    // chars == bytes). mm_features has no oracle (xxhash64 is
+    // Spark-specific): rows-only + MultimodalSpec.
+    "mm_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    CAST(length(text) AS BIGINT) AS n_bytes
+        |  FROM documents
+        |)
+        |SELECT media_id, media_type, n_bytes,
+        |  CASE WHEN media_type IN ('image','video') THEN 64 + (n_bytes * 7) % 1856 END AS width,
+        |  CASE WHEN media_type IN ('image','video') THEN 64 + (n_bytes * 13) % 1016 END AS height,
+        |  CASE WHEN media_type = 'audio' THEN 16000 END AS sample_rate,
+        |  CASE WHEN media_type = 'audio' THEN n_bytes * 20
+        |       WHEN media_type = 'video' THEN n_bytes * 40 END AS duration_ms,
+        |  CASE WHEN media_type = 'video' THEN n_bytes % 240 + 1 END AS n_frames
+        |FROM m""".stripMargin,
+    "mm_frames" ->
+      """SELECT media_id, frame_id,
+        |  length(substr(text, CAST(frame_id * 16 + 1 AS INT), 16)) AS n_frame_bytes
+        |FROM (
+        |  SELECT doc_id AS media_id, text,
+        |    unnest(range(0, CAST(length(text) AS BIGINT) % 240 + 1, 5)) AS frame_id
+        |  FROM documents WHERE doc_id % 3 = 2
         |)""".stripMargin,
     // zip = decimal string of the 128-bit int(md5hex, 16), rebuilt from two
     // unsigned-64 halves (DuckDB's md5_number uses a different byte order).

@@ -113,6 +113,44 @@ case class MinHashSig(child: Expression, k: Int, seed: Long) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** `doc_fingerprint(string)` → whole-document polynomial rolling hash
+  * (init 7, base 31, mod 1e9+7 over UTF-8 bytes). */
+case class DocFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "doc_fingerprint"
+  override def checkInputDataTypes(): TypeCheckResult =
+    expect(prettyName, child.dataType.isInstanceOf[StringType], "string", Seq(child.dataType))
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.polyFingerprint(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.polyFingerprint($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): DocFingerprint =
+    copy(child = newChild)
+}
+
+/** `rolling_min_hash(string, k)` → min Rabin-Karp k-byte-window hash. */
+case class RollingMinHash(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, "rolling_min_hash: k must be positive")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_min_hash"
+  override def checkInputDataTypes(): TypeCheckResult =
+    expect(prettyName, child.dataType.isInstanceOf[StringType], "string", Seq(child.dataType))
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.rollingMinHash(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.rollingMinHash($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingMinHash =
+    copy(child = newChild)
+}
+
 /** `simhash64(array<long>)` → 64-bit SimHash fingerprint. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

@@ -31,6 +31,8 @@ object GraftFunctions {
   def dotF(a: Column, b: Column): Column = col(DotProductF(expr(a), expr(b)))
   def minhashSig(c: Column, k: Int, seed: Long): Column = col(MinHashSig(expr(c), k, seed))
   def simhash64(c: Column): Column = col(SimHash64(expr(c)))
+  def docFingerprint(c: Column): Column = col(DocFingerprint(expr(c)))
+  def rollingMinHash(c: Column, k: Int): Column = col(RollingMinHash(expr(c), k))
 
   private def litInt(e: Expression, name: String): Int = e match {
     case Literal(v: Int, _) => v
@@ -57,6 +59,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => MinHashSig(es(0), litInt(es(1), "minhash_sig k"), litLong(es(2), "minhash_sig seed"))),
     (FunctionIdentifier("simhash64"), info("simhash64", classOf[SimHash64]),
       (es: Seq[Expression]) => SimHash64(es.head)),
+    (FunctionIdentifier("doc_fingerprint"), info("doc_fingerprint", classOf[DocFingerprint]),
+      (es: Seq[Expression]) => DocFingerprint(es.head)),
+    (FunctionIdentifier("rolling_min_hash"), info("rolling_min_hash", classOf[RollingMinHash]),
+      (es: Seq[Expression]) => RollingMinHash(es.head, litInt(es(1), "rolling_min_hash k"))),
   )
 }
 

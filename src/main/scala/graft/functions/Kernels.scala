@@ -97,6 +97,63 @@ object HashKernels {
   }
 }
 
+object TextKernels {
+  /** Fingerprint modulus: the classic 1e9+7 prime. Small enough that
+    * (acc*31 + byte) never overflows a long, large enough that the
+    * ~500-word corpus has no realistic collision. */
+  val Mod: Long = 1000000007L
+  val Base: Long = 31L
+
+  /** Whole-document polynomial fingerprint over UTF-8 bytes:
+    * fold(acc = 7; acc = (acc*31 + byte) mod 1e9+7). Single pass, zero
+    * allocation — the codegen'd scan-side form of DuckDB's
+    * `list_reduce(list_prepend(7, codes), …)` oracle (bytes == codepoints
+    * on the ASCII corpus). */
+  def polyFingerprint(s: UTF8String): Long = {
+    val n = s.numBytes()
+    var acc = 7L
+    var i = 0
+    while (i < n) {
+      acc = (acc * Base + (s.getByte(i) & 0xFF)) % Mod
+      i += 1
+    }
+    acc
+  }
+
+  /** Minimum rolling k-gram hash — a true Rabin-Karp rolling window: each
+    * step removes the outgoing byte's contribution (precomputed 31^(k-1)
+    * mod p) and admits the incoming byte — O(n) total instead of the
+    * O(n·k) of hashing every window independently. The window hash is the
+    * init-0 polynomial `sum(byte_j · 31^(k-1-j)) mod p`, which is exactly
+    * what DuckDB's `list_reduce(codes, (acc,x) -> acc*31+x)` computes, so
+    * the oracle recomputes each window independently and must agree.
+    * The min over all windows is a winnowing-style document fingerprint.
+    * Inputs shorter than k hash as one whole-string window. */
+  def rollingMinHash(s: UTF8String, k: Int): Long = {
+    val n = s.numBytes()
+    var h = 0L
+    var i = 0
+    if (n <= k) {
+      while (i < n) { h = (h * Base + (s.getByte(i) & 0xFF)) % Mod; i += 1 }
+      return h
+    }
+    var pw = 1L // 31^(k-1) mod p
+    i = 1
+    while (i < k) { pw = (pw * Base) % Mod; i += 1 }
+    i = 0
+    while (i < k) { h = (h * Base + (s.getByte(i) & 0xFF)) % Mod; i += 1 }
+    var min = h
+    i = k
+    while (i < n) {
+      val outgoing = ((s.getByte(i - k) & 0xFF) * pw) % Mod
+      h = ((h - outgoing + Mod) % Mod * Base + (s.getByte(i) & 0xFF)) % Mod
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+}
+
 object HexKernels {
   /** Hex string → decimal string with arbitrary precision.
     *

@@ -31,7 +31,10 @@ object Dedup {
     * (ts, event_id) wins. `min_by` over a struct gives lexicographic
     * ordering on the tie-break chain and partial aggregation. */
   def exactKeepFirst(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "events")
+    exactKeepFirst(Tables.load(spark, dir, "events"))
+
+  def exactKeepFirst(events: DataFrame): DataFrame =
+    events
       .groupBy("user_id")
       .agg(min_by(
         struct(col("event_id"), col("event_type"), col("value")),
@@ -147,6 +150,48 @@ object Dedup {
         bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: bucket vectors by
+    * random-hyperplane sign bands (Charikar SimHash for vectors — reusing
+    * [[Similarity.hyperplaneBands]]), join same-bucket pairs, verify with
+    * the codegen'd cosine kernel, keep pairs ≥ threshold. Same
+    * bucket-join-never-cartesian shape as the text LSH: near-identical
+    * vectors agree on every sign bit, so they collide in all bands;
+    * unrelated vectors (cosine ~N(0, 1/dim)) clear a 0.999 threshold with
+    * probability ~0 and are filtered at verification anyway. */
+  def embedCosinePairs(emb: DataFrame, threshold: Double = 0.999): DataFrame = {
+    val banded = Similarity.hyperplaneBands(emb)
+      .select(col("vec_id"), col("band"), col("bucket"))
+    val cand = banded.as("a")
+      .join(banded.as("b"), Seq("band", "bucket"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    cand
+      .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("e_a")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("e_b")), "vec_b")
+      .withColumn("score", GraftFunctions.cosineSim(col("e_a"), col("e_b")))
+      .filter(col("score") >= threshold)
+      // reported score rounded to 6 dp: DuckDB's inner-product accumulation
+      // differs from the kernel's sequential loop by 1-2 ULP, which is
+      // irrelevant semantically but would perturb hash-compare row order
+      .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
+  }
+
+  /** embeddings ∪ scaled copies (×1.01, re-rounded to float) of every 20th
+    * vector in a shifted id space — the planted near-duplicate corpus for
+    * [[embedCosinePairs]]' CORRECTNESS entry, mirrored exactly in the
+    * oracle SQL. Positive scaling preserves every hyperplane sign bit, so
+    * planted pairs collide in all bands; the float re-rounding makes them
+    * "near" (cosine < 1) rather than bitwise equal. */
+  def plantedNearVectors(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    emb.unionByName(
+      emb.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 500000L).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(1.01d)).cast("float")).as("embedding")))
   }
 
   /** documents ∪ perturbed copies of every 10th doc (one appended token,

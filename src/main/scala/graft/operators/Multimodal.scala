@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads with
+  * typed metadata, plus the operators a training-data pipeline runs over
+  * them — codec probe (decode), frame sampling, feature extraction.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * DETERMINISTIC STUB (all "decoded" properties derive from payload bytes
+  * by fixed arithmetic — see [[FakeCodec]]); everything Spark-side is real:
+  * the binary schema, the per-row projection shape, the `mapPartitions`
+  * batch seam a real codec would plug into, and the explode shape of frame
+  * sampling. Swapping [[FakeCodec.probe]] for a JNI/libav call changes no
+  * plan shape.
+  *
+  * Scale design (100 TB of media):
+  *  - payloads never shuffle: probe/feature-extract are scan-side
+  *    projections; only the (media_id, metadata/feature) result moves;
+  *  - frame sampling explodes ids BEFORE touching bytes, so the sampled
+  *    slice — not the whole payload — is what a downstream stage consumes;
+  *  - the real-codec seam is `mapPartitions` over an iterator: one codec
+  *    init per partition, streaming batches, no per-row JNI setup.
+  */
+object Multimodal {
+
+  /** The media table: payload = opaque UTF-8 bytes of `documents.text`
+    * standing in for encoded media (the container ships no codecs or
+    * media fixtures); media_type assigned round-robin so every modality
+    * path runs. Metadata travels as a typed struct next to the bytes. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(
+          array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(
+          length(col("text")).cast("long").as("n_bytes"),
+          col("source").as("source")).as("meta"))
+
+  /** The deterministic fake codec: every "decoded" property is fixed
+    * arithmetic on the byte count. A real implementation would parse the
+    * container header (JPEG SOF / WAV fmt / MP4 moov) — the stub keeps the
+    * exact output contract so downstream operators and the oracle are
+    * real while the codec is not. */
+  object FakeCodec {
+    case class Probed(
+        media_id: Long, media_type: String, n_bytes: Long,
+        width: Option[Long], height: Option[Long],
+        sample_rate: Option[Long], duration_ms: Option[Long],
+        n_frames: Option[Long])
+
+    def probe(mediaId: Long, mediaType: String, payload: Array[Byte]): Probed = {
+      val n = payload.length.toLong
+      val (w, h) = (64L + (n * 7) % 1856, 64L + (n * 13) % 1016)
+      mediaType match {
+        case "image" => Probed(mediaId, mediaType, n, Some(w), Some(h), None, None, None)
+        case "audio" => Probed(mediaId, mediaType, n, None, None, Some(16000L), Some(n * 20), None)
+        case _       => Probed(mediaId, mediaType, n, Some(w), Some(h), None, Some(n * 40), Some(n % 240 + 1))
+      }
+    }
+  }
+
+  /** Codec probe, expression form: the same arithmetic as [[FakeCodec]]
+    * but as codegen'd column projections — the fast path while the codec
+    * is a stub. One row per media item, payload never leaves the scan. */
+  def probe(spark: SparkSession, dir: String): DataFrame = {
+    val m = mediaTable(spark, dir)
+    val n = col("meta.n_bytes")
+    val w = lit(64L) + pmod(n * 7, lit(1856L))
+    val h = lit(64L) + pmod(n * 13, lit(1016L))
+    val img = col("media_type") === "image"
+    val aud = col("media_type") === "audio"
+    val vid = col("media_type") === "video"
+    m.select(
+      col("media_id"), col("media_type"), n.as("n_bytes"),
+      when(img || vid, w).as("width"),
+      when(img || vid, h).as("height"),
+      when(aud, lit(16000L)).as("sample_rate"),
+      when(aud, n * 20).when(vid, n * 40).as("duration_ms"),
+      when(vid, pmod(n, lit(240L)) + 1).as("n_frames"))
+  }
+
+  /** Codec probe, batch-seam form: `mapPartitions` over (id, type, bytes)
+    * tuples — the shape a real decoder uses (codec initialized once per
+    * partition, rows streamed through it). Produces the same rows as
+    * [[probe]]; MultimodalSpec asserts equality, which pins the seam's
+    * contract for a future real codec. */
+  def probeViaCodecSeam(spark: SparkSession, dir: String): Dataset[FakeCodec.Probed] = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select(col("media_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // real codec: init native decoder here, once per partition
+        rows.map { case (id, tpe, bytes) => FakeCodec.probe(id, tpe, bytes) }
+      }
+  }
+
+  /** Frame sampling over video payloads: explode every `every`-th frame id
+    * from the probed frame count, then slice a fixed-width byte window per
+    * sampled frame (stub for "decode frame f"). Explode-then-slice means
+    * the per-frame output is ~16 bytes, not a payload copy per frame. */
+  def frameSample(spark: SparkSession, dir: String, every: Int = 5): DataFrame =
+    probe(spark, dir)
+      .filter(col("media_type") === "video")
+      .join(mediaTable(spark, dir).select(col("media_id"), col("payload")), "media_id")
+      .select(
+        col("media_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(every.toLong))).as("frame_id"),
+        col("payload"))
+      .select(
+        col("media_id"), col("frame_id"),
+        length(col("payload").substr((col("frame_id") * 16 + 1).cast("int"), lit(16)))
+          .as("n_frame_bytes"))
+
+  /** Feature extraction stub: a dim-wide deterministic pseudo-embedding
+    * per payload — xxhash64(payload, lane) scaled into [0, 1). Real
+    * systems run a vision/audio encoder here; the Spark shape (binary in,
+    * array<float> out, scan-side projection) is what matters. No DuckDB
+    * oracle (xxhash64 is Spark-specific) — covered by MultimodalSpec. */
+  def features(spark: SparkSession, dir: String, dim: Int = 16): DataFrame =
+    mediaTable(spark, dir)
+      .select(
+        col("media_id"),
+        transform(
+          sequence(lit(0), lit(dim - 1)),
+          j => (pmod(xxhash64(col("payload"), j), lit(1000000L)).cast("double") / 1000000.0d)
+            .cast("float")).as("feature"))
+}

@@ -24,15 +24,22 @@ import graft.sources.Tables
   */
 object Similarity {
 
+  /** Default probe set: every 100th vector, as (query_id, q_emb). */
+  def defaultQueries(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+
+  def topKCosine(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    topKCosine(emb, defaultQueries(emb), k)
+  }
+
   /** Exact top-k: broadcast the query vectors, score every (query, corpus)
     * pair with cosine, keep k best per query. The per-query k-row cut is a
     * rank window — at |Q| queries the shuffle carries |Q|·N scored rows
     * keyed by query_id; with the contract that |Q| is tiny this is the
     * honest exact baseline (the LSH path below is the scale answer). */
-  def topKCosine(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings")
-    val queries = emb.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+  def topKCosine(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id"),
@@ -51,7 +58,7 @@ object Similarity {
     * Charikar's rounding scheme). Hyperplane components are derived from
     * splitmix64 via the SQL seed chain so the signature is reproducible
     * cluster-wide without shipping a matrix. */
-  def hyperplaneBands(spark: SparkSession, emb: DataFrame,
+  def hyperplaneBands(emb: DataFrame,
       planes: Int = 16, bitsPerBand: Int = 4, dim: Int = 64): DataFrame = {
     require(planes % bitsPerBand == 0, "bitsPerBand must divide planes")
     // plane p, component d ~ deterministic pseudo-gaussian in [-1, 1):
@@ -86,8 +93,12 @@ object Similarity {
     * documented approximation. */
   def topKCosineLsh(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val banded = hyperplaneBands(spark, emb)
-    val qBanded = banded.filter(col("vec_id") % 100 === 0)
+    topKCosineLsh(emb, col("vec_id") % 100 === 0, k)
+  }
+
+  def topKCosineLsh(emb: DataFrame, isQuery: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val banded = hyperplaneBands(emb)
+    val qBanded = banded.filter(isQuery)
       .select(col("band"), col("bucket"),
         col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val cand = banded.join(qBanded, Seq("band", "bucket"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
 import graft.sources.Tables
 
 /** Text-analysis operators over the `documents` table: corpus language
@@ -73,6 +74,37 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"),
         col("langid.pred_lang").as("pred_lang"),
         col("langid.score").as("score"))
+
+  /** BPE-ish pre-tokenizer pattern: letter runs, digit runs, and runs of
+    * other non-space symbols — the shape GPT-style byte-pair encoders
+    * pre-split on before merging. Plain character classes only, so Java
+    * (Spark) and RE2 (DuckDB oracle) regex dialects agree. */
+  val bpeSplitPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+
+  /** Token counting: whitespace tokens and BPE-ish pre-tokens per doc,
+    * plus an estimated LLM token count (pre-tokens are the upper bound a
+    * BPE merge table would start from). Pure codegen'd projection —
+    * regexp_count compiles the pattern once per task. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("\\S+")).as("n_ws_tokens"),
+        regexp_count(lower(col("text")), lit(bpeSplitPattern)).as("n_bpe_tokens"))
+
+  /** Document fingerprints: whole-document polynomial hash (exact-dup
+    * grouping key that shuffles 8 bytes instead of the text) and the min
+    * rolling 8-byte-window Rabin-Karp hash (winnowing-style — stable under
+    * edits that miss the minimal window). Both are single-pass codegen'd
+    * kernels (graft.functions.TextKernels); at 100 TB the fingerprint IS
+    * the dedup shuffle key, so computing it scan-side and never moving the
+    * text body is the entire design. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        GraftFunctions.docFingerprint(col("text")).as("fp"),
+        GraftFunctions.rollingMinHash(col("text"), 8).as("rolling_fp"))
 
   /** The langId projection as a reusable column: struct(pred_lang, score). */
   def langIdCol(text: Column): Column = {

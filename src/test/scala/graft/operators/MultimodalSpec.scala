@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing: binary payload schema, the stubbed codec's two
+  * forms (expression fast-path vs mapPartitions codec seam) agreeing,
+  * frame-sampling shape, and feature determinism.
+  */
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("media table: binary payload + typed metadata struct") {
+    val m = Multimodal.mediaTable(spark, dir)
+    val schema = m.schema
+    assert(schema("payload").dataType.typeName == "binary")
+    assert(schema("meta").dataType.typeName == "struct")
+    val r = m.select(col("media_id"), length(col("payload")), col("meta.n_bytes")).limit(10)
+      .as[(Long, Int, Long)].collect()
+    assert(r.nonEmpty && r.forall { case (_, pl, nb) => pl.toLong == nb })
+  }
+
+  test("expression probe and mapPartitions codec seam produce identical rows") {
+    val a = Multimodal.probe(spark, dir)
+      .as[Multimodal.FakeCodec.Probed].collect().sortBy(_.media_id)
+    val b = Multimodal.probeViaCodecSeam(spark, dir).collect().sortBy(_.media_id)
+    assert(a.toSeq == b.toSeq)
+    // all three modality branches actually run
+    assert(a.map(_.media_type).toSet == Set("image", "audio", "video"))
+  }
+
+  test("frameSample: every-5th ids, 16-byte slices except the tail") {
+    val frames = Multimodal.frameSample(spark, dir)
+      .as[(Long, Long, Int)].collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_._2 % 5 == 0), "frame ids must step by the sample rate")
+    assert(frames.forall(f => f._3 >= 0 && f._3 <= 16))
+    assert(frames.count(_._3 == 16) > 0, "full 16-byte frames expected")
+  }
+
+  test("features: fixed width, [0,1) range, deterministic") {
+    val f1 = Multimodal.features(spark, dir).as[(Long, Array[Float])].collect().sortBy(_._1)
+    val f2 = Multimodal.features(spark, dir).as[(Long, Array[Float])].collect().sortBy(_._1)
+    assert(f1.map(_._2.toSeq).toSeq == f2.map(_._2.toSeq).toSeq)
+    assert(f1.forall(_._2.length == 16))
+    assert(f1.forall(_._2.forall(v => v >= 0f && v < 1f)))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Similarity search: brute-force top-k against an in-test Scala oracle,
+  * and the LSH variant's contract (subset of true scores, twin recall).
+  */
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(11)
+  private val corpus: Seq[(Long, Array[Float])] =
+    (0 until 60).map(i => (i.toLong, Array.fill(32)(rng.nextGaussian().toFloat)))
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- a.indices) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  test("topKCosine matches a driver-side exact oracle") {
+    val emb = corpus.toDF("vec_id", "embedding")
+    val queries = Seq((0L, corpus(0)._2), (7L, corpus(7)._2)).toDF("query_id", "q_emb")
+    val got = Similarity.topKCosine(emb, queries, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val want = Seq(0L, 7L).flatMap { q =>
+      corpus.filter(_._1 != q)
+        .map { case (id, v) => (id, cosine(corpus(q.toInt)._2, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+        .map { case (id, _) => (q, id) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("topKCosineLsh returns true scores and recalls an exact twin as top-1") {
+    // plant a near-identical twin of vector 0 so the nearest neighbor is
+    // unambiguous; LSH must find it (identical sign bits → all bands collide)
+    val twin = (999L, corpus(0)._2.map(x => (x * 1.01).toFloat))
+    val emb = (corpus :+ twin).toDF("vec_id", "embedding")
+    val ann = Similarity.topKCosineLsh(emb, col("vec_id") === 0L, k = 3)
+      .as[(Long, Long, Double)].collect().sortBy(-_._3)
+    assert(ann.nonEmpty && ann.head._2 == 999L, s"twin not top-1: ${ann.toSeq}")
+    // every returned score is the true cosine of that pair
+    ann.foreach { case (q, v, s) =>
+      val truth = cosine(corpus(q.toInt)._2,
+        (if (v == 999L) twin._2 else corpus(v.toInt)._2))
+      assert(math.abs(s - truth) < 1e-12, s"score mismatch for ($q,$v)")
+    }
+  }
+}

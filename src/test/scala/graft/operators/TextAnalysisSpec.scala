@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.{GraftFunctions, TextKernels}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text analysis: token counting, quality stats, language ID, and the
+  * fingerprint kernels (incl. the Rabin-Karp rolling update checked
+  * against independent per-window folds).
+  */
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tokenizer, BPE-ish pre-tokens, punct and stopword counts") {
+    val df = Seq((1L, "The cat, the hat — 42 hats!")).toDF("doc_id", "text")
+    val row = df.select(
+      size(TextAnalysis.tokens(col("text"))).as("ws"),
+      regexp_count(lower(col("text")), lit(TextAnalysis.bpeSplitPattern)).as("bpe"))
+      .as[(Int, Int)].collect().head
+    // tokens: the cat the hat 42 hats → 6
+    assert(row._1 == 6)
+    // bpe: the|cat|,|the|hat|—|42|hats|! → 9
+    assert(row._2 == 9)
+  }
+
+  test("langId picks the profile language on clear-cut text") {
+    val df = Seq(
+      (1L, "the cat is on the mat and it was good"),
+      (2L, "der hund ist nicht mit der katze und das"),
+      (3L, "le chat est dans la maison et les chiens"),
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.langIdCol(col("text")))
+      .select(col("doc_id"), col("langid.pred_lang"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr"))
+  }
+
+  test("docFingerprint matches the definition fold") {
+    def fold(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(7L)((acc, b) => (acc * 31 + (b & 0xFF)) % 1000000007L)
+    for (s <- Seq("", "a", "abc", "the quick brown fox", "x" * 500)) {
+      assert(TextKernels.polyFingerprint(UTF8String.fromString(s)) == fold(s), s"poly($s)")
+    }
+    // and through the expression + SQL registration
+    val viaSql = spark.sql("SELECT doc_fingerprint('abc')").collect().head.getLong(0)
+    assert(viaSql == fold("abc"))
+  }
+
+  test("rollingMinHash equals min over independent per-window folds") {
+    def windowFold(s: String, k: Int): Long = {
+      val bytes = s.getBytes("UTF-8")
+      if (bytes.length <= k)
+        bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xFF)) % 1000000007L)
+      else
+        bytes.sliding(k).map(w =>
+          w.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xFF)) % 1000000007L)).min
+    }
+    val rng = new scala.util.Random(3)
+    val samples = Seq("short", "exactly8", "a bit longer than the window") ++
+      Seq.fill(20)(Seq.fill(60 + rng.nextInt(100))((32 + rng.nextInt(95)).toChar).mkString)
+    for (s <- samples; k <- Seq(4, 8, 16)) {
+      assert(TextKernels.rollingMinHash(UTF8String.fromString(s), k) == windowFold(s, k),
+        s"rolling(k=$k) diverged from independent folds on ${s.take(20)}…")
+    }
+  }
+
+  test("fingerprints: exact copies share both fingerprints; edits change fp") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy cat"),
+    ).toDF("doc_id", "text")
+    val rows = df.select(col("doc_id"),
+      GraftFunctions.docFingerprint(col("text")).as("fp"),
+      GraftFunctions.rollingMinHash(col("text"), 8).as("rfp"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows(0)._2 == rows(1)._2 && rows(0)._3 == rows(1)._3, "copies must agree")
+    assert(rows(0)._2 != rows(2)._2, "edit must change the whole-doc fingerprint")
+  }
+}

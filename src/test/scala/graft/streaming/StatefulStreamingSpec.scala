@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Stateful streaming semantics: watermarked tumbling windows (append mode
+  * finalizes closed windows, drops too-late rows) and gap sessionization
+  * via flatMapGroupsWithState (sessions emitted on event-time timeout;
+  * batch window-function form agrees on the same data).
+  */
+class StatefulStreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowed agg: append emits a window only after the watermark closes it") {
+    val input = MemoryStream[(Timestamp, String, Double)](
+      org.apache.spark.sql.Encoders.product[(Timestamp, String, Double)], spark.sqlContext)
+    val agg = WindowedAgg.streamingByType(
+      input.toDF().toDF("ts", "event_type", "value"), "1 hour", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("wa_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts("2024-01-01 09:10:00"), "view", 1.0), (ts("2024-01-01 09:20:00"), "view", 2.0))
+      q.processAllAvailable()
+      // watermark = 09:20 - 10min = 09:10 < 10:00 → nothing final yet
+      assert(spark.table("wa_out").count() == 0)
+
+      input.addData((ts("2024-01-01 11:00:00"), "click", 5.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 11:30:00"), "click", 6.0)) // push watermark past 10:00
+      q.processAllAvailable()
+      val rows = spark.table("wa_out")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows == Set((ts("2024-01-01 09:00:00"), "view", 2L, 3.0)),
+        s"only the closed 09:00 window may emit, got $rows")
+
+      // a row far behind the watermark (>10 min late) must be dropped
+      input.addData((ts("2024-01-01 09:40:00"), "view", 99.0))
+      input.addData((ts("2024-01-01 13:30:00"), "click", 7.0)) // close the 11:00 window
+      q.processAllAvailable()
+      val all = spark.table("wa_out")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(all == Set(
+        (ts("2024-01-01 09:00:00"), "view", 2L, 3.0),
+        (ts("2024-01-01 11:00:00"), "click", 2L, 11.0)),
+        s"late 09:40 row must be dropped and 11:00 window must close: $all")
+    } finally q.stop()
+  }
+
+  test("sessionize: sessions split on gap and emit on event-time timeout") {
+    val input = MemoryStream[Sessionize.Event](
+      org.apache.spark.sql.Encoders.product[Sessionize.Event], spark.sqlContext)
+    val q = Sessionize.sessions(input.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // burst 1: two events 10 min apart; burst 2 for another user
+      input.addData(
+        Sessionize.Event(1L, ts("2024-01-01 09:00:00"), 1.0),
+        Sessionize.Event(1L, ts("2024-01-01 09:10:00"), 2.0),
+        Sessionize.Event(2L, ts("2024-01-01 09:05:00"), 7.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0, "open sessions must not emit")
+
+      // user 1 returns 3 h later: same batch closes the old session once
+      // the watermark (max 12:00 − 1 h lateness = 11:00) passes 09:40
+      input.addData(Sessionize.Event(1L, ts("2024-01-01 12:00:00"), 3.0))
+      q.processAllAvailable()
+      input.addData(Sessionize.Event(1L, ts("2024-01-01 14:00:00"), 0.0)) // advance watermark again
+      q.processAllAvailable()
+
+      val sessions = spark.table("sess_out").as[Sessionize.Session].collect()
+        .map(s => (s.user_id, s.session_start, s.n_events, s.sum_value)).toSet
+      assert(sessions.contains((1L, ts("2024-01-01 09:00:00"), 2L, 3.0)),
+        s"user 1's first session must close with both events: $sessions")
+      assert(sessions.contains((2L, ts("2024-01-01 09:05:00"), 1L, 7.0)),
+        s"user 2's single-event session must close: $sessions")
+    } finally q.stop()
+  }
+
+  test("batch sessionization (window-function form) agrees with the gap rule") {
+    val events = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 10L, "a", 1.0),
+      (2L, ts("2024-01-01 09:10:00"), 10L, "a", 2.0),
+      (3L, ts("2024-01-01 11:00:00"), 10L, "a", 3.0), // > 30 min gap → new session
+      (4L, ts("2024-01-01 09:05:00"), 20L, "a", 7.0),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.Sessionization.sessionize(events)
+      .select("user_id", "session_id", "n_events", "sum_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((10L, 1L, 2L, 3.0), (10L, 2L, 1L, 3.0), (20L, 1L, 1L, 7.0)))
+  }
+}
