@@ -33,29 +33,34 @@ object Bench {
           Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
       }
 
-    names.foreach(runOnce) // warm-up pass, unmeasured
+    val extNames = SparkEntry.benchExtQueries
+    (names ++ extNames).foreach(runOnce) // warm-up pass, unmeasured
 
     val errors = collection.mutable.ListBuffer[String]()
-    val results = names.map { name =>
+    def timeAll(qs: Seq[String]): Seq[(String, Option[Double])] = qs.map { name =>
       val t0 = System.nanoTime()
       val err = runOnce(name)
       err.foreach(errors += _)
       val sec = (System.nanoTime() - t0) / 1e9
       name -> (if (err.isEmpty) Some(sec) else None)
     }
+    val results = timeAll(names)
+    val extResults = timeAll(extNames)
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results
+    def qjson(rs: Seq[(String, Option[Double])]): String = rs
       .map { case (k, v) => jstr(k) + ":" + v.map(s => f"$s%.4f").getOrElse("null") }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val errJson = errors.map(jstr).mkString("[", ",", "]")
+    // "value"/"queries" cover the stable headline set (comparable across
+    // rounds and to BASELINE.md); "ext" informally times the extension ops.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"ext":${qjson(extResults)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
     println(json)
     Files.writeString(Paths.get(outFile), json)
     spark.stop()

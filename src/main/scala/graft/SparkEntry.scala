@@ -39,6 +39,7 @@ object SparkEntry {
     "dedup_embed_cos"   -> ((s, d) => Dedup.embedCosinePairs(Dedup.plantedNearVectors(s, d))),
     "sim_topk_cosine"   -> ((s, d) => Similarity.topKCosine(s, d)),
     "sim_topk_ann"      -> ((s, d) => Similarity.topKCosineLsh(s, d)),
+    "sim_topk_ivf"      -> ((s, d) => Similarity.topKCosineIvf(s, d)),
     "txt_lang_dist"     -> (TextAnalysis.langDist _),
     "txt_quality"       -> (TextAnalysis.qualityStats _),
     "txt_langid"        -> (TextAnalysis.langId _),
@@ -51,12 +52,30 @@ object SparkEntry {
     "win_agg_daily"     -> ((s, d) => graft.streaming.WindowedAgg.byTypeTumbling(
                              graft.sources.Tables.load(s, d, "events"), "1 day")),
     "sess_30min"        -> (Sessionization.sessionize _),
+    // ── Skew-safe salted aggregation (same values as a plain group-by) ──
+    "agg_salted"        -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, round}
+      SaltedAgg.countSumByKey(graft.sources.Tables.load(s, d, "events"), "user_id", "value")
+        .select(col("user_id"), col("n"), round(col("sum"), 6).as("sum_value"))
+    }),
   )
 
   /** Subset timed by [[Bench]] at sf0.1 (streaming/DDL entries excluded —
-    * they exercise sinks and the catalog, not scan/shuffle throughput). */
+    * they exercise sinks and the catalog, not scan/shuffle throughput).
+    * This is the headline set whose total is tracked against BASELINE.md
+    * round over round — keep it stable. */
   def benchQueries: Seq[String] = Seq(
     "q1_sort_limit", "q2_count", "q3b_anti_join", "q4_dup_having", "q5_range",
+  )
+
+  /** Extension operators additionally timed by [[Bench]] (reported in the
+    * JSON's "ext" object, NOT in the headline total, so totals stay
+    * comparable across rounds). */
+  def benchExtQueries: Seq[String] = Seq(
+    "dedup_exact", "dedup_minhash_lsh", "dedup_embed_cos",
+    "sim_topk_cosine", "sim_topk_ivf",
+    "txt_fingerprint", "txt_quality",
+    "win_agg_daily", "sess_30min", "agg_salted",
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -163,6 +182,49 @@ object SparkEntry {
         |           * list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) AS score
         |  FROM base a JOIN base b ON a.vec_id < b.vec_id
         |) WHERE score >= 0.999""".stripMargin,
+    // Full IVF reproduction: same deterministic centroids (every 37th
+    // vector), same assignment tie-break (score DESC, cell_id ASC), same
+    // nprobe=4 / k=5 — the oracle checks quantization, probing, AND the
+    // final rank cut.
+    "sim_topk_ivf" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings WHERE vec_id % 37 = 0
+        |), assigned AS (
+        |  SELECT vec_id, embedding, cell_id FROM (
+        |    SELECT e.vec_id, e.embedding, c.cell_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
+        |          / sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+        |               * list_inner_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))) DESC,
+        |        c.cell_id ASC) AS rn
+        |    FROM embeddings e CROSS JOIN cent c
+        |  ) WHERE rn = 1
+        |), probes AS (
+        |  SELECT query_id, cell_id FROM (
+        |    SELECT q.vec_id AS query_id, c.cell_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
+        |          / sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+        |               * list_inner_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))) DESC,
+        |        c.cell_id ASC) AS rn
+        |    FROM embeddings q CROSS JOIN cent c
+        |    WHERE q.vec_id % 100 = 0
+        |  ) WHERE rn <= 4
+        |)
+        |SELECT query_id, vec_id, score FROM (
+        |  SELECT query_id, vec_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+        |  FROM (
+        |    SELECT p.query_id AS query_id, a.vec_id AS vec_id,
+        |      list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
+        |        / sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+        |             * list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) AS score
+        |    FROM probes p
+        |    JOIN assigned a ON a.cell_id = p.cell_id
+        |    JOIN embeddings q ON q.vec_id = p.query_id
+        |    WHERE a.vec_id <> p.query_id
+        |  )
+        |) WHERE rn <= 5""".stripMargin,
     "txt_tokens" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
@@ -204,6 +266,11 @@ object SparkEntry {
         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
         |  FROM documents
         |)""".stripMargin,
+    // Salted two-phase agg must equal the plain group-by (sum rounded to
+    // 6 dp: double addition order differs across engines by design).
+    "agg_salted" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY user_id""".stripMargin,
     // argmax via struct-max mirrors Spark's array_max(struct(score, lang)):
     // both compare (score, lang) lexicographically, ties → larger lang code.
     "txt_langid" ->

@@ -85,6 +85,68 @@ object Similarity {
       .withColumnRenamed("col", "bucket")
   }
 
+  /** IVF (inverted-file) coarse quantization: assign every vector to its
+    * nearest centroid's cell. Real IVF trains centroids with k-means; here
+    * the centroid set is a deterministic corpus subset (every 37th vector)
+    * so the index is reproducible and oracle-checkable — the quantize/
+    * probe/search plan shape is identical either way.
+    *
+    * The centroid "join" is a broadcast nested-loop over a CONSTANT-sized
+    * side (|centroids| vectors) — a deliberate bounded cross, not a
+    * data×data cartesian: cost is |corpus|·|centroids| scan-side scores,
+    * the embarrassingly parallel index build every IVF system pays. The
+    * argmax is a `max_by` two-phase aggregate (one row per vector crosses
+    * the shuffle), not a rank window over all pairs. */
+  def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cell_id"),
+        GraftFunctions.cosineSim(col("embedding"), col("c_emb")).as("cs"))
+      .groupBy("vec_id")
+      // tie-break on smaller cell_id (negated id in the ordering struct)
+      // so assignment is deterministic and matches the oracle's
+      // ORDER BY cs DESC, cell_id ASC
+      .agg(
+        max_by(col("cell_id"), struct(col("cs"), -col("cell_id"))).as("cell_id"),
+        first(col("embedding")).as("embedding"))
+
+  /** Deterministic stand-in for trained centroids: every 37th vector. */
+  def defaultCentroids(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+
+  def topKCosineIvf(spark: SparkSession, dir: String, k: Int = 5, nprobe: Int = 4): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    topKCosineIvf(emb, defaultQueries(emb), k, nprobe)
+  }
+
+  /** IVF search: probe the `nprobe` cells nearest each query, score only
+    * vectors assigned to probed cells, keep k best. At 100 TB the win is
+    * that the scored candidate set is (nprobe/|cells|) of the corpus per
+    * query instead of all of it; the probe table is tiny (|Q|·nprobe) and
+    * broadcasts into the cell equi-join. Missing a neighbor whose cell
+    * wasn't probed is the documented approximation — recall rises with
+    * nprobe, hitting exact search at nprobe = |cells|. */
+  def topKCosineIvf(emb: DataFrame, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val centroids = defaultCentroids(emb)
+    val assigned = ivfAssign(emb, centroids)
+    val wProbe = Window.partitionBy("query_id").orderBy(col("cs").desc, col("cell_id").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_emb"), col("cell_id"),
+        GraftFunctions.cosineSim(col("q_emb"), col("c_emb")).as("cs"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select("query_id", "q_emb", "cell_id")
+    val scored = assigned.join(broadcast(probes), "cell_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosineSim(col("q_emb"), col("embedding")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "score")
+  }
+
   /** Approximate top-k: bucket corpus and queries by hyperplane bands,
     * score only same-bucket pairs, keep k best per query. The join is a
     * bucket equi-join on (band, bucket) — candidate count ∝ collisions,

@@ -35,6 +35,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("topKCosineIvf recalls a planted twin (same cell) and returns true scores") {
+    val twin = (999L, corpus(0)._2.map(x => (x * 1.01).toFloat))
+    val emb = (corpus :+ twin).toDF("vec_id", "embedding")
+    val queries = Seq((0L, corpus(0)._2)).toDF("query_id", "q_emb")
+    val ivf = Similarity.topKCosineIvf(emb, queries, k = 3, nprobe = 2)
+      .as[(Long, Long, Double)].collect().sortBy(-_._3)
+    assert(ivf.nonEmpty && ivf.head._2 == 999L, s"twin not top-1: ${ivf.toSeq}")
+    ivf.foreach { case (q, v, s) =>
+      val truth = cosine(corpus(q.toInt)._2,
+        (if (v == 999L) twin._2 else corpus(v.toInt)._2))
+      assert(math.abs(s - truth) < 1e-12, s"score mismatch for ($q,$v)")
+    }
+    // raising nprobe to the full cell count makes IVF exact
+    val cells = Similarity.defaultCentroids(emb).count().toInt
+    val exact = Similarity.topKCosine(emb, queries, k = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val full = Similarity.topKCosineIvf(emb, queries, k = 3, nprobe = cells)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(full == exact, "nprobe = |cells| must equal exact search")
+  }
+
   test("topKCosineLsh returns true scores and recalls an exact twin as top-1") {
     // plant a near-identical twin of vector 0 so the nearest neighbor is
     // unambiguous; LSH must find it (identical sign bits → all bands collide)
