@@ -20,8 +20,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
+    // Optional filter (comma-separated names) for targeted measurement
+    // while iterating on one operator; default runs the full sets.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    def keep(qs: Seq[String]): Seq[String] = only match {
+      case Some(sel) => qs.filter(sel); case None => qs
+    }
     val spark = Sessions.local("graft-bench")
-    val names = SparkEntry.benchQueries
+    val names = keep(SparkEntry.benchQueries)
 
     def runOnce(name: String): Option[String] =
       try {
@@ -33,16 +40,22 @@ object Bench {
           Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
       }
 
-    val extNames = SparkEntry.benchExtQueries
+    val extNames = keep(SparkEntry.benchExtQueries)
     (names ++ extNames).foreach(runOnce) // warm-up pass, unmeasured
 
     val errors = collection.mutable.ListBuffer[String]()
+    // Median of 3 timed passes per query: the container's CPU allocation is
+    // bursty enough that any single pass can read several× high; a median
+    // discards one arbitrary stall per query (matches how the DuckDB
+    // baseline in BASELINE.md is measured).
     def timeAll(qs: Seq[String]): Seq[(String, Option[Double])] = qs.map { name =>
-      val t0 = System.nanoTime()
-      val err = runOnce(name)
-      err.foreach(errors += _)
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (err.isEmpty) Some(sec) else None)
+      val times = (1 to 3).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val err = runOnce(name)
+        err.foreach(errors += _)
+        if (err.isEmpty) Some((System.nanoTime() - t0) / 1e9) else None
+      }
+      name -> (if (times.size == 3) Some(times.sorted.apply(1)) else None)
     }
     val results = timeAll(names)
     val extResults = timeAll(extNames)

@@ -113,6 +113,26 @@ case class MinHashSig(child: Expression, k: Int, seed: Long) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** `shingle_hashes(string, n)` → array<long> of hashed n-token-window
+  * shingles (single-pass tokenizer+hasher — see TextKernels.shingleHashes). */
+case class ShingleHashes(child: Expression, n: Int, seed: Long) extends UnaryExpression {
+  require(n > 0, "shingle_hashes: n must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override def checkInputDataTypes(): TypeCheckResult =
+    expect(prettyName, child.dataType.isInstanceOf[StringType], "string", Seq(child.dataType))
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.shingleHashes(input.asInstanceOf[UTF8String], n, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.shingleHashes($c, $n, ${seed}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
 /** `doc_fingerprint(string)` → whole-document polynomial rolling hash
   * (init 7, base 31, mod 1e9+7 over UTF-8 bytes). */
 case class DocFingerprint(child: Expression) extends UnaryExpression {

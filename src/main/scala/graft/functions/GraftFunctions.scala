@@ -33,6 +33,8 @@ object GraftFunctions {
   def simhash64(c: Column): Column = col(SimHash64(expr(c)))
   def docFingerprint(c: Column): Column = col(DocFingerprint(expr(c)))
   def rollingMinHash(c: Column, k: Int): Column = col(RollingMinHash(expr(c), k))
+  def shingleHashes(c: Column, n: Int, seed: Long = 42L): Column =
+    col(ShingleHashes(expr(c), n, seed))
 
   private def litInt(e: Expression, name: String): Int = e match {
     case Literal(v: Int, _) => v
@@ -61,6 +63,8 @@ object GraftFunctions {
       (es: Seq[Expression]) => SimHash64(es.head)),
     (FunctionIdentifier("doc_fingerprint"), info("doc_fingerprint", classOf[DocFingerprint]),
       (es: Seq[Expression]) => DocFingerprint(es.head)),
+    (FunctionIdentifier("shingle_hashes"), info("shingle_hashes", classOf[ShingleHashes]),
+      (es: Seq[Expression]) => ShingleHashes(es.head, litInt(es(1), "shingle_hashes n"), 42L)),
     (FunctionIdentifier("rolling_min_hash"), info("rolling_min_hash", classOf[RollingMinHash]),
       (es: Seq[Expression]) => RollingMinHash(es.head, litInt(es(1), "rolling_min_hash k"))),
   )

@@ -98,6 +98,58 @@ object HashKernels {
 }
 
 object TextKernels {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.unsafe.Platform
+
+  /** Single-pass n-gram shingle hashes: ASCII-lowercase tokenize
+    * ([a-z0-9]+ runs, everything else — including non-ASCII bytes — is a
+    * separator), XXH64 each token, XXH64-chain each n-token window.
+    * Shorter-than-n inputs produce one whole-sequence shingle; zero tokens
+    * produce one sentinel shingle (documents never vanish from the set).
+    *
+    * Exists because the higher-order-function formulation
+    * (transform + lambda over the token array) re-evaluates outer
+    * expressions per window in interpreted mode — O(tokens · windows)
+    * with per-window allocation, measured 7-26× slower at sf0.1. This
+    * kernel is O(bytes + tokens·n), allocation-free per window, and stays
+    * inside whole-stage codegen like every other kernel here. */
+  def shingleHashes(s: UTF8String, n: Int, seed: Long): ArrayData = {
+    val nb = s.numBytes()
+    var tok = new Array[Long](16)
+    var t = 0
+    val scratch = new Array[Byte](math.max(nb, 1))
+    var i = 0
+    while (i < nb) {
+      var c = s.getByte(i) & 0xFF
+      if (c >= 'A' && c <= 'Z') c += 32
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        var len = 0
+        var run = true
+        while (run && i < nb) {
+          var cc = s.getByte(i) & 0xFF
+          if (cc >= 'A' && cc <= 'Z') cc += 32
+          if ((cc >= 'a' && cc <= 'z') || (cc >= '0' && cc <= '9')) {
+            scratch(len) = cc.toByte; len += 1; i += 1
+          } else run = false
+        }
+        if (t == tok.length) tok = java.util.Arrays.copyOf(tok, t * 2)
+        tok(t) = XXH64.hashUnsafeBytes(scratch, Platform.BYTE_ARRAY_OFFSET, len, seed)
+        t += 1
+      } else i += 1
+    }
+    val wins = math.max(t - (n - 1), 1)
+    val out = new Array[Long](wins)
+    var w = 0
+    while (w < wins) {
+      var h = seed
+      var j = 0
+      while (j < n && w + j < t) { h = XXH64.hashLong(tok(w + j), h); j += 1 }
+      out(w) = h
+      w += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Fingerprint modulus: the classic 1e9+7 prime. Small enough that
     * (acc*31 + byte) never overflows a long, large enough that the
     * ~500-word corpus has no realistic collision. */

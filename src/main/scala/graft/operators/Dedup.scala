@@ -60,16 +60,21 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
-  /** Pre-hashed n-gram shingles of a text column: lowercase, split on
-    * non-alphanumeric runs, join each n-token window with single spaces,
-    * xxhash64 each window. Texts shorter than n tokens yield one shingle
-    * (the whole token sequence) so no document hashes to the empty set.
-    * All built-ins — stays in whole-stage codegen. */
-  def shingleHashes(text: Column, n: Int): Column = {
-    val toks = filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
-    val nsh = greatest(size(toks) - (n - 1), lit(1))
-    transform(sequence(lit(1), nsh), i => xxhash64(concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+  /** Pre-hashed n-gram shingles of a text column: tokenize ([a-z0-9]+ runs
+    * after lowercasing), hash each token, hash each n-token window. Texts
+    * shorter than n tokens yield one shingle (the whole token sequence) so
+    * no document hashes to the empty set.
+    *
+    * Delegates to the codegen'd single-pass `shingle_hashes` kernel:
+    * higher-order-function formulations (transform + lambda over the token
+    * array) re-evaluate outer expressions per window in interpreted mode —
+    * measured 7-26× slower at sf0.1 — whereas the kernel is
+    * O(bytes + tokens·n) with no per-window allocation. The shingle SET is
+    * isomorphic to the word-string n-gram set (collisions aside), so
+    * Jaccard values — and the DuckDB oracle's exact word-3-gram ground
+    * truth — are unchanged. */
+  def shingleHashes(text: Column, n: Int): Column =
+    GraftFunctions.shingleHashes(text, n)
 
   /** MinHash banded-LSH near-duplicate pairs with exact-Jaccard
     * verification (SURVEY §7.3 pipeline, composing the codegen'd
@@ -161,7 +166,11 @@ object Dedup {
     * unrelated vectors (cosine ~N(0, 1/dim)) clear a 0.999 threshold with
     * probability ~0 and are filtered at verification anyway. */
   def embedCosinePairs(emb: DataFrame, threshold: Double = 0.999): DataFrame = {
-    val banded = Similarity.hyperplaneBands(emb)
+    // 2 bands × 16 sign bits (65536 buckets/band), much finer than the ANN
+    // search's 4-bit bands: at a 0.999 threshold candidates agree on
+    // essentially every sign bit, and per-bucket occupancy — which the
+    // self-join is quadratic in — must shrink as the corpus grows.
+    val banded = Similarity.hyperplaneBands(emb, planes = 32, bitsPerBand = 16)
       .select(col("vec_id"), col("band"), col("bucket"))
     val cand = banded.as("a")
       .join(banded.as("b"), Seq("band", "bucket"))

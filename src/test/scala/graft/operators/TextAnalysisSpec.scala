@@ -65,6 +65,28 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("shingle_hashes kernel: tokenization, case folding, window count, short docs") {
+    import graft.functions.TextKernels
+    def sh(s: String, n: Int = 3): Seq[Long] = {
+      val a = TextKernels.shingleHashes(UTF8String.fromString(s), n, 42L)
+      (0 until a.numElements()).map(a.getLong)
+    }
+    // 5 tokens → 3 windows of 3
+    assert(sh("the quick brown fox jumps").size == 3)
+    // case + separators don't change tokens
+    assert(sh("The, QUICK. brown|fox jumps!") == sh("the quick brown fox jumps"))
+    // digits are token chars
+    assert(sh("a1 b2 c3").size == 1)
+    // shorter than n → one whole-sequence shingle; differs from a distinct pair
+    assert(sh("one two").size == 1 && sh("one two") != sh("two one"))
+    // empty / all-separator input → one sentinel shingle, never empty
+    assert(sh("").size == 1 && sh("?!,") == sh(""))
+    // shifted windows share shingles (the LSH overlap property)
+    val a = sh("w1 w2 w3 w4 w5").toSet
+    val b = sh("w2 w3 w4 w5 w6").toSet
+    assert((a intersect b).size == 2)
+  }
+
   test("fingerprints: exact copies share both fingerprints; edits change fp") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
