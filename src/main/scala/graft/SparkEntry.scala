@@ -52,6 +52,12 @@ object SparkEntry {
     "win_agg_daily"     -> ((s, d) => graft.streaming.WindowedAgg.byTypeTumbling(
                              graft.sources.Tables.load(s, d, "events"), "1 day")),
     "sess_30min"        -> (Sessionization.sessionize _),
+    // ── Beyond-reference analytics (joins / rank-per-group / distinct) ──
+    "q_star_join"       -> (Analytics.starRevenue _),
+    "q_top_per_group"   -> ((s, d) => Analytics.topUsersPerType(s, d)),
+    "q_distinct"        -> (Analytics.userCounts _),
+    "q_json_props"      -> (Analytics.propsStats _),
+    "q_quantiles"       -> (Analytics.valueQuantiles _),
     // ── Skew-safe salted aggregation (same values as a plain group-by) ──
     "agg_salted"        -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, round}
@@ -266,6 +272,44 @@ object SparkEntry {
         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
         |  FROM documents
         |)""".stripMargin,
+    // Revenue summed as exact scaled integers (cents × (100-disc%)) so the
+    // total is independent of floating-point merge order in either engine.
+    "q_star_join" ->
+      """SELECT n_name AS nation,
+        |  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q_top_per_group" ->
+      """SELECT event_type, user_id, n FROM (
+        |  SELECT event_type, user_id, count(*) AS n,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY count(*) DESC, user_id) AS rn
+        |  FROM events GROUP BY event_type, user_id
+        |) WHERE rn <= 3""".stripMargin,
+    "q_distinct" ->
+      "SELECT count(DISTINCT user_id) AS n_users, count(*) AS n_events FROM events",
+    // Both engines define these as linearly-interpolated (continuous)
+    // quantiles over the sorted group.
+    "q_quantiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95,
+        |  quantile_cont(value, 0.99) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_json_props" ->
+      """SELECT event_type,
+        |  count(k) AS n, sum(k) AS sum_k, avg(k) AS avg_k
+        |FROM (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events
+        |)
+        |GROUP BY event_type""".stripMargin,
     // Salted two-phase agg must equal the plain group-by (sum rounded to
     // 6 dp: double addition order differs across engines by design).
     "agg_salted" ->

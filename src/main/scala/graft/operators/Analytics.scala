@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Beyond-reference analytics over the TPC-H-ish tables: the join /
+  * per-group-top-k / distinct-counting shapes any consumer of the landed
+  * data reaches for next. The reference's own surface has no joins at all
+  * (SURVEY §2.4) — these pin down the engine's multi-join and
+  * rank-per-group plans and their scale behavior.
+  */
+object Analytics {
+
+  /** Star-schema revenue rollup: fact (lineitem) ⋈ orders ⋈ customer ⋈
+    * nation, grouped by nation. The canonical "would this survive 100×"
+    * join: dimensions are orders-of-magnitude smaller than the fact table,
+    * so AQE turns every dimension side into a broadcast and the fact table
+    * is never shuffled until the final (tiny, per-nation) aggregate; scan
+    * reads exactly the 7 referenced columns of the 4 tables. */
+  def starRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Tables.load(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val c = Tables.load(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val n = Tables.load(spark, dir, "nation").select("n_nationkey", "n_name")
+    // price and discount are 2-dp values stored as doubles; summing
+    // p*(1-d) in floating point makes the total depend on partial-merge
+    // order (flaps across runs AND engines). Rescale to exact integers —
+    // cents × (100 - discount%) — sum as long (≪ 2^53), divide once.
+    val revScaled =
+      round(l("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(l("l_discount") * 100).cast("long"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        (sum(revScaled) / 10000.0d).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Per-group top-k: the 3 most active users per event type. GroupBy
+    * first (two-phase, one row per (type, user) crosses the shuffle), THEN
+    * rank within the tiny aggregated set — never a window over raw events. */
+  def topUsersPerType(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val counts = Tables.load(spark, dir, "events")
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy(col("n").desc, col("user_id").asc)
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("event_type", "user_id", "n")
+  }
+
+  /** Exact distinct counting (two-phase: partial distinct per partition,
+    * merge). The approximate HLL++ path (`approx_count_distinct`) is the
+    * 100 TB default — constant memory per group instead of a distinct
+    * shuffle — and is accuracy-tested against this exact result in
+    * AnalyticsSpec (no oracle: HLL sketches are engine-specific). */
+  def userCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  /** Semi-structured extraction: parse the `props` JSON column against a
+    * declared schema and aggregate an extracted field — the reference's
+    * from_json operator (P2) applied batch-side to landed data. Parse is
+    * scan-side and codegen'd; only (type, sum, count) partials shuffle.
+    * avg = exact-long sum / count, so the double result is engine-stable. */
+  def propsStats(spark: SparkSession, dir: String): DataFrame = {
+    val kSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"), from_json(col("props"), kSchema).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"), avg(col("k")).as("avg_k"))
+  }
+
+  /** Exact value percentiles per event_type (linear interpolation — the
+    * same definition as the oracle's quantile_cont). Exact percentile
+    * sorts every group's values; the 100 TB default is
+    * [[approxValueQuantiles]] (constant-memory sketch), accuracy-tested
+    * against this in AnalyticsSpec. */
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.95)).as("p95"),
+        percentile(col("value"), lit(0.99)).as("p99"))
+
+  /** Sketch-based percentiles (`approx_percentile`): one bounded-size
+    * digest per group crosses the shuffle instead of every value. */
+  def approxValueQuantiles(spark: SparkSession, dir: String, acc: Int = 10000): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        approx_percentile(col("value"), lit(0.5), lit(acc)).as("p50"),
+        approx_percentile(col("value"), lit(0.95), lit(acc)).as("p95"))
+
+  /** The HLL++ approximate variant of [[userCounts]] per event_type. */
+  def approxUserCountsByType(spark: SparkSession, dir: String, rsd: Double = 0.05): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+}

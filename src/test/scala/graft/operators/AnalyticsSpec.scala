@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Analytics operators: per-group top-k semantics on a hand-built table
+  * and HLL++ approximate distinct accuracy against the exact count.
+  */
+class AnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("topUsersPerType: rank cut and tie-break by user_id") {
+    val counts = Analytics.topUsersPerType(spark, dir)
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1)
+    counts.foreach { case (tpe, rows) =>
+      assert(rows.length <= 3, s"$tpe returned ${rows.length} rows")
+      // descending by n, ties ascending by user_id
+      val ordered = rows.sortBy(r => (-r._3, r._2)).toSeq
+      assert(rows.toSeq == ordered, s"$tpe rows not in rank order: ${rows.toSeq}")
+    }
+    assert(counts.nonEmpty)
+  }
+
+  test("approx_count_distinct tracks exact within the configured rsd") {
+    val rows = Analytics.approxUserCountsByType(spark, dir)
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (tpe, approx, exact) =>
+      assert(exact > 0)
+      val rel = math.abs(approx - exact).toDouble / exact
+      // rsd 0.05 → 3 sigma ≈ 15%
+      assert(rel <= 0.15, s"$tpe: approx $approx vs exact $exact (rel $rel)")
+    }
+  }
+
+  test("approx_percentile tracks the exact percentiles") {
+    val exact = Analytics.valueQuantiles(spark, dir)
+      .as[(String, Double, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val approx = Analytics.approxValueQuantiles(spark, dir)
+      .as[(String, Double, Double)].collect()
+    assert(approx.nonEmpty)
+    approx.foreach { case (tpe, p50, p95) =>
+      val (e50, e95) = exact(tpe)
+      // approx_percentile returns a nearest-sample value (no interpolation);
+      // in the sparse tail that can sit a few values away from the exact
+      // interpolated quantile, so the bound is relative
+      def close(a: Double, e: Double) = math.abs(a - e) <= math.max(2.0, 0.05 * math.abs(e))
+      assert(close(p50, e50), s"$tpe p50 $p50 vs $e50")
+      assert(close(p95, e95), s"$tpe p95 $p95 vs $e95")
+    }
+  }
+
+  test("star revenue: exact scaled-integer sum matches a driver-side recompute") {
+    val got = Analytics.starRevenue(spark, dir)
+      .as[(String, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // independent recompute through SQL joins on the same session
+    graft.sources.Tables.registerAll(spark, dir)
+    val want = spark.sql(
+      """SELECT n_name, CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0 AS DOUBLE) AS rev,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin)
+      .as[(String, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+}

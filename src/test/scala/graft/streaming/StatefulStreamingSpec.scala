@@ -81,6 +81,26 @@ class StatefulStreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup: duplicate keys across micro-batches land once") {
+    val input = MemoryStream[(Long, Timestamp, Double)](
+      org.apache.spark.sql.Encoders.product[(Long, Timestamp, Double)], spark.sqlContext)
+    val deduped = StreamDedup.exactWithinWatermark(
+      input.toDF().toDF("event_id", "ts", "value")
+        .withWatermark("ts", "10 minutes"),
+      Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dd_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, ts("2024-01-01 09:00:00"), 1.0), (2L, ts("2024-01-01 09:01:00"), 2.0))
+      q.processAllAvailable()
+      // same key replayed in a later batch within the watermark window
+      input.addData((1L, ts("2024-01-01 09:02:00"), 1.0), (3L, ts("2024-01-01 09:03:00"), 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dd_out").select("event_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"duplicate must be dropped: $ids")
+    } finally q.stop()
+  }
+
   test("batch sessionization (window-function form) agrees with the gap rule") {
     val events = Seq(
       (1L, ts("2024-01-01 09:00:00"), 10L, "a", 1.0),
