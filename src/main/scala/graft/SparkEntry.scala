@@ -82,6 +82,7 @@ object SparkEntry {
     "sim_topk_cosine", "sim_topk_ivf",
     "txt_fingerprint", "txt_quality",
     "win_agg_daily", "sess_30min", "agg_salted",
+    "q_star_join", "q_top_per_group", "q_distinct", "q_json_props", "q_quantiles",
   )
 
   def oracleSql: Map[String, String] = Map(

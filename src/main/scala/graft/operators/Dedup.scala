@@ -98,9 +98,16 @@ object Dedup {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val r = k / bands
 
+    // The shingle table feeds four DAG branches (both sides of the band
+    // self-join via sig, both candidate-verification lookups); without
+    // persistence each branch re-scans the text and re-shingles — 8 scans
+    // of the corpus in the physical plan. Persisting (doc_id, shingles) —
+    // a few hundred longs per doc, far smaller than the text — makes the
+    // text scan happen exactly once at any scale.
     val sh = docs.select(
       col(idCol).as("doc_id"),
       array_distinct(shingleHashes(col(textCol), n)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = sh.withColumn("sig", GraftFunctions.minhashSig(col("sh"), k, seed))
 
     val banded = sig.select(
@@ -141,11 +148,14 @@ object Dedup {
       col(idCol).as("doc_id"),
       GraftFunctions.simhash64(shingleHashes(col(textCol), n)).as("fp"))
 
+    // persisted for the same reason as the MinHash shingle table: the
+    // banded fingerprints feed both sides of the self-join
     val banded = fp.select(
       col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("fp"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .toDF("doc_id", "fp", "band", "bits")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     banded.as("a")
       .join(banded.as("b"), Seq("band", "bits"))
@@ -172,6 +182,7 @@ object Dedup {
     // self-join is quadratic in — must shrink as the corpus grows.
     val banded = Similarity.hyperplaneBands(emb, planes = 32, bitsPerBand = 16)
       .select(col("vec_id"), col("band"), col("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.as("a")
       .join(banded.as("b"), Seq("band", "bucket"))
       .filter(col("a.vec_id") < col("b.vec_id"))
