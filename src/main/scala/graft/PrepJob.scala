@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.operators.{Dedup, TextAnalysis}
+import graft.sources.Tables
+
+/** The end-to-end training-data preparation pipeline — the composition the
+  * individual operators exist for, runnable as one job:
+  *
+  *   documents → quality filter (keep) → exact dedup (fingerprint,
+  *   keep-smallest-id) → near-dup removal (banded LSH, keep-smallest-id)
+  *   → Parquet partitioned by lang.
+  *
+  * Every stage is one of the independently oracle-checked operators; this
+  * main only composes them. Scale shape: two scans of the corpus text
+  * (quality+fingerprint fused scan-side; LSH over the already-shrunk
+  * survivor set), shuffles only on 8-byte keys (fingerprint, band
+  * buckets), output partitioned so downstream reads prune by language.
+  */
+object PrepJob {
+
+  /** The pipeline as a DataFrame (no side effects — tests and callers
+    * compose further). */
+  def prepare(spark: SparkSession, dir: String): DataFrame = {
+    val keepIds = TextAnalysis.qualityFilter(spark, dir)
+      .filter(col("keep")).select("doc_id")
+    val docs = Tables.load(spark, dir, "documents")
+      .join(keepIds, Seq("doc_id"), "left_semi")
+
+    // exact dedup: one row per content fingerprint, smallest doc_id wins —
+    // min_by keeps the whole row through a two-phase aggregate
+    val cols = docs.columns
+    val exact = docs
+      .withColumn("_fp", GraftFunctions.docFingerprint(col("text")))
+      .groupBy("_fp")
+      .agg(min_by(struct(cols.map(col): _*), col("doc_id")).as("r"))
+      .select(cols.map(c => col(s"r.$c")): _*)
+
+    Dedup.dropNearDuplicates(exact, "doc_id", "text")
+  }
+
+  /** Run the pipeline and land it partitioned by language. Returns the
+    * number of surviving documents. */
+  def run(spark: SparkSession, dir: String, outPath: String): Long = {
+    val out = prepare(spark, dir)
+    out.write.mode("overwrite").partitionBy("lang").parquet(outPath)
+    spark.read.parquet(outPath).count()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val out = sys.env.getOrElse("GRAFT_PREP_OUT", "/tmp/graft_prep")
+    val spark = Sessions.local("graft-prep")
+    try println(s"prepared ${run(spark, dir, out)} documents → $out")
+    finally spark.stop()
+  }
+}

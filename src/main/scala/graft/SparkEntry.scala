@@ -45,6 +45,7 @@ object SparkEntry {
     "txt_langid"        -> (TextAnalysis.langId _),
     "txt_tokens"        -> (TextAnalysis.tokenCounts _),
     "txt_fingerprint"   -> (TextAnalysis.fingerprints _),
+    "txt_quality_filter" -> (TextAnalysis.qualityFilter _),
     "mm_decode"         -> ((s, d) => Multimodal.probe(s, d)),
     "mm_frames"         -> ((s, d) => Multimodal.frameSample(s, d)),
     "mm_features"       -> ((s, d) => Multimodal.features(s, d)),
@@ -388,6 +389,28 @@ object SparkEntry {
         |  SELECT doc_id AS media_id, text,
         |    unnest(range(0, CAST(length(text) AS BIGINT) % 240 + 1, 5)) AS frame_id
         |  FROM documents WHERE doc_id % 3 = 2
+        |)""".stripMargin,
+    // Same ratio arithmetic as the Spark side (single division of the same
+    // integers → bit-identical doubles → identical keep decisions).
+    "txt_quality_filter" ->
+      """SELECT doc_id, lang, n_chars, n_tokens, token_chars, n_punct, n_stopwords,
+        |  (n_chars >= 20 AND n_tokens >= 5
+        |   AND (CAST(token_chars AS DOUBLE) / n_tokens) BETWEEN 2.0 AND 12.0
+        |   AND (CAST(n_punct AS DOUBLE) / n_chars) <= 0.2
+        |   AND (CAST(n_stopwords AS DOUBLE) / n_tokens) >= 0.01) AS keep
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    length(text) AS n_chars,
+        |    len(toks) AS n_tokens,
+        |    COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS token_chars,
+        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['the','a','an','of','to','and','in','is','it','that'], x))) AS n_stopwords
+        |  FROM (
+        |    SELECT doc_id, lang, text,
+        |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        |    FROM documents
+        |  )
         |)""".stripMargin,
     // zip = decimal string of the 128-bit int(md5hex, 16), rebuilt from two
     // unsigned-64 halves (DuckDB's md5_number uses a different byte order).

@@ -214,6 +214,21 @@ object Dedup {
           transform(col("embedding"), x => (x * lit(1.01d)).cast("float")).as("embedding")))
   }
 
+  /** Near-duplicate REMOVAL (the policy layer over [[minhashLshPairs]]):
+    * keep the lower doc_id of every verified pair, drop the other side —
+    * the standard greedy cluster-canonicalization (a chain a~b~c keeps a;
+    * b and c are each dropped through their pair with a smaller id).
+    * One anti-join against the distinct drop set — no iteration, no
+    * connected-components pass, which is the accepted at-scale trade:
+    * exact CC costs multiple shuffles per iteration for marginal recall
+    * on transitive chains. */
+  def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7): DataFrame = {
+    val drops = minhashLshPairs(docs, idCol, textCol, threshold = threshold)
+      .select(col("doc_b").as(idCol)).distinct()
+    docs.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** documents ∪ perturbed copies of every 10th doc (one appended token,
     * shifted id space) — the planted near-duplicate corpus used by the
     * near-dup CORRECTNESS entries, mirrored exactly in the oracle SQL.

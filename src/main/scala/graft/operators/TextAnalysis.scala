@@ -54,6 +54,23 @@ object TextAnalysis {
       size(filter(toks, t => t.isInCollection(qcStopwords))).as("n_stopwords"))
   }
 
+  /** Composite training-data quality filter: the keep/drop decision the
+    * quality signals exist for, as one scan-side projection. Rules are the
+    * standard public heuristics (length bounds, mean-token-length band,
+    * punctuation ceiling, stopword floor); every signal is also emitted so
+    * downstream can re-threshold without re-scanning. */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val stats = qualityStats(spark, dir)
+    val meanTokLen = col("token_chars").cast("double") / col("n_tokens")
+    val punctRatio = col("n_punct").cast("double") / col("n_chars")
+    val stopRatio = col("n_stopwords").cast("double") / col("n_tokens")
+    stats.withColumn("keep",
+      col("n_chars") >= 20 && col("n_tokens") >= 5 &&
+        meanTokLen.between(2.0, 12.0) &&
+        punctRatio <= 0.2 &&
+        stopRatio >= 0.01)
+  }
+
   /** Stopword profiles for the language-ID heuristic: tiny, hand-picked
     * high-frequency function words per language. Deliberately public
     * common knowledge, not a trained model. */

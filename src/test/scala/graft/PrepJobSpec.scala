@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The composed preparation pipeline: survivors pass the quality filter,
+  * contain no exact or planted near-duplicates, and land partitioned.
+  */
+class PrepJobSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("prepare: survivors are unique, quality-passing, near-dup-free") {
+    val out = PrepJob.prepare(spark, dir)
+    val rows = out.select("doc_id").as[Long].collect()
+    assert(rows.nonEmpty)
+    assert(rows.distinct.length == rows.length, "doc_ids must be unique")
+    // every survivor passes the quality rules
+    val keepIds = graft.operators.TextAnalysis.qualityFilter(spark, dir)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(rows.forall(keepIds), "all survivors must pass the quality filter")
+    // no exact-content duplicates survive
+    val nFp = out.select(graft.functions.GraftFunctions.docFingerprint(col("text")))
+      .distinct().count()
+    assert(nFp == rows.length, "exact-duplicate content must be gone")
+  }
+
+  test("run lands the survivors partitioned by lang") {
+    val outPath = java.nio.file.Files.createTempDirectory("prep_out_").toString
+    val n = PrepJob.run(spark, dir, outPath)
+    assert(n > 0)
+    val partDirs = new java.io.File(outPath).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("lang="))
+    assert(partDirs.length > 1, s"expected lang partitions, got ${partDirs.toSeq}")
+    assert(spark.read.parquet(outPath).count() == n)
+  }
+
+  test("near-dup removal: planted copies drop, pairs keep at most one side") {
+    val docs = graft.operators.Dedup.plantedNearDocs(spark, dir)
+    val cleaned = graft.operators.Dedup.dropNearDuplicates(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val planted = docs.filter(col("doc_id") >= 1000000L).select("doc_id").as[Long].collect()
+    assert(planted.nonEmpty)
+    // a planted copy always pairs with its (smaller-id) original → dropped
+    assert(planted.forall(p => !cleaned.contains(p)), "planted copies must be dropped")
+    // operator invariants against the independently-tested pair finder:
+    // no surviving pair, and every unpaired doc survives
+    val pairs = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) =>
+      assert(!(cleaned.contains(a) && cleaned.contains(b)), s"pair ($a,$b) both survived")
+    }
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert((all -- inPairs).forall(cleaned), "docs in no pair must all survive")
+  }
+}
