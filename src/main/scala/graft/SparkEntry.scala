@@ -36,6 +36,8 @@ object SparkEntry {
     "dedup_exact_docs"  -> (Dedup.exactByContent _),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Dedup.plantedNearDocs(s, d), "doc_id", "text")),
     "dedup_simhash"     -> ((s, d) => Dedup.simhashPairs(Dedup.plantedNearDocs(s, d), "doc_id", "text")),
+    "dedup_near_drop"   -> ((s, d) => Dedup.dropNearDuplicates(Dedup.plantedNearDocs(s, d), "doc_id", "text")
+                              .select("doc_id")),
     "dedup_embed_cos"   -> ((s, d) => Dedup.embedCosinePairs(Dedup.plantedNearVectors(s, d))),
     "sim_topk_cosine"   -> ((s, d) => Similarity.topKCosine(s, d)),
     "sim_topk_ann"      -> ((s, d) => Similarity.topKCosineLsh(s, d)),
@@ -86,7 +88,46 @@ object SparkEntry {
     "q_star_join", "q_top_per_group", "q_distinct", "q_json_props", "q_quantiles",
   )
 
+  /** sim_topk_ann oracle, generated: the LSH signature is deterministic
+    * (seeded hyperplanes are plan literals), so the oracle embeds the SAME
+    * plane vectors as SQL literals and reproduces sign bits → bands →
+    * buckets → candidates → scores — checking the whole approximate plan,
+    * not just its shape. */
+  private def annOracleSql: String = {
+    val planes = graft.operators.Similarity.planeVectors()
+    val sigTerms = planes.zipWithIndex.map { case (v, p) =>
+      val lit = v.mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), $lit) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding,
+       |      $sigTerms AS hsig
+       |  FROM embeddings
+       |), banded AS (
+       |  SELECT vec_id, embedding, b.band, (hsig >> (b.band * 4)) & 15 AS bucket
+       |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+       |  FROM banded q JOIN banded c ON q.band = c.band AND q.bucket = c.bucket
+       |  WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+       |)
+       |SELECT query_id, vec_id, score FROM (
+       |  SELECT query_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+       |  FROM (
+       |    SELECT cand.query_id, cand.vec_id,
+       |      list_inner_product(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[]))
+       |        / sqrt(list_inner_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[]))
+       |             * list_inner_product(CAST(ce.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[]))) AS score
+       |    FROM cand
+       |    JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |    JOIN embeddings ce ON ce.vec_id = cand.vec_id
+       |  )
+       |) WHERE rn <= 5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "sim_topk_ann" -> annOracleSql,
     "q1_sort_limit" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |ORDER BY c_name ASC, c_custkey ASC LIMIT 20""".stripMargin,
@@ -172,6 +213,35 @@ object SparkEntry {
         |    WHERE q.vec_id % 100 = 0
         |  )
         |) WHERE rn <= 5""".stripMargin,
+    // Survivors of greedy near-dup removal: ground truth recomputes the
+    // all-pairs Jaccard pair set and drops every doc_b — the same
+    // keep-smallest policy as the operator, over the exact pair set the
+    // LSH plan recalls w.h.p. (see dedup_minhash_lsh).
+    "dedup_near_drop" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' graftdup' FROM documents WHERE doc_id % 10 = 0
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM base
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM toks
+        |), pairs AS (
+        |  SELECT doc_b FROM (
+        |    SELECT b.doc_id AS doc_b,
+        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  ) WHERE jaccard >= 0.7
+        |)
+        |SELECT doc_id FROM base
+        |WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs)""".stripMargin,
     // Planted scaled copies (×1.01 re-rounded to float) are the only pairs
     // that can clear cosine ≥ 0.999 on a random corpus; the LSH-bucketed
     // Spark plan recalls them exactly (scaling preserves every sign bit).

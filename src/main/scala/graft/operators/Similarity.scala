@@ -51,6 +51,15 @@ object Similarity {
       .select("query_id", "vec_id", "score")
   }
 
+  /** The deterministic hyperplane set: seeded gaussians, computed as plan
+    * literals (planes × dim doubles — a few KiB of constants, not data).
+    * Public so the correctness oracle can embed the SAME planes as SQL
+    * literals and reproduce the signature bit-for-bit. */
+  def planeVectors(planes: Int = 16, dim: Int = 64): Seq[Array[Double]] = {
+    val rng = new scala.util.Random(0x5eed)
+    Seq.fill(planes)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
   /** Random-hyperplane signature: `planes` sign bits of dot products with
     * seeded deterministic hyperplanes, packed into band buckets of
     * `bitsPerBand` bits. Cosine-similar vectors agree on most sign bits,
@@ -61,12 +70,7 @@ object Similarity {
   def hyperplaneBands(emb: DataFrame,
       planes: Int = 16, bitsPerBand: Int = 4, dim: Int = 64): DataFrame = {
     require(planes % bitsPerBand == 0, "bitsPerBand must divide planes")
-    // plane p, component d ~ deterministic pseudo-gaussian in [-1, 1):
-    // xxhash64(p * dim + d) scaled. Computed as a literal array per plane
-    // (planes × dim doubles — a few KiB of plan constants, not data).
-    val rng = new scala.util.Random(0x5eed)
-    val planeVecs: Seq[Array[Double]] =
-      Seq.fill(planes)(Array.fill(dim)(rng.nextGaussian()))
+    val planeVecs = planeVectors(planes, dim)
     val sigBits = planeVecs.zipWithIndex.map { case (v, p) =>
       val dot = aggregate(
         zip_with(col("embedding"), typedlit(v.toSeq), (x, c) => x * c),
