@@ -104,14 +104,17 @@ object Multimodal {
   /** Frame sampling over video payloads: explode every `every`-th frame id
     * from the probed frame count, then slice a fixed-width byte window per
     * sampled frame (stub for "decode frame f"). Explode-then-slice means
-    * the per-frame output is ~16 bytes, not a payload copy per frame. */
+    * the per-frame output is ~16 bytes, not a payload copy per frame.
+    * The frame count derives from the payload itself, so this is ONE scan
+    * with an inline probe — joining the separate [[probe]] output back
+    * would scan the media table twice for no information gain. */
   def frameSample(spark: SparkSession, dir: String, every: Int = 5): DataFrame =
-    probe(spark, dir)
+    mediaTable(spark, dir)
       .filter(col("media_type") === "video")
-      .join(mediaTable(spark, dir).select(col("media_id"), col("payload")), "media_id")
       .select(
         col("media_id"),
-        explode(sequence(lit(0L), col("n_frames") - 1, lit(every.toLong))).as("frame_id"),
+        explode(sequence(lit(0L), pmod(col("meta.n_bytes"), lit(240L)), lit(every.toLong)))
+          .as("frame_id"),
         col("payload"))
       .select(
         col("media_id"), col("frame_id"),
