@@ -193,7 +193,9 @@ object Dedup {
       .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("e_a")), "vec_a")
       .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("e_b")), "vec_b")
       .withColumn("score", GraftFunctions.cosineSim(col("e_a"), col("e_b")))
-      .filter(col("score") >= threshold)
+      // !isnan guard: Spark compares NaN GREATER than any double, so a
+      // zero-norm junk vector pair would otherwise pass the threshold
+      .filter(!isnan(col("score")) && col("score") >= threshold)
       // reported score rounded to 6 dp: DuckDB's inner-product accumulation
       // differs from the kernel's sequential loop by 1-2 ULP, which is
       // irrelevant semantically but would perturb hash-compare row order

@@ -46,6 +46,7 @@ object Similarity {
         GraftFunctions.cosineSim(col("q_emb"), col("embedding")).as("score"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id").asc)
     scored
+      .filter(!isnan(col("score"))) // zero-norm junk vectors score NaN, which SORTS ABOVE every double
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("query_id", "vec_id", "score")
@@ -64,9 +65,9 @@ object Similarity {
     * seeded deterministic hyperplanes, packed into band buckets of
     * `bitsPerBand` bits. Cosine-similar vectors agree on most sign bits,
     * so near neighbors collide in some band w.h.p. (SimHash for vectors —
-    * Charikar's rounding scheme). Hyperplane components are derived from
-    * splitmix64 via the SQL seed chain so the signature is reproducible
-    * cluster-wide without shipping a matrix. */
+    * Charikar's rounding scheme). Hyperplane components come from
+    * [[planeVectors]]' fixed seed, so the signature is reproducible
+    * cluster-wide (and oracle-side) without shipping a matrix. */
   def hyperplaneBands(emb: DataFrame,
       planes: Int = 16, bitsPerBand: Int = 4, dim: Int = 64): DataFrame = {
     require(planes % bitsPerBand == 0, "bitsPerBand must divide planes")
@@ -146,6 +147,7 @@ object Similarity {
         GraftFunctions.cosineSim(col("q_emb"), col("embedding")).as("score"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id").asc)
     scored
+      .filter(!isnan(col("score"))) // zero-norm junk vectors score NaN, which SORTS ABOVE every double
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("query_id", "vec_id", "score")
@@ -176,6 +178,7 @@ object Similarity {
       GraftFunctions.cosineSim(col("q_emb"), col("embedding")).as("score"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id").asc)
     scored
+      .filter(!isnan(col("score"))) // zero-norm junk vectors score NaN, which SORTS ABOVE every double
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("query_id", "vec_id", "score")

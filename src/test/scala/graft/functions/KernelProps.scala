@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck laws for the codegen kernels — pure JVM functions, so these
+  * run without a SparkSession and cover arbitrary inputs (including
+  * non-ASCII bytes) that the example-based specs don't reach.
+  */
+object KernelProps extends Properties("kernels") {
+
+  private def u(s: String) = UTF8String.fromString(s)
+  private def longs(a: ArrayData): Seq[Long] = (0 until a.numElements()).map(a.getLong)
+
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 3 -> Gen.const(' '), 1 -> Gen.oneOf(".,!?;:-"))).map(_.mkString)
+  private val anyText: Gen[String] = Gen.asciiPrintableStr.flatMap(a =>
+    Gen.oneOf(a, a + "äöü漢字", "é" + a))
+
+  property("polyFingerprint == byte fold") = forAll(anyText) { s =>
+    val expect = s.getBytes("UTF-8").foldLeft(7L)((acc, b) => (acc * 31 + (b & 0xFF)) % 1000000007L)
+    TextKernels.polyFingerprint(u(s)) == expect
+  }
+
+  property("rollingMinHash == min of independent window folds") =
+    forAll(anyText, Gen.choose(1, 20)) { (s, k) =>
+      val bytes = s.getBytes("UTF-8")
+      def fold(w: Array[Byte]) = w.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xFF)) % 1000000007L)
+      val expect =
+        if (bytes.length <= k) fold(bytes)
+        else bytes.sliding(k).map(fold).min
+      TextKernels.rollingMinHash(u(s), k) == expect
+    }
+
+  property("shingleHashes: window count = max(tokens - n + 1, 1)") =
+    forAll(asciiText, Gen.choose(1, 5)) { (s, n) =>
+      val tokens = s.toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty)
+      val got = TextKernels.shingleHashes(u(s), n, 42L).numElements()
+      got == math.max(tokens - (n - 1), 1)
+    }
+
+  property("shingleHashes: case- and separator-insensitive") =
+    forAll(asciiText) { s =>
+      val a = longs(TextKernels.shingleHashes(u(s), 3, 42L))
+      val b = longs(TextKernels.shingleHashes(u(s.toUpperCase), 3, 42L))
+      val c = longs(TextKernels.shingleHashes(u(s.replace(' ', '|')), 3, 42L))
+      a == b && a == c
+    }
+
+  private val hashSet: Gen[Seq[Long]] = Gen.nonEmptyListOf(Gen.long).map(_.distinct)
+  private def arr(xs: Seq[Long]): ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(xs.toArray)
+
+  property("minhash(A ∪ B) == elementwise min(minhash(A), minhash(B))") =
+    forAll(hashSet, hashSet) { (a0, b0) =>
+      val (a, b) = (a0.take(50), b0.take(50))
+      val k = 32
+      val sa = longs(HashKernels.minhash(arr(a), k, 42L))
+      val sb = longs(HashKernels.minhash(arr(b), k, 42L))
+      val su = longs(HashKernels.minhash(arr((a ++ b).distinct), k, 42L))
+      su == sa.zip(sb).map { case (x, y) => math.min(x, y) }
+    }
+
+  property("simhash: permutation-invariant") = forAll(hashSet) { xs0 =>
+    val xs = xs0.take(100)
+    HashKernels.simhash(arr(xs)) == HashKernels.simhash(arr(new scala.util.Random(1).shuffle(xs)))
+  }
+
+  property("hexToDec round-trips BigInt hex of any width") =
+    forAll(Gen.listOfN(40, Gen.hexChar).map(_.mkString)) { hex =>
+      val got = HexKernels.hexToDec(u(hex))
+      got != null && got.toString == BigInt(hex, 16).toString
+    }
+}

@@ -35,6 +35,17 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("zero-norm junk vectors never rank (NaN cosine is filtered, not sorted first)") {
+    val junk = (998L, Array.fill(32)(0f)) // zero norm → cosine NaN
+    val emb = (corpus :+ junk).toDF("vec_id", "embedding")
+    val queries = Seq((0L, corpus(0)._2)).toDF("query_id", "q_emb")
+    val got = Similarity.topKCosine(emb, queries, k = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 5)
+    assert(!got.exists(_._2 == 998L), "zero-norm vector must not appear in top-k")
+    assert(got.forall(r => !r._3.isNaN))
+  }
+
   test("topKCosineIvf recalls a planted twin (same cell) and returns true scores") {
     val twin = (999L, corpus(0)._2.map(x => (x * 1.01).toFloat))
     val emb = (corpus :+ twin).toDF("vec_id", "embedding")
