@@ -56,6 +56,7 @@ object SparkEntry {
                              graft.sources.Tables.load(s, d, "events"), "1 day")),
     "sess_30min"        -> (Sessionization.sessionize _),
     // ── Beyond-reference analytics (joins / rank-per-group / distinct) ──
+    "q_asof_join"       -> (AsOfJoin.errorsAfterClicks _),
     "q_star_join"       -> (Analytics.starRevenue _),
     "q_top_per_group"   -> ((s, d) => Analytics.topUsersPerType(s, d)),
     "q_distinct"        -> (Analytics.userCounts _),
@@ -344,6 +345,15 @@ object SparkEntry {
         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
         |  FROM documents
         |)""".stripMargin,
+    // DuckDB's native ASOF JOIN is the ground truth for the union +
+    // carry-forward as-of implementation.
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, c.event_id AS prior_id,
+        |  CASE WHEN c.event_id IS NOT NULL
+        |       THEN epoch_ns(e.ts) // 1000 - epoch_ns(c.ts) // 1000 END AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
     // Revenue summed as exact scaled integers (cents × (100-disc%)) so the
     // total is independent of floating-point merge order in either engine.
     "q_star_join" ->
