@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.GraftFunctions
 import graft.operators.{Dedup, TextAnalysis}
 import graft.sources.Tables
 
@@ -29,12 +28,17 @@ object PrepJob {
     val docs = Tables.load(spark, dir, "documents")
       .join(keepIds, Seq("doc_id"), "left_semi")
 
-    // exact dedup: one row per content fingerprint, smallest doc_id wins —
-    // min_by keeps the whole row through a two-phase aggregate
+    // exact dedup: one row per content hash, smallest doc_id wins — min_by
+    // keeps the whole row through a two-phase aggregate. The key is the
+    // 128-bit MD5 of the text, NOT the 30-bit polynomial doc_fingerprint:
+    // mod-1e9+7 keyspace collides distinct documents from ~45k docs up
+    // (birthday bound), and min_by would silently drop one — data loss at
+    // corpus scale. The digest is 16 bytes, so the shuffle still never
+    // moves the text body.
     val cols = docs.columns
     val exact = docs
-      .withColumn("_fp", GraftFunctions.docFingerprint(col("text")))
-      .groupBy("_fp")
+      .withColumn("_md5", md5(col("text").cast("binary")))
+      .groupBy("_md5")
       .agg(min_by(struct(cols.map(col): _*), col("doc_id")).as("r"))
       .select(cols.map(c => col(s"r.$c")): _*)
 

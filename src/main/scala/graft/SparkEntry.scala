@@ -36,6 +36,7 @@ object SparkEntry {
     "dedup_exact_docs"  -> (Dedup.exactByContent _),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Dedup.plantedNearDocs(s, d), "doc_id", "text")),
     "dedup_simhash"     -> ((s, d) => Dedup.simhashPairs(Dedup.plantedNearDocs(s, d), "doc_id", "text")),
+    "dedup_simhash_exact" -> ((s, d) => Dedup.simhashPairs(Dedup.plantedExactDocs(s, d), "doc_id", "text", maxHamming = 0)),
     "dedup_near_drop"   -> ((s, d) => Dedup.dropNearDuplicates(Dedup.plantedNearDocs(s, d), "doc_id", "text")
                               .select("doc_id")),
     "dedup_embed_cos"   -> ((s, d) => Dedup.embedCosinePairs(Dedup.plantedNearVectors(s, d))),
@@ -50,11 +51,33 @@ object SparkEntry {
     "txt_quality_filter" -> (TextAnalysis.qualityFilter _),
     "mm_decode"         -> ((s, d) => Multimodal.probe(s, d)),
     "mm_frames"         -> ((s, d) => Multimodal.frameSample(s, d)),
-    "mm_features"       -> ((s, d) => Multimodal.features(s, d)),
+    // posexplode to (media_id, lane, value) scalar rows: the harness
+    // sorts/hashes result columns, and an array<float> column is not
+    // sortable driver-side (round-3 mm_features comparison crash).
+    "mm_features"       -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, posexplode}
+      Multimodal.features(s, d)
+        .select(col("media_id"), posexplode(col("feature")))
+        .toDF("media_id", "lane", "value")
+    }),
     // ── Stateful event-time ops (batch form of the streaming operators) ─
-    "win_agg_daily"     -> ((s, d) => graft.streaming.WindowedAgg.byTypeTumbling(
-                             graft.sources.Tables.load(s, d, "events"), "1 day")),
-    "sess_30min"        -> (Sessionization.sessionize _),
+    // sum_value rounded to 6 dp on both sides of these two entries:
+    // double addition order differs across engines (and across Spark
+    // partial-merge schedules) by design, same as agg_salted below.
+    "win_agg_daily"     -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, round}
+      graft.streaming.WindowedAgg.byTypeTumbling(
+          graft.sources.Tables.load(s, d, "events"), "1 day")
+        .select(col("win_start"), col("event_type"), col("n_events"),
+          round(col("sum_value"), 6).as("sum_value"))
+    }),
+    "sess_30min"        -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, round}
+      Sessionization.sessionize(s, d)
+        .select(col("user_id"), col("session_id"), col("session_start"),
+          col("session_end"), col("n_events"),
+          round(col("sum_value"), 6).as("sum_value"))
+    }),
     // ── Beyond-reference analytics (joins / rank-per-group / distinct) ──
     "q_asof_join"       -> (AsOfJoin.errorsAfterClicks _),
     "q_star_join"       -> (Analytics.starRevenue _),
@@ -123,7 +146,7 @@ object SparkEntry {
        |    FROM cand
        |    JOIN embeddings qe ON qe.vec_id = cand.query_id
        |    JOIN embeddings ce ON ce.vec_id = cand.vec_id
-       |  )
+       |  ) WHERE NOT isnan(score)
        |) WHERE rn <= 5""".stripMargin
   }
 
@@ -198,6 +221,22 @@ object SparkEntry {
         |      / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |) WHERE jaccard >= 0.7""".stripMargin,
+    // SimHash's only SQL-expressible ground truth: over a corpus planted
+    // with VERBATIM copies, Hamming-0 pairs are exactly the text-equality
+    // pairs (identical text ⇒ identical shingle set ⇒ identical
+    // fingerprint), and a natural 64-bit fingerprint collision between
+    // distinct docs has probability ~|pairs|·2⁻⁶⁴. This hash-checks the
+    // whole pipeline — shingling, fingerprint, banding, bucket join,
+    // Hamming verify; the near-dup variant (dedup_simhash) stays
+    // rows-only + ScalaTest, since near-dup Hamming sets depend on the
+    // Spark-specific XXH64 shingle hashes.
+    "dedup_simhash_exact" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0 AS hamming
+        |FROM base a JOIN base b ON a.doc_id < b.doc_id AND a.text = b.text""".stripMargin,
     // Score formula mirrors the cosine_sim kernel bit-exactly (double-cast
     // inner products, dot/sqrt(na*nb)); DuckDB's builtin
     // list_cosine_similarity accumulates in float and diverges at 1e-7.
@@ -212,7 +251,7 @@ object SparkEntry {
         |             * list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS score
         |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
         |    WHERE q.vec_id % 100 = 0
-        |  )
+        |  ) WHERE NOT isnan(score)
         |) WHERE rn <= 5""".stripMargin,
     // Survivors of greedy near-dup removal: ground truth recomputes the
     // all-pairs Jaccard pair set and drops every doc_b — the same
@@ -302,7 +341,7 @@ object SparkEntry {
         |    JOIN assigned a ON a.cell_id = p.cell_id
         |    JOIN embeddings q ON q.vec_id = p.query_id
         |    WHERE a.vec_id <> p.query_id
-        |  )
+        |  ) WHERE NOT isnan(score)
         |) WHERE rn <= 5""".stripMargin,
     "txt_tokens" ->
       """SELECT doc_id,
@@ -322,21 +361,35 @@ object SparkEntry {
         |      list_transform(range(1, length(text) + 1),
         |        i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp,
-        |  list_min(list_transform(range(1, length(text) - 8 + 2),
-        |    i -> list_reduce(
-        |      list_transform(range(i, i + 8),
-        |        j -> CAST(ascii(substr(text, j, 1)) AS BIGINT)),
-        |      (acc, x) -> (acc * 31 + x) % 1000000007))) AS rolling_fp
+        |  CASE WHEN length(text) = 0 THEN 0
+        |       WHEN length(text) <= 8 THEN
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, length(text) + 1),
+        |          i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007)
+        |  ELSE
+        |    list_min(list_transform(range(1, length(text) - 8 + 2),
+        |      i -> list_reduce(
+        |        list_transform(range(i, i + 8),
+        |          j -> CAST(ascii(substr(text, j, 1)) AS BIGINT)),
+        |        (acc, x) -> (acc * 31 + x) % 1000000007)))
+        |  END AS rolling_fp
         |FROM documents""".stripMargin,
+    // CAST ... AS BIGINT on every DuckDB sum: sum(BIGINT) returns HUGEINT,
+    // which pandas surfaces as float64 — the driver's hasher then sees
+    // 19525.0 vs Spark's 19525 and fails (the round-3 failure mode for
+    // every entry with a HUGEINT column).
     "txt_lang_dist" ->
-      """SELECT lang, count(*) AS n_docs, sum(length(text)) AS total_chars,
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
         |  avg(length(text)) AS avg_chars
         |FROM documents GROUP BY lang""".stripMargin,
     "txt_quality" ->
       """SELECT doc_id, lang,
         |  length(text) AS n_chars,
         |  len(toks) AS n_tokens,
-        |  COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS token_chars,
+        |  CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS token_chars,
         |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
         |  len(list_filter(toks, x -> list_contains(
         |    ['the','a','an','of','to','and','in','is','it','that'], x))) AS n_stopwords
@@ -385,7 +438,7 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
     "q_json_props" ->
       """SELECT event_type,
-        |  count(k) AS n, sum(k) AS sum_k, avg(k) AS avg_k
+        |  count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k, avg(k) AS avg_k
         |FROM (
         |  SELECT event_type,
         |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -421,7 +474,7 @@ object SparkEntry {
     // Spark's window('1 day') aligns to the epoch in UTC == date_trunc day.
     "win_agg_daily" ->
       """SELECT date_trunc('day', ts) AS win_start, event_type,
-        |  count(*) AS n_events, sum(value) AS sum_value
+        |  count(*) AS n_events, round(sum(value), 6) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     // lag + running-sum gap rule — the batch-equivalent of the streaming
     // flatMapGroupsWithState sessionizer (30-minute gap, micros domain).
@@ -435,12 +488,12 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), s AS (
         |  SELECT user_id, ts, value,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                      ROWS UNBOUNDED PRECEDING) AS session_id
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM g
         |)
         |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events, sum(value) AS sum_value
+        |  count(*) AS n_events, round(sum(value), 6) AS sum_value
         |FROM s GROUP BY user_id, session_id""".stripMargin,
     // Multimodal decode is a DETERMINISTIC STUB (no codecs in the
     // container): every "decoded" property is fixed arithmetic on the
@@ -482,7 +535,7 @@ object SparkEntry {
         |  SELECT doc_id, lang,
         |    length(text) AS n_chars,
         |    len(toks) AS n_tokens,
-        |    COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS token_chars,
+        |    CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS token_chars,
         |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
         |    len(list_filter(toks, x -> list_contains(
         |      ['the','a','an','of','to','and','in','is','it','that'], x))) AS n_stopwords

@@ -51,13 +51,22 @@ object Dedup {
     * column never crosses the network. Planted duplicate copies
     * (doc_id % 7, shifted id space) make the result non-vacuous on the
     * synthetic corpus, which has no natural exact dups at any SF. */
-  def exactByContent(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
-    val planted = docs.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
-    docs.unionByName(planted)
+  def exactByContent(spark: SparkSession, dir: String): DataFrame =
+    plantedExactDocs(spark, dir)
       .groupBy(md5(col("text").cast("binary")).as("text_md5"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** documents ∪ verbatim copies of every 7th doc (shifted id space) — the
+    * planted EXACT-duplicate corpus behind [[exactByContent]], and the one
+    * corpus where SimHash ground truth is SQL-expressible: identical text
+    * ⇒ identical shingle set ⇒ identical fingerprint ⇒ Hamming 0, so
+    * `simhashPairs(…, maxHamming = 0)` must return exactly the
+    * text-equality pairs (the `dedup_simhash_exact` CORRECTNESS entry). */
+  def plantedExactDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    docs.unionByName(
+      docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
   }
 
   /** Pre-hashed n-gram shingles of a text column: tokenize ([a-z0-9]+ runs
@@ -124,7 +133,7 @@ object Dedup {
       .distinct()
 
     val sets = sh
-    cand
+    val pairs = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard",
@@ -132,6 +141,21 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+    materializeAndRelease(pairs, sh)
+  }
+
+  /** Run the (small — verified pairs, not corpus) result eagerly via
+    * `localCheckpoint`, then drop the persisted corpus-sized intermediate.
+    * Leaving the intermediate persisted leaks cached blocks for the life of
+    * the session (round-3 ADVICE: repeated "Asked to cache already cached
+    * data" in the bench log); checkpointing the result first means the
+    * unpersist can't trigger a recompute of the 4-branch DAG the cache
+    * exists for. Checkpoint blocks are ContextCleaner-managed — released
+    * when the result DataFrame is garbage-collected. */
+  private def materializeAndRelease(result: DataFrame, cached: DataFrame): DataFrame = {
+    val out = result.localCheckpoint()
+    cached.unpersist()
+    out
   }
 
   /** SimHash near-duplicate pairs: 64-bit fingerprint per document, split
@@ -157,7 +181,7 @@ object Dedup {
       .toDF("doc_id", "fp", "band", "bits")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    banded.as("a")
+    val pairs = banded.as("a")
       .join(banded.as("b"), Seq("band", "bits"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(
@@ -165,6 +189,7 @@ object Dedup {
         bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    materializeAndRelease(pairs, banded)
   }
 
   /** Embedding-cosine near-duplicate pairs: bucket vectors by
@@ -189,7 +214,7 @@ object Dedup {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
     val vecs = emb.select(col("vec_id"), col("embedding"))
-    cand
+    val pairs = cand
       .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("e_a")), "vec_a")
       .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("e_b")), "vec_b")
       .withColumn("score", GraftFunctions.cosineSim(col("e_a"), col("e_b")))
@@ -200,6 +225,7 @@ object Dedup {
       // differs from the kernel's sequential loop by 1-2 ULP, which is
       // irrelevant semantically but would perturb hash-compare row order
       .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
+    materializeAndRelease(pairs, banded)
   }
 
   /** embeddings ∪ scaled copies (×1.01, re-rounded to float) of every 20th

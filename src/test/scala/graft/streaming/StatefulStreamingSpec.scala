@@ -81,6 +81,54 @@ class StatefulStreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionize: late cross-batch event before session start widens session_start") {
+    val input = MemoryStream[Sessionize.Event](
+      org.apache.spark.sql.Encoders.product[Sessionize.Event], spark.sqlContext)
+    val q = Sessionize.sessions(input.toDS())
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Sessionize.Event(1L, ts("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // 09:45 arrives a batch later: within the 1 h lateness (watermark is
+      // 09:00) and within the gap BEFORE the open session's start — batch
+      // semantics put it in the same session, widening session_start
+      input.addData(Sessionize.Event(1L, ts("2024-01-01 09:45:00"), 2.0))
+      q.processAllAvailable()
+      input.addData(Sessionize.Event(1L, ts("2024-01-01 13:00:00"), 0.0)) // push watermark to 12:00
+      q.processAllAvailable()
+      val sessions = spark.table("sess_late").as[Sessionize.Session].collect()
+        .map(s => (s.session_start, s.session_end, s.n_events, s.sum_value)).toSet
+      assert(sessions == Set((ts("2024-01-01 09:45:00"), ts("2024-01-01 10:00:00"), 2L, 3.0)),
+        s"late 09:45 event must join and widen the 10:00 session: $sessions")
+    } finally q.stop()
+  }
+
+  test("sessionize: late event more than a gap before the open session closes separately") {
+    val input = MemoryStream[Sessionize.Event](
+      org.apache.spark.sql.Encoders.product[Sessionize.Event], spark.sqlContext)
+    val q = Sessionize.sessions(input.toDS())
+      .writeStream.format("memory").queryName("sess_sep")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Sessionize.Event(1L, ts("2024-01-01 10:30:00"), 1.0))
+      q.processAllAvailable()
+      // 09:40 is 50 min before the open session's start: a DISTINCT
+      // session under the gap rule (the old end-only test glued it in,
+      // since 09:40 − 10:30 is negative and so ≤ gap)
+      input.addData(Sessionize.Event(1L, ts("2024-01-01 09:40:00"), 2.0))
+      q.processAllAvailable()
+      input.addData(Sessionize.Event(1L, ts("2024-01-01 13:00:00"), 0.0)) // push watermark to 12:00
+      q.processAllAvailable()
+      val sessions = spark.table("sess_sep").as[Sessionize.Session].collect()
+        .map(s => (s.session_start, s.n_events, s.sum_value)).toSet
+      assert(sessions == Set(
+        (ts("2024-01-01 09:40:00"), 1L, 2.0),
+        (ts("2024-01-01 10:30:00"), 1L, 1.0)),
+        s"09:40 must close as its own session, not merge into 10:30: $sessions")
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate keys across micro-batches land once") {
     val input = MemoryStream[(Long, Timestamp, Double)](
       org.apache.spark.sql.Encoders.product[(Long, Timestamp, Double)], spark.sqlContext)

@@ -31,8 +31,10 @@ def _norm(v) -> str:
         f = float(v)
         if math.isnan(f):
             return "<nan>"
-        if f == int(f) and abs(f) < 2**53:
-            return repr(int(f))  # 5.0 (double) == 5 (int64)
+        # NO int collapse for whole floats: the driver's gate distinguishes
+        # 19525 from 19525.0 (round-3 failures were all DuckDB HUGEINT
+        # columns surfacing as float64). Matching its strictness here means
+        # dtype drift fails locally before it fails in CORRECTNESS_r{N}.
         return f"{f:.9g}"
     if isinstance(v, (np.bool_, bool)):
         return repr(bool(v))
