@@ -35,6 +35,7 @@ object SparkEntry {
     "dedup_exact"       -> (Dedup.exactKeepFirst _),
     "dedup_exact_docs"  -> (Dedup.exactByContent _),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Dedup.plantedNearDocs(s, d), "doc_id", "text")),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(Dedup.plantedNearDocs(s, d), "doc_id", "text")),
     "dedup_simhash"     -> ((s, d) => Dedup.simhashPairs(Dedup.plantedNearDocs(s, d), "doc_id", "text")),
     "dedup_simhash_exact" -> ((s, d) => Dedup.simhashPairs(Dedup.plantedExactDocs(s, d), "doc_id", "text", maxHamming = 0)),
     "dedup_near_drop"   -> ((s, d) => Dedup.dropNearDuplicates(Dedup.plantedNearDocs(s, d), "doc_id", "text")
@@ -105,7 +106,7 @@ object SparkEntry {
     * JSON's "ext" object, NOT in the headline total, so totals stay
     * comparable across rounds). */
   def benchExtQueries: Seq[String] = Seq(
-    "dedup_exact", "dedup_minhash_lsh", "dedup_embed_cos",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embed_cos",
     "sim_topk_cosine", "sim_topk_ivf",
     "txt_fingerprint", "txt_quality",
     "win_agg_daily", "sess_30min", "agg_salted",
@@ -253,6 +254,34 @@ object SparkEntry {
         |    WHERE q.vec_id % 100 = 0
         |  ) WHERE NOT isnan(score)
         |) WHERE rn <= 5""".stripMargin,
+    // The exact prefix-filtered Jaccard join has the SAME ground truth as
+    // the LSH pipeline (all pairs with word-3-gram Jaccard ≥ 0.7) — but
+    // here equality is guaranteed by construction, not w.h.p.: prefix
+    // filtering provably loses no qualifying pair and verification is the
+    // exact set Jaccard. (Shingle-hash vs word-string sets are isomorphic
+    // modulo 64-bit collisions, same as dedup_minhash_lsh.)
+    "dedup_ngram_jaccard" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' graftdup' FROM documents WHERE doc_id % 10 = 0
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM base
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM toks
+        |)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |) WHERE jaccard >= 0.7""".stripMargin,
     // Survivors of greedy near-dup removal: ground truth recomputes the
     // all-pairs Jaccard pair set and drops every doc_b — the same
     // keep-smallest policy as the operator, over the exact pair set the

@@ -158,6 +158,62 @@ object Dedup {
     out
   }
 
+  /** EXACT n-gram Jaccard similarity join — the non-approximate sibling of
+    * [[minhashLshPairs]]: every pair with shingle-set Jaccard ≥ threshold,
+    * guaranteed (LSH recalls them w.h.p.; this recalls them, period),
+    * still with no cartesian anywhere in the plan.
+    *
+    * Candidate generation is PREFIX FILTERING (the public PPJoin family,
+    * Xiao et al., WWW'08): sort each document's shingle set in a global
+    * canonical order (numeric hash order here) and index only its first
+    * `|S| - ceil(t·|S|) + 1` shingles. Two sets with Jaccard ≥ t must
+    * share ≥ ceil(t/(1+t)·(|A|+|B|)) elements, which forces their prefixes
+    * to intersect — so the posting-list self-join on prefix shingles loses
+    * no qualifying pair, while indexing only ~(1-t) of each set. A length
+    * filter (t·|A| ≤ |B| ≤ |A|/t, necessary for Jaccard ≥ t) prunes
+    * candidates before the verify join.
+    *
+    * Scale shape: the shuffle key is a shingle hash; hot boilerplate
+    * shingles are exactly the skew AQE's skew-join split absorbs, and the
+    * prefix cut removes the most frequent shingles from the index with
+    * probability (1-t) per set. Verification joins only |candidates| rows
+    * back to their shingle sets — same as the LSH path. */
+  def jaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.7): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("doc_id"),
+      array_sort(array_distinct(shingleHashes(col(textCol), n))).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // prefix length: |S| - ceil(t·|S|) + 1 (≥ 1 since t ≤ 1)
+    val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
+    val posting = sh.select(
+      col("doc_id"), col("sz"),
+      explode(slice(col("sh"), lit(1), prefixLen)).as("shingle"))
+
+    val cand = posting.as("a")
+      .join(posting.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          // length filter: Jaccard ≥ t requires t·|A| ≤ |B| ≤ |A|/t
+          col("b.sz") >= ceil(lit(threshold) * col("a.sz")) &&
+          col("b.sz") * lit(threshold) <= col("a.sz"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val pairs = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+    materializeAndRelease(pairs, sh)
+  }
+
   /** SimHash near-duplicate pairs: 64-bit fingerprint per document, split
     * into 4 16-bit bands (pigeonhole: any pair within Hamming distance 3
     * shares at least one exact band), bucket-join on (band, band-bits),

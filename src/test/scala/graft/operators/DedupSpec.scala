@@ -42,6 +42,34 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.size == 1, s"false positives: ${pairs - ((3L, 103L))}")
   }
 
+  test("jaccardPairs equals brute-force exact Jaccard (prefix filter loses nothing)") {
+    // ground truth by brute force over the actual shingle sets, so the
+    // assertion pins the prefix-filter candidate generation: a missing
+    // pair means the prefix cut or length filter dropped a qualifying
+    // candidate (the PPJoin lemma violated), not bad shingle luck.
+    val base = (1 to 25).map(i => (i.toLong, doc(i, n = 40)))
+    val planted = Seq(
+      (103L, doc(3, n = 40) + " extra"),          // near-dup of 3
+      (207L, doc(7, n = 40)),                     // exact dup of 7
+    )
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    val sets = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.array_distinct(
+        Dedup.shingleHashes(col("text"), 3)).as("sh"))
+      .as[(Long, Array[Long])].collect()
+    val truth = (for {
+      (a, sa) <- sets; (b, sb) <- sets
+      if a < b
+      j = sa.intersect(sb).length.toDouble / sa.union(sb).distinct.length
+      if j >= 0.7
+    } yield (a, b)).toSet
+    assert(truth.contains((7L, 207L)) && truth.contains((3L, 103L)),
+      s"planted pairs must be ground truth: $truth")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == truth, s"got $pairs want $truth")
+  }
+
   test("simhashPairs equals brute-force Hamming ground truth (pigeonhole recall)") {
     // identical copy (hamming 0) + near-copy + unrelated docs; ground truth
     // is computed by brute force over the actual 64-bit fingerprints, so
