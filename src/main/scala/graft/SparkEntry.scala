@@ -151,8 +151,37 @@ object SparkEntry {
        |) WHERE rn <= 5""".stripMargin
   }
 
+  /** mm_features oracle, generated: the feature stub is the documents
+    * polynomial fingerprint (same init-7 fold the txt_fingerprint oracle
+    * recomputes) pushed through per-lane affine maps whose coefficients
+    * are embedded here as the SAME literals the Spark plan carries —
+    * payload bytes == text codepoints on the ASCII corpus. */
+  private def mmFeaturesOracleSql: String = {
+    val lanes = graft.operators.Multimodal.laneCoeffs(16).zipWithIndex
+      .map { case ((a, b), j) => s"{'lane': $j, 'a': ${a}::BIGINT, 'b': ${b}::BIGINT}" }
+      .mkString(",\n       |      ")
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id,
+       |    list_reduce(
+       |      list_prepend(CAST(7 AS BIGINT),
+       |        list_transform(range(1, length(text) + 1),
+       |          i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+       |      (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+       |  FROM documents
+       |), lanes AS (
+       |  SELECT unnest([
+       |      $lanes
+       |  ], recursive := true)
+       |)
+       |SELECT m.media_id, lanes.lane,
+       |  CAST(CAST(((m.fp * lanes.a + lanes.b) % 1000000007) % 1000000 AS DOUBLE)
+       |       / 1000000 AS FLOAT) AS value
+       |FROM m, lanes""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "sim_topk_ann" -> annOracleSql,
+    "mm_features" -> mmFeaturesOracleSql,
     "q1_sort_limit" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |ORDER BY c_name ASC, c_custkey ASC LIMIT 20""".stripMargin,
@@ -527,8 +556,8 @@ object SparkEntry {
     // Multimodal decode is a DETERMINISTIC STUB (no codecs in the
     // container): every "decoded" property is fixed arithmetic on the
     // byte count, so the oracle recomputes it from length(text) (ASCII —
-    // chars == bytes). mm_features has no oracle (xxhash64 is
-    // Spark-specific): rows-only + MultimodalSpec.
+    // chars == bytes). mm_features' oracle is generated above
+    // (mmFeaturesOracleSql).
     "mm_decode" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,

@@ -121,17 +121,34 @@ object Multimodal {
         length(col("payload").substr((col("frame_id") * 16 + 1).cast("int"), lit(16)))
           .as("n_frame_bytes"))
 
+  /** Per-lane affine coefficients for the feature stub, derived from the
+    * SplitMix64 stream and reduced into the fingerprint field Z/1e9+7 —
+    * plan literals on the Spark side AND SQL literals in the oracle, so
+    * the stub is reproducible engine-independently. a_j is nonzero;
+    * fp·a_j + b_j < 2^61, so the arithmetic never wraps in either engine. */
+  def laneCoeffs(dim: Int): Seq[(Long, Long)] = {
+    val M = graft.functions.TextKernels.Mod
+    (0 until dim).map { j =>
+      (Math.floorMod(graft.functions.HashKernels.splitmix64(2L * j), M - 1) + 1,
+        Math.floorMod(graft.functions.HashKernels.splitmix64(2L * j + 1), M))
+    }
+  }
+
   /** Feature extraction stub: a dim-wide deterministic pseudo-embedding
-    * per payload — xxhash64(payload, lane) scaled into [0, 1). Real
-    * systems run a vision/audio encoder here; the Spark shape (binary in,
-    * array<float> out, scan-side projection) is what matters. No DuckDB
-    * oracle (xxhash64 is Spark-specific) — covered by MultimodalSpec. */
-  def features(spark: SparkSession, dir: String, dim: Int = 16): DataFrame =
+    * per payload — the payload's polynomial fingerprint pushed through
+    * `dim` affine lane maps in Z/1e9+7, scaled into [0, 1). Real systems
+    * run a vision/audio encoder here; the Spark shape (binary in,
+    * array<float> out, scan-side projection) is what matters. Built on the
+    * fingerprint domain rather than xxhash64 precisely so the DuckDB
+    * oracle can recompute it exactly (same list_reduce fold as
+    * txt_fingerprint + the same literal coefficients). */
+  def features(spark: SparkSession, dir: String, dim: Int = 16): DataFrame = {
+    val M = graft.functions.TextKernels.Mod
+    val fp = graft.functions.GraftFunctions.docFingerprint(decode(col("payload"), "UTF-8"))
+    val lanes = laneCoeffs(dim).map { case (a, b) =>
+      ((pmod(fp * a + b, lit(M)) % 1000000L).cast("double") / 1000000.0d).cast("float")
+    }
     mediaTable(spark, dir)
-      .select(
-        col("media_id"),
-        transform(
-          sequence(lit(0), lit(dim - 1)),
-          j => (pmod(xxhash64(col("payload"), j), lit(1000000L)).cast("double") / 1000000.0d)
-            .cast("float")).as("feature"))
+      .select(col("media_id"), array(lanes: _*).as("feature"))
+  }
 }
