@@ -52,6 +52,7 @@ object SparkEntry {
     "txt_quality_filter" -> (TextAnalysis.qualityFilter _),
     "mm_decode"         -> ((s, d) => Multimodal.probe(s, d)),
     "mm_frames"         -> ((s, d) => Multimodal.frameSample(s, d)),
+    "mm_resize"         -> ((s, d) => Multimodal.resize(s, d)),
     // posexplode to (media_id, lane, value) scalar rows: the harness
     // sorts/hashes result columns, and an array<float> column is not
     // sortable driver-side (round-3 mm_features comparison crash).
@@ -573,6 +574,34 @@ object SparkEntry {
         |       WHEN media_type = 'video' THEN n_bytes * 40 END AS duration_ms,
         |  CASE WHEN media_type = 'video' THEN n_bytes % 240 + 1 END AS n_frames
         |FROM m""".stripMargin,
+    // Aspect-fit resize: identical integer/double arithmetic on both
+    // sides (products < 2^53, IEEE double division + floor), thumbnail
+    // slice length recomputed from text (ASCII: chars == payload bytes).
+    "mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    CAST(length(text) AS BIGINT) AS n_bytes, text
+        |  FROM documents
+        |), g AS (
+        |  SELECT media_id, media_type, text,
+        |    64 + (n_bytes * 7) % 1856 AS width,
+        |    64 + (n_bytes * 13) % 1016 AS height
+        |  FROM m WHERE media_type IN ('image', 'video')
+        |), f AS (
+        |  SELECT media_id, media_type, width, height,
+        |    CASE WHEN width * 224 >= height * 224
+        |         THEN least(224, width)
+        |         ELSE least(CAST(floor(width * 224 / height) AS BIGINT), width) END AS out_width,
+        |    CASE WHEN width * 224 >= height * 224
+        |         THEN least(CAST(floor(height * 224 / width) AS BIGINT), height)
+        |         ELSE least(224, height) END AS out_height,
+        |    text
+        |  FROM g
+        |)
+        |SELECT media_id, media_type, width, height, out_width, out_height,
+        |  length(substr(text, 1, CAST((out_width * out_height) % 256 + 1 AS INT))) AS n_thumb_bytes
+        |FROM f""".stripMargin,
     "mm_frames" ->
       """SELECT media_id, frame_id,
         |  length(substr(text, CAST(frame_id * 16 + 1 AS INT), 16)) AS n_frame_bytes

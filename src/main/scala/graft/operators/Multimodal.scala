@@ -121,6 +121,35 @@ object Multimodal {
         length(col("payload").substr((col("frame_id") * 16 + 1).cast("int"), lit(16)))
           .as("n_frame_bytes"))
 
+  /** Resize (aspect-preserving fit into `tw`×`th`) over the visual
+    * modalities: the metadata transform is real — integer-exact
+    * aspect-fit arithmetic (floor(h·tw/w) etc., so engines agree
+    * bit-for-bit) — and the pixel step is the usual deterministic stub: a
+    * byte slice of the payload standing in for the resampled buffer, sized
+    * by the output geometry. A real implementation swaps the slice for a
+    * resampling kernel over decoded pixels; schema, filter, projection
+    * shape, and the payload-stays-in-scan property are what this pins.
+    * Wider-than-target inputs clamp width to `tw`; taller ones clamp
+    * height to `th`; output never upscales (scale capped at 1). */
+  def resize(spark: SparkSession, dir: String, tw: Int = 224, th: Int = 224): DataFrame = {
+    val m = mediaTable(spark, dir).filter(col("media_type").isin("image", "video"))
+    val n = col("meta.n_bytes")
+    val w = lit(64L) + pmod(n * 7, lit(1856L))
+    val h = lit(64L) + pmod(n * 13, lit(1016L))
+    // aspect-fit, integer-exact: products < 2^53 so floor(double) is exact
+    val wide = w * th >= h * tw
+    val fitW = when(wide, least(lit(tw.toLong), w))
+      .otherwise(least(floor(w * th / h).cast("long"), w))
+    val fitH = when(wide, least(floor(h * tw / w).cast("long"), h))
+      .otherwise(least(lit(th.toLong), h))
+    m.select(
+      col("media_id"), col("media_type"),
+      w.as("width"), h.as("height"),
+      fitW.as("out_width"), fitH.as("out_height"),
+      length(col("payload").substr(lit(1), (pmod(fitW * fitH, lit(256L)) + 1).cast("int")))
+        .as("n_thumb_bytes"))
+  }
+
   /** Per-lane affine coefficients for the feature stub, derived from the
     * SplitMix64 stream and reduced into the fingerprint field Z/1e9+7 —
     * plan literals on the Spark side AND SQL literals in the oracle, so

@@ -40,6 +40,20 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.count(_._3 == 16) > 0, "full 16-byte frames expected")
   }
 
+  test("resize: aspect-fit never upscales and the binding dimension hits the target") {
+    val r = Multimodal.resize(spark, dir)
+      .as[(Long, String, Long, Long, Long, Long, Int)].collect()
+    assert(r.nonEmpty)
+    assert(r.forall(x => Set("image", "video")(x._2)), "audio has no geometry to resize")
+    r.foreach { case (_, _, w, h, ow, oh, thumb) =>
+      assert(ow <= w && oh <= h, "resize must never upscale")
+      assert(ow <= 224 && oh <= 224, "output must fit the target box")
+      assert((ow == w && oh == h) || ow == 224L || oh == 224L,
+        "either the input already fits, or the binding dimension is exactly the target")
+      assert(thumb >= 1 && thumb <= 256)
+    }
+  }
+
   test("features: fixed width, [0,1) range, deterministic") {
     val f1 = Multimodal.features(spark, dir).as[(Long, Array[Float])].collect().sortBy(_._1)
     val f2 = Multimodal.features(spark, dir).as[(Long, Array[Float])].collect().sortBy(_._1)
