@@ -10,6 +10,8 @@ import org.apache.spark.sql.execution.ExplainMode
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
+    // audit the dedup pipelines' real DAGs, not their checkpointed results
+    System.setProperty("graft.dedup.lazyPlans", "true")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
     val spark = Sessions.local("graft-plan-audit")

@@ -152,11 +152,17 @@ object Dedup {
     * unpersist can't trigger a recompute of the 4-branch DAG the cache
     * exists for. Checkpoint blocks are ContextCleaner-managed — released
     * when the result DataFrame is garbage-collected. */
-  private def materializeAndRelease(result: DataFrame, cached: DataFrame): DataFrame = {
-    val out = result.localCheckpoint()
-    cached.unpersist()
-    out
-  }
+  private def materializeAndRelease(result: DataFrame, cached: DataFrame): DataFrame =
+    // Plan-audit escape hatch: -Dgraft.dedup.lazyPlans=true returns the
+    // un-checkpointed pipeline so PlanAudit can print the real join DAG
+    // (the checkpointed form audits as one `Scan ExistingRDD`). Lazy mode
+    // deliberately keeps the persist alive — audit-only, not for jobs.
+    if (sys.props.get("graft.dedup.lazyPlans").contains("true")) result
+    else {
+      val out = result.localCheckpoint()
+      cached.unpersist()
+      out
+    }
 
   /** EXACT n-gram Jaccard similarity join — the non-approximate sibling of
     * [[minhashLshPairs]]: every pair with shingle-set Jaccard ≥ threshold,

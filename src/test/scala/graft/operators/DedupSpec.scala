@@ -70,6 +70,36 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == truth, s"got $pairs want $truth")
   }
 
+  test("jaccardPairs matches brute force on randomized corpora and edge docs") {
+    // randomized corpora with edge documents (empty, sub-n-token, exact
+    // short dups) across two thresholds — every corpus must equal brute
+    // force exactly, or the prefix/length filters dropped a candidate
+    for (seed <- Seq(1, 2, 3); t <- Seq(0.5, 0.8)) {
+      val rng = new scala.util.Random(seed)
+      val randomDocs = (1 to 15).map(i => (i.toLong, doc(seed * 100 + i, n = 5 + rng.nextInt(40))))
+      val edges = Seq(
+        (900L, ""), (901L, ""),              // empty: sentinel shingle, Jaccard 1 with itself
+        (902L, "a"), (903L, "a"),            // sub-n-token exact dup
+        (904L, "a b"), (905L, "b a"))        // same tokens, different order → same 1-window shingle? no: whole-seq shingle differs
+      val docs = (randomDocs ++ edges).toDF("doc_id", "text")
+      val sets = docs.select(col("doc_id"),
+        org.apache.spark.sql.functions.array_distinct(
+          Dedup.shingleHashes(col("text"), 3)).as("sh"))
+        .as[(Long, Array[Long])].collect()
+      val truth = (for {
+        (a, sa) <- sets; (b, sb) <- sets
+        if a < b
+        j = sa.intersect(sb).length.toDouble / sa.union(sb).distinct.length
+        if j >= t
+      } yield (a, b)).toSet
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = t)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(pairs == truth, s"seed=$seed t=$t: got $pairs want $truth")
+      if (t == 0.8) assert(truth.contains((900L, 901L)) && truth.contains((902L, 903L)),
+        s"planted edge dups must be ground truth: $truth")
+    }
+  }
+
   test("simhashPairs equals brute-force Hamming ground truth (pigeonhole recall)") {
     // identical copy (hamming 0) + near-copy + unrelated docs; ground truth
     // is computed by brute force over the actual 64-bit fingerprints, so
