@@ -253,21 +253,29 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |) WHERE jaccard >= 0.7""".stripMargin,
     // SimHash's only SQL-expressible ground truth: over a corpus planted
-    // with VERBATIM copies, Hamming-0 pairs are exactly the text-equality
-    // pairs (identical text ⇒ identical shingle set ⇒ identical
-    // fingerprint), and a natural 64-bit fingerprint collision between
-    // distinct docs has probability ~|pairs|·2⁻⁶⁴. This hash-checks the
-    // whole pipeline — shingling, fingerprint, banding, bucket join,
-    // Hamming verify; the near-dup variant (dedup_simhash) stays
-    // rows-only + ScalaTest, since near-dup Hamming sets depend on the
-    // Spark-specific XXH64 shingle hashes.
+    // with VERBATIM copies, Hamming-0 pairs are exactly the pairs whose
+    // TOKEN SEQUENCES match (identical token sequence ⇒ identical shingle
+    // windows ⇒ identical fingerprint) — the join key is the tokenizer's
+    // canonical form, not raw text, since shingling is case/punctuation/
+    // whitespace-insensitive. The converse (hamming 0 without equal
+    // sequences) needs a same-window-SET permutation or a 64-bit
+    // collision, ~|pairs|·2⁻⁶⁴. This hash-checks the whole pipeline —
+    // shingling, fingerprint, banding, bucket join, Hamming verify; the
+    // near-dup variant (dedup_simhash) stays rows-only + ScalaTest, since
+    // near-dup Hamming sets depend on the Spark-specific XXH64 shingle
+    // hashes.
     "dedup_simhash_exact" ->
       """WITH base AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0
+        |  SELECT doc_id,
+        |    array_to_string(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0), ' ') AS toks
+        |  FROM (
+        |    SELECT doc_id, text FROM documents
+        |    UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0
+        |  )
         |)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0 AS hamming
-        |FROM base a JOIN base b ON a.doc_id < b.doc_id AND a.text = b.text""".stripMargin,
+        |FROM base a JOIN base b ON a.doc_id < b.doc_id AND a.toks = b.toks""".stripMargin,
     // Score formula mirrors the cosine_sim kernel bit-exactly (double-cast
     // inner products, dot/sqrt(na*nb)); DuckDB's builtin
     // list_cosine_similarity accumulates in float and diverges at 1e-7.

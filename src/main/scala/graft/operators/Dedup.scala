@@ -144,14 +144,21 @@ object Dedup {
     materializeAndRelease(pairs, sh)
   }
 
-  /** Run the (small — verified pairs, not corpus) result eagerly via
-    * `localCheckpoint`, then drop the persisted corpus-sized intermediate.
-    * Leaving the intermediate persisted leaks cached blocks for the life of
-    * the session (round-3 ADVICE: repeated "Asked to cache already cached
+  /** Run the (small — verified pairs, not corpus) result eagerly, then
+    * drop the persisted corpus-sized intermediate. Leaving the
+    * intermediate persisted leaks cached blocks for the life of the
+    * session (round-3 ADVICE: repeated "Asked to cache already cached
     * data" in the bench log); checkpointing the result first means the
     * unpersist can't trigger a recompute of the 4-branch DAG the cache
-    * exists for. Checkpoint blocks are ContextCleaner-managed — released
-    * when the result DataFrame is garbage-collected. */
+    * exists for.
+    *
+    * Durability: when the session has a reliable checkpoint dir
+    * (`sparkContext.setCheckpointDir` — the cluster deployment's job),
+    * the result is checkpointed THERE, surviving executor loss; otherwise
+    * `localCheckpoint` (executor-block storage, ContextCleaner-managed,
+    * fine for local/test sessions where executor loss means the JVM died
+    * anyway). A cluster caller that sets no checkpoint dir trades executor
+    * loss for a full query retry — set the dir for 1000-executor runs. */
   private def materializeAndRelease(result: DataFrame, cached: DataFrame): DataFrame =
     // Plan-audit escape hatch: -Dgraft.dedup.lazyPlans=true returns the
     // un-checkpointed pipeline so PlanAudit can print the real join DAG
@@ -159,7 +166,8 @@ object Dedup {
     // deliberately keeps the persist alive — audit-only, not for jobs.
     if (sys.props.get("graft.dedup.lazyPlans").contains("true")) result
     else {
-      val out = result.localCheckpoint()
+      val reliable = result.sparkSession.sparkContext.getCheckpointDir.isDefined
+      val out = if (reliable) result.checkpoint() else result.localCheckpoint()
       cached.unpersist()
       out
     }

@@ -70,7 +70,10 @@ object Sessionize {
   private def flush(gapMs: Long, userId: Long, sessions: List[SessionAgg],
       state: GroupState[SessionState]): Iterator[Session] = {
     val wm = state.getCurrentWatermarkMs()
-    val (fin, open) = sessions.partition(_.end + gapMs <= wm)
+    // strictly <: a non-late row at ts == watermark is still admitted by
+    // Spark, and at ts - end == gap the batch gap rule merges it — so a
+    // session with end + gap == wm is not final yet
+    val (fin, open) = sessions.partition(_.end + gapMs < wm)
     if (open.isEmpty) state.remove()
     else {
       state.update(SessionState(open))

@@ -81,6 +81,27 @@ class StatefulStreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("gapMerge: interval coalescing laws (pure function)") {
+    import Sessionize.{gapMerge, SessionAgg}
+    val gap = 100L
+    def s(a: Long, b: Long, n: Long = 1, v: Double = 1.0) = SessionAgg(a, b, n, v)
+    // empty and singleton are fixed points
+    assert(gapMerge(Nil, gap) == Nil)
+    assert(gapMerge(List(s(5, 9)), gap) == List(s(5, 9)))
+    // chain within gap collapses to one session with summed aggregates
+    assert(gapMerge(List(s(0, 0), s(50, 50), s(140, 140)), gap) ==
+      List(SessionAgg(0, 140, 3, 3.0)))
+    // gap exceeded → split exactly there
+    assert(gapMerge(List(s(0, 0), s(101, 101)), gap) == List(s(0, 0), s(101, 101)))
+    assert(gapMerge(List(s(0, 0), s(100, 100)), gap) == List(SessionAgg(0, 100, 2, 2.0)))
+    // an interval that lands INSIDE an open session merges and widens nothing
+    assert(gapMerge(List(s(0, 200, 5, 5.0), s(50, 50)), gap) ==
+      List(SessionAgg(0, 200, 6, 6.0)))
+    // an early point chains through a middle point into the open session
+    assert(gapMerge(List(s(0, 0), s(90, 90), s(150, 300, 2, 2.0)), gap) ==
+      List(SessionAgg(0, 300, 4, 4.0)))
+  }
+
   test("sessionize: late cross-batch event before session start widens session_start") {
     val input = MemoryStream[Sessionize.Event](
       org.apache.spark.sql.Encoders.product[Sessionize.Event], spark.sqlContext)

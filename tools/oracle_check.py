@@ -31,10 +31,15 @@ def _norm(v) -> str:
         f = float(v)
         if math.isnan(f):
             return "<nan>"
-        # NO int collapse for whole floats: the driver's gate distinguishes
-        # 19525 from 19525.0 (round-3 failures were all DuckDB HUGEINT
-        # columns surfacing as float64). Matching its strictness here means
-        # dtype drift fails locally before it fails in CORRECTNESS_r{N}.
+        # Whole floats render WITH a trailing .0 ("19525.0"), ints without:
+        # the driver's gate distinguishes int from float (round-3 failures
+        # were all DuckDB HUGEINT columns surfacing as float64, vs Spark
+        # int64), so int-vs-float drift must FAIL here too. (A bare
+        # %.9g would render 19525.0 as "19525" == repr(int) — a no-op.)
+        if f == 0:
+            f = 0.0  # normalize -0.0
+        if f == int(f) and abs(f) < 2**53:
+            return repr(float(f))
         return f"{f:.9g}"
     if isinstance(v, (np.bool_, bool)):
         return repr(bool(v))
