@@ -9,9 +9,10 @@ import graft.operators._
   * extension); entries in [[oracleSql]] are the DuckDB-equivalent SQL the
   * driver hash-compares against at sf0.01. Column names are aliased
   * identically on both sides (the driver sorts columns by name before
-  * hashing). Queries with no SQL-expressible oracle (LSH/SimHash paths)
-  * are intentionally absent from [[oracleSql]] → the driver records a
-  * rows-only check and their semantics are covered by ScalaTest instead.
+  * hashing). Every entry carries an oracle — including the approximate
+  * plans, whose oracles reproduce the exact signatures (seeded hyperplane
+  * literals for ANN, u64-emulated XXH64 for SimHash) rather than just
+  * checking shapes.
   */
 object SparkEntry {
 
@@ -183,6 +184,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "sim_topk_ann" -> annOracleSql,
     "mm_features" -> mmFeaturesOracleSql,
+    // Generated: Spark's XXH64 re-emitted as u64-emulated DuckDB SQL, so
+    // even the near-dup SimHash pipeline — whose Hamming sets depend on
+    // the exact 64-bit shingle hashes — is hash-checked against the
+    // all-pairs ground truth (pigeonhole recall is exact for Hamming ≤ 3).
+    "dedup_simhash" -> graft.oracle.SimhashOracle.pairsSql(),
     "q1_sort_limit" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |ORDER BY c_name ASC, c_custkey ASC LIMIT 20""".stripMargin,
@@ -259,11 +265,10 @@ object SparkEntry {
     // canonical form, not raw text, since shingling is case/punctuation/
     // whitespace-insensitive. The converse (hamming 0 without equal
     // sequences) needs a same-window-SET permutation or a 64-bit
-    // collision, ~|pairs|·2⁻⁶⁴. This hash-checks the whole pipeline —
-    // shingling, fingerprint, banding, bucket join, Hamming verify; the
-    // near-dup variant (dedup_simhash) stays rows-only + ScalaTest, since
-    // near-dup Hamming sets depend on the Spark-specific XXH64 shingle
-    // hashes.
+    // collision, ~|pairs|·2⁻⁶⁴. This hash-checks the whole pipeline on a
+    // hash-independent ground truth; the near-dup variant (dedup_simhash)
+    // is additionally checked against the generated XXH64-exact oracle
+    // (graft.oracle.SimhashOracle).
     "dedup_simhash_exact" ->
       """WITH base AS (
         |  SELECT doc_id,
