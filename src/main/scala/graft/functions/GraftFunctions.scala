@@ -36,6 +36,11 @@ object GraftFunctions {
   def shingleHashes(c: Column, n: Int, seed: Long = 42L): Column =
     col(ShingleHashes(expr(c), n, seed))
 
+  /** Bounded top-k aggregate: k best ids by (score DESC, id ASC) — the
+    * map-side-cut replacement for a rank-window top-k (see TopKByScore). */
+  def topKBy(score: Column, id: Column, k: Int): Column =
+    col(TopKByScore(expr(score), expr(id), k).toAggregateExpression())
+
   private def litInt(e: Expression, name: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(s"$name expects an int literal, got $other")
@@ -67,6 +72,8 @@ object GraftFunctions {
       (es: Seq[Expression]) => ShingleHashes(es.head, litInt(es(1), "shingle_hashes n"), 42L)),
     (FunctionIdentifier("rolling_min_hash"), info("rolling_min_hash", classOf[RollingMinHash]),
       (es: Seq[Expression]) => RollingMinHash(es.head, litInt(es(1), "rolling_min_hash k"))),
+    (FunctionIdentifier("topk_by"), info("topk_by", classOf[TopKByScore]),
+      (es: Seq[Expression]) => TopKByScore(es(0), es(1), litInt(es(2), "topk_by k"))),
   )
 }
 

@@ -35,22 +35,28 @@ object Similarity {
   }
 
   /** Exact top-k: broadcast the query vectors, score every (query, corpus)
-    * pair with cosine, keep k best per query. The per-query k-row cut is a
-    * rank window — at |Q| queries the shuffle carries |Q|·N scored rows
-    * keyed by query_id; with the contract that |Q| is tiny this is the
-    * honest exact baseline (the LSH path below is the scale answer). */
+    * pair with cosine, keep k best per query. The k-cut is the native
+    * `topk_by` partial-merge aggregate ([[graft.functions.TopKByScore]]):
+    * each partition forwards at most k pairs per query, so the shuffle
+    * carries |Q|·k·partitions rows instead of the |Q|·N a rank window
+    * would sort — scoring stays a full corpus scan (that is what "exact"
+    * costs; the LSH/IVF paths below are the sub-scan answers). NaN scores
+    * (zero-norm junk vectors) are skipped inside the aggregate. */
   def topKCosine(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id"),
         GraftFunctions.cosineSim(col("q_emb"), col("embedding")).as("score"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id").asc)
-    scored
-      .filter(!isnan(col("score"))) // zero-norm junk vectors score NaN, which SORTS ABOVE every double
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("query_id", "vec_id", "score")
+    topKCut(scored, k)
   }
+
+  /** The shared k-cut: topk_by aggregate → explode back to rows. */
+  private def topKCut(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy("query_id")
+      .agg(GraftFunctions.topKBy(col("score"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("vec_id"), col("t.score").as("score"))
 
   /** The deterministic hyperplane set: seeded gaussians, computed as plan
     * literals (planes × dim doubles — a few KiB of constants, not data).
@@ -145,12 +151,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         GraftFunctions.cosineSim(col("q_emb"), col("embedding")).as("score"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id").asc)
-    scored
-      .filter(!isnan(col("score"))) // zero-norm junk vectors score NaN, which SORTS ABOVE every double
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("query_id", "vec_id", "score")
+    topKCut(scored, k)
   }
 
   /** Approximate top-k: bucket corpus and queries by hyperplane bands,
@@ -176,11 +177,6 @@ object Similarity {
     val scored = cand.select(
       col("query_id"), col("vec_id"),
       GraftFunctions.cosineSim(col("q_emb"), col("embedding")).as("score"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id").asc)
-    scored
-      .filter(!isnan(col("score"))) // zero-norm junk vectors score NaN, which SORTS ABOVE every double
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("query_id", "vec_id", "score")
+    topKCut(scored, k)
   }
 }

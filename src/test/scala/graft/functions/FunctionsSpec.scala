@@ -108,6 +108,44 @@ class FunctionsSpec extends SparkTestBase {
     assert(ham(a, n) <= 12, s"97.5% overlap should be few bits, got ${ham(a, n)}")
   }
 
+  test("topk_by equals sort-take-k, skips NaN/null, breaks ties on id asc") {
+    val rng = new scala.util.Random(5)
+    // groups with ties, NaN, nulls, and fewer-than-k groups
+    val rows = (1 to 500).map { i =>
+      val g = (i % 7).toLong
+      val s: java.lang.Double = i % 23 match {
+        case 0 => Double.NaN
+        case 1 => null
+        case _ => (rng.nextInt(10) / 10.0) // many exact ties
+      }
+      (g, i.toLong, s)
+    } ++ Seq((99L, 1L, java.lang.Double.valueOf(0.5))) // group smaller than k
+    val df = rows.toDF("query_id", "vec_id", "score")
+    val k = 5
+    val got = df.groupBy("query_id")
+      .agg(graft.functions.GraftFunctions.topKBy(col("score"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("vec_id"), col("t.score").as("score"))
+      .as[(Long, Long, Double)].collect().toSet
+    val want = rows.filter(r => r._3 != null && !r._3.isNaN)
+      .groupBy(_._1).flatMap { case (g, rs) =>
+        rs.map(r => (r._2, r._3.doubleValue()))
+          .sortBy { case (id, s) => (-s, id) }.take(k)
+          .map { case (id, s) => (g, id, s) }
+      }.toSet
+    assert(got == want)
+  }
+
+  test("topk_by plans as a partial-merge ObjectHashAggregate, not a window sort") {
+    val df = Seq((1L, 1L, 0.5), (1L, 2L, 0.7)).toDF("query_id", "vec_id", "score")
+    val cut = df.groupBy("query_id")
+      .agg(graft.functions.GraftFunctions.topKBy(col("score"), col("vec_id"), 5).as("top"))
+    cut.collect()
+    val plan = cut.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$plan")
+    assert(plan.contains("partial_topk_by"), s"expected a partial aggregation phase:\n$plan")
+  }
+
   test("functions are SQL-registered via GraftExtensions") {
     assert(spark.sql("SELECT hex_to_dec('ff') AS v").as[String].head() == "255")
     val c = spark.sql(
@@ -116,5 +154,9 @@ class FunctionsSpec extends SparkTestBase {
     assert(math.abs(c - 1.0) < 1e-12)
     val sig = spark.sql("SELECT minhash_sig(array(1L, 2L), 8, 42L) AS v").as[Seq[Long]].head()
     assert(sig.length == 8)
+    val top = spark.sql(
+      "SELECT topk_by(CAST(s AS DOUBLE), i, 2) AS t FROM (VALUES (0.3, 1L), (0.9, 2L), (0.5, 3L)) AS v(s, i)")
+      .select(explode(col("t")).as("p")).select("p.id").as[Long].collect().toSeq
+    assert(top == Seq(2L, 3L))
   }
 }
