@@ -43,16 +43,22 @@ object Analytics {
 
   /** Per-group top-k: the 3 most active users per event type. GroupBy
     * first (two-phase, one row per (type, user) crosses the shuffle), THEN
-    * rank within the tiny aggregated set — never a window over raw events. */
+    * the native `topk_by` partial-merge cut over the aggregated set — at
+    * 100 TB the (type, user) set is still millions of rows, and the
+    * aggregate forwards k per type per partition where a rank window
+    * would re-shuffle and sort all of them. Counts ride through the
+    * double score losslessly (exact to 2^53). */
   def topUsersPerType(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val counts = Tables.load(spark, dir, "events")
       .groupBy("event_type", "user_id")
       .agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy("event_type").orderBy(col("n").desc, col("user_id").asc)
     counts
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("event_type", "user_id", "n")
+      .groupBy("event_type")
+      .agg(graft.functions.GraftFunctions.topKBy(
+        col("n").cast("double"), col("user_id"), k).as("top"))
+      .select(col("event_type"), explode(col("top")).as("t"))
+      .select(col("event_type"), col("t.id").as("user_id"),
+        col("t.score").cast("long").as("n"))
   }
 
   /** Exact distinct counting (two-phase: partial distinct per partition,
