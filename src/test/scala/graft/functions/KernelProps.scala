@@ -74,4 +74,42 @@ object KernelProps extends Properties("kernels") {
       val got = HexKernels.hexToDec(u(hex))
       got != null && got.toString == BigInt(hex, 16).toString
     }
+
+  private val scoredPairs: Gen[List[(Double, Long)]] =
+    Gen.listOf(for {
+      s <- Gen.oneOf(Gen.choose(-1.0, 1.0), Gen.oneOf(0.0, 0.5, 0.5, 1.0)) // force ties
+      id <- Gen.choose(0L, 50L)
+    } yield (s, id))
+
+  private def stateOf(k: Int, xs: Seq[(Double, Long)]): TopKState = {
+    val st = new TopKState(k)
+    xs.foreach { case (s, id) => st.add(s, id) }
+    st
+  }
+  private def contents(st: TopKState): List[(Double, Long)] = {
+    st.compact()
+    (0 until st.n).map(i => (st.scores(i), st.ids(i))).toList
+  }
+  private def expectTopK(k: Int, xs: Seq[(Double, Long)]): List[(Double, Long)] =
+    xs.sortBy { case (s, id) => (-s, id) }.take(k).toList
+
+  property("TopKState: any add order + split merge == sort-take-k") =
+    forAll(scoredPairs, Gen.choose(1, 8), Gen.choose(0, 100)) { (xs, k, cut) =>
+      val (a, b) = xs.splitAt(cut % (xs.size + 1))
+      val merged = stateOf(k, a)
+      val other = stateOf(k, b)
+      merged.compact(); other.compact() // merge after partials compacted, as Spark does
+      val st = new TopKState(k)
+      contents(merged).foreach { case (s, id) => st.add(s, id) }
+      contents(other).foreach { case (s, id) => st.add(s, id) }
+      contents(st) == expectTopK(k, xs)
+    }
+
+  property("TopKState: serialize/deserialize round-trips through the aggregate") =
+    forAll(scoredPairs, Gen.choose(1, 8)) { (xs, k) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val agg = TopKByScore(Literal(0.0d), Literal(0L), k)
+      val st = stateOf(k, xs)
+      contents(agg.deserialize(agg.serialize(st))) == contents(st)
+    }
 }
