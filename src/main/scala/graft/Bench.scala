@@ -14,7 +14,14 @@ import java.nio.file.{Files, Paths}
   *    (default /tmp/bench.json) so the driver parses a file instead of
   *    regex-scraping sbt's interleaved stdout;
   *  - a failing query records null and lands in "errors" instead of
-  *    silently contributing a near-zero time.
+  *    silently contributing a near-zero time;
+  *  - a fixed calibration probe (range-sum, constant work) is timed
+  *    before every measured pass and reported per query ("probe"), so
+  *    box contention during the run is attributable: a query whose probe
+  *    median is far above the run's probe floor was measured in a
+  *    contended window, and its time says nothing about the plan
+  *    (BENCH_r03/r04 recorded 37 s / 134 s for q_json_props that way —
+  *    the same query re-times at ~0.5-1 s on a quiet box, r5).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -44,17 +51,32 @@ object Bench {
     (names ++ extNames).foreach(runOnce) // warm-up pass, unmeasured
 
     val errors = collection.mutable.ListBuffer[String]()
+    // Constant-work calibration probe: same job every time, so its time
+    // varies only with box conditions. Shape chosen to exercise scheduling
+    // + a codegen'd agg like the real queries, not to be representative.
+    def probeOnce(): Double = {
+      import org.apache.spark.sql.functions.{col, sum}
+      val t0 = System.nanoTime()
+      spark.range(1L << 22).agg(sum(col("id")))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    probeOnce() // warm the probe's own plan once, unmeasured
+    val probes = collection.mutable.LinkedHashMap[String, Double]()
     // Median of 3 timed passes per query: the container's CPU allocation is
     // bursty enough that any single pass can read several× high; a median
     // discards one arbitrary stall per query (matches how the DuckDB
     // baseline in BASELINE.md is measured).
     def timeAll(qs: Seq[String]): Seq[(String, Option[Double])] = qs.map { name =>
+      val pts = collection.mutable.ListBuffer[Double]()
       val times = (1 to 3).flatMap { _ =>
+        pts += probeOnce()
         val t0 = System.nanoTime()
         val err = runOnce(name)
         err.foreach(errors += _)
         if (err.isEmpty) Some((System.nanoTime() - t0) / 1e9) else None
       }
+      probes(name) = pts.sorted.apply(pts.size / 2)
       name -> (if (times.size == 3) Some(times.sorted.apply(1)) else None)
     }
     val results = timeAll(names)
@@ -70,10 +92,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val errJson = errors.map(jstr).mkString("[", ",", "]")
+    val probeJson = probes
+      .map { case (k, v) => jstr(k) + ":" + f"$v%.4f" }.mkString("{", ",", "}")
+    val probeFloor = if (probes.isEmpty) 0.0 else probes.values.min
     // "value"/"queries" cover the stable headline set (comparable across
     // rounds and to BASELINE.md); "ext" informally times the extension ops.
+    // "probe" is the per-query contention sentinel (see scaladoc):
+    // probe[q] >> probe_floor ⇒ q was timed in a contended window.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"ext":${qjson(extResults)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"ext":${qjson(extResults)},"probe":$probeJson,"probe_floor":${f"$probeFloor%.4f"},"errors":$errJson,"sf":${jstr(sfDir)}}"""
     println(json)
     Files.writeString(Paths.get(outFile), json)
     spark.stop()
