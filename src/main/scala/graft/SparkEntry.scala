@@ -83,6 +83,18 @@ object SparkEntry {
     }),
     // ── Beyond-reference analytics (joins / rank-per-group / distinct) ──
     "q_asof_join"       -> (AsOfJoin.errorsAfterClicks _),
+    "q_range_join"      -> (RangeJoin.errorsInSignupWindows _),
+    "q_set_ops"         -> (Relational.setOps _),
+    "q_rollup_daily"    -> (Relational.dailyRollup _),
+    "q_pivot"           -> (Relational.pivotCounts _),
+    "q_sample_strat"    -> ((s, d) => Relational.stratifiedSample(s, d)),
+    "txt_chunks"        -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      TextAnalysis.chunkDocs(s, d)
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("chunk_text"), col("n_chunk_tokens").cast("long").as("n_chunk_tokens"))
+    }),
+    "txt_tfidf"         -> (TextAnalysis.termStats _),
     "q_star_join"       -> (Analytics.starRevenue _),
     "q_top_per_group"   -> ((s, d) => Analytics.topUsersPerType(s, d)),
     "q_distinct"        -> (Analytics.userCounts _),
@@ -113,6 +125,7 @@ object SparkEntry {
     "txt_fingerprint", "txt_quality",
     "win_agg_daily", "sess_30min", "agg_salted",
     "q_star_join", "q_top_per_group", "q_distinct", "q_json_props", "q_quantiles",
+    "q_range_join", "q_rollup_daily", "txt_tfidf",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -479,6 +492,80 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'error') e
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+    // Keyless range join: DuckDB executes the inequality join directly
+    // (its optimizer picks IEJoin); the Spark side is the bucketed
+    // candidate decomposition — same result by construction.
+    "q_range_join" ->
+      """SELECT e.event_id, e.user_id, w.window_id,
+        |  epoch_ns(e.ts) // 1000 - w.lo_us AS offset_us
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT event_id AS window_id, epoch_ns(ts) // 1000 AS lo_us
+        |      FROM events WHERE event_type = 'signup' AND user_id % 50 = 0) w
+        |  ON epoch_ns(e.ts) // 1000 >= w.lo_us
+        | AND epoch_ns(e.ts) // 1000 < w.lo_us + 21600000000""".stripMargin,
+    "q_set_ops" ->
+      """WITH c AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        |           FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT 'both' AS op, user_id, day FROM (SELECT * FROM c INTERSECT SELECT * FROM p)
+        |UNION ALL
+        |SELECT 'click_only' AS op, user_id, day FROM (SELECT * FROM c EXCEPT SELECT * FROM p)
+        |UNION ALL
+        |SELECT 'purchase_only' AS op, user_id, day FROM (SELECT * FROM p EXCEPT SELECT * FROM c)""".stripMargin,
+    "q_rollup_daily" ->
+      """SELECT day, event_type, count(*) AS n_events,
+        |  round(sum(value), 6) AS sum_value,
+        |  CAST(GROUPING(day) AS BIGINT) AS g_day,
+        |  CAST(GROUPING(event_type) AS BIGINT) AS g_type
+        |FROM (SELECT date_trunc('day', ts) AS day, event_type, value FROM events)
+        |GROUP BY ROLLUP(day, event_type)""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+    // Hash-mod sampling is a pure function of the row, so the oracle
+    // recomputes the identical keep decision (32-bit md5 prefix — conv()
+    // is exact below 64 bits, see P7 for the wrap trap at 16+ chars).
+    "q_sample_strat" ->
+      """SELECT event_id, user_id, event_type, value FROM (
+        |  SELECT event_id, user_id, event_type, value,
+        |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS bucket,
+        |    CASE event_type WHEN 'error' THEN 100 WHEN 'purchase' THEN 50
+        |      WHEN 'click' THEN 10 WHEN 'view' THEN 10 WHEN 'signup' THEN 10
+        |      ELSE 0 END AS rate
+        |  FROM events
+        |) WHERE bucket < rate""".stripMargin,
+    // Same tokenizer as every text op; slice bounds are 1-based inclusive
+    // in DuckDB ([a:b]) vs (start, length) in Spark — i*24+1 : i*24+32 is
+    // exactly slice(w, i*24+1, 32), both clamped at the array end.
+    "txt_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, w,
+        |    greatest(1, CAST(ceil((len(w) - 32) / 24.0) AS INT) + 1) AS nc
+        |  FROM t
+        |)
+        |SELECT doc_id, i AS chunk_id,
+        |  array_to_string(w[CAST(i*24+1 AS INT) : CAST(i*24+32 AS INT)], ' ') AS chunk_text,
+        |  CAST(len(w[CAST(i*24+1 AS INT) : CAST(i*24+32 AS INT)]) AS BIGINT) AS n_chunk_tokens
+        |FROM (SELECT doc_id, w, unnest(range(0, nc)) AS i FROM c)""".stripMargin,
+    "txt_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
+        |  FROM documents
+        |)
+        |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS total_tf,
+        |  round(ln((SELECT count(*) FROM documents) / CAST(count(DISTINCT doc_id) AS DOUBLE)), 6) AS idf
+        |FROM toks GROUP BY term""".stripMargin,
     // Revenue summed as exact scaled integers (cents × (100-disc%)) so the
     // total is independent of floating-point merge order in either engine.
     "q_star_join" ->

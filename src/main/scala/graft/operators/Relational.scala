@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational coverage the reference's Athena surface never exercises but
+  * any user of a SQL-on-files layer reaches for immediately: set
+  * operations, ROLLUP subtotals, pivot, and deterministic sampling
+  * (SURVEY §2.4 lists set ops / grouping sets as explicitly absent from
+  * the reference).
+  *
+  * Scale notes: every operator here is a shuffle on a small key (user-day,
+  * day×type, user_id) with two-phase aggregation; the sampler is a pure
+  * scan-side projection whose selectivity reaches the Parquet scan as an
+  * ordinary filter.
+  */
+object Relational {
+
+  /** INTERSECT / EXCEPT over (user, day) activity sets: which user-days
+    * clicked AND purchased, clicked only, purchased only — tagged union of
+    * the three. Spark plans set ops as distinct-aggregates + joins; both
+    * EXCEPT directions keep the entry non-vacuous on data where every user
+    * eventually does everything (day granularity is what makes the
+    * differences non-empty). */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    def days(t: String): DataFrame = ev
+      .filter(col("event_type") === t)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val click = days("click")
+    val purchase = days("purchase")
+    click.intersect(purchase)
+      .select(lit("both").as("op"), col("user_id"), col("day"))
+      .unionByName(click.except(purchase)
+        .select(lit("click_only").as("op"), col("user_id"), col("day")))
+      .unionByName(purchase.except(click)
+        .select(lit("purchase_only").as("op"), col("user_id"), col("day")))
+  }
+
+  /** Day × event-type ROLLUP: leaf rows plus per-day subtotals plus the
+    * grand total, with grouping markers so consumers can tell a real NULL
+    * from a subtotal row. One pass, one shuffle — Spark expands rollup
+    * grouping sets inside a single two-phase aggregate rather than
+    * re-scanning per level. Sum rounded to 6 dp (double merge order
+    * differs across engines by design). */
+  def dailyRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .withColumn("day", date_trunc("day", col("ts")))
+      .rollup("day", "event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("sum_value"),
+        grouping(col("day")).cast("long").as("g_day"),
+        grouping(col("event_type")).cast("long").as("g_type"))
+
+  private[operators] val eventTypes =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  /** Per-user activity matrix: event counts pivoted to one column per
+    * event type. The pivot values are declared (not inferred) so the
+    * schema is static and the plan is a single two-phase aggregate — an
+    * inferred pivot costs an extra distinct-values job. Missing
+    * combinations are 0, not NULL (matrix semantics). */
+  def pivotCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0, eventTypes)
+
+  /** Per-stratum sampling rates (percent kept), keyed by event type:
+    * keep every error, half of purchases, a tenth of the high-volume
+    * types — the standard class-rebalance shape for training data. */
+  val defaultRates: Map[String, Int] =
+    Map("error" -> 100, "purchase" -> 50, "click" -> 10, "view" -> 10, "signup" -> 10)
+
+  /** Deterministic stratified sample: keep a row iff the first 32 bits of
+    * md5(event_id) land under its stratum's rate. Hash-mod sampling
+    * instead of `sample()`/rand(): the decision is a pure function of the
+    * row, so it is reproducible across runs, engines (the oracle recomputes
+    * it in DuckDB), retries, AND across tables — sampling two tables by the
+    * same key keeps them referentially consistent. Scan-side projection +
+    * filter; no shuffle, no state, trivially parallel at any scale. */
+  def stratifiedSample(
+      spark: SparkSession, dir: String,
+      rates: Map[String, Int] = defaultRates): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    // 8 hex chars = 32 bits — conv() is exact here (its 64-bit wrap trap
+    // starts at 16 chars), so Spark and the oracle agree bit-for-bit
+    val bucket = conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    val rate = rates.foldLeft(lit(0)) { case (acc, (t, r)) =>
+      when(col("event_type") === t, lit(r)).otherwise(acc)
+    }
+    ev.filter(bucket < rate)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+  }
+}

@@ -123,6 +123,51 @@ object TextAnalysis {
         GraftFunctions.docFingerprint(col("text")).as("fp"),
         GraftFunctions.rollingMinHash(col("text"), 8).as("rolling_fp"))
 
+  /** Token-window document chunking — the segmentation step every
+    * training pipeline runs before tokenizer/packing: overlapping windows
+    * of `chunk` tokens advancing by `stride` (context preserved across
+    * boundaries by the `chunk - stride` token overlap). Row-local:
+    * tokenize once, emit ceil((n-chunk)/stride)+1 windows via posexplode —
+    * no shuffle, no state, and the text body is read exactly once.
+    * Short documents yield one (possibly short) chunk, never zero. */
+  def chunkDocs(spark: SparkSession, dir: String,
+      chunk: Int = 32, stride: Int = 24): DataFrame = {
+    require(chunk > 0 && stride > 0 && stride <= chunk,
+      "need 0 < stride <= chunk")
+    val toks = tokens(col("text"))
+    val nChunks = greatest(lit(1),
+      ceil((size(toks) - lit(chunk)).cast("double") / stride).cast("int") + lit(1))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("w"), nChunks.as("nc"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nc") - 1),
+          i => slice(col("w"), i * stride + 1, lit(chunk)))))
+      .select(
+        col("doc_id"), col("pos").as("chunk_id"),
+        array_join(col("col"), " ").as("chunk_text"),
+        size(col("col")).as("n_chunk_tokens"))
+  }
+
+  /** Corpus term statistics / TF-IDF: document frequency, total term
+    * frequency, and idf = ln(N/df) per term. One explode + one two-phase
+    * aggregate on the term — at 100 TB the shuffle moves one partial row
+    * per (partition, term), and N arrives as a 1-row broadcast, not a
+    * driver-side collect. idf rounded to 6 dp (libm ln differs across
+    * engines in the last ulp). */
+  def termStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(
+        countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("total_tf"))
+      .crossJoin(broadcast(n))
+      .select(col("term"), col("df"), col("total_tf"),
+        round(log(col("n_docs").cast("double") / col("df")), 6).as("idf"))
+  }
+
   /** The langId projection as a reusable column: struct(pred_lang, score). */
   def langIdCol(text: Column): Column = {
     val toks = tokens(text)

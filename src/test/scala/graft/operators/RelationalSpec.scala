@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Set-op / rollup / pivot / deterministic-sample semantics, each checked
+  * against an independent reformulation over the same testdata.
+  */
+class RelationalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def dayset(t: String): Set[(Long, java.sql.Timestamp)] =
+    Tables.load(spark, dir, "events")
+      .filter(col("event_type") === t)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+      .as[(Long, java.sql.Timestamp)].collect().toSet
+
+  test("setOps: the three tags partition the click/purchase day sets") {
+    val rows = Relational.setOps(spark, dir)
+      .as[(String, Long, java.sql.Timestamp)].collect()
+    val byOp = rows.groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    val click = dayset("click")
+    val purchase = dayset("purchase")
+    assert(byOp.getOrElse("both", Set.empty) == (click intersect purchase))
+    assert(byOp.getOrElse("click_only", Set.empty) == (click diff purchase))
+    assert(byOp.getOrElse("purchase_only", Set.empty) == (purchase diff click))
+    // day granularity keeps all three legs non-vacuous on this data
+    assert(byOp.keySet == Set("both", "click_only", "purchase_only"))
+    assert(rows.length == rows.map(r => (r._2, r._3)).distinct.length,
+      "tags must partition: no user-day may appear under two ops")
+  }
+
+  test("rollup: subtotal and grand-total rows reconcile with the leaves") {
+    val rows = Relational.dailyRollup(spark, dir)
+      .as[(java.sql.Timestamp, String, Long, Double, Long, Long)].collect()
+    val leaves = rows.filter(r => r._5 == 0 && r._6 == 0)
+    val daySub = rows.filter(r => r._5 == 0 && r._6 == 1)
+    val grand = rows.filter(r => r._5 == 1 && r._6 == 1)
+    assert(grand.length == 1)
+    assert(grand.head._3 == leaves.map(_._3).sum)
+    assert(grand.head._3 == Tables.load(spark, dir, "events").count())
+    daySub.foreach { s =>
+      assert(s._3 == leaves.filter(_._1 == s._1).map(_._3).sum,
+        s"day subtotal ${s._1} must equal its leaf sum")
+    }
+    assert(daySub.length == leaves.map(_._1).distinct.length)
+  }
+
+  test("pivot: per-type columns sum back to the per-user event count") {
+    val totals = Tables.load(spark, dir, "events")
+      .groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    val rows = Relational.pivotCounts(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == totals.size)
+    rows.foreach { case (u, c, e, p, s, v) =>
+      assert(c + e + p + s + v == totals(u), s"user $u row sum mismatch")
+    }
+  }
+
+  test("stratifiedSample: deterministic, stratum-complete, rate-plausible") {
+    val a = Relational.stratifiedSample(spark, dir)
+      .as[(Long, Long, String, Double)].collect().toSet
+    val b = Relational.stratifiedSample(spark, dir)
+      .as[(Long, Long, String, Double)].collect().toSet
+    assert(a == b, "hash-mod sampling must be run-to-run deterministic")
+
+    val ev = Tables.load(spark, dir, "events")
+    val nErrors = ev.filter(col("event_type") === "error").count()
+    assert(a.count(_._3 == "error") == nErrors, "rate 100 keeps every error")
+
+    val nClicks = ev.filter(col("event_type") === "click").count()
+    val kept = a.count(_._3 == "click").toDouble / nClicks
+    // 10% target; binomial noise at this SF is wide but bounded
+    assert(kept > 0.02 && kept < 0.25, s"click keep-rate $kept implausible for 10%")
+
+    val ids = ev.select("event_id").as[Long].collect().toSet
+    assert(a.forall(r => ids.contains(r._1)), "sample must be a subset")
+  }
+}
