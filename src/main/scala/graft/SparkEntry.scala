@@ -100,6 +100,12 @@ object SparkEntry {
     "q_distinct"        -> (Analytics.userCounts _),
     "q_json_props"      -> (Analytics.propsStats _),
     "q_quantiles"       -> (Analytics.valueQuantiles _),
+    "q_moving_avg"      -> ((s, d) => Analytics.dailyMovingAvg(s, d)),
+    "q_histogram"       -> ((s, d) => Analytics.valueHistogram(s, d)),
+    // rows-only: first-fit packing is sequential per shard (no SQL-window
+    // closed form, hence no oracle) — PackingSpec holds it to the exact
+    // first-fit recurrence instead.
+    "txt_pack"          -> ((s, d) => Packing.packedChunks(s, d)),
     // ── Skew-safe salted aggregation (same values as a plain group-by) ──
     "agg_salted"        -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, round}
@@ -595,6 +601,25 @@ object SparkEntry {
         |  quantile_cont(value, 0.95) AS p95,
         |  quantile_cont(value, 0.99) AS p99
         |FROM events GROUP BY event_type""".stripMargin,
+    // avg over exact integer counts divides the same integers in both
+    // engines; the frame key is an integer day index so RANGE frames agree
+    // across calendar gaps.
+    "q_moving_avg" ->
+      """WITH d AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_events,
+        |    epoch_ns(date_trunc('day', ts)) // 1000 // 86400000000 AS day_idx
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, day, n_events,
+        |  round(avg(n_events) OVER (PARTITION BY event_type ORDER BY day_idx
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS avg_n
+        |FROM d""".stripMargin,
+    "q_histogram" ->
+      """SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
+        |  count(*) AS n,
+        |  round(min(value), 6) AS min_v,
+        |  round(max(value), 6) AS max_v
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q_json_props" ->
       """SELECT event_type,
         |  count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k, avg(k) AS avg_k

@@ -107,6 +107,45 @@ object Analytics {
         approx_percentile(col("value"), lit(0.5), lit(acc)).as("p50"),
         approx_percentile(col("value"), lit(0.95), lit(acc)).as("p95"))
 
+  /** 7-day trailing moving average of daily event counts per type —
+    * the window-frame (RANGE BETWEEN) operator over event time. Scale
+    * shape: aggregate FIRST (one row per (type, day) crosses the shuffle),
+    * then the window frame runs over the tiny aggregated set — never a
+    * sliding frame over raw events. The frame key is an integer day index
+    * so RANGE semantics are exact across calendar gaps (a missing day
+    * contributes nothing rather than shifting the frame). */
+  def dailyMovingAvg(spark: SparkSession, dir: String, days: Int = 7): DataFrame = {
+    val byDay = Tables.load(spark, dir, "events")
+      .groupBy(
+        col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      // DIV (integer division) — a double `/` then cast could round a
+      // boundary; day is an exact multiple of 86400000000 μs but DIV
+      // states the intent and is safe for any epoch
+      .withColumn("day_idx", expr("unix_micros(day) DIV 86400000000"))
+    val frame = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day_idx")
+      .rangeBetween(-(days - 1).toLong, 0L)
+    byDay
+      .withColumn("avg_n", round(avg(col("n_events")).over(frame), 6))
+      .select("event_type", "day", "n_events", "avg_n")
+  }
+
+  /** Fixed-width value histogram per event type: two-phase aggregate on
+    * (type, bin) — the profiling primitive behind any numeric-distribution
+    * dashboard. floor() bins so negative values land in negative bins
+    * identically across engines. */
+  def valueHistogram(spark: SparkSession, dir: String, width: Double = 10.0): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(
+        col("event_type"),
+        floor(col("value") / width).cast("long").as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("value")), 6).as("min_v"),
+        round(max(col("value")), 6).as("max_v"))
+
   /** The HLL++ approximate variant of [[userCounts]] per event_type. */
   def approxUserCountsByType(spark: SparkSession, dir: String, rsd: Double = 0.05): DataFrame =
     Tables.load(spark, dir, "events")
