@@ -87,20 +87,24 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
+    // Locale.ROOT: the default-locale f"" interpolator renders a decimal
+    // COMMA under e.g. de_DE, which is malformed JSON.
+    def fnum(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     def qjson(rs: Seq[(String, Option[Double])]): String = rs
-      .map { case (k, v) => jstr(k) + ":" + v.map(s => f"$s%.4f").getOrElse("null") }
+      .map { case (k, v) => jstr(k) + ":" + v.map(fnum).getOrElse("null") }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val errJson = errors.map(jstr).mkString("[", ",", "]")
     val probeJson = probes
-      .map { case (k, v) => jstr(k) + ":" + f"$v%.4f" }.mkString("{", ",", "}")
+      .map { case (k, v) => jstr(k) + ":" + fnum(v) }.mkString("{", ",", "}")
     val probeFloor = if (probes.isEmpty) 0.0 else probes.values.min
     // "value"/"queries" cover the stable headline set (comparable across
     // rounds and to BASELINE.md); "ext" informally times the extension ops.
     // "probe" is the per-query contention sentinel (see scaladoc):
     // probe[q] >> probe_floor ⇒ q was timed in a contended window.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"ext":${qjson(extResults)},"probe":$probeJson,"probe_floor":${f"$probeFloor%.4f"},"errors":$errJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"ext":${qjson(extResults)},"probe":$probeJson,"probe_floor":${fnum(probeFloor)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
     println(json)
     Files.writeString(Paths.get(outFile), json)
     spark.stop()

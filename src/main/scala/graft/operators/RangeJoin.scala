@@ -28,20 +28,30 @@ object RangeJoin {
 
   /** Generic bucketed interval join: `points` (with a microsecond `tsCol`)
     * against `windows` (with `[loCol, hiCol)` microsecond bounds).
-    * Output: every point row joined to every window containing it. */
+    * Output: every point row joined to every window containing it.
+    * Precondition: the two sides share no column name (project each side
+    * first — the post-join containment filter needs unambiguous
+    * references; violations fail fast below instead of surfacing as an
+    * AnalysisException deep in the plan). */
   def bucketedIntervalJoin(
       points: DataFrame, tsCol: String,
       windows: DataFrame, loCol: String, hiCol: String,
       bucketUs: Long): DataFrame = {
     require(bucketUs > 0, "bucket width must be positive")
+    val shared = points.columns.toSet intersect windows.columns.toSet
+    require(shared.isEmpty,
+      s"points and windows must not share column names (project first): $shared")
+    val bucket = "__graft_bucket"
+    require(!points.columns.contains(bucket) && !windows.columns.contains(bucket),
+      s"$bucket is reserved by bucketedIntervalJoin")
     // DIV (integer division), not `/`: these are epoch-micros, and a
     // double-precision divide can round a boundary into the wrong bucket.
-    val wb = windows.withColumn("_bucket",
+    val wb = windows.withColumn(bucket,
       explode(sequence(expr(s"$loCol DIV $bucketUs"), expr(s"$hiCol DIV $bucketUs"))))
-    val pb = points.withColumn("_bucket", expr(s"$tsCol DIV $bucketUs"))
-    pb.join(wb, Seq("_bucket"))
+    val pb = points.withColumn(bucket, expr(s"$tsCol DIV $bucketUs"))
+    pb.join(wb, Seq(bucket))
       .filter(col(tsCol) >= col(loCol) && col(tsCol) < col(hiCol))
-      .drop("_bucket")
+      .drop(bucket)
   }
 
   /** Concrete entry: error events inside 6-hour incident windows anchored

@@ -19,25 +19,29 @@ object Relational {
 
   /** INTERSECT / EXCEPT over (user, day) activity sets: which user-days
     * clicked AND purchased, clicked only, purchased only — tagged union of
-    * the three. Spark plans set ops as distinct-aggregates + joins; both
-    * EXCEPT directions keep the entry non-vacuous on data where every user
-    * eventually does everything (day granularity is what makes the
-    * differences non-empty). */
-  def setOps(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
-    def days(t: String): DataFrame = ev
-      .filter(col("event_type") === t)
-      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
-      .distinct()
-    val click = days("click")
-    val purchase = days("purchase")
-    click.intersect(purchase)
-      .select(lit("both").as("op"), col("user_id"), col("day"))
-      .unionByName(click.except(purchase)
-        .select(lit("click_only").as("op"), col("user_id"), col("day")))
-      .unionByName(purchase.except(click)
-        .select(lit("purchase_only").as("op"), col("user_id"), col("day")))
-  }
+    * the three (both EXCEPT directions stay non-vacuous on data where
+    * every user eventually does everything; day granularity is what makes
+    * the differences non-empty).
+    *
+    * Implementation is the one-scan form: a literal
+    * `a INTERSECT b UNION ALL a EXCEPT b …` plan re-evaluates each
+    * distinct leg per set expression — six scans and six distinct
+    * shuffles of the fact table. Deriving per-(user, day) membership
+    * flags in ONE two-phase aggregate and tagging with a CASE computes
+    * the identical three-way partition with one scan and one shuffle —
+    * the set-op semantics, at the aggregation price. */
+  def setOps(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(
+        max(col("event_type") === "click").as("c"),
+        max(col("event_type") === "purchase").as("p"))
+      .select(
+        when(col("c") && col("p"), "both")
+          .when(col("c"), "click_only")
+          .otherwise("purchase_only").as("op"),
+        col("user_id"), col("day"))
 
   /** Day × event-type ROLLUP: leaf rows plus per-day subtotals plus the
     * grand total, with grouping markers so consumers can tell a real NULL
