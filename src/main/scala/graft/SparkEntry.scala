@@ -87,6 +87,8 @@ object SparkEntry {
     "q_set_ops"         -> (Relational.setOps _),
     "q_rollup_daily"    -> (Relational.dailyRollup _),
     "q_pivot"           -> (Relational.pivotCounts _),
+    "q_full_outer"      -> (Relational.dailyFullOuter _),
+    "q_exists"          -> (Relational.existsSubquery _),
     "q_sample_strat"    -> ((s, d) => Relational.stratifiedSample(s, d)),
     "txt_chunks"        -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -519,6 +521,24 @@ object SparkEntry {
         |SELECT 'click_only' AS op, user_id, day FROM (SELECT * FROM c EXCEPT SELECT * FROM p)
         |UNION ALL
         |SELECT 'purchase_only' AS op, user_id, day FROM (SELECT * FROM p EXCEPT SELECT * FROM c)""".stripMargin,
+    "q_full_outer" ->
+      """SELECT COALESCE(c.day, p.day) AS day,
+        |  COALESCE(n_click, 0) AS n_click,
+        |  COALESCE(n_purchase, 0) AS n_purchase
+        |FROM (SELECT date_trunc('day', ts) AS day, count(*) AS n_click
+        |      FROM events WHERE event_type = 'click' AND value > 95 GROUP BY 1) c
+        |FULL OUTER JOIN
+        |     (SELECT date_trunc('day', ts) AS day, count(*) AS n_purchase
+        |      FROM events WHERE event_type = 'purchase' AND value > 95 GROUP BY 1) p
+        |  ON c.day = p.day""".stripMargin,
+    "q_exists" ->
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM events e
+        |              WHERE e.user_id = c.c_custkey AND e.event_type = 'error')
+        |  AND NOT EXISTS (SELECT 1 FROM events e2
+        |                  WHERE e2.user_id = c.c_custkey
+        |                    AND e2.event_type = 'purchase' AND e2.value > 95)""".stripMargin,
     "q_rollup_daily" ->
       """SELECT day, event_type, count(*) AS n_events,
         |  round(sum(value), 6) AS sum_value,

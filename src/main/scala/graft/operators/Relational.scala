@@ -74,6 +74,47 @@ object Relational {
       .agg(count(lit(1)))
       .na.fill(0, eventTypes)
 
+  /** Full-outer join of two daily aggregates (high-value clicks vs
+    * high-value purchases): the join type the surface was still missing,
+    * with COALESCE null-filling on both the key and the measures. The >95
+    * value filter thins each side so both unmatched directions actually
+    * occur (an unfiltered daily rollup has every day on both sides and the
+    * outer join degenerates to inner — vacuously green). Two small
+    * aggregates join after shuffling one row per day each. */
+  def dailyFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    def daily(t: String, as: String): DataFrame = ev
+      .filter(col("event_type") === t && col("value") > 95)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as(as))
+    daily("click", "n_click").as("c")
+      .join(daily("purchase", "n_purchase").as("p"),
+        col("c.day") === col("p.day"), "full_outer")
+      .select(
+        coalesce(col("c.day"), col("p.day")).as("day"),
+        coalesce(col("n_click"), lit(0L)).as("n_click"),
+        coalesce(col("n_purchase"), lit(0L)).as("n_purchase"))
+  }
+
+  /** Correlated EXISTS / NOT EXISTS through the SQL entry point — written
+    * the way an analyst writes it, so Catalyst's subquery decorrelation is
+    * what's under test: both subqueries rewrite to semi/anti hash joins on
+    * user_id (no per-row subquery execution exists in Spark at all — the
+    * decorrelated plan IS the operator). */
+  def existsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql("""
+      SELECT c_custkey, c_name
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM events e
+                    WHERE e.user_id = c.c_custkey AND e.event_type = 'error')
+        AND NOT EXISTS (SELECT 1 FROM events e2
+                        WHERE e2.user_id = c.c_custkey
+                          AND e2.event_type = 'purchase' AND e2.value > 95)
+    """)
+  }
+
   /** Per-stratum sampling rates (percent kept), keyed by event type:
     * keep every error, half of purchases, a tenth of the high-volume
     * types — the standard class-rebalance shape for training data. */

@@ -62,6 +62,38 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("dailyFullOuter: both unmatched directions occur and totals reconcile") {
+    val rows = Relational.dailyFullOuter(spark, dir)
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+    val ev = Tables.load(spark, dir, "events")
+    def total(t: String): Long =
+      ev.filter(col("event_type") === t && col("value") > 95).count()
+    assert(rows.map(_._2).sum == total("click"))
+    assert(rows.map(_._3).sum == total("purchase"))
+    assert(rows.exists(r => r._2 == 0 && r._3 > 0), "purchase-only day must exist")
+    assert(rows.exists(r => r._3 == 0 && r._2 > 0), "click-only day must exist")
+    assert(rows.map(_._1).distinct.length == rows.length, "one row per day")
+  }
+
+  test("existsSubquery: decorrelates to semi/anti joins and matches a join reformulation") {
+    val df = Relational.existsSubquery(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      s"EXISTS/NOT EXISTS must decorrelate to semi/anti joins:\n$plan")
+    val got = df.as[(Long, String)].collect().toSet
+
+    val ev = Tables.load(spark, dir, "events")
+    val cust = Tables.load(spark, dir, "customer")
+    val want = cust
+      .join(ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("c_custkey")).distinct(), Seq("c_custkey"), "left_semi")
+      .join(ev.filter(col("event_type") === "purchase" && col("value") > 95)
+        .select(col("user_id").as("c_custkey")).distinct(), Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name").as[(Long, String)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("stratifiedSample: deterministic, stratum-complete, rate-plausible") {
     val a = Relational.stratifiedSample(spark, dir)
       .as[(Long, Long, String, Double)].collect().toSet
