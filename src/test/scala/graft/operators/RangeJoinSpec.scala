@@ -32,6 +32,26 @@ class RangeJoinSpec extends SparkTestBase {
     }
   }
 
+  test("property: random intervals/buckets — bucketed join ≡ naive join") {
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 5) {
+      val windows = (1 to 20).map { i =>
+        val lo = rnd.nextLong(10000)
+        (i.toLong, lo, lo + 1 + rnd.nextLong(3000))
+      }.toDF("window_id", "lo_us", "hi_us")
+      val points = (1 to 200)
+        .map(i => (i.toLong, rnd.nextLong(14000))).toDF("point_id", "ts_us")
+      val bucket = 1L + rnd.nextLong(4000)
+      val got = RangeJoin.bucketedIntervalJoin(
+          points, "ts_us", windows, "lo_us", "hi_us", bucket)
+        .select("point_id", "window_id").as[(Long, Long)].collect().toSet
+      val want = points.as("p").join(windows.as("w"),
+          col("p.ts_us") >= col("w.lo_us") && col("p.ts_us") < col("w.hi_us"))
+        .select("point_id", "window_id").as[(Long, Long)].collect().toSet
+      assert(got == want, s"trial $trial bucket=$bucket")
+    }
+  }
+
   test("errorsInSignupWindows: non-vacuous and verified against the naive join") {
     val dir = "/root/testdata/sf0.01"
     val got = RangeJoin.errorsInSignupWindows(spark, dir)
