@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Packing, TextAnalysis}
 import graft.sources.Tables
 
 /** The end-to-end training-data preparation pipeline — the composition the
@@ -43,6 +43,26 @@ object PrepJob {
       .select(cols.map(c => col(s"r.$c")): _*)
 
     Dedup.dropNearDuplicates(exact, "doc_id", "text")
+  }
+
+  /** The full training-data shape: [[prepare]]'s surviving documents →
+    * overlapping token-window chunks → first-fit packs of `budget` tokens.
+    * Output is the training manifest: one row per chunk with its text and
+    * its (pack_id, pack_pos) slot. The pack assignment (integer columns
+    * only) joins back to the chunk text on (doc_id, chunk_id) — an
+    * equi-join both sides of which are co-keyed, so at scale this is one
+    * ordinary shuffle, and the heavy text column never rides through the
+    * packing sort. */
+  def prepareChunksPacked(spark: SparkSession, dir: String,
+      chunk: Int = 32, stride: Int = 24,
+      budget: Int = 256, shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val chunks = TextAnalysis.chunkDocsOf(prepare(spark, dir), chunk, stride)
+    val packed = Packing.firstFitPack(chunks, budget, shards).toDF()
+    packed
+      .join(chunks.select("doc_id", "chunk_id", "chunk_text"), Seq("doc_id", "chunk_id"))
+      .select(col("pack_id"), col("pack_pos"), col("doc_id"), col("chunk_id"),
+        col("n_tokens"), col("chunk_text"))
   }
 
   /** Run the pipeline and land it partitioned by language. Returns the

@@ -131,13 +131,18 @@ object TextAnalysis {
     * no shuffle, no state, and the text body is read exactly once.
     * Short documents yield one (possibly short) chunk, never zero. */
   def chunkDocs(spark: SparkSession, dir: String,
-      chunk: Int = 32, stride: Int = 24): DataFrame = {
+      chunk: Int = 32, stride: Int = 24): DataFrame =
+    chunkDocsOf(Tables.load(spark, dir, "documents"), chunk, stride)
+
+  /** [[chunkDocs]] over any (doc_id, text) DataFrame — the composable form
+    * [[graft.PrepJob]] chains after dedup. */
+  def chunkDocsOf(docs: DataFrame, chunk: Int = 32, stride: Int = 24): DataFrame = {
     require(chunk > 0 && stride > 0 && stride <= chunk,
       "need 0 < stride <= chunk")
     val toks = tokens(col("text"))
     val nChunks = greatest(lit(1),
       ceil((size(toks) - lit(chunk)).cast("double") / stride).cast("int") + lit(1))
-    Tables.load(spark, dir, "documents")
+    docs
       .select(col("doc_id"), toks.as("w"), nChunks.as("nc"))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), col("nc") - 1),

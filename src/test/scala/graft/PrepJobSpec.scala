@@ -25,6 +25,24 @@ class PrepJobSpec extends SparkTestBase {
     assert(nFp == rows.length, "exact-duplicate content must be gone")
   }
 
+  test("prepareChunksPacked: manifest covers exactly the survivors' chunks, packs within budget") {
+    val budget = 256
+    val manifest = PrepJob.prepareChunksPacked(spark, dir, budget = budget)
+      .as[(Long, Int, Long, Int, Int, String)].collect()
+    assert(manifest.nonEmpty)
+    // coverage: exactly the chunks of the prepared survivors, text intact
+    val wantChunks = graft.operators.TextAnalysis
+      .chunkDocsOf(PrepJob.prepare(spark, dir))
+      .select("doc_id", "chunk_id", "chunk_text")
+      .as[(Long, Int, String)].collect().toSet
+    assert(manifest.map(r => (r._3, r._4, r._6)).toSet == wantChunks)
+    // packing invariants on the manifest itself
+    manifest.groupBy(_._1).foreach { case (pid, rows) =>
+      assert(rows.map(_._5).sum <= budget || rows.length == 1, s"pack $pid over budget")
+      assert(rows.map(_._2).sorted.toSeq == (0 until rows.length), s"pack $pid positions")
+    }
+  }
+
   test("run lands the survivors partitioned by lang") {
     val outPath = java.nio.file.Files.createTempDirectory("prep_out_").toString
     val n = PrepJob.run(spark, dir, outPath)
