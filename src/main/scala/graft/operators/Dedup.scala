@@ -132,13 +132,15 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    val sets = sh
+    val sets = sh.withColumn("sz", size(col("sh")))
     val pairs = cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("sz").as("sz_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("sz").as("sz_b")), "doc_b")
+      // union-free Jaccard (|A∪B| = |A|+|B|−|A∩B| on distinct sets)
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
     materializeAndRelease(pairs, sh)
@@ -195,17 +197,32 @@ object Dedup {
   def jaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = docs.select(
       col(idCol).as("doc_id"),
       array_sort(array_distinct(shingleHashes(col(textCol), n))).as("sh"))
       .withColumn("sz", size(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // Canonical order for the prefix = ASCENDING document frequency (the
+    // PPJoin refinement): any fixed total order preserves the lossless
+    // guarantee, and df-ascending puts each document's RAREST shingles in
+    // its prefix — posting lists stay short and same-shingle candidates
+    // scarce. Measured on the sf0.1 planted corpus: 209k candidate pairs
+    // under hash order → 120k under df order (~1.7× — modest there, since
+    // the synthetic shingles are near-unique with max df 26; on real
+    // corpora with boilerplate shingles, df in the millions, this is the
+    // difference between a working join and an exploding one). Costs one
+    // small aggregate (df per shingle) + one window rank by doc.
+    val occ = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle"))
+    val freq = occ.groupBy("shingle").agg(count(lit(1)).as("df"))
     // prefix length: |S| - ceil(t·|S|) + 1 (≥ 1 since t ≤ 1)
     val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
-    val posting = sh.select(
-      col("doc_id"), col("sz"),
-      explode(slice(col("sh"), lit(1), prefixLen)).as("shingle"))
+    val posting = occ.join(freq, "shingle")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
+      .filter(col("rk") <= prefixLen)
+      .select(col("doc_id"), col("sz"), col("shingle"))
 
     val cand = posting.as("a")
       .join(posting.as("b"),
@@ -218,11 +235,15 @@ object Dedup {
       .distinct()
 
     val pairs = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("sz").as("sz_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("sz").as("sz_b")), "doc_b")
+      // |A∪B| = |A|+|B|−|A∩B| on distinct sets: one array traversal per
+      // pair instead of intersect + union (union also allocates the
+      // merged array — the larger intermediate)
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
     materializeAndRelease(pairs, sh)

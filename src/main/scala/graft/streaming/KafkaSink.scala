@@ -18,9 +18,29 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object KafkaSink {
 
+  /** Producer configuration, exact parity with the reference's
+    * `build_producer` (dags/producer/kafka_streaming_service.py:180-188):
+    * acks=all + idempotence (its delivery guarantee), gzip compression,
+    * linger.ms=20 / batch.size=64000 (its batching shape) — expressed as
+    * the `kafka.`-prefixed options Spark's sink forwards verbatim to the
+    * underlying producer. Pure function: unit-testable without the
+    * kafka jar. */
+  def producerOptions(
+      acks: String = "all",
+      idempotence: Boolean = true,
+      compression: String = "gzip",
+      lingerMs: Int = 20,
+      batchSize: Int = 64000): Map[String, String] = Map(
+    "kafka.acks" -> acks,
+    "kafka.enable.idempotence" -> idempotence.toString,
+    "kafka.compression.type" -> compression,
+    "kafka.linger.ms" -> lingerMs.toString,
+    "kafka.batch.size" -> batchSize.toString)
+
   def write(df: DataFrame, brokers: String, topic: String): Unit =
     Parse.toJsonValue(df)
       .write.format("kafka")
+      .options(producerOptions())
       .option("kafka.bootstrap.servers", brokers)
       .option("topic", topic)
       .save()
@@ -28,6 +48,7 @@ object KafkaSink {
   def writeStream(df: DataFrame, brokers: String, topic: String, checkpoint: String): StreamingQuery =
     Parse.toJsonValue(df)
       .writeStream.format("kafka")
+      .options(producerOptions())
       .option("kafka.bootstrap.servers", brokers)
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
