@@ -86,6 +86,7 @@ object SparkEntry {
     "q_range_join"      -> (RangeJoin.errorsInSignupWindows _),
     "q_set_ops"         -> (Relational.setOps _),
     "q_rollup_daily"    -> (Relational.dailyRollup _),
+    "q_cube_daily"      -> (Relational.dailyCube _),
     "q_pivot"           -> (Relational.pivotCounts _),
     "q_full_outer"      -> (Relational.dailyFullOuter _),
     "q_exists"          -> (Relational.existsSubquery _),
@@ -546,6 +547,13 @@ object SparkEntry {
         |  CAST(GROUPING(event_type) AS BIGINT) AS g_type
         |FROM (SELECT date_trunc('day', ts) AS day, event_type, value FROM events)
         |GROUP BY ROLLUP(day, event_type)""".stripMargin,
+    "q_cube_daily" ->
+      """SELECT day, event_type, count(*) AS n_events,
+        |  round(sum(value), 6) AS sum_value,
+        |  CAST(GROUPING(day) AS BIGINT) AS g_day,
+        |  CAST(GROUPING(event_type) AS BIGINT) AS g_type
+        |FROM (SELECT date_trunc('day', ts) AS day, event_type, value FROM events)
+        |GROUP BY CUBE(day, event_type)""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,

@@ -50,6 +50,19 @@ class RelationalSpec extends SparkTestBase {
     assert(daySub.length == leaves.map(_._1).distinct.length)
   }
 
+  test("cube: rollup rows plus the per-type subtotals rollup omits") {
+    val cube = Relational.dailyCube(spark, dir)
+      .as[(java.sql.Timestamp, String, Long, Double, Long, Long)].collect()
+    val rollup = Relational.dailyRollup(spark, dir)
+      .as[(java.sql.Timestamp, String, Long, Double, Long, Long)].collect()
+    assert(rollup.toSet.subsetOf(cube.toSet), "cube ⊇ rollup lattice")
+    val typeTotals = cube.filter(r => r._5 == 1 && r._6 == 0)
+    assert(typeTotals.nonEmpty, "per-type subtotals are cube-only")
+    val total = Tables.load(spark, dir, "events").count()
+    assert(typeTotals.map(_._3).sum == total)
+    assert(cube.length == rollup.length + typeTotals.length)
+  }
+
   test("pivot: per-type columns sum back to the per-user event count") {
     val totals = Tables.load(spark, dir, "events")
       .groupBy("user_id").count()
