@@ -57,7 +57,16 @@ object PrepJob {
       chunk: Int = 32, stride: Int = 24,
       budget: Int = 256, shards: Int = 8): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val chunks = TextAnalysis.chunkDocsOf(prepare(spark, dir), chunk, stride)
+    // chunks feeds BOTH the packing input and the manifest join: without a
+    // materialization the whole prepare→chunk pipeline (corpus scan,
+    // quality semi-join, md5 dedup shuffle, LSH anti-join, posexplode)
+    // executes twice. Checkpoint once — reliable when the session has a
+    // checkpoint dir (the cluster job's responsibility), local otherwise —
+    // same durability policy as the dedup pipelines.
+    val chunks0 = TextAnalysis.chunkDocsOf(prepare(spark, dir), chunk, stride)
+    val chunks =
+      if (spark.sparkContext.getCheckpointDir.isDefined) chunks0.checkpoint()
+      else chunks0.localCheckpoint()
     val packed = Packing.firstFitPack(chunks, budget, shards).toDF()
     packed
       .join(chunks.select("doc_id", "chunk_id", "chunk_text"), Seq("doc_id", "chunk_id"))

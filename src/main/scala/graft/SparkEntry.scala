@@ -532,14 +532,9 @@ object SparkEntry {
         |     (SELECT date_trunc('day', ts) AS day, count(*) AS n_purchase
         |      FROM events WHERE event_type = 'purchase' AND value > 95 GROUP BY 1) p
         |  ON c.day = p.day""".stripMargin,
-    "q_exists" ->
-      """SELECT c_custkey, c_name
-        |FROM customer c
-        |WHERE EXISTS (SELECT 1 FROM events e
-        |              WHERE e.user_id = c.c_custkey AND e.event_type = 'error')
-        |  AND NOT EXISTS (SELECT 1 FROM events e2
-        |                  WHERE e2.user_id = c.c_custkey
-        |                    AND e2.event_type = 'purchase' AND e2.value > 95)""".stripMargin,
+    // the SAME SQL text the Spark entry executes (shared constant — the
+    // entry's whole point is both engines running one analyst query)
+    "q_exists" -> Relational.existsSql("events", "customer"),
     "q_rollup_daily" ->
       """SELECT day, event_type, count(*) AS n_events,
         |  round(sum(value), 6) AS sum_value,

@@ -110,23 +110,30 @@ object Relational {
         coalesce(col("n_purchase"), lit(0L)).as("n_purchase"))
   }
 
+  /** The one EXISTS/NOT-EXISTS SQL text, parameterized only by the table
+    * names: the Spark entry runs it over scoped temp views, the DuckDB
+    * oracle runs it verbatim over `events`/`customer` — a single source of
+    * truth, so the two sides cannot drift. */
+  def existsSql(events: String, customer: String): String =
+    s"""SELECT c_custkey, c_name
+       |FROM $customer c
+       |WHERE EXISTS (SELECT 1 FROM $events e
+       |              WHERE e.user_id = c.c_custkey AND e.event_type = 'error')
+       |  AND NOT EXISTS (SELECT 1 FROM $events e2
+       |                  WHERE e2.user_id = c.c_custkey
+       |                    AND e2.event_type = 'purchase' AND e2.value > 95)""".stripMargin
+
   /** Correlated EXISTS / NOT EXISTS through the SQL entry point — written
     * the way an analyst writes it, so Catalyst's subquery decorrelation is
     * what's under test: both subqueries rewrite to semi/anti hash joins on
     * user_id (no per-row subquery execution exists in Spark at all — the
-    * decorrelated plan IS the operator). */
+    * decorrelated plan IS the operator). Views are registered under scoped
+    * names: re-pointing a session-global `events` view at this entry's dir
+    * would silently redirect every later spark.sql in the session. */
   def existsSubquery(spark: SparkSession, dir: String): DataFrame = {
-    Tables.load(spark, dir, "events").createOrReplaceTempView("events")
-    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
-    spark.sql("""
-      SELECT c_custkey, c_name
-      FROM customer c
-      WHERE EXISTS (SELECT 1 FROM events e
-                    WHERE e.user_id = c.c_custkey AND e.event_type = 'error')
-        AND NOT EXISTS (SELECT 1 FROM events e2
-                        WHERE e2.user_id = c.c_custkey
-                          AND e2.event_type = 'purchase' AND e2.value > 95)
-    """)
+    Tables.load(spark, dir, "events").createOrReplaceTempView("graft_exists_events")
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("graft_exists_customer")
+    spark.sql(existsSql("graft_exists_events", "graft_exists_customer"))
   }
 
   /** Per-stratum sampling rates (percent kept), keyed by event type:

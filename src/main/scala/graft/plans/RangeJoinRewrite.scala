@@ -43,12 +43,16 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val bin = conf.getConfString(binSizeKey, "").trim
     if (bin.isEmpty) plan
-    else {
-      val w = bin.toLong
-      require(w > 0, s"$binSizeKey must be positive, got $w")
-      plan.transformUp {
-        case j: Join => rewrite(j, w).getOrElse(j)
-      }
+    else scala.util.Try(bin.toLong).toOption.filter(_ > 0) match {
+      // an optimizer rule runs on EVERY plan in the session — a malformed
+      // conf value must degrade to a warning, not poison all planning
+      case None =>
+        logWarning(s"$binSizeKey must be a positive long, got '$bin' — range-join rewrite disabled")
+        plan
+      case Some(w) =>
+        plan.transformUp {
+          case j: Join => rewrite(j, w).getOrElse(j)
+        }
     }
   }
 
@@ -119,9 +123,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
           "__graft_bucket_w", LongType, nullable = gen.elementSchema.head.nullable)()
         val winPlan = Generate(gen, unrequiredChildIndex = Nil, outer = false,
           qualifier = None, generatorOutput = Seq(winBucket), child = winSide)
+        // newL/newR wrap the ORIGINAL left/right respectively (whichever
+        // side holds the point), so the user's join hint carries over
+        // side-correct — a broadcast(windows) hint keeps meaning windows
         val (newL, newR) = if (ptSideLeft) (ptPlan, winPlan) else (winPlan, ptPlan)
         val bucketed = Join(newL, newR, Inner,
-          Some(EqualTo(ptBucket.toAttribute, winBucket)), JoinHint.NONE)
+          Some(EqualTo(ptBucket.toAttribute, winBucket)), j.hint)
         Project(j.output, Filter(cond, bucketed))
       }
     case _ => None
