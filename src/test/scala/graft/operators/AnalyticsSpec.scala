@@ -23,6 +23,38 @@ class AnalyticsSpec extends SparkTestBase {
     assert(counts.nonEmpty)
   }
 
+  test("dailyMovingAvg: frame equals a hand-rolled trailing-7-day recompute") {
+    val rows = Analytics.dailyMovingAvg(spark, dir)
+      .as[(String, java.sql.Timestamp, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_._1)
+    byType.foreach { case (tpe, rs) =>
+      val dayIdx = rs.map(r => (r._2.getTime / 86400000L, r._3)).toMap
+      rs.foreach { case (_, day, _, avgN) =>
+        val d = day.getTime / 86400000L
+        val window = (d - 6 to d).flatMap(dayIdx.get)
+        val want = BigDecimal(window.sum.toDouble / window.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(avgN - want) < 1e-9, s"$tpe $day: $avgN vs $want")
+      }
+    }
+  }
+
+  test("valueHistogram: bins recount and bound their min/max") {
+    val bins = Analytics.valueHistogram(spark, dir)
+      .as[(String, Long, Long, Double, Double)].collect()
+    val events = graft.sources.Tables.load(spark, dir, "events")
+      .select("event_type", "value").as[(String, Double)].collect()
+    assert(bins.map(_._3).sum == events.length, "bin counts must cover every row")
+    bins.foreach { case (tpe, bin, n, mn, mx) =>
+      val in = events.filter(e => e._1 == tpe && math.floor(e._2 / 10.0).toLong == bin)
+      assert(in.length == n, s"$tpe bin $bin count")
+      assert(mn >= bin * 10.0 - 1e-6 && mx < (bin + 1) * 10.0 + 1e-6,
+        s"$tpe bin $bin bounds [$mn,$mx]")
+      assert(mn <= mx)
+    }
+  }
+
   test("approx_count_distinct tracks exact within the configured rsd") {
     val rows = Analytics.approxUserCountsByType(spark, dir)
       .as[(String, Long, Long)].collect()

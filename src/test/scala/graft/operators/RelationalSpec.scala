@@ -126,4 +126,19 @@ class RelationalSpec extends SparkTestBase {
     val ids = ev.select("event_id").as[Long].collect().toSet
     assert(a.forall(r => ids.contains(r._1)), "sample must be a subset")
   }
+
+  test("stratifiedSample: rate monotonicity law — raising a rate only adds rows") {
+    // the keep decision is bucket(event_id) < rate, with the bucket a pure
+    // function of the row — so for every stratum, sample(r1) ⊆ sample(r2)
+    // whenever r1 <= r2 pointwise. This is what makes hash-mod sampling
+    // resumable: growing a sample never invalidates already-kept rows.
+    val low = Relational.stratifiedSample(spark, dir,
+      Map("error" -> 20, "purchase" -> 10, "click" -> 5, "view" -> 5, "signup" -> 5))
+      .select("event_id").as[Long].collect().toSet
+    val high = Relational.stratifiedSample(spark, dir,
+      Map("error" -> 60, "purchase" -> 40, "click" -> 25, "view" -> 25, "signup" -> 25))
+      .select("event_id").as[Long].collect().toSet
+    assert(low.subsetOf(high), "pointwise-higher rates must be a superset")
+    assert(low.size < high.size)
+  }
 }
