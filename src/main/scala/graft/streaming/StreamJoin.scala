@@ -24,11 +24,19 @@ object StreamJoin {
 
   /** `clicks`/`errors`: streaming (or batch) DataFrames with at least
     * (event_id, user_id, ts). Output: one row per (error, matching click)
-    * with the event-time gap in microseconds (0 ≤ gap ≤ window). */
+    * with the event-time gap in microseconds (0 ≤ gap ≤ window).
+    *
+    * `joinType` "inner" (default) emits matches as both sides arrive;
+    * "left_outer" ADDITIONALLY emits (error, NULL click) once the
+    * watermark proves no matching click can still arrive — the unmatched
+    * row is held in state until event time passes its window + lateness,
+    * which is why outer stream joins REQUIRE both the watermarks and the
+    * event-time-bounded condition (Spark rejects the plan otherwise). */
   def clicksBeforeErrors(
       clicks: DataFrame, errors: DataFrame,
       window: String = "30 minutes",
-      lateness: String = "10 minutes"): DataFrame = {
+      lateness: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("ts", lateness).alias("c")
     val e = errors.withWatermark("ts", lateness).alias("e")
     e.join(c,
@@ -36,7 +44,8 @@ object StreamJoin {
           c.user_id = e.user_id AND
           c.ts <= e.ts AND
           c.ts >= e.ts - INTERVAL $window
-        """))
+        """),
+        joinType)
       .select(
         col("e.event_id").as("error_id"),
         col("e.user_id").as("user_id"),

@@ -45,6 +45,35 @@ class StreamJoinSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("left_outer: unmatched errors emit with NULL click only after the watermark") {
+    val clicks = mkStream(); val errors = mkStream()
+    val q = StreamJoin.clicksBeforeErrors(
+        clicks.toDF().toDF("event_id", "user_id", "ts"),
+        errors.toDF().toDF("event_id", "user_id", "ts"),
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("sj_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      errors.addData((200L, 1L, ts("2024-01-01 09:30:00"))) // no click anywhere
+      clicks.addData((100L, 2L, ts("2024-01-01 09:29:00"))) // other user
+      q.processAllAvailable()
+      val early = spark.table("sj_outer").count()
+      assert(early == 0, s"unmatched error must be held until the watermark, got $early rows")
+
+      // advance BOTH watermarks far past 09:30 + window + lateness
+      errors.addData((201L, 9L, ts("2024-01-01 12:00:00")))
+      clicks.addData((101L, 9L, ts("2024-01-01 11:59:00")))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.table("sj_outer")
+        .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+      assert(rows.contains((200L, 1L, None, None)),
+        s"closed unmatched error must emit with NULL click: $rows")
+      assert(rows.contains((201L, 9L, Some(101L), Some(60L * 1000000))),
+        s"matched pair must emit normally: $rows")
+    } finally q.stop()
+  }
+
   test("streaming result equals the batch join of the same data") {
     val clickRows = Seq(
       (100L, 1L, ts("2024-01-01 09:00:00")), (101L, 1L, ts("2024-01-01 09:20:00")),
