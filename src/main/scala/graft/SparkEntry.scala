@@ -41,6 +41,8 @@ object SparkEntry {
     "dedup_simhash_exact" -> ((s, d) => Dedup.simhashPairs(Dedup.plantedExactDocs(s, d), "doc_id", "text", maxHamming = 0)),
     "dedup_near_drop"   -> ((s, d) => Dedup.dropNearDuplicates(Dedup.plantedNearDocs(s, d), "doc_id", "text")
                               .select("doc_id")),
+    "dedup_cc"          -> ((s, d) => Dedup.connectedComponents(
+                              Dedup.minhashLshPairs(Dedup.plantedNearDocs(s, d), "doc_id", "text"))),
     "dedup_embed_cos"   -> ((s, d) => Dedup.embedCosinePairs(Dedup.plantedNearVectors(s, d))),
     "sim_topk_cosine"   -> ((s, d) => Similarity.topKCosine(s, d)),
     "sim_topk_ann"      -> ((s, d) => Similarity.topKCosineLsh(s, d)),
@@ -376,6 +378,44 @@ object SparkEntry {
         |)
         |SELECT doc_id FROM base
         |WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs)""".stripMargin,
+    // Transitive closure of the same exact-Jaccard pair ground truth:
+    // recursive reachability (n reaches m) aggregated to the minimum
+    // reachable id — the labeling the alternating-star algorithm converges
+    // to. The pair set is the w.h.p.-exact LSH recall set (see
+    // dedup_minhash_lsh), so components match exactly when it does.
+    "dedup_cc" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' graftdup' FROM documents WHERE doc_id % 10 = 0
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM base
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM toks
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  ) WHERE jaccard >= 0.7
+        |), e AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION
+        |  SELECT doc_b, doc_a FROM pairs
+        |), reach(n, m) AS (
+        |  SELECT u, u FROM e
+        |  UNION
+        |  SELECT reach.n, e.v FROM reach JOIN e ON reach.m = e.u
+        |)
+        |SELECT CAST(n AS BIGINT) AS node, CAST(min(m) AS BIGINT) AS component
+        |FROM reach GROUP BY n""".stripMargin,
     // Planted scaled copies (×1.01 re-rounded to float) are the only pairs
     // that can clear cosine ≥ 0.999 on a random corpus; the LSH-bucketed
     // Spark plan recalls them exactly (scaling preserves every sign bit).

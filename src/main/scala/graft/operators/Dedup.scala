@@ -337,15 +337,96 @@ object Dedup {
     * keep the lower doc_id of every verified pair, drop the other side —
     * the standard greedy cluster-canonicalization (a chain a~b~c keeps a;
     * b and c are each dropped through their pair with a smaller id).
-    * One anti-join against the distinct drop set — no iteration, no
-    * connected-components pass, which is the accepted at-scale trade:
-    * exact CC costs multiple shuffles per iteration for marginal recall
-    * on transitive chains. */
+    * One anti-join against the distinct drop set — no iteration. The
+    * exact alternative for transitive chains (A~B~C where A≁C) is
+    * [[connectedComponents]] + keep-one-per-component; this greedy form
+    * trades that recall for a single pass. */
   def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7): DataFrame = {
     val drops = minhashLshPairs(docs, idCol, textCol, threshold = threshold)
       .select(col("doc_b").as(idCol)).distinct()
     docs.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** Distributed connected components over a near-duplicate pair list —
+    * the transitive-closure step that turns pairwise similarity output
+    * (A~B, B~C) into dedup CLUSTERS ({A,B,C} → one kept representative),
+    * which pairwise keep-smallest cannot do exactly.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — public).
+    * Each round rewires every node toward the minimum id it can see:
+    *
+    *   large-star: for each node u, every STRICTLY LARGER neighbor v is
+    *     re-pointed at m = min(Γ(u) ∪ {u});
+    *   small-star: on the now large→small directed edges, u and all its
+    *     (smaller) neighbors re-point at the minimum neighbor.
+    *
+    * The edge multiset converges to min-rooted stars in O(log²n) rounds
+    * (in practice a handful: similarity clusters are near-cliques with
+    * tiny diameter). Returns (node, component) where component is the
+    * minimum id in the node's component; only nodes that appear in
+    * `pairs` are returned (everything else is its own singleton).
+    *
+    * Scale shape (100 TB): each round is two key-aligned shuffles
+    * (groupBy(u) min + join on u — the join reuses the aggregate's
+    * hash partitioning). Large-star is exactly the step that splits
+    * high-degree hubs, so the skewed key a giant dup-cluster creates
+    * loses its edges to its minimum over the first rounds instead of
+    * accumulating them on one reducer. Per-round `localCheckpoint`
+    * (reliable `checkpoint` when the session has a checkpoint dir)
+    * truncates the iterative lineage — without it the plan doubles per
+    * round. Convergence is detected from a (count, hash-xor) signature:
+    * two 1-row driver reads per round, not a data collect. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    def pin(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    // (count, xor-of-hashes): order-independent, overflow-free under ANSI
+    // (a sum of 64-bit hashes overflows); edges are distinct so the xor is
+    // a proper set signature
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    // canonical big→small directed edges (the small-star invariant)
+    var edges = pin(pairs
+      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
+      .distinct())
+    var s = sig(edges)
+    var done = false
+    var it = 0
+    while (!done && it < maxIter) {
+      // large-star over the symmetrized neighbor lists
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = sym.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star over the large→small edges
+      val mins2 = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val next = pin(ls.join(mins2, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .union(mins2.select(col("u"), col("m").as("v")))
+        .distinct())
+      val s2 = sig(next)
+      done = s2 == s
+      s = s2
+      edges = next
+      it += 1
+    }
+    // converged: every edge points a node at its component minimum
+    edges.select(col("u").as("node"), col("v").as("component"))
+      .union(edges.select(col("v").as("node"), col("v").as("component")))
+      .distinct()
   }
 
   /** documents ∪ perturbed copies of every 10th doc (one appended token,

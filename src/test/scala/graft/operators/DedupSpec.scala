@@ -132,4 +132,35 @@ class DedupSpec extends SparkTestBase {
     val expected = base.map(_._1).filter(_ % 10 == 0).map(id => (id, id + 1000L)).toSet
     assert(pairs == expected, s"got $pairs want $expected")
   }
+
+  test("connectedComponents labels transitive chains with the component minimum") {
+    // chain 2~5~9 (2 and 9 never paired directly), pair 11~12, reversed
+    // pair (20, 3) — orientation of the input must not matter
+    val pairs = Seq((2L, 5L), (5L, 9L), (11L, 12L), (20L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(out == Map(2L -> 2L, 5L -> 2L, 9L -> 2L,
+      11L -> 11L, 12L -> 11L, 3L -> 3L, 20L -> 3L))
+  }
+
+  test("connectedComponents matches union-find on random graphs") {
+    for (seed <- Seq(1, 7)) {
+      val rng = new scala.util.Random(seed)
+      val edges = Seq.fill(120)((rng.nextInt(80).toLong, rng.nextInt(80).toLong))
+        .filter(e => e._1 != e._2).distinct
+      // in-memory ground truth: union-find attaching the larger root under
+      // the smaller, so every root IS its component's minimum id
+      val parent = Array.tabulate(80)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truth = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n.toInt).toLong).toMap
+      val out = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(out == truth, s"seed=$seed: got $out want $truth")
+    }
+  }
 }
