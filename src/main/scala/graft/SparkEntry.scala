@@ -43,6 +43,17 @@ object SparkEntry {
                               .select("doc_id")),
     "dedup_cc"          -> ((s, d) => Dedup.connectedComponents(
                               Dedup.minhashLshPairs(Dedup.plantedNearDocs(s, d), "doc_id", "text"))),
+    "dedup_spans"       -> ((s, d) => Dedup.duplicateSpans(
+                              Dedup.plantedNearDocs(s, d), "doc_id", "text", w = 8)),
+    "cdc_apply"         -> (Cdc.userSnapshot _),
+    "q_profile"         -> (Profiler.eventsProfile _),
+    "q_salted_join"     -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      SaltedAgg.saltedEquiJoin(
+          graft.sources.Tables.load(s, d, "events"),
+          graft.sources.Tables.load(s, d, "customer"), "user_id", "c_custkey", salts = 8)
+        .select(col("event_id"), col("user_id"), col("c_name"), col("c_acctbal"), col("value"))
+    }),
     "dedup_embed_cos"   -> ((s, d) => Dedup.embedCosinePairs(Dedup.plantedNearVectors(s, d))),
     "sim_topk_cosine"   -> ((s, d) => Similarity.topKCosine(s, d)),
     "sim_topk_ann"      -> ((s, d) => Similarity.topKCosineLsh(s, d)),
@@ -416,6 +427,88 @@ object SparkEntry {
         |)
         |SELECT CAST(n AS BIGINT) AS node, CAST(min(m) AS BIGINT) AS component
         |FROM reach GROUP BY n""".stripMargin,
+    // Duplicated 8-token spans: the window STRING is the ground-truth
+    // key; the Spark side keys on the XXH64 window hash — isomorphic
+    // modulo 64-bit collisions, same argument as dedup_minhash_lsh. A
+    // window string occurring k ≥ 2 times flags all k (doc, pos) sites
+    // on both sides; texts shorter than 8 tokens contribute their whole
+    // token sequence as one window at pos 0 (the kernel's short-input
+    // rule, mirrored in the CASE).
+    "dedup_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' graftdup' FROM documents WHERE doc_id % 10 = 0
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM base
+        |), win AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(w) - 6, 2)),
+        |      i -> struct_pack(pos := i - 1, s := array_to_string(w[i:i+7], ' ')))) AS u
+        |  FROM toks
+        |), flat AS (
+        |  SELECT doc_id, u.pos AS pos, u.s AS s FROM win
+        |)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos, df FROM (
+        |  SELECT doc_id, pos, count(*) OVER (PARTITION BY s) AS df FROM flat
+        |) WHERE df >= 2""".stripMargin,
+    // Snapshot ⊕ changelog: highest-(ts, event_id) change per user from
+    // the deterministic event_id % 3 subset wins; a winning 'error'
+    // deletes the user's snapshot row, anything else replaces-or-inserts
+    // it; untouched users keep their keep-first base row.
+    "cdc_apply" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type, value FROM (
+        |    SELECT event_id, user_id, event_type, value,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY epoch_ns(ts) // 1000, event_id) AS rn
+        |    FROM events
+        |  ) WHERE rn = 1
+        |), latest AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        |  FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_id % 3 = 0
+        |  ) WHERE rn = 1
+        |)
+        |SELECT b.event_id, b.user_id, b.event_type, b.value FROM base b
+        |WHERE b.user_id NOT IN (SELECT user_id FROM latest)
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, value FROM latest WHERE op <> 'D'""".stripMargin,
+    // Exact per-column profile of events (ts excluded: timestamp min/max
+    // is not double-expressible); non-numeric columns carry NULL min/max
+    // on both sides.
+    "q_profile" ->
+      """SELECT 'event_id' AS col_name, count(*) AS n_rows,
+        |       count(*) - count(event_id) AS n_nulls,
+        |       count(DISTINCT event_id) AS n_distinct,
+        |       CAST(min(event_id) AS DOUBLE) AS min_num,
+        |       CAST(max(event_id) AS DOUBLE) AS max_num FROM events
+        |UNION ALL
+        |SELECT 'user_id', count(*), count(*) - count(user_id),
+        |       count(DISTINCT user_id),
+        |       CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE) FROM events
+        |UNION ALL
+        |SELECT 'event_type', count(*), count(*) - count(event_type),
+        |       count(DISTINCT event_type),
+        |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM events
+        |UNION ALL
+        |SELECT 'value', count(*), count(*) - count(value),
+        |       count(DISTINCT value),
+        |       CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE) FROM events
+        |UNION ALL
+        |SELECT 'props', count(*), count(*) - count(props),
+        |       count(DISTINCT props),
+        |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM events""".stripMargin,
+    // The salted join must be ROW-IDENTICAL to the plain equi-join (salt
+    // only changes partitioning) — the oracle runs the plain join.
+    "q_salted_join" ->
+      """SELECT e.event_id, e.user_id, c.c_name, c.c_acctbal, e.value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
     // Planted scaled copies (×1.01 re-rounded to float) are the only pairs
     // that can clear cosine ≥ 0.999 on a random corpus; the LSH-bucketed
     // Spark plan recalls them exactly (scaling preserves every sign bit).

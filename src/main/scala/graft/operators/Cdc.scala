@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Changelog application (CDC merge / upsert) — the maintenance operation
+  * every landed snapshot table needs: fold a stream of keyed
+  * insert/update/delete changes into the current snapshot. The reference
+  * only ever appends (spark/app/spark_processing.py:151-162); this is the
+  * beyond-reference mutation path for tables with a primary key.
+  *
+  * Scale shape (100 TB snapshot, ≪-sized change window):
+  *  - the changelog collapses to one winning change per key with a
+  *    two-phase `max_by` hash aggregate — one row per CHANGED key crosses
+  *    the shuffle, never the raw changelog, never the snapshot;
+  *  - the snapshot is touched by exactly one left-anti join on the key
+  *    (broadcast-chosen by AQE when the collapsed change set is small —
+  *    the common case; key-aligned shuffle otherwise, and exchange-free
+  *    when the snapshot is bucketed on the key via Layout.writeBucketed);
+  *  - no window function ever runs over the snapshot, and the unmatched
+  *    snapshot rows stream through untouched.
+  */
+object Cdc {
+
+  /** Apply an I/U/D changelog to a keyed snapshot: the change with the
+    * highest `seqCols` (lexicographic) per key wins; a winning delete
+    * (`opCol` = "D") removes the key, any other winning op replaces-or-
+    * inserts the row; keys without changes pass through.
+    *
+    * `changes` must carry the key, the sequence columns, `opCol`, and
+    * every non-key column of `base` (the replacement payload).
+    */
+  def applyChangelog(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      seqCols: Seq[String], opCol: String): DataFrame = {
+    val payload = base.columns.toSeq.filterNot(keyCols.contains)
+    val latest = changes
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(
+        struct(payload.map(col) :+ col(opCol).as("__op"): _*),
+        struct(seqCols.map(col): _*)).as("__last"))
+      .select(keyCols.map(col) ++ payload.map(c => col(s"__last.`$c`").as(c))
+        :+ col("__last.__op").as("__op"): _*)
+    val upserts = latest.filter(col("__op") =!= lit("D")).drop("__op")
+    base.join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(upserts)
+  }
+
+  /** CORRECTNESS-entry instantiation over the synthetic tables: snapshot =
+    * keep-first-per-user events ([[Dedup.exactKeepFirst]]); changelog =
+    * the deterministic `event_id % 3 = 0` subset, sequenced by
+    * (ts, event_id), where an `error` event deletes the user's row and
+    * anything else upserts it. */
+  def userSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val base = Dedup.exactKeepFirst(events)
+    val changes = events
+      .filter(col("event_id") % 3 === 0)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"))
+    applyChangelog(base, changes, keyCols = Seq("user_id"),
+      seqCols = Seq("ts", "event_id"), opCol = "op")
+  }
+}

@@ -429,6 +429,35 @@ object Dedup {
       .distinct()
   }
 
+  /** Duplicated w-token spans across the corpus — the exact
+    * substring-level dedup signal (after the public training-data dedup
+    * literature: hash every w-token window, flag windows that occur more
+    * than once corpus-wide), complementing the whole-document operators
+    * above. Returns (doc_id, pos, df): token-start position of each
+    * window whose corpus-wide occurrence count is ≥ minDf. Downstream
+    * policy (cut the span, drop the doc, down-weight) stays with the
+    * caller.
+    *
+    * Scale shape: window hashing is the single-pass codegen
+    * `shingle_hashes` kernel + a row-local posexplode (no shuffle); the
+    * occurrence count is a two-phase agg on the 8-byte window hash — one
+    * row per DISTINCT window crosses the shuffle; membership is an
+    * equi-join on the hash (broadcast-chosen when duplication is rare —
+    * the common case — and an AQE shuffle join otherwise). The text
+    * never crosses the network. Texts shorter than w tokens contribute
+    * one whole-sequence window (the kernel's short-input rule), so
+    * whole-doc exact duplicates of short docs still surface. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 50, minDf: Long = 2L): DataFrame = {
+    val win = docs.select(col(idCol).as("doc_id"),
+      posexplode(shingleHashes(col(textCol), w)))
+      .toDF("doc_id", "pos", "wh")
+    val dup = win.groupBy("wh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    win.join(dup, "wh")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("df"))
+  }
+
   /** documents ∪ perturbed copies of every 10th doc (one appended token,
     * shifted id space) — the planted near-duplicate corpus used by the
     * near-dup CORRECTNESS entries, mirrored exactly in the oracle SQL.

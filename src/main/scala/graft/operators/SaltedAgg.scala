@@ -38,4 +38,31 @@ object SaltedAgg {
       .groupBy(col(key))
       .agg(sum(col("_n")).as("n"), sum(col("_sum")).as("sum"))
   }
+
+  /** Skew-safe salted equi-join: the shuffle-join counterpart of
+    * [[countSumByKey]]. A shuffle hash/merge join on a skewed key sends
+    * the hot key's entire fact mass to one task; salting splits each fact
+    * row across `salts` sub-partitions (deterministic hash of the fact
+    * row) and replicates each DIM row once per salt, so the hot key's
+    * rows spread over `salts` tasks. Result is row-identical to the plain
+    * join — salt only changes the partitioning.
+    *
+    * When to reach for it: AQE's skew-join split already handles most
+    * skew at runtime but only fires for sort-merge joins with statistics
+    * in hand; a known-hot-key pipeline (bot user, null-ish default key)
+    * salts deterministically and never depends on runtime detection.
+    * Cost: `salts`× replication of the dim side — keep the dim side the
+    * small one (it was already too big to broadcast, or a broadcast join
+    * would have made skew moot). */
+  def saltedEquiJoin(facts: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, salts: Int = 16): DataFrame = {
+    require(salts > 0)
+    val saltedFacts = facts.withColumn(
+      "_salt", pmod(xxhash64(facts.columns.map(col): _*), lit(salts.toLong)).cast("int"))
+    val saltedDim = dim.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+    saltedFacts
+      .join(saltedDim, saltedFacts(factKey) === saltedDim(dimKey)
+        && saltedFacts("_salt") === saltedDim("_salt"))
+      .drop("_salt")
+  }
 }

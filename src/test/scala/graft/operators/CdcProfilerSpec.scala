@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
+
+/** Changelog application and table profiling on hand-built inputs. */
+class CdcProfilerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("applyChangelog: last change per key wins; deletes drop; untouched pass through") {
+    val base = Seq(
+      (10L, "a", 1.0), // will be updated (twice — seq 2 wins)
+      (11L, "b", 2.0), // will be deleted
+      (12L, "c", 3.0), // untouched
+      (13L, "d", 4.0), // deleted then re-inserted (seq 2 wins)
+    ).toDF("k", "s", "v")
+    val changes = Seq(
+      (10L, 1L, "a1", 1.1, "U"),
+      (10L, 2L, "a2", 1.2, "U"),
+      (11L, 1L, "b", 2.0, "D"),
+      (13L, 1L, "d", 4.0, "D"),
+      (13L, 2L, "d2", 4.2, "U"),
+      (14L, 1L, "new", 5.0, "U"), // insert of an unseen key
+      (15L, 1L, "gone", 6.0, "D"), // delete of an unseen key: no row
+    ).toDF("k", "seq", "s", "v", "op")
+    val out = Cdc.applyChangelog(base, changes, Seq("k"), Seq("seq"), "op")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (10L, "a2", 1.2), (12L, "c", 3.0), (13L, "d2", 4.2), (14L, "new", 5.0)))
+  }
+
+  test("applyChangelog is idempotent: re-applying the same changelog is a no-op") {
+    val base = Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "s", "v")
+    val changes = Seq((1L, 5L, "x2", 1.5, "U"), (2L, 5L, "y", 2.0, "D"))
+      .toDF("k", "seq", "s", "v", "op")
+    val once = Cdc.applyChangelog(base, changes, Seq("k"), Seq("seq"), "op")
+    val twice = Cdc.applyChangelog(once, changes, Seq("k"), Seq("seq"), "op")
+    assert(twice.as[(Long, String, Double)].collect().toSet ==
+      once.as[(Long, String, Double)].collect().toSet)
+  }
+
+  test("profile: exact counts, nulls, distincts, numeric min/max; NULL for strings") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (2L, null), (null, "a"), (3L, "c"),
+    ).toDF("id", "s")
+    val out = Profiler.profile(df, Seq("id", "s"), exact = true)
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("id") == ("id", 5L, 1L, 3L, Some(1.0), Some(3.0)))
+    assert(out("s") == ("s", 5L, 1L, 3L, None, None))
+  }
+
+  test("profile: approx distinct within HLL++ tolerance of exact") {
+    val df = (1 to 5000).map(i => (i.toLong, (i % 700).toString)).toDF("id", "s")
+    val ap = Profiler.profile(df, Seq("id", "s"))
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r._4).toMap
+    // default rsd = 5%; allow 3σ-ish slack — this pins "same order of
+    // magnitude, sketch wired correctly", not the estimator's variance
+    assert(math.abs(ap("id") - 5000L) <= 750, s"id approx ${ap("id")}")
+    assert(math.abs(ap("s") - 700L) <= 105, s"s approx ${ap("s")}")
+  }
+}

@@ -133,6 +133,24 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == expected, s"got $pairs want $expected")
   }
 
+  test("duplicateSpans flags shared windows at the right positions, nothing else") {
+    // doc 2 = doc 1 with one token appended: windows 0..(T-w) coincide;
+    // doc 3 is unrelated; doc 4 is a short doc (< w tokens) duplicated
+    // verbatim in doc 5 (whole-sequence window rule)
+    val t = doc(1, n = 12) // 12 tokens
+    val docs = Seq(
+      (1L, t), (2L, t + " extra"), (3L, doc(99, n = 12)),
+      (4L, "tiny doc here"), (5L, "tiny doc here"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text", w = 8)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toSet
+    // doc1/doc2: 12 tokens → windows 0..4 shared (doc2 has one more
+    // window, 5, containing 'extra' — not duplicated)
+    val expected = (0L to 4L).flatMap(p => Seq((1L, p), (2L, p))).toSet ++
+      Set((4L, 0L), (5L, 0L))
+    assert(out == expected, s"got $out want $expected")
+  }
+
   test("connectedComponents labels transitive chains with the component minimum") {
     // chain 2~5~9 (2 and 9 never paired directly), pair 11~12, reversed
     // pair (20, 3) — orientation of the input must not matter
