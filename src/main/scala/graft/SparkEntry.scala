@@ -56,6 +56,15 @@ object SparkEntry {
     }),
     "dedup_embed_cos"   -> ((s, d) => Dedup.embedCosinePairs(Dedup.plantedNearVectors(s, d))),
     "sim_topk_cosine"   -> ((s, d) => Similarity.topKCosine(s, d)),
+    "sim_kmeans"        -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, posexplode, round}
+      Similarity.kmeansCentroids(
+          graft.sources.Tables.load(s, d, "embeddings").select("vec_id", "embedding"))
+        .select(col("cell_id"), posexplode(col("c_emb")))
+        .toDF("cell_id", "lane", "v")
+        .select(col("cell_id"), col("lane").cast("long").as("lane"),
+          round(col("v").cast("double"), 6).as("v"))
+    }),
     "sim_topk_ann"      -> ((s, d) => Similarity.topKCosineLsh(s, d)),
     "sim_topk_ivf"      -> ((s, d) => Similarity.topKCosineIvf(s, d)),
     "txt_lang_dist"     -> (TextAnalysis.langDist _),
@@ -155,6 +164,40 @@ object SparkEntry {
     * plane vectors as SQL literals and reproduces sign bits → bands →
     * buckets → candidates → scores — checking the whole approximate plan,
     * not just its shape. */
+  /** sim_kmeans oracle, generated per iteration: same seeded init (every
+    * 29th vector), same cosine argmax tie-break (score DESC, cell ASC) as
+    * the Spark side, and per-lane means rounded to 6 dp — the rounding
+    * both sides share is what absorbs the ~1e-13 summation-order drift
+    * between Spark's partial aggregation and DuckDB's sequential sums. */
+  private def kmeansOracleSql(initEvery: Int = 29, iters: Int = 3): String = {
+    val init = s"c0 AS (SELECT vec_id AS cell_id, embedding AS c_emb " +
+      s"FROM embeddings WHERE vec_id % $initEvery = 0)"
+    val its = (1 to iters).map { i =>
+      s"""a$i AS (
+         |  SELECT vec_id, embedding, cell_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
+         |          / sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+         |               * list_inner_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))) DESC,
+         |        c.cell_id ASC) AS rn
+         |    FROM embeddings e, c${i - 1} c
+         |  ) WHERE rn = 1
+         |), m$i AS (
+         |  SELECT cell_id, u.lane AS lane, round(avg(u.v), 6) AS m FROM (
+         |    SELECT cell_id, unnest(list_transform(range(1, len(embedding) + 1),
+         |      j -> struct_pack(lane := j - 1, v := CAST(embedding[j] AS DOUBLE)))) AS u
+         |    FROM a$i
+         |  ) GROUP BY cell_id, u.lane
+         |), c$i AS (
+         |  SELECT cell_id, list_transform(list(m ORDER BY lane), x -> CAST(x AS FLOAT)) AS c_emb
+         |  FROM m$i GROUP BY cell_id
+         |)""".stripMargin
+    }
+    s"WITH $init,\n${its.mkString(",\n")}\n" +
+      s"SELECT cell_id, CAST(lane AS BIGINT) AS lane, m AS v FROM m$iters"
+  }
+
   private def annOracleSql: String = {
     val planes = graft.operators.Similarity.planeVectors()
     val sigTerms = planes.zipWithIndex.map { case (v, p) =>
@@ -218,6 +261,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "sim_topk_ann" -> annOracleSql,
+    "sim_kmeans" -> kmeansOracleSql(),
     "mm_features" -> mmFeaturesOracleSql,
     // Generated: Spark's XXH64 re-emitted as u64-emulated DuckDB SQL, so
     // even the near-dup SimHash pipeline — whose Hamming sets depend on

@@ -125,6 +125,46 @@ object Similarity {
     emb.filter(col("vec_id") % 37 === 0)
       .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
 
+  /** Lloyd's k-means over the corpus — the TRAINED-centroid path real IVF
+    * uses (vs [[defaultCentroids]]' fixed subset). Deterministic end to
+    * end: seeded init (every `initEvery`-th vector), cosine assignment
+    * with the same (score DESC, cell ASC) tie-break as [[ivfAssign]], and
+    * per-lane means rounded to 6 dp before the float cast — so different
+    * partial-aggregation orders (and the DuckDB oracle's sequential sums,
+    * which differ at ~1e-13) collapse to identical centroids.
+    *
+    * Scale shape per iteration: assignment is the same bounded
+    * corpus×constant broadcast cross as [[ivfAssign]] + a `max_by`
+    * two-phase argmax (one row per vector crosses); the re-centering is a
+    * row-local posexplode of lanes + a two-phase avg on (cell, lane) —
+    * k·dim rows cross the shuffle, never vectors. The k-row centroid
+    * frontier is localCheckpoint'd so the plan stays one-iteration-deep.
+    * Cells that lose all members drop out (standard Lloyd degeneracy;
+    * callers needing fixed k re-seed — at corpus scale with k ≪ n this
+    * does not occur). */
+  def kmeansCentroids(emb: DataFrame, initEvery: Int = 29, iters: Int = 3): DataFrame = {
+    var cent = emb.filter(col("vec_id") % initEvery === 0)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+    for (_ <- 1 to iters) {
+      val assigned = emb.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("embedding"), col("cell_id"),
+          GraftFunctions.cosineSim(col("embedding"), col("c_emb")).as("cs"))
+        .groupBy("vec_id")
+        .agg(max_by(col("cell_id"), struct(col("cs"), -col("cell_id"))).as("cell_id"),
+          first(col("embedding")).as("embedding"))
+      cent = assigned
+        .select(col("cell_id"), posexplode(col("embedding")))
+        .toDF("cell_id", "lane", "v")
+        .groupBy("cell_id", "lane")
+        .agg(round(avg(col("v").cast("double")), 6).as("m"))
+        .groupBy("cell_id")
+        .agg(transform(array_sort(collect_list(struct(col("lane"), col("m")))),
+          x => x.getField("m").cast("float")).as("c_emb"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
   def topKCosineIvf(spark: SparkSession, dir: String, k: Int = 5, nprobe: Int = 4): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
     topKCosineIvf(emb, defaultQueries(emb), k, nprobe)

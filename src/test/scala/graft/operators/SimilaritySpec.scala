@@ -82,4 +82,26 @@ class SimilaritySpec extends SparkTestBase {
       assert(math.abs(s - truth) < 1e-12, s"score mismatch for ($q,$v)")
     }
   }
+
+  test("kmeansCentroids recovers the per-cluster means on separable clusters") {
+    // 3 tight clusters on orthogonal axes; ids arranged so the seeded
+    // init (vec_id % 29 == 0 → ids 0, 29, 58) lands one seed per cluster
+    val jitter = new scala.util.Random(3)
+    def cluster(baseId: Long, axis: Int, n: Int): Seq[(Long, Array[Float])] =
+      (0 until n).map { i =>
+        val v = Array.fill(4)(jitter.nextGaussian().toFloat * 0.05f)
+        v(axis) = 1.0f + jitter.nextGaussian().toFloat * 0.05f
+        (baseId + i, v)
+      }
+    val a = cluster(0L, 0, 10); val b = cluster(29L, 1, 10); val c = cluster(58L, 2, 10)
+    val emb = (a ++ b ++ c).toDF("vec_id", "embedding")
+    val cent = Similarity.kmeansCentroids(emb)
+      .as[(Long, Array[Float])].collect().toMap
+    assert(cent.keySet == Set(0L, 29L, 58L), s"cells: ${cent.keySet}")
+    for ((cellId, cl) <- Seq((0L, a), (29L, b), (58L, c)); lane <- 0 until 4) {
+      val mean = cl.map(_._2(lane).toDouble).sum / cl.size
+      assert(math.abs(cent(cellId)(lane) - mean) < 1e-5,
+        s"cell $cellId lane $lane: ${cent(cellId)(lane)} vs $mean")
+    }
+  }
 }
