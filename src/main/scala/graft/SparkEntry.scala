@@ -113,6 +113,8 @@ object SparkEntry {
     "q_full_outer"      -> (Relational.dailyFullOuter _),
     "q_exists"          -> (Relational.existsSubquery _),
     "q_sample_strat"    -> ((s, d) => Relational.stratifiedSample(s, d)),
+    "q_sample_weighted" -> (Relational.weightedDocSample(_, _)),
+    "q_split"           -> (Relational.docSplits _),
     "txt_chunks"        -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       TextAnalysis.chunkDocs(s, d)
@@ -746,6 +748,32 @@ object SparkEntry {
         |      ELSE 0 END AS rate
         |  FROM events
         |) WHERE bucket < rate""".stripMargin,
+    // A-ES weighted sampling is a pure function of (doc_id, n_chars), so
+    // the oracle recomputes the identical keys and applies the same
+    // (key DESC, id ASC) cut the topk_by aggregate uses.
+    "q_sample_weighted" ->
+      """SELECT lang, doc_id, round(key, 6) AS key FROM (
+        |  SELECT lang, doc_id, key,
+        |    row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rn
+        |  FROM (
+        |    SELECT lang, doc_id,
+        |      pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5)
+        |            / 4294967296.0,
+        |          1.0 / n_chars) AS key
+        |    FROM documents
+        |  )
+        |) WHERE rn <= 20""".stripMargin,
+    // Same md5-bucket decision as q_sample_strat, folded to cumulative
+    // split boundaries.
+    "q_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS bucket
+        |  FROM documents
+        |)""".stripMargin,
     // Same tokenizer as every text op; slice bounds are 1-based inclusive
     // in DuckDB ([a:b]) vs (start, length) in Spark — i*24+1 : i*24+32 is
     // exactly slice(w, i*24+1, 32), both clamped at the array end.

@@ -163,4 +163,57 @@ object Relational {
     ev.filter(bucket < rate)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement (the public
+    * Efraimidis–Spirakis A-ES scheme): each row draws key = u^(1/w) with
+    * u a fixed-point uniform derived from the row id's md5 (same 32-bit
+    * prefix trick as [[stratifiedSample]] — reproducible across runs,
+    * engines, and partitionings, unlike `rand()`), and the k largest keys
+    * per stratum win. Higher weight ⇒ key closer to 1 ⇒ selection
+    * probability proportional to weight, the exact A-ES guarantee.
+    *
+    * Scale shape: the key is a scan-side codegen projection; the per-
+    * stratum cut is the native `topk_by` partial-merge aggregate — at
+    * most k (score, id) pairs per stratum per partition cross the
+    * shuffle, never the corpus (same plan as q_top_per_group, ties
+    * broken (key DESC, id ASC) identically to the oracle's ORDER BY). */
+  def weightedSample(df: DataFrame, stratum: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0d
+    val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    df.select(col(stratum), key.as("key"), col(idCol))
+      .groupBy(stratum)
+      .agg(graft.functions.GraftFunctions.topKBy(col("key"), col(idCol), k).as("top"))
+      .select(col(stratum), explode(col("top")).as("t"))
+      .select(col(stratum), col(s"t.id").as(idCol), round(col("t.score"), 6).as("key"))
+  }
+
+  /** Quality-weighted document sample: 20 docs per language, selection
+    * probability ∝ document length. */
+  def weightedDocSample(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    weightedSample(Tables.load(spark, dir, "documents"), "lang", "doc_id", "n_chars", k)
+
+  /** Deterministic train/val/test assignment: the md5-bucket decision
+    * (pure function of the row id — stable under reruns, appends, and
+    * repartitioning, so a document NEVER migrates between splits as the
+    * corpus grows; the property a `rand()` split lacks). `splits` are
+    * (name, percent) with percents summing to ≤ 100; rows past the sum
+    * fall into the last split. Scan-side projection, no shuffle. */
+  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 100, "split percents must sum to <= 100")
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val assign = splits.zip(cum).init.foldRight(lit(splits.last._1)) {
+      case (((name, _), hi), acc) => when(bucket < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /** 80/10/10 split of documents. */
+  def docSplits(spark: SparkSession, dir: String): DataFrame =
+    hashSplit(Tables.load(spark, dir, "documents"),
+      "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select(col("doc_id"), col("lang"), col("split"))
 }

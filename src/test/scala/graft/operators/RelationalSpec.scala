@@ -127,6 +127,40 @@ class RelationalSpec extends SparkTestBase {
     assert(a.forall(r => ids.contains(r._1)), "sample must be a subset")
   }
 
+  test("weightedSample: deterministic, weight-respecting, in-stratum top-k") {
+    // one giant-weight doc per stratum must always win a slot; the whole
+    // selection must be reproducible run to run
+    val docs = ((1 to 60).map(i => (i.toLong, if (i <= 30) "en" else "de", 100L)) ++
+      Seq((900L, "en", 1000000L), (901L, "de", 1000000L)))
+      .toDF("doc_id", "lang", "n_chars")
+    val a = Relational.weightedSample(docs, "lang", "doc_id", "n_chars", k = 5)
+      .as[(String, Long, Double)].collect().toSet
+    val b = Relational.weightedSample(docs, "lang", "doc_id", "n_chars", k = 5)
+      .as[(String, Long, Double)].collect().toSet
+    assert(a == b, "A-ES keys are pure functions of the row — must be deterministic")
+    assert(a.count(_._1 == "en") == 5 && a.count(_._1 == "de") == 5)
+    // u^(1/w) with w 10^4 larger concentrates near 1: the planted docs win
+    assert(a.exists(r => r._2 == 900L) && a.exists(r => r._2 == 901L),
+      s"giant-weight docs must be sampled: $a")
+  }
+
+  test("hashSplit: complete partition, stable under appends, plausible ratios") {
+    val docs = (1 to 2000).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
+    val splits = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+    val full = Relational.hashSplit(docs, "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(full.size == 2000 && full.values.toSet == Set("train", "val", "test"))
+    val frac = full.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05 && math.abs(frac("val") - 0.1) < 0.03
+      && math.abs(frac("test") - 0.1) < 0.03, s"implausible ratios: $frac")
+    // append-stability: the assignment of a row is independent of the rest
+    // of the table — splitting any subset agrees with the full table
+    val sub = Relational.hashSplit(docs.filter(col("doc_id") <= 500), "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(sub.forall { case (id, s) => full(id) == s },
+      "a row's split must never change as the corpus grows")
+  }
+
   test("stratifiedSample: rate monotonicity law — raising a rate only adds rows") {
     // the keep decision is bucket(event_id) < rate, with the bucket a pure
     // function of the row — so for every stratum, sample(r1) ⊆ sample(r2)
