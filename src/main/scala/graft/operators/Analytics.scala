@@ -120,10 +120,12 @@ object Analytics {
         col("event_type"),
         date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n_events"))
-      // DIV (integer division) — a double `/` then cast could round a
-      // boundary; day is an exact multiple of 86400000000 μs but DIV
-      // states the intent and is safe for any epoch
-      .withColumn("day_idx", expr("unix_micros(day) DIV 86400000000"))
+      // calendar-day index via datediff against a fixed epoch DATE: exact
+      // under any session timezone (a μs-division index assumes 24h days,
+      // which DST/half-hour-offset zones break — adjacent days could
+      // collapse to one index and corrupt the RANGE frame)
+      .withColumn("day_idx",
+        datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
     val frame = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type").orderBy("day_idx")
       .rangeBetween(-(days - 1).toLong, 0L)

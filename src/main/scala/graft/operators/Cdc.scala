@@ -41,7 +41,11 @@ object Cdc {
         struct(seqCols.map(col): _*)).as("__last"))
       .select(keyCols.map(col) ++ payload.map(c => col(s"__last.`$c`").as(c))
         :+ col("__last.__op").as("__op"): _*)
-    val upserts = latest.filter(col("__op") =!= lit("D")).drop("__op")
+    // NULL-op guard: `col =!= "D"` is null-FALSE, so a winning change with
+    // a NULL op would be anti-joined out of the base yet excluded from the
+    // upserts — a silent delete. Treat NULL as the non-delete default ("U")
+    // so malformed changelog input degrades to an upsert, not data loss.
+    val upserts = latest.filter(coalesce(col("__op"), lit("U")) =!= lit("D")).drop("__op")
     base.join(latest.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(upserts)
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
 import graft.sources.Tables
+import org.apache.spark.internal.Logging
 
 /** Deduplication operators for large-scale training-data pipelines:
   * exact (hash group-by), and near-duplicate via MinHash banded LSH and
@@ -25,7 +26,7 @@ import graft.sources.Tables
   *  - verification joins only the candidate pairs back to their shingle
   *    sets — |candidates| ≪ |pairs|, the whole point of LSH.
   */
-object Dedup {
+object Dedup extends Logging {
 
   /** Keep-first-by-time exact dedup: one event per user_id, earliest
     * (ts, event_id) wins. `min_by` over a struct gives lexicographic
@@ -423,6 +424,10 @@ object Dedup {
       edges = next
       it += 1
     }
+    if (!done)
+      logWarning(s"connectedComponents hit maxIter=$maxIter without signature " +
+        "convergence; component labels may be only partially converged " +
+        "(nodes can carry a non-minimal component id)")
     // converged: every edge points a node at its component minimum
     edges.select(col("u").as("node"), col("v").as("component"))
       .union(edges.select(col("v").as("node"), col("v").as("component")))

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.Cdc
@@ -33,19 +34,42 @@ import graft.operators.Cdc
   * of the collapsed change set in the common case), one columnar write.
   * The snapshot never shuffles.
   */
-object StreamUpsert {
+object StreamUpsert extends Logging {
 
   private val Marker = "_latest"
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Name of the current committed generation, if any. */
+  /** Name of the current committed generation, if any. When the marker is
+    * absent but committed (`_SUCCESS`-bearing) generation directories
+    * exist — an operator deleted the marker, or a pre-overwrite-rename
+    * layout crashed mid-swap — recover the newest committed generation
+    * instead of silently cold-starting (which would fold the replayed
+    * batch into an EMPTY base and then prune every earlier generation:
+    * total snapshot loss). A half-written generation (no `_SUCCESS`) is
+    * never recovered; re-folding an already-complete generation is safe
+    * because `Cdc.applyChangelog` is idempotent per batch. */
   def latestGen(spark: SparkSession, snapshotDir: String): Option[String] = {
     val f = fs(spark, snapshotDir)
     val m = new Path(snapshotDir, Marker)
-    if (!f.exists(m)) None
-    else {
+    if (!f.exists(m)) {
+      val root = new Path(snapshotDir)
+      val committed =
+        if (!f.exists(root)) Array.empty[(Long, String)]
+        else f.listStatus(root)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-") &&
+            f.exists(new Path(s.getPath, "_SUCCESS")))
+          .flatMap(s => s.getPath.getName.stripPrefix("gen-").toLongOption
+            .map(id => (id, s.getPath.getName)))
+      if (committed.isEmpty) None
+      else {
+        val newest = committed.maxBy(_._1)._2
+        logWarning(s"$m is missing but committed generations exist under " +
+          s"$snapshotDir; recovering newest ($newest) instead of cold-starting")
+        Some(newest)
+      }
+    } else {
       val in = f.open(m)
       try {
         val s = scala.io.Source.fromInputStream(in).mkString.trim
@@ -55,14 +79,17 @@ object StreamUpsert {
   }
 
   private def pointTo(spark: SparkSession, snapshotDir: String, gen: String): Unit = {
-    val f = fs(spark, snapshotDir)
     val tmp = new Path(snapshotDir, s"$Marker.tmp")
     val m = new Path(snapshotDir, Marker)
+    val f = fs(spark, snapshotDir)
     val out = f.create(tmp, true)
     try out.write(gen.getBytes("UTF-8")) finally out.close()
-    if (f.exists(m)) f.delete(m, false)
-    if (!f.rename(tmp, m))
-      throw new java.io.IOException(s"could not point $m at $gen")
+    // overwrite-capable atomic rename: the marker transitions old→new in
+    // one operation and never disappears — no delete-then-rename window
+    // in which a crash would leave readers (and the restart path) with
+    // "no committed snapshot"
+    val fc = FileContext.getFileContext(m.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(m), Options.Rename.OVERWRITE)
   }
 
   /** The current committed snapshot (empty, schema-less read error if no

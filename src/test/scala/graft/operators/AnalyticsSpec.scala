@@ -40,6 +40,29 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("dailyMovingAvg: frame law holds under a DST session timezone") {
+    // a μs-division day index assumes 24h days and breaks under DST;
+    // the datediff-based index must keep adjacent local days adjacent
+    val zone = java.time.ZoneId.of("America/New_York")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val rows = Analytics.dailyMovingAvg(spark, dir)
+        .as[(String, java.sql.Timestamp, Long, Double)].collect()
+      assert(rows.nonEmpty)
+      rows.groupBy(_._1).foreach { case (tpe, rs) =>
+        val byDay = rs.map(r =>
+          r._2.toInstant.atZone(zone).toLocalDate.toEpochDay -> r._3).toMap
+        rs.foreach { case (_, day, _, avgN) =>
+          val d = day.toInstant.atZone(zone).toLocalDate.toEpochDay
+          val window = (d - 6 to d).flatMap(byDay.get)
+          val want = BigDecimal(window.sum.toDouble / window.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(math.abs(avgN - want) < 1e-9, s"$tpe $day: $avgN vs $want")
+        }
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   test("valueHistogram: bins recount and bound their min/max") {
     val bins = Analytics.valueHistogram(spark, dir)
       .as[(String, Long, Long, Double, Double)].collect()

@@ -29,6 +29,17 @@ class CdcProfilerSpec extends SparkTestBase {
       (10L, "a2", 1.2), (12L, "c", 3.0), (13L, "d2", 4.2), (14L, "new", 5.0)))
   }
 
+  test("applyChangelog: a NULL op upserts instead of silently deleting the key") {
+    val base = Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "s", "v")
+    val changes = Seq((1L, 1L, "x2", 1.5, null: String), (3L, 1L, "z", 3.0, null: String))
+      .toDF("k", "seq", "s", "v", "op")
+    val out = Cdc.applyChangelog(base, changes, Seq("k"), Seq("seq"), "op")
+      .as[(Long, String, Double)].collect().toSet
+    // malformed (NULL) ops must degrade to upserts — NOT fall through the
+    // null-false `=!= "D"` filter and vanish from both base and upserts
+    assert(out == Set((1L, "x2", 1.5), (2L, "y", 2.0), (3L, "z", 3.0)))
+  }
+
   test("applyChangelog is idempotent: re-applying the same changelog is a no-op") {
     val base = Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "s", "v")
     val changes = Seq((1L, 5L, "x2", 1.5, "U"), (2L, 5L, "y", 2.0, "D"))

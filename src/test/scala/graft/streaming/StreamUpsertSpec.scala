@@ -68,4 +68,38 @@ class StreamUpsertSpec extends SparkTestBase {
     assert(gens == Set("gen-2", "gen-3"), s"got $gens")
     assert(snap(dir).map(_._1) == Set(1L, 2L, 3L, 4L))
   }
+
+  test("marker loss recovers the newest committed generation, not a cold start") {
+    val dir = tmp("upsert-recover")
+    val ckpt = tmp("upsert-recover-ckpt")
+    val input = MemoryStream[(Long, Long, String, Double, String)](
+      org.apache.spark.sql.Encoders.product[(Long, Long, String, Double, String)],
+      spark.sqlContext)
+    val changes = input.toDF().toDF("k", "seq", "s", "v", "op")
+    def runOnce(): Unit = {
+      val q = StreamUpsert.start(changes, dir, ckpt,
+        keyCols = Seq("k"), seqCols = Seq("seq"), opCol = "op",
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    input.addData((1L, 1L, "a", 1.0, "U"), (2L, 1L, "b", 2.0, "U"))
+    runOnce()
+    input.addData((3L, 1L, "c", 3.0, "U"))
+    runOnce()
+    val before = snap(dir)
+    assert(before.map(_._1) == Set(1L, 2L, 3L))
+
+    // simulate the lost-marker window (operator deletion / legacy
+    // delete-then-rename crash): the snapshot must still be readable and
+    // the next batch must fold into the recovered base, not an empty one
+    assert(new java.io.File(dir, "_latest").delete())
+    assert(StreamUpsert.latestGen(spark, dir).contains("gen-1"))
+    assert(snap(dir) == before)
+
+    input.addData((4L, 1L, "d", 4.0, "U"), (2L, 2L, "b", 2.0, "D"))
+    runOnce()
+    assert(snap(dir) == Set((1L, "a", 1.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+    // and the marker is re-established by the fold
+    assert(StreamUpsert.latestGen(spark, dir).contains("gen-2"))
+  }
 }
