@@ -103,6 +103,14 @@ object SparkEntry {
           col("session_end"), col("n_events"),
           round(col("sum_value"), 6).as("sum_value"))
     }),
+    // native session_window form of the same gap rule (end = last + gap)
+    "sess_native"       -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, round}
+      graft.streaming.WindowedAgg.byUserSessionWindow(
+          graft.sources.Tables.load(s, d, "events"), "30 minutes")
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), round(col("sum_value"), 6).as("sum_value"))
+    }),
     // ── Beyond-reference analytics (joins / rank-per-group / distinct) ──
     "q_asof_join"       -> (AsOfJoin.errorsAfterClicks _),
     "q_range_join"      -> (RangeJoin.errorsInSignupWindows _),
@@ -122,6 +130,8 @@ object SparkEntry {
           col("chunk_text"), col("n_chunk_tokens").cast("long").as("n_chunk_tokens"))
     }),
     "txt_tfidf"         -> (TextAnalysis.termStats _),
+    "q_bloom_join"      -> (BloomJoin.negBalanceActivity _),
+    "txt_neg_pairs"     -> (Contrastive.docNegativePairs _),
     "q_star_join"       -> (Analytics.starRevenue _),
     "q_top_per_group"   -> ((s, d) => Analytics.topUsersPerType(s, d)),
     "q_distinct"        -> (Analytics.userCounts _),
@@ -907,6 +917,52 @@ object SparkEntry {
         |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events, round(sum(value), 6) AS sum_value
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+    // Same gap rule as sess_30min (diff == gap stays in-session — Spark's
+    // session_window merges touching windows, verified in
+    // StatefulStreamingSpec); native end = last event + gap.
+    "sess_native" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_ns(ts) // 1000) OVER w IS NULL
+        |           OR epoch_ns(ts) // 1000 - lag(epoch_ns(ts) // 1000) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    // The bloom-pruned join must be bit-identical to the PLAIN join (no
+    // false negatives; false positives die at the join) — so the oracle
+    // is simply the plain join.
+    "q_bloom_join" ->
+      """SELECT e.event_id, e.user_id, c.c_name, c.c_acctbal, e.value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE c.c_acctbal < 0""".stripMargin,
+    // Deterministic md5-bucket negatives: the oracle recomputes the same
+    // bucket, representative, and per-(id, j) target-bucket draw.
+    "txt_neg_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 64 AS b
+        |  FROM documents
+        |), reps AS (
+        |  SELECT b AS rep_b, min(doc_id) AS neg_id FROM d GROUP BY b
+        |), probe AS (
+        |  SELECT d.doc_id, j.j,
+        |    (d.b + 1 +
+        |      CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 1, 8)) AS UBIGINT) % 63
+        |    ) % 64 AS t
+        |  FROM d CROSS JOIN (SELECT unnest(range(4)) AS j) j
+        |)
+        |SELECT p.doc_id, CAST(p.j AS BIGINT) AS j, r.neg_id
+        |FROM probe p JOIN reps r ON p.t = r.rep_b""".stripMargin,
     // Multimodal decode is a DETERMINISTIC STUB (no codecs in the
     // container): every "decoded" property is fixed arithmetic on the
     // byte count, so the oracle recomputes it from length(text) (ASCII —

@@ -188,3 +188,27 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
+
+/** `z_order2(int, int)` → long: signed-order-preserving Morton interleave
+  * of two 32-bit dimensions — the clustering key behind
+  * [[graft.sources.Layout.writeZOrdered]]. A codegen'd scalar so the
+  * z-value projection rides the scan stage. */
+case class ZOrder2(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "z_order2"
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeChecks.expect(prettyName,
+      left.dataType.isInstanceOf[IntegerType] && right.dataType.isInstanceOf[IntegerType],
+      "(int, int)", Seq(left.dataType, right.dataType))
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ZOrderKernels.zInterleave(a.asInstanceOf[Int], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ZOrderKernels.zInterleave($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrder2 =
+    copy(left = newLeft, right = newRight)
+}

@@ -35,6 +35,7 @@ object GraftFunctions {
   def rollingMinHash(c: Column, k: Int): Column = col(RollingMinHash(expr(c), k))
   def shingleHashes(c: Column, n: Int, seed: Long = 42L): Column =
     col(ShingleHashes(expr(c), n, seed))
+  def zOrder2(a: Column, b: Column): Column = col(ZOrder2(expr(a), expr(b)))
 
   /** Bounded top-k aggregate: k best ids by (score DESC, id ASC) — the
     * map-side-cut replacement for a rank-window top-k (see TopKByScore). */
@@ -74,6 +75,8 @@ object GraftFunctions {
       (es: Seq[Expression]) => RollingMinHash(es.head, litInt(es(1), "rolling_min_hash k"))),
     (FunctionIdentifier("topk_by"), info("topk_by", classOf[TopKByScore]),
       (es: Seq[Expression]) => TopKByScore(es(0), es(1), litInt(es(2), "topk_by k"))),
+    (FunctionIdentifier("z_order2"), info("z_order2", classOf[ZOrder2]),
+      (es: Seq[Expression]) => ZOrder2(es(0), es(1))),
   )
 }
 

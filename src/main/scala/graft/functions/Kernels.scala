@@ -219,3 +219,26 @@ object HexKernels {
     catch { case _: NumberFormatException => null }
   }
 }
+
+object ZOrderKernels {
+  /** Spread the 32 bits of `x` (taken unsigned) to the even bit positions
+    * of a long — the classic Morton-code magic-mask ladder. */
+  def spreadBits(x: Int): Long = {
+    var v = x.toLong & 0xffffffffL
+    v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+    v = (v | (v << 8))  & 0x00FF00FF00FF00FFL
+    v = (v | (v << 4))  & 0x0F0F0F0F0F0F0F0FL
+    v = (v | (v << 2))  & 0x3333333333333333L
+    v = (v | (v << 1))  & 0x5555555555555555L
+    v
+  }
+
+  /** Z-value (Morton interleave) of two ints, as a SIGNED-comparable long:
+    * each input is sign-flipped so its unsigned bit order equals its
+    * signed value order, and the interleaved result is sign-flipped back
+    * so an ORDER BY / range partition on the long walks the Z-curve. `a`
+    * occupies the even bits (less significant at equal depth), `b` the
+    * odd. */
+  def zInterleave(a: Int, b: Int): Long =
+    (spreadBits(a ^ Int.MinValue) | (spreadBits(b ^ Int.MinValue) << 1)) ^ Long.MinValue
+}

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions.col
 
 /** Physical-layout control for landed tables: hash-bucketed (and
   * per-bucket sorted) Parquet via the session catalog.
@@ -42,5 +43,33 @@ object Layout {
       if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.drop(1): _*)
       else w
     ws.saveAsTable(table)
+  }
+
+  /** Land `df` Z-ordered on two dimensions: range-partition + in-file sort
+    * on the Morton z-value of (colA, colB), so every file covers a small
+    * RECTANGLE of the (A, B) space and its parquet min/max stats are
+    * narrow in BOTH columns — point/range predicates on EITHER dimension
+    * skip most files. A linear sort gets this for its leading column only;
+    * Z-ordering is the multi-column file-skipping layout (the public
+    * technique behind Delta/Iceberg OPTIMIZE ZORDER).
+    *
+    * `toOrdinal` maps each dimension into int space (defaults to a plain
+    * int cast — right when values are already comparable integers like
+    * ids, day numbers, bucketed floats; callers with wild ranges supply
+    * their own binning). The z-value is a codegen'd scan-side projection
+    * ([[graft.functions.ZOrder2]]); the one shuffle is the range exchange
+    * every clustered rewrite pays. */
+  def writeZOrdered(
+      df: DataFrame, colA: String, colB: String,
+      path: String, numFiles: Int,
+      toOrdinal: Column => Column = _.cast("int")): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    val z = graft.functions.GraftFunctions
+      .zOrder2(toOrdinal(col(colA)), toOrdinal(col(colB)))
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
   }
 }

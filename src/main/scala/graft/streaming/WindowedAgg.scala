@@ -36,4 +36,29 @@ object WindowedAgg {
     * dropped, which is what lets Spark finalize and emit closed windows. */
   def streamingByType(events: DataFrame, windowLen: String, lateness: String): DataFrame =
     byTypeTumbling(events.withWatermark("ts", lateness), windowLen)
+
+  /** Gap sessionization via the NATIVE `session_window` function — the
+    * built-in counterpart to [[Sessionize]] (flatMapGroupsWithState) and
+    * [[graft.operators.Sessionization]] (batch windows): one declarative
+    * definition that runs as a merging-sessions aggregate in batch AND as
+    * watermarked session state in a stream. A session's `end` is
+    * last-event-time + gap (Spark's session contract; the custom
+    * operators report last-event-time — callers pick the convention).
+    *
+    * Scale: partial per-partition session merge before the shuffle — only
+    * per-(user, partial-session) rows cross; state in streaming is bounded
+    * by ACTIVE sessions and evicted at the watermark. */
+  def byUserSessionWindow(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming session windows: watermarked, append-mode-ready (a session
+    * emits once the watermark passes its end). */
+  def streamingByUserSession(events: DataFrame, gap: String, lateness: String): DataFrame =
+    byUserSessionWindow(events.withWatermark("ts", lateness), gap)
 }

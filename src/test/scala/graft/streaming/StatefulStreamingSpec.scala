@@ -170,6 +170,40 @@ class StatefulStreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("native session_window: bounds, exact-gap boundary, and agreement with sessionize") {
+    val events = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 10L, "a", 1.0),
+      (2L, ts("2024-01-01 09:10:00"), 10L, "a", 2.0),
+      (3L, ts("2024-01-01 11:00:00"), 10L, "a", 3.0), // > gap → new session
+      (4L, ts("2024-01-01 09:05:00"), 20L, "a", 7.0),
+      // exactly one gap after: the touching windows [09:05, 09:35) and
+      // [09:35, 10:05) MERGE (diff == gap stays in-session — verified
+      // empirically; the same boundary rule as Sessionization's
+      // `diff > gap → new`, so the two operators agree everywhere)
+      (5L, ts("2024-01-01 09:35:00"), 20L, "a", 8.0),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = WindowedAgg.byUserSessionWindow(events, "30 minutes")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+    assert(got == Set(
+      (10L, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:40:00"), 2L, 3.0),
+      (10L, ts("2024-01-01 11:00:00"), ts("2024-01-01 11:30:00"), 1L, 3.0),
+      (20L, ts("2024-01-01 09:05:00"), ts("2024-01-01 10:05:00"), 2L, 15.0)),
+      s"got $got")
+    // cross-check against the custom sessionizer on real data: same
+    // (user, start) set, native end = custom last-event end + gap
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+    val native = WindowedAgg.byUserSessionWindow(ev, "30 minutes")
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    val custom = graft.operators.Sessionization.sessionize(spark, dir)
+      .select($"user_id", $"session_start",
+        ($"session_end" + org.apache.spark.sql.functions.expr("INTERVAL 30 MINUTES"))
+          .as("session_end"), $"n_events")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(native == custom)
+  }
+
   test("batch sessionization (window-function form) agrees with the gap rule") {
     val events = Seq(
       (1L, ts("2024-01-01 09:00:00"), 10L, "a", 1.0),
