@@ -132,6 +132,7 @@ object SparkEntry {
     "txt_tfidf"         -> (TextAnalysis.termStats _),
     "q_bloom_join"      -> (BloomJoin.negBalanceActivity _),
     "txt_neg_pairs"     -> (Contrastive.docNegativePairs _),
+    "txt_mix"           -> (TextAnalysis.mixCorpus _),
     "q_star_join"       -> (Analytics.starRevenue _),
     "q_top_per_group"   -> ((s, d) => Analytics.topUsersPerType(s, d)),
     "q_distinct"        -> (Analytics.userCounts _),
@@ -964,6 +965,20 @@ object SparkEntry {
         |)
         |SELECT p.doc_id, CAST(p.j AS BIGINT) AS j, r.neg_id
         |FROM probe p JOIN reps r ON p.t = r.rep_b""".stripMargin,
+    // Temperature mixing is a pure function of (doc_id, per-lang counts):
+    // the oracle recomputes rate = (n_l/n_min)^(α-1) (rounded 9 dp, both
+    // engines) and the same md5-uniform keep decision.
+    "txt_mix" ->
+      """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |mn AS (SELECT min(n) AS n_min FROM counts),
+        |rates AS (
+        |  SELECT lang, round(pow(CAST(n AS DOUBLE) / n_min, -0.5), 9) AS rate
+        |  FROM counts, mn
+        |)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN rates r USING (lang)
+        |WHERE (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5)
+        |        / 4294967296.0 < r.rate""".stripMargin,
     // Multimodal decode is a DETERMINISTIC STUB (no codecs in the
     // container): every "decoded" property is fixed arithmetic on the
     // byte count, so the oracle recomputes it from length(text) (ASCII —

@@ -71,6 +71,42 @@ object TextAnalysis {
         stopRatio >= 0.01)
   }
 
+  /** Temperature-mixed corpus sampling — the standard multilingual
+    * rebalance (public: the `p_l ∝ n_l^α` sampling of the mT5/XLM-R
+    * papers): downsample over-represented groups so group l keeps
+    * rate (n_l / n_min)^(α−1) — the smallest group keeps everything,
+    * a 100× larger group keeps 100^(α−1) (α = 0.5 → 1/10th).
+    *
+    * Deterministic: the keep decision is the same md5-uniform as
+    * [[Relational.stratifiedSample]] compared against the group's rate —
+    * reproducible across runs/engines/partitionings, and appending new
+    * docs never flips old decisions (rates move, but each doc's u is
+    * fixed — only the threshold shifts). Rates are rounded to 9 dp on
+    * both engines so the float boundary is exact cross-engine.
+    *
+    * Scale shape: group counts are one tiny two-phase aggregate (L rows)
+    * broadcast back; the keep filter is a scan-side codegen projection.
+    * The corpus is read once and never shuffles. */
+  def temperatureMix(docs: DataFrame, groupCol: String, idCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha in (0, 1]")
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n")).as("__n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col(groupCol),
+        round(pow(col("__n").cast("double") / col("__n_min"), lit(alpha - 1)), 9)
+          .as("__rate"))
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0d
+    docs.join(broadcast(rates), groupCol)
+      .filter(u < col("__rate"))
+      .select(col(idCol), col(groupCol))
+  }
+
+  /** CORRECTNESS instantiation: α = 0.5 language rebalance of documents. */
+  def mixCorpus(spark: SparkSession, dir: String): DataFrame =
+    temperatureMix(Tables.load(spark, dir, "documents"), "lang", "doc_id")
+
   /** Stopword profiles for the language-ID heuristic: tiny, hand-picked
     * high-frequency function words per language. Deliberately public
     * common knowledge, not a trained model. */

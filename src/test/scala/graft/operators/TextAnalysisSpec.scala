@@ -24,6 +24,32 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(row._2 == 9)
   }
 
+  test("temperatureMix: smallest group keeps all, larger groups thin to ~rate, deterministic") {
+    val docs = (
+      (1 to 40).map(i => (i.toLong, "big")) ++
+      (41 to 50).map(i => (i.toLong, "small"))
+    ).toDF("doc_id", "lang")
+    val kept = TextAnalysis.temperatureMix(docs, "lang", "doc_id", alpha = 0.5)
+      .as[(Long, String)].collect()
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // smallest group: rate 1 -> all 10 rows survive
+    assert(byLang.getOrElse("small", 0) == 10)
+    // big group: rate = (40/10)^(-0.5) = 0.5 -> binomial(40, 0.5); the
+    // md5 draw is fixed, so the count is a constant — just bound it away
+    // from 0 and 40 and pin determinism with a rerun
+    val nBig = byLang.getOrElse("big", 0)
+    assert(nBig > 5 && nBig < 35, s"big kept $nBig of 40 at rate 0.5")
+    val again = TextAnalysis.temperatureMix(docs.repartition(5), "lang", "doc_id")
+      .as[(Long, String)].collect().toSet
+    assert(again == kept.toSet)
+    // appending docs to ANOTHER group never flips small-group decisions
+    // with unchanged rate 1; big-group decisions only tighten (rate down)
+    val grown = docs.union((100 to 139).map(i => (i.toLong, "huge")).toDF("doc_id", "lang"))
+    val keptGrown = TextAnalysis.temperatureMix(grown, "lang", "doc_id")
+      .as[(Long, String)].collect().toSet
+    assert(keptGrown.filter(_._2 == "small") == kept.toSet.filter(_._2 == "small"))
+  }
+
   test("langId picks the profile language on clear-cut text") {
     val df = Seq(
       (1L, "the cat is on the mat and it was good"),
