@@ -50,6 +50,32 @@ class StatefulStreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming session_window: cross-batch merge, append emits behind the watermark") {
+    val input = MemoryStream[(Long, Timestamp, Double)](
+      org.apache.spark.sql.Encoders.product[(Long, Timestamp, Double)], spark.sqlContext)
+    val sessions = WindowedAgg.streamingByUserSession(
+      input.toDF().toDF("user_id", "ts", "value"), "30 minutes", "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sw_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two events 20 min apart arrive in DIFFERENT batches → one session
+      input.addData((1L, ts("2024-01-01 09:00:00"), 1.0))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 09:20:00"), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sw_out").count() == 0, "session still open — nothing emits")
+
+      // advance the watermark past the session end (09:50)
+      input.addData((2L, ts("2024-01-01 11:00:00"), 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("sw_out")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+      assert(rows == Set(
+        (1L, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:50:00"), 2L, 3.0)),
+        s"the merged cross-batch session must emit once closed: $rows")
+    } finally q.stop()
+  }
+
   test("sessionize: sessions split on gap and emit on event-time timeout") {
     val input = MemoryStream[Sessionize.Event](
       org.apache.spark.sql.Encoders.product[Sessionize.Event], spark.sqlContext)
