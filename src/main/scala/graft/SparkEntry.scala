@@ -140,6 +140,10 @@ object SparkEntry {
     "q_quantiles"       -> (Analytics.valueQuantiles _),
     "q_moving_avg"      -> ((s, d) => Analytics.dailyMovingAvg(s, d)),
     "q_histogram"       -> ((s, d) => Analytics.valueHistogram(s, d)),
+    "q_rank_suite"      -> (Analytics.typeDailyRanks _),
+    "q_daily_delta"     -> (Analytics.dailyDelta _),
+    "q_set_ops_all"     -> (Relational.setOpsAll _),
+    "q_union_evolve"    -> (Relational.unionEvolved _),
     // rows-only: first-fit packing is sequential per shard (no SQL-window
     // closed form, hence no oracle) — PackingSpec holds it to the exact
     // first-fit recurrence instead.
@@ -965,6 +969,47 @@ object SparkEntry {
         |)
         |SELECT p.doc_id, CAST(p.j AS BIGINT) AS j, r.neg_id
         |FROM probe p JOIN reps r ON p.t = r.rep_b""".stripMargin,
+    "q_rank_suite" ->
+      """WITH byday AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, day, n,
+        |  row_number()  OVER wt AS rn,
+        |  rank()        OVER w  AS rnk,
+        |  dense_rank()  OVER w  AS drnk,
+        |  ntile(4)      OVER wt AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank
+        |FROM byday
+        |WINDOW w  AS (PARTITION BY event_type ORDER BY n DESC),
+        |       wt AS (PARTITION BY event_type ORDER BY n DESC, day)""".stripMargin,
+    "q_daily_delta" ->
+      """WITH byday AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, day, n,
+        |  n - lag(n) OVER w AS delta,
+        |  round(CAST(n - lag(n) OVER w AS DOUBLE) / lag(n) OVER w, 6) AS pct_change
+        |FROM byday
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day)""".stripMargin,
+    // The oracle runs the LITERAL bag set-ops and re-groups to
+    // multiplicities — checking the one-scan least/difference form
+    // against the engine-native INTERSECT ALL / EXCEPT ALL.
+    "q_set_ops_all" ->
+      """WITH c AS (SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, date_trunc('day', ts) AS day FROM events WHERE event_type = 'view')
+        |SELECT 'intersect_all' AS op, user_id, day, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT * FROM c INTERSECT ALL SELECT * FROM v) GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 'except_all' AS op, user_id, day, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT * FROM c EXCEPT ALL SELECT * FROM v) GROUP BY 2, 3""".stripMargin,
+    "q_union_evolve" ->
+      """SELECT event_id, user_id, value, NULL AS props
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT event_id, user_id, value, props
+        |FROM events WHERE event_id % 2 = 1""".stripMargin,
     // Temperature mixing is a pure function of (doc_id, per-lang counts):
     // the oracle recomputes rate = (n_l/n_min)^(α-1) (rounded 9 dp, both
     // engines) and the same md5-uniform keep decision.

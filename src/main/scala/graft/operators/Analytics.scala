@@ -134,6 +134,47 @@ object Analytics {
       .select("event_type", "day", "n_events", "avg_n")
   }
 
+  /** The ranking-window suite (row_number / rank / dense_rank / ntile /
+    * percent_rank) over daily per-type counts — aggregate FIRST (one row
+    * per (type, day) crosses the shuffle), then all five ranking
+    * functions run over the small aggregated set. Two window specs:
+    * rank / dense_rank / percent_rank order by the (tie-carrying) count
+    * so tie semantics are actually exercised; row_number / ntile need a
+    * total order (ties would make them nondeterministic) so they add the
+    * day as tiebreak. Catalyst plans both specs over ONE exchange (same
+    * partition key, compatible sort). */
+  def typeDailyRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val byDay = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val ties = w.partitionBy("event_type").orderBy(col("n").desc)
+    val total = w.partitionBy("event_type").orderBy(col("n").desc, col("day"))
+    byDay.select(
+      col("event_type"), col("day"), col("n"),
+      row_number().over(total).cast("long").as("rn"),
+      rank().over(ties).cast("long").as("rnk"),
+      dense_rank().over(ties).cast("long").as("drnk"),
+      ntile(4).over(total).cast("long").as("quartile"),
+      round(percent_rank().over(ties), 6).as("pct_rank"))
+  }
+
+  /** Day-over-day change per event type: lag over the aggregated daily
+    * counts (one row per (type, day) shuffles; the lag window slides over
+    * ~30 rows per type, never raw events). First day's delta is NULL —
+    * the honest answer, not 0. */
+  def dailyDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+    Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("day"), col("n"),
+        (col("n") - lag(col("n"), 1).over(w)).as("delta"),
+        round((col("n") - lag(col("n"), 1).over(w)).cast("double") /
+          lag(col("n"), 1).over(w), 6).as("pct_change"))
+  }
+
   /** Fixed-width value histogram per event type: two-phase aggregate on
     * (type, bin) — the profiling primitive behind any numeric-distribution
     * dashboard. floor() bins so negative values land in negative bins

@@ -43,6 +43,44 @@ object Relational {
           .otherwise("purchase_only").as("op"),
         col("user_id"), col("day"))
 
+  /** Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) over the
+    * (user, day) click vs view multisets, reported as per-key
+    * multiplicities. Same one-scan shape as [[setOps]]: both legs' counts
+    * come out of ONE two-phase aggregate, then
+    * `intersect_all = least(ca, cb)` and `except_all = ca − cb` (when
+    * positive) — which is exactly how an engine executes the ALL variants
+    * (the DuckDB oracle runs the literal INTERSECT ALL / EXCEPT ALL and
+    * re-groups, checking the equivalence). */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(
+        count(when(col("event_type") === "click", 1)).as("ca"),
+        count(when(col("event_type") === "view", 1)).as("cb"))
+    counts.filter(least(col("ca"), col("cb")) > 0)
+      .select(lit("intersect_all").as("op"), col("user_id"), col("day"),
+        least(col("ca"), col("cb")).as("n"))
+      .unionAll(counts.filter(col("ca") > col("cb"))
+        .select(lit("except_all").as("op"), col("user_id"), col("day"),
+          (col("ca") - col("cb")).as("n")))
+  }
+
+  /** Schema-evolution union: append-era files that predate a column union
+    * cleanly with files that carry it — `unionByName` with
+    * `allowMissingColumns` NULL-fills the missing side, positionally-safe
+    * (a positional UNION would silently mis-bind columns). Instantiated
+    * as legacy (even event_id, no `props`) ∪ evolved (odd event_id, with
+    * `props`); scan-side projections, no shuffle. */
+  def unionEvolved(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val legacy = ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val evolved = ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("props"), col("user_id"), col("value"))
+    legacy.unionByName(evolved, allowMissingColumns = true)
+  }
+
   /** Day × event-type ROLLUP: leaf rows plus per-day subtotals plus the
     * grand total, with grouping markers so consumers can tell a real NULL
     * from a subtotal row. One pass, one shuffle — Spark expands rollup

@@ -63,6 +63,44 @@ class AnalyticsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
+  test("typeDailyRanks: ranking-function laws over the aggregated set") {
+    val rows = Analytics.typeDailyRanks(spark, dir)
+      .as[(String, java.sql.Timestamp, Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (tpe, rs) =>
+      val sorted = rs.sortBy(_._4) // by rn
+      assert(sorted.map(_._4).toSeq == (1L to rs.length).toSeq, s"$tpe rn not a permutation")
+      sorted.foreach { r =>
+        assert(r._5 <= r._4, s"$tpe rank > row_number")   // rnk <= rn
+        assert(r._6 <= r._5, s"$tpe dense_rank > rank")
+        assert(r._8 >= 0.0 && r._8 <= 1.0)
+        assert(r._7 >= 1 && r._7 <= 4)
+      }
+      // percent_rank = (rank-1)/(N-1)
+      sorted.foreach(r => assert(math.abs(r._8 -
+        BigDecimal((r._5 - 1).toDouble / (rs.length - 1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9))
+    }
+  }
+
+  test("dailyDelta: delta and pct_change recompute from consecutive days") {
+    val rows = Analytics.dailyDelta(spark, dir)
+      .as[(String, java.sql.Timestamp, Long, Option[Long], Option[Double])].collect()
+    rows.groupBy(_._1).foreach { case (tpe, rs) =>
+      val ordered = rs.sortBy(_._2.getTime)
+      assert(ordered.head._4.isEmpty, s"$tpe first day must have NULL delta")
+      ordered.sliding(2).foreach {
+        case Array(prev, cur) =>
+          assert(cur._4.contains(cur._3 - prev._3), s"$tpe ${cur._2}")
+          val want = BigDecimal((cur._3 - prev._3).toDouble / prev._3)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(math.abs(cur._5.get - want) < 1e-9, s"$tpe ${cur._2}")
+        case _ =>
+      }
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("valueHistogram: bins recount and bound their min/max") {
     val bins = Analytics.valueHistogram(spark, dir)
       .as[(String, Long, Long, Double, Double)].collect()

@@ -34,6 +34,40 @@ class RelationalSpec extends SparkTestBase {
       "tags must partition: no user-day may appear under two ops")
   }
 
+  test("setOpsAll: multiplicities equal min / positive-difference of the leg counts") {
+    val legs = graft.sources.Tables.load(spark, dir, "events")
+      .filter($"event_type".isin("click", "view"))
+      .groupBy($"user_id", org.apache.spark.sql.functions.date_trunc("day", $"ts").as("day"))
+      .agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.when($"event_type" === "click", 1)).as("ca"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.when($"event_type" === "view", 1)).as("cb"))
+      .as[(Long, java.sql.Timestamp, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val got = Relational.setOpsAll(spark, dir)
+      .as[(String, Long, java.sql.Timestamp, Long)].collect()
+    assert(got.nonEmpty && got.exists(_._1 == "intersect_all") && got.exists(_._1 == "except_all"))
+    got.foreach { case (op, u, d, n) =>
+      val (ca, cb) = legs((u, d))
+      op match {
+        case "intersect_all" => assert(n == math.min(ca, cb) && n > 0)
+        case "except_all"    => assert(n == ca - cb && n > 0)
+      }
+    }
+  }
+
+  test("unionEvolved: legacy rows NULL-fill props, evolved rows keep it, counts reconcile") {
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+    val out = Relational.unionEvolved(spark, dir)
+    assert(out.count() == ev.count())
+    assert(out.columns.toSeq == Seq("event_id", "user_id", "value", "props"))
+    val legacyNulls = out.filter($"event_id" % 2 === 0 && $"props".isNull).count()
+    assert(legacyNulls == ev.filter($"event_id" % 2 === 0).count())
+    val evolvedWith = out.filter($"event_id" % 2 === 1 && $"props".isNotNull).count()
+    assert(evolvedWith == ev.filter($"event_id" % 2 === 1 && $"props".isNotNull).count())
+  }
+
   test("rollup: subtotal and grand-total rows reconcile with the leaves") {
     val rows = Relational.dailyRollup(spark, dir)
       .as[(java.sql.Timestamp, String, Long, Double, Long, Long)].collect()
