@@ -74,6 +74,18 @@ object PrepJob {
         col("n_tokens"), col("chunk_text"))
   }
 
+  /** [[prepare]] with a final α-temperature language rebalance
+    * ([[TextAnalysis.temperatureMix]]): over-represented languages are
+    * deterministically thinned AFTER dedup/quality (rates computed on the
+    * clean corpus, so junk and duplicates don't inflate a language's
+    * share). One extra L-row broadcast + scan-side filter. */
+  def prepareMixed(spark: SparkSession, dir: String, alpha: Double = 0.5): DataFrame = {
+    val base = prepare(spark, dir)
+    val kept = TextAnalysis.temperatureMix(base, "lang", "doc_id", alpha)
+      .select("doc_id")
+    base.join(kept, Seq("doc_id"), "left_semi")
+  }
+
   /** Run the pipeline and land it partitioned by language. Returns the
     * number of surviving documents. */
   def run(spark: SparkSession, dir: String, outPath: String): Long = {

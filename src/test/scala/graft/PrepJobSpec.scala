@@ -43,6 +43,23 @@ class PrepJobSpec extends SparkTestBase {
     }
   }
 
+  test("prepareMixed: subset of prepare, smallest language kept whole, deterministic") {
+    val base = PrepJob.prepare(spark, dir)
+    val baseRows = base.select("doc_id", "lang")
+      .as[(Long, String)].collect()
+    val mixed = PrepJob.prepareMixed(spark, dir)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    assert(mixed.toSet.subsetOf(baseRows.toSet), "mix must only remove rows")
+    val baseByLang = baseRows.groupBy(_._2).view.mapValues(_.length).toMap
+    val mixByLang = mixed.groupBy(_._2).view.mapValues(_.length).toMap
+    val minLang = baseByLang.minBy(_._2)._1
+    assert(mixByLang.getOrElse(minLang, 0) == baseByLang(minLang),
+      "rate-1 (smallest) language must keep every doc")
+    val again = PrepJob.prepareMixed(spark, dir)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    assert(again.toSet == mixed.toSet)
+  }
+
   test("run lands the survivors partitioned by lang") {
     val outPath = java.nio.file.Files.createTempDirectory("prep_out_").toString
     val n = PrepJob.run(spark, dir, outPath)

@@ -59,6 +59,23 @@ class BloomJoinSpec extends SparkTestBase {
     assert(kept >= matched, "bloom must never drop a matching row")
   }
 
+  test("with broadcast disabled (the at-scale shape) the prune still sits on the scan side") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val got = BloomJoin.negBalanceActivity(spark, dir)
+        .as[(Long, Long, String, Double, Double)].collect().toSet
+      assert(got == plain())
+      val plan = BloomJoin.negBalanceActivity(spark, dir)
+        .queryExecution.executedPlan.toString
+      // shuffle join (no broadcast available), and the might_contain
+      // filter is still below the exchange — the rows die pre-shuffle
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        "expected a shuffle join with broadcast disabled")
+      assert(plan.contains("might_contain"), "bloom prune missing from the plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("empty dim side yields the empty join, not an error") {
     val ev = graft.sources.Tables.load(spark, dir, "events")
     val dim = graft.sources.Tables.load(spark, dir, "customer")
