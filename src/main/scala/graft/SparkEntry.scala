@@ -67,6 +67,7 @@ object SparkEntry {
     }),
     "sim_topk_ann"      -> ((s, d) => Similarity.topKCosineLsh(s, d)),
     "sim_topk_ivf"      -> ((s, d) => Similarity.topKCosineIvf(s, d)),
+    "sim_topk_pq"       -> ((s, d) => Similarity.topKPq(s, d)),
     "txt_lang_dist"     -> (TextAnalysis.langDist _),
     "txt_quality"       -> (TextAnalysis.qualityStats _),
     "txt_langid"        -> (TextAnalysis.langId _),
@@ -249,6 +250,54 @@ object SparkEntry {
        |) WHERE rn <= 5""".stripMargin
   }
 
+  /** sim_topk_pq oracle, generated: the PQ codebook is deterministic
+    * (seeded splitmix64 plan literals), so the oracle embeds the SAME
+    * m×kc centroid vectors and reproduces encode (argmin of
+    * ‖c‖²−2·e_s·c with the same (dist, cell) tie-break), the per-query
+    * LUT, and the ADC sum — checking the entire approximate plan. Scores
+    * are rounded to 6 dp on both sides before the k-cut (8-term double
+    * sums differ across engines in the last ulps by summation order). */
+  private def pqOracleSql(m: Int = 8, kc: Int = 16, subDim: Int = 8, k: Int = 5): String = {
+    val book = graft.operators.Similarity.pqCodebook(m, kc, subDim)
+    val cbRows = book.map { case (s, c, arr) =>
+      val vlit = arr.mkString("[", ", ", "]")
+      val n2 = arr.map(x => x * x).sum
+      s"{'sub': $s, 'cell': $c, 'cv': CAST($vlit AS DOUBLE[]), 'n2': CAST($n2 AS DOUBLE)}"
+    }.mkString(",\n      ")
+    s"""WITH cb AS (
+       |  SELECT unnest([
+       |      $cbRows
+       |  ], recursive := true)
+       |), dists AS (
+       |  SELECT e.vec_id, cb.sub, cb.cell,
+       |    cb.n2 - 2 * list_inner_product(
+       |      CAST(e.embedding[cb.sub*$subDim+1 : cb.sub*$subDim+$subDim] AS DOUBLE[]), cb.cv) AS d
+       |  FROM embeddings e, cb
+       |), codes AS (
+       |  SELECT vec_id, sub, cell FROM (
+       |    SELECT vec_id, sub, cell,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cell) AS rn
+       |    FROM dists)
+       |  WHERE rn = 1
+       |), lut AS (
+       |  SELECT q.vec_id AS query_id, cb.sub, cb.cell,
+       |    list_inner_product(
+       |      CAST(q.embedding[cb.sub*$subDim+1 : cb.sub*$subDim+$subDim] AS DOUBLE[]), cb.cv) AS w
+       |  FROM embeddings q, cb
+       |  WHERE q.vec_id % 100 = 0
+       |), scored AS (
+       |  SELECT l.query_id, c.vec_id, round(sum(l.w), 6) AS score
+       |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.cell = c.cell
+       |  WHERE c.vec_id <> l.query_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, vec_id, score FROM (
+       |  SELECT query_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= $k""".stripMargin
+  }
+
   /** mm_features oracle, generated: the feature stub is the documents
     * polynomial fingerprint (same init-7 fold the txt_fingerprint oracle
     * recomputes) pushed through per-lane affine maps whose coefficients
@@ -279,6 +328,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "sim_topk_ann" -> annOracleSql,
+    "sim_topk_pq" -> pqOracleSql(),
     "sim_kmeans" -> kmeansOracleSql(),
     "mm_features" -> mmFeaturesOracleSql,
     // Generated: Spark's XXH64 re-emitted as u64-emulated DuckDB SQL, so

@@ -205,6 +205,91 @@ object Similarity {
     topKCosineLsh(emb, col("vec_id") % 100 === 0, k)
   }
 
+  /** Product-quantization codebook: `m` subspaces × `kc` centroids of
+    * `subDim` lanes each, deterministic from a splitmix64 seed (plan
+    * literals, like [[planeVectors]] — public so the oracle embeds the
+    * SAME values). A production index trains these per-subspace with
+    * [[kmeansCentroids]] over vector slices; the seeded codebook keeps
+    * the whole encode/score plan oracle-checkable, and the plan shape is
+    * identical either way. */
+  def pqCodebook(m: Int = 8, kc: Int = 16, subDim: Int = 8,
+      seed: Long = 0xC0DEB00CL): Seq[(Int, Int, Array[Double])] =
+    for (s <- 0 until m; c <- 0 until kc) yield (s, c, Array.tabulate(subDim) { l =>
+      val h = graft.functions.HashKernels.splitmix64(
+        seed ^ (s * 1000003L + c * 1009L + l))
+      (h >>> 11) * (2.0 / (1L << 53)) - 1.0
+    })
+
+  /** PQ encode, entirely SCAN-SIDE: per subspace, the code is the argmin
+    * over `kc` literal centroids of ‖e_s − c‖² — computed as the
+    * monotone-equivalent ‖c‖² − 2·e_s·c (the ‖e_s‖² term is common to
+    * the argmin) and picked with `array_min` over (dist, cell) structs,
+    * so the tie-break (smaller cell) is part of the expression. A 100 TB
+    * corpus encodes in one pass with NO shuffle, emitting m small ints
+    * (the m·log₂kc-bit code) per vector — the 32× compression that lets
+    * the index live in memory. */
+  def pqEncode(emb: DataFrame, m: Int = 8, kc: Int = 16, subDim: Int = 8): DataFrame = {
+    val book = pqCodebook(m, kc, subDim)
+    val codeCols = (0 until m).map { s =>
+      val sub = slice(col("embedding"), s * subDim + 1, subDim)
+      val cands = array((0 until kc).map { c =>
+        val cb = book(s * kc + c)._3
+        val dot = aggregate(
+          zip_with(sub, typedlit(cb.toSeq), (x, cc) => x * cc),
+          lit(0.0d), (acc, t) => acc + t)
+        struct((lit(cb.map(x => x * x).sum) - lit(2.0d) * dot).as("d"),
+          lit(c.toLong).as("cell"))
+      }: _*)
+      array_min(cands).getField("cell").as(s"code_$s")
+    }
+    emb.select(col("vec_id") +: codeCols: _*)
+  }
+
+  def topKPq(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    topKPq(emb, defaultQueries(emb), k, m = 8, kc = 16, subDim = 8)
+  }
+
+  /** PQ/ADC search (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011 — public): approximate inner product
+    * score(q, v) = Σ_s q_s · c_{s, code_s(v)} — the corpus side is only
+    * its m-byte codes; per query the m×kc look-up table of subspace dots
+    * is tiny and broadcasts. Scale shape: encode is scan-side
+    * ([[pqEncode]]); scoring explodes each vector's m codes row-locally,
+    * joins the broadcast LUT, and partial-merge-sums to one score per
+    * (query, vector) — the per-pair cost is m LUT adds instead of dim
+    * multiplies, which is the whole point of ADC at 100 TB. Scores are
+    * rounded to 6 dp BEFORE the k-cut (an 8-term double sum's order
+    * differs across engines; the rounding makes the ranking cross-engine
+    * exact), ties broken by vec_id inside `topk_by`. */
+  def topKPq(emb: DataFrame, queries: DataFrame, k: Int,
+      m: Int, kc: Int, subDim: Int): DataFrame = {
+    val book = pqCodebook(m, kc, subDim)
+    val codes = pqEncode(emb, m, kc, subDim)
+      .select(col("vec_id"), posexplode(
+        array((0 until m).map(s => col(s"code_$s")): _*)))
+      .toDF("vec_id", "sub", "cell")
+    // per-query LUT: the m×kc subspace dots as one nested-array literal
+    // expression, exploded to (query_id, sub, cell, w) — |Q|·m·kc tiny rows
+    val perSub = array((0 until m).map { s =>
+      val sub = slice(col("q_emb"), s * subDim + 1, subDim)
+      array((0 until kc).map { c =>
+        aggregate(zip_with(sub, typedlit(book(s * kc + c)._3.toSeq), (x, cc) => x * cc),
+          lit(0.0d), (acc, t) => acc + t)
+      }: _*)
+    }: _*)
+    val lutRows = queries.select(col("query_id"), posexplode(perSub))
+      .toDF("query_id", "sub", "ws")
+      .select(col("query_id"), col("sub"), posexplode(col("ws")))
+      .toDF("query_id", "sub", "cell", "w")
+      .select(col("query_id"), col("sub"), col("cell").cast("long").as("cell"), col("w"))
+    val scored = codes.join(broadcast(lutRows), Seq("sub", "cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(round(sum(col("w")), 6).as("score"))
+    topKCut(scored, k)
+  }
+
   def topKCosineLsh(emb: DataFrame, isQuery: org.apache.spark.sql.Column, k: Int): DataFrame = {
     val banded = hyperplaneBands(emb)
     val qBanded = banded.filter(isQuery)

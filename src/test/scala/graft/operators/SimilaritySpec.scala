@@ -83,6 +83,50 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("PQ: encode is the argmin of subspace distances; ADC score is the LUT sum") {
+    val m = 4; val kc = 8; val subDim = 8
+    val book = Similarity.pqCodebook(m, kc, subDim)
+    val emb = corpus.toDF("vec_id", "embedding")
+    // driver-side reference encode: argmin over true L2^2, ties to smaller cell
+    def refCodes(v: Array[Float]): Seq[Int] = (0 until m).map { s =>
+      val slice = v.slice(s * subDim, (s + 1) * subDim)
+      (0 until kc).minBy { c =>
+        val cb = book(s * kc + c)._3
+        val d = slice.zip(cb).map { case (x, cc) => (x - cc) * (x - cc) }.sum
+        (d, c)
+      }
+    }
+    val got = Similarity.pqEncode(emb, m, kc, subDim)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5).map(_.toInt)).toMap
+    corpus.foreach { case (id, v) =>
+      assert(got(id) == refCodes(v), s"vec $id codes")
+    }
+
+    // ADC law: the reported score equals the sum of subspace LUT dots of
+    // the encoded cells (recomputed driver-side), rounded to 6 dp
+    val queries = Similarity.defaultQueries(emb)
+    val topk = Similarity.topKPq(emb, queries, 3, m, kc, subDim)
+      .as[(Long, Long, Double)].collect()
+    assert(topk.nonEmpty)
+    val vecs = corpus.toMap
+    topk.foreach { case (q, v, score) =>
+      val qv = vecs(q)
+      val want = (0 until m).map { s =>
+        val cb = book(s * kc + got(v)(s))._3
+        qv.slice(s * subDim, (s + 1) * subDim).zip(cb)
+          .map { case (x, c) => x.toDouble * c }.sum
+      }.sum
+      assert(math.abs(score - want) < 2e-6, s"($q,$v): $score vs $want")
+      assert(q != v, "self-pair leaked")
+    }
+
+    // deterministic under repartitioning
+    val again = Similarity.topKPq(emb.repartition(7), queries, 3, m, kc, subDim)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(again == topk.toSet)
+  }
+
   test("kmeansCentroids recovers the per-cluster means on separable clusters") {
     // 3 tight clusters on orthogonal axes; ids arranged so the seeded
     // init (vec_id % 29 == 0 → ids 0, 29, 58) lands one seed per cluster
