@@ -175,7 +175,7 @@ object SparkEntry {
     "win_agg_daily", "sess_30min", "agg_salted",
     "q_star_join", "q_top_per_group", "q_distinct", "q_json_props", "q_quantiles",
     "q_range_join", "q_rollup_daily", "txt_tfidf",
-    "q_bloom_join", "sess_native", "txt_neg_pairs",
+    "q_bloom_join", "sess_native", "txt_neg_pairs", "sim_topk_pq", "txt_mix",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
