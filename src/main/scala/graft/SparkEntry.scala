@@ -46,7 +46,9 @@ object SparkEntry {
     "dedup_spans"       -> ((s, d) => Dedup.duplicateSpans(
                               Dedup.plantedNearDocs(s, d), "doc_id", "text", w = 8)),
     "cdc_apply"         -> (Cdc.userSnapshot _),
+    "cdc_diff"          -> (Cdc.eventsDiff _),
     "q_profile"         -> (Profiler.eventsProfile _),
+    "q_expectations"    -> (Profiler.eventsExpectations _),
     "q_salted_join"     -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       SaltedAgg.saltedEquiJoin(
@@ -1019,6 +1021,52 @@ object SparkEntry {
         |)
         |SELECT p.doc_id, CAST(p.j AS BIGINT) AS j, r.neg_id
         |FROM probe p JOIN reps r ON p.t = r.rep_b""".stripMargin,
+    // Snapshot diff: the oracle compares payloads directly (the Spark
+    // side's xxhash64 equality is payload equality absent collisions).
+    "cdc_diff" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, event_type, value FROM events WHERE event_id % 3 <> 0
+        |), a AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN round(value * 1.1, 6) ELSE value END AS value
+        |  FROM events WHERE event_id % 4 <> 0
+        |)
+        |SELECT event_id, change FROM (
+        |  SELECT coalesce(b.event_id, a.event_id) AS event_id,
+        |    CASE WHEN b.event_id IS NULL THEN 'added'
+        |         WHEN a.event_id IS NULL THEN 'deleted'
+        |         WHEN NOT (b.user_id = a.user_id AND b.event_type = a.event_type
+        |                   AND b.value = a.value) THEN 'updated'
+        |    END AS change
+        |  FROM b FULL OUTER JOIN a ON b.event_id = a.event_id
+        |) WHERE change IS NOT NULL""".stripMargin,
+    // Expectations: violation counts recomputed literally; NULL predicate
+    // results count as violations on both sides (coalesce/NOT EXISTS).
+    "q_expectations" ->
+      """SELECT 'event_id_not_null' AS "check",
+        |  CAST(count(CASE WHEN event_id IS NULL THEN 1 END) AS BIGINT) AS violations,
+        |  count(CASE WHEN event_id IS NULL THEN 1 END) = 0 AS passed FROM events
+        |UNION ALL
+        |SELECT 'ts_not_null',
+        |  CAST(count(CASE WHEN ts IS NULL THEN 1 END) AS BIGINT),
+        |  count(CASE WHEN ts IS NULL THEN 1 END) = 0 FROM events
+        |UNION ALL
+        |SELECT 'value_in_range',
+        |  CAST(count(CASE WHEN NOT coalesce(value BETWEEN -1e6 AND 1e6, false) THEN 1 END) AS BIGINT),
+        |  count(CASE WHEN NOT coalesce(value BETWEEN -1e6 AND 1e6, false) THEN 1 END) = 0 FROM events
+        |UNION ALL
+        |SELECT 'known_event_type',
+        |  CAST(count(CASE WHEN NOT coalesce(event_type IN ('click','view','purchase','signup','error'), false) THEN 1 END) AS BIGINT),
+        |  count(CASE WHEN NOT coalesce(event_type IN ('click','view','purchase','signup','error'), false) THEN 1 END) = 0 FROM events
+        |UNION ALL
+        |SELECT 'event_id_unique',
+        |  CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT),
+        |  count(event_id) - count(DISTINCT event_id) = 0 FROM events
+        |UNION ALL
+        |SELECT 'user_fk_in_customer',
+        |  CAST(count(*) AS BIGINT), count(*) = 0
+        |FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)""".stripMargin,
     "q_rank_suite" ->
       """WITH byday AS (
         |  SELECT event_type, date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n

@@ -50,6 +50,48 @@ object Cdc {
       .unionByName(upserts)
   }
 
+  /** Diff two keyed snapshots — which keys were added, deleted, or
+    * updated between generations (the audit/monitoring complement of
+    * [[applyChangelog]]: apply moves a snapshot forward, diff explains
+    * what moved). Unchanged keys drop out of the result.
+    *
+    * Scale shape: each side reduces to (key, xxhash64(payload struct))
+    * scan-side — 8 bytes per row cross the full-outer join's shuffle, the
+    * payload never does; on key-bucketed snapshots the join is
+    * exchange-free. The hash equality stands in for payload equality
+    * (64-bit collision odds are negligible and the alternative shuffles
+    * the whole payload; callers needing certainty re-verify the
+    * `updated` subset with a payload join — it is small by contract). */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val payload = before.columns.toSeq.filterNot(keyCols.contains)
+    def hashed(df: DataFrame, as: String): DataFrame =
+      df.select(keyCols.map(col) :+
+        xxhash64(struct(payload.map(col): _*)).as(as): _*)
+    hashed(before, "__hb").join(hashed(after, "__ha"), keyCols, "full_outer")
+      .select(keyCols.map(col) :+
+        when(col("__hb").isNull, lit("added"))
+          .when(col("__ha").isNull, lit("deleted"))
+          .when(col("__hb") =!= col("__ha"), lit("updated"))
+          .as("change"): _*)
+      .filter(col("change").isNotNull)
+  }
+
+  /** CORRECTNESS-entry instantiation: two deterministic event-keyed
+    * snapshot generations (before = event_id % 3 ≠ 0; after =
+    * event_id % 4 ≠ 0 with every 7th value bumped) so all three change
+    * kinds are non-vacuous by construction. */
+  def eventsDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val before = ev.filter(col("event_id") % 3 =!= 0)
+    val after = ev.filter(col("event_id") % 4 =!= 0)
+      .withColumn("value",
+        when(col("event_id") % 7 === 0, round(col("value") * 1.1, 6))
+          .otherwise(col("value")))
+    snapshotDiff(before, after, Seq("event_id"))
+  }
+
   /** CORRECTNESS-entry instantiation over the synthetic tables: snapshot =
     * keep-first-per-user events ([[Dedup.exactKeepFirst]]); changelog =
     * the deterministic `event_id % 3 = 0` subset, sequenced by

@@ -53,4 +53,63 @@ object Profiler {
   def eventsProfile(spark: SparkSession, dir: String): DataFrame =
     profile(Tables.load(spark, dir, "events"),
       Seq("event_id", "user_id", "event_type", "value", "props"), exact = true)
+
+  /** Declarative data-quality expectations — the Deequ-style (public:
+    * Schelter et al., "Automating Large-Scale Data Quality Verification",
+    * VLDB'18) constraint gate a production pipeline runs before
+    * publishing a landed table. Each check reports (check, metric,
+    * passed) where `metric` is the VIOLATION count — a failing gate tells
+    * you how bad, not just that.
+    *
+    * Scale shape: every row-local constraint folds into ONE aggregate
+    * over one scan (violations are `count(CASE)` columns — map-side
+    * partials, a 1-row result, `stack` to rows); the referential check is
+    * the only one that joins, and it is a left-anti count against the
+    * (broadcastable) key side. No constraint ever materializes violating
+    * rows unless asked — at 100 TB you gate on counts, then fetch
+    * examples with a filter. */
+  def checkExpectations(df: DataFrame,
+      rowChecks: Seq[(String, Column)],
+      uniqueKey: Option[String] = None): DataFrame = {
+    require(rowChecks.nonEmpty || uniqueKey.nonEmpty, "no expectations given")
+    val aggs: Seq[Column] =
+      rowChecks.map { case (name, pred) =>
+        count(when(!coalesce(pred, lit(false)), 1)).as(s"v_$name")
+      } ++ uniqueKey.map(k =>
+        (count(col(k)) - countDistinct(col(k))).as(s"v_${k}_unique")).toSeq
+    val names = rowChecks.map(_._1) ++ uniqueKey.map(k => s"${k}_unique").toSeq
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = names.map(n => s"'$n', v_$n, v_$n = 0").mkString(", ")
+    row.selectExpr(
+      s"stack(${names.length}, $stacked) AS (check, violations, passed)")
+  }
+
+  /** Referential-integrity expectation: rows of `df` whose `fkCol` has no
+    * partner in `dim.pkCol` (NULL fk counts as a violation — an FK that
+    * allows NULLs belongs in a row check). One left-anti join, returned in
+    * the same (check, violations, passed) shape for unioning. */
+  def checkReferential(df: DataFrame, fkCol: String,
+      dim: DataFrame, pkCol: String, name: String): DataFrame =
+    df.join(dim.select(col(pkCol).as(fkCol)), Seq(fkCol), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit(name).as("check"), col("violations"),
+        (col("violations") === 0).as("passed"))
+
+  /** CORRECTNESS-entry instantiation: the events table's publish gate —
+    * row checks (non-null key/time, value in a plausible range, a closed
+    * event-type vocabulary), key uniqueness, and user_id ⊆ customers. */
+  def eventsExpectations(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    checkExpectations(ev,
+      Seq(
+        "event_id_not_null" -> col("event_id").isNotNull,
+        "ts_not_null"       -> col("ts").isNotNull,
+        "value_in_range"    -> col("value").between(-1e6, 1e6),
+        "known_event_type"  -> col("event_type")
+          .isin("click", "view", "purchase", "signup", "error")),
+      uniqueKey = Some("event_id"))
+      .unionByName(checkReferential(ev, "user_id",
+        Tables.load(spark, dir, "customer")
+          .select(col("c_custkey")), "c_custkey", "user_fk_in_customer"))
+  }
 }

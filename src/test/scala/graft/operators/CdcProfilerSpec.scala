@@ -50,6 +50,35 @@ class CdcProfilerSpec extends SparkTestBase {
       once.as[(Long, String, Double)].collect().toSet)
   }
 
+  test("snapshotDiff: added/deleted/updated classified, unchanged keys drop out") {
+    val before = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("k", "s", "v")
+    val after  = Seq((2L, "b", 2.0), (3L, "c2", 3.0), (4L, "d", 4.0)).toDF("k", "s", "v")
+    val got = Cdc.snapshotDiff(before, after, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "deleted"), (3L, "updated"), (4L, "added")))
+  }
+
+  test("checkExpectations: violation counts, NULL predicates violate, FK anti-join") {
+    val df = Seq(
+      (1L, Some(5.0), "click"),
+      (2L, None, "view"),          // value NULL -> range check violation
+      (2L, Some(999.0), "bogus"),  // dup key + unknown type
+      (4L, Some(-7.0), "click"),
+    ).toDF("id", "v", "t")
+    val dim = Seq(1L, 2L).toDF("pk")
+    val got = Profiler.checkExpectations(df,
+        Seq(
+          "v_in_range" -> org.apache.spark.sql.functions.col("v").between(-10, 10),
+          "known_t" -> org.apache.spark.sql.functions.col("t").isin("click", "view")),
+        uniqueKey = Some("id"))
+      .unionByName(Profiler.checkReferential(df, "id", dim, "pk", "id_fk"))
+      .as[(String, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("v_in_range") == (2L, false)) // NULL + 999.0
+    assert(got("known_t") == (1L, false))
+    assert(got("id_unique") == (1L, false))  // one duplicate of key 2
+    assert(got("id_fk") == (1L, false))      // id 4 has no dim partner
+  }
+
   test("profile: exact counts, nulls, distincts, numeric min/max; NULL for strings") {
     val df = Seq[(java.lang.Long, String)](
       (1L, "a"), (2L, "b"), (2L, null), (null, "a"), (3L, "c"),
