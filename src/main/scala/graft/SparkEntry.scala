@@ -136,6 +136,9 @@ object SparkEntry {
     "q_bloom_join"      -> (BloomJoin.negBalanceActivity _),
     "txt_neg_pairs"     -> (Contrastive.docNegativePairs _),
     "txt_mix"           -> (TextAnalysis.mixCorpus _),
+    "txt_decontam"      -> (Dedup.decontamDocs _),
+    "txt_pii"           -> (TextAnalysis.piiDocs _),
+    "txt_repetition"    -> (TextAnalysis.repetitionDocs _),
     "q_star_join"       -> (Analytics.starRevenue _),
     "q_top_per_group"   -> ((s, d) => Analytics.topUsersPerType(s, d)),
     "q_distinct"        -> (Analytics.userCounts _),
@@ -178,6 +181,7 @@ object SparkEntry {
     "q_star_join", "q_top_per_group", "q_distinct", "q_json_props", "q_quantiles",
     "q_range_join", "q_rollup_daily", "txt_tfidf",
     "q_bloom_join", "sess_native", "txt_neg_pairs", "sim_topk_pq", "txt_mix",
+    "txt_decontam", "txt_repetition",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1122,6 +1126,89 @@ object SparkEntry {
         |FROM documents d JOIN rates r USING (lang)
         |WHERE (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5)
         |        / 4294967296.0 < r.rate""".stripMargin,
+    // Decontamination ground truth in STRING space (the Spark plan joins
+    // 8-byte xxhash64 gram keys — identical w.h.p., the same argument as
+    // dedup_minhash_lsh): same tokenizer, same n-gram rule (windows of 8
+    // advancing by 1; < 8 tokens → one whole-sequence gram), same planted
+    // contamination (eval = every 37th doc; corpus docs ≡ 1 (mod 5) get
+    // eval text (doc_id % 14)·37 appended).
+    "txt_decontam" ->
+      """WITH eval AS (
+        |  SELECT doc_id, doc_id // 37 AS ei, text FROM documents WHERE doc_id % 37 = 0
+        |), base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0
+        |), corpus AS (
+        |  SELECT b.doc_id, b.text || ' ' || e.text AS text
+        |  FROM base b JOIN eval e ON b.doc_id % 14 = e.ei
+        |  WHERE b.doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id, text FROM base WHERE doc_id % 5 <> 1
+        |), grams AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(w) - 7, 1) + 1),
+        |      i -> array_to_string(w[i:i+7], ' '))) AS g
+        |  FROM (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |    FROM corpus)
+        |), egrams AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(w) - 7, 1) + 1),
+        |      i -> array_to_string(w[i:i+7], ' ')))) AS g
+        |  FROM (SELECT
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |    FROM eval)
+        |)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM (SELECT doc_id, unnest(g) AS g FROM grams) cg
+        |JOIN egrams USING (g)
+        |GROUP BY doc_id""".stripMargin,
+    // PII scan over the planted contact lines (doc_id % 3 = 0 → email,
+    // % 3 = 1 → email + phone, % 3 = 2 → clean): patterns are plain
+    // character classes + \b so Java and RE2 agree; DuckDB's
+    // regexp_replace needs the explicit 'g' flag Spark applies by default.
+    "txt_pii" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN text || ' contact user' || doc_id || '@example.com'
+        |      WHEN 1 THEN text || ' contact user' || doc_id || '@example.com'
+        |        || ' or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE text END AS text
+        |  FROM documents
+        |), red AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(regexp_replace(text,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS r
+        |  FROM planted
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b555-[0-9]{4}\b')) AS INT) AS n_phones,
+        |  CAST(length(r) AS INT) AS redacted_chars,
+        |  md5(r) AS redacted_md5
+        |FROM red""".stripMargin,
+    // Repetition ground truth in bigram-STRING space (Spark groups on
+    // xxhash64 of the bigram — identical w.h.p.); sums cast back to
+    // BIGINT because DuckDB widens sum() to HUGEINT.
+    "txt_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS b
+        |  FROM toks WHERE len(w) >= 2
+        |), cnt AS (
+        |  SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b
+        |)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  count(*) AS n_distinct,
+        |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_frac,
+        |  round(1.0 - CAST(count(*) AS DOUBLE) / sum(c), 6) AS dup_frac
+        |FROM cnt GROUP BY doc_id""".stripMargin,
     // Multimodal decode is a DETERMINISTIC STUB (no codecs in the
     // container): every "decoded" property is fixed arithmetic on the
     // byte count, so the oracle recomputes it from length(text) (ASCII —

@@ -463,6 +463,66 @@ object Dedup extends Logging {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("df"))
   }
 
+  /** Word n-grams of a text column as strings, the cross-engine-exact
+    * shingle form (the codegen `shingle_hashes` kernel is the faster
+    * hash-space twin): token windows of `n` advancing by 1; texts shorter
+    * than `n` tokens yield one whole-sequence gram so short exact matches
+    * still surface. */
+  def ngramsCol(text: Column, n: Int): Column = {
+    val w = TextAnalysis.tokens(text)
+    transform(sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
+      i => array_join(slice(w, i, lit(n)), " "))
+  }
+
+  /** Benchmark decontamination — the n-gram-overlap scan every public
+    * training-data pipeline runs before training (remove documents that
+    * contain evaluation-set text, so benchmark scores measure
+    * generalization, not memorization): flag each corpus document that
+    * shares at least one word `n`-gram with any document of `evalSet`,
+    * with the count of distinct shared grams.
+    *
+    * Scale shape (100 TB corpus, bounded eval set): eval grams reduce to
+    * DISTINCT 8-byte xxhash64 keys — a small set by contract (eval suites
+    * are fixed) that AQE broadcasts; corpus grams are a row-local
+    * tokenize + per-doc-distinct explode, and only (doc_id, 8-byte hash)
+    * ever leaves the scan — the text body never crosses the network. The
+    * hit count is a two-phase aggregate, one row per CONTAMINATED doc.
+    * Hash equality stands in for gram equality (64-bit collisions are
+    * negligible; the oracle checks the string-space ground truth, same
+    * w.h.p. argument as dedup_minhash_lsh). */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(array_distinct(ngramsCol(col(textCol), n))).as("g"))
+      .select(xxhash64(col("g")).as("gh"))
+      .distinct()
+    corpus
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(ngramsCol(col(textCol), n))).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .join(evalGrams, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** CORRECTNESS instantiation: eval set = every 37th document; corpus =
+    * the rest, where docs with doc_id % 5 = 1 are contaminated by
+    * construction (one of the first 14 eval texts appended, selected by
+    * doc_id % 14 — the id spacing makes (doc_id % 14)·37 a valid eval id
+    * at every scale factor). The synthetic corpus has no natural 8-gram
+    * overlap, so without planting the scan would be vacuously green. */
+  def decontamDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val evalSet = docs.filter(col("doc_id") % 37 === 0)
+    val base = docs.filter(col("doc_id") % 37 =!= 0)
+    val planted = base.filter(col("doc_id") % 5 === 1)
+      .join(evalSet.select((col("doc_id") / 37).cast("long").as("ei"),
+        col("text").as("etext")), pmod(col("doc_id"), lit(14)) === col("ei"))
+      .select(col("doc_id"), concat(col("text"), lit(" "), col("etext")).as("text"))
+    val corpus = base.filter(col("doc_id") % 5 =!= 1).unionByName(planted)
+    decontaminate(corpus, evalSet, "doc_id", "text", n = 8)
+  }
+
   /** documents ∪ perturbed copies of every 10th doc (one appended token,
     * shifted id space) — the planted near-duplicate corpus used by the
     * near-dup CORRECTNESS entries, mirrored exactly in the oracle SQL.

@@ -209,6 +209,109 @@ object TextAnalysis {
         round(log(col("n_docs").cast("double") / col("df")), 6).as("idf"))
   }
 
+  /** PII patterns: plain character classes + `\b` only, so Java (Spark)
+    * and RE2 (DuckDB oracle) regex dialects agree exactly. Deliberately
+    * the standard public shapes (email; NANP 555 test-range phone), not a
+    * trained recognizer — the operator is the scan/redact plumbing. */
+  val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phonePattern = "\\b555-[0-9]{4}\\b"
+
+  /** PII scan + redaction — the privacy pass a training-data pipeline
+    * runs before any text leaves the raw zone: count pattern hits per
+    * document and emit the redacted text's fingerprint (placeholder
+    * substitution, `<EMAIL>` / `<PHONE>`). Pure scan-side codegen'd
+    * projection: patterns compile once per task, no shuffle, no state;
+    * the redacted body would be written straight back to a landed zone at
+    * 100 TB — here its md5 + length stand in so the result stays
+    * hash-comparable. */
+  def piiScan(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+    docs.select(
+      col(idCol).as("doc_id"),
+      regexp_count(col(textCol), lit(emailPattern)).as("n_emails"),
+      regexp_count(col(textCol), lit(phonePattern)).as("n_phones"),
+      length(redacted).as("redacted_chars"),
+      md5(redacted).as("redacted_md5"))
+  }
+
+  /** CORRECTNESS instantiation: the synthetic corpus contains no natural
+    * PII, so contact lines are planted by construction — doc_id % 3 = 0
+    * gains an email, % 3 = 1 an email and a phone, % 3 = 2 stays clean
+    * (the zero-hit path is exercised, not vacuous). */
+  def piiDocs(spark: SparkSession, dir: String): DataFrame = {
+    val contact = concat(lit(" contact user"), col("doc_id"),
+      lit("@example.com"))
+    val phone = concat(lit(" or 555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    val planted = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, concat(col("text"), contact))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            concat(col("text"), contact, phone))
+          .otherwise(col("text")).as("text"))
+    piiScan(planted, "doc_id", "text")
+  }
+
+  /** Repetition / boilerplate scoring — the within-document duplication
+    * signals of the public quality-filtering literature (Gopher-style
+    * "repetitious text" rules): per document, the fraction of bigram
+    * occurrences taken by the single most frequent bigram (`top_frac`)
+    * and the fraction that are repeats of an earlier bigram
+    * (`dup_frac`). High values mean boilerplate, chart spam, or
+    * degenerate generation loops.
+    *
+    * Scale shape: entirely ROW-LOCAL — every bigram of a document lives
+    * in the document's own row, so per-doc counting needs no exchange at
+    * all: hash each bigram (8 bytes, never the strings —
+    * hash-for-string equality w.h.p., same argument as
+    * dedup_minhash_lsh), sort the per-doc hash array, and fold the runs
+    * in one pass with a higher-order `aggregate`. Zero shuffles at any
+    * corpus size (the explode + two-level groupBy alternative re-keys
+    * the corpus's every bigram by doc just to rediscover this locality —
+    * measured 8.1 s vs 0.8 s at sf0.1). Documents with fewer than 2
+    * tokens have no bigrams and drop out. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // staged projections so the tokenizer / token-hash / bigram-hash
+    // arrays each materialize once (CollapseProject won't inline a
+    // non-cheap alias referenced more than once); bigram identity is
+    // xxhash64(token-hash pair) — no per-bigram string ever allocates
+    val toks = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), transform(col("w"), t => xxhash64(t)).as("th"))
+    val sortedBh = array_sort(transform(sequence(lit(1), size(col("th")) - 1),
+      i => xxhash64(element_at(col("th"), i), element_at(col("th"), i + 1))))
+    // run-length fold over the sorted hashes: (prev, run, best, nd);
+    // nd = 0 marks "no element seen yet" so no sentinel hash is needed
+    val folded = aggregate(
+      col("bh"),
+      struct(lit(0L).as("prev"), lit(0L).as("run"), lit(0L).as("best"),
+        lit(0L).as("nd")),
+      (acc, x) => {
+        val same = acc.getField("nd") > 0 && x === acc.getField("prev")
+        val run = when(same, acc.getField("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"),
+          (acc.getField("nd") + when(same, lit(0L)).otherwise(lit(1L))).as("nd"))
+      })
+    toks
+      .select(col("doc_id"), sortedBh.as("bh"))
+      .select(col("doc_id"), size(col("bh")).cast("long").as("n_bigrams"),
+        folded.as("f"))
+      .select(col("doc_id"), col("n_bigrams"),
+        col("f.nd").as("n_distinct"),
+        round(col("f.best").cast("double") / col("n_bigrams"), 6).as("top_frac"),
+        round(lit(1.0) - col("f.nd").cast("double") / col("n_bigrams"), 6)
+          .as("dup_frac"))
+  }
+
+  /** CORRECTNESS instantiation over documents (the 30-ish-word synthetic
+    * vocabulary repeats bigrams naturally — non-vacuous without planting). */
+  def repetitionDocs(spark: SparkSession, dir: String): DataFrame =
+    repetitionStats(Tables.load(spark, dir, "documents"), "doc_id", "text")
+
   /** The langId projection as a reusable column: struct(pred_lang, score). */
   def langIdCol(text: Column): Column = {
     val toks = tokens(text)

@@ -151,6 +151,24 @@ class DedupSpec extends SparkTestBase {
     assert(out == expected, s"got $out want $expected")
   }
 
+  test("decontaminate flags only docs sharing an n-gram with the eval set, counting distinct hits") {
+    // eval doc: tokens e1..e8 (exactly one 8-gram) plus a short one
+    val eval = Seq(
+      (100L, "e1 e2 e3 e4 e5 e6 e7 e8"),
+      (101L, "tiny eval")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains the eval 8-gram mid-text → 1 distinct hit (repeats dedup)
+      (1L, "x y e1 e2 e3 e4 e5 e6 e7 e8 z e1 e2 e3 e4 e5 e6 e7 e8"),
+      // shares 7 of 8 tokens but never a full window → clean
+      (2L, "e1 e2 e3 e4 e5 e6 e7 OTHER e8"),
+      // short doc, exact text of the short eval doc → whole-sequence gram hit
+      (3L, "tiny eval"),
+      (4L, "completely unrelated words")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, eval, "doc_id", "text", n = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 3L -> 1L), s"got $out")
+  }
+
   test("connectedComponents labels transitive chains with the component minimum") {
     // chain 2~5~9 (2 and 9 never paired directly), pair 11~12, reversed
     // pair (20, 3) — orientation of the input must not matter

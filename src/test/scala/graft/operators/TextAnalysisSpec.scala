@@ -24,6 +24,41 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(row._2 == 9)
   }
 
+  test("piiScan counts and redacts emails/phones; clean text passes unchanged") {
+    val docs = Seq(
+      (1L, "write me at jo.doe+x@mail.example.org or bob@ex.co today"),
+      (2L, "call 555-0142 or 555-9999, not 1555-0142x"),
+      (3L, "nothing sensitive here")).toDF("doc_id", "text")
+    val rows = TextAnalysis.piiScan(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, Int, String)].collect()
+    assert(rows(0)._2 == 2 && rows(0)._3 == 0)
+    assert(rows(1)._2 == 0)
+    // "1555-0142x": \b sits between 1 and 5? no — 1555 is one word run, so
+    // only the two standalone phones match
+    assert(rows(1)._3 == 2)
+    assert(rows(2)._2 == 0 && rows(2)._3 == 0)
+    // redaction replaces every hit with the placeholder
+    val red = docs.filter(col("doc_id") === 1L).select(
+      regexp_replace(col("text"), TextAnalysis.emailPattern, "<EMAIL>"))
+      .as[String].collect().head
+    assert(red == "write me at <EMAIL> or <EMAIL> today")
+    assert(rows(0)._5 == java.security.MessageDigest.getInstance("MD5")
+      .digest(red.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
+  test("repetitionStats: hand-computed bigram fractions") {
+    // tokens: a b a b c → bigrams (a b)(b a)(a b)(b c): n=4, distinct=3, top=2
+    val docs = Seq((1L, "a b a b c"), (2L, "x")).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    // the single-token doc has no bigrams and drops out
+    assert(rows.length == 1)
+    val (_, n, d, top, dup) = rows.head
+    assert(n == 4 && d == 3)
+    assert(top == 0.5 && dup == 0.25)
+  }
+
   test("temperatureMix: smallest group keeps all, larger groups thin to ~rate, deterministic") {
     val docs = (
       (1 to 40).map(i => (i.toLong, "big")) ++
