@@ -181,7 +181,7 @@ object SparkEntry {
     "q_star_join", "q_top_per_group", "q_distinct", "q_json_props", "q_quantiles",
     "q_range_join", "q_rollup_daily", "txt_tfidf",
     "q_bloom_join", "sess_native", "txt_neg_pairs", "sim_topk_pq", "txt_mix",
-    "txt_decontam", "txt_repetition",
+    "txt_decontam", "txt_repetition", "txt_pii",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic

@@ -1,0 +1,200 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, XXH64}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S1 as a first-class DataSource V2 table — the acquisition seam
+  * (`dags/producer/kafka_streaming_service.py:113-130`) exposed through
+  * Spark's connector API instead of a driver-built DataFrame:
+  *
+  * {{{
+  *   spark.read.format("graft.sources.UsersSourceV2")
+  *     .option("n", 10000).option("numPartitions", 32).load()
+  * }}}
+  *
+  * Emits exactly the rows of [[UserGen.users]] (same seeded xxhash64
+  * derivations, same ~1/97 dirty-coordinate rule — the parity is a spec
+  * assertion), but through the planner-visible source surface, which buys
+  * what a DataFrame helper can't:
+  *
+  *  - **partition planning**: the id range splits into `numPartitions`
+  *    [[InputPartition]]s — on a 1000-executor cluster each task
+  *    materializes its own slice, no driver loop, no single-partition
+  *    bottleneck;
+  *  - **column pruning** ([[SupportsPushDownRequiredColumns]]): a query
+  *    reading `email` generates ONLY `email` — including nested pruning
+  *    (`name.first` builds a 1-field struct), so the scan does no work
+  *    the plan discards;
+  *  - **limit pushdown** ([[SupportsPushDownLimit]]): `LIMIT k` caps the
+  *    generated id range at the source, not after materialization.
+  *
+  * Options: `n` (rows, default 1000), `seed` (default 42),
+  * `numPartitions` (default `spark.sql.shuffle.partitions`-independent 4).
+  */
+class UsersSourceV2 extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    UsersSourceV2.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = properties.asScala
+    new UsersSourceV2.UsersTable(
+      n = opts.getOrElse("n", "1000").toLong,
+      seed = opts.getOrElse("seed", "42").toLong,
+      parts = opts.getOrElse("numpartitions",
+        opts.getOrElse("numPartitions", "4")).toInt)
+  }
+}
+
+object UsersSourceV2 {
+
+  /** The nested randomuser-shaped contract of [[UserGen.users]]. */
+  val schema: StructType = StructType(Seq(
+    StructField("name", StructType(Seq(
+      StructField("title", StringType),
+      StructField("first", StringType),
+      StructField("last", StringType)))),
+    StructField("gender", StringType),
+    StructField("location", StructType(Seq(
+      StructField("street", StructType(Seq(
+        StructField("number", LongType),
+        StructField("name", StringType)))),
+      StructField("city", StringType),
+      StructField("country", StringType),
+      StructField("postcode", StringType),
+      StructField("coordinates", StructType(Seq(
+        StructField("latitude", StringType),
+        StructField("longitude", StringType))))))),
+    StructField("email", StringType)))
+
+  private class UsersTable(n: Long, seed: Long, parts: Int)
+      extends Table with SupportsRead {
+    override def name(): String = s"graft_users(n=$n)"
+    override def schema(): StructType = UsersSourceV2.schema
+    override def capabilities(): util.Set[TableCapability] =
+      Set(TableCapability.BATCH_READ).asJava
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new UsersScanBuilder(n, seed, parts)
+  }
+
+  private class UsersScanBuilder(var n: Long, seed: Long, parts: Int)
+      extends ScanBuilder
+      with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    private var required: StructType = UsersSourceV2.schema
+    override def pruneColumns(requiredSchema: StructType): Unit =
+      required = requiredSchema
+    override def pushLimit(limit: Int): Boolean = {
+      n = math.min(n, limit.toLong); true
+    }
+    override def build(): Scan = new UsersScan(n, seed, parts, required)
+  }
+
+  private case class UsersRange(start: Long, end: Long) extends InputPartition
+
+  private class UsersScan(n: Long, seed: Long, parts: Int, required: StructType)
+      extends Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"graft_users n=$n seed=$seed partitions=$parts " +
+        s"cols=[${required.fieldNames.mkString(",")}]"
+    override def planInputPartitions(): Array[InputPartition] = {
+      val k = math.max(1, math.min(parts.toLong, math.max(n, 1L))).toInt
+      (0 until k).map { i =>
+        UsersRange(n * i / k, n * (i + 1) / k)
+      }.filter(r => r.end > r.start).toArray[InputPartition]
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new UsersReaderFactory(seed, required)
+  }
+
+  private class UsersReaderFactory(seed: Long, required: StructType)
+      extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+      val r = p.asInstanceOf[UsersRange]
+      new UsersReader(r.start, r.end, seed, required)
+    }
+  }
+
+  private val titles = Array("Mr", "Ms", "Dr", "Mx")
+  private val genders = Array("male", "female")
+  private val streets = Array("High Street", "Station Road", "Main Street",
+    "Park Avenue", "Mill Lane")
+  private val cities = Array("Springfield", "Riverton", "Lakeside",
+    "Hillview", "Brookfield")
+  private val countries = Array("Utopia", "Erewhon", "Atlantis", "Arcadia")
+
+  /** Row generation: the exact per-id derivation of [[UserGen.users]],
+    * evaluated natively. The salted hash reproduces Spark's
+    * `xxhash64(id, lit(seed: Long), lit(salt: Int))` fold — seed 42,
+    * then hashLong(id), hashLong(seed), hashInt(salt) — via the same
+    * [[XXH64]] kernel the expression compiles to, so the two surfaces
+    * are bit-identical by construction (and asserted in the spec). */
+  private class UsersReader(start: Long, end: Long, seed: Long,
+      required: StructType) extends PartitionReader[InternalRow] {
+    private var id = start - 1
+
+    override def next(): Boolean = { id += 1; id < end }
+
+    private def h(salt: Int): Long =
+      math.abs(XXH64.hashInt(salt,
+        XXH64.hashLong(seed, XXH64.hashLong(id, 42L))))
+
+    private def pick(options: Array[String], hv: Long): String =
+      options((hv % options.length).toInt)
+
+    private def utf(s: String): UTF8String = UTF8String.fromString(s)
+
+    private def fmt(pattern: String, v: Any): String =
+      String.format(java.util.Locale.US, pattern, v.asInstanceOf[AnyRef])
+
+    private def fullRow(): GenericInternalRow = {
+      val lat =
+        if (id % 97 == 0) "not-a-number"
+        else fmt("%.4f", Double.box((h(6) % 180000).toDouble / 1000.0 - 90.0))
+      val lon =
+        if (id % 89 == 0) ""
+        else fmt("%.4f", Double.box((h(7) % 360000).toDouble / 1000.0 - 180.0))
+      new GenericInternalRow(Array[Any](
+        new GenericInternalRow(Array[Any](
+          utf(pick(titles, h(1))), utf(s"First$id"),
+          utf(s"Last${h(2) % 1000}"))),
+        utf(pick(genders, h(3))),
+        new GenericInternalRow(Array[Any](
+          new GenericInternalRow(Array[Any](
+            h(4) % 9999 + 1, utf(pick(streets, h(5))))),
+          utf(pick(cities, h(8))),
+          utf(pick(countries, h(9))),
+          utf(fmt("%05d", Long.box(h(10) % 100000))),
+          new GenericInternalRow(Array[Any](utf(lat), utf(lon))))),
+        utf(s"user$id@example.com")))
+    }
+
+    override def get(): InternalRow = prune(fullRow(), schema, required)
+
+    /** Project the full nested row onto the (possibly nested-pruned)
+      * required schema by field name, recursively. */
+    private def prune(row: InternalRow, full: StructType,
+        req: StructType): InternalRow =
+      new GenericInternalRow(req.fields.map[Any] { f =>
+        val i = full.fieldIndex(f.name)
+        (full(i).dataType, f.dataType) match {
+          case (ft: StructType, rt: StructType) =>
+            prune(row.getStruct(i, ft.length), ft, rt)
+          case _ => row.get(i, f.dataType)
+        }
+      })
+
+    override def close(): Unit = ()
+  }
+}
