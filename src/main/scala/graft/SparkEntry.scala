@@ -141,6 +141,15 @@ object SparkEntry {
     "txt_repetition"    -> (TextAnalysis.repetitionDocs _),
     "q_star_join"       -> (Analytics.starRevenue _),
     "q_top_per_group"   -> ((s, d) => Analytics.topUsersPerType(s, d)),
+    // the custom physical operator (TopKPerKeyExec bounded heaps) driven
+    // through the cross-engine gate: whole raw rows, no pre-aggregation
+    "q_topk_exec"       -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      plans.TopKPerKey(
+        graft.sources.Tables.load(s, d, "events")
+          .select("event_id", "event_type", "value"),
+        Seq("event_type"), Seq(col("value").desc, col("event_id").asc), k = 3)
+    }),
     "q_distinct"        -> (Analytics.userCounts _),
     "q_json_props"      -> (Analytics.propsStats _),
     "q_quantiles"       -> (Analytics.valueQuantiles _),
@@ -181,7 +190,7 @@ object SparkEntry {
     "q_star_join", "q_top_per_group", "q_distinct", "q_json_props", "q_quantiles",
     "q_range_join", "q_rollup_daily", "txt_tfidf",
     "q_bloom_join", "sess_native", "txt_neg_pairs", "sim_topk_pq", "txt_mix",
-    "txt_decontam", "txt_repetition", "txt_pii",
+    "txt_decontam", "txt_repetition", "txt_pii", "q_topk_exec",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -890,6 +899,16 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY event_type
         |                       ORDER BY count(*) DESC, user_id) AS rn
         |  FROM events GROUP BY event_type, user_id
+        |) WHERE rn <= 3""".stripMargin,
+    // ground truth for the custom TopKPerKeyExec: first 3 per type under
+    // the TOTAL order (value DESC, event_id) — row_number, not rank, is
+    // the operator's contract at ties
+    "q_topk_exec" ->
+      """SELECT event_id, event_type, value FROM (
+        |  SELECT event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id) AS rn
+        |  FROM events
         |) WHERE rn <= 3""".stripMargin,
     "q_distinct" ->
       "SELECT count(DISTINCT user_id) AS n_users, count(*) AS n_events FROM events",

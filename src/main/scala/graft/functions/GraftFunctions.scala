@@ -88,5 +88,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // keyless range joins → bucketed equi-joins (inert until
     // spark.graft.rangeJoin.binSize is set; see RangeJoinRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // plans the TopKPerKey logical node (bounded-heap per-key top-k;
+    // matches nothing else, so it is inert for ordinary plans)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }
