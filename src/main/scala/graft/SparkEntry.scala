@@ -137,6 +137,7 @@ object SparkEntry {
     "txt_neg_pairs"     -> (Contrastive.docNegativePairs _),
     "txt_mix"           -> (TextAnalysis.mixCorpus _),
     "txt_decontam"      -> (Dedup.decontamDocs _),
+    "dedup_incremental" -> (Dedup.incrementalArrivals _),
     "txt_pii"           -> (TextAnalysis.piiDocs _),
     "txt_repetition"    -> (TextAnalysis.repetitionDocs _),
     "q_star_join"       -> (Analytics.starRevenue _),
@@ -1145,6 +1146,29 @@ object SparkEntry {
         |FROM documents d JOIN rates r USING (lang)
         |WHERE (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5)
         |        / 4294967296.0 < r.rate""".stripMargin,
+    // Incremental arrival dedup: keep-first-by-id within the batch, then
+    // drop fingerprints the corpus index already holds. Spark's md5 runs
+    // on the UTF-8 bytes (cast binary); DuckDB's md5 on VARCHAR is the
+    // same bytes.
+    "dedup_incremental" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 1
+        |), cfp AS (
+        |  SELECT DISTINCT md5(text) AS fp FROM corpus
+        |), batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM corpus WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 8 = 1
+        |), firsts AS (
+        |  SELECT doc_id, fp FROM (
+        |    SELECT doc_id, md5(text) AS fp,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM batch
+        |  ) WHERE rn = 1
+        |)
+        |SELECT doc_id, fp FROM firsts WHERE fp NOT IN (SELECT fp FROM cfp)""".stripMargin,
     // Decontamination ground truth in STRING space (the Spark plan joins
     // 8-byte xxhash64 gram keys — identical w.h.p., the same argument as
     // dedup_minhash_lsh): same tokenizer, same n-gram rule (windows of 8

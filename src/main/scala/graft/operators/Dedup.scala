@@ -57,6 +57,56 @@ object Dedup extends Logging {
       .groupBy(md5(col("text").cast("binary")).as("text_md5"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental arrival dedup — the steady-state form of exact content
+    * dedup once a corpus is landed: given the corpus's content-fingerprint
+    * index (one MD5 per landed document, maintained at land time) and a
+    * new arrival batch, return the batch rows that are genuinely new —
+    * keep-first-by-id within the batch, then drop everything whose
+    * fingerprint already exists in the corpus. The full-corpus re-dedup
+    * ([[exactByContent]]) never runs again; each day pays only for its
+    * arrivals.
+    *
+    * Scale shape: the batch collapses by fingerprint with one two-phase
+    * `min_by` aggregate (16-byte digest + row, batch-sized); the corpus
+    * side contributes only its digest column. On a fingerprint-bucketed
+    * index ([[graft.sources.Layout]]) the left-anti join is exchange-free
+    * on the corpus side; a [[BloomJoin]]-style sketch of the (small)
+    * batch's digests can pre-prune the index scan further. The corpus
+    * text never moves — it isn't even read. */
+  def incrementalNew(corpusFps: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val cols = batch.columns.toSeq
+    val firsts = batch
+      .withColumn("__fp", md5(col(textCol).cast("binary")))
+      .groupBy(col("__fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__r"))
+      .select(col("__fp") +: cols.map(c => col(s"__r.`$c`").as(c)): _*)
+    firsts
+      .join(corpusFps.select(col(corpusFps.columns.head).as("__fp")),
+        Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
+  /** CORRECTNESS instantiation: corpus = docs with doc_id % 4 ≠ 1 (its
+    * index = distinct text MD5s); batch = the % 4 = 1 docs ∪ re-arriving
+    * verbatim copies of every 10th corpus doc (shifted ids — the
+    * corpus-dup drop path) ∪ second copies of the % 8 = 1 batch docs
+    * (higher ids — the within-batch keep-first path). Survivors are
+    * exactly the original % 4 = 1 rows. */
+  def incrementalArrivals(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 4 =!= 1)
+    val corpusFps = corpus
+      .select(md5(col("text").cast("binary")).as("fp")).distinct()
+    val batch = docs.filter(col("doc_id") % 4 === 1)
+      .unionByName(corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 8 === 1)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+    incrementalNew(corpusFps, batch, "doc_id", "text")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+  }
+
   /** documents ∪ verbatim copies of every 7th doc (shifted id space) — the
     * planted EXACT-duplicate corpus behind [[exactByContent]], and the one
     * corpus where SimHash ground truth is SQL-expressible: identical text

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.SparkTestBase
 import java.sql.Timestamp
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, md5}
 
 /** Dedup operators on hand-built corpora with planted duplicates — recall
   * of every planted pair, no false pairs on unrelated rows.
@@ -149,6 +149,21 @@ class DedupSpec extends SparkTestBase {
     val expected = (0L to 4L).flatMap(p => Seq((1L, p), (2L, p))).toSet ++
       Set((4L, 0L), (5L, 0L))
     assert(out == expected, s"got $out want $expected")
+  }
+
+  test("incrementalNew keeps first-by-id within the batch and drops corpus-known content") {
+    val corpusFps = Seq("known text").toDF("text")
+      .select(md5(col("text").cast("binary")).as("fp"))
+    val batch = Seq(
+      (10L, "fresh a"),
+      (11L, "known text"),   // already in the corpus → dropped
+      (12L, "fresh b"),
+      (13L, "fresh a"),      // within-batch dup of id 10 → dropped
+      (9L, "fresh b")        // smaller id than 12 → 9 wins, 12 dropped
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNew(corpusFps, batch, "doc_id", "text")
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((10L, "fresh a"), (9L, "fresh b")))
   }
 
   test("decontaminate flags only docs sharing an n-gram with the eval set, counting distinct hits") {
