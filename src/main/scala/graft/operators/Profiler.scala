@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 import graft.sources.Tables
@@ -82,6 +82,27 @@ object Profiler {
     val stacked = names.map(n => s"'$n', v_$n, v_$n = 0").mkString(", ")
     row.selectExpr(
       s"stack(${names.length}, $stacked) AS (check, violations, passed)")
+  }
+
+  /** The row checks of [[checkExpectations]] attached IN-FLIGHT via
+    * Spark's `Observation` API: the counters ride the job that already
+    * scans the data (a land/write/aggregate), so the gate costs ZERO
+    * extra scans — at 100 TB the difference between "QC the publish" and
+    * "read the table twice". `CollectMetricsExec` accumulates per task
+    * and merges on the driver, exactly a piggy-backed two-phase
+    * aggregate.
+    *
+    * Usage: `val (gated, obs) = observeExpectations(df, checks)`; run any
+    * action on `gated` (e.g. the parquet write), then `obs.get` yields
+    * `v_<name>` violation counts to gate the publish on. */
+  def observeExpectations(df: DataFrame,
+      rowChecks: Seq[(String, Column)]): (DataFrame, Observation) = {
+    require(rowChecks.nonEmpty, "no expectations given")
+    val obs = Observation()
+    val aggs = rowChecks.map { case (name, pred) =>
+      count(when(!coalesce(pred, lit(false)), 1)).as(s"v_$name")
+    }
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
   }
 
   /** Referential-integrity expectation: rows of `df` whose `fkCol` has no

@@ -79,6 +79,27 @@ class CdcProfilerSpec extends SparkTestBase {
     assert(got("id_fk") == (1L, false))      // id 4 has no dim partner
   }
 
+  test("observeExpectations: counters ride the write job itself, matching the batch gate") {
+    val df = Seq(
+      (1L, Some(5.0), "click"),
+      (2L, None, "view"),
+      (3L, Some(999.0), "bogus"),
+      (4L, Some(-7.0), "click"),
+    ).toDF("id", "v", "t")
+    val checks = Seq(
+      "v_in_range" -> org.apache.spark.sql.functions.col("v").between(-10, 10),
+      "known_t" -> org.apache.spark.sql.functions.col("t").isin("click", "view"))
+    val (gated, obs) = Profiler.observeExpectations(df, checks)
+    // the action the pipeline was going to run anyway — the land itself
+    val out = java.nio.file.Files.createTempDirectory("obs").toString
+    gated.write.mode("overwrite").parquet(out)
+    val metrics = obs.get
+    assert(metrics("v_v_in_range") == 2L) // NULL + 999.0
+    assert(metrics("v_known_t") == 1L)
+    // the write landed every row — observation never filters
+    assert(spark.read.parquet(out).count() == 4)
+  }
+
   test("profile: exact counts, nulls, distincts, numeric min/max; NULL for strings") {
     val df = Seq[(java.lang.Long, String)](
       (1L, "a"), (2L, "b"), (2L, null), (null, "a"), (3L, "c"),
