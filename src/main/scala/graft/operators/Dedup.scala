@@ -513,17 +513,6 @@ object Dedup extends Logging {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("df"))
   }
 
-  /** Word n-grams of a text column as strings, the cross-engine-exact
-    * shingle form (the codegen `shingle_hashes` kernel is the faster
-    * hash-space twin): token windows of `n` advancing by 1; texts shorter
-    * than `n` tokens yield one whole-sequence gram so short exact matches
-    * still surface. */
-  def ngramsCol(text: Column, n: Int): Column = {
-    val w = TextAnalysis.tokens(text)
-    transform(sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
-      i => array_join(slice(w, i, lit(n)), " "))
-  }
-
   /** Benchmark decontamination — the n-gram-overlap scan every public
     * training-data pipeline runs before training (remove documents that
     * contain evaluation-set text, so benchmark scores measure
@@ -531,25 +520,25 @@ object Dedup extends Logging {
     * shares at least one word `n`-gram with any document of `evalSet`,
     * with the count of distinct shared grams.
     *
-    * Scale shape (100 TB corpus, bounded eval set): eval grams reduce to
-    * DISTINCT 8-byte xxhash64 keys — a small set by contract (eval suites
-    * are fixed) that AQE broadcasts; corpus grams are a row-local
-    * tokenize + per-doc-distinct explode, and only (doc_id, 8-byte hash)
-    * ever leaves the scan — the text body never crosses the network. The
-    * hit count is a two-phase aggregate, one row per CONTAMINATED doc.
-    * Hash equality stands in for gram equality (64-bit collisions are
-    * negligible; the oracle checks the string-space ground truth, same
-    * w.h.p. argument as dedup_minhash_lsh). */
+    * Scale shape (100 TB corpus, bounded eval set): gram identity is the
+    * single-pass codegen `shingle_hashes` kernel — no per-gram string is
+    * ever built (the string-transform spelling measured 3.6 s vs ~1 s at
+    * sf0.1). Eval grams reduce to DISTINCT 8-byte keys — a small set by
+    * contract (eval suites are fixed) that AQE broadcasts; corpus grams
+    * are a row-local per-doc-distinct explode, and only (doc_id, 8-byte
+    * hash) ever leaves the scan — the text body never crosses the
+    * network. The hit count is a two-phase aggregate, one row per
+    * CONTAMINATED doc. Hash equality stands in for gram equality (64-bit
+    * collisions are negligible; the oracle checks the string-space ground
+    * truth, same w.h.p. argument as dedup_minhash_lsh). */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
       textCol: String, n: Int = 8): DataFrame = {
     val evalGrams = evalSet
-      .select(explode(array_distinct(ngramsCol(col(textCol), n))).as("g"))
-      .select(xxhash64(col("g")).as("gh"))
+      .select(explode(array_distinct(shingleHashes(col(textCol), n))).as("gh"))
       .distinct()
     corpus
       .select(col(idCol).as("doc_id"),
-        explode(array_distinct(ngramsCol(col(textCol), n))).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+        explode(array_distinct(shingleHashes(col(textCol), n))).as("gh"))
       .join(evalGrams, "gh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"))
