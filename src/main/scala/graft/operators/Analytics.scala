@@ -195,4 +195,28 @@ object Analytics {
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
+
+  /** Landed distinct-count sketches — the pre-aggregate-once /
+    * answer-any-range pattern: one Datasketches HLL sketch per group
+    * (here: per day), persisted as a binary column. A later query for
+    * "distinct users over ANY day range" merges the covered sketches
+    * (`hll_union_agg`) instead of re-scanning raw events — at 100 TB the
+    * daily sketch table is megabytes, and every ad-hoc range question
+    * costs a metadata-scale scan. Sketches are mergeable by construction
+    * (the union of sketches ≡ the sketch of the union — asserted in
+    * AnalyticsSpec against exact counts; no oracle: the binary is
+    * engine-specific). */
+  def dailyUserSketches(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("users_hll"),
+        count(lit(1)).as("n_events"))
+
+  /** Distinct users over an inclusive day range, answered from the
+    * sketch table alone. */
+  def distinctOverRange(sketches: DataFrame, from: String, to: String): DataFrame =
+    sketches
+      .filter(col("day").between(to_date(lit(from)), to_date(lit(to))))
+      .agg(hll_sketch_estimate(hll_union_agg(col("users_hll")))
+        .as("approx_distinct_users"))
 }

@@ -128,6 +128,28 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("daily HLL sketches merge to the range's distinct count (sketch of union ≡ union of sketches)") {
+    import org.apache.spark.sql.functions._
+    val events = graft.sources.Tables.load(spark, dir, "events")
+    val sketches = Analytics.dailyUserSketches(events).cache()
+    try {
+      val (from, to) = ("1992-01-01", "2030-01-01") // cover everything
+      val est = Analytics.distinctOverRange(sketches, from, to)
+        .as[Long].collect().head
+      val exact = events.select(countDistinct(col("user_id")))
+        .as[Long].collect().head
+      // Datasketches HLL at default lgK=12 is ~1.6% rsd; 5% is generous
+      assert(math.abs(est - exact).toDouble / exact <= 0.05,
+        s"range estimate $est vs exact $exact")
+      // a sub-range must never estimate above the full range
+      val days = sketches.select(date_format(col("day"), "yyyy-MM-dd"))
+        .as[String].collect().sorted
+      val sub = Analytics.distinctOverRange(sketches, days.head, days(days.length / 2))
+        .as[Long].collect().head
+      assert(sub <= est)
+    } finally sketches.unpersist()
+  }
+
   test("approx_percentile tracks the exact percentiles") {
     val exact = Analytics.valueQuantiles(spark, dir)
       .as[(String, Double, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
