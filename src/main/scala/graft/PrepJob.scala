@@ -86,6 +86,23 @@ object PrepJob {
     base.join(kept, Seq("doc_id"), "left_semi")
   }
 
+  /** [[prepare]] plus the corpus-hygiene passes a production pipeline
+    * runs before anything lands: benchmark decontamination (drop every
+    * document sharing an 8-gram with `evalSet` —
+    * [[Dedup.decontaminate]]) and in-line PII redaction
+    * ([[TextAnalysis.redactPii]] — a scan-side rewrite of the text
+    * column, no extra pass). The decontamination adds one left-anti join
+    * against the (small) contaminated-id set; everything else rides the
+    * scans [[prepare]] already does. */
+  def prepareClean(spark: SparkSession, dir: String, evalSet: DataFrame,
+      n: Int = 8): DataFrame = {
+    val base = prepare(spark, dir)
+    val contaminated = Dedup.decontaminate(base, evalSet, "doc_id", "text", n)
+      .select("doc_id")
+    base.join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("text", TextAnalysis.redactPii(col("text")))
+  }
+
   /** Run the pipeline and land it partitioned by language. Returns the
     * number of surviving documents. */
   def run(spark: SparkSession, dir: String, outPath: String): Long = {

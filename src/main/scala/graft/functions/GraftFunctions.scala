@@ -91,5 +91,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plans the TopKPerKey logical node (bounded-heap per-key top-k;
     // matches nothing else, so it is inert for ordinary plans)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // key-only filters commute with per-key top-k → relocate below the
+    // node so the fixed-point batch pushes them into the scan
+    ext.injectOptimizerRule(_ => graft.plans.TopKFilterPushdown)
   }
 }

@@ -224,10 +224,14 @@ object TextAnalysis {
     * the redacted body would be written straight back to a landed zone at
     * 100 TB — here its md5 + length stand in so the result stays
     * hash-comparable. */
-  def piiScan(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val redacted = regexp_replace(
-      regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
+  /** Placeholder redaction of every PII pattern hit — the column form,
+    * for applying in-line in a landing pipeline ([[graft.PrepJob]]). */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
       phonePattern, "<PHONE>")
+
+  def piiScan(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val redacted = redactPii(col(textCol))
     docs.select(
       col(idCol).as("doc_id"),
       regexp_count(col(textCol), lit(emailPattern)).as("n_emails"),

@@ -68,6 +68,27 @@ object TopKPerKey {
   }
 }
 
+/** Filter pushdown THROUGH [[TopKPerKey]]: a deterministic predicate that
+  * references only bare key attributes is constant within every group, so
+  * it commutes with per-key top-k — filtering groups after the heaps ≡
+  * filtering their rows before. Relocating it below the node lets the
+  * fixed-point operator-optimization batch keep pushing it all the way
+  * into the scan (`PushedFilters` on parquet), so pruned groups never
+  * reach the heaps at all. Predicates over non-key columns must NOT move:
+  * they would change which rows compete for the k slots. */
+object TopKFilterPushdown extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{AttributeSet, SubqueryExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, t: TopKPerKey)
+        if cond.deterministic && !SubqueryExpression.hasSubquery(cond) &&
+          f.references.subsetOf(AttributeSet(
+            t.keys.collect { case a: Attribute => a })) =>
+      t.copy(child = Filter(cond, t.child))
+  }
+}
+
 /** Plans [[TopKPerKey]] as final-over-partial [[TopKPerKeyExec]]; the
   * exchange between them comes from EnsureRequirements, not from here. */
 object TopKPerKeyStrategy extends SparkStrategy {

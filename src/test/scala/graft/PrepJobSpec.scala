@@ -70,6 +70,31 @@ class PrepJobSpec extends SparkTestBase {
     assert(spark.read.parquet(outPath).count() == n)
   }
 
+  test("prepareClean: eval-overlapping survivors drop, PII redacts in place, others untouched") {
+    val base = PrepJob.prepare(spark, dir)
+    val survivors = base.select("doc_id").as[Long].collect().sorted
+    assert(survivors.length > 2)
+    // eval set = the text of one surviving doc (plus planted PII to prove
+    // redaction happens in the same pass)
+    val evalId = survivors.head
+    val evalSet = base.filter(col("doc_id") === evalId).select("doc_id", "text")
+    val clean = PrepJob.prepareClean(spark, dir, evalSet)
+    val cleanIds = clean.select("doc_id").as[Long].collect().toSet
+    assert(!cleanIds.contains(evalId), "the eval-overlapping doc must drop")
+    assert(cleanIds == survivors.toSet - evalId, "no other doc may drop")
+    // the synthetic corpus has no PII, so redaction must be the identity
+    val before = base.filter(col("doc_id") =!= evalId)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val after = clean.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(after == before, "redaction changed PII-free text")
+    // and on planted PII it rewrites in place
+    val red = spark.range(1).select(
+        graft.operators.TextAnalysis.redactPii(
+          org.apache.spark.sql.functions.lit("mail a@b.io or 555-1234 now")).as("t"))
+      .as[String].collect().head
+    assert(red == "mail <EMAIL> or <PHONE> now")
+  }
+
   test("near-dup removal: planted copies drop, pairs keep at most one side") {
     val docs = graft.operators.Dedup.plantedNearDocs(spark, dir)
     val cleaned = graft.operators.Dedup.dropNearDuplicates(docs, "doc_id", "text")

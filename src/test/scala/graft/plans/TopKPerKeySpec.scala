@@ -59,6 +59,31 @@ class TopKPerKeySpec extends SparkTestBase {
       "bounded heaps must not plan a sort")
   }
 
+  test("key-only filters push through the node into the scan; value filters stay above") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val top = TopKPerKey(events, Seq("event_type"),
+      Seq(col("value").desc, col("event_id").asc), 3)
+
+    val keyFiltered = top.filter(col("event_type") === "click")
+    val opt = keyFiltered.queryExecution.optimizedPlan
+    // the Filter is gone from above the node …
+    assert(!opt.isInstanceOf[LFilter], s"filter not pushed:\n$opt")
+    // … and reached the parquet scan as a pushed predicate
+    assert(keyFiltered.queryExecution.executedPlan.toString
+      .contains("EqualTo(event_type,click)"), "predicate must reach PushedFilters")
+    // semantics unchanged: equals filter-after-top-k
+    assert(keyFiltered.count() == 3)
+
+    // a value predicate must NOT move below the heaps
+    val valueFiltered = top.filter(col("value") > 0)
+    val optV = valueFiltered.queryExecution.optimizedPlan
+    assert(optV.isInstanceOf[LFilter] &&
+      optV.asInstanceOf[LFilter].child.isInstanceOf[TopKPerKey],
+      s"value filter must stay above the node:\n$optV")
+  }
+
   test("partial phase bounds what crosses the shuffle to keys-in-task x k") {
     // one partition holding every row: the partial heap must cut 400 rows
     // down to 7 groups x 3 before the exchange
