@@ -60,13 +60,8 @@ object PrepJob {
     // chunks feeds BOTH the packing input and the manifest join: without a
     // materialization the whole prepare→chunk pipeline (corpus scan,
     // quality semi-join, md5 dedup shuffle, LSH anti-join, posexplode)
-    // executes twice. Checkpoint once — reliable when the session has a
-    // checkpoint dir (the cluster job's responsibility), local otherwise —
-    // same durability policy as the dedup pipelines.
-    val chunks0 = TextAnalysis.chunkDocsOf(prepare(spark, dir), chunk, stride)
-    val chunks =
-      if (spark.sparkContext.getCheckpointDir.isDefined) chunks0.checkpoint()
-      else chunks0.localCheckpoint()
+    // executes twice.
+    val chunks = pin(TextAnalysis.chunkDocsOf(prepare(spark, dir), chunk, stride))
     val packed = Packing.firstFitPack(chunks, budget, shards).toDF()
     packed
       .join(chunks.select("doc_id", "chunk_id", "chunk_text"), Seq("doc_id", "chunk_id"))
@@ -80,11 +75,19 @@ object PrepJob {
     * clean corpus, so junk and duplicates don't inflate a language's
     * share). One extra L-row broadcast + scan-side filter. */
   def prepareMixed(spark: SparkSession, dir: String, alpha: Double = 0.5): DataFrame = {
-    val base = prepare(spark, dir)
+    val base = pin(prepare(spark, dir))
     val kept = TextAnalysis.temperatureMix(base, "lang", "doc_id", alpha)
       .select("doc_id")
     base.join(kept, Seq("doc_id"), "left_semi")
   }
+
+  /** Materialize a pipeline stage that feeds MORE THAN ONE downstream
+    * branch: without it Spark re-executes the whole dedup+quality
+    * pipeline once per branch (the self-join shapes below reference
+    * `prepare` twice). Same durability policy as prepareChunksPacked. */
+  private def pin(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
 
   /** [[prepare]] plus the corpus-hygiene passes a production pipeline
     * runs before anything lands: benchmark decontamination (drop every
@@ -96,7 +99,7 @@ object PrepJob {
     * scans [[prepare]] already does. */
   def prepareClean(spark: SparkSession, dir: String, evalSet: DataFrame,
       n: Int = 8): DataFrame = {
-    val base = prepare(spark, dir)
+    val base = pin(prepare(spark, dir))
     val contaminated = Dedup.decontaminate(base, evalSet, "doc_id", "text", n)
       .select("doc_id")
     base.join(contaminated, Seq("doc_id"), "left_anti")

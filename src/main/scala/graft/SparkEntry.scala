@@ -1028,23 +1028,31 @@ object SparkEntry {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |WHERE c.c_acctbal < 0""".stripMargin,
     // Deterministic md5-bucket negatives: the oracle recomputes the same
-    // bucket, representative, and per-(id, j) target-bucket draw.
+    // bucket, representative, occupied-bucket dense rank, and per-(id, j)
+    // target-rank draw (rank ≡ bucket id when all buckets are occupied,
+    // as here — the ranking exists so sparse corpora never under-fill).
     "txt_neg_pairs" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 64 AS b
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 64 AS BIGINT) AS b
         |  FROM documents
         |), reps AS (
         |  SELECT b AS rep_b, min(doc_id) AS neg_id FROM d GROUP BY b
+        |), ranked AS (
+        |  SELECT rep_b, neg_id, row_number() OVER (ORDER BY rep_b) - 1 AS r FROM reps
+        |), rc AS (SELECT count(*) AS R FROM ranked
         |), probe AS (
         |  SELECT d.doc_id, j.j,
-        |    (d.b + 1 +
-        |      CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 1, 8)) AS UBIGINT) % 63
-        |    ) % 64 AS t
-        |  FROM d CROSS JOIN (SELECT unnest(range(4)) AS j) j
+        |    (k.r + 1 +
+        |      CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT)
+        |        % greatest(rc.R - 1, 1)
+        |    ) % rc.R AS t
+        |  FROM d JOIN ranked k ON d.b = k.rep_b
+        |  CROSS JOIN rc CROSS JOIN (SELECT unnest(range(4)) AS j) j
         |)
-        |SELECT p.doc_id, CAST(p.j AS BIGINT) AS j, r.neg_id
-        |FROM probe p JOIN reps r ON p.t = r.rep_b""".stripMargin,
+        |SELECT p.doc_id, CAST(p.j AS BIGINT) AS j, r2.neg_id
+        |FROM probe p JOIN ranked r2 ON p.t = r2.r
+        |WHERE r2.neg_id <> p.doc_id""".stripMargin,
     // Snapshot diff: the oracle compares payloads directly (the Spark
     // side's xxhash64 equality is payload equality absent collisions).
     "cdc_diff" ->
@@ -1222,12 +1230,12 @@ object SparkEntry {
         |), red AS (
         |  SELECT doc_id, text,
         |    regexp_replace(regexp_replace(text,
-        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |      '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS r
         |  FROM planted
         |)
         |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
         |  CAST(len(regexp_extract_all(text, '\b555-[0-9]{4}\b')) AS INT) AS n_phones,
         |  CAST(length(r) AS INT) AS redacted_chars,
         |  md5(r) AS redacted_md5

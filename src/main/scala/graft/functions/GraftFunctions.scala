@@ -42,6 +42,24 @@ object GraftFunctions {
   def topKBy(score: Column, id: Column, k: Int): Column =
     col(TopKByScore(expr(score), expr(id), k).toAggregateExpression())
 
+  /** First 32 bits of md5(c) as a long — THE deterministic-uniform
+    * primitive every hash-draw operator shares (stratified/weighted
+    * sampling, temperature mixing, negative-pair drawing). One
+    * definition because every site must stay bit-identical to its DuckDB
+    * oracle: `conv` is exact at 8 hex chars (its 64-bit wrap trap starts
+    * at 16), and a drift in any copy silently breaks cross-engine
+    * determinism. */
+  def md5Prefix32(c: Column): Column = {
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  }
+
+  /** `(md5Prefix32 + 0.5) / 2^32` — a fixed-point uniform in (0, 1),
+    * reproducible across runs, engines, and partitionings (unlike
+    * `rand()`). */
+  def md5Uniform(c: Column): Column =
+    (md5Prefix32(c).cast("double") + org.apache.spark.sql.functions.lit(0.5)) / 4294967296.0d
+
   private def litInt(e: Expression, name: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(s"$name expects an int literal, got $other")

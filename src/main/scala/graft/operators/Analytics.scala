@@ -213,10 +213,11 @@ object Analytics {
         count(lit(1)).as("n_events"))
 
   /** Distinct users over an inclusive day range, answered from the
-    * sketch table alone. */
+    * sketch table alone. An empty range answers 0, not NULL (hll_union_agg
+    * over zero rows is NULL, which would NPE typed consumers). */
   def distinctOverRange(sketches: DataFrame, from: String, to: String): DataFrame =
     sketches
       .filter(col("day").between(to_date(lit(from)), to_date(lit(to))))
-      .agg(hll_sketch_estimate(hll_union_agg(col("users_hll")))
+      .agg(coalesce(hll_sketch_estimate(hll_union_agg(col("users_hll"))), lit(0L))
         .as("approx_distinct_users"))
 }

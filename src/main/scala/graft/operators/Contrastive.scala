@@ -27,29 +27,45 @@ import graft.sources.Tables
   */
 object Contrastive {
 
-  /** 32-bit uniform hash of a string column (md5 prefix — engine-portable). */
-  private def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  /** 32-bit uniform hash of a string column (the shared md5-prefix
+    * primitive — one definition keeps every draw site oracle-identical). */
+  private def h32(c: Column): Column = graft.functions.GraftFunctions.md5Prefix32(c)
 
   /** m deterministic cross-bucket negative partners per row of `docs`.
-    * Output: (idCol, j, neg_id) — j in [0, m), neg_id ≠ the row's own
-    * bucket representative's bucket, so neg_id ≠ id always. */
+    * Output: (idCol, j, neg_id) — j in [0, m).
+    *
+    * Draws remap over a DENSE RANK of the occupied buckets (not raw
+    * bucket ids): with B > |docs| or unlucky hashing, raw-id draws can
+    * land in an EMPTY bucket and the join silently under-fills a doc's
+    * negatives. Ranking only the occupied buckets guarantees every doc
+    * exactly m partners whenever ≥ 2 buckets are occupied (the rank
+    * window runs over ≤ B bounded rows — not a data-sized sort). In the
+    * fully-occupied case rank ≡ bucket id, so the draw is unchanged.
+    * Degenerate single-occupied-bucket corpora fall back to the bucket's
+    * representative, with self-pairs filtered. */
   def negativePairs(docs: DataFrame, idCol: String,
       m: Int = 4, buckets: Int = 64): DataFrame = {
     require(m > 0 && buckets > 1, "need m > 0 and at least 2 buckets")
     val withB = docs.select(col(idCol),
       (h32(col(idCol).cast("string")) % buckets).as("__b"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__rep_b")
     val reps = withB.groupBy(col("__b").as("__rep_b"))
       .agg(min(col(idCol)).as("neg_id"))
-    val fanned = withB.select(col(idCol), col("__b"),
-      explode(array((0 until m).map(j => lit(j.toLong)): _*)).as("j"))
-    // target bucket: own + 1 + h(id:j) mod (B-1), mod B — never the own
-    // bucket, so a doc can never draw itself
+      .withColumn("__r", row_number().over(w).cast("long") - 1)
+    val nOcc = reps.agg(count(lit(1)).as("__R"))
+    val fanned = withB
+      .join(broadcast(reps.select(col("__rep_b").as("__b"), col("__r").as("__own"))), "__b")
+      .crossJoin(broadcast(nOcc))
+      .select(col(idCol), col("__own"), col("__R"),
+        explode(array((0 until m).map(j => lit(j.toLong)): _*)).as("j"))
+    // target rank: own + 1 + h(id:j) mod (R-1), mod R — never the own
+    // bucket when R ≥ 2, so a doc can never draw itself
     val probe = fanned.withColumn("__t",
-      (col("__b") + lit(1L) +
+      (col("__own") + lit(1L) +
         h32(concat(col(idCol).cast("string"), lit(":"), col("j").cast("string")))
-          % (buckets - 1)) % buckets)
-    probe.join(reps, probe("__t") === reps("__rep_b"))
+          % greatest(col("__R") - 1, lit(1L))) % col("__R"))
+    probe.join(broadcast(reps.select(col("__r").as("__t"), col("neg_id"))), Seq("__t"))
+      .filter(col("neg_id") =!= col(idCol))
       .select(col(idCol), col("j"), col("neg_id"))
   }
 

@@ -75,6 +75,10 @@ object Dedup extends Logging {
     * text never moves — it isn't even read. */
   def incrementalNew(corpusFps: DataFrame, batch: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    require(corpusFps.columns.length == 1,
+      s"corpusFps must be exactly the fingerprint column, got " +
+        s"[${corpusFps.columns.mkString(", ")}] — passing a wider index " +
+        "would silently anti-join on the wrong column")
     val cols = batch.columns.toSeq
     val firsts = batch
       .withColumn("__fp", md5(col(textCol).cast("binary")))

@@ -72,16 +72,22 @@ object Profiler {
       rowChecks: Seq[(String, Column)],
       uniqueKey: Option[String] = None): DataFrame = {
     require(rowChecks.nonEmpty || uniqueKey.nonEmpty, "no expectations given")
+    // aggregate under POSITIONAL aliases and carry the caller's check
+    // names only as lit() values — interpolating them into a selectExpr
+    // string would break on quotes/spaces and admit expression injection
     val aggs: Seq[Column] =
-      rowChecks.map { case (name, pred) =>
-        count(when(!coalesce(pred, lit(false)), 1)).as(s"v_$name")
-      } ++ uniqueKey.map(k =>
-        (count(col(k)) - countDistinct(col(k))).as(s"v_${k}_unique")).toSeq
+      rowChecks.map { case (_, pred) =>
+        count(when(!coalesce(pred, lit(false)), 1))
+      } ++ uniqueKey.map(k => count(col(k)) - countDistinct(col(k))).toSeq
     val names = rowChecks.map(_._1) ++ uniqueKey.map(k => s"${k}_unique").toSeq
-    val row = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = names.map(n => s"'$n', v_$n, v_$n = 0").mkString(", ")
-    row.selectExpr(
-      s"stack(${names.length}, $stacked) AS (check, violations, passed)")
+    val row = df.agg(
+      aggs.head.as("v_0"),
+      aggs.tail.zipWithIndex.map { case (a, i) => a.as(s"v_${i + 1}") }: _*)
+    val entries = names.zipWithIndex.map { case (n, i) =>
+      struct(lit(n).as("check"), col(s"v_$i").as("violations"),
+        (col(s"v_$i") === 0).as("passed"))
+    }
+    row.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
   }
 
   /** The row checks of [[checkExpectations]] attached IN-FLIGHT via

@@ -191,10 +191,8 @@ object Relational {
       spark: SparkSession, dir: String,
       rates: Map[String, Int] = defaultRates): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
-    // 8 hex chars = 32 bits — conv() is exact here (its 64-bit wrap trap
-    // starts at 16 chars), so Spark and the oracle agree bit-for-bit
-    val bucket = conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100
+    val bucket =
+      graft.functions.GraftFunctions.md5Prefix32(col("event_id").cast("string")) % 100
     val rate = rates.foldLeft(lit(0)) { case (acc, (t, r)) =>
       when(col("event_type") === t, lit(r)).otherwise(acc)
     }
@@ -217,8 +215,7 @@ object Relational {
     * broken (key DESC, id ASC) identically to the oracle's ORDER BY). */
   def weightedSample(df: DataFrame, stratum: String, idCol: String,
       weightCol: String, k: Int): DataFrame = {
-    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("double") + 0.5) / 4294967296.0d
+    val u = graft.functions.GraftFunctions.md5Uniform(col(idCol).cast("string"))
     val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
     df.select(col(stratum), key.as("key"), col(idCol))
       .groupBy(stratum)

@@ -86,7 +86,11 @@ object TextAnalysis {
     *
     * Scale shape: group counts are one tiny two-phase aggregate (L rows)
     * broadcast back; the keep filter is a scan-side codegen projection.
-    * The corpus is read once and never shuffles. */
+    * The corpus is read once and never shuffles.
+    *
+    * Contract: rows with a NULL `groupCol` are dropped (the rate join
+    * never matches NULL keys — identically in the DuckDB oracle);
+    * pre-coalesce NULLs to a sentinel group if they must participate. */
   def temperatureMix(docs: DataFrame, groupCol: String, idCol: String,
       alpha: Double = 0.5): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, "alpha in (0, 1]")
@@ -96,8 +100,7 @@ object TextAnalysis {
       .select(col(groupCol),
         round(pow(col("__n").cast("double") / col("__n_min"), lit(alpha - 1)), 9)
           .as("__rate"))
-    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("double") + 0.5) / 4294967296.0d
+    val u = GraftFunctions.md5Uniform(col(idCol).cast("string"))
     docs.join(broadcast(rates), groupCol)
       .filter(u < col("__rate"))
       .select(col(idCol), col(groupCol))
@@ -209,11 +212,13 @@ object TextAnalysis {
         round(log(col("n_docs").cast("double") / col("df")), 6).as("idf"))
   }
 
-  /** PII patterns: plain character classes + `\b` only, so Java (Spark)
-    * and RE2 (DuckDB oracle) regex dialects agree exactly. Deliberately
-    * the standard public shapes (email; NANP 555 test-range phone), not a
-    * trained recognizer — the operator is the scan/redact plumbing. */
-  val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  /** PII patterns: plain character classes + `\b` + the `(?i)` flag only,
+    * so Java (Spark) and RE2 (DuckDB oracle) regex dialects agree
+    * exactly — and Mixed.Case@Example.COM addresses still redact.
+    * Deliberately the standard public shapes (email; NANP 555 test-range
+    * phone), not a trained recognizer — the operator is the scan/redact
+    * plumbing. */
+  val emailPattern = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val phonePattern = "\\b555-[0-9]{4}\\b"
 
   /** PII scan + redaction — the privacy pass a training-data pipeline

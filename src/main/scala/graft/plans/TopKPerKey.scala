@@ -123,8 +123,17 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       // so each new row needs one comparison in the common reject path
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       iter.foreach { row =>
-        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          mutable.PriorityQueue.empty[InternalRow](ord))
+        // probe with the reused projection row; copy the key only on
+        // first sight — a per-row key copy would allocate on every input
+        // row of the scan, the operator's hottest path
+        val probeKey = keyProj(row)
+        val heap = heaps.get(probeKey) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[InternalRow](ord)
+            heaps.put(probeKey.copy(), h)
+            h
+        }
         if (heap.size < limit) heap.enqueue(row.copy())
         else if (ord.compare(row, heap.head) < 0) {
           heap.dequeue(); heap.enqueue(row.copy())

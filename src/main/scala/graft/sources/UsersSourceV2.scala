@@ -158,42 +158,40 @@ object UsersSourceV2 {
     private def fmt(pattern: String, v: Any): String =
       String.format(java.util.Locale.US, pattern, v.asInstanceOf[AnyRef])
 
-    private def fullRow(): GenericInternalRow = {
-      val lat =
-        if (id % 97 == 0) "not-a-number"
-        else fmt("%.4f", Double.box((h(6) % 180000).toDouble / 1000.0 - 90.0))
-      val lon =
-        if (id % 89 == 0) ""
-        else fmt("%.4f", Double.box((h(7) % 360000).toDouble / 1000.0 - 180.0))
-      new GenericInternalRow(Array[Any](
-        new GenericInternalRow(Array[Any](
-          utf(pick(titles, h(1))), utf(s"First$id"),
-          utf(s"Last${h(2) % 1000}"))),
-        utf(pick(genders, h(3))),
-        new GenericInternalRow(Array[Any](
-          new GenericInternalRow(Array[Any](
-            h(4) % 9999 + 1, utf(pick(streets, h(5))))),
-          utf(pick(cities, h(8))),
-          utf(pick(countries, h(9))),
-          utf(fmt("%05d", Long.box(h(10) % 100000))),
-          new GenericInternalRow(Array[Any](utf(lat), utf(lon))))),
-        utf(s"user$id@example.com")))
+    // Generation is DRIVEN BY the (possibly nested-pruned) required
+    // schema: a `select(email)` computes email alone — none of the other
+    // hash derivations or string formatting runs, so column pruning cuts
+    // the generation work itself, not just the bytes returned.
+    private def field(path: String): Any = path match {
+      case "name.title"   => utf(pick(titles, h(1)))
+      case "name.first"   => utf(s"First$id")
+      case "name.last"    => utf(s"Last${h(2) % 1000}")
+      case "gender"       => utf(pick(genders, h(3)))
+      case "location.street.number" => h(4) % 9999 + 1
+      case "location.street.name"   => utf(pick(streets, h(5)))
+      case "location.city"     => utf(pick(cities, h(8)))
+      case "location.country"  => utf(pick(countries, h(9)))
+      case "location.postcode" => utf(fmt("%05d", Long.box(h(10) % 100000)))
+      case "location.coordinates.latitude" =>
+        utf(if (id % 97 == 0) "not-a-number"
+        else fmt("%.4f", Double.box((h(6) % 180000).toDouble / 1000.0 - 90.0)))
+      case "location.coordinates.longitude" =>
+        utf(if (id % 89 == 0) ""
+        else fmt("%.4f", Double.box((h(7) % 360000).toDouble / 1000.0 - 180.0)))
+      case "email" => utf(s"user$id@example.com")
+      case other => throw new IllegalArgumentException(s"unknown field $other")
     }
 
-    override def get(): InternalRow = prune(fullRow(), schema, required)
-
-    /** Project the full nested row onto the (possibly nested-pruned)
-      * required schema by field name, recursively. */
-    private def prune(row: InternalRow, full: StructType,
-        req: StructType): InternalRow =
+    private def gen(req: StructType, prefix: String): GenericInternalRow =
       new GenericInternalRow(req.fields.map[Any] { f =>
-        val i = full.fieldIndex(f.name)
-        (full(i).dataType, f.dataType) match {
-          case (ft: StructType, rt: StructType) =>
-            prune(row.getStruct(i, ft.length), ft, rt)
-          case _ => row.get(i, f.dataType)
+        val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        f.dataType match {
+          case s: StructType => gen(s, path)
+          case _ => field(path)
         }
       })
+
+    override def get(): InternalRow = gen(required, "")
 
     override def close(): Unit = ()
   }

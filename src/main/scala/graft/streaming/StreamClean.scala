@@ -34,6 +34,9 @@ object StreamClean {
   def clean(docs: DataFrame, evalSet: DataFrame, corpusFps: DataFrame,
       idCol: String, textCol: String, tsCol: String,
       watermark: String, n: Int = 8): DataFrame = {
+    require(corpusFps.columns.length == 1,
+      s"corpusFps must be exactly the fingerprint column, got " +
+        s"[${corpusFps.columns.mkString(", ")}]")
     val evalGrams: Array[Long] = evalSet
       .select(explode(array_distinct(
         Dedup.shingleHashes(col(textCol), n))).as("gh"))

@@ -147,6 +147,9 @@ class AnalyticsSpec extends SparkTestBase {
       val sub = Analytics.distinctOverRange(sketches, days.head, days(days.length / 2))
         .as[Long].collect().head
       assert(sub <= est)
+      // an empty range answers 0, not NULL
+      assert(Analytics.distinctOverRange(sketches, "2200-01-01", "2200-12-31")
+        .as[Long].collect().head == 0L)
     } finally sketches.unpersist()
   }
 

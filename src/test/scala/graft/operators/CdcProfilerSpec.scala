@@ -77,6 +77,12 @@ class CdcProfilerSpec extends SparkTestBase {
     assert(got("known_t") == (1L, false))
     assert(got("id_unique") == (1L, false))  // one duplicate of key 2
     assert(got("id_fk") == (1L, false))      // id 4 has no dim partner
+    // check names are values, not SQL text: quotes/spaces must be fine
+    // (the NULL-v row still violates — NULL predicates violate by contract)
+    val quoted = Profiler.checkExpectations(df,
+        Seq("value's range (loose)" -> org.apache.spark.sql.functions.col("v").between(-1000, 1000)))
+      .as[(String, Long, Boolean)].collect().head
+    assert(quoted == (("value's range (loose)", 1L, false)))
   }
 
   test("observeExpectations: counters ride the write job itself, matching the batch gate") {

@@ -39,6 +39,21 @@ class ContrastiveSpec extends SparkTestBase {
     assert(pairs.map(_._3).distinct.length > 10)
   }
 
+  test("sparse corpora (more buckets than docs) still fill all m negatives per doc") {
+    // 5 docs into 64 buckets: most buckets are empty — raw-bucket draws
+    // would silently drop the (doc, j) rows that land in them; the
+    // occupied-rank remap must keep every doc at exactly m partners
+    val docs = Seq(11L, 23L, 305L, 4007L, 50009L).toDF("doc_id")
+    val pairs = Contrastive.negativePairs(docs, "doc_id", m = 4, buckets = 64)
+      .as[(Long, Long, Long)].collect()
+    val perDoc = pairs.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perDoc.keySet == Set(11L, 23L, 305L, 4007L, 50009L))
+    assert(perDoc.values.forall(_ == 4), s"under-filled: $perDoc")
+    assert(pairs.forall { case (d, _, neg) => d != neg })
+    assert(pairs.forall { case (_, _, neg) => perDoc.contains(neg) },
+      "partner must be a corpus doc")
+  }
+
   test("the draw is a pure function of (id, j): rerun and repartition invariant") {
     val docs = graft.sources.Tables.load(spark, dir, "documents")
     val all = Contrastive.negativePairs(docs, "doc_id").as[(Long, Long, Long)]

@@ -28,7 +28,8 @@ class TextAnalysisSpec extends SparkTestBase {
     val docs = Seq(
       (1L, "write me at jo.doe+x@mail.example.org or bob@ex.co today"),
       (2L, "call 555-0142 or 555-9999, not 1555-0142x"),
-      (3L, "nothing sensitive here")).toDF("doc_id", "text")
+      (3L, "nothing sensitive here"),
+      (4L, "reach John.Doe@Example.COM anytime")).toDF("doc_id", "text")
     val rows = TextAnalysis.piiScan(docs, "doc_id", "text")
       .orderBy("doc_id")
       .as[(Long, Int, Int, Int, String)].collect()
@@ -38,6 +39,8 @@ class TextAnalysisSpec extends SparkTestBase {
     // only the two standalone phones match
     assert(rows(1)._3 == 2)
     assert(rows(2)._2 == 0 && rows(2)._3 == 0)
+    // mixed-case addresses must still be caught ((?i) flag)
+    assert(rows(3)._2 == 1)
     // redaction replaces every hit with the placeholder
     val red = docs.filter(col("doc_id") === 1L).select(
       regexp_replace(col("text"), TextAnalysis.emailPattern, "<EMAIL>"))
