@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, XXH64}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -89,14 +90,60 @@ object UsersSourceV2 {
 
   private class UsersScanBuilder(var n: Long, seed: Long, parts: Int)
       extends ScanBuilder
-      with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+      with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+      with SupportsPushDownAggregates {
     private var required: StructType = UsersSourceV2.schema
+    private var countPushed = false
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
     override def pushLimit(limit: Int): Boolean = {
       n = math.min(n, limit.toLong); true
     }
-    override def build(): Scan = new UsersScan(n, seed, parts, required)
+    // COUNT(*) with no grouping is answerable from the source's
+    // metadata alone (the row count IS the `n` option, post-limit) —
+    // the scan then emits ONE pre-aggregated row and generates nothing.
+    override def supportCompletePushDown(agg: Aggregation): Boolean =
+      agg.groupByExpressions.isEmpty &&
+        agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+    override def pushAggregation(agg: Aggregation): Boolean = {
+      if (!supportCompletePushDown(agg)) false
+      else {
+        countPushed = true
+        required = StructType(
+          agg.aggregateExpressions.toSeq.zipWithIndex.map { case (_, i) =>
+            StructField(s"count_$i", LongType, nullable = false)
+          })
+        true
+      }
+    }
+    override def build(): Scan =
+      if (countPushed) new CountScan(n, required)
+      else new UsersScan(n, seed, parts, required)
+  }
+
+  /** The pushed-COUNT(*) scan: one partition, one row, zero generation. */
+  private class CountScan(n: Long, required: StructType) extends Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def description(): String = s"graft_users pushed-count n=$n"
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(UsersRange(0, 1))
+    override def createReaderFactory(): PartitionReaderFactory =
+      CountReaderFactory(n, required.length)
+  }
+
+  // standalone (not an inner class): the factory ships to executors, and
+  // capturing the enclosing Scan would make the closure unserializable
+  private case class CountReaderFactory(n: Long, width: Int)
+      extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+      new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = { val go = !emitted; emitted = true; go }
+        override def get(): InternalRow =
+          new GenericInternalRow(Array.fill[Any](width)(n))
+        override def close(): Unit = ()
+      }
   }
 
   private case class UsersRange(start: Long, end: Long) extends InputPartition

@@ -16,9 +16,18 @@ class UsersSourceV2Spec extends SparkTestBase {
     spark.read.format("graft.sources.UsersSourceV2")
       .option("n", n.toString).option("numPartitions", parts.toString).load()
 
-  private def scanOf(df: DataFrame): BatchScanExec =
-    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+  private def scanOf(df: DataFrame): BatchScanExec = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }).flatMap(walk)
+    walk(df.queryExecution.executedPlan)
+      .collectFirst { case b: BatchScanExec => b }
       .getOrElse(fail("no BatchScanExec in plan"))
+  }
 
   test("row-for-row parity with UserGen.users across partition counts") {
     val viaV2 = read(600, parts = 7)
@@ -50,6 +59,21 @@ class UsersSourceV2Spec extends SparkTestBase {
     // pruned read still yields the right values
     val firsts = read(10, parts = 2).select(col("name.first")).as[String].collect().toSet
     assert(firsts == (0 until 10).map(i => s"First$i").toSet)
+  }
+
+  test("ungrouped COUNT(*) is answered from source metadata — zero row generation") {
+    val df = read(50000000, parts = 4) // 50M rows: generating them would be visible
+    val counted = df.groupBy().count()
+    val t0 = System.nanoTime()
+    assert(counted.as[Long].collect().head == 50000000L)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(scanOf(counted).scan.description().contains("pushed-count"),
+      "COUNT(*) must hit the pushed-aggregate scan")
+    assert(sec < 10, s"pushed count must not generate rows (took $sec s)")
+    // grouped aggregates must NOT push (the source can't answer them)
+    val grouped = read(100).groupBy("gender").count()
+    assert(!scanOf(grouped).scan.description().contains("pushed-count"))
+    assert(grouped.as[(String, Long)].collect().map(_._2).sum == 100L)
   }
 
   test("LIMIT is pushed down and caps the generated range at the source") {
