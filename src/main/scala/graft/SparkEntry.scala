@@ -126,6 +126,7 @@ object SparkEntry {
     "q_sample_strat"    -> ((s, d) => Relational.stratifiedSample(s, d)),
     "q_sample_weighted" -> (Relational.weightedDocSample(_, _)),
     "q_split"           -> (Relational.docSplits _),
+    "txt_shuffle"       -> (Relational.docShuffle _),
     "txt_chunks"        -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       TextAnalysis.chunkDocs(s, d)
@@ -1154,6 +1155,16 @@ object SparkEntry {
         |FROM documents d JOIN rates r USING (lang)
         |WHERE (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5)
         |        / 4294967296.0 < r.rate""".stripMargin,
+    // Deterministic epoch shuffle: ground truth is the global row_number
+    // over (md5-prefix key, id) — the bucketed offset+rank decomposition
+    // must reproduce it exactly.
+    "txt_shuffle" ->
+      """SELECT CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT) AS pos, doc_id
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('epoch0:' || doc_id), 1, 8)) AS UBIGINT) AS k
+        |  FROM documents
+        |)""".stripMargin,
     // Incremental arrival dedup: keep-first-by-id within the batch, then
     // drop fingerprints the corpus index already holds. Spark's md5 runs
     // on the UTF-8 bytes (cast binary); DuckDB's md5 on VARCHAR is the

@@ -237,8 +237,8 @@ object Relational {
     * fall into the last split. Scan-side projection, no shuffle. */
   def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Int)]): DataFrame = {
     require(splits.nonEmpty && splits.map(_._2).sum <= 100, "split percents must sum to <= 100")
-    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100
+    val bucket =
+      graft.functions.GraftFunctions.md5Prefix32(col(idCol).cast("string")) % 100
     val cum = splits.scanLeft(0)(_ + _._2).tail
     val assign = splits.zip(cum).init.foldRight(lit(splits.last._1)) {
       case (((name, _), hi), acc) => when(bucket < hi, lit(name)).otherwise(acc)
@@ -251,4 +251,45 @@ object Relational {
     hashSplit(Tables.load(spark, dir, "documents"),
       "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
       .select(col("doc_id"), col("lang"), col("split"))
+
+  /** Deterministic corpus shuffle with EXACT global positions — the
+    * per-epoch reshuffle a training pipeline needs (order differs per
+    * `seed`, is a pure function of (seed, id), and reproduces across
+    * runs/engines/partitionings — none of which `rand()` or
+    * `repartition` gives).
+    *
+    * Global rank without a single-partition sort: the 32-bit shuffle key
+    * is RANGE-bucketed by its high bits (floor division — bucket order ≡
+    * key order), per-bucket ranks come from a window partitioned BY
+    * bucket (each sorts only its own slice), and bucket offsets are a
+    * running sum over the `buckets`-row count table (tiny window) joined
+    * back by broadcast. pos = offset + rank − 1: exactly
+    * `row_number() OVER (ORDER BY key, id) − 1`, with the work of a
+    * bucketed sort. Deliberately avoids `repartitionByRange`, whose
+    * sampled boundaries are not reproducible cross-engine. */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+      seed: String = "epoch0", buckets: Int = 1024): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0 && buckets <= (1 << 30),
+      "buckets must be a power of two (range-aligned key prefix)")
+    val key = graft.functions.GraftFunctions.md5Prefix32(
+      concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    val perBucket = (1L << 32) / buckets
+    val withB = df.select(col(idCol), key.as("__k"))
+      .withColumn("__b", (col("__k") / lit(perBucket)).cast("long"))
+    val offs = withB.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum(col("__n")).over(org.apache.spark.sql.expressions.Window
+          .orderBy("__b").rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select("__b", "__off")
+    val ranked = withB.withColumn("__r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("__b").orderBy(col("__k"), col(idCol))).cast("long"))
+    ranked.join(broadcast(offs), "__b")
+      .select((col("__off") + col("__r") - 1).as("pos"), col(idCol))
+  }
+
+  /** CORRECTNESS instantiation: epoch-0 shuffle order of documents. */
+  def docShuffle(spark: SparkSession, dir: String): DataFrame =
+    deterministicShuffle(
+      Tables.load(spark, dir, "documents").select("doc_id"), "doc_id")
 }

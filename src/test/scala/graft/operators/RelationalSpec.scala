@@ -195,6 +195,24 @@ class RelationalSpec extends SparkTestBase {
       "a row's split must never change as the corpus grows")
   }
 
+  test("deterministicShuffle: exact permutation, seed-sensitive, partition-invariant") {
+    val docs = (0L until 300L).toDF("doc_id")
+    val out = Relational.deterministicShuffle(docs, "doc_id")
+      .as[(Long, Long)].collect()
+    // exact 0..N-1 positions, each doc exactly once
+    assert(out.map(_._1).sorted.toSeq == (0L until 300L))
+    assert(out.map(_._2).distinct.length == 300)
+    // a different epoch seed produces a different order
+    val epoch1 = Relational.deterministicShuffle(docs, "doc_id", seed = "epoch1")
+      .as[(Long, Long)].collect()
+    assert(out.toMap != epoch1.toMap)
+    assert(epoch1.map(_._1).sorted.toSeq == (0L until 300L))
+    // pure function of (seed, id): physical partitioning cannot move anyone
+    val again = Relational.deterministicShuffle(docs.repartition(7), "doc_id")
+      .as[(Long, Long)].collect()
+    assert(out.toMap == again.toMap)
+  }
+
   test("stratifiedSample: rate monotonicity law — raising a rate only adds rows") {
     // the keep decision is bucket(event_id) < rate, with the bucket a pure
     // function of the row — so for every stratum, sample(r1) ⊆ sample(r2)
