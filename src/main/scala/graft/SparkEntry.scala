@@ -127,6 +127,7 @@ object SparkEntry {
     "q_sample_weighted" -> (Relational.weightedDocSample(_, _)),
     "q_split"           -> (Relational.docSplits _),
     "txt_shuffle"       -> (Relational.docShuffle _),
+    "q_split_leakfree"  -> (Relational.leakFreeSplits _),
     "txt_chunks"        -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       TextAnalysis.chunkDocs(s, d)
@@ -1155,6 +1156,55 @@ object SparkEntry {
         |FROM documents d JOIN rates r USING (lang)
         |WHERE (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5)
         |        / 4294967296.0 < r.rate""".stripMargin,
+    // Leakage-safe split: the closure over the exact-Jaccard pair set
+    // (≡ the LSH pair set w.h.p., as in dedup_cc) keys every doc by its
+    // near-dup component; the split buckets the COMPONENT id, so a
+    // cluster can never straddle train/test.
+    "q_split_leakfree" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' graftdup' FROM documents WHERE doc_id % 10 = 0
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM base
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM toks
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  ) WHERE jaccard >= 0.7
+        |), e AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION
+        |  SELECT doc_b, doc_a FROM pairs
+        |), reach(n, m) AS (
+        |  SELECT u, u FROM e
+        |  UNION
+        |  SELECT reach.n, e.v FROM reach JOIN e ON reach.m = e.u
+        |), comp AS (
+        |  SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(m) AS BIGINT) AS component
+        |  FROM reach GROUP BY n
+        |), assigned AS (
+        |  SELECT b.doc_id, coalesce(c.component, b.doc_id) AS component
+        |  FROM base b LEFT JOIN comp c ON b.doc_id = c.doc_id
+        |)
+        |SELECT doc_id, component,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id, component,
+        |    CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS bucket
+        |  FROM assigned
+        |)""".stripMargin,
     // Deterministic epoch shuffle: ground truth is the global row_number
     // over (md5-prefix key, id) — the bucketed offset+rank decomposition
     // must reproduce it exactly.

@@ -292,4 +292,25 @@ object Relational {
   def docShuffle(spark: SparkSession, dir: String): DataFrame =
     deterministicShuffle(
       Tables.load(spark, dir, "documents").select("doc_id"), "doc_id")
+
+  /** Leakage-safe train/val/test split — the splitting rule a training
+    * pipeline actually needs: a document and its NEAR-DUPLICATES must
+    * land in the same split, or evaluation leaks training text (the
+    * public dedup literature's cross-split contamination problem).
+    * Composition: near-dup pairs ([[Dedup.minhashLshPairs]]) →
+    * connected components ([[Dedup.connectedComponents]]) → every doc
+    * keyed by its component id (own id when un-paired) → [[hashSplit]]
+    * ON THE COMPONENT, so the whole cluster moves together and the
+    * assignment stays append-stable like every hash split. */
+  def leakFreeSplits(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Dedup.plantedNearDocs(spark, dir)
+    val comps = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(docs, "doc_id", "text"))
+    val assigned = docs.select("doc_id")
+      .join(comps.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    hashSplit(assigned, "component",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+  }
 }

@@ -195,6 +195,22 @@ class RelationalSpec extends SparkTestBase {
       "a row's split must never change as the corpus grows")
   }
 
+  test("leakFreeSplits: near-dup pairs never straddle splits; coverage complete") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Relational.leakFreeSplits(spark, dir)
+      .as[(Long, Long, String)].collect()
+    val docs = graft.operators.Dedup.plantedNearDocs(spark, dir)
+    assert(out.length == docs.count(), "every doc must be assigned")
+    val splitOf = out.map(r => r._1 -> r._3).toMap
+    val pairs = graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(a) == splitOf(b), s"pair ($a,$b) straddles splits")
+    }
+    assert(out.map(_._3).distinct.sorted.toSeq == Seq("test", "train", "val"))
+  }
+
   test("deterministicShuffle: exact permutation, seed-sensitive, partition-invariant") {
     val docs = (0L until 300L).toDF("doc_id")
     val out = Relational.deterministicShuffle(docs, "doc_id")
