@@ -274,8 +274,14 @@ object Relational {
     val key = graft.functions.GraftFunctions.md5Prefix32(
       concat(lit(seed), lit(":"), col(idCol).cast("string")))
     val perBucket = (1L << 32) / buckets
+    // persisted: the offsets branch and the ranked branch both consume
+    // this projection — without it the source scans (and per-row md5)
+    // run twice (same convention as the dedup pipelines' shingle table).
+    // The cached slice is (id, 8-byte key, 8-byte bucket) — tiny next to
+    // the corpus it indexes.
     val withB = df.select(col(idCol), key.as("__k"))
       .withColumn("__b", (col("__k") / lit(perBucket)).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val offs = withB.groupBy("__b").agg(count(lit(1)).as("__n"))
       .withColumn("__off", coalesce(
         sum(col("__n")).over(org.apache.spark.sql.expressions.Window

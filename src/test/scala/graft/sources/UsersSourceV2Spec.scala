@@ -62,14 +62,14 @@ class UsersSourceV2Spec extends SparkTestBase {
   }
 
   test("ungrouped COUNT(*) is answered from source metadata — zero row generation") {
-    val df = read(50000000, parts = 4) // 50M rows: generating them would be visible
+    // 50M rows: the description assertion below proves the scan swapped
+    // to the pushed-count reader (generating 50M rows here would also be
+    // unmissably slow, but wall-clock is not asserted — too flaky)
+    val df = read(50000000, parts = 4)
     val counted = df.groupBy().count()
-    val t0 = System.nanoTime()
     assert(counted.as[Long].collect().head == 50000000L)
-    val sec = (System.nanoTime() - t0) / 1e9
     assert(scanOf(counted).scan.description().contains("pushed-count"),
       "COUNT(*) must hit the pushed-aggregate scan")
-    assert(sec < 10, s"pushed count must not generate rows (took $sec s)")
     // grouped aggregates must NOT push (the source can't answer them)
     val grouped = read(100).groupBy("gender").count()
     assert(!scanOf(grouped).scan.description().contains("pushed-count"))
