@@ -162,9 +162,6 @@ object SparkEntry {
     "q_daily_delta"     -> (Analytics.dailyDelta _),
     "q_set_ops_all"     -> (Relational.setOpsAll _),
     "q_union_evolve"    -> (Relational.unionEvolved _),
-    // rows-only: first-fit packing is sequential per shard (no SQL-window
-    // closed form, hence no oracle) — PackingSpec holds it to the exact
-    // first-fit recurrence instead.
     "txt_pack"          -> ((s, d) => Packing.packedChunks(s, d)),
     // ── Skew-safe salted aggregation (same values as a plain group-by) ──
     "agg_salted"        -> ((s, d) => {
@@ -875,6 +872,43 @@ object SparkEntry {
         |  array_to_string(w[CAST(i*24+1 AS INT) : CAST(i*24+32 AS INT)], ' ') AS chunk_text,
         |  CAST(len(w[CAST(i*24+1 AS INT) : CAST(i*24+32 AS INT)]) AS BIGINT) AS n_chunk_tokens
         |FROM (SELECT doc_id, w, unnest(range(0, nc)) AS i FROM c)""".stripMargin,
+    // First-fit packing replayed as a recursive CTE: each recursion step
+    // advances every shard by one chunk (rn -> rn+1), carrying the exact
+    // (seq, fill, pos) state of Packing.firstFitPack's fold — a genuinely
+    // independent cross-engine check of the sequential recurrence
+    // (budget 256, 8 hash shards, order (doc_id, chunk_id) within shard).
+    "txt_pack" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, w,
+        |    greatest(1, CAST(ceil((len(w) - 32) / 24.0) AS INT) + 1) AS nc
+        |  FROM t
+        |), chunk AS (
+        |  SELECT doc_id, i AS chunk_id,
+        |    CAST(len(w[CAST(i*24+1 AS INT) : CAST(i*24+32 AS INT)]) AS INT) AS n_tokens,
+        |    CAST(doc_id % 8 AS INT) AS shard
+        |  FROM (SELECT doc_id, w, unnest(range(0, nc)) AS i FROM c)
+        |), ordered AS (
+        |  SELECT shard, doc_id, chunk_id, n_tokens,
+        |    row_number() OVER (PARTITION BY shard ORDER BY doc_id, chunk_id) AS rn
+        |  FROM chunk
+        |), packed AS (
+        |  SELECT shard, rn, doc_id, chunk_id, n_tokens,
+        |    CAST(0 AS BIGINT) AS seq, n_tokens AS fill, 0 AS pos
+        |  FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.rn, o.doc_id, o.chunk_id, o.n_tokens,
+        |    CASE WHEN p.fill + o.n_tokens > 256 AND p.fill > 0 THEN p.seq + 1 ELSE p.seq END,
+        |    CASE WHEN p.fill + o.n_tokens > 256 AND p.fill > 0 THEN o.n_tokens ELSE p.fill + o.n_tokens END,
+        |    CASE WHEN p.fill + o.n_tokens > 256 AND p.fill > 0 THEN 0 ELSE p.pos + 1 END
+        |  FROM packed p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+        |)
+        |SELECT shard, doc_id, chunk_id, n_tokens,
+        |  CAST(shard AS BIGINT) * 4294967296 + seq AS pack_id, pos AS pack_pos
+        |FROM packed""".stripMargin,
     "txt_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id,
