@@ -24,9 +24,19 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** Default probe set: every 100th vector, as (query_id, q_emb). */
+  /** The default probe ids — a FIXED literal set, because the operator
+    * family's contract is "query set small by contract, explicitly
+    * broadcast". A fraction-of-the-corpus probe set (e.g. every 100th
+    * vector) would broadcast 1% of a 100 TB corpus; a fixed id list stays
+    * the same handful of vectors at any SF. (The ids are the sf0.01
+    * instantiation of the old every-100th rule, so correctness hashes are
+    * unchanged.) */
+  val defaultProbeIds: Seq[Long] = Seq(0L, 100L, 200L, 300L, 400L)
+
+  /** Default probe set: the [[defaultProbeIds]] vectors, as
+    * (query_id, q_emb) — bounded regardless of corpus size. */
   def defaultQueries(emb: DataFrame): DataFrame =
-    emb.filter(col("vec_id") % 100 === 0)
+    emb.filter(col("vec_id").isin(defaultProbeIds: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
 
   def topKCosine(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
@@ -202,7 +212,7 @@ object Similarity {
     * documented approximation. */
   def topKCosineLsh(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    topKCosineLsh(emb, col("vec_id") % 100 === 0, k)
+    topKCosineLsh(emb, col("vec_id").isin(defaultProbeIds: _*), k)
   }
 
   /** Product-quantization codebook: `m` subspaces × `kc` centroids of
@@ -295,13 +305,17 @@ object Similarity {
     val qBanded = banded.filter(isQuery)
       .select(col("band"), col("bucket"),
         col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val cand = banded.join(qBanded, Seq("band", "bucket"))
+    // Score BEFORE deduplicating band collisions: a (query, vector) pair
+    // that collides in several bands scores identically each time, so the
+    // dedup is a (query_id, vec_id) max — and the operator's only big
+    // exchange then carries 24-byte (query_id, vec_id, score) rows instead
+    // of two full embedding vectors (~40× narrower at dim 64).
+    val scored = banded.join(qBanded, Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select("query_id", "vec_id", "q_emb", "embedding")
-      .dropDuplicates("query_id", "vec_id")
-    val scored = cand.select(
-      col("query_id"), col("vec_id"),
-      GraftFunctions.cosineSim(col("q_emb"), col("embedding")).as("score"))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosineSim(col("q_emb"), col("embedding")).as("score"))
+      .groupBy("query_id", "vec_id")
+      .agg(max(col("score")).as("score"))
     topKCut(scored, k)
   }
 }
