@@ -91,6 +91,54 @@ object Bench {
     // COMMA under e.g. de_DE, which is malformed JSON.
     def fnum(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+
+    // Streaming throughput: one Trigger.AvailableNow drive of
+    // StreamClean.clean (decontaminate → corpus-known anti-join →
+    // in-watermark dedup → PII redact) over the sf documents, landed as
+    // parquet — the only performance signal for the streaming half
+    // (correctness suites don't time it). rows/s is input-rows / wall.
+    def streamBench(): Option[String] =
+      try {
+        import org.apache.spark.sql.functions.{col, md5, timestamp_seconds}
+        val tmp = Files.createTempDirectory("graft_stream_bench_").toString
+        val docsPath = s"$sfDir/documents.parquet"
+        val static = spark.read.parquet(docsPath)
+        val rowsIn = static.count()
+        // bounded-by-contract suite/index stand-ins: a literal eval doc and
+        // a 1%-of-corpus fingerprint index (realistic anti-join cost)
+        val evalSet = {
+          import spark.implicits._
+          Seq("graft eval suite sentinel eight gram window text").toDF("text")
+        }
+        val corpusFps = static.filter(col("doc_id") % 100 === 0)
+          .select(md5(col("text").cast("binary")).as("fp"))
+        // the file source wants a DIRECTORY: expose the single parquet
+        // file through a symlink in the bench's temp dir (no copy)
+        Files.createDirectory(Paths.get(s"$tmp/in"))
+        Files.createSymbolicLink(
+          Paths.get(s"$tmp/in/documents.parquet"), Paths.get(docsPath))
+        val stream = spark.readStream.schema(static.schema).parquet(s"$tmp/in")
+          .withColumn("ts", timestamp_seconds(col("doc_id")))
+        val cleaned = graft.streaming.StreamClean.clean(
+          stream, evalSet, corpusFps, "doc_id", "text", "ts",
+          watermark = "1 hour")
+        val t0 = System.nanoTime()
+        graft.streaming.StreamSink.drainAvailable(
+          cleaned, s"$tmp/out", s"$tmp/ckpt")
+        val wall = (System.nanoTime() - t0) / 1e9
+        val rowsOut = spark.read.parquet(s"$tmp/out").count()
+        Some(s"""{"op":"stream_clean_docs","rows_in":$rowsIn,""" +
+          s""""rows_out":$rowsOut,"wall_sec":${fnum(wall)},""" +
+          s""""rows_per_sec":${fnum(rowsIn / wall)}}""")
+      } catch {
+        case e: Throwable =>
+          errors += s"stream: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          None
+      }
+    val streamJson: String =
+      if (only.forall(_.contains("stream"))) streamBench().getOrElse("null")
+      else "null"
+
     def qjson(rs: Seq[(String, Option[Double])]): String = rs
       .map { case (k, v) => jstr(k) + ":" + v.map(fnum).getOrElse("null") }
       .mkString("{", ",", "}")
@@ -104,7 +152,7 @@ object Bench {
     // "probe" is the per-query contention sentinel (see scaladoc):
     // probe[q] >> probe_floor ⇒ q was timed in a contended window.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"ext":${qjson(extResults)},"probe":$probeJson,"probe_floor":${fnum(probeFloor)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"ext":${qjson(extResults)},"stream":$streamJson,"probe":$probeJson,"probe_floor":${fnum(probeFloor)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
     println(json)
     Files.writeString(Paths.get(outFile), json)
     spark.stop()

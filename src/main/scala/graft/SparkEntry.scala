@@ -191,6 +191,24 @@ object SparkEntry {
     "q_range_join", "q_rollup_daily", "txt_tfidf",
     "q_bloom_join", "sess_native", "txt_neg_pairs", "sim_topk_pq", "txt_mix",
     "txt_decontam", "txt_repetition", "txt_pii", "q_topk_exec",
+    // Round 7: every remaining green query gets a timing tripwire — a plan
+    // regression in an untimed operator would otherwise ship silently.
+    // (s5_stream_ingest is deliberately absent: it drives a full streaming
+    // roundtrip with its own file I/O; the dedicated "stream" bench object
+    // measures streaming throughput instead.)
+    "sim_topk_ann", "sim_kmeans",
+    "cdc_apply", "cdc_diff",
+    "dedup_cc", "dedup_exact_docs", "dedup_incremental", "dedup_near_drop",
+    "dedup_simhash", "dedup_simhash_exact", "dedup_spans",
+    "mm_decode", "mm_features", "mm_frames", "mm_resize",
+    "p7_normalize", "q3_null_blank", "s8_catalog_q1",
+    "q_asof_join", "q_cube_daily", "q_daily_delta", "q_exists",
+    "q_expectations", "q_full_outer", "q_histogram", "q_moving_avg",
+    "q_pivot", "q_profile", "q_rank_suite", "q_salted_join",
+    "q_sample_strat", "q_sample_weighted", "q_set_ops", "q_set_ops_all",
+    "q_split", "q_split_leakfree", "q_union_evolve",
+    "txt_chunks", "txt_lang_dist", "txt_langid", "txt_pack",
+    "txt_quality_filter", "txt_shuffle", "txt_tokens",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -248,7 +266,7 @@ object SparkEntry {
        |), cand AS (
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
        |  FROM banded q JOIN banded c ON q.band = c.band AND q.bucket = c.bucket
-       |  WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id IN (0, 100, 200, 300, 400) AND c.vec_id <> q.vec_id
        |)
        |SELECT query_id, vec_id, score FROM (
        |  SELECT query_id, vec_id, score,
@@ -299,7 +317,7 @@ object SparkEntry {
        |    list_inner_product(
        |      CAST(q.embedding[cb.sub*$subDim+1 : cb.sub*$subDim+$subDim] AS DOUBLE[]), cb.cv) AS w
        |  FROM embeddings q, cb
-       |  WHERE q.vec_id % 100 = 0
+       |  WHERE q.vec_id IN (0, 100, 200, 300, 400)
        |), scored AS (
        |  SELECT l.query_id, c.vec_id, round(sum(l.w), 6) AS score
        |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.cell = c.cell
@@ -456,7 +474,7 @@ object SparkEntry {
         |        / sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
         |             * list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS score
         |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
-        |    WHERE q.vec_id % 100 = 0
+        |    WHERE q.vec_id IN (0, 100, 200, 300, 400)
         |  ) WHERE NOT isnan(score)
         |) WHERE rn <= 5""".stripMargin,
     // The exact prefix-filtered Jaccard join has the SAME ground truth as
@@ -680,7 +698,7 @@ object SparkEntry {
         |               * list_inner_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))) DESC,
         |        c.cell_id ASC) AS rn
         |    FROM embeddings q CROSS JOIN cent c
-        |    WHERE q.vec_id % 100 = 0
+        |    WHERE q.vec_id IN (0, 100, 200, 300, 400)
         |  ) WHERE rn <= 4
         |)
         |SELECT query_id, vec_id, score FROM (
