@@ -274,24 +274,26 @@ object Relational {
     val key = graft.functions.GraftFunctions.md5Prefix32(
       concat(lit(seed), lit(":"), col(idCol).cast("string")))
     val perBucket = (1L << 32) / buckets
-    // persisted: the offsets branch and the ranked branch both consume
-    // this projection — without it the source scans (and per-row md5)
-    // run twice (same convention as the dedup pipelines' shingle table).
-    // The cached slice is (id, 8-byte key, 8-byte bucket) — tiny next to
-    // the corpus it indexes.
     val withB = df.select(col(idCol), key.as("__k"))
       .withColumn("__b", (col("__k") / lit(perBucket)).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val offs = withB.groupBy("__b").agg(count(lit(1)).as("__n"))
-      .withColumn("__off", coalesce(
-        sum(col("__n")).over(org.apache.spark.sql.expressions.Window
-          .orderBy("__b").rowsBetween(Long.MinValue, -1)), lit(0L)))
-      .select("__b", "__off")
+    // Bucket offsets are materialized DRIVER-SIDE (≤ `buckets` rows of
+    // counts — a bounded collect, same legitimacy class as broadcast
+    // literals) and re-enter the plan as a literal map probed per row.
+    // The price is one extra column-pruned scan of the id projection; the
+    // alternative — persisting (id, key, bucket) so two plan branches
+    // share one scan — caches a whole-corpus slice for the session (a
+    // per-EPOCH reshuffle API would leak those blocks on every call) and
+    // at 100 TB the re-scan is the cheaper side of that trade.
+    val counts = withB.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Long, Long] =
+      counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2).init).toMap
     val ranked = withB.withColumn("__r",
       row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy("__b").orderBy(col("__k"), col(idCol))).cast("long"))
-    ranked.join(broadcast(offs), "__b")
-      .select((col("__off") + col("__r") - 1).as("pos"), col(idCol))
+    ranked.select(
+      (element_at(typedlit(offsets), col("__b")) + col("__r") - 1).as("pos"),
+      col(idCol))
   }
 
   /** CORRECTNESS instantiation: epoch-0 shuffle order of documents. */

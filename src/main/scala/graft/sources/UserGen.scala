@@ -30,7 +30,10 @@ object UserGen {
     * real API dirt the reference's `safe_float` exists for. */
   def users(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
     val id = col("id")
-    def h(salt: Int): Column = abs(xxhash64(id, lit(seed), lit(salt)))
+    // mask, not abs: abs(Long.MinValue) is still negative (the 2^-64 hash
+    // edge), which would make pick()'s pmod index negative; clearing the
+    // sign bit is total. UsersSourceV2's native reader masks identically.
+    def h(salt: Int): Column = xxhash64(id, lit(seed), lit(salt)).bitwiseAND(lit(Long.MaxValue))
 
     val latRaw = when(pmod(id, lit(97)) === 0, lit("not-a-number"))
       .otherwise(format_string("%.4f", pmod(h(6), lit(180000)).cast("double") / 1000.0 - 90.0))

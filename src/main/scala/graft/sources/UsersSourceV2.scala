@@ -193,9 +193,12 @@ object UsersSourceV2 {
 
     override def next(): Boolean = { id += 1; id < end }
 
+    // mask, not abs: abs(Long.MinValue) is still negative (the 2^-64 hash
+    // edge) and pick()'s modulo would index negatively — a task crash.
+    // UserGen masks identically, keeping the two surfaces bit-identical.
     private def h(salt: Int): Long =
-      math.abs(XXH64.hashInt(salt,
-        XXH64.hashLong(seed, XXH64.hashLong(id, 42L))))
+      XXH64.hashInt(salt,
+        XXH64.hashLong(seed, XXH64.hashLong(id, 42L))) & Long.MaxValue
 
     private def pick(options: Array[String], hv: Long): String =
       options((hv % options.length).toInt)
