@@ -70,6 +70,7 @@ object SparkEntry {
     "sim_topk_ann"      -> ((s, d) => Similarity.topKCosineLsh(s, d)),
     "sim_topk_ivf"      -> ((s, d) => Similarity.topKCosineIvf(s, d)),
     "sim_topk_pq"       -> ((s, d) => Similarity.topKPq(s, d)),
+    "sim_topk_pq_trained" -> ((s, d) => Similarity.topKPqTrained(s, d)),
     "txt_lang_dist"     -> (TextAnalysis.langDist _),
     "txt_quality"       -> (TextAnalysis.qualityStats _),
     "txt_langid"        -> (TextAnalysis.langId _),
@@ -196,7 +197,7 @@ object SparkEntry {
     // (s5_stream_ingest is deliberately absent: it drives a full streaming
     // roundtrip with its own file I/O; the dedicated "stream" bench object
     // measures streaming throughput instead.)
-    "sim_topk_ann", "sim_kmeans",
+    "sim_topk_ann", "sim_kmeans", "sim_topk_pq_trained",
     "cdc_apply", "cdc_diff",
     "dedup_cc", "dedup_exact_docs", "dedup_incremental", "dedup_near_drop",
     "dedup_simhash", "dedup_simhash_exact", "dedup_spans",
@@ -290,18 +291,10 @@ object SparkEntry {
     * LUT, and the ADC sum — checking the entire approximate plan. Scores
     * are rounded to 6 dp on both sides before the k-cut (8-term double
     * sums differ across engines in the last ulps by summation order). */
-  private def pqOracleSql(m: Int = 8, kc: Int = 16, subDim: Int = 8, k: Int = 5): String = {
-    val book = graft.operators.Similarity.pqCodebook(m, kc, subDim)
-    val cbRows = book.map { case (s, c, arr) =>
-      val vlit = arr.mkString("[", ", ", "]")
-      val n2 = arr.map(x => x * x).sum
-      s"{'sub': $s, 'cell': $c, 'cv': CAST($vlit AS DOUBLE[]), 'n2': CAST($n2 AS DOUBLE)}"
-    }.mkString(",\n      ")
-    s"""WITH cb AS (
-       |  SELECT unnest([
-       |      $cbRows
-       |  ], recursive := true)
-       |), dists AS (
+  /** The encode → LUT → ADC-score → top-k body shared by both PQ oracles,
+    * over whatever `cb(sub, cell, cv, n2)` CTE precedes it. */
+  private def pqSearchBodySql(subDim: Int, k: Int): String =
+    s"""dists AS (
        |  SELECT e.vec_id, cb.sub, cb.cell,
        |    cb.n2 - 2 * list_inner_product(
        |      CAST(e.embedding[cb.sub*$subDim+1 : cb.sub*$subDim+$subDim] AS DOUBLE[]), cb.cv) AS d
@@ -329,6 +322,67 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
        |  FROM scored)
        |WHERE rn <= $k""".stripMargin
+
+  private def pqOracleSql(m: Int = 8, kc: Int = 16, subDim: Int = 8, k: Int = 5): String = {
+    val book = graft.operators.Similarity.pqCodebook(m, kc, subDim)
+    val cbRows = book.map { case (s, c, arr) =>
+      val vlit = arr.mkString("[", ", ", "]")
+      val n2 = arr.map(x => x * x).sum
+      s"{'sub': $s, 'cell': $c, 'cv': CAST($vlit AS DOUBLE[]), 'n2': CAST($n2 AS DOUBLE)}"
+    }.mkString(",\n      ")
+    s"""WITH cb AS (
+       |  SELECT unnest([
+       |      $cbRows
+       |  ], recursive := true)
+       |), """.stripMargin + pqSearchBodySql(subDim, k)
+  }
+
+  /** sim_topk_pq_trained oracle, generated: replays the per-subspace
+    * Lloyd's training of [[graft.operators.Similarity.pqCodebookTrained]]
+    * IN SQL — deterministic init (cell c = vector c·initStep's
+    * subvector), assignment by the same ADC argmin metric ‖c‖²−2·e_s·c
+    * with the same (dist, cell) tie-break, re-centering rounded to 6 dp
+    * (the sim_kmeans drift absorber) — then runs the identical
+    * encode/LUT/score body over the TRAINED codebook. A genuinely
+    * independent cross-engine check of training + search end to end. */
+  private def pqTrainedOracleSql(m: Int = 8, kc: Int = 16, subDim: Int = 8,
+      initStep: Int = 31, iters: Int = 2, k: Int = 5): String = {
+    val subCtes = (0 until m).map { s =>
+      val lo = s * subDim + 1
+      val hi = s * subDim + subDim
+      val sv = s"CAST(embedding[$lo : $hi] AS DOUBLE[])"
+      val init =
+        s"""cb${s}_0 AS (
+           |  SELECT CAST(vec_id // $initStep AS INT) AS cell, $sv AS cv
+           |  FROM embeddings WHERE vec_id % $initStep = 0 AND vec_id < ${initStep.toLong * kc}
+           |)""".stripMargin
+      val its = (1 to iters).map { i =>
+        s"""a${s}_$i AS (
+           |  SELECT vec_id, sv, cell FROM (
+           |    SELECT e.vec_id, ${sv.replace("embedding", "e.embedding")} AS sv, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        list_inner_product(c.cv, c.cv)
+           |          - 2 * list_inner_product(${sv.replace("embedding", "e.embedding")}, c.cv) ASC,
+           |        c.cell ASC) AS rn
+           |    FROM embeddings e, cb${s}_${i - 1} c
+           |  ) WHERE rn = 1
+           |), m${s}_$i AS (
+           |  SELECT cell, u.lane AS lane, round(avg(u.v), 6) AS mv FROM (
+           |    SELECT cell, unnest(list_transform(range(1, len(sv) + 1),
+           |      j -> struct_pack(lane := j - 1, v := sv[j::INT]))) AS u
+           |    FROM a${s}_$i
+           |  ) GROUP BY cell, u.lane
+           |), cb${s}_$i AS (
+           |  SELECT cell, list(mv ORDER BY lane) AS cv FROM m${s}_$i GROUP BY cell
+           |)""".stripMargin
+      }
+      (init +: its).mkString(",\n")
+    }
+    val cbUnion = (0 until m).map(s =>
+      s"  SELECT $s AS sub, cell, cv, list_inner_product(cv, cv) AS n2 FROM cb${s}_$iters")
+      .mkString("\n  UNION ALL\n")
+    s"WITH ${subCtes.mkString(",\n")},\ncb AS (\n$cbUnion\n), " +
+      pqSearchBodySql(subDim, k)
   }
 
   /** mm_features oracle, generated: the feature stub is the documents
@@ -362,6 +416,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "sim_topk_ann" -> annOracleSql,
     "sim_topk_pq" -> pqOracleSql(),
+    "sim_topk_pq_trained" -> pqTrainedOracleSql(),
     "sim_kmeans" -> kmeansOracleSql(),
     "mm_features" -> mmFeaturesOracleSql,
     // Generated: Spark's XXH64 re-emitted as u64-emulated DuckDB SQL, so

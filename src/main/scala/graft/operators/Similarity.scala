@@ -230,24 +230,35 @@ object Similarity {
       (h >>> 11) * (2.0 / (1L << 53)) - 1.0
     })
 
+  /** The literal-dot building block: e·c with `c` a plan literal,
+    * evaluated as a left-fold so the summation order is the same
+    * sequential order the DuckDB oracle's `list_inner_product` uses. */
+  private def litDot(e: org.apache.spark.sql.Column, c: Array[Double]) =
+    aggregate(zip_with(e, typedlit(c.toSeq), (x, cc) => x * cc),
+      lit(0.0d), (acc, t) => acc + t)
+
   /** PQ encode, entirely SCAN-SIDE: per subspace, the code is the argmin
-    * over `kc` literal centroids of ‖e_s − c‖² — computed as the
+    * over the book's literal centroids of ‖e_s − c‖² — computed as the
     * monotone-equivalent ‖c‖² − 2·e_s·c (the ‖e_s‖² term is common to
     * the argmin) and picked with `array_min` over (dist, cell) structs,
     * so the tie-break (smaller cell) is part of the expression. A 100 TB
     * corpus encodes in one pass with NO shuffle, emitting m small ints
     * (the m·log₂kc-bit code) per vector — the 32× compression that lets
-    * the index live in memory. */
-  def pqEncode(emb: DataFrame, m: Int = 8, kc: Int = 16, subDim: Int = 8): DataFrame = {
-    val book = pqCodebook(m, kc, subDim)
+    * the index live in memory. `book` defaults to the seeded
+    * [[pqCodebook]]; pass [[pqCodebookTrained]]'s output for the trained
+    * index (cells Lloyd's dropped are simply absent from the argmin). */
+  def pqEncode(emb: DataFrame, m: Int = 8, kc: Int = 16, subDim: Int = 8): DataFrame =
+    pqEncodeWithBook(emb, m, subDim, pqCodebook(m, kc, subDim))
+
+  def pqEncodeWithBook(emb: DataFrame, m: Int, subDim: Int,
+      book: Seq[(Int, Int, Array[Double])]): DataFrame = {
+    val bySub = book.groupBy(_._1).map { case (s, rows) =>
+      s -> rows.map(r => (r._2, r._3)).sortBy(_._1)
+    }
     val codeCols = (0 until m).map { s =>
       val sub = slice(col("embedding"), s * subDim + 1, subDim)
-      val cands = array((0 until kc).map { c =>
-        val cb = book(s * kc + c)._3
-        val dot = aggregate(
-          zip_with(sub, typedlit(cb.toSeq), (x, cc) => x * cc),
-          lit(0.0d), (acc, t) => acc + t)
-        struct((lit(cb.map(x => x * x).sum) - lit(2.0d) * dot).as("d"),
+      val cands = array(bySub(s).map { case (c, cb) =>
+        struct((lit(cb.map(x => x * x).sum) - lit(2.0d) * litDot(sub, cb)).as("d"),
           lit(c.toLong).as("cell"))
       }: _*)
       array_min(cands).getField("cell").as(s"code_$s")
@@ -255,9 +266,68 @@ object Similarity {
     emb.select(col("vec_id") +: codeCols: _*)
   }
 
+  /** Train the PQ codebook with per-subspace Lloyd's — the
+    * [[kmeansCentroids]] recipe specialized to the ADC metric: assignment
+    * is the argmin of ‖c‖² − 2·e_s·c (exactly what [[pqEncode]] will
+    * evaluate, tie on smaller cell), re-centering rounds each lane mean
+    * to 6 dp (the same cross-engine drift absorber as `sim_kmeans`), and
+    * init is deterministic (cell c of every subspace starts at vector
+    * `c·initStep`'s subvector). All m subspaces train in ONE job per
+    * iteration: the corpus explodes row-locally to (vec_id, sub,
+    * subvector), assignment is scan-side against the current book as
+    * plan literals, and only the (sub, cell, lane, mean) table — m·kc·
+    * subDim rows — crosses the shuffle and lands on the driver (the same
+    * bounded-collect legitimacy class as the centroid literals). Cells
+    * that lose all members drop out (standard Lloyd degeneracy). */
+  def pqCodebookTrained(emb: DataFrame, m: Int = 8, kc: Int = 16,
+      subDim: Int = 8, initStep: Int = 31, iters: Int = 2): Seq[(Int, Int, Array[Double])] = {
+    val subCols = array((0 until m).map(s =>
+      slice(col("embedding"), s * subDim + 1, subDim)): _*)
+    val subs = emb.select(col("vec_id"), posexplode(subCols))
+      .toDF("vec_id", "sub", "sv")
+    var book: Map[(Int, Int), Array[Double]] =
+      emb.filter(col("vec_id").isin((0 until kc).map(_.toLong * initStep): _*))
+        .select(col("vec_id"), posexplode(subCols))
+        .toDF("vec_id", "sub", "sv")
+        .collect().map { r =>
+          ((r.getInt(1), (r.getLong(0) / initStep).toInt) ->
+            r.getSeq[Float](2).map(_.toDouble).toArray)
+        }.toMap
+    for (_ <- 1 to iters) {
+      val perSubCands = array((0 until m).map { s =>
+        val cells = book.keys.collect { case (`s`, c) => c }.toSeq.sorted
+        array(cells.map { c =>
+          val cv = book((s, c))
+          struct((lit(cv.map(x => x * x).sum) - lit(2.0d) * litDot(col("sv"), cv)).as("d"),
+            lit(c).as("cell"))
+        }: _*)
+      }: _*)
+      val cell = array_min(element_at(perSubCands, col("sub") + 1)).getField("cell")
+      book = subs.withColumn("cell", cell)
+        .select(col("sub"), col("cell"), posexplode(col("sv")))
+        .toDF("sub", "cell", "lane", "v")
+        .groupBy("sub", "cell", "lane")
+        .agg(round(avg(col("v").cast("double")), 6).as("mv"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
+        }
+    }
+    book.toSeq.map { case ((s, c), arr) => (s, c, arr) }.sortBy(t => (t._1, t._2))
+  }
+
   def topKPq(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
     topKPq(emb, defaultQueries(emb), k, m = 8, kc = 16, subDim = 8)
+  }
+
+  /** The TRAINED-codebook PQ/ADC entry: [[pqCodebookTrained]] over the
+    * corpus, then the identical encode/LUT/score plan as [[topKPq]]. */
+  def topKPqTrained(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    topKPqWithBook(emb, defaultQueries(emb), k, m = 8, subDim = 8,
+      pqCodebookTrained(emb))
   }
 
   /** PQ/ADC search (Jégou et al., "Product Quantization for Nearest
@@ -273,26 +343,33 @@ object Similarity {
     * differs across engines; the rounding makes the ranking cross-engine
     * exact), ties broken by vec_id inside `topk_by`. */
   def topKPq(emb: DataFrame, queries: DataFrame, k: Int,
-      m: Int, kc: Int, subDim: Int): DataFrame = {
-    val book = pqCodebook(m, kc, subDim)
-    val codes = pqEncode(emb, m, kc, subDim)
+      m: Int, kc: Int, subDim: Int): DataFrame =
+    topKPqWithBook(emb, queries, k, m, subDim, pqCodebook(m, kc, subDim))
+
+  def topKPqWithBook(emb: DataFrame, queries: DataFrame, k: Int,
+      m: Int, subDim: Int, b: Seq[(Int, Int, Array[Double])]): DataFrame = {
+    val bySub = b.groupBy(_._1).map { case (s, rows) =>
+      s -> rows.map(r => (r._2, r._3)).sortBy(_._1)
+    }
+    val codes = pqEncodeWithBook(emb, m, subDim, b)
       .select(col("vec_id"), posexplode(
         array((0 until m).map(s => col(s"code_$s")): _*)))
       .toDF("vec_id", "sub", "cell")
-    // per-query LUT: the m×kc subspace dots as one nested-array literal
-    // expression, exploded to (query_id, sub, cell, w) — |Q|·m·kc tiny rows
+    // per-query LUT: the subspace dots as one nested-array literal
+    // expression of (cell, w) structs (cell carried explicitly so a
+    // trained book with dropped cells stays addressable), exploded to
+    // (query_id, sub, cell, w) — |Q|·m·kc tiny rows
     val perSub = array((0 until m).map { s =>
       val sub = slice(col("q_emb"), s * subDim + 1, subDim)
-      array((0 until kc).map { c =>
-        aggregate(zip_with(sub, typedlit(book(s * kc + c)._3.toSeq), (x, cc) => x * cc),
-          lit(0.0d), (acc, t) => acc + t)
+      array(bySub(s).map { case (c, cv) =>
+        struct(lit(c.toLong).as("cell"), litDot(sub, cv).as("w"))
       }: _*)
     }: _*)
     val lutRows = queries.select(col("query_id"), posexplode(perSub))
       .toDF("query_id", "sub", "ws")
-      .select(col("query_id"), col("sub"), posexplode(col("ws")))
-      .toDF("query_id", "sub", "cell", "w")
-      .select(col("query_id"), col("sub"), col("cell").cast("long").as("cell"), col("w"))
+      .select(col("query_id"), col("sub"), explode(col("ws")).as("cw"))
+      .select(col("query_id"), col("sub"),
+        col("cw.cell").as("cell"), col("cw.w").as("w"))
     val scored = codes.join(broadcast(lutRows), Seq("sub", "cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")

@@ -127,6 +127,69 @@ class SimilaritySpec extends SparkTestBase {
     assert(again == topk.toSet)
   }
 
+  test("trained PQ codebook beats the seeded one on clustered data") {
+    val m = 4; val kc = 8; val subDim = 8; val k = 3
+    // 4 tight clusters: Lloyd's puts each subspace's centroids on the
+    // cluster structure a data-blind seeded codebook cannot see (kc = 8
+    // gives two centroids per cluster, so there is intra-cluster
+    // resolution to rank with). initStep = 7 → init ids 0, 7, …, 49
+    // cover every cluster (mod 4) twice.
+    val jit = new scala.util.Random(17)
+    val centers = Array.fill(4)(Array.fill(32)(jit.nextGaussian().toFloat))
+    val cl: Seq[(Long, Array[Float])] = (0 until 56).map { i =>
+      val v = centers(i % 4).map(_ + jit.nextGaussian().toFloat * 0.15f)
+      (i.toLong, v)
+    }
+    val emb = cl.toDF("vec_id", "embedding")
+    val qIds = Seq(1L, 2L, 3L)
+    val queries = cl.filter(t => qIds.contains(t._1)).toDF("query_id", "q_emb")
+    val seededBook = Similarity.pqCodebook(m, kc, subDim)
+    val trainedBook = Similarity.pqCodebookTrained(emb, m, kc, subDim,
+      initStep = 7, iters = 2)
+
+    // ADC distortion — the trained objective itself: mean |q·v − adc(q,v)|
+    // over all (query, corpus) pairs, with encode/LUT replayed driver-side
+    def adc(book: Seq[(Int, Int, Array[Double])], q: Array[Float], v: Array[Float]): Double =
+      (0 until m).map { s =>
+        val vs = v.slice(s * subDim, (s + 1) * subDim)
+        val qs = q.slice(s * subDim, (s + 1) * subDim)
+        val cells = book.filter(_._1 == s)
+        val (_, _, cb) = cells.minBy { case (_, c, arr) =>
+          (arr.map(x => x * x).sum - 2 * vs.zip(arr).map { case (x, cc) => x * cc }.sum, c)
+        }
+        qs.zip(cb).map { case (x, cc) => x.toDouble * cc }.sum
+      }.sum
+    def distortion(book: Seq[(Int, Int, Array[Double])]): Double = {
+      val pairs = for (q <- qIds; (id, v) <- cl if id != q) yield {
+        val qv = cl(q.toInt)._2
+        math.abs(qv.zip(v).map { case (x, y) => x.toDouble * y }.sum - adc(book, qv, v))
+      }
+      pairs.sum / pairs.size
+    }
+    val dSeeded = distortion(seededBook)
+    val dTrained = distortion(trainedBook)
+    assert(dTrained < dSeeded / 2,
+      s"trained distortion $dTrained not well below seeded $dSeeded")
+
+    // recall@k vs exact inner-product top-k, via the actual operator
+    def exactTop(q: Long): Set[Long] = {
+      val qv = cl(q.toInt)._2
+      cl.filter(_._1 != q)
+        .map { case (id, v) => (id, v.zip(qv).map { case (x, y) => x.toDouble * y }.sum) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+    }
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val byQ = df.select("query_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+      qIds.map { q =>
+        byQ.getOrElse(q, Array.empty).map(_._2).toSet
+          .intersect(exactTop(q)).size.toDouble / k
+      }.sum / qIds.size
+    }
+    val seeded = recall(Similarity.topKPq(emb, queries, k, m, kc, subDim))
+    val trained = recall(Similarity.topKPqWithBook(emb, queries, k, m, subDim, trainedBook))
+    assert(trained >= seeded, s"trained recall $trained < seeded $seeded")
+  }
+
   test("kmeansCentroids recovers the per-cluster means on separable clusters") {
     // 3 tight clusters on orthogonal axes; ids arranged so the seeded
     // init (vec_id % 29 == 0 → ids 0, 29, 58) lands one seed per cluster
