@@ -164,6 +164,9 @@ object SparkEntry {
     "q_set_ops_all"     -> (Relational.setOpsAll _),
     "q_union_evolve"    -> (Relational.unionEvolved _),
     "txt_pack"          -> ((s, d) => Packing.packedChunks(s, d)),
+    "dedup_incr_near"   -> (Dedup.incrementalNearArrivals _),
+    "q_user_seq"        -> (Analytics.userSequences _),
+    "txt_source_filter" -> (TextAnalysis.sourceFiltered _),
     // ── Skew-safe salted aggregation (same values as a plain group-by) ──
     "agg_salted"        -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, round}
@@ -210,6 +213,8 @@ object SparkEntry {
     "q_split", "q_split_leakfree", "q_union_evolve",
     "txt_chunks", "txt_lang_dist", "txt_langid", "txt_pack",
     "txt_quality_filter", "txt_shuffle", "txt_tokens",
+    // round-7 additions
+    "dedup_incr_near", "q_user_seq", "txt_source_filter",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1345,6 +1350,88 @@ object SparkEntry {
         |  ) WHERE rn = 1
         |)
         |SELECT doc_id, fp FROM firsts WHERE fp NOT IN (SELECT fp FROM cfp)""".stripMargin,
+    // Incremental NEAR-dup ground truth: exact word-3-gram Jaccard between
+    // every batch doc and (a) the whole corpus, (b) every smaller-id batch
+    // doc — the same all-pairs string-space ground truth as
+    // dedup_minhash_lsh, restricted to batch×(corpus ∪ batch). The LSH
+    // probe recalls qualifying pairs w.h.p. and verification removes every
+    // false positive, so survivor sets match exactly when it does.
+    "dedup_incr_near" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 1
+        |), batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' graftdup' FROM corpus WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text || ' graftdup' FROM documents WHERE doc_id % 8 = 1
+        |), bs AS (
+        |  SELECT doc_id, text, CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM (SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |    FROM batch)
+        |), cs AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |    FROM corpus)
+        |), cdrops AS (
+        |  SELECT doc_b FROM (
+        |    SELECT b.doc_id AS doc_b,
+        |      CAST(len(list_intersect(b.s, c.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(b.s, c.s))) AS jaccard
+        |    FROM bs b JOIN cs c ON true
+        |  ) WHERE jaccard >= 0.7
+        |), bdrops AS (
+        |  SELECT doc_b FROM (
+        |    SELECT b.doc_id AS doc_b,
+        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |    FROM bs a JOIN bs b ON a.doc_id < b.doc_id
+        |  ) WHERE jaccard >= 0.7
+        |)
+        |SELECT doc_id, md5(text) AS fp FROM bs
+        |WHERE doc_id NOT IN (SELECT doc_b FROM cdrops)
+        |  AND doc_id NOT IN (SELECT doc_b FROM bdrops)""".stripMargin,
+    // Sequence ground truth: row_number over the same (µs, event_id) total
+    // order the Spark side sorts by (epoch_ns // 1000 ≡ Spark's µs
+    // timestamps — the cdc_apply pattern), string_agg in rank order.
+    "q_user_seq" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) // 1000, event_id) AS rn
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS seq_len,
+        |    string_agg(event_type, '|' ORDER BY rn) AS seq
+        |  FROM r WHERE rn <= 64 GROUP BY user_id
+        |), n AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+        |SELECT n.user_id, n.n_events, s.seq_len, s.seq
+        |FROM n JOIN s USING (user_id)""".stripMargin,
+    // Source-level filter ground truth: same tokenizer, stopword list,
+    // and greatest(len, 1) division guard as the Spark projection; the
+    // 0.06 floor has ≥ 3.5e-5 margin to the nearest sf0.01 source mean.
+    "txt_source_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(toks, x -> list_contains(
+        |      ['the','a','an','of','to','and','in','is','it','that'], x))) AS DOUBLE)
+        |      / greatest(len(toks), 1) AS r
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        |    FROM documents)
+        |), kept AS (
+        |  SELECT source FROM d GROUP BY source HAVING avg(r) >= 0.06
+        |)
+        |SELECT doc_id, source FROM d WHERE source IN (SELECT source FROM kept)""".stripMargin,
     // Decontamination ground truth in STRING space (the Spark plan joins
     // 8-byte xxhash64 gram keys — identical w.h.p., the same argument as
     // dedup_minhash_lsh): same tokenizer, same n-gram rule (windows of 8

@@ -60,6 +60,49 @@ object Analytics {
         col("t.score").cast("long").as("n"))
   }
 
+  /** Per-user training sequences — the "user history" construction every
+    * behavioral-model data pipeline runs (and an LLM pipeline's
+    * conversation/session assembly): each user's first `maxLen` events in
+    * (ts, event_id) order, serialized as a delimited event-type string,
+    * with the user's TOTAL event count alongside so downstream can tell
+    * truncated histories from complete ones.
+    *
+    * Scale shape: the head-of-history cut runs through the custom
+    * [[graft.plans.TopKPerKey]] operator — per-task bounded heaps mean at
+    * most `users_in_task × maxLen` rows leave each scan task, where the
+    * rank-window spelling would shuffle and per-user sort EVERY event of
+    * every user (the full 100 TB). The collect_list then aggregates a set
+    * already bounded to maxLen per user, so its per-group state is
+    * bounded by contract — the unbounded-collect trap this operator
+    * family usually hides. The total count is a separate two-phase agg
+    * (one row per user) joined on the same key, so AQE plans both sides
+    * of the join hash-partitioned identically. Determinism: (ts,
+    * event_id) is a total order (event_id unique), and the final
+    * array_sort orders each user's ≤ maxLen structs row-locally. */
+  def userEventSequences(events: DataFrame, maxLen: Int): DataFrame = {
+    val firstK = graft.plans.TopKPerKey(
+      events.select("user_id", "ts", "event_id", "event_type"),
+      Seq("user_id"), Seq(col("ts").asc, col("event_id").asc), maxLen)
+    val seqs = firstK
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("ord"))
+      .select(
+        col("user_id"),
+        size(col("ord")).cast("long").as("seq_len"),
+        array_join(transform(col("ord"), e => e.getField("event_type")), "|")
+          .as("seq"))
+    val totals = events.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    seqs.join(totals, "user_id")
+      .select("user_id", "n_events", "seq_len", "seq")
+  }
+
+  /** CORRECTNESS instantiation: maxLen = 64 sits inside the sf0.01
+    * per-user event-count range (49–86), so both the truncated and the
+    * complete-history paths are live. */
+  def userSequences(spark: SparkSession, dir: String): DataFrame =
+    userEventSequences(Tables.load(spark, dir, "events"), maxLen = 64)
+
   /** Exact distinct counting (two-phase: partial distinct per partition,
     * merge). The approximate HLL++ path (`approx_count_distinct`) is the
     * 100 TB default — constant memory per group instead of a distinct

@@ -111,6 +111,118 @@ object Dedup extends Logging {
       .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
   }
 
+  /** Near-duplicate signature index of a landed corpus — the artifact
+    * [[incrementalNearNew]] probes, maintained at land time exactly like
+    * the exact-dedup fingerprint index ([[incrementalNew]]'s `corpusFps`).
+    * One row per landed document: (doc_id, distinct shingle hashes, k-row
+    * MinHash signature) — a few hundred longs per doc, no text. In
+    * production this lands as its own bucketed table (bucket by a band
+    * hash via [[graft.sources.Layout]]) and is appended per arrival batch;
+    * the corpus body is never re-read. */
+  def buildNearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 128, seed: Long = 42L): DataFrame =
+    corpus.select(
+      col(idCol).as("doc_id"),
+      array_distinct(shingleHashes(col(textCol), n)).as("sh"))
+      .withColumn("sig", GraftFunctions.minhashSig(col("sh"), k, seed))
+
+  /** Incremental NEAR-duplicate arrival dedup — the steady-state form of
+    * [[minhashLshPairs]] + [[dropNearDuplicates]] once a corpus is landed,
+    * closing the gap [[incrementalNew]] leaves: that operator only stops
+    * VERBATIM re-arrivals; a trivially perturbed copy (one token appended)
+    * sails through the exact-fingerprint anti-join. Given the corpus's
+    * near-dup signature index ([[buildNearDupIndex]], maintained at land
+    * time) and an arrival batch, returns the batch rows that are neither
+    * (a) near-duplicates of any landed document nor (b) the higher-id side
+    * of a verified within-batch near-dup pair (the same greedy
+    * keep-smallest policy as [[dropNearDuplicates]], applied regardless of
+    * the smaller side's own fate — deterministic and single-pass). The
+    * full-corpus re-dedup never runs again; each batch pays
+    * O(|batch| · bands) index probes.
+    *
+    * Scale shape: batch signatures are scan-side codegen projections of
+    * the (small by contract) batch; the probe is an equi-join on
+    * (band, band-hash) against the index's banded form — on a band-hash-
+    * bucketed index the corpus side is exchange-free, and only candidate
+    * index rows' shingle arrays are ever fetched for verification
+    * (|candidates| ≪ |corpus|). The corpus text is never read. Exact
+    * Jaccard verification removes all bucket-collision false positives,
+    * so output quality equals the batch-vs-corpus LSH recall w.h.p. —
+    * the same 1-(1-t^r)^b argument as [[minhashLshPairs]]. */
+  def incrementalNearNew(corpusIndex: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, k: Int = 128,
+      bands: Int = 32, seed: Long = 42L, threshold: Double = 0.7): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val r = k / bands
+    def banded(idx: DataFrame): DataFrame = idx.select(
+      col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * lit(r) + 1, lit(r))))))
+      .toDF("doc_id", "band", "bh")
+    // verified-pair filter over candidate (id_a, id_b): exact Jaccard on
+    // the two sides' distinct shingle sets (union-free identity)
+    def verified(cand: DataFrame, left: DataFrame, right: DataFrame): DataFrame =
+      cand
+        .join(left.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+          size(col("sh")).as("sz_a")), "id_a")
+        .join(right.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+          size(col("sh")).as("sz_b")), "id_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+        .filter(col("inter") / (col("sz_a") + col("sz_b") - col("inter")) >= threshold)
+
+    // the batch index feeds its own band table plus both verify lookups —
+    // persist it (batch-sized) so the batch text is shingled exactly once
+    val bIdx = buildNearDupIndex(batch, idCol, textCol, n, k, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bBands = banded(bIdx)
+
+    // (a) batch vs corpus: band probe of the landed index
+    val cBands = banded(corpusIndex)
+    val corpusCand = bBands.as("a").join(cBands.as("c"), Seq("band", "bh"))
+      .select(col("a.doc_id").as("id_a"), col("c.doc_id").as("id_b"))
+      .distinct()
+    val corpusDrops = verified(corpusCand, bIdx, corpusIndex)
+      .select(col("id_a").as("__drop"))
+
+    // (b) within-batch: the same band self-join as minhashLshPairs,
+    // over the batch only; keep-smallest drops the id_b side
+    val batchCand = bBands.as("a").join(bBands.as("b"), Seq("band", "bh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val batchDrops = verified(batchCand, bIdx, bIdx)
+      .select(col("id_b").as("__drop"))
+
+    val survivors = batch.join(
+      corpusDrops.union(batchDrops).distinct()
+        .select(col("__drop").as(idCol)),
+      Seq(idCol), "left_anti")
+    materializeAndRelease(survivors, bIdx)
+  }
+
+  /** CORRECTNESS instantiation (mirrors [[incrementalArrivals]]' shape in
+    * NEAR space): corpus = docs with doc_id % 4 ≠ 1, its index built from
+    * scratch; batch = the % 4 = 1 docs ∪ one-token-perturbed copies of
+    * every 10th corpus doc (shifted ids — the corpus-near drop path that
+    * exact incremental dedup misses by construction) ∪ perturbed copies
+    * of the % 8 = 1 batch docs (higher ids — the within-batch drop path).
+    * Survivors are exactly the original % 4 = 1 rows. */
+  def incrementalNearArrivals(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 4 =!= 1)
+    val index = buildNearDupIndex(corpus, "doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 4 === 1)
+      .unionByName(corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" graftdup")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 8 === 1)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" graftdup")).as("text")))
+    incrementalNearNew(index, batch, "doc_id", "text")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+  }
+
   /** documents ∪ verbatim copies of every 7th doc (shifted id space) — the
     * planted EXACT-duplicate corpus behind [[exactByContent]], and the one
     * corpus where SimHash ground truth is SQL-expressible: identical text

@@ -23,6 +23,47 @@ class AnalyticsSpec extends SparkTestBase {
     assert(counts.nonEmpty)
   }
 
+  test("userEventSequences: head-of-history cut, (ts, event_id) order, totals kept") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: 4 events, maxLen 3 truncates; same-ts tie broken by event_id
+      (4L, ts("2024-01-01 10:00:03"), 1L, "d", 0.0),
+      (2L, ts("2024-01-01 10:00:01"), 1L, "b", 0.0),
+      (3L, ts("2024-01-01 10:00:01"), 1L, "c", 0.0),
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 0.0),
+      // user 2: complete history, shorter than maxLen
+      (5L, ts("2024-01-01 11:00:00"), 2L, "x", 0.0),
+      (6L, ts("2024-01-01 11:00:01"), 2L, "y", 0.0),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Analytics.userEventSequences(events, maxLen = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 4L, 3L, "a|b|c"), // 4 total, first 3 kept, tie 2<3 ⇒ b before c
+      (2L, 2L, 2L, "x|y"),
+    ))
+  }
+
+  test("userEventSequences at sf0.001 equals the rank-window spelling") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val events = graft.sources.Tables.load(spark, dir, "events")
+    val got = Analytics.userEventSequences(events, maxLen = 16)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val want = events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 16)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("seq_len"),
+        array_join(transform(array_sort(collect_list(struct(col("rn"),
+          col("event_type")))), e => e.getField("event_type")), "|").as("seq"))
+      .join(events.groupBy("user_id").agg(count(lit(1)).as("n_events")), "user_id")
+      .select(col("user_id"), col("n_events"), col("seq_len"), col("seq"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == want)
+    assert(got.exists(r => r._3 < r._2), "no truncated history at maxLen=16")
+  }
+
   test("dailyMovingAvg: frame equals a hand-rolled trailing-7-day recompute") {
     val rows = Analytics.dailyMovingAvg(spark, dir)
       .as[(String, java.sql.Timestamp, Long, Double)].collect()

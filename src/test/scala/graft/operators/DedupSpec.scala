@@ -42,6 +42,33 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.size == 1, s"false positives: ${pairs - ((3L, 103L))}")
   }
 
+  test("incrementalNearNew drops corpus-near and within-batch-near arrivals, keeps the rest") {
+    val corpus = (1 to 20).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val index = Dedup.buildNearDupIndex(corpus, "doc_id", "text")
+    val batch = Seq(
+      (101L, doc(101)),          // genuinely new — must survive
+      (102L, doc(102)),          // genuinely new — must survive
+      (103L, doc(5) + " extra"), // near-dup of landed doc 5 — corpus drop
+      (104L, doc(101) + " pad"), // near-dup of batch doc 101 — batch drop
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearNew(index, batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(101L, 102L))
+  }
+
+  test("incrementalNearNew passes an EXACT-fingerprint-evading perturbed re-arrival of nothing") {
+    // the gap incrementalNew leaves: a one-token perturbation defeats the
+    // md5 anti-join but must NOT defeat the near-dup probe
+    val corpus = (1 to 10).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val index = Dedup.buildNearDupIndex(corpus, "doc_id", "text")
+    val perturbed = Seq((201L, doc(7) + " sneak")).toDF("doc_id", "text")
+    val exactFps = corpus.select(md5(col("text").cast("binary")).as("fp")).distinct()
+    val exactSurvivors = Dedup.incrementalNew(exactFps, perturbed, "doc_id", "text").count()
+    val nearSurvivors = Dedup.incrementalNearNew(index, perturbed, "doc_id", "text").count()
+    assert(exactSurvivors == 1L, "exact incremental should be evaded by the perturbation")
+    assert(nearSurvivors == 0L, "near incremental must catch the perturbed re-arrival")
+  }
+
   test("jaccardPairs equals brute-force exact Jaccard (prefix filter loses nothing)") {
     // ground truth by brute force over the actual shingle sets, so the
     // assertion pins the prefix-filter candidate generation: a missing

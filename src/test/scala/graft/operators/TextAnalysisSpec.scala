@@ -62,6 +62,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(top == 0.5 && dup == 0.25)
   }
 
+  test("sourceQualityFilter: keeps stopword-rich sources, drops gibberish and empty ones") {
+    val docs = Seq(
+      // "good" source: natural-language docs, stopword ratio well over the floor
+      (1L, "good", "the cat sat on the mat and it is a good day in the park"),
+      (2L, "good", "it is the best of times and the worst of times"),
+      // "spam" source: zero stopwords
+      (3L, "spam", "buy cheap widgets now zzz qqq xxx click here winner"),
+      (4L, "spam", "lorem ipsum dolor sit amet consectetur adipiscing elit"),
+      // "empty" source: division guard — must score 0, not NaN (NaN would
+      // compare greater than the floor and leak the source through)
+      (5L, "empty", ""),
+    ).toDF("doc_id", "source", "text")
+    val kept = TextAnalysis.sourceQualityFilter(docs, minStopRatio = 0.1)
+      .as[(Long, String)].collect().toSet
+    assert(kept == Set((1L, "good"), (2L, "good")))
+  }
+
   test("temperatureMix: smallest group keeps all, larger groups thin to ~rate, deterministic") {
     val docs = (
       (1 to 40).map(i => (i.toLong, "big")) ++
