@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.Dedup
+
+/** Continuous NEAR-duplicate dedup — the streaming face of
+  * [[graft.operators.Dedup.incrementalNearNew]], closing the gap
+  * [[StreamClean]] step 2 leaves on an unbounded stream: the exact
+  * fingerprint anti-join stops only VERBATIM re-arrivals, so a
+  * one-token-perturbed copy of anything already landed (or of an arrival
+  * two batches ago) sails through. Per micro-batch:
+  *
+  *  1. probe the disk-resident signature index
+  *     ([[graft.operators.Dedup.buildNearDupIndex]] rows: doc_id, distinct
+  *     shingle hashes, MinHash signature) with the batch's band hashes,
+  *     exact-Jaccard verify, and drop near-dups of anything landed —
+  *     plus the higher-id side of within-batch near-dup pairs;
+  *  2. land the survivors to `outDir/batch-<id>`;
+  *  3. append the survivors' signatures to the index as its own
+  *     generation `indexDir/gen-<id>`.
+  *
+  * Cross-batch state lives in the INDEX TABLE ON DISK, not in streaming
+  * state: batch N+1's arrivals are probed against every committed
+  * generation ≤ N, so near-dups are caught across any batch distance with
+  * zero executor state growth — the unbounded-horizon answer
+  * `dropDuplicatesWithinWatermark` (bounded horizon by design) cannot
+  * give, for the near-dup relation it cannot express at all.
+  *
+  * Durability (same rules as [[StreamUpsert]]): every write is an
+  * idempotent `Overwrite` of a batch-id-named directory, so Spark's
+  * replay of the last uncommitted batch rewrites both directories
+  * byte-identically; reads consider only `_SUCCESS`-committed
+  * generations, and the replayed batch's OWN generation is excluded from
+  * its probe index (a crash between step 3 and the checkpoint commit
+  * must not make the batch drop itself as a duplicate on replay).
+  *
+  * Scale shape per batch: identical to the batch operator — the index
+  * side of the band probe is exchange-free on a band-bucketed index, and
+  * the index grows by |survivors| signature rows (a few hundred longs
+  * each) per batch; landed text is never re-read. Pre-seed a corpus by
+  * writing [[graft.operators.Dedup.buildNearDupIndex]] output to any
+  * `gen-*`-named directory under `indexDir` before starting.
+  */
+object StreamNearDedup extends Logging {
+
+  private def committedGens(spark: SparkSession, dir: String,
+      prefix: String): Seq[String] = {
+    val root = new Path(dir)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix) &&
+        f.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName).toSeq.sorted
+  }
+
+  /** Every committed signature generation, unioned; `template` supplies
+    * the (empty) schema before the first generation commits. */
+  def currentIndex(spark: SparkSession, indexDir: String,
+      template: => DataFrame, exclude: Set[String] = Set.empty): DataFrame = {
+    val gens = committedGens(spark, indexDir, "gen-").filterNot(exclude)
+    if (gens.isEmpty) template
+    else spark.read.parquet(gens.map(g => s"$indexDir/$g"): _*)
+  }
+
+  /** Every committed cleaned batch, unioned — the continuously-growing
+    * deduplicated corpus. */
+  def cleanedDocs(spark: SparkSession, outDir: String): DataFrame = {
+    val parts = committedGens(spark, outDir, "batch-")
+    require(parts.nonEmpty, s"no committed cleaned batches under $outDir")
+    spark.read.parquet(parts.map(p => s"$outDir/$p"): _*)
+  }
+
+  /** Start cleaning `docs` (a streaming DataFrame carrying `idCol` and
+    * `textCol`) into `outDir`, growing the signature index at `indexDir`. */
+  def start(docs: DataFrame, indexDir: String, outDir: String,
+      checkpoint: String, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 128, bands: Int = 32, seed: Long = 42L,
+      threshold: Double = 0.7,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val own = s"gen-$id"
+        val idx = currentIndex(spark, indexDir,
+          template = Dedup.buildNearDupIndex(
+            batch.limit(0), idCol, textCol, n, k, seed),
+          exclude = Set(own))
+        val survivors = Dedup.incrementalNearNew(
+          idx, batch, idCol, textCol, n, k, bands, seed, threshold)
+        survivors.write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch-$id")
+        // signatures are derived from the LANDED bytes, so a replayed
+        // batch re-derives the identical generation
+        Dedup.buildNearDupIndex(
+          spark.read.parquet(s"$outDir/batch-$id"), idCol, textCol, n, k, seed)
+          .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$own")
+        ()
+      }
+      .start()
+  }
+}

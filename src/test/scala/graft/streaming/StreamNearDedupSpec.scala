@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.Dedup
+
+/** Continuous near-dup dedup: within-batch, cross-batch (via the
+  * disk-resident signature index), and pre-seeded-corpus drop paths, plus
+  * index-generation growth, across micro-batches.
+  */
+class StreamNearDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val words =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon".split(" ")
+  private def doc(seedv: Int, n: Int = 30): String = {
+    val rng = new scala.util.Random(seedv)
+    Seq.fill(n)(words(rng.nextInt(words.length))).mkString(" ")
+  }
+
+  test("near-dups are dropped within a batch, across batches, and against a seeded corpus") {
+    val tmp = Files.createTempDirectory("graft_snd_").toString
+    val (indexDir, outDir, ckpt) = (s"$tmp/index", s"$tmp/out", s"$tmp/ckpt")
+
+    // pre-seed the index with an already-landed corpus doc (id 900)
+    Dedup.buildNearDupIndex(
+      Seq((900L, doc(900))).toDF("doc_id", "text"), "doc_id", "text")
+      .write.parquet(s"$indexDir/gen-seed")
+
+    val input = MemoryStream[(Long, String)](
+      org.apache.spark.sql.Encoders.product[(Long, String)], spark.sqlContext)
+    val q = StreamNearDedup.start(
+      input.toDF().toDF("doc_id", "text"), indexDir, outDir, ckpt,
+      "doc_id", "text",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      input.addData(
+        (1L, doc(1)),            // fresh — survives
+        (2L, doc(2)),            // fresh — survives
+        (3L, doc(1) + " pad"),   // within-batch near-dup of 1 — drop
+        (4L, doc(900) + " pad")) // near-dup of the seeded corpus — drop
+      q.processAllAvailable()
+      input.addData(
+        (5L, doc(5)),            // fresh — survives
+        (6L, doc(2) + " pad"))   // near-dup of batch-1 survivor 2 — drop
+      q.processAllAvailable()
+
+      val landed = StreamNearDedup.cleanedDocs(spark, outDir)
+        .select("doc_id").as[Long].collect().toSet
+      assert(landed == Set(1L, 2L, 5L), s"got $landed")
+
+      // the index grew by one committed generation per batch (+ the seed),
+      // holding exactly the seeded + landed signatures
+      val idx = StreamNearDedup.currentIndex(spark, indexDir,
+        template = sys.error("index must not be empty"))
+      assert(idx.select("doc_id").as[Long].collect().toSet == Set(900L, 1L, 2L, 5L))
+    } finally q.stop()
+  }
+}
