@@ -74,6 +74,39 @@ object StreamNearDedup extends Logging {
     spark.read.parquet(parts.map(p => s"$outDir/$p"): _*)
   }
 
+  /** Compact the index's accumulated per-batch generations into one —
+    * the signature-index instance of the small-file pathology
+    * [[graft.sources.Compaction]] exists for (a long-running stream
+    * leaves one tiny directory per batch; probe planning then pays
+    * per-file open cost on every micro-batch). Writes the union of all
+    * currently-committed generations as a single new generation, THEN
+    * deletes the sources — a crash between the two steps leaves
+    * duplicated signature rows, which are semantically inert here: the
+    * probe's candidate set is `distinct()`ed before verification, so
+    * duplicate index rows can only re-propose the same candidate pair.
+    * Maintenance op: run while the stream is stopped or between triggers
+    * (deleting a generation out from under an in-flight probe read is
+    * the one unsafe interleaving). */
+  def compactIndex(spark: SparkSession, indexDir: String): Unit = {
+    val gens = committedGens(spark, indexDir, "gen-")
+      .filterNot(_.startsWith("gen-compact-"))
+    val priorCompactions = committedGens(spark, indexDir, "gen-compact-")
+    val sources = priorCompactions ++ gens
+    if (sources.size > 1) {
+      val epoch = priorCompactions
+        .flatMap(_.stripPrefix("gen-compact-").toLongOption)
+        .maxOption.getOrElse(0L) + 1
+      spark.read.parquet(sources.map(g => s"$indexDir/$g"): _*)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$indexDir/gen-compact-$epoch")
+      val f = new Path(indexDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      sources.foreach(g => f.delete(new Path(indexDir, g), true))
+      logInfo(s"compacted ${sources.size} index generations into " +
+        s"gen-compact-$epoch under $indexDir")
+    }
+  }
+
   /** Start cleaning `docs` (a streaming DataFrame carrying `idCol` and
     * `textCol`) into `outDir`, growing the signature index at `indexDir`. */
   def start(docs: DataFrame, indexDir: String, outDir: String,

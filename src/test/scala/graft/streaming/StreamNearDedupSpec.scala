@@ -57,4 +57,29 @@ class StreamNearDedupSpec extends SparkTestBase {
       assert(idx.select("doc_id").as[Long].collect().toSet == Set(900L, 1L, 2L, 5L))
     } finally q.stop()
   }
+
+  test("compactIndex folds generations into one; probes are unchanged") {
+    val tmp = Files.createTempDirectory("graft_snd_c_").toString
+    val indexDir = s"$tmp/index"
+    (1 to 3).foreach { g =>
+      Dedup.buildNearDupIndex(
+        Seq((g.toLong, doc(g))).toDF("doc_id", "text"), "doc_id", "text")
+        .write.parquet(s"$indexDir/gen-$g")
+    }
+    StreamNearDedup.compactIndex(spark, indexDir)
+    val dirs = new java.io.File(indexDir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.toSeq == Seq("gen-compact-1"), s"got ${dirs.toSeq}")
+    val idx = StreamNearDedup.currentIndex(spark, indexDir,
+      template = sys.error("index must not be empty"))
+    assert(idx.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // single-generation index: compaction is a no-op
+    StreamNearDedup.compactIndex(spark, indexDir)
+    assert(new java.io.File(indexDir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSeq == Seq("gen-compact-1"))
+    // a probe against the compacted index still drops near-dups
+    val batch = Seq((10L, doc(10)), (11L, doc(2) + " pad")).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearNew(idx, batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(10L))
+  }
 }
