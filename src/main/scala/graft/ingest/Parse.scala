@@ -47,6 +47,26 @@ object Parse {
     }
   }
 
+  /** Tagged parse for dead-letter routing: like `strict` but KEEPS
+    * malformed rows, marked — the schema's columns (all-NULL for a
+    * malformed row) plus a `_corrupt` column carrying the raw line (NULL
+    * for clean rows). `strict` DROPS malformed input, which is the right
+    * query-layer parity but the wrong ingest default at scale: a feed
+    * regression silently vanishes. Routing on the tag
+    * ([[graft.streaming.DeadLetter]]) conserves every input row. Same
+    * cost shape as the other parses: one `from_json` + projection,
+    * stateless, scan-side, codegen'd. */
+  def parseTagged(raw: DataFrame, schema: StructType): DataFrame = {
+    val corrupt = "_corrupt"
+    require(!schema.fieldNames.contains(corrupt),
+      s"schema already has a '$corrupt' column")
+    val withCorrupt = schema.add(corrupt, StringType, nullable = true)
+    raw.selectExpr("CAST(value AS STRING) AS json_str")
+      .select(from_json(col("json_str"), withCorrupt,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt)).alias("data"))
+      .select("data.*")
+  }
+
   /** P10 (JSON serialize, kafka_streaming_service.py:203-206): the inverse
     * map — rows to one JSON text `value` per record, the wire format the
     * producer publishes. */

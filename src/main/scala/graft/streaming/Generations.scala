@@ -1,0 +1,24 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Shared listing for the batch-id-generation directory layout
+  * ([[StreamNearDedup]], [[DeadLetter]]): a sink directory holds one
+  * subdirectory per micro-batch, written with idempotent Overwrite so
+  * Spark's replay of the last uncommitted batch rewrites it
+  * byte-identically; readers consider only `_SUCCESS`-committed
+  * generations, so a half-written directory from a crash is invisible
+  * until its replay completes it. */
+private[streaming] object Generations {
+
+  def committed(spark: SparkSession, dir: String, prefix: String): Seq[String] = {
+    val root = new Path(dir)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix) &&
+        f.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName).toSeq.sorted
+  }
+}

@@ -47,15 +47,7 @@ import graft.operators.Dedup
 object StreamNearDedup extends Logging {
 
   private def committedGens(spark: SparkSession, dir: String,
-      prefix: String): Seq[String] = {
-    val root = new Path(dir)
-    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(root)) Seq.empty
-    else f.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix) &&
-        f.exists(new Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath.getName).toSeq.sorted
-  }
+      prefix: String): Seq[String] = Generations.committed(spark, dir, prefix)
 
   /** Every committed signature generation, unioned; `template` supplies
     * the (empty) schema before the first generation commits. */
