@@ -211,7 +211,13 @@ object Dedup extends Logging {
   def incrementalNearArrivals(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
     val corpus = docs.filter(col("doc_id") % 4 =!= 1)
+    // In production the index is a LANDED table (one cheap columnar scan
+    // per consuming branch); this instantiation builds it from scratch, so
+    // persist it or the corpus is shingled once per consuming branch (the
+    // band probe + the verify lookup). Safe to drop right after:
+    // incrementalNearNew checkpoints its result before returning.
     val index = buildNearDupIndex(corpus, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batch = docs.filter(col("doc_id") % 4 === 1)
       .unionByName(corpus.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 2000000L).as("doc_id"),
@@ -219,8 +225,10 @@ object Dedup extends Logging {
       .unionByName(docs.filter(col("doc_id") % 8 === 1)
         .select((col("doc_id") + 3000000L).as("doc_id"),
           concat(col("text"), lit(" graftdup")).as("text")))
-    incrementalNearNew(index, batch, "doc_id", "text")
+    val out = incrementalNearNew(index, batch, "doc_id", "text")
       .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    if (!sys.props.get("graft.dedup.lazyPlans").contains("true")) index.unpersist()
+    out
   }
 
   /** documents ∪ verbatim copies of every 7th doc (shifted id space) — the
