@@ -165,6 +165,7 @@ object SparkEntry {
     "q_union_evolve"    -> (Relational.unionEvolved _),
     "txt_pack"          -> ((s, d) => Packing.packedChunks(s, d)),
     "dedup_incr_near"   -> (Dedup.incrementalNearArrivals _),
+    "dedup_keep_best"   -> (Dedup.keepLongestDocs _),
     "q_user_seq"        -> (Analytics.userSequences _),
     "txt_source_filter" -> (TextAnalysis.sourceFiltered _),
     // ── Skew-safe salted aggregation (same values as a plain group-by) ──
@@ -214,7 +215,7 @@ object SparkEntry {
     "txt_chunks", "txt_lang_dist", "txt_langid", "txt_pack",
     "txt_quality_filter", "txt_shuffle", "txt_tokens",
     // round-7 additions
-    "dedup_incr_near", "q_user_seq", "txt_source_filter",
+    "dedup_incr_near", "q_user_seq", "txt_source_filter", "dedup_keep_best",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -632,6 +633,56 @@ object SparkEntry {
         |)
         |SELECT CAST(n AS BIGINT) AS node, CAST(min(m) AS BIGINT) AS component
         |FROM reach GROUP BY n""".stripMargin,
+    // Quality-aware cluster dedup ground truth: the dedup_cc recursive
+    // closure (same planted corpus, same exact-Jaccard pair set), then one
+    // row per component under (length DESC, doc_id ASC) — singletons are
+    // their own component. The planted copies are one token longer than
+    // their originals, so keep-longest provably differs from
+    // keep-smallest-id on every planted cluster.
+    "dedup_keep_best" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' graftdup' FROM documents WHERE doc_id % 10 = 0
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM base
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM toks
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  ) WHERE jaccard >= 0.7
+        |), e AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION
+        |  SELECT doc_b, doc_a FROM pairs
+        |), reach(n, m) AS (
+        |  SELECT u, u FROM e
+        |  UNION
+        |  SELECT reach.n, e.v FROM reach JOIN e ON reach.m = e.u
+        |), comps AS (
+        |  SELECT n AS node, min(m) AS component FROM reach GROUP BY n
+        |), labeled AS (
+        |  SELECT d.doc_id, d.text,
+        |    CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component
+        |  FROM base d LEFT JOIN comps c ON d.doc_id = c.node
+        |)
+        |SELECT doc_id, component, n_members FROM (
+        |  SELECT doc_id, component,
+        |    count(*) OVER (PARTITION BY component) AS n_members,
+        |    row_number() OVER (PARTITION BY component
+        |      ORDER BY length(text) DESC, doc_id) AS rn
+        |  FROM labeled
+        |) WHERE rn = 1""".stripMargin,
     // Duplicated 8-token spans: the window STRING is the ground-truth
     // key; the Spark side keys on the XXH64 window hash — isomorphic
     // modulo 64-bit collisions, same argument as dedup_minhash_lsh. A

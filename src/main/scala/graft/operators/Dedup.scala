@@ -151,15 +151,50 @@ object Dedup extends Logging {
     * the same 1-(1-t^r)^b argument as [[minhashLshPairs]]. */
   def incrementalNearNew(corpusIndex: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, n: Int = 3, k: Int = 128,
-      bands: Int = 32, seed: Long = 42L, threshold: Double = 0.7): DataFrame = {
+      bands: Int = 32, seed: Long = 42L, threshold: Double = 0.7): DataFrame =
+    incrementalNearNewBanded(
+      bandHashTable(corpusIndex, k, bands),
+      corpusIndex.select("doc_id", "sh"),
+      batch, idCol, textCol, n, k, bands, seed, threshold)
+
+  /** The (doc_id, band, bh) banded form of a signature index — the probe
+    * join's key table. Landed bucketed on (band, bh)
+    * ([[landNearDupIndex]]), the probe's index side needs no Exchange. */
+  def bandHashTable(idx: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val r = k / bands
-    def banded(idx: DataFrame): DataFrame = idx.select(
+    idx.select(
       col("doc_id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * lit(r) + 1, lit(r))))))
       .toDF("doc_id", "band", "bh")
+  }
+
+  /** Land a signature index in its probe-aligned physical form: the
+    * banded key table `<prefix>_bands` bucketed (and sorted) on the probe
+    * join's keys (band, bh), and the verification lookup `<prefix>_sh`
+    * bucketed on doc_id. Pays each shuffle ONCE at land time; every
+    * subsequent arrival batch's probe then reads the index already
+    * hash-distributed on its join keys — no index-side Exchange at any
+    * batch cadence (NearDupIndexLayoutSpec pins the plan). */
+  def landNearDupIndex(index: DataFrame, prefix: String, path: String,
+      k: Int = 128, bands: Int = 32, buckets: Int = 32): Unit = {
+    graft.sources.Layout.writeBucketed(
+      bandHashTable(index, k, bands), s"${prefix}_bands",
+      Seq("band", "bh"), Seq("band", "bh"), buckets, s"$path/bands")
+    graft.sources.Layout.writeBucketed(
+      index.select("doc_id", "sh"), s"${prefix}_sh",
+      Seq("doc_id"), Seq("doc_id"), buckets, s"$path/sh")
+  }
+
+  /** [[incrementalNearNew]] against a pre-banded index — the landed form
+    * ([[landNearDupIndex]]) probes without re-deriving band hashes, and a
+    * (band, bh)-bucketed `corpusBands` joins with no index-side shuffle. */
+  def incrementalNearNewBanded(corpusBands: DataFrame, corpusSh: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      k: Int = 128, bands: Int = 32, seed: Long = 42L,
+      threshold: Double = 0.7): DataFrame = {
     // verified-pair filter over candidate (id_a, id_b): exact Jaccard on
     // the two sides' distinct shingle sets (union-free identity)
     def verified(cand: DataFrame, left: DataFrame, right: DataFrame): DataFrame =
@@ -175,14 +210,13 @@ object Dedup extends Logging {
     // persist it (batch-sized) so the batch text is shingled exactly once
     val bIdx = buildNearDupIndex(batch, idCol, textCol, n, k, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bBands = banded(bIdx)
+    val bBands = bandHashTable(bIdx, k, bands)
 
     // (a) batch vs corpus: band probe of the landed index
-    val cBands = banded(corpusIndex)
-    val corpusCand = bBands.as("a").join(cBands.as("c"), Seq("band", "bh"))
+    val corpusCand = bBands.as("a").join(corpusBands.as("c"), Seq("band", "bh"))
       .select(col("a.doc_id").as("id_a"), col("c.doc_id").as("id_b"))
       .distinct()
-    val corpusDrops = verified(corpusCand, bIdx, corpusIndex)
+    val corpusDrops = verified(corpusCand, bIdx, corpusSh)
       .select(col("id_a").as("__drop"))
 
     // (b) within-batch: the same band self-join as minhashLshPairs,
@@ -521,6 +555,44 @@ object Dedup extends Logging {
     val drops = minhashLshPairs(docs, idCol, textCol, threshold = threshold)
       .select(col("doc_b").as(idCol)).distinct()
     docs.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** Quality-aware cluster dedup — the policy [[dropNearDuplicates]]'
+    * keep-smallest-id cannot express: keep the BEST document of every
+    * near-dup cluster (the public pipelines' usual choice is the longest
+    * or highest-quality copy, not the lowest id). Exact over transitive
+    * chains: pairs → [[connectedComponents]] → one `max_by` per
+    * component under (score, then smallest id) — docs in no pair are
+    * their own singleton component and keep themselves.
+    *
+    * Scale shape: the star rounds are the cost ceiling (see
+    * [[connectedComponents]]); the selection itself is one two-phase
+    * aggregate moving one row per component, and the docs→component label
+    * join is an equi-join on the id. Returns (idCol, component,
+    * n_members) — survivors only. */
+  def keepBestPerCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
+      score: Column): DataFrame = {
+    val cc = connectedComponents(pairs).withColumnRenamed("node", idCol)
+    val labeled = docs.join(cc, Seq(idCol), "left")
+      .withColumn("__comp", coalesce(col("component"), col(idCol)))
+    labeled.groupBy("__comp")
+      .agg(
+        // lexicographic max of (score, -id): highest score, ties to the
+        // smallest id (ids are nonnegative, so the negation cannot wrap)
+        max_by(col(idCol), struct(score, -col(idCol))).as("keep_id"),
+        count(lit(1)).as("n_members"))
+      .select(col("keep_id").as(idCol), col("__comp").as("component"),
+        col("n_members"))
+  }
+
+  /** CORRECTNESS instantiation: keep the LONGEST text of every near-dup
+    * cluster of the planted corpus — the planted copies are one token
+    * longer than their originals, so the kept side differs from
+    * keep-smallest-id by construction (the copy wins its cluster). */
+  def keepLongestDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = plantedNearDocs(spark, dir)
+    val pairs = minhashLshPairs(docs, "doc_id", "text")
+    keepBestPerCluster(docs, pairs, "doc_id", length(col("text")))
   }
 
   /** Distributed connected components over a near-duplicate pair list —

@@ -42,6 +42,18 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.size == 1, s"false positives: ${pairs - ((3L, 103L))}")
   }
 
+  test("keepBestPerCluster keeps the top-scoring doc per component; singletons keep themselves") {
+    val docs = Seq(
+      (1L, 10.0), (2L, 30.0), (3L, 20.0), // chain 1~2~3 → component 1, keep 2
+      (4L, 5.0), (5L, 5.0),               // pair 4~5, tie → keep min id 4
+      (6L, 1.0),                          // in no pair → singleton survivor
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val out = Dedup.keepBestPerCluster(docs, pairs, "doc_id", col("score"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((2L, 1L, 3L), (4L, 4L, 2L), (6L, 6L, 1L)))
+  }
+
   test("incrementalNearNew drops corpus-near and within-batch-near arrivals, keeps the rest") {
     val corpus = (1 to 20).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
     val index = Dedup.buildNearDupIndex(corpus, "doc_id", "text")
