@@ -283,8 +283,14 @@ object Similarity {
       subDim: Int = 8, initStep: Int = 31, iters: Int = 2): Seq[(Int, Int, Array[Double])] = {
     val subCols = array((0 until m).map(s =>
       slice(col("embedding"), s * subDim + 1, subDim)): _*)
+    // every Lloyd iteration folds the full subvector table; persist it so
+    // the corpus is scanned and exploded once, not once per iteration
+    // (row count = corpus × m, payload = the same floats as the source —
+    // the standard iterative-trainer cache, MEMORY_AND_DISK so an
+    // over-memory corpus spills instead of re-scanning)
     val subs = emb.select(col("vec_id"), posexplode(subCols))
       .toDF("vec_id", "sub", "sv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var book: Map[(Int, Int), Array[Double]] =
       emb.filter(col("vec_id").isin((0 until kc).map(_.toLong * initStep): _*))
         .select(col("vec_id"), posexplode(subCols))
@@ -314,6 +320,7 @@ object Similarity {
           key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray
         }
     }
+    subs.unpersist()
     book.toSeq.map { case ((s, c), arr) => (s, c, arr) }.sortBy(t => (t._1, t._2))
   }
 
