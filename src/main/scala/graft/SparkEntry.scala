@@ -167,6 +167,7 @@ object SparkEntry {
     "dedup_incr_near"   -> (Dedup.incrementalNearArrivals _),
     "dedup_keep_best"   -> (Dedup.keepLongestDocs _),
     "q_user_seq"        -> (Analytics.userSequences _),
+    "q_heavy_hitters"   -> (Analytics.heavyUserKeys _),
     "txt_source_filter" -> (TextAnalysis.sourceFiltered _),
     // ── Skew-safe salted aggregation (same values as a plain group-by) ──
     "agg_salted"        -> ((s, d) => {
@@ -216,6 +217,7 @@ object SparkEntry {
     "txt_quality_filter", "txt_shuffle", "txt_tokens",
     // round-7 additions
     "dedup_incr_near", "q_user_seq", "txt_source_filter", "dedup_keep_best",
+    "q_heavy_hitters",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1466,6 +1468,18 @@ object SparkEntry {
         |), n AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
         |SELECT n.user_id, n.n_events, s.seq_len, s.seq
         |FROM n JOIN s USING (user_id)""".stripMargin,
+    // Heavy-hitter ground truth: exact per-key counts, rank by
+    // (n DESC, key ASC), share = n / total as the same IEEE division
+    // rounded to 9 dp on both engines.
+    "q_heavy_hitters" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+        |SELECT user_id, n, round(CAST(n AS DOUBLE) / total, 9) AS share, rank
+        |FROM (
+        |  SELECT user_id, n,
+        |    row_number() OVER (ORDER BY n DESC, user_id) AS rank
+        |  FROM c
+        |) CROSS JOIN t WHERE rank <= 10""".stripMargin,
     // Source-level filter ground truth: same tokenizer, stopword list,
     // and greatest(len, 1) division guard as the Spark projection; the
     // 0.06 floor has ≥ 3.5e-5 margin to the nearest sf0.01 source mean.

@@ -60,6 +60,40 @@ object Analytics {
         col("t.score").cast("long").as("n"))
   }
 
+  /** Skew diagnostics: the exact top-N heaviest values of a prospective
+    * shuffle/join key with each one's share of the table — the
+    * measurement [[graft.operators.SaltedAgg]]'s known-hot-key salting
+    * consumes (you can't salt the keys you haven't found), and the first
+    * thing to run when AQE reports a straggling skew-split stage.
+    *
+    * Scale shape: one two-phase count aggregate (one row per DISTINCT key
+    * crosses the shuffle), then the `topk_by` bounded partial-merge
+    * aggregate cuts to N per partition before the single final merge —
+    * no rank window, no global sort, no driver-side collect; the total
+    * rides a 1-row broadcast. Exact by design: the sketch alternative
+    * (count-min / frequent-items) trades the guarantee for one pass, but
+    * the count aggregate is one pass anyway. */
+  def heavyHitters(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    counts
+      .groupBy()
+      .agg(graft.functions.GraftFunctions.topKBy(
+        col("n").cast("double"), col(keyCol), topN).as("top"))
+      .select(posexplode(col("top")))
+      .toDF("rk", "t")
+      .crossJoin(broadcast(total))
+      .select(
+        col("t.id").as(keyCol),
+        col("t.score").cast("long").as("n"),
+        round(col("t.score") / col("__total"), 9).as("share"),
+        (col("rk") + 1).cast("long").as("rank"))
+  }
+
+  /** CORRECTNESS instantiation: the 10 heaviest event users. */
+  def heavyUserKeys(spark: SparkSession, dir: String): DataFrame =
+    heavyHitters(Tables.load(spark, dir, "events"), "user_id")
+
   /** Per-user training sequences — the "user history" construction every
     * behavioral-model data pipeline runs (and an LLM pipeline's
     * conversation/session assembly): each user's first `maxLen` events in

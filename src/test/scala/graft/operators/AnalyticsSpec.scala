@@ -23,6 +23,20 @@ class AnalyticsSpec extends SparkTestBase {
     assert(counts.nonEmpty)
   }
 
+  test("heavyHitters: exact counts, share, rank cut, and (n desc, key asc) tie order") {
+    val df = (Seq.fill(5)(7L) ++ Seq.fill(3)(2L) ++ Seq.fill(3)(9L) ++ Seq(4L))
+      .toDF("user_id")
+    val out = Analytics.heavyHitters(df, "user_id", topN = 3)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(out == Seq(
+      (7L, 5L, 5.0 / 12, 1L), // heaviest
+      (2L, 3L, 3.0 / 12, 2L), // 3-way count tie → key ascending
+      (9L, 3L, 3.0 / 12, 3L),
+    ).map { case (k, n, s, r) =>
+      (k, n, BigDecimal(s).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble, r)
+    })
+  }
+
   test("userEventSequences: head-of-history cut, (ts, event_id) order, totals kept") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
