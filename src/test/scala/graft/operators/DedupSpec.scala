@@ -68,7 +68,7 @@ class DedupSpec extends SparkTestBase {
     assert(out == Set(101L, 102L))
   }
 
-  test("incrementalNearNew passes an EXACT-fingerprint-evading perturbed re-arrival of nothing") {
+  test("incrementalNearNew catches the perturbed re-arrival that evades exact-fingerprint dedup") {
     // the gap incrementalNew leaves: a one-token perturbation defeats the
     // md5 anti-join but must NOT defeat the near-dup probe
     val corpus = (1 to 10).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
