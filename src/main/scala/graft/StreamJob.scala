@@ -22,6 +22,12 @@ import graft.streaming.StreamSink
   *   GRAFT_CHECKPOINT (required)   checkpoint location
   *   GRAFT_STRICT=true             drop malformed rows (Athena parity)
   *                                 instead of PERMISSIVE all-NULL rows
+  *   GRAFT_DLQ_DIR                 quarantine malformed lines RAW under
+  *                                 this dir instead of dropping or
+  *                                 NULL-filling them (DeadLetter routing;
+  *                                 exclusive with GRAFT_STRICT and
+  *                                 GRAFT_PARTITION_DATE — the quarantine
+  *                                 sink uses the generation-dir layout)
   *   GRAFT_PARTITION_DATE=true     partition the sink by ingest_date —
   *                                 the reference's unimplemented tip
   *                                 (docs/athena-integrity-check.md:64)
@@ -77,13 +83,27 @@ object StreamJob {
           "either GRAFT_BROKERS+GRAFT_TOPIC or GRAFT_SOURCE_DIR is required")))
     }
     val strict = env.get("GRAFT_STRICT").exists(_.equalsIgnoreCase("true"))
-    var parsed = Parse.parse(source.stream(spark), Schemas.nameRecord, strict)
-    val partitionCols =
-      if (env.get("GRAFT_PARTITION_DATE").exists(_.equalsIgnoreCase("true"))) {
-        parsed = parsed.withColumn("ingest_date",
-          org.apache.spark.sql.functions.current_date())
-        Seq("ingest_date")
-      } else Nil
-    StreamSink.start(parsed, out, ckpt, partitionCols = partitionCols)
+    val partitionDate =
+      env.get("GRAFT_PARTITION_DATE").exists(_.equalsIgnoreCase("true"))
+    env.get("GRAFT_DLQ_DIR") match {
+      case Some(dlq) =>
+        require(!strict && !partitionDate,
+          "GRAFT_DLQ_DIR is exclusive with GRAFT_STRICT and " +
+            "GRAFT_PARTITION_DATE (the quarantine sink routes malformed " +
+            "rows instead of dropping them, and lands generation dirs)")
+        graft.streaming.DeadLetter.start(
+          Parse.parseTagged(source.stream(spark), Schemas.nameRecord),
+          out, dlq, ckpt,
+          trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      case None =>
+        var parsed = Parse.parse(source.stream(spark), Schemas.nameRecord, strict)
+        val partitionCols =
+          if (partitionDate) {
+            parsed = parsed.withColumn("ingest_date",
+              org.apache.spark.sql.functions.current_date())
+            Seq("ingest_date")
+          } else Nil
+        StreamSink.start(parsed, out, ckpt, partitionCols = partitionCols)
+    }
   }
 }

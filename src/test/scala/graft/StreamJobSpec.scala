@@ -38,6 +38,24 @@ class StreamJobSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dead-letter mode quarantines the malformed line raw and lands the clean row") {
+    val in = tmp("sjd_in_"); val out = tmp("sjd_out_")
+    val dlq = tmp("sjd_dlq_"); val ckpt = tmp("sjd_ckpt_")
+    Seq(goodName, malformed).toDF("value").coalesce(1).write.mode("append").text(in)
+    val q = StreamJob.start(spark, Map(
+      "GRAFT_SOURCE_DIR" -> in, "GRAFT_OUT_PATH" -> out,
+      "GRAFT_CHECKPOINT" -> ckpt, "GRAFT_DLQ_DIR" -> dlq))
+    try {
+      q.processAllAvailable()
+      val clean = graft.streaming.DeadLetter.cleanRows(spark, out).collect()
+      assert(clean.length == 1 &&
+        clean.head.getAs[String]("name") == "Ms. Ada Lovelace")
+      val dead = graft.streaming.DeadLetter.deadLetters(spark, dlq)
+        .as[String].collect().toSeq
+      assert(dead == Seq(malformed), "the raw line must land byte-for-byte")
+    } finally q.stop()
+  }
+
   test("permissive (default) keeps malformed lines as all-NULL rows") {
     val in = tmp("sjp_in_"); val out = tmp("sjp_out_"); val ckpt = tmp("sjp_ckpt_")
     Seq(goodName, malformed).toDF("value").coalesce(1).write.mode("append").text(in)
