@@ -55,16 +55,28 @@ object Parse {
     * regression silently vanishes. Routing on the tag
     * ([[graft.streaming.DeadLetter]]) conserves every input row. Same
     * cost shape as the other parses: one `from_json` + projection,
-    * stateless, scan-side, codegen'd. */
+    * stateless, scan-side, codegen'd.
+    *
+    * NULL and blank wire values (Kafka tombstones, empty lines) are
+    * tagged corrupt too — `from_json` yields a NULL struct for them, so
+    * without the explicit guard they would surface as "clean" all-NULL
+    * rows: exactly the PERMISSIVE poisoning this parse exists to route
+    * away. A NULL value quarantines as the empty string (the tag column
+    * cannot carry NULL — NULL means clean). */
   def parseTagged(raw: DataFrame, schema: StructType): DataFrame = {
     val corrupt = "_corrupt"
     require(!schema.fieldNames.contains(corrupt),
       s"schema already has a '$corrupt' column")
     val withCorrupt = schema.add(corrupt, StringType, nullable = true)
-    raw.selectExpr("CAST(value AS STRING) AS json_str")
-      .select(from_json(col("json_str"), withCorrupt,
+    val parsed = raw.selectExpr("CAST(value AS STRING) AS json_str")
+      .select(col("json_str"), from_json(col("json_str"), withCorrupt,
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt)).alias("data"))
-      .select("data.*")
+    val unparsable = col("data").isNull ||
+      col("json_str").isNull || trim(col("json_str")) === ""
+    parsed.select(
+      schema.fieldNames.map(f => col(s"data.`$f`")) :+
+        coalesce(col(s"data.`$corrupt`"),
+          when(unparsable, coalesce(col("json_str"), lit("")))).as(corrupt): _*)
   }
 
   /** P10 (JSON serialize, kafka_streaming_service.py:203-206): the inverse

@@ -75,7 +75,12 @@ object Analytics {
     * the count aggregate is one pass anyway. */
   def heavyHitters(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
     val counts = df.groupBy(keyCol).agg(count(lit(1)).as("n"))
-    val total = counts.agg(sum(col("n")).as("__total"))
+    // total = table row count, taken directly from the input: summing
+    // `counts` instead would re-run the whole keyed aggregate (Spark has
+    // no cross-branch subplan sharing) — this branch is a scan folding to
+    // one row with no shuffle (and a metadata-only count where the
+    // source supports aggregate pushdown)
+    val total = df.groupBy().agg(count(lit(1)).as("__total"))
     counts
       .groupBy()
       .agg(graft.functions.GraftFunctions.topKBy(

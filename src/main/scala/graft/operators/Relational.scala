@@ -269,8 +269,9 @@ object Relational {
     * sampled boundaries are not reproducible cross-engine. */
   def deterministicShuffle(df: DataFrame, idCol: String,
       seed: String = "epoch0", buckets: Int = 1024): DataFrame = {
-    require(buckets > 0 && (buckets & (buckets - 1)) == 0 && buckets <= (1 << 30),
-      "buckets must be a power of two (range-aligned key prefix)")
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0 && buckets <= (1 << 20),
+      "buckets must be a power of two (range-aligned key prefix), bounded " +
+        "so the dense offset literal stays plan-sized (8 B per bucket)")
     val key = graft.functions.GraftFunctions.md5Prefix32(
       concat(lit(seed), lit(":"), col(idCol).cast("string")))
     val perBucket = (1L << 32) / buckets
@@ -286,13 +287,26 @@ object Relational {
     // at 100 TB the re-scan is the cheaper side of that trade.
     val counts = withB.groupBy("__b").agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val offsets: Map[Long, Long] =
-      counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2).init).toMap
+    // DENSE offset array indexed by bucket, not a Map literal: a map
+    // literal plans as GetMapValue, which scans its key array per row
+    // (~buckets/2 comparisons on the hot path); the dense array is an
+    // O(1) ordinal fetch. Empty buckets carry the running offset so the
+    // array is total over [0, buckets).
+    val dense = new Array[Long](buckets)
+    var run = 0L
+    var ci = 0
+    var b = 0
+    while (b < buckets) {
+      dense(b) = run
+      if (ci < counts.length && counts(ci)._1 == b) { run += counts(ci)._2; ci += 1 }
+      b += 1
+    }
     val ranked = withB.withColumn("__r",
       row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy("__b").orderBy(col("__k"), col(idCol))).cast("long"))
     ranked.select(
-      (element_at(typedlit(offsets), col("__b")) + col("__r") - 1).as("pos"),
+      (element_at(typedlit(dense.toSeq), (col("__b") + 1).cast("int")) +
+        col("__r") - 1).as("pos"),
       col(idCol))
   }
 

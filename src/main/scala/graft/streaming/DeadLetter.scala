@@ -57,18 +57,12 @@ object DeadLetter {
   }
 
   /** Every committed clean batch, unioned — the parsed landed table. */
-  def cleanRows(spark: SparkSession, outDir: String): DataFrame = {
-    val parts = Generations.committed(spark, outDir, "batch-")
-    require(parts.nonEmpty, s"no committed batches under $outDir")
-    spark.read.parquet(parts.map(p => s"$outDir/$p"): _*)
-  }
+  def cleanRows(spark: SparkSession, outDir: String): DataFrame =
+    Generations.read(spark, outDir, "batch-")
 
   /** Every committed dead-letter batch, unioned: one `raw` column with
     * the original malformed lines (replay these through the fixed parser
     * — nothing was lost). */
-  def deadLetters(spark: SparkSession, dlqDir: String): DataFrame = {
-    val parts = Generations.committed(spark, dlqDir, "batch-")
-    require(parts.nonEmpty, s"no committed dead-letter batches under $dlqDir")
-    spark.read.parquet(parts.map(p => s"$dlqDir/$p"): _*)
-  }
+  def deadLetters(spark: SparkSession, dlqDir: String): DataFrame =
+    Generations.read(spark, dlqDir, "batch-")
 }

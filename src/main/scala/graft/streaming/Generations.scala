@@ -21,4 +21,14 @@ private[streaming] object Generations {
         f.exists(new Path(s.getPath, "_SUCCESS")))
       .map(_.getPath.getName).toSeq.sorted
   }
+
+  /** Union-read of every committed generation; fails fast when none has
+    * committed yet (callers with a cold-start schema pass a template to
+    * their own wrapper instead). */
+  def read(spark: SparkSession, dir: String, prefix: String)
+      : org.apache.spark.sql.DataFrame = {
+    val parts = committed(spark, dir, prefix)
+    require(parts.nonEmpty, s"no committed '$prefix' generations under $dir")
+    spark.read.parquet(parts.map(p => s"$dir/$p"): _*)
+  }
 }

@@ -37,17 +37,28 @@ import graft.operators.Dedup
   * its probe index (a crash between step 3 and the checkpoint commit
   * must not make the batch drop itself as a duplicate on replay).
   *
-  * Scale shape per batch: identical to the batch operator — the index
-  * side of the band probe is exchange-free on a band-bucketed index, and
-  * the index grows by |survivors| signature rows (a few hundred longs
-  * each) per batch; landed text is never re-read. Pre-seed a corpus by
-  * writing [[graft.operators.Dedup.buildNearDupIndex]] output to any
+  * Scale shape per batch: the probe re-derives band hashes over the
+  * accumulated index and pays one index-side (doc_id, band, bh) shuffle
+  * — O(|corpus|) per batch, fine at ingest cadences where batches are
+  * minutes apart, NOT the batch operator's bucketed exchange-free plan
+  * (a union of per-batch generation files carries no bucketing
+  * metadata). The steady-state amortization at large corpus sizes is
+  * periodic [[compactIndex]] plus landing the compacted index in the
+  * probe-aligned bucketed form ([[graft.operators.Dedup.landNearDupIndex]])
+  * and draining arrivals through
+  * [[graft.operators.Dedup.incrementalNearNewBanded]] between
+  * re-landings. The index grows by |survivors| signature rows (a few
+  * hundred longs each) per batch; landed text is never re-read.
+  * Pre-seed a corpus by writing
+  * [[graft.operators.Dedup.buildNearDupIndex]] output to any
   * `gen-*`-named directory under `indexDir` before starting.
   */
 object StreamNearDedup extends Logging {
 
   private def committedGens(spark: SparkSession, dir: String,
       prefix: String): Seq[String] = Generations.committed(spark, dir, prefix)
+  // (kept as a named local alias: every listing in this file is
+  // generation-layout listing, and the name documents that)
 
   /** Every committed signature generation, unioned; `template` supplies
     * the (empty) schema before the first generation commits. */
@@ -60,11 +71,8 @@ object StreamNearDedup extends Logging {
 
   /** Every committed cleaned batch, unioned — the continuously-growing
     * deduplicated corpus. */
-  def cleanedDocs(spark: SparkSession, outDir: String): DataFrame = {
-    val parts = committedGens(spark, outDir, "batch-")
-    require(parts.nonEmpty, s"no committed cleaned batches under $outDir")
-    spark.read.parquet(parts.map(p => s"$outDir/$p"): _*)
-  }
+  def cleanedDocs(spark: SparkSession, outDir: String): DataFrame =
+    Generations.read(spark, outDir, "batch-")
 
   /** Compact the index's accumulated per-batch generations into one —
     * the signature-index instance of the small-file pathology
@@ -83,12 +91,28 @@ object StreamNearDedup extends Logging {
     val gens = committedGens(spark, indexDir, "gen-")
       .filterNot(_.startsWith("gen-compact-"))
     val priorCompactions = committedGens(spark, indexDir, "gen-compact-")
-    val sources = priorCompactions ++ gens
+    // NEVER fold the newest batch generation: if the stream crashed after
+    // writing gen-<id> but before committing the checkpoint, that batch
+    // will be REPLAYED — start() keeps it out of its own probe index by
+    // NAME, which only works while its rows still live under that name.
+    // Folding them into gen-compact-* would make the replayed batch find
+    // its own signatures (Jaccard 1.0) and drop every one of its rows as
+    // duplicates of themselves — silent loss of the whole batch.
+    val newestBatchGen = gens
+      .flatMap(g => g.stripPrefix("gen-").toLongOption.map((_, g)))
+      .maxByOption(_._1).map(_._2)
+    val sources = priorCompactions ++ gens.filterNot(newestBatchGen.contains)
     if (sources.size > 1) {
       val epoch = priorCompactions
         .flatMap(_.stripPrefix("gen-compact-").toLongOption)
         .maxOption.getOrElse(0L) + 1
+      // dropDuplicates makes an interrupted compaction self-healing: a
+      // crash between the write and the deletes below leaves the folded
+      // rows present twice (gen-compact-<e> ∪ its sources); the NEXT
+      // compaction would otherwise snowball them forever. Duplicate
+      // doc_ids carry identical (sh, sig) payloads, so this is lossless.
       spark.read.parquet(sources.map(g => s"$indexDir/$g"): _*)
+        .dropDuplicates("doc_id")
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$indexDir/gen-compact-$epoch")
       val f = new Path(indexDir)

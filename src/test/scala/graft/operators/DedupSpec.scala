@@ -24,12 +24,7 @@ class DedupSpec extends SparkTestBase {
     assert(out.toSeq == Seq((10L, 1L, "first"), (11L, 2L, "only"), (12L, 4L, "tie_lo")))
   }
 
-  private val loremWords =
-    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon".split(" ")
-  private def doc(seed: Int, n: Int = 30): String = {
-    val rng = new scala.util.Random(seed)
-    Seq.fill(n)(loremWords(rng.nextInt(loremWords.length))).mkString(" ")
-  }
+  import graft.TestDocs.doc
 
   test("minhashLshPairs recalls planted near-dups and rejects unrelated docs") {
     val base = (1 to 20).map(i => (i.toLong, doc(i)))

@@ -11,12 +11,7 @@ import org.apache.spark.sql.DataFrame
 class NearDupIndexLayoutSpec extends SparkTestBase {
   import spark.implicits._
 
-  private val words =
-    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon".split(" ")
-  private def doc(seedv: Int, n: Int = 30): String = {
-    val rng = new scala.util.Random(seedv)
-    Seq.fill(n)(words(rng.nextInt(words.length))).mkString(" ")
-  }
+  import graft.TestDocs.doc
 
   private lazy val corpus: DataFrame =
     (1 to 30).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")

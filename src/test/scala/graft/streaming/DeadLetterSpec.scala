@@ -33,7 +33,8 @@ class DeadLetterSpec extends SparkTestBase {
       q.processAllAvailable()
       input.addData(
         """{"name": "Cyd", "latitude": -3.25}""",
-        """{"name": "Dee", "latitude": }""") // malformed → dead letter
+        """{"name": "Dee", "latitude": }""", // malformed → dead letter
+        "   ")                               // blank line → dead letter, NOT a clean NULL row
       q.processAllAvailable()
 
       val clean = DeadLetter.cleanRows(spark, outDir)
@@ -43,8 +44,8 @@ class DeadLetterSpec extends SparkTestBase {
       val dead = DeadLetter.deadLetters(spark, dlqDir)
         .as[String].collect().toSet
       // the RAW line is preserved byte-for-byte for replay-after-fix
-      assert(dead == Set("not json at all", """{"name": "Dee", "latitude": }"""))
-      assert(clean.size + dead.size == 5, "input rows must conserve")
+      assert(dead == Set("not json at all", """{"name": "Dee", "latitude": }""", "   "))
+      assert(clean.size + dead.size == 6, "input rows must conserve")
     } finally q.stop()
   }
 }

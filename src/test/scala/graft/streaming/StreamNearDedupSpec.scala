@@ -12,12 +12,7 @@ import graft.operators.Dedup
 class StreamNearDedupSpec extends SparkTestBase {
   import spark.implicits._
 
-  private val words =
-    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon".split(" ")
-  private def doc(seedv: Int, n: Int = 30): String = {
-    val rng = new scala.util.Random(seedv)
-    Seq.fill(n)(words(rng.nextInt(words.length))).mkString(" ")
-  }
+  import graft.TestDocs.doc
 
   test("near-dups are dropped within a batch, across batches, and against a seeded corpus") {
     val tmp = Files.createTempDirectory("graft_snd_").toString
@@ -58,7 +53,7 @@ class StreamNearDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("compactIndex folds generations into one; probes are unchanged") {
+  test("compactIndex folds all but the newest batch generation; probes are unchanged") {
     val tmp = Files.createTempDirectory("graft_snd_c_").toString
     val indexDir = s"$tmp/index"
     (1 to 3).foreach { g =>
@@ -67,18 +62,35 @@ class StreamNearDedupSpec extends SparkTestBase {
         .write.parquet(s"$indexDir/gen-$g")
     }
     StreamNearDedup.compactIndex(spark, indexDir)
-    val dirs = new java.io.File(indexDir).listFiles().filter(_.isDirectory).map(_.getName)
-    assert(dirs.toSeq == Seq("gen-compact-1"), s"got ${dirs.toSeq}")
+    // gen-3 survives by design: it could be the stream's uncommitted
+    // trailing batch, whose replay excludes it from its probe BY NAME —
+    // folding it would make the replay drop the whole batch as dups
+    val dirs = new java.io.File(indexDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("gen-compact-1", "gen-3"), s"got $dirs")
     val idx = StreamNearDedup.currentIndex(spark, indexDir,
       template = sys.error("index must not be empty"))
     assert(idx.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
-    // single-generation index: compaction is a no-op
+    // nothing foldable remains (one compaction + the protected newest):
+    // a second compaction is a no-op
     StreamNearDedup.compactIndex(spark, indexDir)
     assert(new java.io.File(indexDir).listFiles().filter(_.isDirectory)
-      .map(_.getName).toSeq == Seq("gen-compact-1"))
+      .map(_.getName).toSet == Set("gen-compact-1", "gen-3"))
+    // an interrupted compaction (sources folded but not yet deleted)
+    // self-heals: rows appear twice, the next fold dedups them
+    Dedup.buildNearDupIndex(
+      Seq((2L, doc(2))).toDF("doc_id", "text"), "doc_id", "text")
+      .write.parquet(s"$indexDir/gen-99") // duplicate of an already-folded row
+    Dedup.buildNearDupIndex(
+      Seq((4L, doc(4))).toDF("doc_id", "text"), "doc_id", "text")
+      .write.parquet(s"$indexDir/gen-100") // newest — protected
+    StreamNearDedup.compactIndex(spark, indexDir)
+    val idx2 = StreamNearDedup.currentIndex(spark, indexDir,
+      template = sys.error("index must not be empty"))
+    assert(idx2.collect().length == 4, "duplicate doc rows must fold away")
     // a probe against the compacted index still drops near-dups
     val batch = Seq((10L, doc(10)), (11L, doc(2) + " pad")).toDF("doc_id", "text")
-    val out = Dedup.incrementalNearNew(idx, batch, "doc_id", "text")
+    val out = Dedup.incrementalNearNew(idx2, batch, "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet
     assert(out == Set(10L))
   }
