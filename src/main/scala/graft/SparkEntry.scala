@@ -169,6 +169,7 @@ object SparkEntry {
     "q_user_seq"        -> (Analytics.userSequences _),
     "q_heavy_hitters"   -> (Analytics.heavyUserKeys _),
     "txt_source_filter" -> (TextAnalysis.sourceFiltered _),
+    "txt_bpe"           -> (TextAnalysis.bpeMergeTable _),
     // ── Skew-safe salted aggregation (same values as a plain group-by) ──
     "agg_salted"        -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, round}
@@ -217,7 +218,7 @@ object SparkEntry {
     "txt_quality_filter", "txt_shuffle", "txt_tokens",
     // round-7 additions
     "dedup_incr_near", "q_user_seq", "txt_source_filter", "dedup_keep_best",
-    "q_heavy_hitters",
+    "q_heavy_hitters", "txt_bpe",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -230,6 +231,34 @@ object SparkEntry {
     * the Spark side, and per-lane means rounded to 6 dp — the rounding
     * both sides share is what absorbs the ~1e-13 summation-order drift
     * between Spark's partial aggregation and DuckDB's sequential sums. */
+  /** txt_bpe oracle, generated per merge round: the same pair-count /
+    * (n DESC, l, r) argmax / non-overlapping left-to-right `replace`
+    * recurrence as the Spark trainer, each round one CTE over the
+    * previous round's merged token strings — `replace` scans the input
+    * identically in both engines, so the merge tables are an exact
+    * cross-engine fixpoint. */
+  private def bpeOracleSql(iters: Int = 3): String = {
+    val d0 = "d0 AS (\n" +
+      "  SELECT ' ' || array_to_string(list_filter(string_split_regex(lower(text), " +
+      "'[^a-z0-9]+'), x -> len(x) > 0), ' ') || ' ' AS s FROM documents)"
+    val its = (1 to iters).map { i =>
+      s"""p$i AS (
+         |  SELECT w[j] AS l, w[j+1] AS r, count(*) AS n FROM (
+         |    SELECT w, unnest(range(1, len(w))) AS j
+         |    FROM (SELECT string_split(trim(s), ' ') AS w FROM d${i - 1})
+         |  ) GROUP BY 1, 2
+         |), m$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+         |d$i AS (SELECT replace(s,
+         |  ' ' || (SELECT l FROM m$i) || ' ' || (SELECT r FROM m$i) || ' ',
+         |  ' ' || (SELECT l FROM m$i) || '§' || (SELECT r FROM m$i) || ' ') AS s
+         |FROM d${i - 1})""".stripMargin
+    }
+    val sel = (1 to iters)
+      .map(i => s"""SELECT $i AS iter, l AS "left", r AS "right", n FROM m$i""")
+      .mkString("\nUNION ALL ")
+    s"WITH $d0,\n${its.mkString(",\n")}\n$sel"
+  }
+
   private def kmeansOracleSql(initEvery: Int = 29, iters: Int = 3): String = {
     val init = s"c0 AS (SELECT vec_id AS cell_id, embedding AS c_emb " +
       s"FROM embeddings WHERE vec_id % $initEvery = 0)"
@@ -426,6 +455,7 @@ object SparkEntry {
     "sim_topk_pq" -> pqOracleSql(),
     "sim_topk_pq_trained" -> pqTrainedOracleSql(),
     "sim_kmeans" -> kmeansOracleSql(),
+    "txt_bpe" -> bpeOracleSql(),
     "mm_features" -> mmFeaturesOracleSql,
     // Generated: Spark's XXH64 re-emitted as u64-emulated DuckDB SQL, so
     // even the near-dup SimHash pipeline — whose Hamming sets depend on

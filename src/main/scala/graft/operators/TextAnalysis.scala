@@ -71,6 +71,62 @@ object TextAnalysis {
         stopRatio >= 0.01)
   }
 
+  /** BPE merge induction — the core loop of tokenizer training (the public
+    * byte-pair-encoding algorithm: repeatedly count adjacent token pairs
+    * corpus-wide, merge the most frequent) run distributed, word-level,
+    * for `iters` rounds. Returns one row per learned merge:
+    * (iter, left, right, n).
+    *
+    * Merge application is defined as NON-OVERLAPPING LEFT-TO-RIGHT
+    * replacement over the space-delimited token string (`replace`
+    * semantics, identical in Spark and the oracle's SQL dialect) — on a
+    * run like "a b a b" the first pair merges and the second survives
+    * until a later round, which keeps the operator's output an exact
+    * cross-engine fixpoint rather than an implementation detail.
+    *
+    * Scale shape per round: pair extraction is a row-local
+    * transform+explode over the persisted token-string projection (text
+    * is canonicalized ONCE); the count is a two-phase aggregate — one row
+    * per DISTINCT pair crosses the shuffle; the argmax is a
+    * TakeOrdered(1) (bounded driver read, the same legitimacy class as
+    * the k-means/PQ trainers' collects); the merge re-enters the next
+    * round's plan as a literal replace — a narrow scan-side projection. */
+  def bpeMerges(docs: DataFrame, textCol: String, iters: Int = 3,
+      joiner: String = "§"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs
+      .select(concat(lit(" "), array_join(tokens(col(textCol)), " "), lit(" ")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cur = base.select(col("s"))
+    val merges = collection.mutable.ListBuffer[(Int, String, String, Long)]()
+    for (i <- 1 to iters) {
+      val toks = split(trim(col("s")), " ")
+      val best = cur
+        .select(toks.as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("w")) - 1),
+          j => struct(element_at(col("w"), j).as("l"),
+            element_at(col("w"), j + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1)
+        .as[(String, String, Long)]
+        .head()
+      merges += ((i, best._1, best._2, best._3))
+      cur = cur.select(expr(
+        s"replace(s, ' ${best._1} ${best._2} ', ' ${best._1}$joiner${best._2} ')").as("s"))
+    }
+    base.unpersist()
+    merges.toSeq.toDF("iter", "left", "right", "n")
+  }
+
+  /** CORRECTNESS instantiation: 3 merge rounds over documents. */
+  def bpeMergeTable(spark: SparkSession, dir: String): DataFrame =
+    bpeMerges(Tables.load(spark, dir, "documents"), "text")
+
   /** Source-level (domain-level) quality filtering — the coarse sibling of
     * the per-document [[qualityFilter]], after the public web-corpus
     * practice of dropping entire domains whose aggregate quality is poor

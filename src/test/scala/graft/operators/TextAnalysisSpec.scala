@@ -62,6 +62,34 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(top == 0.5 && dup == 0.25)
   }
 
+  test("bpeMerges equals a driver-side replay of the same recurrence") {
+    val texts = Seq(
+      "a b a b c",     // consecutive same-pair run: only alternate sites merge
+      "a b d",
+      "b c a b",
+      "x y x y x y",   // longer run — exercises the non-overlap scan rule
+      "q")             // single-token doc contributes no pairs
+    val got = TextAnalysis.bpeMerges(texts.toDF("text"), "text", iters = 3)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    // independent replay: same tokenize, same (n DESC, l, r) argmax, same
+    // literal non-overlapping left-to-right replace (java.lang.String)
+    var corpus = texts.map(t =>
+      " " + t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).mkString(" ") + " ")
+    val want = (1 to 3).map { i =>
+      val pairs = corpus.flatMap { s =>
+        val w = s.trim.split(" ").filter(_.nonEmpty)
+        w.sliding(2).filter(_.length == 2).map(a => (a(0), a(1)))
+      }
+      val (l, r, n) = pairs.groupBy(identity).toSeq
+        .map { case ((a, b), xs) => (a, b, xs.size.toLong) }
+        .minBy { case (a, b, c) => (-c, a, b) }
+      corpus = corpus.map(_.replace(s" $l $r ", s" $l§$r "))
+      (i, l, r, n)
+    }
+    assert(got == want)
+    assert(got.map(_._4).nonEmpty && got.head._4 >= 2, "first merge must be a real repeat")
+  }
+
   test("sourceQualityFilter: keeps stopword-rich sources, drops gibberish and empty ones") {
     val docs = Seq(
       // "good" source: natural-language docs, stopword ratio well over the floor
