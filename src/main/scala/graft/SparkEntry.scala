@@ -170,6 +170,7 @@ object SparkEntry {
     "q_heavy_hitters"   -> (Analytics.heavyUserKeys _),
     "txt_source_filter" -> (TextAnalysis.sourceFiltered _),
     "txt_bpe"           -> (TextAnalysis.bpeMergeTable _),
+    "txt_bpe_apply"     -> (TextAnalysis.bpeTokenized _),
     // ── Skew-safe salted aggregation (same values as a plain group-by) ──
     "agg_salted"        -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, round}
@@ -219,6 +220,8 @@ object SparkEntry {
     // round-7 additions
     "dedup_incr_near", "q_user_seq", "txt_source_filter", "dedup_keep_best",
     "q_heavy_hitters", "txt_bpe",
+    // round-8 additions
+    "txt_bpe_apply",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -257,6 +260,33 @@ object SparkEntry {
       .map(i => s"""SELECT $i AS iter, l AS "left", r AS "right", n FROM m$i""")
       .mkString("\nUNION ALL ")
     s"WITH $d0,\n${its.mkString(",\n")}\n$sel"
+  }
+
+  /** txt_bpe_apply oracle, generated: the same per-round recurrence as
+    * [[bpeOracleSql]] with doc_id threaded through every d CTE, finishing
+    * with the per-document tokenized string + token count after the last
+    * merge — exactly what the single-projection `bpeApply` fold over the
+    * learned table produces. */
+  private def bpeApplyOracleSql(iters: Int = 3): String = {
+    val d0 = "d0 AS (\n" +
+      "  SELECT doc_id, ' ' || array_to_string(list_filter(string_split_regex(lower(text), " +
+      "'[^a-z0-9]+'), x -> len(x) > 0), ' ') || ' ' AS s FROM documents)"
+    val its = (1 to iters).map { i =>
+      s"""p$i AS (
+         |  SELECT w[j] AS l, w[j+1] AS r, count(*) AS n FROM (
+         |    SELECT w, unnest(range(1, len(w))) AS j
+         |    FROM (SELECT string_split(trim(s), ' ') AS w FROM d${i - 1})
+         |  ) GROUP BY 1, 2
+         |), m$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+         |d$i AS (SELECT doc_id, replace(s,
+         |  ' ' || (SELECT l FROM m$i) || ' ' || (SELECT r FROM m$i) || ' ',
+         |  ' ' || (SELECT l FROM m$i) || '§' || (SELECT r FROM m$i) || ' ') AS s
+         |FROM d${i - 1})""".stripMargin
+    }
+    s"WITH $d0,\n${its.mkString(",\n")}\n" +
+      s"SELECT doc_id, trim(s) AS toks,\n" +
+      s"  len(list_filter(string_split(trim(s), ' '), x -> len(x) > 0)) AS n_tokens\n" +
+      s"FROM d$iters"
   }
 
   private def kmeansOracleSql(initEvery: Int = 29, iters: Int = 3): String = {
@@ -456,6 +486,7 @@ object SparkEntry {
     "sim_topk_pq_trained" -> pqTrainedOracleSql(),
     "sim_kmeans" -> kmeansOracleSql(),
     "txt_bpe" -> bpeOracleSql(),
+    "txt_bpe_apply" -> bpeApplyOracleSql(),
     "mm_features" -> mmFeaturesOracleSql,
     // Generated: Spark's XXH64 re-emitted as u64-emulated DuckDB SQL, so
     // even the near-dup SimHash pipeline — whose Hamming sets depend on

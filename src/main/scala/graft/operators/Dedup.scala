@@ -206,9 +206,18 @@ object Dedup extends Logging {
         .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
         .filter(col("inter") / (col("sz_a") + col("sz_b") - col("inter")) >= threshold)
 
+    // CONTRACT: idCol uniquely identifies a batch row. Verbatim re-sends
+    // (same id AND same text) are collapsed here before anything else —
+    // they are one logical document, and the within-batch pair join keys
+    // on strictly increasing ids, so without this collapse two same-id
+    // rows could never form a pair and BOTH would survive the left-anti.
+    // Distinct texts under one reused id (or distinct payload columns
+    // under one (id, text)) remain the producer's bug: this operator has
+    // no basis for picking which row the id means.
+    val b = batch.dropDuplicates(idCol, textCol)
     // the batch index feeds its own band table plus both verify lookups —
     // persist it (batch-sized) so the batch text is shingled exactly once
-    val bIdx = buildNearDupIndex(batch, idCol, textCol, n, k, seed)
+    val bIdx = buildNearDupIndex(b, idCol, textCol, n, k, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bBands = bandHashTable(bIdx, k, bands)
 
@@ -228,7 +237,7 @@ object Dedup extends Logging {
     val batchDrops = verified(batchCand, bIdx, bIdx)
       .select(col("id_b").as("__drop"))
 
-    val survivors = batch.join(
+    val survivors = b.join(
       corpusDrops.union(batchDrops).distinct()
         .select(col("__drop").as(idCol)),
       Seq(idCol), "left_anti")

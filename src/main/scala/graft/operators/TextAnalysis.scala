@@ -91,16 +91,36 @@ object TextAnalysis {
     * TakeOrdered(1) (bounded driver read, the same legitimacy class as
     * the k-means/PQ trainers' collects); the merge re-enters the next
     * round's plan as a literal replace — a narrow scan-side projection. */
-  def bpeMerges(docs: DataFrame, textCol: String, iters: Int = 3,
-      joiner: String = "§"): DataFrame = {
+  /** Trainer core shared by [[bpeMerges]] / [[bpeTokenized]]: canonicalize
+    * `textCol` ONCE into the padded space-delimited token string, then run
+    * up to `iters` count→argmax→replace rounds, carrying `carry` columns
+    * (e.g. the doc id) through so callers can read the final merged
+    * strings per document.
+    *
+    * Every round `localCheckpoint`s the merged strings — the same
+    * iterative-trainer pattern as [[Similarity.kmeansCentroids]]: round
+    * i's pair count reads round i−1's MATERIALIZED output instead of
+    * re-executing all i−1 prior replaces, so total work is
+    * O(iters·corpus); without it the recompute is O(iters²·corpus) and
+    * the nested replace tree deepens linearly (codegen blowup at
+    * real-tokenizer merge counts — thousands of rounds). The replace is
+    * built from typed Columns (`functions.replace` + `lit`), never an
+    * interpolated SQL string, so a quote in a token or a caller-supplied
+    * joiner cannot re-parse as SQL. If the corpus runs out of adjacent
+    * pairs before `iters` rounds (all docs ≤ 1 token, or merges exhaust
+    * the pair space), the loop stops and returns the merges learned so
+    * far instead of throwing. */
+  private def bpeCore(docs: DataFrame, carry: Seq[String], textCol: String,
+      iters: Int, joiner: String): (List[(Int, String, String, Long)], DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val base = docs
-      .select(concat(lit(" "), array_join(tokens(col(textCol)), " "), lit(" ")).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cur = base.select(col("s"))
+    var cur = docs
+      .select(carry.map(col) :+
+        concat(lit(" "), array_join(tokens(col(textCol)), " "), lit(" ")).as("s"): _*)
+      .localCheckpoint()
     val merges = collection.mutable.ListBuffer[(Int, String, String, Long)]()
-    for (i <- 1 to iters) {
+    var exhausted = false
+    for (i <- 1 to iters if !exhausted) {
       val toks = split(trim(col("s")), " ")
       val best = cur
         .select(toks.as("w"))
@@ -114,18 +134,59 @@ object TextAnalysis {
         .orderBy(col("n").desc, col("l"), col("r"))
         .limit(1)
         .as[(String, String, Long)]
-        .head()
-      merges += ((i, best._1, best._2, best._3))
-      cur = cur.select(expr(
-        s"replace(s, ' ${best._1} ${best._2} ', ' ${best._1}$joiner${best._2} ')").as("s"))
+        .take(1)
+      best.headOption match {
+        case None => exhausted = true
+        case Some((l, r, n)) =>
+          merges += ((i, l, r, n))
+          cur = cur.withColumn("s",
+            replace(col("s"), lit(s" $l $r "), lit(s" $l$joiner$r ")))
+            .localCheckpoint()
+      }
     }
-    base.unpersist()
-    merges.toSeq.toDF("iter", "left", "right", "n")
+    (merges.toList, cur)
+  }
+
+  def bpeMerges(docs: DataFrame, textCol: String, iters: Int = 3,
+      joiner: String = "§"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeCore(docs, Nil, textCol, iters, joiner)._1.toDF("iter", "left", "right", "n")
   }
 
   /** CORRECTNESS instantiation: 3 merge rounds over documents. */
   def bpeMergeTable(spark: SparkSession, dir: String): DataFrame =
     bpeMerges(Tables.load(spark, dir, "documents"), "text")
+
+  /** Apply a LEARNED merge table to tokenize a corpus — the per-document
+    * production operator a pipeline runs after [[bpeMerges]] (training is
+    * rare; application is every document, forever). The whole merge fold
+    * compiles into ONE scan-side codegen projection — a chain of typed
+    * `replace` calls over the canonical token string — zero shuffles and
+    * zero joins at any corpus size. Merges MUST be applied in learned
+    * order: later merges can consume earlier merges' outputs, exactly as
+    * during training. Returns (idCol, toks, n_tokens). */
+  def bpeApply(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], joiner: String = "§"): DataFrame = {
+    val s0 = concat(lit(" "), array_join(tokens(col(textCol)), " "), lit(" "))
+    val sN = merges.foldLeft(s0) { case (s, (l, r)) =>
+      replace(s, lit(s" $l $r "), lit(s" $l$joiner$r "))
+    }
+    docs.select(col(idCol),
+      trim(sN).as("toks"),
+      size(filter(split(trim(sN), " "), t => length(t) > 0))
+        .cast("long").as("n_tokens"))
+  }
+
+  /** CORRECTNESS instantiation: learn 3 merges over documents, then
+    * tokenize the SAME corpus with them through the single-projection
+    * [[bpeApply]] path (scoring the training corpus keeps the entry
+    * OOV-free by construction). */
+  def bpeTokenized(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val merges = bpeCore(docs, Nil, "text", 3, "§")._1.map(m => (m._2, m._3))
+    bpeApply(docs, "doc_id", "text", merges)
+  }
 
   /** Source-level (domain-level) quality filtering — the coarse sibling of
     * the per-document [[qualityFilter]], after the public web-corpus

@@ -108,11 +108,14 @@ object StreamNearDedup extends Logging {
         .maxOption.getOrElse(0L) + 1
       // dropDuplicates makes an interrupted compaction self-healing: a
       // crash between the write and the deletes below leaves the folded
-      // rows present twice (gen-compact-<e> ∪ its sources); the NEXT
-      // compaction would otherwise snowball them forever. Duplicate
-      // doc_ids carry identical (sh, sig) payloads, so this is lossless.
+      // rows present twice (gen-compact-<e> ∪ its sources) as EXACT
+      // duplicates; the NEXT compaction would otherwise snowball them
+      // forever. FULL-row dedup deliberately, not doc_id: if a producer
+      // ever reuses a doc_id with different text across batches, both
+      // payloads survive compaction, so neither document's future
+      // near-arrivals can silently sail past the probe index.
       spark.read.parquet(sources.map(g => s"$indexDir/$g"): _*)
-        .dropDuplicates("doc_id")
+        .dropDuplicates()
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$indexDir/gen-compact-$epoch")
       val f = new Path(indexDir)

@@ -90,6 +90,41 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got.map(_._4).nonEmpty && got.head._4 >= 2, "first merge must be a real repeat")
   }
 
+  test("bpeApply: the learned table tokenizes exactly as the training fold") {
+    val texts = Seq(
+      (1L, "a b a b c"), (2L, "a b d"), (3L, "b c a b"),
+      (4L, "x y x y x y"), (5L, "q"), (6L, ""))
+    val docs = texts.toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(docs, "text", iters = 3)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+      .map(m => (m._2, m._3))
+    // ground truth: the same non-overlapping left-to-right fold, in
+    // learned order, driver-side over java.lang.String
+    val want = texts.map { case (id, t) =>
+      val s0 = " " + t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).mkString(" ") + " "
+      val sN = merges.foldLeft(s0) { case (s, (l, r)) =>
+        s.replace(s" $l $r ", s" $l§$r ")
+      }
+      val toks = sN.trim
+      (id, toks, toks.split(" ").count(_.nonEmpty).toLong)
+    }
+    val got = TextAnalysis.bpeApply(docs, "doc_id", "text", merges)
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == want)
+    // the empty doc must flow through as zero tokens, not crash or NaN
+    assert(got.find(_._1 == 6L).get._3 == 0L)
+  }
+
+  test("bpeMerges stops early (merges so far, no throw) when pairs run out") {
+    // round 1 merges the only pair; rounds 2..5 find no adjacent pair
+    val one = TextAnalysis.bpeMerges(Seq("a a").toDF("text"), "text", iters = 5)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(one == Seq((1, "a", "a", 1L)))
+    // no pair anywhere from the start: zero merges, empty result
+    val zero = TextAnalysis.bpeMerges(Seq("q", "").toDF("text"), "text", iters = 3)
+    assert(zero.count() == 0)
+  }
+
   test("sourceQualityFilter: keeps stopword-rich sources, drops gibberish and empty ones") {
     val docs = Seq(
       // "good" source: natural-language docs, stopword ratio well over the floor
