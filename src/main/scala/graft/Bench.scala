@@ -135,8 +135,71 @@ object Bench {
           errors += s"stream: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
           None
       }
+    // Streaming near-dedup throughput: the number a user tuning
+    // compaction cadence needs — per-batch wall as the cross-batch
+    // signature index grows, plus the steady per-batch wall of one more
+    // arrival batch against the fully-grown COMPACTED index (the
+    // production cadence: compaction runs between batches, arrivals probe
+    // one folded generation instead of many).
+    def streamNearBench(): Option[String] =
+      try {
+        import org.apache.spark.sql.functions.{col, concat, lit}
+        val tmp = Files.createTempDirectory("graft_stream_near_").toString
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text")
+        val rowsIn = docs.count()
+        Files.createDirectory(Paths.get(s"$tmp/in"))
+        // three arrival files → three micro-batches (maxFilesPerTrigger=1)
+        (0 until 3).foreach { i =>
+          docs.filter(col("doc_id") % 3 === i)
+            .coalesce(1).write.parquet(s"$tmp/stage$i")
+          val part = Files.list(Paths.get(s"$tmp/stage$i"))
+            .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          Files.move(part, Paths.get(s"$tmp/in/f$i.parquet"))
+        }
+        def drive(): Double = {
+          val stream = spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+          val t0 = System.nanoTime()
+          graft.streaming.StreamNearDedup.start(
+            stream, s"$tmp/idx", s"$tmp/out", s"$tmp/ckpt",
+            "doc_id", "text").awaitTermination()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val wallGrow = drive() // 3 batches, index grows 0 → full corpus
+        graft.streaming.StreamNearDedup.compactIndex(spark, s"$tmp/idx")
+        // steady batch: near-copies of every 20th doc — the all-drop path,
+        // probing the full compacted index
+        docs.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 9000000L).as("doc_id"),
+            concat(col("text"), lit(" graftdup")).as("text"))
+          .coalesce(1).write.parquet(s"$tmp/stage3")
+        val part3 = Files.list(Paths.get(s"$tmp/stage3"))
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        val steadyRows = spark.read.parquet(part3.toString).count()
+        Files.move(part3, Paths.get(s"$tmp/in/f3.parquet"))
+        val wallSteady = drive() // one batch vs the compacted index
+        // all generations (compaction keeps the newest batch gen aside)
+        val indexRows = spark.read.option("recursiveFileLookup", "true")
+          .parquet(s"$tmp/idx").count()
+        val rowsOut = spark.read.option("recursiveFileLookup", "true")
+          .parquet(s"$tmp/out").count()
+        Some(s"""{"op":"stream_near_dedup","rows_in":$rowsIn,""" +
+          s""""batches":3,"grow_wall_sec":${fnum(wallGrow)},""" +
+          s""""grow_rows_per_sec":${fnum(rowsIn / wallGrow)},""" +
+          s""""steady_batch_rows":$steadyRows,""" +
+          s""""steady_batch_wall_sec":${fnum(wallSteady)},""" +
+          s""""index_rows":$indexRows,"rows_out":$rowsOut}""")
+      } catch {
+        case e: Throwable =>
+          errors += s"stream_near: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          None
+      }
     val streamJson: String =
       if (only.forall(_.contains("stream"))) streamBench().getOrElse("null")
+      else "null"
+    val streamNearJson: String =
+      if (only.forall(_.contains("stream"))) streamNearBench().getOrElse("null")
       else "null"
 
     def qjson(rs: Seq[(String, Option[Double])]): String = rs
@@ -152,7 +215,7 @@ object Bench {
     // "probe" is the per-query contention sentinel (see scaladoc):
     // probe[q] >> probe_floor ⇒ q was timed in a contended window.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"ext":${qjson(extResults)},"stream":$streamJson,"probe":$probeJson,"probe_floor":${fnum(probeFloor)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"ext":${qjson(extResults)},"stream":$streamJson,"stream_near":$streamNearJson,"probe":$probeJson,"probe_floor":${fnum(probeFloor)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
     println(json)
     Files.writeString(Paths.get(outFile), json)
     spark.stop()

@@ -165,6 +165,8 @@ object SparkEntry {
     "q_union_evolve"    -> (Relational.unionEvolved _),
     "txt_pack"          -> ((s, d) => Packing.packedChunks(s, d)),
     "dedup_incr_near"   -> (Dedup.incrementalNearArrivals _),
+    "dedup_incr_near_steady" -> (Dedup.incrementalNearArrivalsSteady _),
+    "sim_topk_pq_steady" -> ((s, d) => Similarity.topKPqSteady(s, d)),
     "dedup_keep_best"   -> (Dedup.keepLongestDocs _),
     "q_user_seq"        -> (Analytics.userSequences _),
     "q_heavy_hitters"   -> (Analytics.heavyUserKeys _),
@@ -220,8 +222,10 @@ object SparkEntry {
     // round-7 additions
     "dedup_incr_near", "q_user_seq", "txt_source_filter", "dedup_keep_best",
     "q_heavy_hitters", "txt_bpe",
-    // round-8 additions
-    "txt_bpe_apply",
+    // round-8 additions (the *_steady rows time the production
+    // probe/serve path the rebuild entries can't — their first warm-up
+    // call pays the one-time land/train, the timed passes reuse it)
+    "txt_bpe_apply", "dedup_incr_near_steady", "sim_topk_pq_steady",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -480,7 +484,14 @@ object SparkEntry {
        |FROM m, lanes""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
+  /** Steady-state entries (pre-landed index / saved codebook) compute the
+    * same answer as their rebuild siblings — what changes is the timed
+    * plan, not the result — so each shares its sibling's oracle verbatim. */
+  def oracleSql: Map[String, String] = oracleBase ++ Map(
+    "dedup_incr_near_steady" -> oracleBase("dedup_incr_near"),
+    "sim_topk_pq_steady" -> oracleBase("sim_topk_pq_trained"))
+
+  private def oracleBase: Map[String, String] = Map(
     "sim_topk_ann" -> annOracleSql,
     "sim_topk_pq" -> pqOracleSql(),
     "sim_topk_pq_trained" -> pqTrainedOracleSql(),

@@ -251,6 +251,21 @@ object Dedup extends Logging {
     * exact incremental dedup misses by construction) ∪ perturbed copies
     * of the % 8 = 1 batch docs (higher ids — the within-batch drop path).
     * Survivors are exactly the original % 4 = 1 rows. */
+  /** The arrival batch both incr-near instantiations probe with: the
+    * % 4 = 1 docs ∪ near-copies of every 10th corpus doc (corpus-near
+    * drop path) ∪ near-copies of the % 8 = 1 batch docs (within-batch
+    * drop path). */
+  private def nearArrivalBatch(docs: DataFrame): DataFrame = {
+    val corpus = docs.filter(col("doc_id") % 4 =!= 1)
+    docs.filter(col("doc_id") % 4 === 1)
+      .unionByName(corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" graftdup")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 8 === 1)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" graftdup")).as("text")))
+  }
+
   def incrementalNearArrivals(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
     val corpus = docs.filter(col("doc_id") % 4 =!= 1)
@@ -261,17 +276,39 @@ object Dedup extends Logging {
     // incrementalNearNew checkpoints its result before returning.
     val index = buildNearDupIndex(corpus, "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val batch = docs.filter(col("doc_id") % 4 === 1)
-      .unionByName(corpus.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 2000000L).as("doc_id"),
-          concat(col("text"), lit(" graftdup")).as("text")))
-      .unionByName(docs.filter(col("doc_id") % 8 === 1)
-        .select((col("doc_id") + 3000000L).as("doc_id"),
-          concat(col("text"), lit(" graftdup")).as("text")))
-    val out = incrementalNearNew(index, batch, "doc_id", "text")
+    val out = incrementalNearNew(index, nearArrivalBatch(docs), "doc_id", "text")
       .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
     if (!sys.props.get("graft.dedup.lazyPlans").contains("true")) index.unpersist()
     out
+  }
+
+  /** STEADY-STATE form of [[incrementalNearArrivals]] — the production
+    * cadence the rebuild entry cannot time: the corpus signature index is
+    * landed ONCE per (catalog, dir) in its probe-aligned bucketed layout
+    * ([[landNearDupIndex]]; shuffle paid at land time) and every
+    * subsequent call probes it through [[incrementalNearNewBanded]], so
+    * the timed plan is a bucketed columnar probe + verify — no corpus
+    * re-shingling, no re-banding, no index-side Exchange. Same batch,
+    * same survivors, same oracle as `dedup_incr_near`; only the plan the
+    * bench tripwire watches changes. The first call (Bench's unmeasured
+    * warm-up pass, Verify's only pass) pays the land. */
+  def incrementalNearArrivalsSteady(spark: SparkSession, dir: String): DataFrame = {
+    val prefix = s"neardup_steady_${(dir.hashCode & Int.MaxValue).toHexString}"
+    if (!spark.catalog.tableExists(s"${prefix}_bands")) {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_neardup_steady_").toString
+      val corpus = Tables.load(spark, dir, "documents")
+        .select("doc_id", "text").filter(col("doc_id") % 4 =!= 1)
+      val index = buildNearDupIndex(corpus, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      landNearDupIndex(index, prefix, path)
+      index.unpersist()
+    }
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    incrementalNearNewBanded(
+      spark.table(s"${prefix}_bands"), spark.table(s"${prefix}_sh"),
+      nearArrivalBatch(docs), "doc_id", "text")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
   }
 
   /** documents ∪ verbatim copies of every 7th doc (shifted id space) — the

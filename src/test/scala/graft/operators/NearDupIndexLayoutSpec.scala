@@ -55,4 +55,19 @@ class NearDupIndexLayoutSpec extends SparkTestBase {
     assert(exchanges == 1,
       s"expected exactly the probe-side Exchange (index side bucketed):\n$plan")
   }
+
+  test("steady-state instantiation equals the rebuild instantiation, and reuses its land") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: DataFrame) = df.as[(Long, String)].collect().toSet
+    val want = rows(Dedup.incrementalNearArrivals(spark, dir))
+    val first = rows(Dedup.incrementalNearArrivalsSteady(spark, dir))
+    assert(first == want)
+    // second call must hit the already-landed catalog tables (no re-land):
+    // same answer, and the bucketed band table still exists in the catalog
+    val again = rows(Dedup.incrementalNearArrivalsSteady(spark, dir))
+    assert(again == want)
+    val prefix = s"neardup_steady_${(dir.hashCode & Int.MaxValue).toHexString}"
+    assert(spark.catalog.tableExists(s"${prefix}_bands") &&
+      spark.catalog.tableExists(s"${prefix}_sh"))
+  }
 }

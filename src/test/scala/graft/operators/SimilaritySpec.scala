@@ -127,6 +127,16 @@ class SimilaritySpec extends SparkTestBase {
     assert(again == topk.toSet)
   }
 
+  test("topKPqSteady (saved book) equals topKPqTrained (per-run retrain)") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    val want = rows(Similarity.topKPqTrained(spark, dir))
+    assert(rows(Similarity.topKPqSteady(spark, dir)) == want)
+    // second call serves from the memoized book — same answer
+    assert(rows(Similarity.topKPqSteady(spark, dir)) == want)
+  }
+
   test("trained PQ codebook beats the seeded one on clustered data") {
     val m = 4; val kc = 8; val subDim = 8; val k = 3
     // 4 tight clusters: Lloyd's puts each subspace's centroids on the
