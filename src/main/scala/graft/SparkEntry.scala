@@ -173,6 +173,11 @@ object SparkEntry {
     "txt_source_filter" -> (TextAnalysis.sourceFiltered _),
     "txt_bpe"           -> (TextAnalysis.bpeMergeTable _),
     "txt_bpe_apply"     -> (TextAnalysis.bpeTokenized _),
+    "txt_bigram_lm"     -> (TextAnalysis.bigramScores _),
+    "q_funnel"          -> (Analytics.signupFunnel _),
+    "q_retention"       -> (Analytics.eventRetention _),
+    "q_anomaly"         -> ((s, d) => Analytics.eventAnomalies(s, d)),
+    "sim_rp_reduce"     -> (Similarity.rpReduce _),
     // ── Skew-safe salted aggregation (same values as a plain group-by) ──
     "agg_salted"        -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, round}
@@ -226,6 +231,7 @@ object SparkEntry {
     // probe/serve path the rebuild entries can't — their first warm-up
     // call pays the one-time land/train, the timed passes reuse it)
     "txt_bpe_apply", "dedup_incr_near_steady", "sim_topk_pq_steady",
+    "txt_bigram_lm", "q_funnel", "q_retention", "q_anomaly", "sim_rp_reduce",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -484,12 +490,32 @@ object SparkEntry {
        |FROM m, lanes""".stripMargin
   }
 
+  /** sim_rp_reduce oracle, generated: the seeded ±1 sign matrix is a
+    * deterministic literal in the Spark plan, so the oracle embeds the
+    * SAME rows as DOUBLE[] literals and reproduces every projected lane
+    * with list_inner_product (sequential sum ≡ litDot's left fold). */
+  private def rpOracleSql(outDim: Int = 16, dim: Int = 64): String = {
+    val lanes = operators.Similarity.rpSigns(outDim, dim).zipWithIndex
+      .map { case (row, i) =>
+        val arr = row.map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]")
+        s"SELECT $i AS lane, CAST($arr AS DOUBLE[]) AS s"
+      }.mkString("\nUNION ALL ")
+    s"""WITH lanes AS (
+       |$lanes
+       |)
+       |SELECT e.vec_id, CAST(lanes.lane AS BIGINT) AS lane,
+       |  round(list_inner_product(CAST(e.embedding AS DOUBLE[]), lanes.s)
+       |        / sqrt($dim), 6) AS v
+       |FROM embeddings e, lanes""".stripMargin
+  }
+
   /** Steady-state entries (pre-landed index / saved codebook) compute the
     * same answer as their rebuild siblings — what changes is the timed
     * plan, not the result — so each shares its sibling's oracle verbatim. */
   def oracleSql: Map[String, String] = oracleBase ++ Map(
     "dedup_incr_near_steady" -> oracleBase("dedup_incr_near"),
-    "sim_topk_pq_steady" -> oracleBase("sim_topk_pq_trained"))
+    "sim_topk_pq_steady" -> oracleBase("sim_topk_pq_trained"),
+    "sim_rp_reduce" -> rpOracleSql())
 
   private def oracleBase: Map[String, String] = Map(
     "sim_topk_ann" -> annOracleSql,
@@ -498,6 +524,73 @@ object SparkEntry {
     "sim_kmeans" -> kmeansOracleSql(),
     "txt_bpe" -> bpeOracleSql(),
     "txt_bpe_apply" -> bpeApplyOracleSql(),
+    // Bigram-LM ground truth: same tokenizer, same add-one model trained
+    // on the same corpus, ln-sum rounded to 6 dp (summation order differs
+    // across engines by design).
+    "txt_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT doc_id, w[j] AS l, w[j+1] AS r FROM (
+        |    SELECT doc_id, w, unnest(range(1, len(w))) AS j FROM t
+        |  )
+        |), model AS (SELECT l, r, count(*) AS c_lr FROM pairs GROUP BY 1, 2),
+        |lc AS (SELECT l, sum(c_lr) AS c_l FROM model GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(w) AS tok FROM t))
+        |SELECT p.doc_id, count(*) AS n_bigrams,
+        |  round(sum(ln((m.c_lr + 1.0) / (lc.c_l + v.v))), 6) AS ll
+        |FROM pairs p
+        |JOIN model m ON p.l = m.l AND p.r = m.r
+        |JOIN lc ON p.l = lc.l
+        |CROSS JOIN v
+        |GROUP BY 1""".stripMargin,
+    // First-touch ordered funnel: stage i = users with a stage-i event
+    // strictly after their FIRST completion of stages 0..i-1.
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+        |)
+        |SELECT 1 AS stage, 'signup' AS event_type, count(*) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM s3""".stripMargin,
+    // Weekly cohort retention: week = epoch-day number // 7 (identical
+    // integer arithmetic both sides); the (user, week) activity set is
+    // distinct so the cell count is a plain count.
+    "q_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS week
+        |  FROM events
+        |), f AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1)
+        |SELECT f.cohort_week, uw.week - f.cohort_week AS week_offset,
+        |  count(*) AS n_users
+        |FROM uw JOIN f ON uw.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
+    // Trailing z-score: PRECEDING-only RANGE frame on the calendar-day
+    // index; NULL (not 0) below 2 baseline days or on a flat baseline.
+    "q_anomaly" ->
+      """WITH d AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n,
+        |    epoch_ns(date_trunc('day', ts)) // 1000 // 86400000000 AS day_idx
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, day, n,
+        |  count(n) OVER w AS n_baseline,
+        |  round((n - avg(n) OVER w) / nullif(stddev_samp(n) OVER w, 0), 6) AS z
+        |FROM d
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+        |  RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)""".stripMargin,
     "mm_features" -> mmFeaturesOracleSql,
     // Generated: Spark's XXH64 re-emitted as u64-emulated DuckDB SQL, so
     // even the near-dup SimHash pipeline — whose Hamming sets depend on

@@ -257,6 +257,101 @@ object Analytics {
           lag(col("n"), 1).over(w), 6).as("pct_change"))
   }
 
+  /** Ordered conversion funnel: how many users completed each stage
+    * prefix IN ORDER — stage i counts users with an event of type
+    * stages(i) strictly after their FIRST completion time of stages
+    * 0..i−1 (the standard first-touch funnel rule; re-orderings like
+    * purchase-before-signup do not count).
+    *
+    * Scale shape: every aggregate and join keys on user_id, so the whole
+    * chain runs inside one hash distribution of the type-filtered events
+    * — Catalyst reuses the groupBy's partitioning for each subsequent
+    * same-key join; per-stage state is one (user_id, t) row per
+    * qualifying user; the final counts are single-row aggregates whose
+    * union is |stages| rows. */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val e = events.select(col("user_id"), col("event_type"), col("ts"))
+    var reached = e.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min(col("ts")).as("t"))
+    val counts = collection.mutable.ListBuffer[DataFrame](
+      reached.agg(count(lit(1)).as("n_users"))
+        .select(lit(1).as("stage"), lit(stages.head).as("event_type"),
+          col("n_users")))
+    stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      reached = e.filter(col("event_type") === st)
+        .join(reached, "user_id")
+        .filter(col("ts") > col("t"))
+        .groupBy("user_id").agg(min(col("ts")).as("t"))
+      counts += reached.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(st).as("event_type"),
+          col("n_users"))
+    }
+    counts.reduce(_ unionByName _)
+  }
+
+  /** CORRECTNESS instantiation: the signup → click → purchase funnel. */
+  def signupFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnel(Tables.load(spark, dir, "events"),
+      Seq("signup", "click", "purchase"))
+
+  /** Weekly cohort retention matrix: users cohorted by the week of their
+    * first event; each (cohort_week, week_offset) cell counts the
+    * cohort's users active that many weeks later. Weeks are calendar-day
+    * numbers since the 1970-01-01 epoch divided by 7 — timezone-exact via
+    * datediff (the dailyMovingAvg rule), identical in both engines.
+    *
+    * Scale shape: the (user, week) activity set is a distinct keyed on
+    * user_id; first-touch is a min-aggregate over it on the SAME key (no
+    * second corpus shuffle — Catalyst reuses the distribution); their
+    * join is user-keyed too; only (cohort, offset) rows cross the final
+    * tiny shuffle. Since the activity set is distinct per (user, week),
+    * the cell count is a plain count — no count_distinct pass. */
+  def weeklyRetention(events: DataFrame): DataFrame = {
+    val wk = floor(
+      datediff(to_date(col("ts")), to_date(lit("1970-01-01"))) / 7).cast("long")
+    val uw = events.select(col("user_id"), wk.as("week")).distinct()
+    val first = uw.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    uw.join(first, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  def eventRetention(spark: SparkSession, dir: String): DataFrame =
+    weeklyRetention(Tables.load(spark, dir, "events"))
+
+  /** Trailing z-score anomaly detection over daily per-type counts: each
+    * (event_type, day) scored against the mean/stddev of the PRECEDING
+    * `days` calendar days (strictly before today — the baseline must not
+    * include the point being judged, or every spike dampens its own
+    * z-score). z is NULL while the baseline has < 2 days (sample stddev
+    * undefined) and when the baseline is flat (stddev 0, via nullif) —
+    * the honest answers, not 0. RANGE frame on the calendar-day index so
+    * missing days shrink the baseline instead of silently stretching it.
+    *
+    * Scale shape: the corpus-sized work is the daily two-phase count (one
+    * row per (type, day) shuffles); the window slides over the tiny
+    * aggregated table. */
+  def dailyAnomalies(events: DataFrame, days: Int = 7): DataFrame = {
+    val byDay = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("day_idx",
+        datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day_idx")
+      .rangeBetween(-days.toLong, -1L)
+    byDay.select(
+      col("event_type"), col("day"), col("n"),
+      count(col("n")).over(w).as("n_baseline"),
+      round((col("n") - avg(col("n")).over(w)) /
+        nullif(stddev_samp(col("n")).over(w), lit(0.0d)), 6).as("z"))
+  }
+
+  def eventAnomalies(spark: SparkSession, dir: String): DataFrame =
+    dailyAnomalies(Tables.load(spark, dir, "events"))
+
   /** Fixed-width value histogram per event type: two-phase aggregate on
     * (type, bin) — the profiling primitive behind any numeric-distribution
     * dashboard. floor() bins so negative values land in negative bins

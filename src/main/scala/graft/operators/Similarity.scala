@@ -401,6 +401,37 @@ object Similarity {
     topKCut(scored, k)
   }
 
+  /** Seeded ±1 projection matrix (outDim × inDim) for [[rpProject]] —
+    * a deterministic java.util.Random sign stream (the LCG is specified
+    * behavior, identical on every JVM), so the SAME literal matrix lands
+    * in the Spark plan and in the generated oracle SQL. */
+  def rpSigns(outDim: Int, inDim: Int, seed: Long = 7L): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(outDim, inDim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Random-projection dimensionality reduction (the Johnson–Lindenstrauss
+    * sign projection, Achlioptas JCSS'03 — public): out_i = e·s_i / √dim
+    * with the seeded sign matrix baked in as plan literals. A pure
+    * scan-side codegen projection — ZERO shuffles, ZERO joins at any
+    * corpus size — which is exactly what a 100 TB pipeline runs to cut
+    * embedding width before LSH/IVF indexing or brute-force scoring.
+    * Output exploded row-locally to (vec_id, lane, v) scalar rows, 6-dp
+    * rounded; litDot's left-fold matches the oracle's sequential
+    * list_inner_product order. */
+  def rpProject(emb: DataFrame, outDim: Int = 16, dim: Int = 64): DataFrame = {
+    val signs = rpSigns(outDim, dim)
+    val scale = math.sqrt(dim.toDouble)
+    emb.select(col("vec_id"), posexplode(array(
+      signs.toSeq.map(row =>
+        round(litDot(col("embedding"), row) / lit(scale), 6)): _*)))
+      .toDF("vec_id", "lane", "v")
+      .select(col("vec_id"), col("lane").cast("long").as("lane"), col("v"))
+  }
+
+  def rpReduce(spark: SparkSession, dir: String): DataFrame =
+    rpProject(Tables.load(spark, dir, "embeddings").select("vec_id", "embedding"))
+
   def topKCosineLsh(emb: DataFrame, isQuery: org.apache.spark.sql.Column, k: Int): DataFrame = {
     val banded = hyperplaneBands(emb)
     val qBanded = banded.filter(isQuery)

@@ -188,6 +188,51 @@ object TextAnalysis {
     bpeApply(docs, "doc_id", "text", merges)
   }
 
+  /** Bigram language-model scoring with add-one smoothing: train token
+    * bigram counts on the corpus itself, then score each document's
+    * log-likelihood under the model — the classic perplexity-flavored
+    * quality signal (a doc whose word transitions are improbable under
+    * the corpus distribution is boilerplate, gibberish, or off-domain).
+    * p(r | l) = (c(l,r) + 1) / (c(l) + V), V = |distinct tokens|;
+    * ll = Σ ln p over the doc's bigrams (6-dp rounded — summation order
+    * differs across engines). Self-scoring keeps the entry OOV-free:
+    * every scored bigram exists in the model by construction.
+    *
+    * Scale shape: the doc→bigram explode is row-local and deliberately
+    * RECOMPUTED for the model and scoring branches — persisting the
+    * exploded corpus (≈ 2× corpus bytes) costs more than a second
+    * columnar scan at 100 TB. Model counts are a two-phase aggregate (one
+    * row per DISTINCT bigram shuffles); c(l) folds out of the model
+    * itself (model-sized, never the corpus); scoring is ONE corpus-scale
+    * equi-join on (l, r) — how you score against a model too big to
+    * broadcast — and V rides a 1-row broadcast cross join. */
+  def bigramLogLik(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    def pairs = docs
+      .select(col(idCol), toks.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        j => struct(element_at(col("w"), j).as("l"),
+          element_at(col("w"), j + 1).as("r")))).as("p"))
+      .select(col(idCol), col("p.l").as("l"), col("p.r").as("r"))
+    val model = pairs.groupBy("l", "r").agg(count(lit(1)).as("c_lr"))
+    val lc = model.groupBy("l").agg(sum(col("c_lr")).as("c_l"))
+    val vocab = docs.select(explode(toks).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    pairs
+      .join(model.join(lc, "l"), Seq("l", "r"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(log((col("c_lr") + lit(1.0d)) / (col("c_l") + col("v")))), 6)
+          .as("ll"))
+  }
+
+  /** CORRECTNESS instantiation over documents. */
+  def bigramScores(spark: SparkSession, dir: String): DataFrame =
+    bigramLogLik(Tables.load(spark, dir, "documents"), "doc_id", "text")
+
   /** Source-level (domain-level) quality filtering — the coarse sibling of
     * the per-document [[qualityFilter]], after the public web-corpus
     * practice of dropping entire domains whose aggregate quality is poor

@@ -37,6 +37,77 @@ class AnalyticsSpec extends SparkTestBase {
     })
   }
 
+  test("funnel: ordered completion only — out-of-order and stalled users don't advance") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    def ev(id: Long, t: String, u: Long, tpe: String) = (id, ts(t), u, tpe, 0.0)
+    val events = Seq(
+      // user 1 completes all three stages in order
+      ev(1, "2024-01-01 10:00:00", 1, "signup"),
+      ev(2, "2024-01-01 10:01:00", 1, "click"),
+      ev(3, "2024-01-01 10:02:00", 1, "purchase"),
+      // user 2: purchase BEFORE the click — reaches stage 2 only
+      ev(4, "2024-01-01 10:00:00", 2, "signup"),
+      ev(5, "2024-01-01 10:02:00", 2, "click"),
+      ev(6, "2024-01-01 10:01:00", 2, "purchase"),
+      // user 3: click before signup and nothing after — stage 1 only
+      ev(7, "2024-01-01 09:00:00", 3, "click"),
+      ev(8, "2024-01-01 10:00:00", 3, "signup"),
+      // user 4 never signs up — counts nowhere
+      ev(9, "2024-01-01 10:00:00", 4, "click"),
+      ev(10, "2024-01-01 10:01:00", 4, "purchase"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Analytics.funnel(events, Seq("signup", "click", "purchase"))
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1, "signup", 3L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
+  test("weeklyRetention: cohort by first week, offsets count distinct active users") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // epoch week boundary: 1970-01-01 is a Thursday but weeks here are
+    // plain day//7 buckets — 2024-01-04 starts week 2818 (day 19726)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 0.0), // u1 cohort w0
+      (2L, ts("2024-01-09 10:00:00"), 1L, "a", 0.0), // u1 active w0+1
+      (3L, ts("2024-01-09 11:00:00"), 1L, "b", 0.0), // same week — no double count
+      (4L, ts("2024-01-16 10:00:00"), 1L, "a", 0.0), // u1 active w0+2
+      (5L, ts("2024-01-09 10:00:00"), 2L, "a", 0.0), // u2 cohort w0+1
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Analytics.weeklyRetention(events)
+      .as[(Long, Long, Long)].collect().toSet
+    val w0 = 19723L / 7 // 2024-01-01 is epoch day 19723
+    val w1 = 19731L / 7
+    assert(got == Set((w0, 0L, 1L), (w0, 1L, 1L), (w0, 2L, 1L), (w1, 0L, 1L)))
+  }
+
+  test("dailyAnomalies: NULL until 2 baseline days and on flat baselines; spike scores") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // one event type, daily counts 2,2,2,2,8 — flat baseline until the
+    // spike day, whose own baseline {2,2,2,2} is flat too (stddev 0 ⇒
+    // NULL, not infinity); then 2,4 gives a real z on the last day
+    val rows = collection.mutable.ListBuffer[(Long, Timestamp, Long, String, Double)]()
+    var id = 0L
+    def day(d: Int, n: Int): Unit = (1 to n).foreach { i =>
+      id += 1; rows += ((id, ts(f"2024-01-${d}%02d 10:00:$i%02d"), 1L, "view", 0.0))
+    }
+    day(1, 2); day(2, 2); day(3, 2); day(4, 2); day(5, 8); day(6, 4)
+    val got = Analytics.dailyAnomalies(
+      rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .as[(String, Timestamp, Long, Long, Option[Double])]
+      .collect().toSeq.sortBy(_._2.getTime)
+    assert(got.map(_._3) == Seq(2L, 2L, 2L, 2L, 8L, 4L))
+    assert(got.map(_._4) == Seq(0L, 1L, 2L, 3L, 4L, 5L)) // baseline grows
+    assert(got(0)._5.isEmpty, "no baseline")
+    assert(got(1)._5.isEmpty, "single-day baseline: stddev undefined")
+    assert(got(4)._5.isEmpty, "flat baseline: stddev 0 must be NULL not inf")
+    // day 6 baseline {2,2,2,2,8}: mean 3.2, stddev_samp sqrt(7.2)
+    val want = BigDecimal((4.0 - 3.2) / math.sqrt(7.2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(5)._5.contains(want))
+  }
+
   test("userEventSequences: head-of-history cut, (ts, event_id) order, totals kept") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)

@@ -127,6 +127,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(again == topk.toSet)
   }
 
+  test("rpProject: every lane is e·s/√dim under the seeded sign matrix, deterministically") {
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until 5L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = emb.toDF("vec_id", "embedding")
+    val signs = Similarity.rpSigns(16, 64)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = (for {
+      (id, v) <- emb; (row, lane) <- signs.zipWithIndex
+    } yield {
+      // same left-fold order as litDot / list_inner_product
+      var acc = 0.0
+      var j = 0
+      while (j < 64) { acc += v(j).toDouble * row(j); j += 1 }
+      (id, lane.toLong, r6(acc / 8.0))
+    }).toSet
+    val got = Similarity.rpProject(df).as[(Long, Long, Double)].collect().toSet
+    assert(got == want)
+    // seeded matrix ⇒ bit-identical across invocations
+    assert(Similarity.rpProject(df).as[(Long, Long, Double)].collect().toSet == got)
+  }
+
   test("topKPqSteady (saved book) equals topKPqTrained (per-run retrain)") {
     val dir = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) =

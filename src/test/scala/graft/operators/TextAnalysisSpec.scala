@@ -115,6 +115,24 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got.find(_._1 == 6L).get._3 == 0L)
   }
 
+  test("bigramLogLik: add-one model and per-doc ln-sum match a hand computation") {
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams (a,b),(b,a),(a,b)
+      (2L, "a b"),     // (a,b)
+      (3L, "c"),       // no bigram — must drop out, not score 0
+    ).toDF("doc_id", "text")
+    // model: c(a,b)=3, c(b,a)=1; c(a)=3, c(b)=1; V={a,b,c}=3
+    val pAB = 4.0 / 6.0 // (3+1)/(3+3)
+    val pBA = 2.0 / 4.0 // (1+1)/(1+3)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.bigramLogLik(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, 3L, r6(2 * math.log(pAB) + math.log(pBA))),
+      (2L, 1L, r6(math.log(pAB)))))
+  }
+
   test("bpeMerges stops early (merges so far, no throw) when pairs run out") {
     // round 1 merges the only pair; rounds 2..5 find no adjacent pair
     val one = TextAnalysis.bpeMerges(Seq("a a").toDF("text"), "text", iters = 5)
