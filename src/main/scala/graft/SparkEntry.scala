@@ -71,6 +71,7 @@ object SparkEntry {
     "sim_topk_ivf"      -> ((s, d) => Similarity.topKCosineIvf(s, d)),
     "sim_topk_pq"       -> ((s, d) => Similarity.topKPq(s, d)),
     "sim_topk_pq_trained" -> ((s, d) => Similarity.topKPqTrained(s, d)),
+    "sim_topk_ivfpq"    -> ((s, d) => Similarity.topKPqIvf(s, d)),
     "txt_lang_dist"     -> (TextAnalysis.langDist _),
     "txt_quality"       -> (TextAnalysis.qualityStats _),
     "txt_langid"        -> (TextAnalysis.langId _),
@@ -232,6 +233,7 @@ object SparkEntry {
     // call pays the one-time land/train, the timed passes reuse it)
     "txt_bpe_apply", "dedup_incr_near_steady", "sim_topk_pq_steady",
     "txt_bigram_lm", "q_funnel", "q_retention", "q_anomaly", "sim_rp_reduce",
+    "sim_topk_ivfpq",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -414,6 +416,81 @@ object SparkEntry {
        |), """.stripMargin + pqSearchBodySql(subDim, k)
   }
 
+  /** sim_topk_ivfpq oracle, generated: the sim_topk_ivf coarse layer
+    * (same deterministic every-37th centroids, same cosine-argmax
+    * assignment and nprobe tie-breaks) composed with the sim_topk_pq ADC
+    * layer (same literal codebook, argmin encode, LUT sum) — candidates
+    * restricted to probed cells, exactly the operator's pruning. */
+  private def ivfPqOracleSql(m: Int = 8, kc: Int = 16, subDim: Int = 8,
+      k: Int = 5, nprobe: Int = 4): String = {
+    val book = graft.operators.Similarity.pqCodebook(m, kc, subDim)
+    val cbRows = book.map { case (s, c, arr) =>
+      val vlit = arr.mkString("[", ", ", "]")
+      val n2 = arr.map(x => x * x).sum
+      s"{'sub': $s, 'cell': $c, 'cv': CAST($vlit AS DOUBLE[]), 'n2': CAST($n2 AS DOUBLE)}"
+    }.mkString(",\n      ")
+    s"""WITH cb AS (
+       |  SELECT unnest([
+       |      $cbRows
+       |  ], recursive := true)
+       |), cent AS (
+       |  SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings WHERE vec_id % 37 = 0
+       |), assigned AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT e.vec_id, c.cell_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
+       |          / sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+       |               * list_inner_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))) DESC,
+       |        c.cell_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cent c
+       |  ) WHERE rn = 1
+       |), probes AS (
+       |  SELECT query_id, cell_id FROM (
+       |    SELECT q.vec_id AS query_id, c.cell_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
+       |          / sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+       |               * list_inner_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))) DESC,
+       |        c.cell_id ASC) AS rn
+       |    FROM embeddings q CROSS JOIN cent c
+       |    WHERE q.vec_id IN (0, 100, 200, 300, 400)
+       |  ) WHERE rn <= $nprobe
+       |), dists AS (
+       |  SELECT e.vec_id, cb.sub, cb.cell,
+       |    cb.n2 - 2 * list_inner_product(
+       |      CAST(e.embedding[cb.sub*$subDim+1 : cb.sub*$subDim+$subDim] AS DOUBLE[]), cb.cv) AS d
+       |  FROM embeddings e, cb
+       |), codes AS (
+       |  SELECT vec_id, sub, cell FROM (
+       |    SELECT vec_id, sub, cell,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cell) AS rn
+       |    FROM dists)
+       |  WHERE rn = 1
+       |), lut AS (
+       |  SELECT q.vec_id AS query_id, cb.sub, cb.cell,
+       |    list_inner_product(
+       |      CAST(q.embedding[cb.sub*$subDim+1 : cb.sub*$subDim+$subDim] AS DOUBLE[]), cb.cv) AS w
+       |  FROM embeddings q, cb
+       |  WHERE q.vec_id IN (0, 100, 200, 300, 400)
+       |), cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probes p JOIN assigned a ON a.cell_id = p.cell_id
+       |  WHERE a.vec_id <> p.query_id
+       |), scored AS (
+       |  SELECT n.query_id, n.vec_id, round(sum(l.w), 6) AS score
+       |  FROM cand n
+       |  JOIN codes c ON c.vec_id = n.vec_id
+       |  JOIN lut l ON l.query_id = n.query_id AND l.sub = c.sub AND l.cell = c.cell
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, vec_id, score FROM (
+       |  SELECT query_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= $k""".stripMargin
+  }
+
   /** sim_topk_pq_trained oracle, generated: replays the per-subspace
     * Lloyd's training of [[graft.operators.Similarity.pqCodebookTrained]]
     * IN SQL — deterministic init (cell c = vector c·initStep's
@@ -521,6 +598,7 @@ object SparkEntry {
     "sim_topk_ann" -> annOracleSql,
     "sim_topk_pq" -> pqOracleSql(),
     "sim_topk_pq_trained" -> pqTrainedOracleSql(),
+    "sim_topk_ivfpq" -> ivfPqOracleSql(),
     "sim_kmeans" -> kmeansOracleSql(),
     "txt_bpe" -> bpeOracleSql(),
     "txt_bpe_apply" -> bpeApplyOracleSql(),

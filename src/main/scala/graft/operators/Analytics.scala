@@ -333,20 +333,30 @@ object Analytics {
     * Scale shape: the corpus-sized work is the daily two-phase count (one
     * row per (type, day) shuffles); the window slides over the tiny
     * aggregated table. */
-  def dailyAnomalies(events: DataFrame, days: Int = 7): DataFrame = {
-    val byDay = events
-      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("day_idx",
-        datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+  def dailyAnomalies(events: DataFrame, days: Int = 7): DataFrame =
+    anomaliesFromDailyCounts(
+      events
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")),
+      days)
+
+  /** The z-scoring stage over an already-aggregated (event_type, day, n)
+    * table — split out so [[graft.streaming.StreamAnomaly]] can rescore
+    * its continuously-merged daily counts with the SAME window logic the
+    * batch operator uses (stream ≡ batch by construction, not by a
+    * parallel implementation). */
+  def anomaliesFromDailyCounts(byDay: DataFrame, days: Int = 7): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type").orderBy("day_idx")
       .rangeBetween(-days.toLong, -1L)
-    byDay.select(
-      col("event_type"), col("day"), col("n"),
-      count(col("n")).over(w).as("n_baseline"),
-      round((col("n") - avg(col("n")).over(w)) /
-        nullif(stddev_samp(col("n")).over(w), lit(0.0d)), 6).as("z"))
+    byDay
+      .withColumn("day_idx",
+        datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+      .select(
+        col("event_type"), col("day"), col("n"),
+        count(col("n")).over(w).as("n_baseline"),
+        round((col("n") - avg(col("n")).over(w)) /
+          nullif(stddev_samp(col("n")).over(w), lit(0.0d)), 6).as("z"))
   }
 
   def eventAnomalies(spark: SparkSession, dir: String): DataFrame =

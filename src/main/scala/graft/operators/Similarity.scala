@@ -401,6 +401,67 @@ object Similarity {
     topKCut(scored, k)
   }
 
+  /** IVF-PQ search — the two quantizers composed the way production ANN
+    * systems ship them (Jégou et al., TPAMI 2011; the FAISS IVFPQ layout —
+    * public): the coarse IVF quantizer prunes the corpus to the `nprobe`
+    * cells nearest each query, and PQ/ADC scores ONLY the surviving
+    * candidates on their m-byte codes. The index side is built the way it
+    * would be LANDED at 100 TB: each vector's m code rows carry its
+    * coarse cell — the inverted-list layout — so query time touches the
+    * corpus embeddings never (scan-side encode happened at build), reads
+    * only (nprobe/|cells|) of the code table via the broadcast probe
+    * equi-join, and pays m LUT adds per candidate. Per-query LUT is
+    * |Q|·m·kc tiny rows, broadcast; the only data-scale exchange is the
+    * (query_id, vec_id, partial-sum) 24-byte aggregation. Scores are
+    * 6-dp rounded before the k-cut (the shared ADC drift rule); recall
+    * rises with nprobe exactly as in [[topKCosineIvf]]. */
+  def topKPqIvf(emb: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      m: Int, kc: Int, subDim: Int): DataFrame = {
+    val b = pqCodebook(m, kc, subDim)
+    val centroids = defaultCentroids(emb)
+    // index build (paid once in production, the landed inverted list):
+    // coarse assignment + scan-side PQ encode, joined on vec_id
+    val cells = ivfAssign(emb, centroids).select("vec_id", "cell_id")
+    val codes = pqEncodeWithBook(emb, m, subDim, b)
+      .select(col("vec_id"), posexplode(
+        array((0 until m).map(s => col(s"code_$s")): _*)))
+      .toDF("vec_id", "sub", "code")
+      .join(cells, "vec_id")
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("cs").desc, col("cell_id").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("cell_id"),
+        GraftFunctions.cosineSim(col("q_emb"), col("c_emb")).as("cs"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select("query_id", "cell_id")
+    val bySub = b.groupBy(_._1).map { case (s, rows) =>
+      s -> rows.map(r => (r._2, r._3)).sortBy(_._1)
+    }
+    val perSub = array((0 until m).map { s =>
+      val sub = slice(col("q_emb"), s * subDim + 1, subDim)
+      array(bySub(s).map { case (c, cv) =>
+        struct(lit(c.toLong).as("code"), litDot(sub, cv).as("w"))
+      }: _*)
+    }: _*)
+    val lutRows = queries.select(col("query_id"), posexplode(perSub))
+      .toDF("query_id", "sub", "ws")
+      .select(col("query_id"), col("sub"), explode(col("ws")).as("cw"))
+      .select(col("query_id"), col("sub"),
+        col("cw.code").as("code"), col("cw.w").as("w"))
+    val scored = codes.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lutRows), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(round(sum(col("w")), 6).as("score"))
+    topKCut(scored, k)
+  }
+
+  def topKPqIvf(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    topKPqIvf(emb, defaultQueries(emb), k, nprobe = 4, m = 8, kc = 16, subDim = 8)
+  }
+
   /** Seeded ±1 projection matrix (outDim × inDim) for [[rpProject]] —
     * a deterministic java.util.Random sign stream (the LCG is specified
     * behavior, identical on every JVM), so the SAME literal matrix lands

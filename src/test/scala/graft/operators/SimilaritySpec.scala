@@ -127,6 +127,54 @@ class SimilaritySpec extends SparkTestBase {
     assert(again == topk.toSet)
   }
 
+  test("topKPqIvf equals a driver-side IVF-prune + ADC-score recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val m = 8; val kc = 16; val subDim = 8; val nprobe = 4; val k = 5
+    val book = Similarity.pqCodebook(m, kc, subDim)
+      .map { case (s, c, v) => (s, c) -> v }.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cents = emb.filter(_._1 % 37 == 0)
+    def argmaxCells(v: Array[Float], n: Int): Seq[Long] = cents
+      .map { case (cid, ce) => (cid, cos(v, ce)) }
+      .sortBy { case (cid, cs) => (-cs, cid) }.take(n).map(_._1).toSeq
+    val assign = emb.map { case (id, v) => id -> argmaxCells(v, 1).head }.toMap
+    def code(v: Array[Float], s: Int): Int = (0 until kc).minBy { c =>
+      val cv = book((s, c))
+      val d = cv.map(x => x * x).sum -
+        2.0 * cv.indices.map(j => v(s * subDim + j).toDouble * cv(j)).sum
+      (d, c)
+    }
+    val want = (for {
+      (qid, qv) <- emb.filter(t => Similarity.defaultProbeIds.contains(t._1))
+      probed = argmaxCells(qv, nprobe).toSet
+      scored = emb.filter { case (vid, _) =>
+        vid != qid && probed.contains(assign(vid)) }
+        .map { case (vid, vv) =>
+          val s = (0 until m).map { sb =>
+            val cv = book((sb, code(vv, sb)))
+            cv.indices.map(j => qv(sb * subDim + j).toDouble * cv(j)).sum
+          }.sum
+          (vid, r6(s))
+        }
+      top <- scored.sortBy { case (vid, sc) => (-sc, vid) }.take(k)
+    } yield (qid, top._1, top._2)).toSet
+    val got = Similarity.topKPqIvf(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want)
+  }
+
   test("rpProject: every lane is e·s/√dim under the seeded sign matrix, deterministically") {
     val rnd = new scala.util.Random(11)
     val emb = (0L until 5L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
