@@ -47,6 +47,7 @@ object SparkEntry {
                               Dedup.plantedNearDocs(s, d), "doc_id", "text", w = 8)),
     "cdc_apply"         -> (Cdc.userSnapshot _),
     "cdc_diff"          -> (Cdc.eventsDiff _),
+    "cdc_scd2"          -> (Cdc.userHistory _),
     "q_profile"         -> (Profiler.eventsProfile _),
     "q_expectations"    -> (Profiler.eventsExpectations _),
     "q_salted_join"     -> ((s, d) => {
@@ -233,7 +234,7 @@ object SparkEntry {
     // call pays the one-time land/train, the timed passes reuse it)
     "txt_bpe_apply", "dedup_incr_near_steady", "sim_topk_pq_steady",
     "txt_bigram_lm", "q_funnel", "q_retention", "q_anomaly", "sim_rp_reduce",
-    "sim_topk_ivfpq",
+    "sim_topk_ivfpq", "cdc_scd2",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -980,6 +981,21 @@ object SparkEntry {
         |WHERE b.user_id NOT IN (SELECT user_id FROM latest)
         |UNION ALL
         |SELECT event_id, user_id, event_type, value FROM latest WHERE op <> 'D'""".stripMargin,
+    // SCD2 ground truth: same changelog, lead() over the same (µs,
+    // event_id) per-key order; deletes close intervals but emit no row.
+    "cdc_scd2" ->
+      """WITH ch AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        |  FROM events WHERE event_id % 3 = 0
+        |), v AS (
+        |  SELECT *, lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ns(ts) // 1000, event_id) AS valid_to
+        |  FROM ch
+        |)
+        |SELECT user_id, event_id, event_type, value, ts AS valid_from,
+        |  valid_to, valid_to IS NULL AS is_current
+        |FROM v WHERE op <> 'D'""".stripMargin,
     // Exact per-column profile of events (ts excluded: timestamp min/max
     // is not double-expressible); non-numeric columns carry NULL min/max
     // on both sides.

@@ -92,6 +92,50 @@ object Cdc {
     snapshotDiff(before, after, Seq("event_id"))
   }
 
+  /** SCD Type-2 dimension history from a keyed changelog — the versioned
+    * complement of [[applyChangelog]] (which keeps only the latest row per
+    * key, this keeps them ALL with validity intervals): one output row per
+    * surviving (key, change) with [valid_from, valid_to) half-open
+    * validity, where valid_to is the NEXT change's time (NULL while
+    * current) and a delete closes the previous version's interval without
+    * opening one of its own — the standard Kimball type-2 contract.
+    *
+    * CONTRACT: `seqCols` is unique per key (a changelog position);
+    * `timeCol` (usually seqCols' head) supplies the validity boundary.
+    *
+    * Scale shape: rows = changes — the snapshot never enters the plan;
+    * ONE hash distribution on the key serves both the per-key `lead`
+    * window (partition-local sort over each key's few versions, no global
+    * sort) and the delete filter riding the same projection. At 100 TB of
+    * accumulated history, run it on the change window and stitch against
+    * the landed history's open intervals. */
+  def scd2History(changes: DataFrame, keyCols: Seq[String],
+      seqCols: Seq[String], timeCol: String, opCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(seqCols.map(col): _*)
+    val payload = changes.columns.toSeq
+      .filterNot(c => c == opCol || c == timeCol)
+    changes
+      .withColumn("__valid_to", lead(col(timeCol), 1).over(w))
+      .filter(coalesce(col(opCol), lit("U")) =!= lit("D"))
+      .select(payload.map(col)
+        :+ col(timeCol).as("valid_from")
+        :+ col("__valid_to").as("valid_to")
+        :+ col("__valid_to").isNull.as("is_current"): _*)
+  }
+
+  /** CORRECTNESS instantiation: the [[userSnapshot]] changelog (event_id
+    * % 3 = 0, error ⇒ delete) versioned instead of collapsed. */
+  def userHistory(spark: SparkSession, dir: String): DataFrame = {
+    val changes = Tables.load(spark, dir, "events")
+      .filter(col("event_id") % 3 === 0)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"))
+    scd2History(changes, keyCols = Seq("user_id"),
+      seqCols = Seq("ts", "event_id"), timeCol = "ts", opCol = "op")
+  }
+
   /** CORRECTNESS-entry instantiation over the synthetic tables: snapshot =
     * keep-first-per-user events ([[Dedup.exactKeepFirst]]); changelog =
     * the deterministic `event_id % 3 = 0` subset, sequenced by

@@ -29,6 +29,40 @@ class CdcProfilerSpec extends SparkTestBase {
       (10L, "a2", 1.2), (12L, "c", 3.0), (13L, "d2", 4.2), (14L, "new", 5.0)))
   }
 
+  test("scd2History: versions chain [from, to); deletes close but emit nothing; latest is current") {
+    val changes = Seq(
+      // key 1: v1 → v2 → delete → v3 (re-insert): three rows, only the
+      // last current; the delete closes v2's interval silently
+      (1L, 10L, "v1", "U"),
+      (1L, 20L, "v2", "U"),
+      (1L, 30L, "gone", "D"),
+      (1L, 40L, "v3", "U"),
+      // key 2: single insert — open-ended current version
+      (2L, 15L, "only", "U"),
+      // key 3: insert then delete — one CLOSED version, nothing current
+      (3L, 10L, "was", "U"),
+      (3L, 25L, "bye", "D"),
+    ).toDF("k", "t", "s", "op")
+    val out = Cdc.scd2History(changes, Seq("k"), Seq("t"), "t", "op")
+      .as[(Long, String, Long, Option[Long], Boolean)]
+      .collect().toSeq.sortBy(r => (r._1, r._3))
+    assert(out == Seq(
+      (1L, "v1", 10L, Some(20L), false),
+      (1L, "v2", 20L, Some(30L), false), // closed BY the delete
+      (1L, "v3", 40L, None, true),
+      (2L, "only", 15L, None, true),
+      (3L, "was", 10L, Some(25L), false), // closed, and key 3 has no current
+    ))
+    // interval law: within a key, valid_to == next valid_from or NULL last
+    out.groupBy(_._1).foreach { case (_, vs) =>
+      vs.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4.isEmpty || a._4.get <= b._3)
+        case _ =>
+      }
+      assert(vs.count(_._5) <= 1, "at most one current version per key")
+    }
+  }
+
   test("applyChangelog: a NULL op upserts instead of silently deleting the key") {
     val base = Seq((1L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "s", "v")
     val changes = Seq((1L, 1L, "x2", 1.5, null: String), (3L, 1L, "z", 3.0, null: String))
