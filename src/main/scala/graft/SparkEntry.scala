@@ -176,6 +176,7 @@ object SparkEntry {
     "txt_bpe"           -> (TextAnalysis.bpeMergeTable _),
     "txt_bpe_apply"     -> (TextAnalysis.bpeTokenized _),
     "txt_bigram_lm"     -> (TextAnalysis.bigramScores _),
+    "txt_entropy"       -> (TextAnalysis.entropyScores _),
     "q_funnel"          -> (Analytics.signupFunnel _),
     "q_retention"       -> (Analytics.eventRetention _),
     "q_anomaly"         -> ((s, d) => Analytics.eventAnomalies(s, d)),
@@ -234,7 +235,7 @@ object SparkEntry {
     // call pays the one-time land/train, the timed passes reuse it)
     "txt_bpe_apply", "dedup_incr_near_steady", "sim_topk_pq_steady",
     "txt_bigram_lm", "q_funnel", "q_retention", "q_anomaly", "sim_rp_reduce",
-    "sim_topk_ivfpq", "cdc_scd2",
+    "sim_topk_ivfpq", "cdc_scd2", "txt_entropy",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -625,6 +626,24 @@ object SparkEntry {
         |JOIN lc ON p.l = lc.l
         |CROSS JOIN v
         |GROUP BY 1""".stripMargin,
+    // Byte-entropy ground truth: per-char histogram → −Σ p·ln p (the
+    // corpus is ASCII, so characters ≡ the kernel's bytes); empty docs
+    // score 0 via the left join + coalesce.
+    "txt_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, length(text) AS n, substr(text, j, 1) AS c
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS j
+        |        FROM documents)
+        |), hist AS (
+        |  SELECT doc_id, n, c, count(*) AS k FROM ch GROUP BY 1, 2, 3
+        |), ent AS (
+        |  SELECT doc_id,
+        |    round(abs(-sum((k / CAST(n AS DOUBLE)) * ln(k / CAST(n AS DOUBLE)))), 6) AS entropy
+        |  FROM hist GROUP BY doc_id, n
+        |)
+        |SELECT d.doc_id, length(d.text) AS n_chars,
+        |  coalesce(e.entropy, 0.0) AS entropy
+        |FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id""".stripMargin,
     // First-touch ordered funnel: stage i = users with a stage-i event
     // strictly after their FIRST completion of stages 0..i-1.
     "q_funnel" ->

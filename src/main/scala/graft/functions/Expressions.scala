@@ -152,6 +152,25 @@ case class DocFingerprint(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `byte_entropy(string)` → Shannon entropy (nats) of the byte
+  * distribution ([[TextKernels.byteEntropy]]). */
+case class ByteEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "byte_entropy"
+  override def checkInputDataTypes(): TypeCheckResult =
+    expect(prettyName, child.dataType.isInstanceOf[StringType], "string", Seq(child.dataType))
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.byteEntropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.byteEntropy($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): ByteEntropy =
+    copy(child = newChild)
+}
+
 /** `rolling_min_hash(string, k)` → min Rabin-Karp k-byte-window hash. */
 case class RollingMinHash(child: Expression, k: Int) extends UnaryExpression {
   require(k > 0, "rolling_min_hash: k must be positive")

@@ -32,6 +32,7 @@ object GraftFunctions {
   def minhashSig(c: Column, k: Int, seed: Long): Column = col(MinHashSig(expr(c), k, seed))
   def simhash64(c: Column): Column = col(SimHash64(expr(c)))
   def docFingerprint(c: Column): Column = col(DocFingerprint(expr(c)))
+  def byteEntropy(c: Column): Column = col(ByteEntropy(expr(c)))
   def rollingMinHash(c: Column, k: Int): Column = col(RollingMinHash(expr(c), k))
   def shingleHashes(c: Column, n: Int, seed: Long = 42L): Column =
     col(ShingleHashes(expr(c), n, seed))
@@ -87,6 +88,8 @@ object GraftFunctions {
       (es: Seq[Expression]) => SimHash64(es.head)),
     (FunctionIdentifier("doc_fingerprint"), info("doc_fingerprint", classOf[DocFingerprint]),
       (es: Seq[Expression]) => DocFingerprint(es.head)),
+    (FunctionIdentifier("byte_entropy"), info("byte_entropy", classOf[ByteEntropy]),
+      (es: Seq[Expression]) => ByteEntropy(es.head)),
     (FunctionIdentifier("shingle_hashes"), info("shingle_hashes", classOf[ShingleHashes]),
       (es: Seq[Expression]) => ShingleHashes(es.head, litInt(es(1), "shingle_hashes n"), 42L)),
     (FunctionIdentifier("rolling_min_hash"), info("rolling_min_hash", classOf[RollingMinHash]),

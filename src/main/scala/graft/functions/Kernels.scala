@@ -204,6 +204,29 @@ object TextKernels {
     }
     min
   }
+
+  /** Shannon entropy (nats) of the string's BYTE distribution: one pass
+    * for the 256-bucket histogram, one fixed-size pass for −Σ p·ln p.
+    * O(bytes + 256) per row, allocation = one int[256]; empty input is
+    * 0.0. Byte-level deliberately — it needs no tokenizer, catches
+    * repeated-character padding AND random/binary junk, and on the ASCII
+    * corpus bytes ≡ codepoints so the SQL oracle can recompute it
+    * character-wise. */
+  def byteEntropy(s: UTF8String): Double = {
+    val n = s.numBytes()
+    if (n == 0) return 0.0
+    val counts = new Array[Int](256)
+    var i = 0
+    while (i < n) { counts(s.getByte(i) & 0xFF) += 1; i += 1 }
+    var h = 0.0
+    var b = 0
+    while (b < 256) {
+      val c = counts(b)
+      if (c > 0) { val p = c.toDouble / n; h -= p * math.log(p) }
+      b += 1
+    }
+    h
+  }
 }
 
 object HexKernels {

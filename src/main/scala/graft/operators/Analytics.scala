@@ -290,6 +290,45 @@ object Analytics {
     counts.reduce(_ unionByName _)
   }
 
+  /** Landed per-day count-min sketches — the per-key-FREQUENCY sibling of
+    * [[dailyUserSketches]] (distinct questions → HLL, "how often did key
+    * K appear" questions → CMS): one `count_min_sketch` binary per day
+    * persists the day's user_id frequency structure, so any later
+    * key-frequency question over a day range merges the covered sketches
+    * — a metadata-scale scan — instead of re-reading raw events. ε/δ are
+    * fixed at land time (the standard CMS contract: estimate ≥ true,
+    * ≤ true + ε·N w.p. ≥ 1−δ); the day's exact row count rides along so
+    * consumers can state the absolute error bound per range. */
+  def dailyUserCms(events: DataFrame, eps: Double = 0.001,
+      confidence: Double = 0.99, seed: Int = 42): DataFrame =
+    events
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(
+        expr(s"count_min_sketch(user_id, ${eps}d, ${confidence}d, $seed)")
+          .as("users_cms"),
+        count(lit(1)).as("n_events"))
+
+  /** Frequency estimates for `keys` over a day range, answered from the
+    * landed sketch table alone: deserialize and merge the ≤ |range days|
+    * covered sketches DRIVER-side (bounded by contract — the k-means-
+    * collect legitimacy class; sketches share ε/δ/seed so merge is
+    * well-defined) and probe each key. An empty range answers 0. */
+  def cmsEstimatesOverRange(sketches: DataFrame, from: String, to: String,
+      keys: Seq[Long]): DataFrame = {
+    val spark = sketches.sparkSession
+    import spark.implicits._
+    val blobs = sketches
+      .filter(col("day").between(
+        lit(from).cast("timestamp"), lit(to).cast("timestamp")))
+      .select(col("users_cms")).as[Array[Byte]].collect()
+    val merged = blobs
+      .map(b => org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(b)))
+      .reduceOption { (a, b) => a.mergeInPlace(b); a }
+    keys.map(k => (k, merged.map(_.estimateCount(Long.box(k))).getOrElse(0L)))
+      .toDF("user_id", "est_n")
+  }
+
   /** CORRECTNESS instantiation: the signup → click → purchase funnel. */
   def signupFunnel(spark: SparkSession, dir: String): DataFrame =
     funnel(Tables.load(spark, dir, "events"),

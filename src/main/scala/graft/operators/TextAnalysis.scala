@@ -188,6 +188,19 @@ object TextAnalysis {
     bpeApply(docs, "doc_id", "text", merges)
   }
 
+  /** Byte-entropy quality scoring: Shannon entropy (nats) of each
+    * document's byte distribution — near-zero entropy flags
+    * repeated-character padding and boilerplate, unusually high entropy
+    * flags random/binary junk; the cheapest corpus-hygiene signal next to
+    * [[repetitionStats]]' token-level ones because it needs no tokenizer
+    * at all. Pure scan-side codegen kernel (`byte_entropy`,
+    * O(bytes + 256) per row) — zero shuffles at any corpus size. */
+  def entropyScores(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      round(GraftFunctions.byteEntropy(col("text")), 6).as("entropy"))
+
   /** Bigram language-model scoring with add-one smoothing: train token
     * bigram counts on the corpus itself, then score each document's
     * log-likelihood under the model — the classic perplexity-flavored

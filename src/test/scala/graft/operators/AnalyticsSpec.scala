@@ -254,6 +254,39 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("daily CMS sketches: merged estimates bound exact per-key counts (never under, ≤ +ε·N)") {
+    import org.apache.spark.sql.functions._
+    val events = graft.sources.Tables.load(spark, dir, "events")
+    val eps = 0.001
+    val sketches = Analytics.dailyUserCms(events, eps = eps).cache()
+    try {
+      val (from, to) = ("1992-01-01", "2030-01-01")
+      val total = events.count()
+      val exact = events.groupBy("user_id").count()
+        .as[(Long, Long)].collect().toMap
+      val keys = exact.keys.toSeq.sorted.take(10) :+ 999999L // + absent key
+      val est = Analytics.cmsEstimatesOverRange(sketches, from, to, keys)
+        .as[(Long, Long)].collect().toMap
+      keys.foreach { k =>
+        val ex = exact.getOrElse(k, 0L)
+        assert(est(k) >= ex, s"CMS must never undercount: key $k $ex vs ${est(k)}")
+        assert(est(k) <= ex + math.ceil(eps * total).toLong,
+          s"key $k estimate ${est(k)} above $ex + eps*N")
+      }
+      // sub-range estimates never exceed the full range's
+      val days = sketches.select(date_format(col("day"), "yyyy-MM-dd"))
+        .as[String].collect().sorted
+      val sub = Analytics.cmsEstimatesOverRange(
+        sketches, days.head, days(days.length / 2), keys)
+        .as[(Long, Long)].collect().toMap
+      keys.foreach(k => assert(sub(k) <= est(k)))
+      // empty range answers 0, not a crash
+      val none = Analytics.cmsEstimatesOverRange(sketches, "1980-01-01", "1980-01-02", keys)
+        .as[(Long, Long)].collect().toMap
+      assert(none.values.forall(_ == 0L))
+    } finally { sketches.unpersist(); () }
+  }
+
   test("daily HLL sketches merge to the range's distinct count (sketch of union ≡ union of sketches)") {
     import org.apache.spark.sql.functions._
     val events = graft.sources.Tables.load(spark, dir, "events")

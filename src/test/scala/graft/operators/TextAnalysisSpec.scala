@@ -115,6 +115,26 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got.find(_._1 == 6L).get._3 == 0L)
   }
 
+  test("byte_entropy: hand values, empty/uniform zero, and order invariance") {
+    import graft.functions.GraftFunctions
+    val docs = Seq(
+      (1L, ""),        // empty → 0
+      (2L, "aaaa"),    // uniform single symbol → 0
+      (3L, "ab"),      // two equiprobable symbols → ln 2
+      (4L, "aabb"),    // same distribution, longer → still ln 2
+      (5L, "abcd"),    // four equiprobable → ln 4
+      (6L, "dcba"),    // permutation of 5 → identical entropy
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+      GraftFunctions.byteEntropy(col("text")).as("h"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.0 && got(2L) == 0.0)
+    assert(math.abs(got(3L) - math.log(2)) < 1e-12)
+    assert(got(3L) == got(4L))
+    assert(math.abs(got(5L) - math.log(4)) < 1e-12)
+    assert(got(5L) == got(6L), "entropy is a bag-of-bytes statistic")
+  }
+
   test("bigramLogLik: add-one model and per-doc ln-sum match a hand computation") {
     val docs = Seq(
       (1L, "a b a b"), // bigrams (a,b),(b,a),(a,b)
