@@ -177,9 +177,11 @@ object SparkEntry {
     "txt_bpe_apply"     -> (TextAnalysis.bpeTokenized _),
     "txt_bigram_lm"     -> (TextAnalysis.bigramScores _),
     "txt_entropy"       -> (TextAnalysis.entropyScores _),
+    "txt_len_bins"      -> (TextAnalysis.docLengthBins _),
     "q_funnel"          -> (Analytics.signupFunnel _),
     "q_retention"       -> (Analytics.eventRetention _),
     "q_anomaly"         -> ((s, d) => Analytics.eventAnomalies(s, d)),
+    "q_dense_days"      -> (Analytics.eventDenseDays _),
     "sim_rp_reduce"     -> (Similarity.rpReduce _),
     // ── Skew-safe salted aggregation (same values as a plain group-by) ──
     "agg_salted"        -> ((s, d) => {
@@ -235,7 +237,8 @@ object SparkEntry {
     // call pays the one-time land/train, the timed passes reuse it)
     "txt_bpe_apply", "dedup_incr_near_steady", "sim_topk_pq_steady",
     "txt_bigram_lm", "q_funnel", "q_retention", "q_anomaly", "sim_rp_reduce",
-    "sim_topk_ivfpq", "cdc_scd2", "txt_entropy",
+    "sim_topk_ivfpq", "cdc_scd2", "txt_entropy", "txt_len_bins",
+    "q_dense_days",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -644,6 +647,31 @@ object SparkEntry {
         |SELECT d.doc_id, length(d.text) AS n_chars,
         |  coalesce(e.entropy, 0.0) AS entropy
         |FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id""".stripMargin,
+    // ECDF decile bins: strictly-less rank over the length histogram —
+    // tie-stable across engines, unlike ntile's row-order split.
+    "txt_len_bins" ->
+      """WITH t AS (SELECT count(*) AS n FROM documents),
+        |c AS (SELECT length(text) AS len, count(*) AS k FROM documents GROUP BY 1),
+        |cum AS (
+        |  SELECT len, coalesce(sum(k) OVER (ORDER BY len
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM c
+        |)
+        |SELECT d.doc_id, length(d.text) AS len,
+        |  CAST(floor(10 * cum.below / t.n) AS BIGINT) AS bin
+        |FROM documents d JOIN cum ON length(d.text) = cum.len CROSS JOIN t""".stripMargin,
+    // Dense grid: per type, every day in [min, max] with 0-filled counts.
+    "q_dense_days" ->
+      """WITH d AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+        |  FROM d GROUP BY event_type
+        |)
+        |SELECT g.event_type, g.day, coalesce(d.n, 0) AS n
+        |FROM g LEFT JOIN d ON g.event_type = d.event_type AND g.day = d.day""".stripMargin,
     // First-touch ordered funnel: stage i = users with a stage-i event
     // strictly after their FIRST completion of stages 0..i-1.
     "q_funnel" ->

@@ -290,6 +290,34 @@ object Analytics {
     counts.reduce(_ unionByName _)
   }
 
+  /** Dense daily grid (gap filling): every (event_type, calendar day) in
+    * the type's [first, last] day range with its count — 0 where no
+    * events landed. The resampling step time-series consumers need when
+    * "no data" must read as zero rather than as a missing row (a gap-
+    * blind moving average or anomaly baseline silently stretches over
+    * holes; [[dailyAnomalies]] documents the shrink-don't-stretch
+    * alternative — this operator is how you choose the other semantics).
+    *
+    * Scale shape: the corpus collapses to the per-(type, day) two-phase
+    * count FIRST; the dense grid sequence()-explodes from one [lo, hi]
+    * row per type — grid rows = types × days, and the left join runs
+    * over that tiny pair of tables, never raw events. */
+  def denseDailyCounts(events: DataFrame): DataFrame = {
+    val byDay = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val grid = byDay.groupBy("event_type")
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+    grid.join(byDay, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  def eventDenseDays(spark: SparkSession, dir: String): DataFrame =
+    denseDailyCounts(Tables.load(spark, dir, "events"))
+
   /** Landed per-day count-min sketches — the per-key-FREQUENCY sibling of
     * [[dailyUserSketches]] (distinct questions → HLL, "how often did key
     * K appear" questions → CMS): one `count_min_sketch` binary per day

@@ -188,6 +188,38 @@ object TextAnalysis {
     bpeApply(docs, "doc_id", "text", merges)
   }
 
+  /** ECDF decile binning — curriculum bucketing by document length
+    * without a global sort: bin(d) = floor(10 · |{docs strictly
+    * shorter}| / N), computed from the LENGTH HISTOGRAM (distinct length
+    * values ≪ corpus — a two-phase count whose shuffle moves one row per
+    * distinct length, then a running sum over that tiny table broadcast
+    * back onto the scan). Strictly-less rank makes ties land in one bin
+    * deterministically — `ntile`'s equal-count split breaks ties by row
+    * order, which no two engines (or two runs) need agree on, and a
+    * global rank window would sort the corpus. Bins are therefore
+    * ragged exactly where values tie: that is the price of determinism,
+    * and for curriculum staging it is the right trade. */
+  def lengthDecileBins(docs: DataFrame, bins: Int = 10): DataFrame = {
+    val byLen = docs.groupBy(length(col("text")).as("len"))
+      .agg(count(lit(1)).as("k"))
+    // global (partition-less) window, but over the distinct-length
+    // histogram only — never the corpus
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("len")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = byLen.select(col("len"),
+      coalesce(sum(col("k")).over(w), lit(0L)).as("below"))
+    val total = docs.agg(count(lit(1)).as("n"))
+    docs.select(col("doc_id"), length(col("text")).as("len"))
+      .join(broadcast(cum), "len")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("len"),
+        floor(lit(bins) * col("below") / col("n")).cast("long").as("bin"))
+  }
+
+  def docLengthBins(spark: SparkSession, dir: String): DataFrame =
+    lengthDecileBins(Tables.load(spark, dir, "documents"))
+
   /** Byte-entropy quality scoring: Shannon entropy (nats) of each
     * document's byte distribution — near-zero entropy flags
     * repeated-character padding and boilerplate, unusually high entropy

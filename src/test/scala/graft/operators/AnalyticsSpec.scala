@@ -254,6 +254,29 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("denseDailyCounts: holes fill with 0 inside each type's own [first, last] range") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      // view: days 1, 2, 5 — days 3 and 4 are holes
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (2L, ts("2024-01-02 10:00:00"), 1L, "view", 0.0),
+      (3L, ts("2024-01-02 11:00:00"), 1L, "view", 0.0),
+      (4L, ts("2024-01-05 10:00:00"), 1L, "view", 0.0),
+      // click: a single day — no padding beyond its own range
+      (5L, ts("2024-01-03 10:00:00"), 1L, "click", 0.0),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Analytics.denseDailyCounts(events)
+      .as[(String, Timestamp, Long)].collect().toSet
+    assert(got == Set(
+      ("view", ts("2024-01-01 00:00:00"), 1L),
+      ("view", ts("2024-01-02 00:00:00"), 2L),
+      ("view", ts("2024-01-03 00:00:00"), 0L),
+      ("view", ts("2024-01-04 00:00:00"), 0L),
+      ("view", ts("2024-01-05 00:00:00"), 1L),
+      ("click", ts("2024-01-03 00:00:00"), 1L)))
+  }
+
   test("daily CMS sketches: merged estimates bound exact per-key counts (never under, ≤ +ε·N)") {
     import org.apache.spark.sql.functions._
     val events = graft.sources.Tables.load(spark, dir, "events")

@@ -115,6 +115,27 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got.find(_._1 == 6L).get._3 == 0L)
   }
 
+  test("lengthDecileBins: strictly-less ECDF rank, ties share a bin, bounds hold") {
+    // 10 docs: lengths 1,1,2,3,4,5,6,7,8,9 — the tie at length 1 gets
+    // below=0 → bin 0 for BOTH (ntile would split them by row order)
+    val docs = (Seq("a", "b") ++ (2 to 9).map(n => "x" * n))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.lengthDecileBins(docs)
+      .as[(Long, Int, Long)].collect().toSeq.sortBy(_._1)
+    val byLen = got.groupBy(_._2)
+    assert(byLen(1).map(_._3).toSet == Set(0L), "tied shortest docs share bin 0")
+    // below counts: len 2 → 2 docs below → bin 2; len 9 → 9 below → bin 9
+    assert(got.find(_._2 == 2).get._3 == 2L)
+    assert(got.find(_._2 == 9).get._3 == 9L)
+    assert(got.forall(r => r._3 >= 0 && r._3 <= 9))
+    // monotone: longer docs never land in a smaller bin
+    val sorted = got.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a._3 <= b._3)
+      case _ =>
+    }
+  }
+
   test("byte_entropy: hand values, empty/uniform zero, and order invariance") {
     import graft.functions.GraftFunctions
     val docs = Seq(
