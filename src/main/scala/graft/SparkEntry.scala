@@ -183,6 +183,7 @@ object SparkEntry {
     "q_anomaly"         -> ((s, d) => Analytics.eventAnomalies(s, d)),
     "q_dense_days"      -> (Analytics.eventDenseDays _),
     "sim_rp_reduce"     -> (Similarity.rpReduce _),
+    "sim_int8_quant"    -> (Similarity.int8Embeddings _),
     // ── Skew-safe salted aggregation (same values as a plain group-by) ──
     "agg_salted"        -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, round}
@@ -238,7 +239,7 @@ object SparkEntry {
     "txt_bpe_apply", "dedup_incr_near_steady", "sim_topk_pq_steady",
     "txt_bigram_lm", "q_funnel", "q_retention", "q_anomaly", "sim_rp_reduce",
     "sim_topk_ivfpq", "cdc_scd2", "txt_entropy", "txt_len_bins",
-    "q_dense_days",
+    "q_dense_days", "sim_int8_quant",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -647,6 +648,21 @@ object SparkEntry {
         |SELECT d.doc_id, length(d.text) AS n_chars,
         |  coalesce(e.entropy, 0.0) AS entropy
         |FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id""".stripMargin,
+    // int8 quantization: |x| in DOUBLE on both sides makes scale — and
+    // every code — bit-identical; round() is half-away-from-zero in both.
+    "sim_int8_quant" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, CAST(j - 1 AS BIGINT) AS lane,
+        |  CASE WHEN scale = 0 THEN 0
+        |       ELSE CAST(round(CAST(embedding[j] AS DOUBLE) / scale, 0) AS BIGINT)
+        |  END AS q,
+        |  round(scale, 9) AS scale
+        |FROM (SELECT vec_id, embedding, scale,
+        |      unnest(range(1, len(embedding) + 1)) AS j FROM s)""".stripMargin,
     // ECDF decile bins: strictly-less rank over the length histogram —
     // tie-stable across engines, unlike ntile's row-order split.
     "txt_len_bins" ->

@@ -462,6 +462,31 @@ object Similarity {
     topKPqIvf(emb, defaultQueries(emb), k, nprobe = 4, m = 8, kc = 16, subDim = 8)
   }
 
+  /** Symmetric int8 embedding quantization: per-vector scale =
+    * max|x|/127, q_i = round(x_i/scale) ∈ [−127, 127] — the 4× storage
+    * and bandwidth cut (float32 → int8 + one scale) embedding stores
+    * ship at 100 TB, dequantizing to x ≈ q·scale with error ≤ scale/2
+    * per lane. Zero vectors keep scale 0 and all-zero codes (guarded
+    * division). Pure scan-side projection, zero shuffles; |x| is taken
+    * in DOUBLE on both engines so the scale (and therefore every code)
+    * is bit-identical cross-engine. Output exploded row-locally to
+    * (vec_id, lane, q, scale) scalar rows for the driver's comparator. */
+  def int8Quantize(emb: DataFrame): DataFrame = {
+    val absd = transform(col("embedding"), x => abs(x.cast("double")))
+    emb.select(col("vec_id"),
+        (array_max(absd) / lit(127.0d)).as("scale"), col("embedding"))
+      .select(col("vec_id"), col("scale"), posexplode(col("embedding")))
+      .toDF("vec_id", "scale", "lane", "x")
+      .select(col("vec_id"), col("lane").cast("long").as("lane"),
+        when(col("scale") === 0.0d, lit(0L))
+          .otherwise(round(col("x").cast("double") / col("scale"), 0).cast("long"))
+          .as("q"),
+        round(col("scale"), 9).as("scale"))
+  }
+
+  def int8Embeddings(spark: SparkSession, dir: String): DataFrame =
+    int8Quantize(Tables.load(spark, dir, "embeddings").select("vec_id", "embedding"))
+
   /** Seeded ±1 projection matrix (outDim × inDim) for [[rpProject]] —
     * a deterministic java.util.Random sign stream (the LCG is specified
     * behavior, identical on every JVM), so the SAME literal matrix lands

@@ -178,6 +178,20 @@ object TextAnalysis {
         .cast("long").as("n_tokens"))
   }
 
+  /** Apply a LANDED merge table (the persisted output of [[bpeMerges]],
+    * an artifact like any trained model) — the production two-step:
+    * train rarely, load + apply every run. The merge table is
+    * vocab-bounded by contract, so the iter-ordered collect is the
+    * k-means-centroid legitimacy class; application is [[bpeApply]]'s
+    * single scan-side projection. */
+  def bpeApplyFromTable(docs: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame, joiner: String = "§"): DataFrame = {
+    val m = merges.select(col("iter").cast("int"), col("left"), col("right"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeApply(docs, idCol, textCol, m, joiner)
+  }
+
   /** CORRECTNESS instantiation: learn 3 merges over documents, then
     * tokenize the SAME corpus with them through the single-projection
     * [[bpeApply]] path (scoring the training corpus keeps the entry

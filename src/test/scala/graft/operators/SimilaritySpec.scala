@@ -127,6 +127,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(again == topk.toSet)
   }
 
+  test("int8Quantize: codes bounded, dequantization error ≤ scale/2, zero vector safe") {
+    val emb = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),  // zero vector: scale 0, codes 0
+      (3L, Array(-2.0f, 1.0f, 0.5f, -0.25f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.int8Quantize(emb)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val src = Map(
+      1L -> Array(1.0, -0.5, 0.25, 0.0),
+      2L -> Array(0.0, 0.0, 0.0, 0.0),
+      3L -> Array(-2.0, 1.0, 0.5, -0.25))
+    out.foreach { case (id, lane, q, scale) =>
+      assert(math.abs(q) <= 127, s"code out of int8 range: $q")
+      val x = src(id)(lane.toInt)
+      // scale in the OUTPUT is 9-dp rounded; a half-way code (error
+      // exactly scale/2) can exceed the bound by |q|·5e-10 — allow it
+      assert(math.abs(x - q * scale) <= scale / 2 + 127 * 5e-10,
+        s"dequant error for vec $id lane $lane: x=$x q=$q scale=$scale")
+    }
+    assert(out.filter(_._1 == 2L).forall(r => r._3 == 0L && r._4 == 0.0))
+    // the max-|x| lane always hits ±127 exactly (scale definition)
+    assert(out.find(r => r._1 == 3L && r._2 == 0L).get._3 == -127L)
+  }
+
   test("topKPqIvf equals a driver-side IVF-prune + ADC-score recompute") {
     val dir = "/root/testdata/sf0.001"
     val emb = graft.sources.Tables.load(spark, dir, "embeddings")

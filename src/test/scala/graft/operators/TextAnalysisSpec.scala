@@ -174,6 +174,20 @@ class TextAnalysisSpec extends SparkTestBase {
       (2L, 1L, r6(math.log(pAB)))))
   }
 
+  test("bpeApplyFromTable: a landed merge table tokenizes identically to the in-memory path") {
+    val docs = Seq((1L, "a b a b c"), (2L, "a b d"), (3L, "x y x y"))
+      .toDF("doc_id", "text")
+    val mergesDf = TextAnalysis.bpeMerges(docs, "text", iters = 2)
+    val direct = TextAnalysis.bpeMerges(docs, "text", iters = 2)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+      .map(m => (m._2, m._3)).toSeq
+    val got = TextAnalysis.bpeApplyFromTable(docs, "doc_id", "text", mergesDf)
+      .as[(Long, String, Long)].collect().toSet
+    val want = TextAnalysis.bpeApply(docs, "doc_id", "text", direct)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("bpeMerges stops early (merges so far, no throw) when pairs run out") {
     // round 1 merges the only pair; rounds 2..5 find no adjacent pair
     val one = TextAnalysis.bpeMerges(Seq("a a").toDF("text"), "text", iters = 5)
