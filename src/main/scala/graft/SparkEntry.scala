@@ -73,6 +73,7 @@ object SparkEntry {
     "sim_topk_pq"       -> ((s, d) => Similarity.topKPq(s, d)),
     "sim_topk_pq_trained" -> ((s, d) => Similarity.topKPqTrained(s, d)),
     "sim_topk_ivfpq"    -> ((s, d) => Similarity.topKPqIvf(s, d)),
+    "sim_topk_ivfpq_trained" -> ((s, d) => Similarity.topKPqIvfTrained(s, d)),
     "txt_lang_dist"     -> (TextAnalysis.langDist _),
     "txt_quality"       -> (TextAnalysis.qualityStats _),
     "txt_langid"        -> (TextAnalysis.langId _),
@@ -239,7 +240,7 @@ object SparkEntry {
     "txt_bpe_apply", "dedup_incr_near_steady", "sim_topk_pq_steady",
     "txt_bigram_lm", "q_funnel", "q_retention", "q_anomaly", "sim_rp_reduce",
     "sim_topk_ivfpq", "cdc_scd2", "txt_entropy", "txt_len_bins",
-    "q_dense_days", "sim_int8_quant",
+    "q_dense_days", "sim_int8_quant", "sim_topk_ivfpq_trained",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -307,7 +308,14 @@ object SparkEntry {
       s"FROM d$iters"
   }
 
-  private def kmeansOracleSql(initEvery: Int = 29, iters: Int = 3): String = {
+  private def kmeansOracleSql(initEvery: Int = 29, iters: Int = 3): String =
+    s"WITH ${kmeansCteBlock(initEvery, iters)}\n" +
+      s"SELECT cell_id, CAST(lane AS BIGINT) AS lane, m AS v FROM m$iters"
+
+  /** The k-means training recurrence as a reusable CTE block ending in
+    * `c<iters>` (trained centroids) / `m<iters>` (per-lane means) — shared
+    * by the sim_kmeans oracle and the trained IVF-PQ composition. */
+  private def kmeansCteBlock(initEvery: Int = 29, iters: Int = 3): String = {
     val init = s"c0 AS (SELECT vec_id AS cell_id, embedding AS c_emb " +
       s"FROM embeddings WHERE vec_id % $initEvery = 0)"
     val its = (1 to iters).map { i =>
@@ -332,8 +340,7 @@ object SparkEntry {
          |  FROM m$i GROUP BY cell_id
          |)""".stripMargin
     }
-    s"WITH $init,\n${its.mkString(",\n")}\n" +
-      s"SELECT cell_id, CAST(lane AS BIGINT) AS lane, m AS v FROM m$iters"
+    s"$init,\n${its.mkString(",\n")}"
   }
 
   private def annOracleSql: String = {
@@ -439,8 +446,26 @@ object SparkEntry {
        |  SELECT unnest([
        |      $cbRows
        |  ], recursive := true)
-       |), cent AS (
-       |  SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings WHERE vec_id % 37 = 0
+       |), """.stripMargin + ivfPqBodySql(subDim, k, nprobe,
+      "SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings WHERE vec_id % 37 = 0")
+  }
+
+  /** The composed trained oracle: k-means coarse cells ([[kmeansCteBlock]])
+    * × Lloyd's PQ codebook ([[trainedCbCtes]]) feeding the same
+    * prune+ADC body — the cross-engine check of the END-TO-END trained
+    * production stack. */
+  private def ivfPqTrainedOracleSql(m: Int = 8, kc: Int = 16, subDim: Int = 8,
+      k: Int = 5, nprobe: Int = 4): String =
+    s"WITH ${kmeansCteBlock(29, 3)},\n${trainedCbCtes(m, kc, subDim, 31, 2)}, " +
+      ivfPqBodySql(subDim, k, nprobe, "SELECT cell_id, c_emb FROM c3")
+
+  /** The IVF-PQ search body (cent → assigned → probes → codes → LUT →
+    * pruned ADC top-k), parameterized on the coarse-centroid source. Reads
+    * the PQ book from a preceding `cb` CTE. */
+  private def ivfPqBodySql(subDim: Int, k: Int, nprobe: Int,
+      centSelect: String): String = {
+    s"""cent AS (
+       |  $centSelect
        |), assigned AS (
        |  SELECT vec_id, cell_id FROM (
        |    SELECT e.vec_id, c.cell_id,
@@ -506,7 +531,15 @@ object SparkEntry {
     * encode/LUT/score body over the TRAINED codebook. A genuinely
     * independent cross-engine check of training + search end to end. */
   private def pqTrainedOracleSql(m: Int = 8, kc: Int = 16, subDim: Int = 8,
-      initStep: Int = 31, iters: Int = 2, k: Int = 5): String = {
+      initStep: Int = 31, iters: Int = 2, k: Int = 5): String =
+    s"WITH ${trainedCbCtes(m, kc, subDim, initStep, iters)}, " +
+      pqSearchBodySql(subDim, k)
+
+  /** The per-subspace Lloyd's training as a reusable CTE block ending in
+    * `cb` (sub, cell, cv, n2) — shared by the trained-PQ oracle and the
+    * trained IVF-PQ composition. */
+  private def trainedCbCtes(m: Int, kc: Int, subDim: Int,
+      initStep: Int, iters: Int): String = {
     val subCtes = (0 until m).map { s =>
       val lo = s * subDim + 1
       val hi = s * subDim + subDim
@@ -541,8 +574,7 @@ object SparkEntry {
     val cbUnion = (0 until m).map(s =>
       s"  SELECT $s AS sub, cell, cv, list_inner_product(cv, cv) AS n2 FROM cb${s}_$iters")
       .mkString("\n  UNION ALL\n")
-    s"WITH ${subCtes.mkString(",\n")},\ncb AS (\n$cbUnion\n), " +
-      pqSearchBodySql(subDim, k)
+    s"${subCtes.mkString(",\n")},\ncb AS (\n$cbUnion\n)"
   }
 
   /** mm_features oracle, generated: the feature stub is the documents
@@ -605,6 +637,7 @@ object SparkEntry {
     "sim_topk_pq" -> pqOracleSql(),
     "sim_topk_pq_trained" -> pqTrainedOracleSql(),
     "sim_topk_ivfpq" -> ivfPqOracleSql(),
+    "sim_topk_ivfpq_trained" -> ivfPqTrainedOracleSql(),
     "sim_kmeans" -> kmeansOracleSql(),
     "txt_bpe" -> bpeOracleSql(),
     "txt_bpe_apply" -> bpeApplyOracleSql(),

@@ -416,9 +416,17 @@ object Similarity {
     * 6-dp rounded before the k-cut (the shared ADC drift rule); recall
     * rises with nprobe exactly as in [[topKCosineIvf]]. */
   def topKPqIvf(emb: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
-      m: Int, kc: Int, subDim: Int): DataFrame = {
-    val b = pqCodebook(m, kc, subDim)
-    val centroids = defaultCentroids(emb)
+      m: Int, kc: Int, subDim: Int): DataFrame =
+    topKPqIvfWith(emb, queries, k, nprobe, m, subDim,
+      defaultCentroids(emb), pqCodebook(m, kc, subDim))
+
+  /** [[topKPqIvf]] with caller-supplied quantizers — the seam the TRAINED
+    * instantiation ([[topKPqIvfTrained]]: k-means cells + Lloyd's
+    * codebook) shares with the seeded one; the plan is identical either
+    * way, only the literals change. */
+  def topKPqIvfWith(emb: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      m: Int, subDim: Int, centroids: DataFrame,
+      b: Seq[(Int, Int, Array[Double])]): DataFrame = {
     // index build (paid once in production, the landed inverted list):
     // coarse assignment + scan-side PQ encode, joined on vec_id
     val cells = ivfAssign(emb, centroids).select("vec_id", "cell_id")
@@ -460,6 +468,18 @@ object Similarity {
   def topKPqIvf(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
     topKPqIvf(emb, defaultQueries(emb), k, nprobe = 4, m = 8, kc = 16, subDim = 8)
+  }
+
+  /** The END-TO-END trained production ANN stack: k-means coarse cells
+    * ([[kmeansCentroids]]) × per-subspace-Lloyd's PQ codebook
+    * ([[pqCodebookTrained]]) through the same inverted-list prune +
+    * ADC-score plan. Training cost is the two trainers' documented
+    * bounded-shuffle iterations; serving cost is identical to the seeded
+    * form. */
+  def topKPqIvfTrained(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    topKPqIvfWith(emb, defaultQueries(emb), k, nprobe = 4, m = 8, subDim = 8,
+      kmeansCentroids(emb), pqCodebookTrained(emb))
   }
 
   /** Symmetric int8 embedding quantization: per-vector scale =

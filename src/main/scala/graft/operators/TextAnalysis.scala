@@ -93,9 +93,9 @@ object TextAnalysis {
     * round's plan as a literal replace — a narrow scan-side projection. */
   /** Trainer core shared by [[bpeMerges]] / [[bpeTokenized]]: canonicalize
     * `textCol` ONCE into the padded space-delimited token string, then run
-    * up to `iters` count→argmax→replace rounds, carrying `carry` columns
-    * (e.g. the doc id) through so callers can read the final merged
-    * strings per document.
+    * up to `iters` count→argmax→replace rounds, returning the learned
+    * merge table (application over documents goes through [[bpeApply]]'s
+    * single projection instead of this loop's per-round checkpoints).
     *
     * Every round `localCheckpoint`s the merged strings — the same
     * iterative-trainer pattern as [[Similarity.kmeansCentroids]]: round
@@ -110,13 +110,12 @@ object TextAnalysis {
     * pairs before `iters` rounds (all docs ≤ 1 token, or merges exhaust
     * the pair space), the loop stops and returns the merges learned so
     * far instead of throwing. */
-  private def bpeCore(docs: DataFrame, carry: Seq[String], textCol: String,
-      iters: Int, joiner: String): (List[(Int, String, String, Long)], DataFrame) = {
+  private def bpeCore(docs: DataFrame, textCol: String,
+      iters: Int, joiner: String): List[(Int, String, String, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
     var cur = docs
-      .select(carry.map(col) :+
-        concat(lit(" "), array_join(tokens(col(textCol)), " "), lit(" ")).as("s"): _*)
+      .select(concat(lit(" "), array_join(tokens(col(textCol)), " "), lit(" ")).as("s"))
       .localCheckpoint()
     val merges = collection.mutable.ListBuffer[(Int, String, String, Long)]()
     var exhausted = false
@@ -144,14 +143,14 @@ object TextAnalysis {
             .localCheckpoint()
       }
     }
-    (merges.toList, cur)
+    merges.toList
   }
 
   def bpeMerges(docs: DataFrame, textCol: String, iters: Int = 3,
       joiner: String = "§"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bpeCore(docs, Nil, textCol, iters, joiner)._1.toDF("iter", "left", "right", "n")
+    bpeCore(docs, textCol, iters, joiner).toDF("iter", "left", "right", "n")
   }
 
   /** CORRECTNESS instantiation: 3 merge rounds over documents. */
@@ -198,7 +197,7 @@ object TextAnalysis {
     * OOV-free by construction). */
   def bpeTokenized(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val merges = bpeCore(docs, Nil, "text", 3, "§")._1.map(m => (m._2, m._3))
+    val merges = bpeCore(docs, "text", 3, "§").map(m => (m._2, m._3))
     bpeApply(docs, "doc_id", "text", merges)
   }
 

@@ -127,6 +127,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(again == topk.toSet)
   }
 
+  test("topKPqIvfTrained: k per query, scores from the trained book's ADC range") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Similarity.topKPqIvfTrained(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    val perQuery = rows.groupBy(_._1)
+    assert(perQuery.keySet == Similarity.defaultProbeIds.toSet)
+    perQuery.values.foreach { vs =>
+      assert(vs.size == 5)
+      assert(vs.map(_._3).forall(s => !s.isNaN && !s.isInfinite))
+      // results come back rank-ordered within each query by (score desc, id)
+      assert(vs.map(v => (-v._3, v._2)) == vs.map(v => (-v._3, v._2)).sorted)
+    }
+  }
+
   test("int8Quantize: codes bounded, dequantization error ≤ scale/2, zero vector safe") {
     val emb = Seq(
       (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
