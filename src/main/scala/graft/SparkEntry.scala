@@ -74,6 +74,8 @@ object SparkEntry {
     "sim_topk_pq_trained" -> ((s, d) => Similarity.topKPqTrained(s, d)),
     "sim_topk_ivfpq"    -> ((s, d) => Similarity.topKPqIvf(s, d)),
     "sim_topk_ivfpq_trained" -> ((s, d) => Similarity.topKPqIvfTrained(s, d)),
+    "sim_kmeans_assign" -> (Similarity.kmeansAssignments _),
+    "q_sliding_distinct" -> (Analytics.eventSlidingDistinct _),
     "txt_lang_dist"     -> (TextAnalysis.langDist _),
     "txt_quality"       -> (TextAnalysis.qualityStats _),
     "txt_langid"        -> (TextAnalysis.langId _),
@@ -241,6 +243,7 @@ object SparkEntry {
     "txt_bigram_lm", "q_funnel", "q_retention", "q_anomaly", "sim_rp_reduce",
     "sim_topk_ivfpq", "cdc_scd2", "txt_entropy", "txt_len_bins",
     "q_dense_days", "sim_int8_quant", "sim_topk_ivfpq_trained",
+    "sim_kmeans_assign", "q_sliding_distinct",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -450,6 +453,21 @@ object SparkEntry {
       "SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings WHERE vec_id % 37 = 0")
   }
 
+  /** sim_kmeans_assign oracle: the trained centroids (same CTE block the
+    * sim_kmeans oracle replays) + the cosine-argmax assignment with the
+    * engine's (score DESC, cell ASC) tie-break. */
+  private def kmeansAssignOracleSql(iters: Int = 3): String =
+    s"""WITH ${kmeansCteBlock(29, iters)}
+       |SELECT vec_id, cell_id FROM (
+       |  SELECT e.vec_id, c.cell_id,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
+       |        / sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+       |             * list_inner_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))) DESC,
+       |      c.cell_id ASC) AS rn
+       |  FROM embeddings e CROSS JOIN c$iters c
+       |) WHERE rn = 1""".stripMargin
+
   /** The composed trained oracle: k-means coarse cells ([[kmeansCteBlock]])
     * × Lloyd's PQ codebook ([[trainedCbCtes]]) feeding the same
     * prune+ADC body — the cross-engine check of the END-TO-END trained
@@ -638,6 +656,20 @@ object SparkEntry {
     "sim_topk_pq_trained" -> pqTrainedOracleSql(),
     "sim_topk_ivfpq" -> ivfPqOracleSql(),
     "sim_topk_ivfpq_trained" -> ivfPqTrainedOracleSql(),
+    "sim_kmeans_assign" -> kmeansAssignOracleSql(),
+    // Sliding distinct: the same fan-out spelled with generate_series —
+    // distinct (user, day) first, each contributing to its ≤7 window days.
+    "q_sliding_distinct" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        |), mx AS (SELECT max(day) AS max_day FROM uw),
+        |f AS (
+        |  SELECT user_id, unnest(generate_series(day,
+        |    least(max_day, day + INTERVAL 6 DAY), INTERVAL 1 DAY)) AS win_day
+        |  FROM uw, mx
+        |)
+        |SELECT win_day, count(DISTINCT user_id) AS n_users
+        |FROM f GROUP BY 1""".stripMargin,
     "sim_kmeans" -> kmeansOracleSql(),
     "txt_bpe" -> bpeOracleSql(),
     "txt_bpe_apply" -> bpeApplyOracleSql(),

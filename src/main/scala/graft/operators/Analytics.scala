@@ -290,6 +290,35 @@ object Analytics {
     counts.reduce(_ unionByName _)
   }
 
+  /** EXACT sliding-window distinct users — distinct-over-a-trailing-range
+    * is NOT sum-of-dailies (users repeat across days), and a RANGE-frame
+    * `count_distinct` window does not exist; the scalable exact spelling
+    * is a row-local FAN-OUT: each (user, day) activity row contributes
+    * itself to the ≤ `days` window-days it falls in (a sequence explode —
+    * ×days row growth, bounded by the window, no self-join), then one
+    * two-phase distinct count per (window day). The approximate
+    * alternative at extreme scale is the landed HLL path
+    * ([[dailyUserSketches]] + [[distinctOverRange]]); this is the exact
+    * one, and the fan-out factor — not the corpus — is the knob. Window
+    * days past the last active day are clipped so every reported day is
+    * a real day of the data. */
+  def slidingDistinctUsers(events: DataFrame, days: Int = 7): DataFrame = {
+    val uw = events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val hi = uw.agg(max(col("day")).as("max_day"))
+    uw.crossJoin(broadcast(hi))
+      .select(col("user_id"), explode(sequence(col("day"),
+        least(col("max_day"),
+          col("day") + expr(s"interval ${days - 1} days")),
+        expr("interval 1 day"))).as("win_day"))
+      .groupBy("win_day")
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+
+  def eventSlidingDistinct(spark: SparkSession, dir: String): DataFrame =
+    slidingDistinctUsers(Tables.load(spark, dir, "events"))
+
   /** Dense daily grid (gap filling): every (event_type, calendar day) in
     * the type's [first, last] day range with its count — 0 where no
     * events landed. The resampling step time-series consumers need when

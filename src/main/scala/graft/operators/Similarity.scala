@@ -470,6 +470,17 @@ object Similarity {
     topKPqIvf(emb, defaultQueries(emb), k, nprobe = 4, m = 8, kc = 16, subDim = 8)
   }
 
+  /** Corpus cluster assignments under the TRAINED k-means centroids —
+    * the labeling a user actually consumes after [[kmeansCentroids]]
+    * (cluster-then-sample, cluster-balanced training mixes, per-cluster
+    * dedup all start here). Same bounded corpus×constant broadcast cross
+    * + `max_by` two-phase argmax as [[ivfAssign]]; one row per vector
+    * crosses the shuffle. */
+  def kmeansAssignments(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    ivfAssign(emb, kmeansCentroids(emb)).select("vec_id", "cell_id")
+  }
+
   /** The END-TO-END trained production ANN stack: k-means coarse cells
     * ([[kmeansCentroids]]) × per-subspace-Lloyd's PQ codebook
     * ([[pqCodebookTrained]]) through the same inverted-list prune +

@@ -254,6 +254,26 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("slidingDistinctUsers: union-not-sum over the trailing window, clipped at the last day") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1 active days 1 and 2 (and twice on day 1 — no double count);
+      // user 2 active day 2 only; nothing after day 2
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "view", 0.0),
+      (3L, ts("2024-01-02 10:00:00"), 1L, "view", 0.0),
+      (4L, ts("2024-01-02 11:00:00"), 2L, "view", 0.0),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Analytics.slidingDistinctUsers(events, days = 7)
+      .as[(Timestamp, Long)].collect().toMap
+    // day 1: {u1}; day 2: {u1, u2} — u1 counted ONCE though active twice
+    // in the window; days 3+ clipped (no data past day 2)
+    assert(got == Map(
+      ts("2024-01-01 00:00:00") -> 1L,
+      ts("2024-01-02 00:00:00") -> 2L))
+  }
+
   test("denseDailyCounts: holes fill with 0 inside each type's own [first, last] range") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
