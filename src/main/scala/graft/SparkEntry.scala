@@ -74,6 +74,7 @@ object SparkEntry {
     "sim_topk_pq_trained" -> ((s, d) => Similarity.topKPqTrained(s, d)),
     "sim_topk_ivfpq"    -> ((s, d) => Similarity.topKPqIvf(s, d)),
     "sim_topk_ivfpq_trained" -> ((s, d) => Similarity.topKPqIvfTrained(s, d)),
+    "sim_topk_ivfpq_steady" -> ((s, d) => Similarity.topKPqIvfSteady(s, d)),
     "sim_kmeans_assign" -> (Similarity.kmeansAssignments _),
     "q_sliding_distinct" -> (Analytics.eventSlidingDistinct _),
     "txt_lang_dist"     -> (TextAnalysis.langDist _),
@@ -243,7 +244,7 @@ object SparkEntry {
     "txt_bigram_lm", "q_funnel", "q_retention", "q_anomaly", "sim_rp_reduce",
     "sim_topk_ivfpq", "cdc_scd2", "txt_entropy", "txt_len_bins",
     "q_dense_days", "sim_int8_quant", "sim_topk_ivfpq_trained",
-    "sim_kmeans_assign", "q_sliding_distinct",
+    "sim_kmeans_assign", "q_sliding_distinct", "sim_topk_ivfpq_steady",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -648,6 +649,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = oracleBase ++ Map(
     "dedup_incr_near_steady" -> oracleBase("dedup_incr_near"),
     "sim_topk_pq_steady" -> oracleBase("sim_topk_pq_trained"),
+    "sim_topk_ivfpq_steady" -> oracleBase("sim_topk_ivfpq_trained"),
     "sim_rp_reduce" -> rpOracleSql())
 
   private def oracleBase: Map[String, String] = Map(

@@ -127,6 +127,15 @@ class SimilaritySpec extends SparkTestBase {
     assert(again == topk.toSet)
   }
 
+  test("topKPqIvfSteady (saved quantizers) equals topKPqIvfTrained (per-run retrain)") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    val want = rows(Similarity.topKPqIvfTrained(spark, dir))
+    assert(rows(Similarity.topKPqIvfSteady(spark, dir)) == want)
+    assert(rows(Similarity.topKPqIvfSteady(spark, dir)) == want) // memoized call
+  }
+
   test("topKPqIvfTrained: k per query, scores from the trained book's ADC range") {
     val dir = "/root/testdata/sf0.001"
     val rows = Similarity.topKPqIvfTrained(spark, dir)
