@@ -182,6 +182,7 @@ object SparkEntry {
     "txt_bigram_lm"     -> (TextAnalysis.bigramScores _),
     "txt_entropy"       -> (TextAnalysis.entropyScores _),
     "txt_len_bins"      -> (TextAnalysis.docLengthBins _),
+    "txt_keywords"      -> ((s, d) => TextAnalysis.docKeywords(s, d)),
     "q_funnel"          -> (Analytics.signupFunnel _),
     "q_retention"       -> (Analytics.eventRetention _),
     "q_anomaly"         -> ((s, d) => Analytics.eventAnomalies(s, d)),
@@ -245,6 +246,7 @@ object SparkEntry {
     "sim_topk_ivfpq", "cdc_scd2", "txt_entropy", "txt_len_bins",
     "q_dense_days", "sim_int8_quant", "sim_topk_ivfpq_trained",
     "sim_kmeans_assign", "q_sliding_distinct", "sim_topk_ivfpq_steady",
+    "txt_keywords",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -730,6 +732,27 @@ object SparkEntry {
         |  round(scale, 9) AS scale
         |FROM (SELECT vec_id, embedding, scale,
         |      unnest(range(1, len(embedding) + 1)) AS j FROM s)""".stripMargin,
+    // Per-doc TF-IDF keyword top-k: same rounded idf as txt_tfidf, ties
+    // on term ascending — the rank window is the oracle-side spelling of
+    // the engine's TopKPerKey bounded heaps.
+    "txt_keywords" ->
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        |tf AS (
+        |  SELECT doc_id, t AS term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),
+        |      '[^a-z0-9]+'), x -> len(x) > 0)) AS t
+        |    FROM documents) GROUP BY 1, 2
+        |), idf AS (
+        |  SELECT term, round(ln(CAST(n.n_docs AS DOUBLE) / count(*)), 6) AS idf
+        |  FROM tf, n GROUP BY term, n.n_docs
+        |), s AS (
+        |  SELECT tf.doc_id, tf.term, round(tf.tf * idf.idf, 6) AS score
+        |  FROM tf JOIN idf USING (term)
+        |)
+        |SELECT doc_id, term, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rn FROM s
+        |) WHERE rn <= 3""".stripMargin,
     // ECDF decile bins: strictly-less rank over the length histogram —
     // tie-stable across engines, unlike ntile's row-order split.
     "txt_len_bins" ->

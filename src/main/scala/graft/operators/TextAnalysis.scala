@@ -469,6 +469,32 @@ object TextAnalysis {
         round(log(col("n_docs").cast("double") / col("df")), 6).as("idf"))
   }
 
+  /** Per-document top-k keywords by TF-IDF — the tagging op a corpus
+    * consumer runs after [[termStats]]: tf(doc, term)·idf(term), k best
+    * per document, ties broken on term ascending (deterministic
+    * cross-engine). Composed through the custom TopKPerKey physical
+    * operator, so the per-doc cut happens in bounded partial heaps
+    * BEFORE the exchange — the window spelling would shuffle AND sort
+    * every (doc, term) row to keep 3 of them. Scale shape: explode is
+    * row-local; (doc, term) tf is a two-phase count; idf derives from tf
+    * model-sized; the only corpus-scale exchange carries TopKPerKey's
+    * bounded per-key output. */
+  def docKeywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("term"),
+        round(log(col("n_docs").cast("double") / col("df")), 6).as("idf"))
+    val scored = tf.join(idf, "term")
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * col("idf"), 6).as("score"))
+    graft.plans.TopKPerKey(scored, Seq("doc_id"),
+      Seq(col("score").desc, col("term").asc), k)
+  }
+
   /** PII patterns: plain character classes + `\b` + the `(?i)` flag only,
     * so Java (Spark) and RE2 (DuckDB oracle) regex dialects agree
     * exactly — and Mixed.Case@Example.COM addresses still redact.

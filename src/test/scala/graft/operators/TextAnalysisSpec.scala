@@ -136,6 +136,27 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("docKeywords: tf·idf ranking with hand-computed scores and k-cut") {
+    // write docs to parquet so the (spark, dir) entry path is exercised
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kw_").toString
+    Seq(
+      (1L, "apple apple banana", "en", "s", 18L),
+      (2L, "banana cherry", "en", "s", 13L),
+      (3L, "cherry cherry cherry date", "en", "s", 25L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val idfRare = r6(math.log(3.0 / 1)) // apple, date
+    val idfMid = r6(math.log(3.0 / 2))  // banana, cherry
+    val got = TextAnalysis.docKeywords(spark, tmp, k = 2)
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == Set(
+      (1L, "apple", r6(2 * idfRare)), (1L, "banana", r6(1 * idfMid)),
+      (2L, "banana", r6(1 * idfMid)), (2L, "cherry", r6(1 * idfMid)),
+      (3L, "cherry", r6(3 * idfMid)), (3L, "date", r6(1 * idfRare))))
+  }
+
   test("byte_entropy: hand values, empty/uniform zero, and order invariance") {
     import graft.functions.GraftFunctions
     val docs = Seq(
