@@ -150,12 +150,15 @@ object Bench {
         val rowsIn = docs.count()
         Files.createDirectory(Paths.get(s"$tmp/in"))
         // three arrival files → three micro-batches (maxFilesPerTrigger=1)
+        def stagedFile(stage: String): java.nio.file.Path = {
+          val st = Files.list(Paths.get(stage))
+          try st.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          finally st.close()
+        }
         (0 until 3).foreach { i =>
           docs.filter(col("doc_id") % 3 === i)
             .coalesce(1).write.parquet(s"$tmp/stage$i")
-          val part = Files.list(Paths.get(s"$tmp/stage$i"))
-            .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-          Files.move(part, Paths.get(s"$tmp/in/f$i.parquet"))
+          Files.move(stagedFile(s"$tmp/stage$i"), Paths.get(s"$tmp/in/f$i.parquet"))
         }
         def drive(): Double = {
           val stream = spark.readStream.schema(docs.schema)
@@ -174,8 +177,7 @@ object Bench {
           .select((col("doc_id") + 9000000L).as("doc_id"),
             concat(col("text"), lit(" graftdup")).as("text"))
           .coalesce(1).write.parquet(s"$tmp/stage3")
-        val part3 = Files.list(Paths.get(s"$tmp/stage3"))
-          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        val part3 = stagedFile(s"$tmp/stage3")
         val steadyRows = spark.read.parquet(part3.toString).count()
         Files.move(part3, Paths.get(s"$tmp/in/f3.parquet"))
         val wallSteady = drive() // one batch vs the compacted index
@@ -195,11 +197,15 @@ object Bench {
           errors += s"stream_near: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
           None
       }
+    // Selection: no filter runs both; "stream" runs both (back-compat);
+    // each bench is also addressable by its own JSON key.
     val streamJson: String =
-      if (only.forall(_.contains("stream"))) streamBench().getOrElse("null")
+      if (only.forall(s => s.contains("stream")))
+        streamBench().getOrElse("null")
       else "null"
     val streamNearJson: String =
-      if (only.forall(_.contains("stream"))) streamNearBench().getOrElse("null")
+      if (only.forall(s => s.contains("stream") || s.contains("stream_near")))
+        streamNearBench().getOrElse("null")
       else "null"
 
     def qjson(rs: Seq[(String, Option[Double])]): String = rs

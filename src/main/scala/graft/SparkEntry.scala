@@ -276,9 +276,11 @@ object SparkEntry {
          |    FROM (SELECT string_split(trim(s), ' ') AS w FROM d${i - 1})
          |  ) GROUP BY 1, 2
          |), m$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
-         |d$i AS (SELECT replace(s,
-         |  ' ' || (SELECT l FROM m$i) || ' ' || (SELECT r FROM m$i) || ' ',
-         |  ' ' || (SELECT l FROM m$i) || '§' || (SELECT r FROM m$i) || ' ') AS s
+         |d$i AS (SELECT CASE WHEN (SELECT count(*) FROM m$i) = 0 THEN s
+         |  ELSE replace(s,
+         |    ' ' || (SELECT l FROM m$i) || ' ' || (SELECT r FROM m$i) || ' ',
+         |    ' ' || (SELECT l FROM m$i) || '§' || (SELECT r FROM m$i) || ' ')
+         |  END AS s
          |FROM d${i - 1})""".stripMargin
     }
     val sel = (1 to iters)
@@ -303,9 +305,12 @@ object SparkEntry {
          |    FROM (SELECT string_split(trim(s), ' ') AS w FROM d${i - 1})
          |  ) GROUP BY 1, 2
          |), m$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
-         |d$i AS (SELECT doc_id, replace(s,
-         |  ' ' || (SELECT l FROM m$i) || ' ' || (SELECT r FROM m$i) || ' ',
-         |  ' ' || (SELECT l FROM m$i) || '§' || (SELECT r FROM m$i) || ' ') AS s
+         |d$i AS (SELECT doc_id,
+         |  CASE WHEN (SELECT count(*) FROM m$i) = 0 THEN s
+         |  ELSE replace(s,
+         |    ' ' || (SELECT l FROM m$i) || ' ' || (SELECT r FROM m$i) || ' ',
+         |    ' ' || (SELECT l FROM m$i) || '§' || (SELECT r FROM m$i) || ' ')
+         |  END AS s
          |FROM d${i - 1})""".stripMargin
     }
     s"WITH $d0,\n${its.mkString(",\n")}\n" +

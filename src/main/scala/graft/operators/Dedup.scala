@@ -293,8 +293,16 @@ object Dedup extends Logging {
     * bench tripwire watches changes. The first call (Bench's unmeasured
     * warm-up pass, Verify's only pass) pays the land. */
   def incrementalNearArrivalsSteady(spark: SparkSession, dir: String): DataFrame = {
-    val prefix = s"neardup_steady_${(dir.hashCode & Int.MaxValue).toHexString}"
-    if (!spark.catalog.tableExists(s"${prefix}_bands")) {
+    // MD5 of the dir, not String.hashCode: a 31-bit collision between two
+    // corpus dirs would silently probe the wrong index
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val prefix = s"neardup_steady_$suffix"
+    // BOTH tables must exist: a land that failed between the two writes
+    // must re-land (Overwrite), not wedge every later probe on the
+    // missing _sh side
+    if (!spark.catalog.tableExists(s"${prefix}_bands") ||
+        !spark.catalog.tableExists(s"${prefix}_sh")) {
       val path = java.nio.file.Files
         .createTempDirectory("graft_neardup_steady_").toString
       val corpus = Tables.load(spark, dir, "documents")

@@ -370,31 +370,37 @@ object Similarity {
       m: Int, kc: Int, subDim: Int): DataFrame =
     topKPqWithBook(emb, queries, k, m, subDim, pqCodebook(m, kc, subDim))
 
-  def topKPqWithBook(emb: DataFrame, queries: DataFrame, k: Int,
-      m: Int, subDim: Int, b: Seq[(Int, Int, Array[Double])]): DataFrame = {
+  /** Per-query ADC look-up table: the subspace dots of `queries` against
+    * every book centroid as one nested-array literal expression of
+    * (cell, w) structs (cell carried explicitly so a trained book with
+    * dropped cells stays addressable), exploded row-locally to
+    * (query_id, sub, cell, w) — |Q|·m·kc tiny rows, always broadcast by
+    * callers. Shared by [[topKPqWithBook]] and [[topKPqIvfWith]]. */
+  private def pqLutRows(queries: DataFrame, m: Int, subDim: Int,
+      b: Seq[(Int, Int, Array[Double])]): DataFrame = {
     val bySub = b.groupBy(_._1).map { case (s, rows) =>
       s -> rows.map(r => (r._2, r._3)).sortBy(_._1)
     }
-    val codes = pqEncodeWithBook(emb, m, subDim, b)
-      .select(col("vec_id"), posexplode(
-        array((0 until m).map(s => col(s"code_$s")): _*)))
-      .toDF("vec_id", "sub", "cell")
-    // per-query LUT: the subspace dots as one nested-array literal
-    // expression of (cell, w) structs (cell carried explicitly so a
-    // trained book with dropped cells stays addressable), exploded to
-    // (query_id, sub, cell, w) — |Q|·m·kc tiny rows
     val perSub = array((0 until m).map { s =>
       val sub = slice(col("q_emb"), s * subDim + 1, subDim)
       array(bySub(s).map { case (c, cv) =>
         struct(lit(c.toLong).as("cell"), litDot(sub, cv).as("w"))
       }: _*)
     }: _*)
-    val lutRows = queries.select(col("query_id"), posexplode(perSub))
+    queries.select(col("query_id"), posexplode(perSub))
       .toDF("query_id", "sub", "ws")
       .select(col("query_id"), col("sub"), explode(col("ws")).as("cw"))
       .select(col("query_id"), col("sub"),
         col("cw.cell").as("cell"), col("cw.w").as("w"))
-    val scored = codes.join(broadcast(lutRows), Seq("sub", "cell"))
+  }
+
+  def topKPqWithBook(emb: DataFrame, queries: DataFrame, k: Int,
+      m: Int, subDim: Int, b: Seq[(Int, Int, Array[Double])]): DataFrame = {
+    val codes = pqEncodeWithBook(emb, m, subDim, b)
+      .select(col("vec_id"), posexplode(
+        array((0 until m).map(s => col(s"code_$s")): _*)))
+      .toDF("vec_id", "sub", "cell")
+    val scored = codes.join(broadcast(pqLutRows(queries, m, subDim, b)), Seq("sub", "cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
       .agg(round(sum(col("w")), 6).as("score"))
@@ -443,20 +449,8 @@ object Similarity {
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
       .select("query_id", "cell_id")
-    val bySub = b.groupBy(_._1).map { case (s, rows) =>
-      s -> rows.map(r => (r._2, r._3)).sortBy(_._1)
-    }
-    val perSub = array((0 until m).map { s =>
-      val sub = slice(col("q_emb"), s * subDim + 1, subDim)
-      array(bySub(s).map { case (c, cv) =>
-        struct(lit(c.toLong).as("code"), litDot(sub, cv).as("w"))
-      }: _*)
-    }: _*)
-    val lutRows = queries.select(col("query_id"), posexplode(perSub))
-      .toDF("query_id", "sub", "ws")
-      .select(col("query_id"), col("sub"), explode(col("ws")).as("cw"))
-      .select(col("query_id"), col("sub"),
-        col("cw.code").as("code"), col("cw.w").as("w"))
+    val lutRows = pqLutRows(queries, m, subDim, b)
+      .withColumnRenamed("cell", "code")
     val scored = codes.join(broadcast(probes), Seq("cell_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(lutRows), Seq("query_id", "sub", "code"))

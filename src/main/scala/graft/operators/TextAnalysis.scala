@@ -222,7 +222,8 @@ object TextAnalysis {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val cum = byLen.select(col("len"),
       coalesce(sum(col("k")).over(w), lit(0L)).as("below"))
-    val total = docs.agg(count(lit(1)).as("n"))
+    // N from the histogram itself — not a second corpus scan
+    val total = byLen.agg(sum(col("k")).as("n"))
     docs.select(col("doc_id"), length(col("text")).as("len"))
       .join(broadcast(cum), "len")
       .crossJoin(broadcast(total))

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.Analytics
@@ -14,8 +15,8 @@ import graft.operators.Analytics
   *     idempotent batch-id-named generation `stateDir/gen-<id>` — a
   *     replayed batch overwrites its own generation byte-identically, so
   *     counts are never doubled;
-  *  2. the merged daily counts (sum over every committed generation) are
-  *     rescored with the batch operator's OWN window stage
+  *  2. the merged daily counts (sum over every LIVE committed generation)
+  *     are rescored with the batch operator's OWN window stage
   *     ([[Analytics.anomaliesFromDailyCounts]]) and the full board is
   *     rewritten to `outDir/current` — a continuously-maintained
   *     materialized view of E91's answer.
@@ -33,22 +34,47 @@ import graft.operators.Analytics
   * two-phase daily count (one row per touched (type, day) crosses); the
   * merge + window rescoring runs over types×days aggregate rows — tiny
   * at any event volume. Generations accumulate one small file set per
-  * batch; fold them with [[compactState]] at maintenance cadence (same
-  * write-then-delete self-healing rule as
-  * [[StreamNearDedup.compactIndex]] — counts are summed, so the
-  * crash-window duplicate rows it leaves MUST be removed by full-row
-  * dedup before the next sum, which compactState's reader does not need:
-  * it rewrites from the ORIGINAL generations, making a re-run after a
-  * crash idempotent).
+  * batch; fold them with [[compactState]] at maintenance cadence.
   */
 object StreamAnomaly {
 
-  /** Merged (event_type, day, n) over every committed state generation. */
-  def mergedCounts(spark: org.apache.spark.sql.SparkSession,
-      stateDir: String): DataFrame =
-    Generations.read(spark, stateDir, "gen-")
+  private def manifest(f: FileSystem, stateDir: String, gen: String): Seq[String] = {
+    val p = new Path(s"$stateDir/$gen/_sources.txt")
+    if (!f.exists(p)) Seq.empty
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in).getLines().toList
+      finally in.close()
+    }
+  }
+
+  private def fs(spark: SparkSession, stateDir: String): FileSystem =
+    new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed generations MINUS any generation a committed fold's
+    * manifest lists as already folded. Counts are additive, so — unlike
+    * [[StreamNearDedup]]'s inert duplicate signature rows — reading a
+    * fold together with one of its own sources would double every count
+    * it covers; EVERY reader (the per-batch board recompute included, not
+    * just compaction) must therefore resolve manifests, or the window
+    * between a fold's commit and its sources' deletion publishes doubled
+    * counts. */
+  def liveGens(spark: SparkSession, stateDir: String): Seq[String] = {
+    val f = fs(spark, stateDir)
+    val all = Generations.committed(spark, stateDir, "gen-")
+    val folded = all.filter(_.startsWith("gen-compact-"))
+      .flatMap(manifest(f, stateDir, _)).toSet
+    all.filterNot(folded)
+  }
+
+  /** Merged (event_type, day, n) over every LIVE committed generation. */
+  def mergedCounts(spark: SparkSession, stateDir: String): DataFrame = {
+    val gens = liveGens(spark, stateDir)
+    require(gens.nonEmpty, s"no committed 'gen-' generations under $stateDir")
+    spark.read.parquet(gens.map(g => s"$stateDir/$g"): _*)
       .groupBy("event_type", "day")
       .agg(sum(col("n")).as("n"))
+  }
 
   def start(events: DataFrame, stateDir: String, outDir: String,
       checkpoint: String, days: Int = 7,
@@ -73,43 +99,40 @@ object StreamAnomaly {
     * maintenance): rows are re-summed per (type, day) so the folded
     * generation is one row per key.
     *
-    * Counts are SUMMED, so — unlike [[StreamNearDedup.compactIndex]],
-    * where crash-window duplicate rows are inert — reading a fold
-    * together with its own sources would double every count. Two rules
-    * make the write-then-delete crash window safe anyway:
+    * Crash-window rules (summed counts are NOT inert under duplication,
+    * see [[liveGens]]):
     *
-    *  - every fold commits a `_sources.txt` manifest inside its own
-    *    directory; a re-run after a crash treats manifest-listed raw
-    *    generations as ALREADY FOLDED (they are deleted, never re-read),
-    *    so the re-run converges instead of snowballing;
+    *  - the fold is built in a `tmp-`-prefixed directory — invisible to
+    *    every reader — with its `_sources.txt` manifest written INSIDE
+    *    it, and becomes visible only through one atomic directory rename.
+    *    There is no instant at which a committed fold exists without its
+    *    manifest, so a crash anywhere leaves either (a) an invisible tmp
+    *    dir (swept on the next run) or (b) a manifested fold whose
+    *    sources every reader already excludes;
+    *  - leftover sources of a committed fold are deleted here on the next
+    *    run (readers merely exclude them);
     *  - the newest raw batch generation is never folded (the
     *    [[StreamNearDedup.compactIndex]] replay rule): if the stream
     *    crashed before its checkpoint commit, that batch replays and
-    *    rewrites `gen-<id>` — which must still exist under its own name,
+    *    rewrites `gen-<id>`, which must still exist under its own name —
     *    not also live on inside a fold. */
-  def compactState(spark: org.apache.spark.sql.SparkSession,
-      stateDir: String): Unit = {
-    val f = new org.apache.hadoop.fs.Path(stateDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def manifest(gen: String): Seq[String] = {
-      val p = new org.apache.hadoop.fs.Path(s"$stateDir/$gen/_sources.txt")
-      if (!f.exists(p)) Seq.empty
-      else {
-        val in = f.open(p)
-        try scala.io.Source.fromInputStream(in).getLines().toList
-        finally in.close()
-      }
-    }
-    val priorAll = Generations.committed(spark, stateDir, "gen-compact-")
-    val alreadyFolded = priorAll.flatMap(manifest).toSet
-    val rawAll = Generations.committed(spark, stateDir, "gen-")
-      .filterNot(_.startsWith("gen-compact-"))
+  def compactState(spark: SparkSession, stateDir: String): Unit = {
+    val f = fs(spark, stateDir)
+    // sweep invisible tmp leftovers from crashed folds
+    val root = new Path(stateDir)
+    if (f.exists(root)) f.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("tmp-gen-compact-"))
+      .foreach(s => f.delete(s.getPath, true))
+    val all = Generations.committed(spark, stateDir, "gen-")
+    val priorAll = all.filter(_.startsWith("gen-compact-"))
+    val alreadyFolded = priorAll.flatMap(manifest(f, stateDir, _)).toSet
     // crash leftovers — folded (raw OR older compact) but not yet
-    // deleted: finish the delete instead of ever re-reading them
-    (rawAll ++ priorAll).filter(alreadyFolded).foreach(g =>
-      f.delete(new org.apache.hadoop.fs.Path(stateDir, g), true))
+    // deleted: finish the delete
+    all.filter(alreadyFolded).foreach(g =>
+      f.delete(new Path(stateDir, g), true))
     val prior = priorAll.filterNot(alreadyFolded)
-    val gens = rawAll.filterNot(alreadyFolded)
+    val gens = all.filterNot(g =>
+      alreadyFolded(g) || g.startsWith("gen-compact-"))
     val newestBatchGen = gens
       .flatMap(g => g.stripPrefix("gen-").toLongOption.map((_, g)))
       .maxByOption(_._1).map(_._2)
@@ -117,16 +140,15 @@ object StreamAnomaly {
     if (sources.size > 1) {
       val epoch = prior.flatMap(_.stripPrefix("gen-compact-").toLongOption)
         .maxOption.getOrElse(0L) + 1
-      val dest = s"$stateDir/gen-compact-$epoch"
+      val tmp = s"$stateDir/tmp-gen-compact-$epoch"
       spark.read.parquet(sources.map(g => s"$stateDir/$g"): _*)
         .groupBy("event_type", "day").agg(sum(col("n")).as("n"))
-        .write.mode(SaveMode.Overwrite).parquet(dest)
-      val out = f.create(
-        new org.apache.hadoop.fs.Path(s"$dest/_sources.txt"), true)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      val out = f.create(new Path(s"$tmp/_sources.txt"), true)
       try out.write(sources.mkString("\n").getBytes("UTF-8"))
       finally out.close()
-      sources.foreach(g =>
-        f.delete(new org.apache.hadoop.fs.Path(stateDir, g), true))
+      f.rename(new Path(tmp), new Path(s"$stateDir/gen-compact-$epoch"))
+      sources.foreach(g => f.delete(new Path(stateDir, g), true))
     }
   }
 }

@@ -86,13 +86,21 @@ class StreamAnomalySpec extends SparkTestBase {
       ("view", ts("2024-01-02 00:00:00"), 3L)))
 
     // CRASH WINDOW: re-create a source the previous fold's manifest lists
-    // (as if the post-write delete never ran). Compaction must finish the
-    // delete — never re-read it into a double count.
+    // (as if the post-write delete never ran). EVERY reader must exclude
+    // it — the per-batch board recompute (mergedCounts) immediately, and
+    // compaction must finish the delete rather than double-fold it.
     Seq(("view", ts("2024-01-01 00:00:00"), 2L), ("view", ts("2024-01-02 00:00:00"), 1L))
       .toDF("event_type", "day", "n")
       .write.parquet(s"$stateDir/gen-2") // was folded into gen-compact-2
     Seq(("view", ts("2024-01-04 00:00:00"), 5L)).toDF("event_type", "day", "n")
       .write.parquet(s"$stateDir/gen-4")
+    val duringCrashWindow = StreamAnomaly.mergedCounts(spark, stateDir)
+      .as[(String, Timestamp, Long)].collect().toSet
+    assert(duringCrashWindow == Set(
+      ("view", ts("2024-01-01 00:00:00"), 8L),
+      ("view", ts("2024-01-02 00:00:00"), 3L),
+      ("view", ts("2024-01-04 00:00:00"), 5L)),
+      "mergedCounts must exclude manifest-listed leftovers BEFORE any compaction runs")
     StreamAnomaly.compactState(spark, stateDir)
     val after3 = StreamAnomaly.mergedCounts(spark, stateDir)
       .as[(String, Timestamp, Long)].collect().toSet
