@@ -292,12 +292,18 @@ object Dedup extends Logging {
     * same survivors, same oracle as `dedup_incr_near`; only the plan the
     * bench tripwire watches changes. The first call (Bench's unmeasured
     * warm-up pass, Verify's only pass) pays the land. */
-  def incrementalNearArrivalsSteady(spark: SparkSession, dir: String): DataFrame = {
-    // MD5 of the dir, not String.hashCode: a 31-bit collision between two
-    // corpus dirs would silently probe the wrong index
+  /** Catalog table-name prefix for [[incrementalNearArrivalsSteady]]'s
+    * landed index: MD5 of the dir, not String.hashCode — a 31-bit
+    * collision between two corpus dirs would silently probe the wrong
+    * index. Public so the layout spec pins the same naming scheme. */
+  def steadyIndexPrefix(dir: String): String = {
     val suffix = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    val prefix = s"neardup_steady_$suffix"
+    s"neardup_steady_$suffix"
+  }
+
+  def incrementalNearArrivalsSteady(spark: SparkSession, dir: String): DataFrame = {
+    val prefix = steadyIndexPrefix(dir)
     // BOTH tables must exist: a land that failed between the two writes
     // must re-land (Overwrite), not wedge every later probe on the
     // missing _sh side

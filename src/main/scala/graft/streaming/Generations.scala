@@ -22,13 +22,19 @@ private[streaming] object Generations {
       .map(_.getPath.getName).toSeq.sorted
   }
 
+  /** Union-read of an explicit generation-name list (callers that filter
+    * the committed set first — e.g. manifest exclusion — share this one
+    * path-building site); fails fast on an empty list. */
+  def readNames(spark: SparkSession, dir: String, names: Seq[String],
+      prefix: String): org.apache.spark.sql.DataFrame = {
+    require(names.nonEmpty, s"no committed '$prefix' generations under $dir")
+    spark.read.parquet(names.map(p => s"$dir/$p"): _*)
+  }
+
   /** Union-read of every committed generation; fails fast when none has
     * committed yet (callers with a cold-start schema pass a template to
     * their own wrapper instead). */
   def read(spark: SparkSession, dir: String, prefix: String)
-      : org.apache.spark.sql.DataFrame = {
-    val parts = committed(spark, dir, prefix)
-    require(parts.nonEmpty, s"no committed '$prefix' generations under $dir")
-    spark.read.parquet(parts.map(p => s"$dir/$p"): _*)
-  }
+      : org.apache.spark.sql.DataFrame =
+    readNames(spark, dir, committed(spark, dir, prefix), prefix)
 }

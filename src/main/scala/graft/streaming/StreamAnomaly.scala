@@ -68,13 +68,11 @@ object StreamAnomaly {
   }
 
   /** Merged (event_type, day, n) over every LIVE committed generation. */
-  def mergedCounts(spark: SparkSession, stateDir: String): DataFrame = {
-    val gens = liveGens(spark, stateDir)
-    require(gens.nonEmpty, s"no committed 'gen-' generations under $stateDir")
-    spark.read.parquet(gens.map(g => s"$stateDir/$g"): _*)
+  def mergedCounts(spark: SparkSession, stateDir: String): DataFrame =
+    Generations.readNames(spark, stateDir,
+      liveGens(spark, stateDir), "gen-")
       .groupBy("event_type", "day")
       .agg(sum(col("n")).as("n"))
-  }
 
   def start(events: DataFrame, stateDir: String, outDir: String,
       checkpoint: String, days: Int = 7,
@@ -104,13 +102,20 @@ object StreamAnomaly {
     *
     *  - the fold is built in a `tmp-`-prefixed directory — invisible to
     *    every reader — with its `_sources.txt` manifest written INSIDE
-    *    it, and becomes visible only through one atomic directory rename.
+    *    it, and becomes visible only through one atomic directory rename
+    *    (checked: a false return aborts BEFORE anything is deleted —
+    *    Hadoop filesystems report rename failure as false, and deleting
+    *    sources after a failed rename would destroy the only copy).
     *    There is no instant at which a committed fold exists without its
     *    manifest, so a crash anywhere leaves either (a) an invisible tmp
     *    dir (swept on the next run) or (b) a manifested fold whose
     *    sources every reader already excludes;
-    *  - leftover sources of a committed fold are deleted here on the next
-    *    run (readers merely exclude them);
+    *  - a committed fold's sources are NOT deleted in the same run:
+    *    deletion happens at the START of the NEXT compaction (the
+    *    leftover sweep), long after any reader that listed generations
+    *    before this fold's rename has finished with them — deleting here
+    *    would race a concurrent per-batch board recompute that listed
+    *    moments earlier and still holds the source paths;
     *  - the newest raw batch generation is never folded (the
     *    [[StreamNearDedup.compactIndex]] replay rule): if the stream
     *    crashed before its checkpoint commit, that batch replays and
@@ -141,14 +146,16 @@ object StreamAnomaly {
       val epoch = prior.flatMap(_.stripPrefix("gen-compact-").toLongOption)
         .maxOption.getOrElse(0L) + 1
       val tmp = s"$stateDir/tmp-gen-compact-$epoch"
-      spark.read.parquet(sources.map(g => s"$stateDir/$g"): _*)
+      Generations.readNames(spark, stateDir, sources, "gen-")
         .groupBy("event_type", "day").agg(sum(col("n")).as("n"))
         .write.mode(SaveMode.Overwrite).parquet(tmp)
       val out = f.create(new Path(s"$tmp/_sources.txt"), true)
       try out.write(sources.mkString("\n").getBytes("UTF-8"))
       finally out.close()
-      f.rename(new Path(tmp), new Path(s"$stateDir/gen-compact-$epoch"))
-      sources.foreach(g => f.delete(new Path(stateDir, g), true))
+      require(f.rename(new Path(tmp), new Path(s"$stateDir/gen-compact-$epoch")),
+        s"compaction rename failed for $tmp — sources left untouched")
+      // sources now excluded by every reader via the manifest; their
+      // physical delete is the NEXT run's leftover sweep (see scaladoc)
     }
   }
 }

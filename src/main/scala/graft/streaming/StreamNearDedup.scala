@@ -66,7 +66,7 @@ object StreamNearDedup extends Logging {
       template: => DataFrame, exclude: Set[String] = Set.empty): DataFrame = {
     val gens = committedGens(spark, indexDir, "gen-").filterNot(exclude)
     if (gens.isEmpty) template
-    else spark.read.parquet(gens.map(g => s"$indexDir/$g"): _*)
+    else Generations.readNames(spark, indexDir, gens, "gen-")
   }
 
   /** Every committed cleaned batch, unioned — the continuously-growing

@@ -66,9 +66,7 @@ class NearDupIndexLayoutSpec extends SparkTestBase {
     // same answer, and the bucketed band table still exists in the catalog
     val again = rows(Dedup.incrementalNearArrivalsSteady(spark, dir))
     assert(again == want)
-    val suffix = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    val prefix = s"neardup_steady_$suffix"
+    val prefix = Dedup.steadyIndexPrefix(dir)
     assert(spark.catalog.tableExists(s"${prefix}_bands") &&
       spark.catalog.tableExists(s"${prefix}_sh"))
   }

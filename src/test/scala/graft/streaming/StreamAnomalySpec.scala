@@ -71,8 +71,14 @@ class StreamAnomalySpec extends SparkTestBase {
     assert(after == before)
     val gens = java.nio.file.Files.list(java.nio.file.Paths.get(stateDir))
       .map(_.getFileName.toString).toArray.map(_.toString).toSet
-    // gens 0 and 1 folded; newest (gen-2) kept aside for replay safety
-    assert(gens == Set("gen-compact-1", "gen-2"), s"got $gens")
+    // gens 0 and 1 folded (manifest-excluded from every reader) but kept
+    // on disk until the NEXT run's leftover sweep — deleting them in the
+    // same run would race a concurrent board recompute that listed the
+    // generations moments before the fold's rename; newest (gen-2) is
+    // kept aside for replay safety
+    assert(gens == Set("gen-compact-1", "gen-0", "gen-1", "gen-2"), s"got $gens")
+    assert(StreamAnomaly.liveGens(spark, stateDir).toSet ==
+      Set("gen-compact-1", "gen-2"))
 
     // fold-of-fold: a later compaction folds the prior fold + settled
     // gens, and counts still sum exactly once
@@ -85,13 +91,11 @@ class StreamAnomalySpec extends SparkTestBase {
       ("view", ts("2024-01-01 00:00:00"), 8L),
       ("view", ts("2024-01-02 00:00:00"), 3L)))
 
-    // CRASH WINDOW: re-create a source the previous fold's manifest lists
-    // (as if the post-write delete never ran). EVERY reader must exclude
-    // it — the per-batch board recompute (mergedCounts) immediately, and
-    // compaction must finish the delete rather than double-fold it.
-    Seq(("view", ts("2024-01-01 00:00:00"), 2L), ("view", ts("2024-01-02 00:00:00"), 1L))
-      .toDF("event_type", "day", "n")
-      .write.parquet(s"$stateDir/gen-2") // was folded into gen-compact-2
+    // CRASH/DEFERRED WINDOW: gen-2 (and gen-compact-1) are still on disk,
+    // listed in gen-compact-2's manifest — exactly the state a crashed
+    // post-fold delete leaves. EVERY reader must exclude them — the
+    // per-batch board recompute (mergedCounts) immediately, and the next
+    // compaction must sweep rather than double-fold them.
     Seq(("view", ts("2024-01-04 00:00:00"), 5L)).toDF("event_type", "day", "n")
       .write.parquet(s"$stateDir/gen-4")
     val duringCrashWindow = StreamAnomaly.mergedCounts(spark, stateDir)
