@@ -39,8 +39,8 @@ object PrepJob {
     val exact = docs
       .withColumn("_md5", md5(col("text").cast("binary")))
       .groupBy("_md5")
-      .agg(min_by(struct(cols.map(col): _*), col("doc_id")).as("r"))
-      .select(cols.map(c => col(s"r.$c")): _*)
+      .agg(min_by(struct(cols.toIndexedSeq.map(col): _*), col("doc_id")).as("r"))
+      .select(cols.toIndexedSeq.map(c => col(s"r.$c")): _*)
 
     Dedup.dropNearDuplicates(exact, "doc_id", "text")
   }

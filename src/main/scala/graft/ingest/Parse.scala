@@ -74,7 +74,7 @@ object Parse {
     val unparsable = col("data").isNull ||
       col("json_str").isNull || trim(col("json_str")) === ""
     parsed.select(
-      schema.fieldNames.map(f => col(s"data.`$f`")) :+
+      schema.fieldNames.toIndexedSeq.map(f => col(s"data.`$f`")) :+
         coalesce(col(s"data.`$corrupt`"),
           when(unparsable, coalesce(col("json_str"), lit("")))).as(corrupt): _*)
   }
@@ -83,5 +83,5 @@ object Parse {
     * map — rows to one JSON text `value` per record, the wire format the
     * producer publishes. */
   def toJsonValue(df: DataFrame): DataFrame =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 }

@@ -45,7 +45,7 @@ object BloomJoin {
     val agg = new BloomFilterAggregate(
       hashed(col(dimKey)), Literal(expectedItems), Literal(numBits), 0, 0)
       .toAggregateExpression()
-    dim.select(Bridge.column(agg).as("bf")).head.getAs[Array[Byte]]("bf")
+    dim.select(Bridge.column(agg).as("bf")).head().getAs[Array[Byte]]("bf")
   }
 
   /** `fact ⋈ dim` on `factKey = dimKey`, with the fact side pre-pruned by

@@ -695,7 +695,7 @@ object Dedup extends Logging {
     // (a sum of 64-bit hashes overflows); edges are distinct so the xor is
     // a proper set signature
     def sig(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head
+      val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
     // canonical big→small directed edges (the small-star invariant)

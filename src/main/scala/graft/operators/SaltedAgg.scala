@@ -58,7 +58,7 @@ object SaltedAgg {
       dimKey: String, salts: Int = 16): DataFrame = {
     require(salts > 0)
     val saltedFacts = facts.withColumn(
-      "_salt", pmod(xxhash64(facts.columns.map(col): _*), lit(salts.toLong)).cast("int"))
+      "_salt", pmod(xxhash64(facts.columns.toIndexedSeq.map(col): _*), lit(salts.toLong)).cast("int"))
     val saltedDim = dim.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
     saltedFacts
       .join(saltedDim, saltedFacts(factKey) === saltedDim(dimKey)
