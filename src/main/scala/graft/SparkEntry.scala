@@ -183,6 +183,8 @@ object SparkEntry {
     "txt_entropy"       -> (TextAnalysis.entropyScores _),
     "txt_len_bins"      -> (TextAnalysis.docLengthBins _),
     "txt_keywords"      -> ((s, d) => TextAnalysis.docKeywords(s, d)),
+    "txt_corpus_stats"  -> (TextAnalysis.corpusStats _),
+    "q_transitions"     -> (Analytics.eventTransitionMatrix _),
     "q_funnel"          -> (Analytics.signupFunnel _),
     "q_retention"       -> (Analytics.eventRetention _),
     "q_anomaly"         -> ((s, d) => Analytics.eventAnomalies(s, d)),
@@ -246,7 +248,7 @@ object SparkEntry {
     "sim_topk_ivfpq", "cdc_scd2", "txt_entropy", "txt_len_bins",
     "q_dense_days", "sim_int8_quant", "sim_topk_ivfpq_trained",
     "sim_kmeans_assign", "q_sliding_distinct", "sim_topk_ivfpq_steady",
-    "txt_keywords",
+    "txt_keywords", "txt_corpus_stats", "q_transitions",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -737,6 +739,28 @@ object SparkEntry {
         |  round(scale, 9) AS scale
         |FROM (SELECT vec_id, embedding, scale,
         |      unnest(range(1, len(embedding) + 1)) AS j FROM s)""".stripMargin,
+    // Corpus stats: Spark's exact percentile ≡ DuckDB quantile_cont (both
+    // the (n-1)·p linear interpolation), rounded 6 dp.
+    "txt_corpus_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS total_tokens,
+        |  round(avg(n), 6) AS mean_tokens,
+        |  round(quantile_cont(n, 0.5), 6) AS p50_tokens,
+        |  round(quantile_cont(n, 0.95), 6) AS p95_tokens
+        |FROM (SELECT lang, source,
+        |  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> len(x) > 0)) AS n
+        |  FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
+    // Transition matrix: lead over the same (µs, event_id) per-user order.
+    "q_transitions" ->
+      """SELECT from_type, to_type, count(*) AS n FROM (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) // 1000, event_id) AS to_type
+        |  FROM events
+        |) WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     // Per-doc TF-IDF keyword top-k: same rounded idf as txt_tfidf, ties
     // on term ascending — the rank window is the oracle-side spelling of
     // the engine's TopKPerKey bounded heaps.

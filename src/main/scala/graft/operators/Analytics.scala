@@ -290,6 +290,28 @@ object Analytics {
     counts.reduce(_ unionByName _)
   }
 
+  /** Event-type transition matrix (first-order Markov counts): how often
+    * each event type is immediately followed by each other, per user
+    * timeline — the behavioral-analytics staple behind flow diagrams and
+    * next-event models. Total order (ts, event_id) per user makes the
+    * pairing deterministic under timestamp ties.
+    * Scale shape: ONE hash exchange on user_id + partition-local sort
+    * feeds the lag pairing (each user's timeline is modest by contract);
+    * the (from, to) count is a two-phase aggregate — |types|² rows out. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  def eventTransitionMatrix(spark: SparkSession, dir: String): DataFrame =
+    eventTransitions(Tables.load(spark, dir, "events"))
+
   /** EXACT sliding-window distinct users — distinct-over-a-trailing-range
     * is NOT sum-of-dailies (users repeat across days), and a RANGE-frame
     * `count_distinct` window does not exist; the scalable exact spelling

@@ -201,6 +201,28 @@ object TextAnalysis {
     bpeApply(docs, "doc_id", "text", merges)
   }
 
+  /** Per-(lang, source) corpus token statistics — the summary table a
+    * corpus dashboard shows and a mixing policy (txt_mix) consumes:
+    * document count, total/mean tokens, and exact p50/p95 via Spark's
+    * exact `percentile` (the same (n−1)·p linear interpolation DuckDB's
+    * `quantile_cont` defines, so the entry stays hash-checkable).
+    * Scale shape: token counting is scan-side; one row per (lang,
+    * source) group crosses the shuffle. The exact percentile holds each
+    * group's values — fine at realistic group counts; at extreme
+    * per-group cardinality swap in `percentile_approx` (the documented
+    * trade, like E72 vs exact distinct). */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+        size(tokens(col("text"))).as("n_tokens"))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("n_tokens")), 6).as("mean_tokens"),
+        round(percentile(col("n_tokens"), lit(0.5)), 6).as("p50_tokens"),
+        round(percentile(col("n_tokens"), lit(0.95)), 6).as("p95_tokens"))
+
   /** ECDF decile binning — curriculum bucketing by document length
     * without a global sort: bin(d) = floor(10 · |{docs strictly
     * shorter}| / N), computed from the LENGTH HISTOGRAM (distinct length

@@ -254,6 +254,25 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("eventTransitions: per-user pairing, tie-break by event_id, no cross-user pairs") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: a → b → c (same-ts tie: event 2 before event 3 by id)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 0.0),
+      (3L, ts("2024-01-01 10:01:00"), 1L, "c", 0.0),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "b", 0.0),
+      // user 2: c alone — contributes NO pair (and no pair c→a across users)
+      (4L, ts("2024-01-01 09:00:00"), 2L, "c", 0.0),
+      // user 3: a → b again
+      (5L, ts("2024-01-01 08:00:00"), 3L, "a", 0.0),
+      (6L, ts("2024-01-01 08:30:00"), 3L, "b", 0.0),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Analytics.eventTransitions(events)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", 2L), ("b", "c", 1L)))
+  }
+
   test("slidingDistinctUsers: union-not-sum over the trailing window, clipped at the last day") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)

@@ -136,6 +136,24 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("corpusStats: exact interpolated percentiles and totals per group") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cs_").toString
+    // one (lang, source) group with token counts 1..5, one singleton group
+    (Seq.tabulate(5)(i => (i.toLong, ("tok " * (i + 1)).trim, "en", "a", 0L))
+      :+ (9L, "x y z", "de", "b", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.corpusStats(spark, tmp)
+      .as[(String, String, Long, Long, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val en = got(("en", "a"))
+    assert(en._3 == 5L && en._4 == 15L && en._5 == 3.0)
+    assert(en._6 == 3.0, "p50 of 1..5")
+    assert(en._7 == 4.8, "p95 = (n-1)*p interpolation: 4 + 0.8*(5-4)")
+    val de = got(("de", "b"))
+    assert(de._3 == 1L && de._4 == 3L && de._6 == 3.0 && de._7 == 3.0)
+  }
+
   test("docKeywords: tf·idf ranking with hand-computed scores and k-cut") {
     // write docs to parquet so the (spark, dir) entry path is exercised
     val tmp = java.nio.file.Files.createTempDirectory("graft_kw_").toString
