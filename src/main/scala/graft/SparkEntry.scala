@@ -179,6 +179,7 @@ object SparkEntry {
     "txt_source_filter" -> (TextAnalysis.sourceFiltered _),
     "txt_bpe"           -> (TextAnalysis.bpeMergeTable _),
     "txt_bpe_apply"     -> (TextAnalysis.bpeTokenized _),
+    "txt_bpe_apply_steady" -> (TextAnalysis.bpeTokenizedSteady _),
     "txt_bigram_lm"     -> (TextAnalysis.bigramScores _),
     "txt_entropy"       -> (TextAnalysis.entropyScores _),
     "txt_len_bins"      -> (TextAnalysis.docLengthBins _),
@@ -249,6 +250,7 @@ object SparkEntry {
     "q_dense_days", "sim_int8_quant", "sim_topk_ivfpq_trained",
     "sim_kmeans_assign", "q_sliding_distinct", "sim_topk_ivfpq_steady",
     "txt_keywords", "txt_corpus_stats", "q_transitions",
+    "txt_bpe_apply_steady",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -659,6 +661,7 @@ object SparkEntry {
     "dedup_incr_near_steady" -> oracleBase("dedup_incr_near"),
     "sim_topk_pq_steady" -> oracleBase("sim_topk_pq_trained"),
     "sim_topk_ivfpq_steady" -> oracleBase("sim_topk_ivfpq_trained"),
+    "txt_bpe_apply_steady" -> oracleBase("txt_bpe_apply"),
     "sim_rp_reduce" -> rpOracleSql())
 
   private def oracleBase: Map[String, String] = Map(
