@@ -76,6 +76,7 @@ object SparkEntry {
     "sim_topk_ivfpq_trained" -> ((s, d) => Similarity.topKPqIvfTrained(s, d)),
     "sim_topk_ivfpq_steady" -> ((s, d) => Similarity.topKPqIvfSteady(s, d)),
     "sim_kmeans_assign" -> (Similarity.kmeansAssignments _),
+    "sim_cluster_sample" -> ((s, d) => Similarity.clusterSample(s, d)),
     "q_sliding_distinct" -> (Analytics.eventSlidingDistinct _),
     "txt_lang_dist"     -> (TextAnalysis.langDist _),
     "txt_quality"       -> (TextAnalysis.qualityStats _),
@@ -250,7 +251,7 @@ object SparkEntry {
     "q_dense_days", "sim_int8_quant", "sim_topk_ivfpq_trained",
     "sim_kmeans_assign", "q_sliding_distinct", "sim_topk_ivfpq_steady",
     "txt_keywords", "txt_corpus_stats", "q_transitions",
-    "txt_bpe_apply_steady",
+    "txt_bpe_apply_steady", "sim_cluster_sample",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -480,6 +481,28 @@ object SparkEntry {
        |  FROM embeddings e CROSS JOIN c$iters c
        |) WHERE rn = 1""".stripMargin
 
+  /** sim_cluster_sample oracle: trained assignment (same CTE block as
+    * sim_kmeans_assign) + a per-cell rank over the identical md5 order. */
+  private def clusterSampleOracleSql(iters: Int = 3, k: Int = 5): String =
+    s"""WITH ${kmeansCteBlock(29, iters)},
+       |asg AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT e.vec_id, c.cell_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
+       |          / sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+       |               * list_inner_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))) DESC,
+       |      c.cell_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c$iters c
+       |  ) WHERE rn = 1
+       |)
+       |SELECT cell_id, vec_id FROM (
+       |  SELECT cell_id, vec_id,
+       |    row_number() OVER (PARTITION BY cell_id
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |  FROM asg
+       |) WHERE rn <= $k""".stripMargin
+
   /** The composed trained oracle: k-means coarse cells ([[kmeansCteBlock]])
     * × Lloyd's PQ codebook ([[trainedCbCtes]]) feeding the same
     * prune+ADC body — the cross-engine check of the END-TO-END trained
@@ -671,6 +694,7 @@ object SparkEntry {
     "sim_topk_ivfpq" -> ivfPqOracleSql(),
     "sim_topk_ivfpq_trained" -> ivfPqTrainedOracleSql(),
     "sim_kmeans_assign" -> kmeansAssignOracleSql(),
+    "sim_cluster_sample" -> clusterSampleOracleSql(),
     // Sliding distinct: the same fan-out spelled with generate_series —
     // distinct (user, day) first, each contributing to its ≤7 window days.
     "q_sliding_distinct" ->

@@ -475,6 +475,21 @@ object Similarity {
     ivfAssign(emb, kmeansCentroids(emb)).select("vec_id", "cell_id")
   }
 
+  /** Cluster-balanced sampling: at most `k` vectors per trained k-means
+    * cell, picked by a DETERMINISTIC pseudo-random order (md5 of the id —
+    * reproducible across runs, engines, and partitionings, the same
+    * device as the hash samplers) — the diversity cap a training mix
+    * applies so no dense cluster dominates the sample. The per-cell cut
+    * runs through TopKPerKey's bounded partial heaps BEFORE the exchange;
+    * at most k rows per cell cross. */
+  def clusterSample(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val asg = kmeansAssignments(spark, dir)
+      .withColumn("h", md5(col("vec_id").cast("string")))
+    graft.plans.TopKPerKey(asg, Seq("cell_id"),
+      Seq(col("h").asc, col("vec_id").asc), k)
+      .select("cell_id", "vec_id")
+  }
+
   /** The END-TO-END trained production ANN stack: k-means coarse cells
     * ([[kmeansCentroids]]) × per-subspace-Lloyd's PQ codebook
     * ([[pqCodebookTrained]]) through the same inverted-list prune +

@@ -127,6 +127,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(again == topk.toSet)
   }
 
+  test("clusterSample: ≤ k per cell, a subset of the assignment, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val sample = Similarity.clusterSample(spark, dir, k = 3)
+      .as[(Long, Long)].collect().toSeq
+    val perCell = sample.groupBy(_._1)
+    assert(perCell.values.forall(_.size <= 3))
+    val assign = Similarity.kmeansAssignments(spark, dir)
+      .as[(Long, Long)].collect().map { case (v, c) => (c, v) }.toSet
+    assert(sample.toSet.subsetOf(assign), "sampled rows must keep their true cell")
+    // cells with ≥ 3 members are sampled to exactly 3 (cap binds)
+    val sizes = assign.groupBy(_._1).view.mapValues(_.size).toMap
+    perCell.foreach { case (cell, rows) =>
+      assert(rows.size == math.min(3, sizes(cell)))
+    }
+    assert(Similarity.clusterSample(spark, dir, k = 3)
+      .as[(Long, Long)].collect().toSet == sample.toSet, "md5 order ⇒ reproducible")
+  }
+
   test("topKPqIvfSteady (saved quantizers) equals topKPqIvfTrained (per-run retrain)") {
     val dir = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) =
