@@ -75,8 +75,11 @@ object SparkEntry {
     "sim_topk_ivfpq"    -> ((s, d) => Similarity.topKPqIvf(s, d)),
     "sim_topk_ivfpq_trained" -> ((s, d) => Similarity.topKPqIvfTrained(s, d)),
     "sim_topk_ivfpq_steady" -> ((s, d) => Similarity.topKPqIvfSteady(s, d)),
+    "sim_topk_ivfpq_landed" -> ((s, d) => Similarity.topKPqIvfLanded(s, d)),
     "sim_kmeans_assign" -> (Similarity.kmeansAssignments _),
+    "sim_kmeans_assign_steady" -> (Similarity.kmeansAssignmentsSteady _),
     "sim_cluster_sample" -> ((s, d) => Similarity.clusterSample(s, d)),
+    "sim_cluster_sample_steady" -> ((s, d) => Similarity.clusterSampleSteady(s, d)),
     "q_sliding_distinct" -> (Analytics.eventSlidingDistinct _),
     "txt_lang_dist"     -> (TextAnalysis.langDist _),
     "txt_quality"       -> (TextAnalysis.qualityStats _),
@@ -252,6 +255,10 @@ object SparkEntry {
     "sim_kmeans_assign", "q_sliding_distinct", "sim_topk_ivfpq_steady",
     "txt_keywords", "txt_corpus_stats", "q_transitions",
     "txt_bpe_apply_steady", "sim_cluster_sample",
+    // round-9 additions: the landed-quantizer serve path and the
+    // steady (landed-centroid) k-means labeling/sampling siblings
+    "sim_topk_ivfpq_landed", "sim_kmeans_assign_steady",
+    "sim_cluster_sample_steady",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -684,6 +691,9 @@ object SparkEntry {
     "dedup_incr_near_steady" -> oracleBase("dedup_incr_near"),
     "sim_topk_pq_steady" -> oracleBase("sim_topk_pq_trained"),
     "sim_topk_ivfpq_steady" -> oracleBase("sim_topk_ivfpq_trained"),
+    "sim_topk_ivfpq_landed" -> oracleBase("sim_topk_ivfpq_trained"),
+    "sim_kmeans_assign_steady" -> oracleBase("sim_kmeans_assign"),
+    "sim_cluster_sample_steady" -> oracleBase("sim_cluster_sample"),
     "txt_bpe_apply_steady" -> oracleBase("txt_bpe_apply"),
     "sim_rp_reduce" -> rpOracleSql())
 

@@ -475,6 +475,18 @@ object Similarity {
     ivfAssign(emb, kmeansCentroids(emb)).select("vec_id", "cell_id")
   }
 
+  /** STEADY-STATE form of [[kmeansAssignments]] — assignment under the
+    * LANDED trained centroids ([[landQuantizers]]), no Lloyd's in the
+    * plan: the timed cost is the one bounded corpus×constant broadcast
+    * cross + `max_by` argmax a production labeling job actually pays
+    * (training is a separate, amortized land). Same centroids (the
+    * trainers are deterministic), same answer, same oracle as the
+    * retrain entry. */
+  def kmeansAssignmentsSteady(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    ivfAssign(emb, loadLandedQuantizers(spark, dir)._1).select("vec_id", "cell_id")
+  }
+
   /** Cluster-balanced sampling: at most `k` vectors per trained k-means
     * cell, picked by a DETERMINISTIC pseudo-random order (md5 of the id —
     * reproducible across runs, engines, and partitionings, the same
@@ -482,13 +494,19 @@ object Similarity {
     * applies so no dense cluster dominates the sample. The per-cell cut
     * runs through TopKPerKey's bounded partial heaps BEFORE the exchange;
     * at most k rows per cell cross. */
-  def clusterSample(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val asg = kmeansAssignments(spark, dir)
-      .withColumn("h", md5(col("vec_id").cast("string")))
-    graft.plans.TopKPerKey(asg, Seq("cell_id"),
-      Seq(col("h").asc, col("vec_id").asc), k)
+  def clusterSample(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    clusterSampleFrom(kmeansAssignments(spark, dir), k)
+
+  /** STEADY-STATE [[clusterSample]]: the same per-cell capped draw over
+    * [[kmeansAssignmentsSteady]]'s landed-centroid labeling. */
+  def clusterSampleSteady(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    clusterSampleFrom(kmeansAssignmentsSteady(spark, dir), k)
+
+  private def clusterSampleFrom(asg: DataFrame, k: Int): DataFrame =
+    graft.plans.TopKPerKey(
+      asg.withColumn("h", md5(col("vec_id").cast("string"))),
+      Seq("cell_id"), Seq(col("h").asc, col("vec_id").asc), k)
       .select("cell_id", "vec_id")
-  }
 
   /** The END-TO-END trained production ANN stack: k-means coarse cells
     * ([[kmeansCentroids]]) × per-subspace-Lloyd's PQ codebook
@@ -502,21 +520,94 @@ object Similarity {
       kmeansCentroids(emb), pqCodebookTrained(emb))
   }
 
+  /** Catalog table-name prefix for the LANDED trained quantizers of a
+    * corpus dir: MD5 of the dir (same collision rationale as
+    * [[graft.operators.Dedup.steadyIndexPrefix]] — a 31-bit
+    * `String.hashCode` clash between two corpus dirs would silently
+    * serve with the wrong quantizers). Public so the spec pins the
+    * naming scheme. */
+  def quantizerPrefix(dir: String): String = {
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    s"ivfpq_quant_$suffix"
+  }
+
+  /** Train and LAND both IVF-PQ quantizer artifacts as parquet catalog
+    * tables — the durable form of what [[topKPqIvfSteady]] previously
+    * kept only in a process-local memo: `<prefix>_centroids`
+    * (cell_id, c_emb — the k-means coarse cells) and `<prefix>_codebook`
+    * (sub, cell, cv — the per-subspace Lloyd's PQ book). Both are
+    * bounded-size (k rows / m·kc rows); landing is one tiny write each,
+    * and a restarted process RELOADS instead of retraining (hours at
+    * scale). The `landNearDupIndex` / BPE-merge-table pattern applied to
+    * ANN. */
+  def landQuantizers(spark: SparkSession, dir: String, path: String): Unit = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val prefix = quantizerPrefix(dir)
+    import spark.implicits._
+    kmeansCentroids(emb)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .option("path", s"$path/centroids").saveAsTable(s"${prefix}_centroids")
+    pqCodebookTrained(emb).toDF("sub", "cell", "cv")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .option("path", s"$path/codebook").saveAsTable(s"${prefix}_codebook")
+  }
+
+  /** Ensure the trained quantizers are landed for `dir` and return them:
+    * the centroid DataFrame straight off the landed table (it joins as a
+    * broadcast side — no collect needed) and the codebook collected to
+    * plan literals (m·kc rows — the bounded-collect class the trainers
+    * already use). BOTH tables must exist or both are re-landed: a land
+    * that failed between the two writes must not wedge every later serve
+    * on the missing codebook side. */
+  def loadLandedQuantizers(spark: SparkSession, dir: String): (DataFrame, Seq[(Int, Int, Array[Double])]) = {
+    val prefix = quantizerPrefix(dir)
+    if (!spark.catalog.tableExists(s"${prefix}_centroids") ||
+        !spark.catalog.tableExists(s"${prefix}_codebook")) {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_quant_").toString
+      landQuantizers(spark, dir, path)
+    }
+    val book = spark.table(s"${prefix}_codebook").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .toSeq.sortBy(t => (t._1, t._2))
+    (spark.table(s"${prefix}_centroids"), book)
+  }
+
+  /** IVF-PQ serve FROM THE LANDED QUANTIZERS — the restart-durable
+    * production path: no Lloyd's anywhere in the plan, the coarse
+    * centroids broadcast straight off their parquet table and the
+    * codebook literals come from the landed book. First call on a fresh
+    * catalog pays one training+land (Bench's unmeasured warm-up,
+    * Verify's only pass); every call after — including in a NEW process
+    * pointed at the same catalog — is serve-only. Same answer, same
+    * oracle as the retrain entry (training is deterministic). */
+  def topKPqIvfLanded(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val (centDf, book) = loadLandedQuantizers(spark, dir)
+    topKPqIvfWith(emb, defaultQueries(emb), k, nprobe = 4, m = 8, subDim = 8,
+      centDf, book)
+  }
+
   /** STEADY-STATE form of [[topKPqIvfTrained]]: both trained quantizers —
-    * the k-means centroid table (k rows) and the PQ codebook — are
-    * memoized per corpus dir (exactly the artifacts a deployment persists
-    * next to the index), so the timed passes measure the serve path only:
-    * assignment + encode + prune + ADC. First call (Bench's warm-up,
-    * Verify's only pass) pays both trainings. Same answer, same oracle
-    * as the retrain entry. */
+    * the k-means centroid table (k rows) and the PQ codebook — come from
+    * the LANDED artifact tables ([[landQuantizers]]), memoized per corpus
+    * dir so repeat calls within a process skip even the tiny table reads.
+    * A restarted process re-READS the landed tables (milliseconds)
+    * instead of retraining (the round-8 TrieMap-only gap); the timed
+    * passes measure the serve path only: assignment + encode + prune +
+    * ADC. Same answer, same oracle as the retrain entry. Memo
+    * invalidation contract: artifacts are keyed by corpus dir and assumed
+    * immutable-per-dir (the testdata layout); a corpus rewritten in place
+    * needs its `<prefix>_*` tables dropped to retrain. */
   private val trainedIvfPq = collection.concurrent.TrieMap[String,
     (Seq[(Long, Array[Float])], Seq[(Int, Int, Array[Double])])]()
   def topKPqIvfSteady(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
     val (cents, book) = trainedIvfPq.getOrElseUpdate(dir, {
       import spark.implicits._
-      (kmeansCentroids(emb).as[(Long, Array[Float])].collect().toSeq,
-        pqCodebookTrained(emb))
+      val (centDf, b) = loadLandedQuantizers(spark, dir)
+      (centDf.as[(Long, Array[Float])].collect().toSeq, b)
     })
     import spark.implicits._
     val centDf = cents.toDF("cell_id", "c_emb")

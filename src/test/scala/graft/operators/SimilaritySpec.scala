@@ -154,6 +154,46 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows(Similarity.topKPqIvfSteady(spark, dir)) == want) // memoized call
   }
 
+  test("landed quantizers: landed ≡ memoized ≡ trained, artifacts durable in the catalog") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    val want = rows(Similarity.topKPqIvfTrained(spark, dir))
+    // landed serve path — first call lands on a fresh catalog, later
+    // calls (and a restarted process on the same catalog) read the tables
+    assert(rows(Similarity.topKPqIvfLanded(spark, dir)) == want)
+    assert(rows(Similarity.topKPqIvfSteady(spark, dir)) == want)
+    // both artifact tables exist as durable catalog parquet tables
+    val prefix = Similarity.quantizerPrefix(dir)
+    assert(spark.catalog.tableExists(s"${prefix}_centroids"))
+    assert(spark.catalog.tableExists(s"${prefix}_codebook"))
+    // the landed book round-trips bit-exactly vs a fresh training
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    val landedBook = Similarity.loadLandedQuantizers(spark, dir)._2
+    val freshBook = Similarity.pqCodebookTrained(emb)
+    assert(landedBook.map(t => (t._1, t._2, t._3.toSeq)) ==
+      freshBook.map(t => (t._1, t._2, t._3.toSeq)))
+    // landed centroids ≡ a fresh kmeansCentroids run
+    val landedCents = Similarity.loadLandedQuantizers(spark, dir)._1
+      .as[(Long, Array[Float])].collect().map(t => (t._1, t._2.toSeq)).toSet
+    val freshCents = Similarity.kmeansCentroids(emb)
+      .as[(Long, Array[Float])].collect().map(t => (t._1, t._2.toSeq)).toSet
+    assert(landedCents == freshCents)
+  }
+
+  test("kmeansAssignmentsSteady / clusterSampleSteady equal their retrain siblings") {
+    val dir = "/root/testdata/sf0.001"
+    val wantAssign = Similarity.kmeansAssignments(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(Similarity.kmeansAssignmentsSteady(spark, dir)
+      .as[(Long, Long)].collect().toSet == wantAssign)
+    val wantSample = Similarity.clusterSample(spark, dir, k = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(Similarity.clusterSampleSteady(spark, dir, k = 3)
+      .as[(Long, Long)].collect().toSet == wantSample)
+  }
+
   test("topKPqIvfTrained: k per query, scores from the trained book's ADC range") {
     val dir = "/root/testdata/sf0.001"
     val rows = Similarity.topKPqIvfTrained(spark, dir)
