@@ -1,8 +1,9 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Continuously-maintained per-user training sequences — the streaming
   * face of [[graft.operators.Analytics.userEventSequences]] (the online
@@ -48,4 +49,33 @@ object StreamSequences {
             bounded.map(_.event_type).mkString("|")))
       }
   }
+
+  /** LAND the continuously-maintained histories as a queryable snapshot —
+    * the feature-store READ path the Update-mode row stream alone lacks:
+    * each micro-batch's changed histories upsert into the
+    * [[StreamUpsert]] generation-dir snapshot (gen-<batchId> + atomic
+    * `_latest` marker), so readers always see one committed "latest
+    * history per user" table, across restarts.
+    *
+    * The composition is exact because a History row is a FULL replacement
+    * of its user's row (the fold in [[userHistories]] already carries all
+    * state), and `n_events` is strictly increasing per user — the natural
+    * CDC sequence column: a replayed batch's rows can never regress a row
+    * that a later batch already landed. Scale shape per batch: the
+    * changed-user set (micro-batch-sized) broadcast-anti-joins the
+    * snapshot; the snapshot itself never shuffles. */
+  def startLanded(events: Dataset[Event], maxLen: Int, snapshotDir: String,
+      checkpoint: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val hist = userHistories(events, maxLen).toDF()
+      .withColumn("__seq", col("n_events"))
+      .withColumn("__op", lit("U"))
+    StreamUpsert.start(hist, snapshotDir, checkpoint,
+      keyCols = Seq("user_id"), seqCols = Seq("__seq"), opCol = "__op",
+      trigger, outputMode = "update")
+  }
+
+  /** The landed "latest history per user" table (current committed
+    * generation). */
+  def latestHistories(spark: SparkSession, snapshotDir: String): DataFrame =
+    StreamUpsert.currentSnapshot(spark, snapshotDir)
 }

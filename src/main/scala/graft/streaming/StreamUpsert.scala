@@ -103,10 +103,16 @@ object StreamUpsert extends Logging {
   /** Start folding `changes` (a streaming DataFrame carrying the key,
     * sequence, op, and payload columns) into `snapshotDir`. The base
     * schema is the change schema minus `seqCols` and `opCol`. */
+  /** `outputMode` is the QUERY's declared mode ("append" for plain change
+    * feeds; "update" when `changes` contains a stateful operator like
+    * flatMapGroupsWithState that mandates it — the foreachBatch fold
+    * itself is mode-agnostic: it keys on what each batch CONTAINS). */
   def start(changes: DataFrame, snapshotDir: String, checkpoint: String,
       keyCols: Seq[String], seqCols: Seq[String], opCol: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      outputMode: String = "append"): StreamingQuery = {
     changes.writeStream
+      .outputMode(outputMode)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>

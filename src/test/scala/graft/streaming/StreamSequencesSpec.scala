@@ -57,4 +57,50 @@ class StreamSequencesSpec extends SparkTestBase {
       assert(want.contains((1L, 5L, 3L, "a|b|c")))
     } finally q.stop()
   }
+
+  test("landed latest-history table equals the batch operator across restarts") {
+    val all = Seq(
+      StreamSequences.Event(1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      StreamSequences.Event(1L, ts("2024-01-01 10:00:01"), 2L, "b"),
+      StreamSequences.Event(1L, ts("2024-01-01 10:00:02"), 3L, "c"),
+      StreamSequences.Event(1L, ts("2024-01-01 10:00:03"), 4L, "d"),
+      StreamSequences.Event(1L, ts("2024-01-01 10:00:04"), 5L, "e"),
+      StreamSequences.Event(2L, ts("2024-01-01 11:00:00"), 6L, "x"),
+      StreamSequences.Event(2L, ts("2024-01-01 11:00:01"), 7L, "y"),
+      StreamSequences.Event(3L, ts("2024-01-01 12:00:00"), 8L, "z"),
+    )
+    val dir = java.nio.file.Files.createTempDirectory("seq-snap").toFile.getAbsolutePath
+    val ckpt = java.nio.file.Files.createTempDirectory("seq-ckpt").toFile.getAbsolutePath
+    val input = MemoryStream[StreamSequences.Event](
+      org.apache.spark.sql.Encoders.product[StreamSequences.Event], spark.sqlContext)
+    def runOnce(): Unit = {
+      val q = StreamSequences.startLanded(input.toDS(), maxLen = 3, dir, ckpt)
+      q.awaitTermination()
+    }
+    def landed(): Set[(Long, Long, Long, String)] =
+      StreamSequences.latestHistories(spark, dir)
+        .select("user_id", "n_events", "seq_len", "seq")
+        .as[(Long, Long, Long, String)].collect().toSet
+    def batchWant(events: Seq[StreamSequences.Event]): Set[(Long, Long, Long, String)] =
+      graft.operators.Analytics.userEventSequences(
+        events.toDF("user_id", "ts", "event_id", "event_type"), maxLen = 3)
+        .as[(Long, Long, Long, String)].collect().toSet
+
+    // out-of-order delivery, each batch in its own restarted query
+    input.addData(all(3), all(4), all(1), all(6))
+    runOnce()
+    // mid-stream: landed table is exactly the batch answer on what arrived
+    assert(landed() == batchWant(Seq(all(3), all(4), all(1), all(6))))
+
+    input.addData(all(0), all(2), all(5))
+    runOnce()
+    input.addData(all(7))
+    runOnce()
+    assert(landed() == batchWant(all), "landed table must equal the batch fold")
+    // one row per user, queryable directly
+    assert(StreamSequences.latestHistories(spark, dir).count() == 3)
+    // the landed __seq/__op plumbing columns must not leak into the table
+    assert(StreamSequences.latestHistories(spark, dir).columns.toSet ==
+      Set("user_id", "n_events", "seq_len", "seq"))
+  }
 }
