@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Shared listing for the batch-id-generation directory layout
@@ -37,4 +37,37 @@ private[streaming] object Generations {
   def read(spark: SparkSession, dir: String, prefix: String)
       : org.apache.spark.sql.DataFrame =
     readNames(spark, dir, committed(spark, dir, prefix), prefix)
+
+  /** Name of the published-view marker file under a generation dir. */
+  val Marker = "_latest"
+
+  /** Atomically (re-)point `dir/_latest` at generation `name`: temp file +
+    * overwrite-capable rename, so the marker transitions old→new in one
+    * operation and never disappears — readers (and restart recovery)
+    * never observe "no committed generation" mid-swap. Shared by
+    * [[StreamUpsert]]'s snapshots and [[StreamAnomaly]]'s board. */
+  def pointMarker(spark: SparkSession, dir: String, name: String): Unit = {
+    val tmp = new Path(dir, s"$Marker.tmp")
+    val m = new Path(dir, Marker)
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(tmp, true)
+    try out.write(name.getBytes("UTF-8")) finally out.close()
+    val fc = FileContext.getFileContext(m.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(m), Options.Rename.OVERWRITE)
+  }
+
+  /** The marker's current generation name, if the marker exists and is
+    * non-empty. */
+  def readMarker(spark: SparkSession, dir: String): Option[String] = {
+    val m = new Path(dir, Marker)
+    val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(m)) None
+    else {
+      val in = f.open(m)
+      try {
+        val s = scala.io.Source.fromInputStream(in).mkString.trim
+        if (s.isEmpty) None else Some(s)
+      } finally in.close()
+    }
+  }
 }

@@ -74,9 +74,30 @@ object StreamAnomaly {
       .groupBy("event_type", "day")
       .agg(sum(col("n")).as("n"))
 
+  /** The published board: the generation the `_latest` marker names (or,
+    * marker lost, the newest committed `board-*` — the [[StreamUpsert]]
+    * recovery rule). Readers racing a micro-batch always see one fully
+    * committed board: publication is write-to-own-generation + atomic
+    * marker repoint, never a delete-then-write of a shared path. */
+  def currentBoard(spark: SparkSession, outDir: String): DataFrame = {
+    val gen = Generations.readMarker(spark, outDir).orElse {
+      Generations.committed(spark, outDir, "board-")
+        .flatMap(g => g.stripPrefix("board-").toLongOption.map((_, g)))
+        .maxByOption(_._1).map(_._2)
+    }.getOrElse(throw new IllegalStateException(s"no committed board under $outDir"))
+    spark.read.parquet(s"$outDir/$gen")
+  }
+
+  /** `compactEvery` (0 = off) runs [[compactState]] every
+    * `compactEvery`-th batch id INSIDE the serial foreachBatch loop,
+    * after the board publish — the point where no merged-counts read is
+    * in flight, so the hook also discharges compactState's
+    * single-maintenance-job contract (see its scaladoc): hook-driven
+    * compactions are strictly serialized with every per-batch reader. */
   def start(events: DataFrame, stateDir: String, outDir: String,
       checkpoint: String, days: Int = 7,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0): StreamingQuery = {
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -86,8 +107,24 @@ object StreamAnomaly {
           .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
           .agg(count(lit(1)).as("n"))
           .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/gen-$id")
+        // publish the recomputed board as this batch's own generation and
+        // atomically repoint the marker (replay rewrites byte-identically
+        // and re-points to the same name — idempotent); keep the previous
+        // board one generation longer for readers holding the old marker
+        val board = s"board-$id"
         Analytics.anomaliesFromDailyCounts(mergedCounts(spark, stateDir), days)
-          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/current")
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$board")
+        Generations.pointMarker(spark, outDir, board)
+        val keep = Generations.committed(spark, outDir, "board-")
+          .flatMap(g => g.stripPrefix("board-").toLongOption.map((_, g)))
+          .sortBy(-_._1).take(2).map(_._2).toSet
+        val f = fs(spark, outDir)
+        f.listStatus(new Path(outDir))
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("board-") &&
+            !keep(s.getPath.getName))
+          .foreach(s => f.delete(s.getPath, true))
+        if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+          compactState(spark, stateDir)
         ()
       }
       .start()
@@ -120,7 +157,16 @@ object StreamAnomaly {
     *    [[StreamNearDedup.compactIndex]] replay rule): if the stream
     *    crashed before its checkpoint commit, that batch replays and
     *    rewrites `gen-<id>`, which must still exist under its own name —
-    *    not also live on inside a fold. */
+    *    not also live on inside a fold.
+    *
+    * SINGLE-MAINTENANCE-JOB CONTRACT: the deferred-delete discipline
+    * above assumes compactions are serialized with merged-counts readers
+    * — two compactions in quick succession could sweep sources a
+    * concurrent reader already listed (transient FileNotFound on that
+    * read). The `compactEvery` hook in [[start]] discharges this by
+    * construction (hook runs inside the serial foreachBatch loop);
+    * manual invocations must run one at a time, while the stream is
+    * stopped or between triggers. */
   def compactState(spark: SparkSession, stateDir: String): Unit = {
     val f = fs(spark, stateDir)
     // sweep invisible tmp leftovers from crashed folds

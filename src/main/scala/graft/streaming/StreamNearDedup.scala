@@ -127,12 +127,26 @@ object StreamNearDedup extends Logging {
   }
 
   /** Start cleaning `docs` (a streaming DataFrame carrying `idCol` and
-    * `textCol`) into `outDir`, growing the signature index at `indexDir`. */
+    * `textCol`) into `outDir`, growing the signature index at `indexDir`.
+    *
+    * `compactEvery` (0 = off) wires [[compactIndex]] into the batch loop
+    * itself: every `compactEvery`-th batch id compacts AFTER the batch's
+    * own generation write — the one point in the query's serial
+    * foreachBatch lifecycle where no probe read is in flight (the next
+    * probe starts only with the next batch), which retires the
+    * "maintenance op between triggers" concurrency hazard. The hook keys
+    * on the deterministic batch id, so a replayed batch re-runs its
+    * compaction too — safe, because [[compactIndex]] is self-healing
+    * under interruption and duplicate-row inert. The folded set excludes
+    * the newest batch generation by name (the in-flight replay
+    * protection), which at hook time is exactly the generation the batch
+    * just wrote. */
   def start(docs: DataFrame, indexDir: String, outDir: String,
       checkpoint: String, idCol: String, textCol: String,
       n: Int = 3, k: Int = 128, bands: Int = 32, seed: Long = 42L,
       threshold: Double = 0.7,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0): StreamingQuery = {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -151,6 +165,8 @@ object StreamNearDedup extends Logging {
         Dedup.buildNearDupIndex(
           spark.read.parquet(s"$outDir/batch-$id"), idCol, textCol, n, k, seed)
           .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$own")
+        if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+          compactIndex(spark, indexDir)
         ()
       }
       .start()

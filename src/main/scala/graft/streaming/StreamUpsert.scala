@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -36,8 +36,6 @@ import graft.operators.Cdc
   */
 object StreamUpsert extends Logging {
 
-  private val Marker = "_latest"
-
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -50,47 +48,20 @@ object StreamUpsert extends Logging {
     * total snapshot loss). A half-written generation (no `_SUCCESS`) is
     * never recovered; re-folding an already-complete generation is safe
     * because `Cdc.applyChangelog` is idempotent per batch. */
-  def latestGen(spark: SparkSession, snapshotDir: String): Option[String] = {
-    val f = fs(spark, snapshotDir)
-    val m = new Path(snapshotDir, Marker)
-    if (!f.exists(m)) {
-      val root = new Path(snapshotDir)
-      val committed =
-        if (!f.exists(root)) Array.empty[(Long, String)]
-        else f.listStatus(root)
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-") &&
-            f.exists(new Path(s.getPath, "_SUCCESS")))
-          .flatMap(s => s.getPath.getName.stripPrefix("gen-").toLongOption
-            .map(id => (id, s.getPath.getName)))
-      if (committed.isEmpty) None
-      else {
-        val newest = committed.maxBy(_._1)._2
-        logWarning(s"$m is missing but committed generations exist under " +
-          s"$snapshotDir; recovering newest ($newest) instead of cold-starting")
-        Some(newest)
+  def latestGen(spark: SparkSession, snapshotDir: String): Option[String] =
+    Generations.readMarker(spark, snapshotDir).orElse {
+      val committed = Generations.committed(spark, snapshotDir, "gen-")
+        .flatMap(g => g.stripPrefix("gen-").toLongOption.map((_, g)))
+      committed.maxByOption(_._1).map { case (_, newest) =>
+        logWarning(s"$snapshotDir/${Generations.Marker} is missing but " +
+          s"committed generations exist; recovering newest ($newest) " +
+          "instead of cold-starting")
+        newest
       }
-    } else {
-      val in = f.open(m)
-      try {
-        val s = scala.io.Source.fromInputStream(in).mkString.trim
-        if (s.isEmpty) None else Some(s)
-      } finally in.close()
     }
-  }
 
-  private def pointTo(spark: SparkSession, snapshotDir: String, gen: String): Unit = {
-    val tmp = new Path(snapshotDir, s"$Marker.tmp")
-    val m = new Path(snapshotDir, Marker)
-    val f = fs(spark, snapshotDir)
-    val out = f.create(tmp, true)
-    try out.write(gen.getBytes("UTF-8")) finally out.close()
-    // overwrite-capable atomic rename: the marker transitions old→new in
-    // one operation and never disappears — no delete-then-rename window
-    // in which a crash would leave readers (and the restart path) with
-    // "no committed snapshot"
-    val fc = FileContext.getFileContext(m.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(fc.makeQualified(tmp), fc.makeQualified(m), Options.Rename.OVERWRITE)
-  }
+  private def pointTo(spark: SparkSession, snapshotDir: String, gen: String): Unit =
+    Generations.pointMarker(spark, snapshotDir, gen)
 
   /** The current committed snapshot (empty, schema-less read error if no
     * generation committed yet — use the overload with a template for

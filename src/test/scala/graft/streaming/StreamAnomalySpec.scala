@@ -43,7 +43,7 @@ class StreamAnomalySpec extends SparkTestBase {
       input.addData(rows.drop(4))
       q.processAllAvailable()
     } finally q.stop()
-    val got = spark.read.parquet(s"$tmp/out/current")
+    val got = StreamAnomaly.currentBoard(spark, s"$tmp/out")
       .as[(String, Timestamp, Long, Long, Option[Double])].collect().toSet
     val want = Analytics.dailyAnomalies(
       rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
@@ -53,6 +53,41 @@ class StreamAnomalySpec extends SparkTestBase {
       Set((ts("2024-01-01 00:00:00"), 2L), (ts("2024-01-02 00:00:00"), 2L),
         (ts("2024-01-03 00:00:00"), 4L)),
       "late day-1 events must fold into day 1, not a new row")
+    // atomic publish: the marker names a committed board generation; at
+    // most the current + previous board dirs remain
+    val boards = new java.io.File(s"$tmp/out").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(boards.forall(_.startsWith("board-")) && boards.size <= 2, s"got $boards")
+    assert(boards.contains(Generations.readMarker(spark, s"$tmp/out").get))
+  }
+
+  test("compactEvery hook: mid-stream compactions via the batch loop, board unchanged") {
+    val tmp = Files.createTempDirectory("graft_sa_h_").toString
+    val rows = (1 to 12).map(i =>
+      (i.toLong, ts(f"2024-01-${(i % 4) + 1}%02d 10:00:0${i % 10}"), 1L, "view", 0.0))
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)](
+      org.apache.spark.sql.Encoders
+        .product[(Long, Timestamp, Long, String, Double)], spark.sqlContext)
+    // compact every 2nd batch, driven BY THE HOOK while the stream runs
+    val q = StreamAnomaly.start(
+      input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      s"$tmp/state", s"$tmp/out", s"$tmp/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      compactEvery = 2)
+    try {
+      rows.grouped(3).foreach { g => input.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+    // ≥2 compaction cycles ran: a fold generation exists and live gens
+    // are far fewer than the 4 raw batches would leave
+    val live = StreamAnomaly.liveGens(spark, s"$tmp/state")
+    assert(live.exists(_.startsWith("gen-compact-")), s"no fold in $live")
+    // board equals the batch operator on everything delivered
+    val got = StreamAnomaly.currentBoard(spark, s"$tmp/out")
+      .as[(String, Timestamp, Long, Long, Option[Double])].collect().toSet
+    val want = Analytics.dailyAnomalies(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .as[(String, Timestamp, Long, Long, Option[Double])].collect().toSet
+    assert(got == want)
   }
 
   test("compactState folds all but the newest generation; merged counts unchanged") {

@@ -94,4 +94,43 @@ class StreamNearDedupSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(out == Set(10L))
   }
+
+  test("compactEvery hook: mid-stream compactions via the batch loop, survivors identical") {
+    // same arrivals through a hook-compacted stream and an uncompacted
+    // one; near-dup pairs deliberately SPAN compaction boundaries (batch
+    // 3 carries near-dups of batch-1 survivors, probed against the FOLDED
+    // index)
+    val batches = Seq(
+      Seq((1L, doc(1)), (2L, doc(2))),
+      Seq((3L, doc(3)), (4L, doc(1) + " pad")),   // cross-batch near-dup → drop
+      Seq((5L, doc(5)), (6L, doc(2) + " pad")),   // probes the compacted index
+      Seq((7L, doc(3) + " pad"), (8L, doc(8))),   // again after another fold
+    )
+    def run(compactEvery: Int): (Set[Long], Set[String]) = {
+      val tmp = Files.createTempDirectory(s"graft_snd_h${compactEvery}_").toString
+      val input = MemoryStream[(Long, String)](
+        org.apache.spark.sql.Encoders.product[(Long, String)], spark.sqlContext)
+      val q = StreamNearDedup.start(
+        input.toDF().toDF("doc_id", "text"), s"$tmp/index", s"$tmp/out", s"$tmp/ckpt",
+        "doc_id", "text",
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+        compactEvery = compactEvery)
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val survivors = StreamNearDedup.cleanedDocs(spark, s"$tmp/out")
+        .select("doc_id").as[Long].collect().toSet
+      val gens = new java.io.File(s"$tmp/index").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      (survivors, gens)
+    }
+    val (hooked, hookedGens) = run(compactEvery = 2)
+    val (plain, plainGens) = run(compactEvery = 0)
+    assert(hooked == plain, s"hooked $hooked != uncompacted $plain")
+    assert(hooked == Set(1L, 2L, 3L, 5L, 8L), s"got $hooked")
+    // the hook actually compacted (≥2 cycles at ids 1 and 3): folds exist
+    // and far fewer generation dirs remain than the uncompacted run's 4
+    assert(hookedGens.exists(_.startsWith("gen-compact-")), s"no fold in $hookedGens")
+    assert(hookedGens.size < plainGens.size, s"$hookedGens vs $plainGens")
+  }
 }
