@@ -432,15 +432,40 @@ object Similarity {
     * way, only the literals change. */
   def topKPqIvfWith(emb: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
       m: Int, subDim: Int, centroids: DataFrame,
-      b: Seq[(Int, Int, Array[Double])]): DataFrame = {
-    // index build (paid once in production, the landed inverted list):
-    // coarse assignment + scan-side PQ encode, joined on vec_id
+      b: Seq[(Int, Int, Array[Double])]): DataFrame =
+    searchIvfPqIndex(ivfPqIndexRows(emb, m, subDim, centroids, b),
+      queries, k, nprobe, m, subDim, centroids, b)
+
+  /** The inverted-list index rows a production IVF-PQ system LANDS: one
+    * (vec_id, cell_id, sub, code) row per vector per subspace — coarse
+    * assignment + scan-side PQ encode, joined on vec_id. This is the
+    * "index build paid once" half of [[topKPqIvfWith]], split out so the
+    * streaming maintainer ([[graft.streaming.StreamIvfPq]]) can append
+    * per-batch generations of exactly these rows. */
+  def ivfPqIndexRows(emb: DataFrame, m: Int, subDim: Int,
+      centroids: DataFrame, b: Seq[(Int, Int, Array[Double])]): DataFrame = {
     val cells = ivfAssign(emb, centroids).select("vec_id", "cell_id")
-    val codes = pqEncodeWithBook(emb, m, subDim, b)
+    pqEncodeWithBook(emb, m, subDim, b)
       .select(col("vec_id"), posexplode(
         array((0 until m).map(s => col(s"code_$s")): _*)))
       .toDF("vec_id", "sub", "code")
       .join(cells, "vec_id")
+  }
+
+  /** The serve half of [[topKPqIvfWith]]: prune + ADC-score a prebuilt
+    * inverted-list `index` ([[ivfPqIndexRows]] rows, in-memory or read
+    * back from a landed table). `dedupCandidates` guards callers whose
+    * index MAY transiently hold duplicate rows (a crashed compaction's
+    * fold + not-yet-deleted sources): ADC partial sums are NOT inert
+    * under duplication — unlike the near-dup probe's candidate set — so
+    * such readers collapse candidates to one row per (query, vec, sub)
+    * after the probe prune (the candidate set is already nprobe/|cells|
+    * of the corpus there; the fresh-build batch path skips the extra
+    * exchange). */
+  def searchIvfPqIndex(index: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int, m: Int, subDim: Int, centroids: DataFrame,
+      b: Seq[(Int, Int, Array[Double])],
+      dedupCandidates: Boolean = false): DataFrame = {
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("cs").desc, col("cell_id").asc)
     val probes = queries.crossJoin(broadcast(centroids))
@@ -451,8 +476,12 @@ object Similarity {
       .select("query_id", "cell_id")
     val lutRows = pqLutRows(queries, m, subDim, b)
       .withColumnRenamed("cell", "code")
-    val scored = codes.join(broadcast(probes), Seq("cell_id"))
+    val cand0 = index.join(broadcast(probes), Seq("cell_id"))
       .filter(col("vec_id") =!= col("query_id"))
+    val cand = if (dedupCandidates)
+      cand0.dropDuplicates("query_id", "vec_id", "sub", "code")
+    else cand0
+    val scored = cand
       .join(broadcast(lutRows), Seq("query_id", "sub", "code"))
       .groupBy("query_id", "vec_id")
       .agg(round(sum(col("w")), 6).as("score"))
