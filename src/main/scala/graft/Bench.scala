@@ -208,6 +208,32 @@ object Bench {
           errors += s"stream_near: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
           None
       }
+    // Full prep-pipeline wall time: clean → mix → chunk → pack →
+    // deterministic epoch shuffle → sharded land, as ONE job
+    // (PrepJob.runFull) — the "make training shards" artifact. Timed once
+    // (it is a landing job, not a repeatable noop query): the number is
+    // end-to-end wall including the parquet write.
+    def prepBench(): Option[String] =
+      try {
+        import spark.implicits._
+        val tmp = Files.createTempDirectory("graft_prep_full_").toString
+        val docsIn = spark.read.parquet(s"$sfDir/documents.parquet").count()
+        // bounded-by-contract eval stand-in (same sentinel as streamBench)
+        val evalSet =
+          Seq("graft eval suite sentinel eight gram window text").toDF("text")
+        val t0 = System.nanoTime()
+        val rowsOut = PrepJob.runFull(spark, sfDir, evalSet, s"$tmp/shards")
+        val wall = (System.nanoTime() - t0) / 1e9
+        val packs = spark.read.parquet(s"$tmp/shards")
+          .select("pack_id").distinct().count()
+        Some(s"""{"op":"prep_full","docs_in":$docsIn,"rows_out":$rowsOut,""" +
+          s""""packs":$packs,"wall_sec":${fnum(wall)},""" +
+          s""""docs_per_sec":${fnum(docsIn / wall)}}""")
+      } catch {
+        case e: Throwable =>
+          errors += s"prep_full: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          None
+      }
     // Selection by EXACT name (Set membership, not substring): "stream"
     // runs both streaming benches (back-compat umbrella), "stream_near"
     // runs only the near-dedup bench; no filter runs both.
@@ -218,6 +244,9 @@ object Bench {
     val streamNearJson: String =
       if (only.forall(sel => sel.contains("stream") || sel.contains("stream_near")))
         streamNearBench().getOrElse("null")
+      else "null"
+    val prepJson: String =
+      if (only.forall(_.contains("prep_full"))) prepBench().getOrElse("null")
       else "null"
 
     def qjson(rs: Seq[(String, Option[Double])]): String = rs
@@ -233,7 +262,7 @@ object Bench {
     // "probe" is the per-query contention sentinel (see scaladoc):
     // probe[q] >> probe_floor ⇒ q was timed in a contended window.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"ext":${qjson(extResults)},"stream":$streamJson,"stream_near":$streamNearJson,"probe":$probeJson,"probe_floor":${fnum(probeFloor)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"ext":${qjson(extResults)},"stream":$streamJson,"stream_near":$streamNearJson,"prep_full":$prepJson,"probe":$probeJson,"probe_floor":${fnum(probeFloor)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
     println(json)
     Files.writeString(Paths.get(outFile), json)
     // The driver's per-round artifact keeps only the LAST 2000 chars of
@@ -245,7 +274,7 @@ object Bench {
     // scalars. The full JSON (with probes and stream objects) stays in
     // `outFile` and the line above.
     val tailJson =
-      s"""{"metric":"tail","ext":${qjson(extResults)},"queries":${qjson(results)},"value":$total,"unit":"sec","probe_floor":${fnum(probeFloor)},"n_errors":${errors.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"tail","ext":${qjson(extResults)},"queries":${qjson(results)},"value":$total,"unit":"sec","prep_full":$prepJson,"probe_floor":${fnum(probeFloor)},"n_errors":${errors.size},"sf":${jstr(sfDir)}}"""
     println(tailJson)
     spark.stop()
   }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Packing, TextAnalysis}
+import graft.operators.{Dedup, Packing, Relational, TextAnalysis}
 import graft.sources.Tables
 
 /** The end-to-end training-data preparation pipeline — the composition the
@@ -104,6 +104,80 @@ object PrepJob {
       .select("doc_id")
     base.join(contaminated, Seq("doc_id"), "left_anti")
       .withColumn("text", TextAnalysis.redactPii(col("text")))
+  }
+
+  /** [[prepareClean]] followed by the α-temperature language rebalance —
+    * the document set every training artifact downstream is built from.
+    * Public so tests (and callers that want documents, not shards) can
+    * hold the exact intermediate [[trainingShards]] consumes. */
+  def cleanMixed(spark: SparkSession, dir: String, evalSet: DataFrame,
+      alpha: Double = 0.5, n: Int = 8): DataFrame = {
+    val base = pin(prepareClean(spark, dir, evalSet, n))
+    val kept = TextAnalysis.temperatureMix(base, "lang", "doc_id", alpha)
+      .select("doc_id")
+    base.join(kept, Seq("doc_id"), "left_semi")
+  }
+
+  /** THE end-to-end "make training shards" artifact — the composition the
+    * whole operator library exists for, as one job:
+    *
+    *   quality → exact dedup → near-dup removal → decontamination → PII
+    *   redaction ([[prepareClean]]) → α-temperature language mix →
+    *   token-window chunking → first-fit sequence packing → deterministic
+    *   epoch shuffle of the PACKS → round-robin shard assignment.
+    *
+    * Output: one row per packed chunk with its epoch-order coordinates —
+    * `(shard, pos, pack_id, pack_pos, doc_id, chunk_id, n_tokens,
+    * chunk_text)`. `pos` is the pack's exact global position in the
+    * epoch-`seed` order (a pure function of (seed, pack_id) — reruns and
+    * other engines reproduce it); `shard = pos mod outShards`, so shards
+    * are balanced to ±1 pack BY CONSTRUCTION, and a loader reading shard
+    * files in `pos` order interleaves the epoch sequence round-robin
+    * across `outShards` parallel readers.
+    *
+    * Scale shape: every stage is one of the independently oracle-checked
+    * operators; the only additions are the pack-id shuffle join that
+    * attaches `pos` (equi-join on an 8-byte key — AQE broadcasts it while
+    * the pack table is small, degrades to a shuffle join at 100 TB) and
+    * the round-robin projection. The chunk text rides through exactly two
+    * narrow joins (manifest + order), never through the packing sort or
+    * the shuffle-rank window. */
+  def trainingShards(spark: SparkSession, dir: String, evalSet: DataFrame,
+      alpha: Double = 0.5, chunk: Int = 32, stride: Int = 24,
+      budget: Int = 256, packShards: Int = 8,
+      epochSeed: String = "epoch0", outShards: Int = 8): DataFrame = {
+    require(outShards > 0, "outShards must be positive")
+    val mixed = cleanMixed(spark, dir, evalSet, alpha)
+    val chunks = pin(TextAnalysis.chunkDocsOf(mixed, chunk, stride))
+    val packed = Packing.firstFitPack(chunks, budget, packShards).toDF()
+    // manifest feeds BOTH the epoch-order build (pack_id distinct) and the
+    // final join — pin it so the packing mapPartitions runs once.
+    val manifest = pin(packed
+      .join(chunks.select("doc_id", "chunk_id", "chunk_text"),
+        Seq("doc_id", "chunk_id")))
+    val order = Relational.deterministicShuffle(
+      manifest.select("pack_id").distinct(), "pack_id", epochSeed)
+    manifest.join(order, Seq("pack_id"))
+      .select(
+        pmod(col("pos"), lit(outShards)).cast("int").as("shard"),
+        col("pos"), col("pack_id"), col("pack_pos"),
+        col("doc_id"), col("chunk_id"), col("n_tokens"), col("chunk_text"))
+  }
+
+  /** Land [[trainingShards]] partitioned by shard, each shard's rows
+    * sorted by (pos, pack_pos) so a sequential read of a shard file IS
+    * the epoch order. Returns the landed row count. */
+  def runFull(spark: SparkSession, dir: String, evalSet: DataFrame,
+      outPath: String, alpha: Double = 0.5,
+      chunk: Int = 32, stride: Int = 24, budget: Int = 256,
+      packShards: Int = 8, epochSeed: String = "epoch0",
+      outShards: Int = 8): Long = {
+    trainingShards(spark, dir, evalSet, alpha, chunk, stride, budget,
+        packShards, epochSeed, outShards)
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "pos", "pack_pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(outPath)
+    spark.read.parquet(outPath).count()
   }
 
   /** Run the pipeline and land it partitioned by language. Returns the

@@ -379,13 +379,23 @@ object Analytics {
     * ≤ true + ε·N w.p. ≥ 1−δ); the day's exact row count rides along so
     * consumers can state the absolute error bound per range. */
   def dailyUserCms(events: DataFrame, eps: Double = 0.001,
-      confidence: Double = 0.99, seed: Int = 42): DataFrame =
+      confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    // Typed-Literal construction (the BloomJoin/Bridge pattern), not SQL
+    // string interpolation: a Double that prints in scientific notation
+    // (1.0E-5) would render an unparseable `1.0E-5d` literal in the expr
+    // string; Literal arguments carry the exact value regardless of its
+    // toString form.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CountMinSketchAgg
+    import org.apache.spark.sql.graftbridge.Bridge
+    val cms = Bridge.column(new CountMinSketchAgg(
+      Bridge.expression(col("user_id")),
+      Literal(eps), Literal(confidence), Literal(seed))
+      .toAggregateExpression())
     events
       .groupBy(date_trunc("day", col("ts")).as("day"))
-      .agg(
-        expr(s"count_min_sketch(user_id, ${eps}d, ${confidence}d, $seed)")
-          .as("users_cms"),
-        count(lit(1)).as("n_events"))
+      .agg(cms.as("users_cms"), count(lit(1)).as("n_events"))
+  }
 
   /** Frequency estimates for `keys` over a day range, answered from the
     * landed sketch table alone: deserialize and merge the ≤ |range days|

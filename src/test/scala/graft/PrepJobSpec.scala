@@ -114,4 +114,77 @@ class PrepJobSpec extends SparkTestBase {
     val all = docs.select("doc_id").as[Long].collect().toSet
     assert((all -- inPairs).forall(cleaned), "docs in no pair must all survive")
   }
+
+  private val benchEval =
+    Seq("graft eval suite sentinel eight gram window text").toDF("text")
+
+  private def shardRows(seed: String, outShards: Int) = PrepJob
+    .trainingShards(spark, dir, benchEval, epochSeed = seed, outShards = outShards)
+    .select("shard", "pos", "pack_id", "pack_pos",
+      "doc_id", "chunk_id", "n_tokens", "chunk_text")
+    .as[(Int, Long, Long, Int, Long, Int, Int, String)].collect()
+
+  test("trainingShards: chunk/token conservation, budget, epoch-pos permutation, balanced shards") {
+    val outShards = 4
+    val rows = shardRows("epoch0", outShards)
+    assert(rows.nonEmpty)
+    // conservation: exactly the chunks of the clean+mixed document set,
+    // each exactly once, text and token counts intact
+    val want = graft.operators.TextAnalysis
+      .chunkDocsOf(PrepJob.cleanMixed(spark, dir, benchEval))
+      .select("doc_id", "chunk_id", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Int, Int, String)].collect()
+    assert(rows.length == want.length, "every chunk exactly once")
+    assert(rows.map(r => (r._5, r._6, r._7, r._8)).toSet == want.toSet)
+    assert(rows.map(_._7.toLong).sum == want.map(_._3.toLong).sum,
+      "token conservation")
+    // packing invariants survive the composition
+    rows.groupBy(_._3).foreach { case (pid, rs) =>
+      assert(rs.map(_._7).sum <= 256 || rs.length == 1, s"pack $pid over budget")
+      assert(rs.map(_._4).sorted.toSeq == (0 until rs.length), s"pack $pid positions")
+      assert(rs.map(_._2).distinct.length == 1, s"pack $pid has one epoch pos")
+      assert(rs.map(_._1).distinct.length == 1, s"pack $pid has one shard")
+    }
+    // pos is an exact permutation of [0, nPacks); shard = pos mod outShards
+    val packs = rows.map(r => (r._3, r._2, r._1)).distinct
+    assert(packs.map(_._2).sorted.toSeq == (0L until packs.length.toLong),
+      "epoch positions must be a 0-based permutation over packs")
+    assert(packs.forall(p => p._3 == p._2 % outShards), "shard = pos mod outShards")
+    val perShard = packs.groupBy(_._3).view.mapValues(_.length)
+    assert(perShard.values.max - perShard.values.min <= 1,
+      "round-robin shards balanced to ±1 pack")
+  }
+
+  test("trainingShards: same seed reproduces exactly, new seed permutes the epoch order") {
+    val rows = shardRows("epoch0", 4)
+    assert(shardRows("epoch0", 4).toSet == rows.toSet, "epoch order must be deterministic")
+    val other = shardRows("epoch1", 4)
+    // identical content, different pack → pos assignment
+    assert(other.map(r => (r._5, r._6, r._8)).toSet ==
+      rows.map(r => (r._5, r._6, r._8)).toSet)
+    assert(other.map(r => (r._3, r._2)).toSet != rows.map(r => (r._3, r._2)).toSet,
+      "a new epoch seed must reshuffle the pack order")
+  }
+
+  test("runFull: landed shards equal the DataFrame form, files ordered by (pos, pack_pos)") {
+    val outPath = java.nio.file.Files.createTempDirectory("prep_full_").toString
+    val outShards = 4
+    val n = PrepJob.runFull(spark, dir, benchEval, outPath, outShards = outShards)
+    val landed = spark.read.parquet(outPath)
+    assert(landed.count() == n)
+    val got = landed
+      .select(col("shard").cast("int"), col("pos"), col("pack_id"), col("pack_pos"),
+        col("doc_id"), col("chunk_id"), col("n_tokens"), col("chunk_text"))
+      .as[(Int, Long, Long, Int, Long, Int, Int, String)].collect()
+    assert(got.toSet == shardRows("epoch0", outShards).toSet)
+    // per-shard physical order: at this size each shard is one file/one
+    // read partition, so collect order is file order — must be the epoch
+    // sequence a loader replays sequentially
+    (0 until outShards).foreach { s =>
+      val inFile = landed.filter(col("shard") === s)
+        .select("pos", "pack_pos").as[(Long, Int)].collect()
+      assert(inFile.sameElements(inFile.sortBy(r => (r._1, r._2))),
+        s"shard $s not landed in (pos, pack_pos) order")
+    }
+  }
 }

@@ -349,6 +349,14 @@ class AnalyticsSpec extends SparkTestBase {
     } finally { sketches.unpersist(); () }
   }
 
+  test("dailyUserCms accepts eps whose toString is scientific notation") {
+    // 1.0E-5 used to interpolate into the SQL string as the unparseable
+    // literal `1.0E-5d`; the typed-Literal build must take it as-is.
+    val events = graft.sources.Tables.load(spark, dir, "events").limit(100)
+    val n = Analytics.dailyUserCms(events, eps = 1.0e-5).count()
+    assert(n > 0)
+  }
+
   test("daily HLL sketches merge to the range's distinct count (sketch of union ≡ union of sketches)") {
     import org.apache.spark.sql.functions._
     val events = graft.sources.Tables.load(spark, dir, "events")
