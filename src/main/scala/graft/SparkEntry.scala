@@ -146,6 +146,7 @@ object SparkEntry {
           col("chunk_text"), col("n_chunk_tokens").cast("long").as("n_chunk_tokens"))
     }),
     "txt_tfidf"         -> (TextAnalysis.termStats _),
+    "txt_bm25"          -> (TextAnalysis.searchDocs _),
     "q_bloom_join"      -> (BloomJoin.negBalanceActivity _),
     "txt_neg_pairs"     -> (Contrastive.docNegativePairs _),
     "txt_mix"           -> (TextAnalysis.mixCorpus _),
@@ -258,7 +259,7 @@ object SparkEntry {
     // round-9 additions: the landed-quantizer serve path and the
     // steady (landed-centroid) k-means labeling/sampling siblings
     "sim_topk_ivfpq_landed", "sim_kmeans_assign_steady",
-    "sim_cluster_sample_steady",
+    "sim_cluster_sample_steady", "txt_bm25",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -698,6 +699,39 @@ object SparkEntry {
     "sim_rp_reduce" -> rpOracleSql())
 
   private def oracleBase: Map[String, String] = Map(
+    // BM25: same tokenization CTE as txt_tfidf; the scoring expression is
+    // written in the IDENTICAL association order as the Spark column
+    // ((idf · tf · (k1+1)) / denom, 0.25 + b·dl/avgdl) so both engines
+    // run the same double-op sequence; 6-dp round on the per-doc sum is
+    // the txt_bigram_lm summation-order discipline.
+    "txt_bm25" ->
+      s"""WITH lens AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS dl
+        |  FROM documents
+        |), stats AS (
+        |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
+        |    FROM documents)
+        |  WHERE term IN (${TextAnalysis.searchQuery.map("'" + _ + "'").mkString(", ")})
+        |  GROUP BY doc_id, term
+        |), dfs AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |)
+        |SELECT doc_id, round(sum(
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0)
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |  ), 6) AS score
+        |FROM tf
+        |JOIN dfs USING (term)
+        |JOIN lens USING (doc_id)
+        |CROSS JOIN stats
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id
+        |LIMIT 25""".stripMargin,
     "sim_topk_ann" -> annOracleSql,
     "sim_topk_pq" -> pqOracleSql(),
     "sim_topk_pq_trained" -> pqTrainedOracleSql(),

@@ -329,6 +329,68 @@ object TextAnalysis {
   def bigramScores(spark: SparkSession, dir: String): DataFrame =
     bigramLogLik(Tables.load(spark, dir, "documents"), "doc_id", "text")
 
+  /** Okapi BM25 ranked retrieval — the standard lexical search scoring
+    * (Robertson/Lucene idf form) the TF-IDF family stops short of: for a
+    * literal query term set, score every matching document
+    *
+    *   Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    *   idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)
+    *
+    * and return the top `k` by score (ties on id ascending —
+    * deterministic cross-engine; the 6-dp round is the [[bigramLogLik]]
+    * summation-order discipline).
+    *
+    * Scale shape: the candidate branch prunes DOC-LEVEL scan-side
+    * (`arrays_overlap` against the literal query array) BEFORE the
+    * explode, so only matching documents ever explode, and the term
+    * filter keeps at most |Q| rows per matching doc; (doc, term) tf is a
+    * two-phase count; df and the (N, avgdl) stats are query-sized /
+    * 1-row broadcasts; the k-cut is a per-task-heap
+    * `TakeOrderedAndProject`. The corpus-wide stats branch is a second
+    * column-pruned scan (a production deployment lands dl at ingest and
+    * reads the stats from table metadata). */
+  def bm25Rank(docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty && k > 0)
+    val withLen = docs
+      .select(col(idCol), tokens(col(textCol)).as("w"))
+      .select(col(idCol), col("w"), size(col("w")).as("dl"))
+    val stats = withLen
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = withLen
+      .filter(arrays_overlap(col("w"), typedlit(query)))
+      .select(col(idCol), col("dl"), explode(col("w")).as("term"))
+      .filter(col("term").isin(query: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val denom = col("tf") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))
+    tf.join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      // (k1 + 1) as a folded Column, not a Scala-side sum: both engines
+      // must run the same IEEE add on double(k1), or the constant can
+      // differ from the oracle's `(1.2 + 1.0)` by one ulp
+      .select(col(idCol),
+        (idf * col("tf") * (lit(k1) + lit(1.0)) / denom).as("s"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("s")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The CORRECTNESS query set for [[searchDocs]] — public so the spec
+    * and the oracle SQL state the same literal. */
+  val searchQuery: Seq[String] = Seq("vector", "merge", "stream")
+
+  /** CORRECTNESS instantiation: BM25 top-25 for [[searchQuery]]. */
+  def searchDocs(spark: SparkSession, dir: String): DataFrame =
+    bm25Rank(Tables.load(spark, dir, "documents"), "doc_id", "text",
+      searchQuery, k = 25)
+
   /** Source-level (domain-level) quality filtering — the coarse sibling of
     * the per-document [[qualityFilter]], after the public web-corpus
     * practice of dropping entire domains whose aggregate quality is poor

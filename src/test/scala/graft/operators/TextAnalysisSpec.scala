@@ -356,4 +356,39 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(rows(0)._2 == rows(1)._2 && rows(0)._3 == rows(1)._3, "copies must agree")
     assert(rows(0)._2 != rows(2)._2, "edit must change the whole-doc fingerprint")
   }
+
+  test("bm25Rank: hand-computed scores, non-matching docs excluded, k-cut and tie order") {
+    val docs = Seq(
+      (1L, "spark fast spark join"),      // spark×2, join×1
+      (2L, "join join join slow table"),  // join×3
+      (3L, "table scan only"),            // no query term → excluded
+      (4L, "spark join"),                 // spark×1, join×1
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Rank(docs, "doc_id", "text",
+        Seq("spark", "join"), k = 10)
+      .as[(Long, Double)].collect()
+    assert(got.map(_._1).toSet == Set(1L, 2L, 4L), "doc 3 matches no term")
+    // hand BM25: N=4, avgdl=(4+5+3+2)/4=3.5; df(spark)=2, df(join)=3
+    val (k1, b) = (1.2, 0.75)
+    def idf(df: Int) = math.log((4 - df + 0.5) / (df + 0.5) + 1.0)
+    def s(tf: Int, dl: Int, df: Int) =
+      idf(df) * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / 3.5))
+    val want = Map(
+      1L -> BigDecimal(s(2, 4, 2) + s(1, 4, 3))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      2L -> BigDecimal(s(3, 5, 3))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      4L -> BigDecimal(s(1, 2, 2) + s(1, 2, 3))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    got.foreach { case (id, sc) =>
+      assert(math.abs(sc - want(id)) < 1e-9, s"doc $id: $sc vs ${want(id)}")
+    }
+    // rows arrive ordered by (score desc, doc_id asc)
+    assert(got.map(_._2).sameElements(got.map(_._2).sortBy(-_)))
+    // k-cut keeps the best k with deterministic boundary
+    val top1 = TextAnalysis.bm25Rank(docs, "doc_id", "text",
+        Seq("spark", "join"), k = 1)
+      .as[(Long, Double)].collect()
+    assert(top1.length == 1 && top1.head._1 == got.head._1)
+  }
 }
