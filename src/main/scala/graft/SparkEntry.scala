@@ -58,6 +58,7 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("c_name"), col("c_acctbal"), col("value"))
     }),
     "dedup_embed_cos"   -> ((s, d) => Dedup.embedCosinePairs(Dedup.plantedNearVectors(s, d))),
+    "dedup_semantic"    -> (Dedup.semanticDedupPlanted _),
     "sim_topk_cosine"   -> ((s, d) => Similarity.topKCosine(s, d)),
     "sim_kmeans"        -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, posexplode, round}
@@ -259,7 +260,7 @@ object SparkEntry {
     // round-9 additions: the landed-quantizer serve path and the
     // steady (landed-centroid) k-means labeling/sampling siblings
     "sim_topk_ivfpq_landed", "sim_kmeans_assign_steady",
-    "sim_cluster_sample_steady", "txt_bm25",
+    "sim_cluster_sample_steady", "txt_bm25", "dedup_semantic",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -339,9 +340,10 @@ object SparkEntry {
   /** The k-means training recurrence as a reusable CTE block ending in
     * `c<iters>` (trained centroids) / `m<iters>` (per-lane means) — shared
     * by the sim_kmeans oracle and the trained IVF-PQ composition. */
-  private def kmeansCteBlock(initEvery: Int = 29, iters: Int = 3): String = {
+  private def kmeansCteBlock(initEvery: Int = 29, iters: Int = 3,
+      from: String = "embeddings"): String = {
     val init = s"c0 AS (SELECT vec_id AS cell_id, embedding AS c_emb " +
-      s"FROM embeddings WHERE vec_id % $initEvery = 0)"
+      s"FROM $from WHERE vec_id % $initEvery = 0)"
     val its = (1 to iters).map { i =>
       s"""a$i AS (
          |  SELECT vec_id, embedding, cell_id FROM (
@@ -351,7 +353,7 @@ object SparkEntry {
          |          / sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
          |               * list_inner_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))) DESC,
          |        c.cell_id ASC) AS rn
-         |    FROM embeddings e, c${i - 1} c
+         |    FROM $from e, c${i - 1} c
          |  ) WHERE rn = 1
          |), m$i AS (
          |  SELECT cell_id, u.lane AS lane, round(avg(u.v), 6) AS m FROM (
@@ -488,6 +490,41 @@ object SparkEntry {
        |      c.cell_id ASC) AS rn
        |  FROM embeddings e CROSS JOIN c$iters c
        |) WHERE rn = 1""".stripMargin
+
+  /** dedup_semantic oracle: the planted near-dup corpus (same `base` CTE
+    * as dedup_embed_cos), k-means trained ON that corpus (same CTE block
+    * as sim_kmeans_assign, `from = base`), within-cell pairwise cosine ≥
+    * τ, keep-smallest anti-join — the full SemDedup recurrence replayed
+    * in SQL. */
+  private def semanticDedupOracleSql(iters: Int = 3, tau: Double = 0.999): String =
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 500000,
+       |         list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT))
+       |  FROM embeddings WHERE vec_id % 20 = 0
+       |), ${kmeansCteBlock(29, iters, from = "base")},
+       |asg AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT e.vec_id, c.cell_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
+       |          / sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+       |               * list_inner_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))) DESC,
+       |        c.cell_id ASC) AS rn
+       |    FROM base e CROSS JOIN c$iters c
+       |  ) WHERE rn = 1
+       |), drops AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM asg a
+       |  JOIN asg b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+       |  JOIN base ea ON ea.vec_id = a.vec_id
+       |  JOIN base eb ON eb.vec_id = b.vec_id
+       |  WHERE list_inner_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+       |      / sqrt(list_inner_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[]))
+       |           * list_inner_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))) >= $tau
+       |)
+       |SELECT vec_id FROM base WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin
 
   /** sim_cluster_sample oracle: trained assignment (same CTE block as
     * sim_kmeans_assign) + a per-cell rank over the identical md5 order. */
@@ -739,6 +776,7 @@ object SparkEntry {
     "sim_topk_ivfpq_trained" -> ivfPqTrainedOracleSql(),
     "sim_kmeans_assign" -> kmeansAssignOracleSql(),
     "sim_cluster_sample" -> clusterSampleOracleSql(),
+    "dedup_semantic" -> semanticDedupOracleSql(),
     // Sliding distinct: the same fan-out spelled with generate_series —
     // distinct (user, day) first, each contributing to its ≤7 window days.
     "q_sliding_distinct" ->

@@ -602,6 +602,54 @@ object Dedup extends Logging {
           transform(col("embedding"), x => (x * lit(1.01d)).cast("float")).as("embedding")))
   }
 
+  /** SemDedup-style cluster-scoped semantic dedup (the public
+    * train-a-quantizer-then-dedup-within-cells method): train k-means on
+    * the corpus ([[Similarity.kmeansCentroids]] — deterministic Lloyd's),
+    * assign every vector to its cell, verify cosine ≥ `tau` ONLY within
+    * cells, and keep the smallest id of every similar pair.
+    *
+    * This is the third point in the embedding-dedup design space: exact
+    * all-pairs is quadratic, [[embedCosinePairs]]' sign-LSH bounds
+    * candidates by hash-bucket occupancy, and SemDedup bounds them by
+    * TRAINED cell occupancy — cells track the data's actual density, so
+    * the quadratic term is |cell|², with the published recall trade that
+    * a cross-cell near-pair is never examined.
+    *
+    * Scale shape: training is the documented bounded-shuffle Lloyd's; the
+    * assignment is one bounded corpus×constant broadcast cross; the
+    * within-cell self-join is an equi-join on cell_id (a hot cell is an
+    * AQE skew-split candidate, and |cell| is capped in practice by
+    * training k proportional to corpus size); the drop set applies as one
+    * anti-join. The corpus assignment is persisted across its two
+    * self-join sides, not recomputed. */
+  def semanticDedup(emb: DataFrame, tau: Double = 0.999): DataFrame = {
+    val asg = Similarity.ivfAssign(emb, Similarity.kmeansCentroids(emb))
+      .select(col("vec_id"), col("cell_id"))
+    val withCell = emb.select(col("vec_id"), col("embedding"))
+      .join(asg, "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val drops = withCell
+      .select(col("cell_id"), col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+      .join(withCell.select(col("cell_id"), col("vec_id").as("vec_b"),
+        col("embedding").as("e_b")), Seq("cell_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("score", GraftFunctions.cosineSim(col("e_a"), col("e_b")))
+      // !isnan: Spark orders NaN above every double, so a zero-norm junk
+      // vector pair would otherwise pass the threshold (same guard and
+      // rationale as [[embedCosinePairs]])
+      .filter(!isnan(col("score")) && col("score") >= tau)
+      .select(col("vec_b").as("vec_id")).distinct()
+    materializeAndRelease(
+      emb.join(drops, Seq("vec_id"), "left_anti").select("vec_id"), withCell)
+  }
+
+  /** CORRECTNESS instantiation: SemDedup survivors of the planted
+    * near-duplicate corpus ([[plantedNearVectors]] — scaled copies share
+    * their original's cell because positive scaling preserves cosine, so
+    * every planted copy must drop). */
+  def semanticDedupPlanted(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(plantedNearVectors(spark, dir))
+
   /** Near-duplicate REMOVAL (the policy layer over [[minhashLshPairs]]):
     * keep the lower doc_id of every verified pair, drop the other side —
     * the standard greedy cluster-canonicalization (a chain a~b~c keeps a;

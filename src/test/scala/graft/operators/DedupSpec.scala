@@ -167,6 +167,26 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == expected, s"got $pairs want $expected")
   }
 
+  test("semanticDedup drops scaled twins, keeps everything else, and is deterministic") {
+    val rng = new scala.util.Random(11)
+    val base = (0 until 60).map(i => (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat)))
+    val twins = base.filter(_._1 % 10 == 0)
+      .map { case (id, v) => (id + 1000L, v.map(x => (x * 1.01).toFloat)) }
+    val emb = (base ++ twins).toDF("vec_id", "embedding")
+    val survivors = Dedup.semanticDedup(emb)
+      .as[Long].collect().toSet
+    // a twin shares its original's cell (positive scaling preserves every
+    // cosine, including to the centroids), so keep-smallest drops it
+    twins.foreach { case (id, _) =>
+      assert(!survivors.contains(id), s"planted twin $id must drop")
+    }
+    // nothing without a near-duplicate may drop
+    assert(survivors == base.map(_._1).toSet,
+      "exactly the originals must survive")
+    val again = Dedup.semanticDedup(emb).as[Long].collect().toSet
+    assert(again == survivors, "trained dedup must be deterministic")
+  }
+
   test("duplicateSpans flags shared windows at the right positions, nothing else") {
     // doc 2 = doc 1 with one token appended: windows 0..(T-w) coincide;
     // doc 3 is unrelated; doc 4 is a short doc (< w tokens) duplicated
