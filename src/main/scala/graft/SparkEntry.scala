@@ -148,6 +148,7 @@ object SparkEntry {
     }),
     "txt_tfidf"         -> (TextAnalysis.termStats _),
     "txt_bm25"          -> (TextAnalysis.searchDocs _),
+    "txt_bm25_steady"   -> (TextAnalysis.searchDocsSteady _),
     "q_bloom_join"      -> (BloomJoin.negBalanceActivity _),
     "txt_neg_pairs"     -> (Contrastive.docNegativePairs _),
     "txt_mix"           -> (TextAnalysis.mixCorpus _),
@@ -261,6 +262,7 @@ object SparkEntry {
     // steady (landed-centroid) k-means labeling/sampling siblings
     "sim_topk_ivfpq_landed", "sim_kmeans_assign_steady",
     "sim_cluster_sample_steady", "txt_bm25", "dedup_semantic",
+    "txt_bm25_steady",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -733,6 +735,7 @@ object SparkEntry {
     "sim_kmeans_assign_steady" -> oracleBase("sim_kmeans_assign"),
     "sim_cluster_sample_steady" -> oracleBase("sim_cluster_sample"),
     "txt_bpe_apply_steady" -> oracleBase("txt_bpe_apply"),
+    "txt_bm25_steady" -> oracleBase("txt_bm25"),
     "sim_rp_reduce" -> rpOracleSql())
 
   private def oracleBase: Map[String, String] = Map(

@@ -365,6 +365,64 @@ object TextAnalysis {
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    bm25ScoreTail(tf, dfs, stats, k, k1, b, idCol)
+  }
+
+  /** The CORRECTNESS query set for [[searchDocs]] — public so the spec
+    * and the oracle SQL state the same literal. */
+  val searchQuery: Seq[String] = Seq("vector", "merge", "stream")
+
+  /** CORRECTNESS instantiation: BM25 top-25 for [[searchQuery]]. */
+  def searchDocs(spark: SparkSession, dir: String): DataFrame =
+    bm25Rank(Tables.load(spark, dir, "documents"), "doc_id", "text",
+      searchQuery, k = 25)
+
+  /** Land the BM25 inverted index: a postings table (term, doc_id, dl,
+    * tf) BUCKETED BY TERM — the search-engine layout — plus a 1-row
+    * (n_docs, avgdl) stats table. dl is denormalized into the postings
+    * (8 bytes/row) so serving never joins a document table. Bucketing by
+    * term is the serve-cost bound: Spark prunes buckets on `term IN (…)`,
+    * so a query reads ~|Q|/buckets of the index regardless of corpus
+    * size. */
+  def landSearchIndex(docs: DataFrame, idCol: String, textCol: String,
+      prefix: String, path: String, buckets: Int = 32): Unit = {
+    val withLen = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
+    graft.sources.Layout.writeBucketed(
+      withLen
+        .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+        .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf")),
+      s"${prefix}_postings", Seq("term"), Seq("term", "doc_id"),
+      buckets, s"$path/postings")
+    withLen.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .option("path", s"$path/stats").saveAsTable(s"${prefix}_stats")
+  }
+
+  /** [[bm25Rank]] served from a LANDED index ([[landSearchIndex]]): the
+    * bucket-pruned postings scan reads only the query terms' buckets, df
+    * derives from the pruned rows themselves (df = postings count per
+    * term), and stats ride the landed 1-row broadcast — the per-query
+    * cost is postings-of-Q, independent of corpus size, with no
+    * tokenize/explode in the serve plan. Identical scoring expression →
+    * identical answer to the direct form. */
+  def bm25RankIndexed(spark: SparkSession, prefix: String,
+      query: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty && k > 0)
+    val tf = spark.table(s"${prefix}_postings")
+      .filter(col("term").isin(query: _*))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = spark.table(s"${prefix}_stats")
+    bm25ScoreTail(tf, dfs, stats, k, k1, b)
+  }
+
+  /** The shared BM25 scoring tail over tf(doc_id, dl, term, tf) rows —
+    * the association order both [[bm25Rank]] and [[bm25RankIndexed]]
+    * (and the oracle SQL) must run identically. */
+  private def bm25ScoreTail(tf: DataFrame, dfs: DataFrame, stats: DataFrame,
+      k: Int, k1: Double, b: Double, idCol: String = "doc_id"): DataFrame = {
     val idf = log(
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val denom = col("tf") +
@@ -382,14 +440,32 @@ object TextAnalysis {
       .limit(k)
   }
 
-  /** The CORRECTNESS query set for [[searchDocs]] — public so the spec
-    * and the oracle SQL state the same literal. */
-  val searchQuery: Seq[String] = Seq("vector", "merge", "stream")
+  /** Catalog table-name prefix for a corpus dir's landed search index
+    * (MD5 of the dir — the [[graft.operators.Dedup.steadyIndexPrefix]]
+    * collision rationale). */
+  def searchIndexPrefix(dir: String): String = {
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    s"search_steady_$suffix"
+  }
 
-  /** CORRECTNESS instantiation: BM25 top-25 for [[searchQuery]]. */
-  def searchDocs(spark: SparkSession, dir: String): DataFrame =
-    bm25Rank(Tables.load(spark, dir, "documents"), "doc_id", "text",
-      searchQuery, k = 25)
+  /** STEADY-STATE [[searchDocs]]: land the inverted index once per
+    * (catalog, corpus dir), then serve every query from the bucket-pruned
+    * landed tables — same answer, same oracle; the timed cost is the
+    * production serve plan. */
+  def searchDocsSteady(spark: SparkSession, dir: String): DataFrame = {
+    val prefix = searchIndexPrefix(dir)
+    // BOTH tables must exist: a land that failed between the two writes
+    // must re-land (Overwrite), not wedge every later serve
+    if (!spark.catalog.tableExists(s"${prefix}_postings") ||
+        !spark.catalog.tableExists(s"${prefix}_stats")) {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_search_steady_").toString
+      landSearchIndex(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", prefix, path)
+    }
+    bm25RankIndexed(spark, prefix, searchQuery, k = 25)
+  }
 
   /** Source-level (domain-level) quality filtering — the coarse sibling of
     * the per-document [[qualityFilter]], after the public web-corpus

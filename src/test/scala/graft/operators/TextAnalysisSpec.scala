@@ -391,4 +391,33 @@ class TextAnalysisSpec extends SparkTestBase {
       .as[(Long, Double)].collect()
     assert(top1.length == 1 && top1.head._1 == got.head._1)
   }
+
+  test("bm25RankIndexed: landed-index serve equals direct, postings scan is bucket-pruned") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val path = java.nio.file.Files.createTempDirectory("bm25_idx_").toString
+    TextAnalysis.landSearchIndex(docs, "doc_id", "text", "bm25spec", path)
+    val q = TextAnalysis.searchQuery
+    val direct = TextAnalysis.bm25Rank(docs, "doc_id", "text", q, k = 25)
+      .as[(Long, Double)].collect()
+    val served = TextAnalysis.bm25RankIndexed(spark, "bm25spec", q, k = 25)
+      .as[(Long, Double)].collect()
+    assert(served.sameElements(direct), "landed serve must equal the direct form")
+    // the serve plan reads only the query terms' buckets of the postings
+    val scan = TextAnalysis.bm25RankIndexed(spark, "bm25spec", q, k = 25)
+      .queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(scan)
+    assert(sel.isDefined, s"postings scan must be bucket-pruned:\n$scan")
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+      "IN (query terms) must prune buckets")
+    // steady entry: lands once (idempotent on existing tables), same answer
+    val steady = TextAnalysis.searchDocsSteady(spark, dir)
+      .as[(Long, Double)].collect()
+    val steady2 = TextAnalysis.searchDocsSteady(spark, dir)
+      .as[(Long, Double)].collect()
+    assert(steady.sameElements(TextAnalysis.searchDocs(spark, dir)
+      .as[(Long, Double)].collect()))
+    assert(steady2.sameElements(steady))
+  }
 }
