@@ -421,8 +421,9 @@ object TextAnalysis {
   /** The shared BM25 scoring tail over tf(doc_id, dl, term, tf) rows —
     * the association order both [[bm25Rank]] and [[bm25RankIndexed]]
     * (and the oracle SQL) must run identically. */
-  private def bm25ScoreTail(tf: DataFrame, dfs: DataFrame, stats: DataFrame,
-      k: Int, k1: Double, b: Double, idCol: String = "doc_id"): DataFrame = {
+  private[graft] def bm25ScoreTail(tf: DataFrame, dfs: DataFrame,
+      stats: DataFrame, k: Int, k1: Double, b: Double,
+      idCol: String = "doc_id"): DataFrame = {
     val idf = log(
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val denom = col("tf") +

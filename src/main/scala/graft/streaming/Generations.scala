@@ -38,6 +38,38 @@ private[streaming] object Generations {
       : org.apache.spark.sql.DataFrame =
     readNames(spark, dir, committed(spark, dir, prefix), prefix)
 
+  /** Fold accumulated `gen-<id>` generations under `dir` into one
+    * `gen-compact-<epoch>`: union committed sources (prior compactions +
+    * all batch generations EXCEPT the newest — replay protection: an
+    * uncommitted trailing batch rewrites its own generation on replay,
+    * so its rows must not also live in a fold), full-row dropDuplicates,
+    * write the fold, then delete sources. Interruption between the fold
+    * write and the source deletes leaves exact duplicate rows; the next
+    * fold's dropDuplicates collapses them, so readers that either
+    * full-row-dedup or are duplication-inert self-heal. MUST run inside
+    * the serial foreachBatch loop (the `compactEvery` hooks) — the
+    * single-maintenance-job contract. */
+  def compactFold(spark: SparkSession, dir: String): Unit = {
+    val gens = committed(spark, dir, "gen-")
+      .filterNot(_.startsWith("gen-compact-"))
+    val priorCompactions = committed(spark, dir, "gen-compact-")
+    val newestBatchGen = gens
+      .flatMap(g => g.stripPrefix("gen-").toLongOption.map((_, g)))
+      .maxByOption(_._1).map(_._2)
+    val sources = priorCompactions ++ gens.filterNot(newestBatchGen.contains)
+    if (sources.size > 1) {
+      val epoch = priorCompactions
+        .flatMap(_.stripPrefix("gen-compact-").toLongOption)
+        .maxOption.getOrElse(0L) + 1
+      spark.read.parquet(sources.map(g => s"$dir/$g"): _*)
+        .dropDuplicates()
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$dir/gen-compact-$epoch")
+      val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      sources.foreach(g => f.delete(new Path(dir, g), true))
+    }
+  }
+
   /** Name of the published-view marker file under a generation dir. */
   val Marker = "_latest"
 

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -58,29 +57,8 @@ object StreamIvfPq extends Logging {
     * though even that window is safe here because [[search]] dedups
     * candidates). Interruption between write and deletes leaves exact
     * duplicate rows; the next fold's dropDuplicates collapses them. */
-  def compactIndex(spark: SparkSession, indexDir: String): Unit = {
-    val gens = Generations.committed(spark, indexDir, "gen-")
-      .filterNot(_.startsWith("gen-compact-"))
-    val priorCompactions = Generations.committed(spark, indexDir, "gen-compact-")
-    val newestBatchGen = gens
-      .flatMap(g => g.stripPrefix("gen-").toLongOption.map((_, g)))
-      .maxByOption(_._1).map(_._2)
-    val sources = priorCompactions ++ gens.filterNot(newestBatchGen.contains)
-    if (sources.size > 1) {
-      val epoch = priorCompactions
-        .flatMap(_.stripPrefix("gen-compact-").toLongOption)
-        .maxOption.getOrElse(0L) + 1
-      spark.read.parquet(sources.map(g => s"$indexDir/$g"): _*)
-        .dropDuplicates()
-        .write.mode(SaveMode.Overwrite)
-        .parquet(s"$indexDir/gen-compact-$epoch")
-      val f = new Path(indexDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      sources.foreach(g => f.delete(new Path(indexDir, g), true))
-      logInfo(s"compacted ${sources.size} code generations into " +
-        s"gen-compact-$epoch under $indexDir")
-    }
-  }
+  def compactIndex(spark: SparkSession, indexDir: String): Unit =
+    Generations.compactFold(spark, indexDir)
 
   /** Start encoding `vectors` (a streaming DataFrame carrying `vec_id`
     * and `embedding`) into the inverted code list at `indexDir`, using
