@@ -149,6 +149,7 @@ object SparkEntry {
     "txt_tfidf"         -> (TextAnalysis.termStats _),
     "txt_bm25"          -> (TextAnalysis.searchDocs _),
     "txt_bm25_steady"   -> (TextAnalysis.searchDocsSteady _),
+    "txt_phrase"        -> (TextAnalysis.phraseDocs _),
     "q_bloom_join"      -> (BloomJoin.negBalanceActivity _),
     "txt_neg_pairs"     -> (Contrastive.docNegativePairs _),
     "txt_mix"           -> (TextAnalysis.mixCorpus _),
@@ -262,7 +263,7 @@ object SparkEntry {
     // steady (landed-centroid) k-means labeling/sampling siblings
     "sim_topk_ivfpq_landed", "sim_kmeans_assign_steady",
     "sim_cluster_sample_steady", "txt_bm25", "dedup_semantic",
-    "txt_bm25_steady",
+    "txt_bm25_steady", "txt_phrase",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -772,6 +773,20 @@ object SparkEntry {
         |GROUP BY doc_id
         |ORDER BY score DESC, doc_id
         |LIMIT 25""".stripMargin,
+    // Exact phrase: same tokenization CTE; the window-slice comparison is
+    // the identical rule both engines apply (toks[i : i+L-1] == phrase).
+    "txt_phrase" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_occ FROM (
+        |  SELECT doc_id,
+        |    len(list_filter(range(1, len(toks) - ${TextAnalysis.searchPhrase.length - 2}),
+        |      i -> toks[i : i + ${TextAnalysis.searchPhrase.length - 1}] = ${TextAnalysis.searchPhrase.map("'" + _ + "'").mkString("[", ", ", "]")})) AS n_occ
+        |  FROM t
+        |) WHERE n_occ > 0""".stripMargin,
     "sim_topk_ann" -> annOracleSql,
     "sim_topk_pq" -> pqOracleSql(),
     "sim_topk_pq_trained" -> pqTrainedOracleSql(),

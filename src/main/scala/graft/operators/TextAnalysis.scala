@@ -441,6 +441,38 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Exact-phrase occurrence count — the positional-search primitive,
+    * spelled as a pure scan-side array kernel instead of the classic
+    * positional-postings self-join: for an L-token phrase, count the
+    * window starts whose L-slice equals the phrase literal. Zero
+    * shuffles, zero explode — the whole operator is one codegen'd
+    * projection over the corpus scan (the L−1 positional equi-joins of
+    * the postings spelling would shuffle |phrase| exploded copies of
+    * every matching term's positions at 100 TB). The `when` guard matters:
+    * Spark's `sequence(1, n)` DESCENDS for n < 1, which would probe
+    * slice(start = 0) and throw. */
+  def phraseCount(textCol: Column, phrase: Seq[String]): Column = {
+    require(phrase.length >= 2, "a phrase is at least two tokens")
+    val l = phrase.length
+    val t = tokens(textCol)
+    val starts = when(size(t) >= l, sequence(lit(1), size(t) - lit(l - 1)))
+      .otherwise(typedlit(Seq.empty[Int]))
+    size(filter(transform(starts, i => slice(t, i, lit(l))),
+      w => w === typedlit(phrase)))
+  }
+
+  /** The CORRECTNESS phrase — public so the oracle SQL and spec state
+    * the same literal. */
+  val searchPhrase: Seq[String] = Seq("fast", "scan")
+
+  /** CORRECTNESS instantiation: documents containing the exact phrase
+    * [[searchPhrase]], with occurrence counts. */
+  def phraseDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        phraseCount(col("text"), searchPhrase).as("n_occ"))
+      .filter(col("n_occ") > 0)
+
   /** Catalog table-name prefix for a corpus dir's landed search index
     * (MD5 of the dir — the [[graft.operators.Dedup.steadyIndexPrefix]]
     * collision rationale). */

@@ -420,4 +420,21 @@ class TextAnalysisSpec extends SparkTestBase {
       .as[(Long, Double)].collect()))
     assert(steady2.sameElements(steady))
   }
+
+  test("phraseCount: overlaps, short docs, case/punct normalization, longer phrases") {
+    val docs = Seq(
+      (1L, "go go go"),              // "go go" at starts 1 and 2 → 2 (overlapping)
+      (2L, "Go, GO! stop"),          // normalization: "go go stop" → 1
+      (3L, "go"),                    // shorter than the phrase → no row
+      (4L, "stop go stop go"),       // no adjacent pair → 0
+      (5L, ""),                      // empty doc: the sequence guard path
+    ).toDF("doc_id", "text")
+    def occ(phrase: Seq[String]) = docs
+      .select(col("doc_id"), TextAnalysis.phraseCount(col("text"), phrase).as("n"))
+      .as[(Long, Int)].collect().toMap
+    val two = occ(Seq("go", "go"))
+    assert(two == Map(1L -> 2, 2L -> 1, 3L -> 0, 4L -> 0, 5L -> 0), s"got $two")
+    val three = occ(Seq("go", "go", "go"))
+    assert(three == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 0), s"got $three")
+  }
 }
