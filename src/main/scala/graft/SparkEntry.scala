@@ -150,6 +150,7 @@ object SparkEntry {
     "txt_bm25"          -> (TextAnalysis.searchDocs _),
     "txt_bm25_steady"   -> (TextAnalysis.searchDocsSteady _),
     "txt_phrase"        -> (TextAnalysis.phraseDocs _),
+    "txt_phrase_steady" -> (TextAnalysis.phraseDocsSteady _),
     "q_bloom_join"      -> (BloomJoin.negBalanceActivity _),
     "txt_neg_pairs"     -> (Contrastive.docNegativePairs _),
     "txt_mix"           -> (TextAnalysis.mixCorpus _),
@@ -263,7 +264,7 @@ object SparkEntry {
     // steady (landed-centroid) k-means labeling/sampling siblings
     "sim_topk_ivfpq_landed", "sim_kmeans_assign_steady",
     "sim_cluster_sample_steady", "txt_bm25", "dedup_semantic",
-    "txt_bm25_steady", "txt_phrase",
+    "txt_bm25_steady", "txt_phrase", "txt_phrase_steady",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -737,6 +738,7 @@ object SparkEntry {
     "sim_cluster_sample_steady" -> oracleBase("sim_cluster_sample"),
     "txt_bpe_apply_steady" -> oracleBase("txt_bpe_apply"),
     "txt_bm25_steady" -> oracleBase("txt_bm25"),
+    "txt_phrase_steady" -> oracleBase("txt_phrase"),
     "sim_rp_reduce" -> rpOracleSql())
 
   private def oracleBase: Map[String, String] = Map(

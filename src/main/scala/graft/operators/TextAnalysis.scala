@@ -395,6 +395,16 @@ object TextAnalysis {
         .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf")),
       s"${prefix}_postings", Seq("term"), Seq("term", "doc_id"),
       buckets, s"$path/postings")
+    // positional postings — one (term, doc_id, pos) row per token
+    // OCCURRENCE (the postings table above collapses to tf) — the layout
+    // phrase/proximity queries serve from; bucketed by term like the
+    // postings so `term IN (phrase)` prunes to the phrase terms' buckets
+    graft.sources.Layout.writeBucketed(
+      withLen.select(col("doc_id"), posexplode(col("w")))
+        .select(col("col").as("term"), col("doc_id"),
+          (col("pos") + 1).as("pos")),
+      s"${prefix}_positions", Seq("term"), Seq("term", "doc_id", "pos"),
+      buckets, s"$path/positions")
     withLen.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
       .option("path", s"$path/stats").saveAsTable(s"${prefix}_stats")
@@ -452,9 +462,9 @@ object TextAnalysis {
     *
     * The window test is ONE regex pass, not a per-position array lambda:
     * [[tokens]] emits only `[a-z0-9]+` strings, so re-joining them on
-    * `` gives a string in which token boundaries are exactly the
+    * `\u0001` gives a string in which token boundaries are exactly the
     * delimiter positions, and a zero-width lookahead
-    * `(?=tok1…tokL)` counts every window start —
+    * `(?=\u0001tok1\u0001…\u0001tokL\u0001)` counts every window start —
     * zero-width so overlapping occurrences all count (`Matcher.find`
     * advances one char past a zero-width match). Spelling this as a
     * higher-order `filter` over window starts instead runs an
@@ -463,7 +473,7 @@ object TextAnalysis {
     * `regexp_count` is a single compiled-pattern scan per document. */
   def phraseCount(textCol: Column, phrase: Seq[String]): Column = {
     require(phrase.length >= 2, "a phrase is at least two tokens")
-    val d = ""
+    val d = "\u0001"
     val joined = concat(lit(d), array_join(tokens(textCol), d), lit(d))
     val pat =
       "(?=" + java.util.regex.Pattern.quote(d + phrase.mkString(d) + d) + ")"
@@ -482,6 +492,43 @@ object TextAnalysis {
         phraseCount(col("text"), searchPhrase).as("n_occ"))
       .filter(col("n_occ") > 0)
 
+  /** [[phraseCount]] served from the LANDED positional index
+    * ([[landSearchIndex]]'s `_positions` table) — the steady-state
+    * answer to phrase queries: where the scan kernel re-reads the whole
+    * corpus text per query, this plan reads ONLY the phrase terms'
+    * bucket-pruned position lists and intersects them (an occurrence at
+    * `start` is a position row for token i at `start + i`, every i), so
+    * per-query cost is positions-of-phrase-terms — independent of corpus
+    * size, no tokenize in the serve plan. The L−1 self-joins key on
+    * (doc_id, start): the shuffled relations are the PRUNED position
+    * lists, not the corpus — at 100 TB that is the difference between
+    * this spelling and the one [[phraseCount]]'s Scaladoc rejects for
+    * index-free scans. A repeated phrase token intersects the same
+    * pruned list at shifted offsets — still correct (the join is on the
+    * derived start, not the position). */
+  def phraseCountIndexed(spark: SparkSession, prefix: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.length >= 2, "a phrase is at least two tokens")
+    val starts = phrase.zipWithIndex.map { case (t, i) =>
+      spark.table(s"${prefix}_positions")
+        .filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }
+    starts.reduce(_.join(_, Seq("doc_id", "start")))
+      .groupBy("doc_id")
+      // int, matching the scan kernel's regexp_count occurrence type
+      .agg(count(lit(1)).cast("int").as("n_occ"))
+  }
+
+  /** STEADY-STATE [[phraseDocs]]: serve [[searchPhrase]] from the landed
+    * positional index — same answer, same oracle; the timed cost is the
+    * production serve plan. Occurrence counts > 0 by construction (only
+    * matching starts survive the intersection). */
+  def phraseDocsSteady(spark: SparkSession, dir: String): DataFrame = {
+    ensureSearchIndex(spark, dir)
+    phraseCountIndexed(spark, searchIndexPrefix(dir), searchPhrase)
+  }
+
   /** Catalog table-name prefix for a corpus dir's landed search index
     * (MD5 of the dir — the [[graft.operators.Dedup.steadyIndexPrefix]]
     * collision rationale). */
@@ -491,22 +538,27 @@ object TextAnalysis {
     s"search_steady_$suffix"
   }
 
-  /** STEADY-STATE [[searchDocs]]: land the inverted index once per
-    * (catalog, corpus dir), then serve every query from the bucket-pruned
-    * landed tables — same answer, same oracle; the timed cost is the
-    * production serve plan. */
-  def searchDocsSteady(spark: SparkSession, dir: String): DataFrame = {
+  /** Land the search index for a corpus dir once per catalog: ALL the
+    * index tables must exist — a land that failed between the writes
+    * must re-land (Overwrite), not wedge every later serve. */
+  private def ensureSearchIndex(spark: SparkSession, dir: String): Unit = {
     val prefix = searchIndexPrefix(dir)
-    // BOTH tables must exist: a land that failed between the two writes
-    // must re-land (Overwrite), not wedge every later serve
-    if (!spark.catalog.tableExists(s"${prefix}_postings") ||
-        !spark.catalog.tableExists(s"${prefix}_stats")) {
+    val tables = Seq("_postings", "_positions", "_stats")
+    if (tables.exists(t => !spark.catalog.tableExists(s"$prefix$t"))) {
       val path = java.nio.file.Files
         .createTempDirectory("graft_search_steady_").toString
       landSearchIndex(Tables.load(spark, dir, "documents"),
         "doc_id", "text", prefix, path)
     }
-    bm25RankIndexed(spark, prefix, searchQuery, k = 25)
+  }
+
+  /** STEADY-STATE [[searchDocs]]: land the inverted index once per
+    * (catalog, corpus dir), then serve every query from the bucket-pruned
+    * landed tables — same answer, same oracle; the timed cost is the
+    * production serve plan. */
+  def searchDocsSteady(spark: SparkSession, dir: String): DataFrame = {
+    ensureSearchIndex(spark, dir)
+    bm25RankIndexed(spark, searchIndexPrefix(dir), searchQuery, k = 25)
   }
 
   /** Source-level (domain-level) quality filtering — the coarse sibling of

@@ -437,4 +437,41 @@ class TextAnalysisSpec extends SparkTestBase {
     val three = occ(Seq("go", "go", "go"))
     assert(three == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 0), s"got $three")
   }
+
+  test("phraseCountIndexed: landed positional serve equals the scan kernel") {
+    val docs = Seq(
+      (1L, "go go go fast scan"),        // overlapping "go go"; one "fast scan"
+      (2L, "fast scan, fast scan"),      // two occurrences across punctuation
+      (3L, "scan fast"),                 // reversed order → no match
+      (4L, ""),                          // empty doc
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("phrase_idx_").toString
+    TextAnalysis.landSearchIndex(docs, "doc_id", "text", "phrasespec", path)
+    def direct(p: Seq[String]) = docs
+      .select(col("doc_id"), TextAnalysis.phraseCount(col("text"), p).as("n_occ"))
+      .filter(col("n_occ") > 0).as[(Long, Int)].collect().toMap
+    def served(p: Seq[String]) = TextAnalysis
+      .phraseCountIndexed(spark, "phrasespec", p)
+      .as[(Long, Int)].collect().toMap
+    for (p <- Seq(Seq("fast", "scan"), Seq("go", "go"), Seq("go", "go", "go")))
+      assert(served(p) == direct(p), s"phrase $p: ${served(p)} vs ${direct(p)}")
+    // repeated-token overlap through the index: doc 1 has "go go" twice
+    assert(served(Seq("go", "go")) == Map(1L -> 2))
+    // the serve plan reads only the phrase terms' buckets of the positions
+    val scan = TextAnalysis
+      .phraseCountIndexed(spark, "phrasespec", Seq("fast", "scan"))
+      .queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(scan)
+    assert(sel.isDefined, s"positions scan must be bucket-pruned:\n$scan")
+    assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+      "term = <phrase token> must prune buckets")
+    // steady entry over the real corpus: same rows as the scan form
+    val dir = "/root/testdata/sf0.001"
+    val steady = TextAnalysis.phraseDocsSteady(spark, dir)
+      .as[(Long, Int)].collect().toMap
+    val scanForm = TextAnalysis.phraseDocs(spark, dir)
+      .as[(Long, Int)].collect().toMap
+    assert(steady == scanForm)
+  }
 }
