@@ -155,6 +155,7 @@ object SparkEntry {
     "txt_neg_pairs"     -> (Contrastive.docNegativePairs _),
     "txt_mix"           -> (TextAnalysis.mixCorpus _),
     "txt_decontam"      -> (Dedup.decontamDocs _),
+    "txt_decontam_bloom" -> (Dedup.decontamDocsBloom _),
     "dedup_incremental" -> (Dedup.incrementalArrivals _),
     "txt_pii"           -> (TextAnalysis.piiDocs _),
     "txt_repetition"    -> (TextAnalysis.repetitionDocs _),
@@ -265,6 +266,7 @@ object SparkEntry {
     "sim_topk_ivfpq_landed", "sim_kmeans_assign_steady",
     "sim_cluster_sample_steady", "txt_bm25", "dedup_semantic",
     "txt_bm25_steady", "txt_phrase", "txt_phrase_steady",
+    "txt_decontam_bloom",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -739,6 +741,10 @@ object SparkEntry {
     "txt_bpe_apply_steady" -> oracleBase("txt_bpe_apply"),
     "txt_bm25_steady" -> oracleBase("txt_bm25"),
     "txt_phrase_steady" -> oracleBase("txt_phrase"),
+    // not a steady entry but the same exactness contract: the bloom gate
+    // admits false positives only, and the exact join removes them — the
+    // result is row-identical to the broadcast-join spelling
+    "txt_decontam_bloom" -> oracleBase("txt_decontam"),
     "sim_rp_reduce" -> rpOracleSql())
 
   private def oracleBase: Map[String, String] = Map(

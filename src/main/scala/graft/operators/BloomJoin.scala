@@ -48,6 +48,22 @@ object BloomJoin {
     dim.select(Bridge.column(agg).as("bf")).head().getAs[Array[Byte]]("bf")
   }
 
+  /** [[buildBloom]] over ALREADY-64-bit keys (e.g. shingle hashes): the
+    * sketch stores the longs directly — no re-hash — so the probe side
+    * must also feed the raw long ([[mightContainLong]]). */
+  def buildBloomLongs(keys: DataFrame, keyCol: String,
+      expectedItems: Long, numBits: Long): Array[Byte] = {
+    val agg = new BloomFilterAggregate(
+      Bridge.expression(col(keyCol)), Literal(expectedItems), Literal(numBits), 0, 0)
+      .toAggregateExpression()
+    keys.select(Bridge.column(agg).as("bf")).head().getAs[Array[Byte]]("bf")
+  }
+
+  /** Scan-side membership probe against a [[buildBloomLongs]] sketch. */
+  def mightContainLong(bf: Array[Byte], key: Column): Column =
+    Bridge.column(
+      BloomFilterMightContain(Literal(bf, BinaryType), Bridge.expression(key)))
+
   /** `fact ⋈ dim` on `factKey = dimKey`, with the fact side pre-pruned by
     * a bloom filter of the dim keys. Row-identical to the plain inner
     * join for ANY bloom parameters (no false negatives; false positives

@@ -848,13 +848,43 @@ object Dedup extends Logging {
       .agg(count(lit(1)).as("n_hits"))
   }
 
-  /** CORRECTNESS instantiation: eval set = every 37th document; corpus =
-    * the rest, where docs with doc_id % 5 = 1 are contaminated by
-    * construction (one of the first 14 eval texts appended, selected by
-    * doc_id % 14 — the id spacing makes (doc_id % 14)·37 a valid eval id
-    * at every scale factor). The synthetic corpus has no natural 8-gram
-    * overlap, so without planting the scan would be vacuously green. */
-  def decontamDocs(spark: SparkSession, dir: String): DataFrame = {
+  /** [[decontaminate]] for the eval-set size regime where the gram set
+    * CANNOT broadcast (contamination blocklists union every public
+    * benchmark plus web-overlap grams — billions of keys at production
+    * scale): the grams join degrades to a shuffle join, and what crosses
+    * the exchange is the full corpus-gram explosion — roughly the token
+    * count of 100 TB of text. A bloom filter over the eval grams (one
+    * bounded sketch, numBits/8 bytes regardless of eval rows — the
+    * [[BloomJoin]] device, storing the already-64-bit shingle hashes
+    * directly) probes scan-side and drops ~every gram of every CLEAN
+    * document before the shuffle, so the exchange carries only
+    * (contaminated + false-positive) grams. False positives are removed
+    * by the exact join that follows; false negatives cannot occur — the
+    * result is ROW-IDENTICAL to [[decontaminate]] for any bloom sizing. */
+  def decontaminateBloom(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int = 8,
+      expectedItems: Long = 4000000L, numBits: Long = 33554432L): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(array_distinct(shingleHashes(col(textCol), n))).as("gh"))
+      .distinct()
+    val bf = BloomJoin.buildBloomLongs(evalGrams, "gh", expectedItems, numBits)
+    corpus
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(shingleHashes(col(textCol), n))).as("gh"))
+      .filter(BloomJoin.mightContainLong(bf, col("gh")))
+      .join(evalGrams, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** The planted decontamination fixture: eval set = every 37th document;
+    * corpus = the rest, where docs with doc_id % 5 = 1 are contaminated
+    * by construction (one of the first 14 eval texts appended, selected
+    * by doc_id % 14 — the id spacing makes (doc_id % 14)·37 a valid eval
+    * id at every scale factor). The synthetic corpus has no natural
+    * 8-gram overlap, so without planting the scan would be vacuously
+    * green. */
+  private def decontamFixture(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
     val evalSet = docs.filter(col("doc_id") % 37 === 0)
     val base = docs.filter(col("doc_id") % 37 =!= 0)
@@ -862,8 +892,20 @@ object Dedup extends Logging {
       .join(evalSet.select((col("doc_id") / 37).cast("long").as("ei"),
         col("text").as("etext")), pmod(col("doc_id"), lit(14)) === col("ei"))
       .select(col("doc_id"), concat(col("text"), lit(" "), col("etext")).as("text"))
-    val corpus = base.filter(col("doc_id") % 5 =!= 1).unionByName(planted)
+    (base.filter(col("doc_id") % 5 =!= 1).unionByName(planted), evalSet)
+  }
+
+  /** CORRECTNESS instantiation over the planted fixture. */
+  def decontamDocs(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, evalSet) = decontamFixture(spark, dir)
     decontaminate(corpus, evalSet, "doc_id", "text", n = 8)
+  }
+
+  /** CORRECTNESS instantiation of the bloom-gated path — same fixture,
+    * same oracle as `txt_decontam` (the bloom is exact by construction). */
+  def decontamDocsBloom(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, evalSet) = decontamFixture(spark, dir)
+    decontaminateBloom(corpus, evalSet, "doc_id", "text", n = 8)
   }
 
   /** documents ∪ perturbed copies of every 10th doc (one appended token,

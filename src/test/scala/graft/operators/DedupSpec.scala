@@ -236,6 +236,24 @@ class DedupSpec extends SparkTestBase {
     val out = Dedup.decontaminate(corpus, eval, "doc_id", "text", n = 8)
       .as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 1L, 3L -> 1L), s"got $out")
+    // the bloom-gated path is row-identical — including under a sketch
+    // sized far too small (64 bits for the gram set → dense, high-FP):
+    // false positives must die in the exact confirm join
+    for (bits <- Seq(64L, 33554432L)) {
+      val bloomed = Dedup.decontaminateBloom(corpus, eval, "doc_id", "text",
+          n = 8, expectedItems = 1000L, numBits = bits)
+        .as[(Long, Long)].collect().toMap
+      assert(bloomed == out, s"numBits=$bits: $bloomed vs $out")
+    }
+  }
+
+  test("decontamDocsBloom equals decontamDocs on the planted fixture") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = Dedup.decontamDocs(spark, dir).as[(Long, Long)].collect().toSet
+    val bloomed = Dedup.decontamDocsBloom(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture must plant contamination at every SF")
+    assert(bloomed == exact)
   }
 
   test("connectedComponents labels transitive chains with the component minimum") {
