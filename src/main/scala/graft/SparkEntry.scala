@@ -151,6 +151,7 @@ object SparkEntry {
     "txt_bm25_steady"   -> (TextAnalysis.searchDocsSteady _),
     "txt_phrase"        -> (TextAnalysis.phraseDocs _),
     "txt_phrase_steady" -> (TextAnalysis.phraseDocsSteady _),
+    "txt_hybrid_rrf"    -> (TextAnalysis.hybridDocs _),
     "q_bloom_join"      -> (BloomJoin.negBalanceActivity _),
     "txt_neg_pairs"     -> (Contrastive.docNegativePairs _),
     "txt_mix"           -> (TextAnalysis.mixCorpus _),
@@ -266,7 +267,7 @@ object SparkEntry {
     "sim_topk_ivfpq_landed", "sim_kmeans_assign_steady",
     "sim_cluster_sample_steady", "txt_bm25", "dedup_semantic",
     "txt_bm25_steady", "txt_phrase", "txt_phrase_steady",
-    "txt_decontam_bloom",
+    "txt_decontam_bloom", "txt_hybrid_rrf",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -780,6 +781,57 @@ object SparkEntry {
         |CROSS JOIN stats
         |GROUP BY doc_id
         |ORDER BY score DESC, doc_id
+        |LIMIT 25""".stripMargin,
+    // Hybrid RRF: replay BOTH rankings (the txt_bm25 scoring block with a
+    // rank window, the sim_topk_cosine scoring block for query vec 0) and
+    // fuse 1/(60+r) in the same lex-then-dense association order; ranks
+    // are integers, so the only float ops are the two divisions and one
+    // add — identical IEEE sequences — plus the 6-dp round.
+    "txt_hybrid_rrf" ->
+      s"""WITH lens AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS dl
+        |  FROM documents
+        |), stats AS (
+        |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
+        |    FROM documents)
+        |  WHERE term IN (${TextAnalysis.searchQuery.map("'" + _ + "'").mkString(", ")})
+        |  GROUP BY doc_id, term
+        |), dfs AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), bm AS (
+        |  SELECT doc_id, round(sum(
+        |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0)
+        |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |    ), 6) AS score
+        |  FROM tf JOIN dfs USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+        |  GROUP BY doc_id
+        |), lexr AS (
+        |  SELECT doc_id, r_lex FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex FROM bm
+        |  ) WHERE r_lex <= 50
+        |), cos AS (
+        |  SELECT vec_id AS doc_id, score FROM (
+        |    SELECT e.vec_id,
+        |      list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+        |        / sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+        |             * list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS score
+        |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |    WHERE q.vec_id = 0
+        |  ) WHERE NOT isnan(score)
+        |), denser AS (
+        |  SELECT doc_id, r_dense FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_dense FROM cos
+        |  ) WHERE r_dense <= 50
+        |)
+        |SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+        |  round(coalesce(1.0 / (60 + l.r_lex), 0) + coalesce(1.0 / (60 + d.r_dense), 0), 6) AS rrf
+        |FROM lexr l FULL JOIN denser d ON l.doc_id = d.doc_id
+        |ORDER BY rrf DESC, doc_id
         |LIMIT 25""".stripMargin,
     // Exact phrase: same tokenization CTE; the window-slice comparison is
     // the identical rule both engines apply (toks[i : i+L-1] == phrase).

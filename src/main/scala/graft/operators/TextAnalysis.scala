@@ -561,6 +561,52 @@ object TextAnalysis {
     bm25RankIndexed(spark, searchIndexPrefix(dir), searchQuery, k = 25)
   }
 
+  /** Hybrid retrieval — reciprocal-rank fusion of the lexical ([[bm25Rank]])
+    * and dense ([[Similarity.topKCosine]]) rankings, the standard published
+    * recipe for combining incomparable score scales (RRF: score is
+    * Σ 1/(k₀ + rank), rank-only, so BM25 log-scores and cosine similarities
+    * never need calibration against each other).
+    *
+    * Scale shape: both branches end in their own bounded k-cut (per-task
+    * heap / partial-merge topk_by) BEFORE fusion, so the rank windows and
+    * the full-outer fusion join run over ≤ `depth` rows per branch —
+    * driver-scale constants, not corpus relations; the single-partition
+    * rank windows are bounded by construction (the k-cut above them).
+    * The corpus-scale work is exactly the two retrieval plans, unchanged.
+    * A doc missing from one branch's top-`depth` contributes 0 from that
+    * branch (union-of-top-k fusion — the published form). */
+  def hybridSearch(docs: DataFrame, emb: DataFrame, idCol: String,
+      textCol: String, query: Seq[String], queryVecId: Long,
+      depth: Int = 50, k: Int = 25, k0: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lexR = bm25Rank(docs, idCol, textCol, query, depth)
+      .select(col(idCol).as("doc_id"),
+        row_number().over(Window.orderBy(col("score").desc, col(idCol)))
+          .as("r_lex"))
+    val queries = emb.filter(col("vec_id") === queryVecId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val denseR = Similarity.topKCosine(emb, queries, depth)
+      .select(col("vec_id").as("doc_id"),
+        row_number().over(Window.orderBy(col("score").desc, col("vec_id")))
+          .as("r_dense"))
+    lexR.join(denseR, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        // lex + dense, in this order — the oracle mirrors the association
+        round(coalesce(lit(1.0) / (lit(k0) + col("r_lex")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(k0) + col("r_dense")), lit(0.0)), 6)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** CORRECTNESS instantiation: [[searchQuery]] fused with the
+    * neighborhood of embedding vec 0 (vec_id ≡ doc_id in the synthetic
+    * corpus — the retrieval pair every RAG stack maintains). */
+  def hybridDocs(spark: SparkSession, dir: String): DataFrame =
+    hybridSearch(Tables.load(spark, dir, "documents"),
+      Tables.load(spark, dir, "embeddings"),
+      "doc_id", "text", searchQuery, queryVecId = 0L)
+
   /** Source-level (domain-level) quality filtering — the coarse sibling of
     * the per-document [[qualityFilter]], after the public web-corpus
     * practice of dropping entire domains whose aggregate quality is poor

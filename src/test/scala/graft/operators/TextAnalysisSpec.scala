@@ -474,4 +474,36 @@ class TextAnalysisSpec extends SparkTestBase {
       .as[(Long, Int)].collect().toMap
     assert(steady == scanForm)
   }
+
+  test("hybridSearch fuses the branch rankings by reciprocal rank") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    // ground truth from the two branch operators, fused in plain Scala
+    val lexRank = TextAnalysis
+      .bm25Rank(docs, "doc_id", "text", TextAnalysis.searchQuery, 50)
+      .as[(Long, Double)].collect()
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val queries = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val denseRank = Similarity.topKCosine(emb, queries, 50)
+      .as[(Long, Long, Double)].collect()
+      .sortBy { case (_, id, s) => (-s, id) }
+      .zipWithIndex.map { case ((_, id, _), i) => id -> (i + 1) }.toMap
+    assert(lexRank.nonEmpty && denseRank.nonEmpty)
+    val expected = (lexRank.keySet ++ denseRank.keySet).toSeq
+      .map { id =>
+        val raw = lexRank.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          denseRank.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (id, BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(25)
+    val got = TextAnalysis.hybridDocs(spark, dir).as[(Long, Double)].collect().toSeq
+    assert(got == expected, s"got $got\nwant $expected")
+    // a doc ranked by both branches outscores its single-branch rrf parts
+    val both = expected.filter { case (id, _) =>
+      lexRank.contains(id) && denseRank.contains(id) }
+    both.headOption.foreach { case (_, s) => assert(s > 1.0 / 61.0) }
+  }
 }
