@@ -78,6 +78,7 @@ object SparkEntry {
     "sim_topk_ivfpq_steady" -> ((s, d) => Similarity.topKPqIvfSteady(s, d)),
     "sim_topk_ivfpq_landed" -> ((s, d) => Similarity.topKPqIvfLanded(s, d)),
     "sim_kmeans_assign" -> (Similarity.kmeansAssignments _),
+    "sim_ann_recall"    -> ((s, d) => Similarity.annRecall(s, d)),
     "sim_kmeans_assign_steady" -> (Similarity.kmeansAssignmentsSteady _),
     "sim_cluster_sample" -> ((s, d) => Similarity.clusterSample(s, d)),
     "sim_cluster_sample_steady" -> ((s, d) => Similarity.clusterSampleSteady(s, d)),
@@ -267,7 +268,7 @@ object SparkEntry {
     "sim_topk_ivfpq_landed", "sim_kmeans_assign_steady",
     "sim_cluster_sample_steady", "txt_bm25", "dedup_semantic",
     "txt_bm25_steady", "txt_phrase", "txt_phrase_steady",
-    "txt_decontam_bloom", "txt_hybrid_rrf",
+    "txt_decontam_bloom", "txt_hybrid_rrf", "sim_ann_recall",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -748,6 +749,40 @@ object SparkEntry {
     "txt_decontam_bloom" -> oracleBase("txt_decontam"),
     "sim_rp_reduce" -> rpOracleSql())
 
+  /** Exact-cosine top-k ground truth — shared by `sim_topk_cosine` and
+    * the recall evaluation's exact branch. */
+  private val cosineTopkSql: String =
+    """SELECT query_id, vec_id, score FROM (
+      |  SELECT query_id, vec_id, score,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+      |  FROM (
+      |    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+      |      list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+      |        / sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+      |             * list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS score
+      |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+      |    WHERE q.vec_id IN (0, 100, 200, 300, 400)
+      |  ) WHERE NOT isnan(score)
+      |) WHERE rn <= 5""".stripMargin
+
+  /** sim_ann_recall oracle: replay BOTH searches (the seeded IVF-PQ block
+    * and the exact-cosine block, verbatim — DuckDB allows a WITH inside a
+    * CTE body) and count the per-query overlap; every probe query emits a
+    * row even at zero overlap. */
+  private def annRecallOracleSql(k: Int = 5): String =
+    s"""WITH ann AS (
+       |${ivfPqOracleSql()}
+       |), exact AS (
+       |$cosineTopkSql
+       |), o AS (
+       |  SELECT a.query_id, count(*) AS n_overlap
+       |  FROM ann a JOIN exact e ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+       |  GROUP BY a.query_id
+       |)
+       |SELECT q.query_id, CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  round(COALESCE(o.n_overlap, 0) / $k.0, 6) AS recall
+       |FROM (SELECT DISTINCT query_id FROM ann) q LEFT JOIN o ON q.query_id = o.query_id""".stripMargin
+
   private def oracleBase: Map[String, String] = Map(
     // BM25: same tokenization CTE as txt_tfidf; the scoring expression is
     // written in the IDENTICAL association order as the Spark column
@@ -851,6 +886,7 @@ object SparkEntry {
     "sim_topk_pq" -> pqOracleSql(),
     "sim_topk_pq_trained" -> pqTrainedOracleSql(),
     "sim_topk_ivfpq" -> ivfPqOracleSql(),
+    "sim_ann_recall" -> annRecallOracleSql(),
     "sim_topk_ivfpq_trained" -> ivfPqTrainedOracleSql(),
     "sim_kmeans_assign" -> kmeansAssignOracleSql(),
     "sim_cluster_sample" -> clusterSampleOracleSql(),
@@ -1140,19 +1176,7 @@ object SparkEntry {
     // Score formula mirrors the cosine_sim kernel bit-exactly (double-cast
     // inner products, dot/sqrt(na*nb)); DuckDB's builtin
     // list_cosine_similarity accumulates in float and diverges at 1e-7.
-    "sim_topk_cosine" ->
-      """SELECT query_id, vec_id, score FROM (
-        |  SELECT query_id, vec_id, score,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
-        |  FROM (
-        |    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-        |      list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
-        |        / sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
-        |             * list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS score
-        |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
-        |    WHERE q.vec_id IN (0, 100, 200, 300, 400)
-        |  ) WHERE NOT isnan(score)
-        |) WHERE rn <= 5""".stripMargin,
+    "sim_topk_cosine" -> cosineTopkSql,
     // The exact prefix-filtered Jaccard join has the SAME ground truth as
     // the LSH pipeline (all pairs with word-3-gram Jaccard ≥ 0.7) — but
     // here equality is guaranteed by construction, not w.h.p.: prefix

@@ -902,10 +902,15 @@ object Dedup extends Logging {
   }
 
   /** CORRECTNESS instantiation of the bloom-gated path — same fixture,
-    * same oracle as `txt_decontam` (the bloom is exact by construction). */
+    * same oracle as `txt_decontam` (the bloom is exact by construction).
+    * The sketch is sized to the fixture's gram count (~10⁶ at sf0.1) —
+    * the sketch literal rides the probe plan into codegen, so an
+    * oversized default (4 MiB) costs more in plan compile than it saves
+    * in pruning at test scale. */
   def decontamDocsBloom(spark: SparkSession, dir: String): DataFrame = {
     val (corpus, evalSet) = decontamFixture(spark, dir)
-    decontaminateBloom(corpus, evalSet, "doc_id", "text", n = 8)
+    decontaminateBloom(corpus, evalSet, "doc_id", "text", n = 8,
+      expectedItems = 1000000L, numBits = 4194304L)
   }
 
   /** documents ∪ perturbed copies of every 10th doc (one appended token,

@@ -493,6 +493,33 @@ object Similarity {
     topKPqIvf(emb, defaultQueries(emb), k, nprobe = 4, m = 8, kc = 16, subDim = 8)
   }
 
+  /** ANN quality evaluation — recall@k of the IVF-PQ search against the
+    * exact cosine ground truth, per probe query: the operational metric
+    * every ANN deployment monitors (PQ distance is an approximation and
+    * IVF pruning can miss cells; recall is the number that says whether
+    * nprobe/codebook sizing is adequate BEFORE a bad index serves
+    * production traffic). Runs both searches over the same probe set and
+    * counts the overlap.
+    *
+    * Scale shape: the expensive branches are exactly the two audited
+    * search plans (IVF-PQ prune+ADC, exact scan+topk_by) — the overlap
+    * join and per-query counts run over ≤ |Q|·k rows, driver-scale
+    * constants. At 100 TB the exact branch is the cost (that is what
+    * ground truth costs); a deployment runs this on a sampled probe set,
+    * which is exactly the |Q|-bounded shape here. */
+  def annRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val ann = topKPqIvf(spark, dir, k).select("query_id", "vec_id")
+    val exact = topKCosine(spark, dir, k).select("query_id", "vec_id")
+    val overlap = ann.join(exact, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+    ann.select("query_id").distinct()
+      .join(overlap, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)) / lit(k.toDouble), 6)
+          .as("recall"))
+  }
+
   /** Corpus cluster assignments under the TRAINED k-means centroids —
     * the labeling a user actually consumes after [[kmeansCentroids]]
     * (cluster-then-sample, cluster-balanced training mixes, per-cluster

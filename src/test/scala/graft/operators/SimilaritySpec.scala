@@ -397,4 +397,23 @@ class SimilaritySpec extends SparkTestBase {
         s"cell $cellId lane $lane: ${cent(cellId)(lane)} vs $mean")
     }
   }
+
+  test("annRecall counts the per-query overlap of IVF-PQ against exact cosine") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Similarity.annRecall(spark, dir)
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, r) => q -> ((n, r)) }.toMap
+    // every probe query reports, even at zero overlap
+    assert(got.keySet == Similarity.defaultProbeIds.toSet)
+    // ground truth: recompute the overlap from the two search operators
+    val ann = Similarity.topKPqIvf(spark, dir, 5)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    val exact = Similarity.topKCosine(spark, dir, 5)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    got.foreach { case (q, (n, r)) =>
+      val want = (ann & exact).count(_._1 == q)
+      assert(n == want, s"query $q: overlap $n vs $want")
+      assert(math.abs(r - n / 5.0) < 1e-9 && r >= 0.0 && r <= 1.0)
+    }
+  }
 }
