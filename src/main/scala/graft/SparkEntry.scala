@@ -153,6 +153,7 @@ object SparkEntry {
     "txt_phrase"        -> (TextAnalysis.phraseDocs _),
     "txt_phrase_steady" -> (TextAnalysis.phraseDocsSteady _),
     "txt_hybrid_rrf"    -> (TextAnalysis.hybridDocs _),
+    "txt_quality_calibrated" -> ((s, d) => TextAnalysis.calibratedQualityFilter(s, d)),
     "q_bloom_join"      -> (BloomJoin.negBalanceActivity _),
     "txt_neg_pairs"     -> (Contrastive.docNegativePairs _),
     "txt_mix"           -> (TextAnalysis.mixCorpus _),
@@ -269,6 +270,7 @@ object SparkEntry {
     "sim_cluster_sample_steady", "txt_bm25", "dedup_semantic",
     "txt_bm25_steady", "txt_phrase", "txt_phrase_steady",
     "txt_decontam_bloom", "txt_hybrid_rrf", "sim_ann_recall",
+    "txt_quality_calibrated",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -817,6 +819,29 @@ object SparkEntry {
         |GROUP BY doc_id
         |ORDER BY score DESC, doc_id
         |LIMIT 25""".stripMargin,
+    // Calibrated quality floor: same tokenization + stopword list as
+    // txt_quality; the cutoff is quantile_cont ≡ Spark's exact percentile
+    // ((n−1)·p interpolation — the txt_corpus_stats precedent), and BOTH
+    // score and cutoff are 6-dp rounded before the >= compare so a
+    // last-ulp interpolation difference cannot flip a boundary row.
+    "txt_quality_calibrated" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    round(CAST(len(list_filter(toks, x -> list_contains(
+        |        ['the','a','an','of','to','and','in','is','it','that'], x))) AS DOUBLE)
+        |      / len(toks), 6) AS q_score
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        |    FROM documents
+        |  ) WHERE len(toks) > 0
+        |), cutoffs AS (
+        |  SELECT source, round(quantile_cont(q_score, 0.2), 6) AS cutoff
+        |  FROM scored GROUP BY source
+        |)
+        |SELECT s.doc_id, s.source, s.q_score, c.cutoff
+        |FROM scored s JOIN cutoffs c ON s.source = c.source
+        |WHERE s.q_score >= c.cutoff""".stripMargin,
     // Hybrid RRF: replay BOTH rankings (the txt_bm25 scoring block with a
     // rank window, the sim_topk_cosine scoring block for query vec 0) and
     // fuse 1/(60+r) in the same lex-then-dense association order; ranks

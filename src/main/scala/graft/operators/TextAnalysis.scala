@@ -561,6 +561,47 @@ object TextAnalysis {
     bm25RankIndexed(spark, searchIndexPrefix(dir), searchQuery, k = 25)
   }
 
+  /** Per-source CALIBRATED quality floor — the within-domain sibling of
+    * the global [[qualityFilter]] thresholds, after the public web-corpus
+    * observation that raw quality signals are not comparable across
+    * domains (a forum's stopword-ratio distribution sits far below a news
+    * site's, so one global floor over-prunes informal sources and
+    * under-prunes spammy formal ones): drop the bottom `floor` quantile
+    * of each source's own score distribution.
+    *
+    * The scalable spelling is a per-source QUANTILE CUTOFF, not a
+    * percent_rank window: a rank window partitioned by source needs a
+    * total sort of each source's rows in one task — a giant domain (10%
+    * of a 100 TB corpus) serializes. The cutoff is a two-phase exact
+    * `percentile` aggregate (ONE row per source over the shuffle — the
+    * [[corpusStats]] discipline, same (n−1)·p interpolation as DuckDB's
+    * `quantile_cont`), broadcast back, and the keep decision is a
+    * scan-side compare. Score and cutoff are both 6-dp rounded BEFORE
+    * the compare so a last-ulp interpolation difference cannot flip a
+    * boundary row cross-engine. Zero-token docs are dropped up front
+    * (below any floor by definition — a ratio over 0 tokens has no
+    * value). */
+  def calibratedQualityFloor(docs: DataFrame, floor: Double): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = docs
+      .select(col("doc_id"), col("source"),
+        size(toks).as("n_tokens"),
+        size(filter(toks, t => t.isInCollection(qcStopwords))).as("n_stop"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("source"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 6).as("q_score"))
+    val cutoffs = scored.groupBy("source")
+      .agg(round(percentile(col("q_score"), lit(floor)), 6).as("cutoff"))
+    scored.join(broadcast(cutoffs), "source")
+      .filter(col("q_score") >= col("cutoff"))
+      .select(col("doc_id"), col("source"), col("q_score"), col("cutoff"))
+  }
+
+  /** CORRECTNESS instantiation: drop each source's bottom quintile. */
+  def calibratedQualityFilter(spark: SparkSession, dir: String,
+      floor: Double = 0.2): DataFrame =
+    calibratedQualityFloor(Tables.load(spark, dir, "documents"), floor)
+
   /** Hybrid retrieval — reciprocal-rank fusion of the lexical ([[bm25Rank]])
     * and dense ([[Similarity.topKCosine]]) rankings, the standard published
     * recipe for combining incomparable score scales (RRF: score is

@@ -475,6 +475,35 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(steady == scanForm)
   }
 
+  test("calibratedQualityFloor drops each source's bottom quantile, not a global floor") {
+    val docs = Seq(
+      (1L, "news", "the cat is here"),          // 2/4 = 0.5
+      (2L, "news", "the dog and the cat"),      // 3/5 = 0.6
+      (3L, "news", "cat dog the"),              // 1/3 = 0.333333
+      (4L, "news", "dog runs fast"),            // 0.0 → below the news cutoff
+      (5L, "news", "it is the best of all"),    // 4/6 = 0.666667
+      (6L, "news", "!!!"),                      // zero tokens → dropped up front
+      (11L, "forum", "lol cat pic"),            // 0.0 — but survives forum's floor
+      (12L, "forum", "the meme"),               // 0.5
+      (13L, "forum", "win big now"),            // 0.0
+      (14L, "forum", "go to gym"),              // 1/3
+      (15L, "forum", "nice pic bro"),           // 0.0
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.calibratedQualityFloor(docs, 0.2)
+      .as[(Long, String, Double, Double)].collect()
+    val kept = out.map(_._1).toSet
+    // news: quantile(0.2) of [0, .333333, .5, .6, .666667] = 0.266666 →
+    // doc 4 dies; forum: quantile(0.2) of [0,0,0,.333333,.5] = 0 → all live
+    assert(kept == Set(1L, 2L, 3L, 5L, 11L, 12L, 13L, 14L, 15L), s"got $kept")
+    val cutoff = out.map(r => r._1 -> r._4).toMap
+    assert(math.abs(cutoff(1L) - 0.266666) < 1e-9, s"news cutoff ${cutoff(1L)}")
+    assert(cutoff(11L) == 0.0)
+    // the calibration point: doc 11 survives its own source's floor but
+    // would die under the news cutoff — a global floor can't do both
+    val score11 = out.find(_._1 == 11L).get._3
+    assert(score11 < cutoff(1L))
+  }
+
   test("hybridSearch fuses the branch rankings by reciprocal rank") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.sources.Tables.load(spark, dir, "documents")
