@@ -154,6 +154,7 @@ object SparkEntry {
     "txt_phrase_steady" -> (TextAnalysis.phraseDocsSteady _),
     "txt_hybrid_rrf"    -> (TextAnalysis.hybridDocs _),
     "txt_quality_calibrated" -> ((s, d) => TextAnalysis.calibratedQualityFilter(s, d)),
+    "txt_budget_mix"    -> (TextAnalysis.budgetMixDocs _),
     "q_bloom_join"      -> (BloomJoin.negBalanceActivity _),
     "txt_neg_pairs"     -> (Contrastive.docNegativePairs _),
     "txt_mix"           -> (TextAnalysis.mixCorpus _),
@@ -270,7 +271,7 @@ object SparkEntry {
     "sim_cluster_sample_steady", "txt_bm25", "dedup_semantic",
     "txt_bm25_steady", "txt_phrase", "txt_phrase_steady",
     "txt_decontam_bloom", "txt_hybrid_rrf", "sim_ann_recall",
-    "txt_quality_calibrated",
+    "txt_quality_calibrated", "txt_budget_mix",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -819,6 +820,28 @@ object SparkEntry {
         |GROUP BY doc_id
         |ORDER BY score DESC, doc_id
         |LIMIT 25""".stripMargin,
+    // Budget mix: the greedy-prefix rule replayed as ONE window per
+    // source in SQL (the ground truth the bucketed prefix-sum must
+    // equal); md5 hex order and integer token sums are engine-identical,
+    // so the only float op is the budget's 0.3·total double multiply.
+    "txt_budget_mix" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |), tot AS (
+        |  SELECT source, CAST(floor(0.3 * sum(n_tokens)) AS BIGINT) AS budget
+        |  FROM base GROUP BY source
+        |), c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+        |  FROM base
+        |)
+        |SELECT c.doc_id, c.source, c.n_tokens
+        |FROM c JOIN tot USING (source)
+        |WHERE c.cum_before < tot.budget""".stripMargin,
     // Calibrated quality floor: same tokenization + stopword list as
     // txt_quality; the cutoff is quantile_cont ≡ Spark's exact percentile
     // ((n−1)·p interpolation — the txt_corpus_stats precedent), and BOTH

@@ -561,6 +561,57 @@ object TextAnalysis {
     bm25RankIndexed(spark, searchIndexPrefix(dir), searchQuery, k = 25)
   }
 
+  /** Token-BUDGET corpus mix — the other published mixing form next to
+    * [[mixCorpus]]'s temperature sampling: each source contributes
+    * documents, in a deterministic hash order, until its token budget is
+    * spent (here `frac` of its own token mass; any budget table plugs into
+    * the same plan). The keep rule is greedy-prefix: a doc is kept iff the
+    * tokens BEFORE it in its source's hash order are under budget — so
+    * the set is reproducible across runs, engines, and partitionings
+    * (the md5-order device of [[Similarity.clusterSample]]).
+    *
+    * The running total is a DISTRIBUTED prefix sum, not one window per
+    * source (a giant domain would total-sort in a single task — the
+    * [[Relational.deterministicShuffle]] problem, solved the same way):
+    * the 2-hex-char md5 prefix range-buckets each source's hash order
+    * into 256 slices; per-(source, bucket) token totals take a TINY
+    * window (≤ 256·|sources| rows) for bucket offsets — no driver
+    * collect, unlike the shuffle's dense-literal variant, because the
+    * offsets join back by (source, bucket) broadcast — and each slice
+    * running-sums only its own rows. cum_before = bucket offset +
+    * intra-slice running sum − own tokens: exactly the per-source
+    * ROWS-UNBOUNDED-PRECEDING window, with the work of a bucketed sort. */
+  def budgetMix(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, frac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"),
+        md5(col(idCol).cast("string")).as("h"))
+      .withColumn("bucket", substring(col("h"), 1, 2))
+    val budgets = base.groupBy("source")
+      .agg(floor(lit(frac) * sum(col("n_tokens"))).cast("long").as("budget"))
+    val wOff = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("source", "bucket")
+      .agg(sum(col("n_tokens")).as("bt"))
+      .select(col("source"), col("bucket"),
+        coalesce(sum(col("bt")).over(wOff), lit(0L)).as("offset"))
+    val wIn = Window.partitionBy("source", "bucket").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    base.join(broadcast(offsets), Seq("source", "bucket"))
+      .withColumn("cum_before",
+        col("offset") + sum(col("n_tokens")).over(wIn) - col("n_tokens"))
+      .join(broadcast(budgets), "source")
+      .filter(col("cum_before") < col("budget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
+  /** CORRECTNESS instantiation: cap every source at 30% of its own token
+    * mass. */
+  def budgetMixDocs(spark: SparkSession, dir: String): DataFrame =
+    budgetMix(Tables.load(spark, dir, "documents"),
+      "doc_id", "text", "source", frac = 0.3)
+
   /** Per-source CALIBRATED quality floor — the within-domain sibling of
     * the global [[qualityFilter]] thresholds, after the public web-corpus
     * observation that raw quality signals are not comparable across

@@ -504,6 +504,35 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(score11 < cutoff(1L))
   }
 
+  test("budgetMix keeps each source's greedy hash-order prefix under budget") {
+    // two sources with different doc sizes; enough docs that the md5
+    // 2-hex-char buckets differ (exercising the offset composition)
+    val docs = (0L until 40L).map { i =>
+      val src = if (i % 2 == 0) "a" else "b"
+      val words = (1 to (i % 7 + 1).toInt).map(j => s"w$j").mkString(" ")
+      (i, src, words)
+    }.toDF("doc_id", "source", "text")
+    val got = TextAnalysis.budgetMix(docs, "doc_id", "text", "source", 0.3)
+      .as[(Long, String, Long)].collect().map(r => (r._1, r._3)).toMap
+    // ground truth: simulate the greedy prefix per source in plain Scala
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = (0L until 40L).map { i =>
+      (i, if (i % 2 == 0) "a" else "b", (i % 7 + 1), md5hex(i.toString)) }
+    val want = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      val ordered = rs.sortBy(_._4)
+      val budget = math.floor(0.3 * ordered.map(_._3).sum).toLong
+      var cum = 0L
+      ordered.flatMap { case (id, _, n, _) =>
+        val keep = cum < budget
+        cum += n
+        if (keep) Some(id -> n.toLong) else None
+      }
+    }.toMap
+    assert(want.nonEmpty && want.size < 40, s"fixture must actually cut (kept ${want.size})")
+    assert(got == want, s"got $got\nwant $want")
+  }
+
   test("hybridSearch fuses the branch rankings by reciprocal rank") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.sources.Tables.load(spark, dir, "documents")
