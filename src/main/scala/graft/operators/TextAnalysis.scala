@@ -507,10 +507,20 @@ object TextAnalysis {
     * pruned list at shifted offsets — still correct (the join is on the
     * derived start, not the position). */
   def phraseCountIndexed(spark: SparkSession, prefix: String,
+      phrase: Seq[String]): DataFrame =
+    phraseCountOver(spark.table(s"${prefix}_positions"), phrase)
+
+  /** The positional intersection over ANY (term, doc_id, pos) relation —
+    * the landed `_positions` table or the streaming maintainer's
+    * accumulated generations ([[graft.streaming.StreamSearchIndex]]).
+    * Callers whose relation may transiently duplicate rows must dedup
+    * first: the L-way join MULTIPLIES duplicated (doc_id, start) rows,
+    * so occurrence counts are NOT duplication-inert. */
+  private[graft] def phraseCountOver(positions: DataFrame,
       phrase: Seq[String]): DataFrame = {
     require(phrase.length >= 2, "a phrase is at least two tokens")
     val starts = phrase.zipWithIndex.map { case (t, i) =>
-      spark.table(s"${prefix}_positions")
+      positions
         .filter(col("term") === t)
         .select(col("doc_id"), (col("pos") - i).as("start"))
     }

@@ -15,9 +15,11 @@ import graft.operators.TextAnalysis
   *     (a per-batch write is batch-sized; the bucketed layout is the
   *     COMPACTED form's job) — and its doclens (doc_id, dl), the
   *     corpus-statistics sidecar that keeps zero-token documents in
-  *     (N, avgdl) exactly as the batch operator counts them;
-  *  2. land both as the batch's own generations
-  *     `indexDir/postings/gen-<id>` and `indexDir/lens/gen-<id>`
+  *     (N, avgdl) exactly as the batch operator counts them — and its
+  *     positional postings (term, doc_id, pos), the `_positions` rows
+  *     that let the streamed index serve phrase queries;
+  *  2. land the three as the batch's own generations
+  *     `indexDir/{postings,lens,positions}/gen-<id>`
   *     (idempotent Overwrite: tokenization is deterministic, so a
   *     replayed batch rewrites byte-identically);
   *  3. at `compactEvery` cadence, fold each side's generations into one
@@ -64,6 +66,17 @@ object StreamSearchIndex {
     batch.select(col(idCol).as("doc_id"),
       size(TextAnalysis.tokens(col(textCol))).as("dl"))
 
+  /** The batch's positional-posting rows — the (term, doc_id, pos)
+    * occurrences [[TextAnalysis.landSearchIndex]]'s `_positions` table
+    * lands, so the streamed index serves phrase queries too
+    * ([[searchPhrase]]). */
+  def positionsOf(batch: DataFrame, idCol: String, textCol: String): DataFrame =
+    batch
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("w"))
+      .select(col("doc_id"), posexplode(col("w")))
+      .select(col("col").as("term"), col("doc_id"), (col("pos") + 1).as("pos"))
+
   /** Start indexing `docs` (a streaming DataFrame carrying `idCol` and
     * `textCol`) into the inverted index at `indexDir`. */
   def start(docs: DataFrame, indexDir: String, checkpoint: String,
@@ -79,6 +92,8 @@ object StreamSearchIndex {
           .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings/gen-$id")
         doclensOf(batch, idCol, textCol)
           .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/lens/gen-$id")
+        positionsOf(batch, idCol, textCol)
+          .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/positions/gen-$id")
         if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
           compactIndex(spark, indexDir)
         ()
@@ -91,6 +106,7 @@ object StreamSearchIndex {
   def compactIndex(spark: SparkSession, indexDir: String): Unit = {
     Generations.compactFold(spark, s"$indexDir/postings")
     Generations.compactFold(spark, s"$indexDir/lens")
+    Generations.compactFold(spark, s"$indexDir/positions")
   }
 
   /** BM25 top-k over everything the stream has landed so far — the
@@ -108,4 +124,16 @@ object StreamSearchIndex {
       .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     TextAnalysis.bm25ScoreTail(tf, dfs, stats, k, k1, b)
   }
+
+  /** Exact-phrase occurrence counts over everything the stream has landed
+    * so far — [[TextAnalysis.phraseCountOver]]'s positional intersection
+    * over the accumulated generations. Occurrence counts are NOT inert
+    * under row duplication (the L-way join multiplies duplicated rows),
+    * so the positions full-row-dedup first — the same guard as
+    * [[search]]'s BM25 statistics. */
+  def searchPhrase(spark: SparkSession, indexDir: String,
+      phrase: Seq[String]): DataFrame =
+    TextAnalysis.phraseCountOver(
+      Generations.read(spark, s"$indexDir/positions", "gen-").dropDuplicates(),
+      phrase)
 }

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkTestBase
 import java.nio.file.Files
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import graft.operators.TextAnalysis
 
 /** Streaming search-index maintenance: after any sequence of arrival
@@ -67,5 +68,30 @@ class StreamSearchIndexSpec extends SparkTestBase {
       .write.parquet(s"$indexDir/lens/gen-900")
     assert(searchNow() == batchWant(all),
       "duplicated index rows must not perturb BM25 statistics")
+
+    // phrase serve over the streamed positions: equals the batch scan
+    // kernel on the union corpus — across the compaction cycles above
+    // and under a duplicated positions generation (occurrence counts
+    // are not duplication-inert; searchPhrase dedups first)
+    val p = TextAnalysis.searchPhrase
+    def phraseWant(corpus: Seq[(Long, String)]): Map[Long, Int] =
+      corpus.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          TextAnalysis.phraseCount(col("text"), p).as("n_occ"))
+        .filter(col("n_occ") > 0)
+        .as[(Long, Int)].collect().toMap
+    def phraseNow(): Map[Long, Int] =
+      StreamSearchIndex.searchPhrase(spark, indexDir, p)
+        .as[(Long, Int)].collect().toMap
+    assert(phraseWant(all).nonEmpty, "the fixture phrase must occur at sf0.001")
+    assert(phraseNow() == phraseWant(all),
+      "streamed positional index must serve the batch phrase answer")
+    val posGens = new java.io.File(s"$indexDir/positions").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(posGens.exists(_.startsWith("gen-compact-")), "positions must fold too")
+    spark.read.parquet(s"$indexDir/positions/${posGens.head}")
+      .write.parquet(s"$indexDir/positions/gen-900")
+    assert(phraseNow() == phraseWant(all),
+      "duplicated position rows must not inflate occurrence counts")
   }
 }
