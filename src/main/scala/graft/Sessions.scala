@@ -23,6 +23,10 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Input parquet may carry isAdjustedToUTC=false timestamps; read them
+      // as UTC instants (LTZ) so epoch arithmetic (unix_micros) stays legal
+      // and semantics match engines that treat naive micros as UTC.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
