@@ -155,6 +155,7 @@ object SparkEntry {
     "txt_hybrid_rrf"    -> (TextAnalysis.hybridDocs _),
     "txt_quality_calibrated" -> ((s, d) => TextAnalysis.calibratedQualityFilter(s, d)),
     "txt_budget_mix"    -> (TextAnalysis.budgetMixDocs _),
+    "txt_boilerplate"   -> (TextAnalysis.boilerplateDocs _),
     "q_bloom_join"      -> (BloomJoin.negBalanceActivity _),
     "txt_neg_pairs"     -> (Contrastive.docNegativePairs _),
     "txt_mix"           -> (TextAnalysis.mixCorpus _),
@@ -271,7 +272,7 @@ object SparkEntry {
     "sim_cluster_sample_steady", "txt_bm25", "dedup_semantic",
     "txt_bm25_steady", "txt_phrase", "txt_phrase_steady",
     "txt_decontam_bloom", "txt_hybrid_rrf", "sim_ann_recall",
-    "txt_quality_calibrated", "txt_budget_mix",
+    "txt_quality_calibrated", "txt_budget_mix", "txt_boilerplate",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -842,6 +843,37 @@ object SparkEntry {
         |SELECT c.doc_id, c.source, c.n_tokens
         |FROM c JOIN tot USING (source)
         |WHERE c.cum_before < tot.budget""".stripMargin,
+    // Boilerplate strip: fixed 8-token segments, md5 census, drop
+    // segments present in ≥ 3 distinct docs, rebuild each doc from its
+    // surviving slices in order. Everything is integer/string — the md5
+    // keys and the slice boundaries are engine-identical, so the clean
+    // text hash-matches exactly.
+    "txt_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, toks,
+        |    CAST(ceil(len(toks) / 8.0) AS BIGINT) AS n_segs
+        |  FROM d
+        |), segs AS (
+        |  SELECT doc_id, s AS seg_idx,
+        |    md5(array_to_string(toks[CAST(s*8+1 AS BIGINT) : CAST(s*8+8 AS BIGINT)], ' ')) AS h
+        |  FROM base, unnest(range(n_segs)) AS t(s)
+        |), boiler AS (
+        |  SELECT h FROM segs GROUP BY h HAVING count(DISTINCT doc_id) >= 3
+        |), keep AS (
+        |  SELECT doc_id, list_sort(list(seg_idx)) AS ki
+        |  FROM segs WHERE h NOT IN (SELECT h FROM boiler)
+        |  GROUP BY doc_id
+        |)
+        |SELECT b.doc_id,
+        |  coalesce(array_to_string(flatten(list_transform(ki,
+        |    i -> b.toks[CAST(i*8+1 AS BIGINT) : CAST(i*8+8 AS BIGINT)])), ' '), '') AS clean_text,
+        |  coalesce(CAST(len(ki) AS BIGINT), 0) AS n_kept,
+        |  b.n_segs - coalesce(CAST(len(ki) AS BIGINT), 0) AS n_dropped
+        |FROM base b LEFT JOIN keep USING (doc_id)""".stripMargin,
     // Calibrated quality floor: same tokenization + stopword list as
     // txt_quality; the cutoff is quantile_cont ≡ Spark's exact percentile
     // ((n−1)·p interpolation — the txt_corpus_stats precedent), and BOTH

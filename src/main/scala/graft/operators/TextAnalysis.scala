@@ -1022,6 +1022,71 @@ object TextAnalysis {
   def repetitionDocs(spark: SparkSession, dir: String): DataFrame =
     repetitionStats(Tables.load(spark, dir, "documents"), "doc_id", "text")
 
+  /** CROSS-document boilerplate removal — the corpus-level sibling of
+    * [[repetitionStats]]'s within-document signals, after the published
+    * web-pipeline recipe (CCNet / RefinedWeb line-dedup): a text segment
+    * that recurs verbatim across many distinct documents is template
+    * chrome (nav bars, footers, cookie banners), not content, and should
+    * be stripped from every document rather than used to judge any of
+    * them. With no line structure in the corpus, the segment unit is a
+    * fixed `window`-token slice (the final partial slice included), and
+    * a segment is boilerplate when ≥ `minDocs` DISTINCT documents
+    * contain it.
+    *
+    * Scale shape: the segment census never carries text — each slice is
+    * md5'd SCAN-SIDE and only (doc_id, seg_idx, h) crosses the explode,
+    * so the distinct-doc count is a two-phase aggregate over 32-byte
+    * keys and the survivors' shuffle rows are three scalars. The
+    * boilerplate catalog (segments in ≥ minDocs docs) is bounded by
+    * corpus REDUNDANCY, not corpus size — template-chrome-catalog-sized
+    * — and broadcasts to an exchange-free anti-join against the segment
+    * rows. Reconstruction collects each doc's surviving seg_idx ints
+    * (narrow shuffle), and the document text rides exactly ONE doc_id
+    * equi-join (the E113 chunk-text discipline) where the slices are
+    * re-cut from the token array scan-side. A document whose every
+    * segment is boilerplate — or with zero tokens — still emits a row
+    * with empty clean_text, restored by the final left join.
+    *
+    * Output: (doc_id, clean_text, n_kept, n_dropped). */
+  def boilerplateStrip(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, minDocs: Int = 3): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("n_segs",
+        ceil(col("n").cast("double") / window).cast("long"))
+    // (doc_id, seg_idx, h) only — the slice text dies inside the md5
+    val segs = base.select(col("doc_id"), col("toks"),
+        explode(when(col("n") > 0,
+            sequence(lit(0L), col("n_segs") - 1))
+          .otherwise(array().cast("array<bigint>"))).as("seg_idx"))
+      .select(col("doc_id"), col("seg_idx"),
+        md5(array_join(slice(col("toks"),
+          (col("seg_idx") * window + 1).cast("int"), lit(window)), " ")).as("h"))
+    val boiler = segs.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("h")
+    val keptIdx = segs.join(broadcast(boiler), Seq("h"), "left_anti")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("seg_idx"))).as("ki"))
+    base.join(keptIdx, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(array_join(flatten(transform(col("ki"),
+          i => slice(col("toks"), (i * window + 1).cast("int"), lit(window)))),
+          " "), lit("")).as("clean_text"),
+        coalesce(size(col("ki")).cast("long"), lit(0L)).as("n_kept"),
+        (col("n_segs") - coalesce(size(col("ki")).cast("long"), lit(0L)))
+          .as("n_dropped"))
+  }
+
+  /** CORRECTNESS instantiation: 8-token segments shared by ≥ 3 docs
+    * (the synthetic 30-ish-word vocabulary repeats 8-token runs
+    * naturally — 17 boilerplate segments at sf0.01, non-vacuous without
+    * planting). */
+  def boilerplateDocs(spark: SparkSession, dir: String): DataFrame =
+    boilerplateStrip(Tables.load(spark, dir, "documents"), "doc_id", "text")
+
   /** The langId projection as a reusable column: struct(pred_lang, score). */
   def langIdCol(text: Column): Column = {
     val toks = tokens(text)

@@ -533,6 +533,38 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got == want, s"got $got\nwant $want")
   }
 
+  test("boilerplateStrip drops cross-doc segments and rebuilds in order") {
+    // window=4 keeps the fixture readable; the shared 4-token banner
+    // appears in 3 docs (>= minDocs=3), the 2-doc chorus survives
+    val banner = "visit our great site"
+    val chorus = "only two docs here"
+    val docs = Seq(
+      (1L, s"$banner alpha beta gamma delta"),
+      (2L, s"epsilon zeta eta theta $banner"),
+      (3L, s"$banner $chorus"),
+      (4L, s"$chorus iota kappa lambda mu"),
+      (5L, banner + " " + banner), // every segment boilerplate
+      (6L, ""), // zero tokens
+      (7L, "unique tail of five words") // partial final segment
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateStrip(docs, "doc_id", "text",
+        window = 4, minDocs = 3)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 7, "every doc emits a row")
+    // banner stripped wherever it aligns to a window boundary; order kept
+    assert(out(1L) == ((1L, "alpha beta gamma delta", 1L, 1L)))
+    assert(out(2L) == ((2L, "epsilon zeta eta theta", 1L, 1L)))
+    assert(out(3L) == ((3L, chorus, 1L, 1L)))
+    // the 2-doc chorus is below the floor and survives
+    assert(out(4L) == ((4L, s"$chorus iota kappa lambda mu", 2L, 0L)))
+    // all-boilerplate doc -> empty text, counted drops
+    assert(out(5L) == ((5L, "", 0L, 2L)))
+    // zero-token doc -> empty text, zero segments either way
+    assert(out(6L) == ((6L, "", 0L, 0L)))
+    // 5 tokens at window 4: full slice + 1-token partial slice both kept
+    assert(out(7L) == ((7L, "unique tail of five words", 2L, 0L)))
+  }
+
   test("hybridSearch fuses the branch rankings by reciprocal rank") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.sources.Tables.load(spark, dir, "documents")
