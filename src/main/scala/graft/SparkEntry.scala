@@ -156,6 +156,7 @@ object SparkEntry {
     "txt_quality_calibrated" -> ((s, d) => TextAnalysis.calibratedQualityFilter(s, d)),
     "txt_budget_mix"    -> (TextAnalysis.budgetMixDocs _),
     "txt_boilerplate"   -> (TextAnalysis.boilerplateDocs _),
+    "txt_key_terms"     -> (TextAnalysis.keyTermsDocs _),
     "q_bloom_join"      -> (BloomJoin.negBalanceActivity _),
     "txt_neg_pairs"     -> (Contrastive.docNegativePairs _),
     "txt_mix"           -> (TextAnalysis.mixCorpus _),
@@ -273,6 +274,7 @@ object SparkEntry {
     "txt_bm25_steady", "txt_phrase", "txt_phrase_steady",
     "txt_decontam_bloom", "txt_hybrid_rrf", "sim_ann_recall",
     "txt_quality_calibrated", "txt_budget_mix", "txt_boilerplate",
+    "txt_key_terms",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -874,6 +876,35 @@ object SparkEntry {
         |  coalesce(CAST(len(ki) AS BIGINT), 0) AS n_kept,
         |  b.n_segs - coalesce(CAST(len(ki) AS BIGINT), 0) AS n_dropped
         |FROM base b LEFT JOIN keep USING (doc_id)""".stripMargin,
+    // Key terms: Dunning G2 keyness replayed with the identical
+    // association order (counts cast to DOUBLE before any multiply, E1 =
+    // tt*stot/n, E2 = tt*(n-stot)/n, b=0 branch exact-zero), 6-dp
+    // rounded BEFORE the rank, ties on term ascending.
+    "txt_key_terms" ->
+      """WITH st AS (
+        |  SELECT source, term, count(*) AS a FROM (
+        |    SELECT source,
+        |      unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
+        |    FROM documents)
+        |  GROUP BY source, term
+        |), tt AS (SELECT term, sum(a) AS tt FROM st GROUP BY term),
+        |stot AS (SELECT source, sum(a) AS stot FROM st GROUP BY source),
+        |n AS (SELECT sum(a) AS n FROM st),
+        |scored AS (
+        |  SELECT source, term, a AS n_src,
+        |    round(2.0 * (CAST(a AS DOUBLE) * ln(CAST(a AS DOUBLE) /
+        |        (CAST(tt AS DOUBLE) * CAST(stot AS DOUBLE) / CAST(n AS DOUBLE))) +
+        |      CASE WHEN tt = a THEN 0.0
+        |        ELSE CAST(tt - a AS DOUBLE) * ln(CAST(tt - a AS DOUBLE) /
+        |          (CAST(tt AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(stot AS DOUBLE)) / CAST(n AS DOUBLE)))
+        |      END), 6) AS g2
+        |  FROM st JOIN tt USING (term) JOIN stot USING (source) CROSS JOIN n
+        |  WHERE CAST(a AS DOUBLE) * CAST(n AS DOUBLE) > CAST(tt AS DOUBLE) * CAST(stot AS DOUBLE)
+        |)
+        |SELECT source, term, n_src, g2 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY g2 DESC, term) AS r
+        |  FROM scored)
+        |WHERE r <= 5""".stripMargin,
     // Calibrated quality floor: same tokenization + stopword list as
     // txt_quality; the cutoff is quantile_cont ≡ Spark's exact percentile
     // ((n−1)·p interpolation — the txt_corpus_stats precedent), and BOTH

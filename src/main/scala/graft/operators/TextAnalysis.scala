@@ -1087,6 +1087,58 @@ object TextAnalysis {
   def boilerplateDocs(spark: SparkSession, dir: String): DataFrame =
     boilerplateStrip(Tables.load(spark, dir, "documents"), "doc_id", "text")
 
+  /** Per-source DISTINCTIVE terms — corpus keyness by Dunning's
+    * log-likelihood ratio (the published G² statistic of corpus
+    * linguistics; the standard "what characterizes this domain" report a
+    * mixing policy is built from): for each (source, term), compare the
+    * term's in-source count `a` against its rest-of-corpus count under
+    * the null of one shared distribution, G² = 2·(a·ln(a/E₁) +
+    * b·ln(b/E₂)) with E₁ = tt·stot/N, E₂ = tt·(N−stot)/N; only
+    * positively-key terms (relative frequency ABOVE the corpus rate)
+    * rank, and the k-cut per source runs through TopKPerKey's bounded
+    * pre-exchange heaps (the docKeywords discipline).
+    *
+    * Scale shape: one row-local explode, a (source, term) two-phase
+    * count, and the marginals all DERIVE from that model-sized table —
+    * term totals join back on the same term key (exchange-reusable),
+    * source totals and the grand total ride tiny broadcasts; the G² math
+    * is scan-side. Counts multiply as DOUBLES (two 100 TB-scale token
+    * totals overflow int64 as a product), in an association order
+    * mirrored exactly in the oracle, and the score is 6-dp rounded
+    * BEFORE ranking (the bigram-LM discipline) with ties on term
+    * ascending. b = 0 (term exclusive to the source) contributes 0 by
+    * the x·ln x → 0 limit. */
+  def keyTerms(docs: DataFrame, srcCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    val st = docs
+      .select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("a"))
+    val termTot = st.groupBy("term").agg(sum(col("a")).as("tt"))
+    val srcTot = st.groupBy("source").agg(sum(col("a")).as("stot"))
+    val n = st.agg(sum(col("a")).as("n"))
+    val aD = col("a").cast("double")
+    val ttD = col("tt").cast("double")
+    val stotD = col("stot").cast("double")
+    val nD = col("n").cast("double")
+    val e1 = ttD * stotD / nD
+    val e2 = ttD * (nD - stotD) / nD
+    val bD = (col("tt") - col("a")).cast("double")
+    val scored = st.join(termTot, "term")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(n))
+      .filter(aD * nD > ttD * stotD)
+      .select(col("source"), col("term"), col("a").as("n_src"),
+        round(lit(2.0) * (aD * log(aD / e1) +
+          when(col("tt") === col("a"), lit(0.0))
+            .otherwise(bD * log(bD / e2))), 6).as("g2"))
+    graft.plans.TopKPerKey(scored, Seq("source"),
+      Seq(col("g2").desc, col("term").asc), k)
+  }
+
+  /** CORRECTNESS instantiation: top 5 key terms per source. */
+  def keyTermsDocs(spark: SparkSession, dir: String): DataFrame =
+    keyTerms(Tables.load(spark, dir, "documents"), "source", "text")
+
   /** The langId projection as a reusable column: struct(pred_lang, score). */
   def langIdCol(text: Column): Column = {
     val toks = tokens(text)

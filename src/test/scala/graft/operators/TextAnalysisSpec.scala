@@ -565,6 +565,39 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(7L) == ((7L, "unique tail of five words", 2L, 0L)))
   }
 
+  test("keyTerms ranks Dunning G2 keyness, positive-key only") {
+    // source x over-uses "spark", y over-uses "duck"; "shared" is flat
+    val docs = Seq(
+      (1L, "x", "spark spark spark shared shared"),
+      (2L, "x", "spark spark shared duck"),
+      (3L, "y", "duck duck duck shared shared"),
+      (4L, "y", "duck duck shared spark")
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.keyTerms(docs, "source", "text", k = 2)
+      .as[(String, String, Long, Double)].collect()
+      .groupBy(_._1).map { case (s, rs) => s -> rs.sortBy(r => (-r._4, r._2)).toList }
+    // ground truth in plain Scala with the same association order
+    val counts = Map(("x", "spark") -> 5L, ("x", "shared") -> 3L, ("x", "duck") -> 1L,
+      ("y", "duck") -> 5L, ("y", "shared") -> 3L, ("y", "spark") -> 1L)
+    val tt = counts.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val stot = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n = counts.values.sum.toDouble
+    def g2(s: String, t: String): Double = {
+      val a = counts((s, t)).toDouble
+      val e1 = tt(t) * stot(s).toDouble / n
+      val b = tt(t) - counts((s, t))
+      val e2 = tt(t) * (n - stot(s)) / n
+      val t2 = if (b == 0) 0.0 else b * math.log(b / e2)
+      BigDecimal(2.0 * (a * math.log(a / e1) + t2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // positive-key terms per source: only the over-used one (shared and
+    // the cross-term sit at/below the corpus rate)
+    assert(got("x").map(r => (r._2, r._3, r._4)) == List(("spark", 5L, g2("x", "spark"))))
+    assert(got("y").map(r => (r._2, r._3, r._4)) == List(("duck", 5L, g2("y", "duck"))))
+    assert(g2("x", "spark") > 0)
+  }
+
   test("hybridSearch fuses the branch rankings by reciprocal rank") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.sources.Tables.load(spark, dir, "documents")
