@@ -157,6 +157,7 @@ object SparkEntry {
     "txt_budget_mix"    -> (TextAnalysis.budgetMixDocs _),
     "txt_boilerplate"   -> (TextAnalysis.boilerplateDocs _),
     "txt_key_terms"     -> (TextAnalysis.keyTermsDocs _),
+    "txt_fertility"     -> (TextAnalysis.fertilityDocs _),
     "q_bloom_join"      -> (BloomJoin.negBalanceActivity _),
     "txt_neg_pairs"     -> (Contrastive.docNegativePairs _),
     "txt_mix"           -> (TextAnalysis.mixCorpus _),
@@ -274,7 +275,7 @@ object SparkEntry {
     "txt_bm25_steady", "txt_phrase", "txt_phrase_steady",
     "txt_decontam_bloom", "txt_hybrid_rrf", "sim_ann_recall",
     "txt_quality_calibrated", "txt_budget_mix", "txt_boilerplate",
-    "txt_key_terms",
+    "txt_key_terms", "txt_fertility",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -345,6 +346,45 @@ object SparkEntry {
       s"SELECT doc_id, trim(s) AS toks,\n" +
       s"  len(list_filter(string_split(trim(s), ' '), x -> len(x) > 0)) AS n_tokens\n" +
       s"FROM d$iters"
+  }
+
+  /** txt_fertility oracle, generated: the bpeApplyOracleSql recurrence
+    * with `source` and the raw token count threaded through every d CTE,
+    * aggregated per source at the end — integer sums, one double divide,
+    * 6-dp round, zero-raw guarded to 0.0 exactly as the Spark side. */
+  private def bpeFertilityOracleSql(iters: Int = 3): String = {
+    val d0 = "d0 AS (\n" +
+      "  SELECT source, " +
+      "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS raw, " +
+      "' ' || array_to_string(list_filter(string_split_regex(lower(text), " +
+      "'[^a-z0-9]+'), x -> len(x) > 0), ' ') || ' ' AS s FROM documents)"
+    val its = (1 to iters).map { i =>
+      s"""p$i AS (
+         |  SELECT w[j] AS l, w[j+1] AS r, count(*) AS n FROM (
+         |    SELECT w, unnest(range(1, len(w))) AS j
+         |    FROM (SELECT string_split(trim(s), ' ') AS w FROM d${i - 1})
+         |  ) GROUP BY 1, 2
+         |), m$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+         |d$i AS (SELECT source, raw,
+         |  CASE WHEN (SELECT count(*) FROM m$i) = 0 THEN s
+         |  ELSE replace(s,
+         |    ' ' || (SELECT l FROM m$i) || ' ' || (SELECT r FROM m$i) || ' ',
+         |    ' ' || (SELECT l FROM m$i) || '§' || (SELECT r FROM m$i) || ' ')
+         |  END AS s
+         |FROM d${i - 1})""".stripMargin
+    }
+    s"WITH $d0,\n${its.mkString(",\n")},\n" +
+      s"""f AS (
+         |  SELECT source, CAST(raw AS BIGINT) AS raw,
+         |    CAST(len(list_filter(string_split(trim(s), ' '), x -> len(x) > 0)) AS BIGINT) AS pieces
+         |  FROM d$iters)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(raw) AS BIGINT) AS raw_tokens,
+         |  CAST(sum(pieces) AS BIGINT) AS bpe_tokens,
+         |  CASE WHEN sum(raw) = 0 THEN 0.0
+         |    ELSE round(CAST(sum(pieces) AS DOUBLE) / CAST(sum(raw) AS DOUBLE), 6)
+         |  END AS fertility
+         |FROM f GROUP BY source""".stripMargin
   }
 
   private def kmeansOracleSql(initEvery: Int = 29, iters: Int = 3): String =
@@ -1018,6 +1058,7 @@ object SparkEntry {
     "sim_kmeans" -> kmeansOracleSql(),
     "txt_bpe" -> bpeOracleSql(),
     "txt_bpe_apply" -> bpeApplyOracleSql(),
+    "txt_fertility" -> bpeFertilityOracleSql(),
     // Bigram-LM ground truth: same tokenizer, same add-one model trained
     // on the same corpus, ln-sum rounded to 6 dp (summation order differs
     // across engines by design).

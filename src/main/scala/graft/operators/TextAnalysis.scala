@@ -216,6 +216,52 @@ object TextAnalysis {
     bpeApply(docs, "doc_id", "text", merges)
   }
 
+  /** Tokenizer FERTILITY audit — the published tokenizer-adequacy metric
+    * (pieces emitted per raw word, reported per source/domain): a domain
+    * whose text the trained tokenizer compresses least is the domain the
+    * vocabulary under-serves, the signal that drives vocab resizing or
+    * per-domain training before a bad tokenizer inflates sequence
+    * lengths corpus-wide. With the word-level trainer ([[bpeMerges]])
+    * fertility is the COMPRESSION ratio bpe_tokens/raw_tokens ≤ 1 —
+    * sources full of learned collocations compress hardest.
+    *
+    * Scale shape: the merge fold, the raw count, and the piece count
+    * all live in ONE scan-side codegen projection (the [[bpeApply]]
+    * chain — zero joins, zero text shuffles); the aggregate moves one
+    * row per source. The ratio divides as doubles after the integer
+    * sums, 6-dp rounded, with the zero-raw source guarded to 0.0 on
+    * both engines. */
+  def tokenizerFertility(docs: DataFrame, srcCol: String, textCol: String,
+      merges: Seq[(String, String)], joiner: String = "§"): DataFrame = {
+    val s0 = concat(lit(" "), array_join(tokens(col(textCol)), " "), lit(" "))
+    val sN = merges.foldLeft(s0) { case (s, (l, r)) =>
+      replace(s, lit(s" $l $r "), lit(s" $l$joiner$r "))
+    }
+    docs
+      .select(col(srcCol).as("source"),
+        size(tokens(col(textCol))).cast("long").as("raw"),
+        size(filter(split(trim(sN), " "), t => length(t) > 0))
+          .cast("long").as("pieces"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("raw")).as("raw_tokens"),
+        sum(col("pieces")).as("bpe_tokens"))
+      .select(col("source"), col("n_docs"), col("raw_tokens"), col("bpe_tokens"),
+        when(col("raw_tokens") === 0, lit(0.0))
+          .otherwise(round(col("bpe_tokens").cast("double") /
+            col("raw_tokens").cast("double"), 6)).as("fertility"))
+  }
+
+  /** CORRECTNESS instantiation: fertility per source under the standard
+    * 3-merge training, merges via the shared steady memo (training paid
+    * once per process, the bpeTokenizedSteady artifact). */
+  def fertilityDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val merges = trainedMerges.getOrElseUpdate(dir,
+      bpeCore(docs, "text", 3, "§").map(m => (m._2, m._3)))
+    tokenizerFertility(docs, "source", "text", merges)
+  }
+
   /** Per-(lang, source) corpus token statistics — the summary table a
     * corpus dashboard shows and a mixing policy (txt_mix) consumes:
     * document count, total/mean tokens, and exact p50/p95 via Spark's

@@ -565,6 +565,30 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(7L) == ((7L, "unique tail of five words", 2L, 0L)))
   }
 
+  test("tokenizerFertility compresses per source through the merge fold") {
+    // merge (a,b): source x's text is dense in "a b", y's has none
+    val docs = Seq(
+      // non-overlapping left-to-right: the first " a b " consumes its
+      // trailing space, so the second pair survives this round (the
+      // documented trainer fixpoint semantics)
+      (1L, "x", "a b a b c"), // 5 raw -> "a§b a b c" = 4 pieces
+      (2L, "x", "a b"),       // 2 raw -> 1 piece
+      (3L, "y", "c d e"),     // untouched: 3 raw -> 3 pieces
+      (4L, "y", "")           // zero tokens
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.tokenizerFertility(docs, "source", "text",
+        Seq(("a", "b")))
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("x") == (("x", 2L, 7L, 5L, math.rint(5.0 / 7.0 * 1e6) / 1e6)))
+    assert(out("y") == (("y", 2L, 3L, 3L, 1.0)))
+    // all-empty source guards the divide
+    val empty = TextAnalysis.tokenizerFertility(
+        Seq((5L, "z", "")).toDF("doc_id", "source", "text"), "source", "text", Nil)
+      .as[(String, Long, Long, Long, Double)].collect().head
+    assert(empty == (("z", 1L, 0L, 0L, 0.0)))
+  }
+
   test("keyTerms ranks Dunning G2 keyness, positive-key only") {
     // source x over-uses "spark", y over-uses "duck"; "shared" is flat
     val docs = Seq(
