@@ -158,6 +158,7 @@ object SparkEntry {
     "txt_boilerplate"   -> (TextAnalysis.boilerplateDocs _),
     "txt_key_terms"     -> (TextAnalysis.keyTermsDocs _),
     "txt_fertility"     -> (TextAnalysis.fertilityDocs _),
+    "txt_quality_lr"    -> (TextAnalysis.qualityLrDocs _),
     "q_bloom_join"      -> (BloomJoin.negBalanceActivity _),
     "txt_neg_pairs"     -> (Contrastive.docNegativePairs _),
     "txt_mix"           -> (TextAnalysis.mixCorpus _),
@@ -275,7 +276,7 @@ object SparkEntry {
     "txt_bm25_steady", "txt_phrase", "txt_phrase_steady",
     "txt_decontam_bloom", "txt_hybrid_rrf", "sim_ann_recall",
     "txt_quality_calibrated", "txt_budget_mix", "txt_boilerplate",
-    "txt_key_terms", "txt_fertility",
+    "txt_key_terms", "txt_fertility", "txt_quality_lr",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -385,6 +386,38 @@ object SparkEntry {
          |    ELSE round(CAST(sum(pieces) AS DOUBLE) / CAST(sum(raw) AS DOUBLE), 6)
          |  END AS fertility
          |FROM f GROUP BY source""".stripMargin
+  }
+
+  /** txt_quality_lr oracle, generated per GD round: the same 6-dp
+    * feature construction, (b + w1·x1) + w2·x2 association, (η·Σ)/n
+    * gradient, and per-round 6-dp weight rounding as the Spark trainer
+    * — each round one CTE cross-joining the previous round's 1-row
+    * weight table (the kmeans/bpe iterative-oracle device). */
+  private def lrOracleSql(iters: Int = 3, eta: Double = 1.0): String = {
+    val f = "f AS (\n" +
+      "  SELECT doc_id, source,\n" +
+      "    CASE WHEN source IN ('src0','src1','src2') THEN 1.0 ELSE 0.0 END AS y,\n" +
+      "    round(CAST(len(list_filter(toks, x -> list_contains(\n" +
+      "      ['the','a','an','of','to','and','in','is','it','that'], x))) AS DOUBLE) / len(toks), 6) AS x1,\n" +
+      "    round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) AS x2\n" +
+      "  FROM (SELECT doc_id, source,\n" +
+      "    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks\n" +
+      "    FROM documents)\n" +
+      "  WHERE len(toks) > 0)"
+    val w0 = "w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2)"
+    val its = (1 to iters).map { i =>
+      s"""w$i AS (
+         |  SELECT round(max(b) - $eta * sum(p - y) / count(*), 6) AS b,
+         |    round(max(w1) - $eta * sum((p - y) * x1) / count(*), 6) AS w1,
+         |    round(max(w2) - $eta * sum((p - y) * x2) / count(*), 6) AS w2
+         |  FROM (SELECT w.b, w.w1, w.w2, f.y, f.x1, f.x2,
+         |    1.0 / (1.0 + exp(-(w.b + w.w1 * f.x1 + w.w2 * f.x2))) AS p
+         |  FROM f CROSS JOIN w${i - 1} w))""".stripMargin
+    }
+    s"WITH $f,\n$w0,\n${its.mkString(",\n")}\n" +
+      s"""SELECT doc_id, source, CAST(y AS BIGINT) AS y,
+         |  round(1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2))), 6) AS score
+         |FROM f CROSS JOIN w$iters w""".stripMargin
   }
 
   private def kmeansOracleSql(initEvery: Int = 29, iters: Int = 3): String =
@@ -1059,6 +1092,7 @@ object SparkEntry {
     "txt_bpe" -> bpeOracleSql(),
     "txt_bpe_apply" -> bpeApplyOracleSql(),
     "txt_fertility" -> bpeFertilityOracleSql(),
+    "txt_quality_lr" -> lrOracleSql(),
     // Bigram-LM ground truth: same tokenizer, same add-one model trained
     // on the same corpus, ln-sum rounded to 6 dp (summation order differs
     // across engines by design).

@@ -1185,6 +1185,65 @@ object TextAnalysis {
   def keyTermsDocs(spark: SparkSession, dir: String): DataFrame =
     keyTerms(Tables.load(spark, dir, "documents"), "source", "text")
 
+  /** TRAINED quality classifier — logistic regression by distributed
+    * batch gradient descent, the published web-corpus recipe (GPT-3 /
+    * CCNet class: fit a linear model to separate a CURATED slice from
+    * the rest, score every document, filter on the probability): weak
+    * labels come from source membership, features are the scan-side
+    * quality signals (stopword ratio, mean token length), and training
+    * is full-batch GD — per round, ONE two-phase aggregate over the
+    * persisted feature projection computes the three gradient sums (one
+    * row over the shuffle), the 3-double weight read-back is the bounded
+    * trainer-collect class (the BPE argmax / k-means centroid
+    * precedent), and the next round's plan takes the weights as
+    * literals. Scoring is one scan-side projection with the final
+    * weights.
+    *
+    * Cross-engine float discipline (the kmeans device): features are
+    * 6-dp rounded at construction, weights are 6-dp rounded per round —
+    * absorbing both the partial-vs-sequential summation-order drift and
+    * any last-ulp libm exp() divergence — and every association
+    * (z = (b + w1·x1) + w2·x2, grad = (η·Σ)/n, update = w − grad) is
+    * mirrored exactly in the oracle SQL. Zero-token docs carry no
+    * features and are dropped up front. */
+  def trainQualityLr(docs: DataFrame, curated: Seq[String],
+      iters: Int = 3, eta: Double = 1.0): DataFrame = {
+    val toks = tokens(col("text"))
+    val feats = docs
+      .select(col("doc_id"), col("source"),
+        size(toks).as("nt"),
+        size(filter(toks, t => t.isInCollection(qcStopwords))).as("ns"),
+        aggregate(toks, lit(0), (acc, t) => acc + length(t)).as("tc"))
+      .filter(col("nt") > 0)
+      .select(col("doc_id"), col("source"),
+        when(col("source").isInCollection(curated), lit(1.0))
+          .otherwise(lit(0.0)).as("y"),
+        round(col("ns").cast("double") / col("nt"), 6).as("x1"),
+        round(col("tc").cast("double") / col("nt"), 6).as("x2"))
+      .localCheckpoint()
+    var w = (0.0, 0.0, 0.0)
+    for (_ <- 1 to iters) {
+      val z = lit(w._1) + lit(w._2) * col("x1") + lit(w._3) * col("x2")
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val row = feats.agg(
+        round(lit(w._1) - lit(eta) * sum(p - col("y")) / count(lit(1)), 6).as("b"),
+        round(lit(w._2) - lit(eta) * sum((p - col("y")) * col("x1")) / count(lit(1)), 6).as("w1"),
+        round(lit(w._3) - lit(eta) * sum((p - col("y")) * col("x2")) / count(lit(1)), 6).as("w2"))
+        .collect()(0)
+      w = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    }
+    val z = lit(w._1) + lit(w._2) * col("x1") + lit(w._3) * col("x2")
+    feats.select(col("doc_id"), col("source"),
+      col("y").cast("long").as("y"),
+      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"))
+  }
+
+  /** CORRECTNESS instantiation: src0–src2 as the curated slice, 3 GD
+    * rounds. */
+  def qualityLrDocs(spark: SparkSession, dir: String): DataFrame =
+    trainQualityLr(Tables.load(spark, dir, "documents"),
+      Seq("src0", "src1", "src2"))
+
   /** The langId projection as a reusable column: struct(pred_lang, score). */
   def langIdCol(text: Column): Column = {
     val toks = tokens(text)

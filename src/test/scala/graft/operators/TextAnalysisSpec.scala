@@ -589,6 +589,53 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(empty == (("z", 1L, 0L, 0L, 0.0)))
   }
 
+  test("trainQualityLr matches hand-run batch gradient descent") {
+    // curated docs are stopword-dense, web docs stopword-free — a
+    // separable fixture so the trained score must rank curated higher
+    val docs = Seq(
+      (1L, "good", "the of and in is it that a an to"),
+      (2L, "good", "the the of of and and is is"),
+      (3L, "web", "xxxx yyyy zzzz wwww"),
+      (4L, "web", "qqqq rrrr ssss tttt uuuu"),
+      (5L, "web", "") // zero tokens -> dropped
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.trainQualityLr(docs, Seq("good"), iters = 3)
+      .as[(Long, String, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // plain-Scala replay with the same 6-dp discipline
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val toks = Map(1L -> Seq("the","of","and","in","is","it","that","a","an","to"),
+      2L -> Seq("the","the","of","of","and","and","is","is"),
+      3L -> Seq("xxxx","yyyy","zzzz","wwww"),
+      4L -> Seq("qqqq","rrrr","ssss","tttt","uuuu"))
+    val stop = Set("the","a","an","of","to","and","in","is","it","that")
+    val f = toks.toSeq.sortBy(_._1).map { case (id, ts) =>
+      val y = if (id <= 2) 1.0 else 0.0
+      (id, y, r6(ts.count(stop).toDouble / ts.size),
+        r6(ts.map(_.length).sum.toDouble / ts.size))
+    }
+    var (b, w1, w2) = (0.0, 0.0, 0.0)
+    for (_ <- 1 to 3) {
+      val ps = f.map { case (_, y, x1, x2) =>
+        (y, x1, x2, 1.0 / (1.0 + math.exp(-(b + w1 * x1 + w2 * x2)))) }
+      val n = ps.size
+      val nb = r6(b - ps.map(p => p._4 - p._1).sum / n)
+      val n1 = r6(w1 - ps.map(p => (p._4 - p._1) * p._2).sum / n)
+      val n2 = r6(w2 - ps.map(p => (p._4 - p._1) * p._3).sum / n)
+      b = nb; w1 = n1; w2 = n2
+    }
+    val want = f.map { case (id, y, x1, x2) =>
+      id -> r6(1.0 / (1.0 + math.exp(-(b + w1 * x1 + w2 * x2)))) }.toMap
+    assert(got.size == 4, "zero-token doc dropped")
+    for (id <- want.keys) {
+      assert(math.abs(got(id)._4 - want(id)) < 1e-9, s"doc $id")
+      assert(got(id)._3 == (if (id <= 2) 1L else 0L))
+    }
+    // the classifier point: separable fixture ranks curated above web
+    assert(Seq(1L, 2L).map(got(_)._4).min > Seq(3L, 4L).map(got(_)._4).max)
+  }
+
   test("keyTerms ranks Dunning G2 keyness, positive-key only") {
     // source x over-uses "spark", y over-uses "duck"; "shared" is flat
     val docs = Seq(
