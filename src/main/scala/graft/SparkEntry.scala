@@ -159,6 +159,7 @@ object SparkEntry {
     "txt_key_terms"     -> (TextAnalysis.keyTermsDocs _),
     "txt_fertility"     -> (TextAnalysis.fertilityDocs _),
     "txt_quality_lr"    -> (TextAnalysis.qualityLrDocs _),
+    "txt_selfdedup"     -> (TextAnalysis.dedupWithinDocs _),
     "q_bloom_join"      -> (BloomJoin.negBalanceActivity _),
     "txt_neg_pairs"     -> (Contrastive.docNegativePairs _),
     "txt_mix"           -> (TextAnalysis.mixCorpus _),
@@ -276,7 +277,7 @@ object SparkEntry {
     "txt_bm25_steady", "txt_phrase", "txt_phrase_steady",
     "txt_decontam_bloom", "txt_hybrid_rrf", "sim_ann_recall",
     "txt_quality_calibrated", "txt_budget_mix", "txt_boilerplate",
-    "txt_key_terms", "txt_fertility", "txt_quality_lr",
+    "txt_key_terms", "txt_fertility", "txt_quality_lr", "txt_selfdedup",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -978,6 +979,29 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY g2 DESC, term) AS r
         |  FROM scored)
         |WHERE r <= 5""".stripMargin,
+    // Within-doc window dedup: first-occurrence filter via
+    // list_position's first-match semantics, index-aware lambda (1-based
+    // in DuckDB, 0-based in Spark — both spelled to the same rule).
+    "txt_selfdedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id,
+        |    CAST(ceil(len(toks) / 2.0) AS BIGINT) AS n_segs,
+        |    list_transform(range(CAST(ceil(len(toks) / 2.0) AS BIGINT)),
+        |      s -> array_to_string(toks[CAST(s*2+1 AS BIGINT) : CAST(s*2+2 AS BIGINT)], ' ')) AS ss
+        |  FROM d
+        |), k AS (
+        |  SELECT doc_id, n_segs,
+        |    list_filter(ss, (s, i) -> list_position(ss, s) = i) AS kept
+        |  FROM b
+        |)
+        |SELECT doc_id, array_to_string(kept, ' ') AS clean_text,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  n_segs - CAST(len(kept) AS BIGINT) AS n_dropped
+        |FROM k""".stripMargin,
     // Calibrated quality floor: same tokenization + stopword list as
     // txt_quality; the cutoff is quantile_cont ≡ Spark's exact percentile
     // ((n−1)·p interpolation — the txt_corpus_stats precedent), and BOTH

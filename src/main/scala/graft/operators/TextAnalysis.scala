@@ -1185,6 +1185,51 @@ object TextAnalysis {
   def keyTermsDocs(spark: SparkSession, dir: String): DataFrame =
     keyTerms(Tables.load(spark, dir, "documents"), "source", "text")
 
+  /** WITHIN-document repeated-window strip — the intra-document sibling
+    * of [[boilerplateStrip]] (the other half of the published
+    * line-dedup recipe: a page repeating its own nav block, a generation
+    * loop repeating its own sentence): within each doc, keep the FIRST
+    * occurrence of every distinct `window`-token slice and drop later
+    * repeats. Where [[repetitionStats]] SCORES within-doc duplication,
+    * this op REMOVES it.
+    *
+    * Scale shape: entirely ROW-LOCAL — every slice of a document lives
+    * in the document's own row, so first-occurrence dedup is one
+    * scan-side projection (index-aware `filter` against
+    * `array_position`'s first-match semantics), ZERO shuffles at any
+    * corpus size. Quadratic only in slices-per-document (the
+    * repetitionStats trade, explicitly fine at document lengths).
+    * Output: (doc_id, clean_text, n_kept, n_dropped). */
+  def dedupWithinDoc(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 2): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("n_segs",
+        ceil(col("n").cast("double") / window).cast("long"))
+      .withColumn("ss", when(col("n") > 0,
+          transform(sequence(lit(0L), col("n_segs") - 1),
+            i => array_join(slice(col("toks"),
+              (i * window + 1).cast("int"), lit(window)), " ")))
+        .otherwise(array().cast("array<string>")))
+    base.select(col("doc_id"),
+        array_join(filter(col("ss"),
+          (s, i) => array_position(col("ss"), s) === i + 1), " ")
+          .as("clean_text"),
+        size(filter(col("ss"),
+          (s, i) => array_position(col("ss"), s) === i + 1))
+          .cast("long").as("n_kept"),
+        col("n_segs"))
+      .select(col("doc_id"), col("clean_text"), col("n_kept"),
+        (col("n_segs") - col("n_kept")).as("n_dropped"))
+  }
+
+  /** CORRECTNESS instantiation: 2-token slices (the synthetic word-salad
+    * repeats 2-grams within docs naturally — 181/500 docs cut at
+    * sf0.01; real pipelines use line/paragraph units). */
+  def dedupWithinDocs(spark: SparkSession, dir: String): DataFrame =
+    dedupWithinDoc(Tables.load(spark, dir, "documents"), "doc_id", "text")
+
   /** TRAINED quality classifier — logistic regression by distributed
     * batch gradient descent, the published web-corpus recipe (GPT-3 /
     * CCNet class: fit a linear model to separate a CURATED slice from

@@ -589,6 +589,24 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(empty == (("z", 1L, 0L, 0L, 0.0)))
   }
 
+  test("dedupWithinDoc keeps first occurrences of repeated slices") {
+    val docs = Seq(
+      (1L, "a b c d a b e f"), // slices: ab cd ab ef -> ab cd ef
+      (2L, "a b a c a b"),     // ab ac ab -> ab ac
+      (3L, "x y z"),           // xy + partial z, no repeats
+      (4L, ""),                // zero tokens
+      (5L, "a b a")            // ab + partial a: distinct slices
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupWithinDoc(docs, "doc_id", "text", window = 2)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, "a b c d e f", 3L, 1L)))
+    assert(out(2L) == ((2L, "a b a c", 2L, 1L)))
+    assert(out(3L) == ((3L, "x y z", 2L, 0L)))
+    assert(out(4L) == ((4L, "", 0L, 0L)))
+    // the partial final slice "a" differs from "a b" — both survive
+    assert(out(5L) == ((5L, "a b a", 2L, 0L)))
+  }
+
   test("trainQualityLr matches hand-run batch gradient descent") {
     // curated docs are stopword-dense, web docs stopword-free — a
     // separable fixture so the trained score must rank curated higher
