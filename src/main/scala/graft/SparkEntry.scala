@@ -160,6 +160,7 @@ object SparkEntry {
     "txt_fertility"     -> (TextAnalysis.fertilityDocs _),
     "txt_quality_lr"    -> (TextAnalysis.qualityLrDocs _),
     "txt_selfdedup"     -> (TextAnalysis.dedupWithinDocs _),
+    "txt_hash_vectors"  -> (TextAnalysis.hashedVectorDocs _),
     "q_bloom_join"      -> (BloomJoin.negBalanceActivity _),
     "txt_neg_pairs"     -> (Contrastive.docNegativePairs _),
     "txt_mix"           -> (TextAnalysis.mixCorpus _),
@@ -278,6 +279,7 @@ object SparkEntry {
     "txt_decontam_bloom", "txt_hybrid_rrf", "sim_ann_recall",
     "txt_quality_calibrated", "txt_budget_mix", "txt_boilerplate",
     "txt_key_terms", "txt_fertility", "txt_quality_lr", "txt_selfdedup",
+    "txt_hash_vectors",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -979,6 +981,27 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY g2 DESC, term) AS r
         |  FROM scored)
         |WHERE r <= 5""".stripMargin,
+    // Hashed doc vectors: 32-bit md5-prefix lane hash, integer lane
+    // counts, L2 norm — integer math until the final divide, 6-dp round,
+    // zero-norm guard.
+    "txt_hash_vectors" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), v AS (
+        |  SELECT doc_id,
+        |    list_transform(range(8), j -> CAST(len(list_filter(toks,
+        |      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) % 8 = j)) AS DOUBLE)) AS v
+        |  FROM d
+        |), n AS (
+        |  SELECT doc_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM v
+        |)
+        |SELECT doc_id, CAST(j AS BIGINT) AS lane,
+        |  CASE WHEN nrm = 0 THEN 0.0 ELSE round(v[CAST(j+1 AS BIGINT)] / nrm, 6) END AS val
+        |FROM n, unnest(range(8)) AS t(j)""".stripMargin,
     // Within-doc window dedup: first-occurrence filter via
     // list_position's first-match semantics, index-aware lambda (1-based
     // in DuckDB, 0-based in Spark — both spelled to the same rule).

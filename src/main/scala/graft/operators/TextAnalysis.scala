@@ -1185,6 +1185,42 @@ object TextAnalysis {
   def keyTermsDocs(spark: SparkSession, dir: String): DataFrame =
     keyTerms(Tables.load(spark, dir, "documents"), "source", "text")
 
+  /** Feature-hashed document vectors (the hashing trick — the published
+    * fastText/Vowpal-Wabbit device): every token hashes into one of
+    * `dims` lanes via the cross-engine 32-bit md5 prefix, lane values
+    * are term counts, and the vector is L2-normalized — text becomes an
+    * `Array[Double]` embedding with NO trained model, which is exactly
+    * the bridge that lets the ANN / SemDedup / k-means stack run over a
+    * raw TEXT corpus end to end.
+    *
+    * Scale shape: entirely ROW-LOCAL — lane counts, the squared-sum
+    * norm, and the divide all live in one scan-side projection, zero
+    * shuffles at any corpus size. Integer math until the final divide
+    * (counts and their squares are exact), so the only float ops are
+    * one sqrt and one divide per lane, 6-dp rounded; the zero-token
+    * document keeps an all-zero vector via the norm guard. */
+  def hashedDocVectors(docs: DataFrame, idCol: String, textCol: String,
+      dims: Int = 8): DataFrame = {
+    val toks = tokens(col(textCol))
+    val v = transform(sequence(lit(0), lit(dims - 1)),
+      j => size(filter(toks,
+        t => GraftFunctions.md5Prefix32(t) % dims === j)).cast("double"))
+    docs.select(col(idCol).as("doc_id"), v.as("v"))
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0),
+        (a, x) => a + x * x)))
+      .select(col("doc_id"),
+        transform(col("v"), x => when(col("nrm") === 0, lit(0.0))
+          .otherwise(round(x / col("nrm"), 6))).as("embedding"))
+  }
+
+  /** CORRECTNESS instantiation: 8-lane hashed vectors, one scalar row
+    * per (doc, lane) so the entry stays hash-comparable (the
+    * sim_int8_quant discipline). */
+  def hashedVectorDocs(spark: SparkSession, dir: String): DataFrame =
+    hashedDocVectors(Tables.load(spark, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), posexplode(col("embedding")).as(Seq("lane", "val")))
+      .select(col("doc_id"), col("lane").cast("long").as("lane"), col("val"))
+
   /** WITHIN-document repeated-window strip — the intra-document sibling
     * of [[boilerplateStrip]] (the other half of the published
     * line-dedup recipe: a page repeating its own nav block, a generation

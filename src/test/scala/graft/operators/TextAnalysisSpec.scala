@@ -589,6 +589,27 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(empty == (("z", 1L, 0L, 0L, 0.0)))
   }
 
+  test("hashedDocVectors lane counts normalize to unit vectors") {
+    val docs = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "alpha beta alpha"), // identical text -> identical vector
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.hashedDocVectors(docs, "doc_id", "text", dims = 8)
+      .as[(Long, Seq[Double])].collect().map(r => r._1 -> r._2).toMap
+    def md5p32(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    val counts = Array.fill(8)(0.0)
+    Seq("alpha", "beta", "alpha").foreach(t => counts((md5p32(t) % 8).toInt) += 1)
+    val nrm = math.sqrt(counts.map(x => x * x).sum)
+    val want = counts.map(x => math.rint(x / nrm * 1e6) / 1e6).toSeq
+    assert(out(1L) == want)
+    assert(out(2L) == out(1L), "identical text, identical vector")
+    assert(math.abs(out(1L).map(x => x * x).sum - 1.0) < 1e-5, "unit norm")
+    assert(out(3L) == Seq.fill(8)(0.0), "zero-token doc keeps a zero vector")
+  }
+
   test("dedupWithinDoc keeps first occurrences of repeated slices") {
     val docs = Seq(
       (1L, "a b c d a b e f"), // slices: ab cd ab ef -> ab cd ef
