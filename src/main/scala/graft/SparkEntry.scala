@@ -161,6 +161,7 @@ object SparkEntry {
     "txt_quality_lr"    -> (TextAnalysis.qualityLrDocs _),
     "txt_selfdedup"     -> (TextAnalysis.dedupWithinDocs _),
     "txt_hash_vectors"  -> (TextAnalysis.hashedVectorDocs _),
+    "dedup_semantic_text" -> ((s, d) => Dedup.semanticDedupText(s, d)),
     "q_bloom_join"      -> (BloomJoin.negBalanceActivity _),
     "txt_neg_pairs"     -> (Contrastive.docNegativePairs _),
     "txt_mix"           -> (TextAnalysis.mixCorpus _),
@@ -279,7 +280,7 @@ object SparkEntry {
     "txt_decontam_bloom", "txt_hybrid_rrf", "sim_ann_recall",
     "txt_quality_calibrated", "txt_budget_mix", "txt_boilerplate",
     "txt_key_terms", "txt_fertility", "txt_quality_lr", "txt_selfdedup",
-    "txt_hash_vectors",
+    "txt_hash_vectors", "dedup_semantic_text",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -593,6 +594,50 @@ object SparkEntry {
        |  SELECT vec_id + 500000,
        |         list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT))
        |  FROM embeddings WHERE vec_id % 20 = 0
+       |), ${kmeansCteBlock(29, iters, from = "base")},
+       |asg AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT e.vec_id, c.cell_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
+       |          / sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+       |               * list_inner_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))) DESC,
+       |        c.cell_id ASC) AS rn
+       |    FROM base e CROSS JOIN c$iters c
+       |  ) WHERE rn = 1
+       |), drops AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM asg a
+       |  JOIN asg b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+       |  JOIN base ea ON ea.vec_id = a.vec_id
+       |  JOIN base eb ON eb.vec_id = b.vec_id
+       |  WHERE list_inner_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+       |      / sqrt(list_inner_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[]))
+       |           * list_inner_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))) >= $tau
+       |)
+       |SELECT vec_id FROM base WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin
+
+  /** dedup_semantic_text oracle: the semanticDedup recurrence with
+    * `base` = the hashed-vector projection of documents (the
+    * txt_hash_vectors lanes, cast FLOAT — the embeddings-table shape)
+    * instead of the embeddings table; zero-token docs excluded so no
+    * zero vector enters the cosine space (NaN comparison semantics
+    * differ between engines). */
+  private def semanticDedupTextOracleSql(iters: Int = 3,
+      tau: Double = 0.99): String =
+    s"""WITH dt AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+       |  FROM documents
+       |), hv AS (
+       |  SELECT doc_id,
+       |    list_transform(range(8), j -> CAST(len(list_filter(toks,
+       |      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) % 8 = j)) AS DOUBLE)) AS v
+       |  FROM dt WHERE len(toks) > 0
+       |), base AS (
+       |  SELECT doc_id AS vec_id,
+       |    list_transform(v, x -> CAST(round(x / sqrt(list_sum(list_transform(v, y -> y * y))), 6) AS FLOAT)) AS embedding
+       |  FROM hv
        |), ${kmeansCteBlock(29, iters, from = "base")},
        |asg AS (
        |  SELECT vec_id, cell_id FROM (
@@ -1122,6 +1167,7 @@ object SparkEntry {
     "sim_kmeans_assign" -> kmeansAssignOracleSql(),
     "sim_cluster_sample" -> clusterSampleOracleSql(),
     "dedup_semantic" -> semanticDedupOracleSql(),
+    "dedup_semantic_text" -> semanticDedupTextOracleSql(),
     // Sliding distinct: the same fan-out spelled with generate_series —
     // distinct (user, day) first, each contributing to its ≤7 window days.
     "q_sliding_distinct" ->

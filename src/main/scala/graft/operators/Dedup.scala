@@ -650,6 +650,27 @@ object Dedup extends Logging {
   def semanticDedupPlanted(spark: SparkSession, dir: String): DataFrame =
     semanticDedup(plantedNearVectors(spark, dir))
 
+  /** SemDedup over a RAW TEXT corpus — the composition
+    * [[TextAnalysis.hashedDocVectors]] (E130) exists for: the corpus
+    * embeds itself by the hashing trick (no trained model anywhere in
+    * the pipeline), and [[semanticDedup]]'s train-then-dedup-within-cells
+    * recurrence runs unchanged over the hashed vectors. Zero-token docs
+    * are excluded up front: their zero vector has no cosine (NaN on both
+    * engines, with DIFFERENT comparison semantics — DuckDB ranks NaN
+    * above every double, Spark guards with isnan — so the only
+    * cross-engine-safe contract is to keep them out of the vector
+    * space). Returns surviving doc_ids as `vec_id`. */
+  def semanticDedupText(spark: SparkSession, dir: String,
+      tau: Double = 0.99): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .filter(size(graft.operators.TextAnalysis.tokens(col("text"))) > 0)
+    val emb = graft.operators.TextAnalysis
+      .hashedDocVectors(docs, "doc_id", "text")
+      .select(col("doc_id").as("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    semanticDedup(emb, tau)
+  }
+
   /** Near-duplicate REMOVAL (the policy layer over [[minhashLshPairs]]):
     * keep the lower doc_id of every verified pair, drop the other side —
     * the standard greedy cluster-canonicalization (a chain a~b~c keeps a;

@@ -187,6 +187,30 @@ class DedupSpec extends SparkTestBase {
     assert(again == survivors, "trained dedup must be deterministic")
   }
 
+  test("semanticDedup over hashed text vectors drops verbatim twins") {
+    // the E130∘E115 composition: text embeds itself by the hashing
+    // trick, SemDedup runs unchanged. Verbatim twins have identical
+    // vectors (cosine exactly 1 >= tau), distinct-vocab docs stay apart
+    // at tau=0.999 in the 8-dim space for this fixture.
+    val texts = Seq(
+      0L -> "alpha beta gamma delta",
+      1L -> "epsilon zeta eta theta",
+      2L -> "iota kappa lambda mu nu xi",
+      29L -> "omicron pi rho sigma", // second kmeans seed (id % 29 == 0)
+      30L -> "alpha beta gamma delta", // twin of 0 -> must drop
+      31L -> "iota kappa lambda mu nu xi") // twin of 2 -> must drop
+    val emb = graft.operators.TextAnalysis
+      .hashedDocVectors(texts.toDF("doc_id", "text"), "doc_id", "text")
+      .select(col("doc_id").as("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val survivors = Dedup.semanticDedup(emb, tau = 0.999)
+      .as[Long].collect().toSet
+    assert(!survivors.contains(30L) && !survivors.contains(31L),
+      s"verbatim twins must drop (got $survivors)")
+    assert(Set(0L, 1L, 2L, 29L).subsetOf(survivors),
+      s"distinct-vocab docs survive (got $survivors)")
+  }
+
   test("duplicateSpans flags shared windows at the right positions, nothing else") {
     // doc 2 = doc 1 with one token appended: windows 0..(T-w) coincide;
     // doc 3 is unrelated; doc 4 is a short doc (< w tokens) duplicated
