@@ -71,17 +71,47 @@ object StreamUpsert extends Logging {
       latestGen(spark, snapshotDir).getOrElse(
         throw new IllegalStateException(s"no committed snapshot under $snapshotDir")))
 
+  /** Committed snapshot generations (batch ids, ascending) — the
+    * TIME-TRAVEL history. Every id in this list is a complete,
+    * `_SUCCESS`-committed point-in-time view readable via
+    * [[snapshotAsOf]]; how far back it reaches is the `retain` setting
+    * of the writer (history depth is a STORAGE trade, each generation is
+    * a full snapshot — the snapshot-table layout, unlike the fold-index
+    * layout where compaction deliberately absorbs history). */
+  def history(spark: SparkSession, snapshotDir: String): Seq[Long] =
+    Generations.committed(spark, snapshotDir, "gen-")
+      .flatMap(_.stripPrefix("gen-").toLongOption).sorted
+
+  /** TIME-TRAVEL read: the snapshot as of micro-batch `batchId` — the
+    * newest committed generation with id ≤ batchId (exactly Delta/
+    * Iceberg "VERSION AS OF" semantics over the generation-dir layout).
+    * Readers never see a half-written state: only `_SUCCESS`-committed
+    * generations qualify. Throws when `batchId` predates the retained
+    * history. */
+  def snapshotAsOf(spark: SparkSession, snapshotDir: String,
+      batchId: Long): DataFrame = {
+    val ids = history(spark, snapshotDir)
+    val hit = ids.filter(_ <= batchId).lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"no committed generation ≤ $batchId under $snapshotDir " +
+          s"(retained: ${ids.mkString(",")})"))
+    spark.read.parquet(s"$snapshotDir/gen-$hit")
+  }
+
   /** Start folding `changes` (a streaming DataFrame carrying the key,
     * sequence, op, and payload columns) into `snapshotDir`. The base
     * schema is the change schema minus `seqCols` and `opCol`. */
   /** `outputMode` is the QUERY's declared mode ("append" for plain change
     * feeds; "update" when `changes` contains a stateful operator like
     * flatMapGroupsWithState that mandates it — the foreachBatch fold
-    * itself is mode-agnostic: it keys on what each batch CONTAINS). */
+    * itself is mode-agnostic: it keys on what each batch CONTAINS).
+    * `retain` keeps the newest N committed generations as time-travel
+    * history (min 2 — the current + one-extra-for-in-flight-readers
+    * floor the original prune rule guaranteed). */
   def start(changes: DataFrame, snapshotDir: String, checkpoint: String,
       keyCols: Seq[String], seqCols: Seq[String], opCol: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      outputMode: String = "append"): StreamingQuery = {
+      outputMode: String = "append", retain: Int = 2): StreamingQuery = {
     changes.writeStream
       .outputMode(outputMode)
       .option("checkpointLocation", checkpoint)
@@ -100,11 +130,14 @@ object StreamUpsert extends Logging {
           Cdc.applyChangelog(base, batch, keyCols, seqCols, opCol)
             .write.mode(SaveMode.Overwrite).parquet(s"$snapshotDir/$gen")
           pointTo(spark, snapshotDir, gen)
-          // prune everything but {current, previous} — previous survives
-          // one extra generation so an in-flight reader of the old marker
-          // value still finds its files
+          // prune to the newest `retain` generations (current always
+          // kept; previous always survives one extra generation so an
+          // in-flight reader of the old marker value still finds its
+          // files) — everything older ages out of time-travel history
           val f = fs(spark, snapshotDir)
-          val keep = Set(gen) ++ prev
+          val retained = history(spark, snapshotDir)
+            .takeRight(math.max(retain, 1)).map(i => s"gen-$i").toSet
+          val keep = retained + gen ++ prev
           f.listStatus(new Path(snapshotDir))
             .filter(s => s.isDirectory && !keep(s.getPath.getName))
             .foreach(s => f.delete(s.getPath, true))

@@ -69,6 +69,54 @@ class StreamUpsertSpec extends SparkTestBase {
     assert(snap(dir).map(_._1) == Set(1L, 2L, 3L, 4L))
   }
 
+  test("time travel: retained history serves every as-of state") {
+    val dir = tmp("upsert-tt")
+    val ckpt = tmp("upsert-tt-ckpt")
+    val input = MemoryStream[(Long, Long, String, Double, String)](
+      org.apache.spark.sql.Encoders.product[(Long, Long, String, Double, String)],
+      spark.sqlContext)
+    val changes = input.toDF().toDF("k", "seq", "s", "v", "op")
+    val statesSeen = scala.collection.mutable.Map[Long, Set[(Long, String, Double)]]()
+    def runOnce(): Unit = {
+      val q = StreamUpsert.start(changes, dir, ckpt,
+        keyCols = Seq("k"), seqCols = Seq("seq"), opCol = "op",
+        retain = 10)
+      q.awaitTermination()
+    }
+    input.addData((1L, 1L, "a", 1.0, "U"), (2L, 1L, "b", 2.0, "U"))
+    runOnce(); statesSeen(0L) = snap(dir)
+    input.addData((1L, 2L, "a2", 3.0, "U"))
+    runOnce(); statesSeen(1L) = snap(dir)
+    input.addData((2L, 2L, "b", 2.0, "D"), (3L, 1L, "c", 4.0, "U"))
+    runOnce(); statesSeen(2L) = snap(dir)
+    assert(StreamUpsert.history(spark, dir) == Seq(0L, 1L, 2L))
+    // every retained generation replays its exact point-in-time state
+    for ((id, want) <- statesSeen) {
+      val got = StreamUpsert.snapshotAsOf(spark, dir, id)
+        .as[(Long, String, Double)].collect().toSet
+      assert(got == want, s"as-of $id")
+    }
+    // as-of between commits resolves to the newest generation <= id
+    assert(StreamUpsert.snapshotAsOf(spark, dir, 99L)
+      .as[(Long, String, Double)].collect().toSet == statesSeen(2L))
+    intercept[IllegalStateException] {
+      StreamUpsert.snapshotAsOf(spark, dir, -1L)
+    }
+    // default retain=2 still prunes (the original contract holds)
+    val dir2 = tmp("upsert-tt2"); val ckpt2 = tmp("upsert-tt2-ckpt")
+    val in2 = MemoryStream[(Long, Long, String, Double, String)](
+      org.apache.spark.sql.Encoders.product[(Long, Long, String, Double, String)],
+      spark.sqlContext)
+    val ch2 = in2.toDF().toDF("k", "seq", "s", "v", "op")
+    for (b <- 1 to 4) {
+      in2.addData((b.toLong, 1L, s"s$b", b.toDouble, "U"))
+      val q = StreamUpsert.start(ch2, dir2, ckpt2,
+        keyCols = Seq("k"), seqCols = Seq("seq"), opCol = "op")
+      q.awaitTermination()
+    }
+    assert(StreamUpsert.history(spark, dir2) == Seq(2L, 3L))
+  }
+
   test("marker loss recovers the newest committed generation, not a cold start") {
     val dir = tmp("upsert-recover")
     val ckpt = tmp("upsert-recover-ckpt")
