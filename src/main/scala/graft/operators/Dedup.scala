@@ -664,10 +664,14 @@ object Dedup extends Logging {
       tau: Double = 0.99): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
       .filter(size(graft.operators.TextAnalysis.tokens(col("text"))) > 0)
+    // materialize the hashed vectors once (the bpeCore/kmeans trainer
+    // device): the Lloyd's loop and both self-join sides would otherwise
+    // re-run the interpreted HOF hashing chain over the text per pass
     val emb = graft.operators.TextAnalysis
       .hashedDocVectors(docs, "doc_id", "text")
       .select(col("doc_id").as("vec_id"),
         col("embedding").cast("array<float>").as("embedding"))
+      .localCheckpoint()
     semanticDedup(emb, tau)
   }
 
