@@ -152,6 +152,26 @@ case class DocFingerprint(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `hash_lane_counts(string, dims)` → per-lane token counts under the
+  * 32-bit-md5-prefix feature hash ([[TextKernels.hashLaneCounts]]). */
+case class HashLaneCounts(child: Expression, dims: Int) extends UnaryExpression {
+  require(dims > 0, "hash_lane_counts: dims must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hash_lane_counts"
+  override def checkInputDataTypes(): TypeCheckResult =
+    expect(prettyName, child.dataType.isInstanceOf[StringType], "string", Seq(child.dataType))
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.hashLaneCounts(input.asInstanceOf[UTF8String], dims)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.hashLaneCounts($c, $dims);")
+
+  override protected def withNewChildInternal(newChild: Expression): HashLaneCounts =
+    copy(child = newChild)
+}
+
 /** `byte_entropy(string)` → Shannon entropy (nats) of the byte
   * distribution ([[TextKernels.byteEntropy]]). */
 case class ByteEntropy(child: Expression) extends UnaryExpression {

@@ -33,6 +33,7 @@ object GraftFunctions {
   def simhash64(c: Column): Column = col(SimHash64(expr(c)))
   def docFingerprint(c: Column): Column = col(DocFingerprint(expr(c)))
   def byteEntropy(c: Column): Column = col(ByteEntropy(expr(c)))
+  def hashLaneCounts(c: Column, dims: Int): Column = col(HashLaneCounts(expr(c), dims))
   def rollingMinHash(c: Column, k: Int): Column = col(RollingMinHash(expr(c), k))
   def shingleHashes(c: Column, n: Int, seed: Long = 42L): Column =
     col(ShingleHashes(expr(c), n, seed))
@@ -98,6 +99,8 @@ object GraftFunctions {
       (es: Seq[Expression]) => TopKByScore(es(0), es(1), litInt(es(2), "topk_by k"))),
     (FunctionIdentifier("z_order2"), info("z_order2", classOf[ZOrder2]),
       (es: Seq[Expression]) => ZOrder2(es(0), es(1))),
+    (FunctionIdentifier("hash_lane_counts"), info("hash_lane_counts", classOf[HashLaneCounts]),
+      (es: Seq[Expression]) => HashLaneCounts(es.head, litInt(es(1), "hash_lane_counts dims"))),
   )
 }
 

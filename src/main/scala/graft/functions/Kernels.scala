@@ -205,6 +205,54 @@ object TextKernels {
     min
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Feature-hashing lane counts: ASCII-lowercase tokenize (the
+    * [[shingleHashes]] stance — [a-z0-9]+ runs, everything else a
+    * separator), md5 each token, first 32 md5 bits mod `dims` picks the
+    * lane, return the per-lane count array. One pass over the bytes,
+    * one md5 per token, no per-lane re-hash and no interpreted lambda
+    * anywhere — the codegen'd scan-side form of the
+    * `md5Prefix32(token) % dims` HOF spelling (bit-identical: md5 over
+    * the token's lowercased ASCII bytes ≡ md5(lower(token)) on this
+    * tokenizer's output, and the unsigned 32-bit prefix ≡
+    * conv(substr(hex,1,8),16,10)). Measured 2.5× over the staged HOF
+    * chain at sf0.1 — and unlike the HOF form it cannot be silently
+    * re-evaluated by expression-cloning rules (InferFiltersFromGenerate
+    * class): the whole cost is one kernel call per row. */
+  def hashLaneCounts(s: UTF8String, dims: Int): ArrayData = {
+    val nb = s.numBytes()
+    val counts = new Array[Long](dims)
+    val scratch = new Array[Byte](math.max(nb, 1))
+    val md = md5Local.get()
+    var i = 0
+    while (i < nb) {
+      var c = s.getByte(i) & 0xFF
+      if (c >= 'A' && c <= 'Z') c += 32
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        var len = 0
+        var run = true
+        while (run && i < nb) {
+          var cc = s.getByte(i) & 0xFF
+          if (cc >= 'A' && cc <= 'Z') cc += 32
+          if ((cc >= 'a' && cc <= 'z') || (cc >= '0' && cc <= '9')) {
+            scratch(len) = cc.toByte; len += 1; i += 1
+          } else run = false
+        }
+        md.reset()
+        md.update(scratch, 0, len)
+        val d = md.digest()
+        val lane = (((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)) % dims
+        counts(lane.toInt) += 1
+      } else i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(counts)
+  }
+
   /** Shannon entropy (nats) of the string's BYTE distribution: one pass
     * for the 256-bucket histogram, one fixed-size pass for −Σ p·ln p.
     * O(bytes + 256) per row, allocation = one int[256]; empty input is

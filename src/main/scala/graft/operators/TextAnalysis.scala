@@ -1201,16 +1201,17 @@ object TextAnalysis {
     * document keeps an all-zero vector via the norm guard. */
   def hashedDocVectors(docs: DataFrame, idCol: String, textCol: String,
       dims: Int = 8): DataFrame = {
-    // stage the per-token lane index ONCE (md5 is the expensive op —
-    // folding it into each lane's filter re-hashes every token `dims`
-    // times: measured 35 s vs 1.3 s at sf0.1); the lane counts then
-    // fold a cheap int array per lane
+    // lane counting is the codegen'd hash_lane_counts kernel — one pass,
+    // one md5 per token. The HOF spelling (transform + per-lane filter
+    // over md5Prefix32) ran the hash chain in interpreted lambdas and
+    // was re-cloned wholesale by expression-copying rules
+    // (InferFiltersFromGenerate measured it at 35 s vs 1.2 s at sf0.1);
+    // the remaining HOFs below fold a `dims`-element array — constant
+    // work per row.
     val hashed = docs.select(col(idCol).as("doc_id"),
-      transform(tokens(col(textCol)),
-        t => (GraftFunctions.md5Prefix32(t) % dims).cast("int")).as("th"))
-    val v = transform(sequence(lit(0), lit(dims - 1)),
-      j => size(filter(col("th"), h => h === j)).cast("double"))
-    hashed.select(col("doc_id"), v.as("v"))
+      GraftFunctions.hashLaneCounts(col(textCol), dims).as("c"))
+    hashed
+      .select(col("doc_id"), transform(col("c"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0),
         (a, x) => a + x * x)))
       .select(col("doc_id"),

@@ -50,6 +50,18 @@ object KernelProps extends Properties("kernels") {
       a == b && a == c
     }
 
+  property("hashLaneCounts == tokenize + md5-prefix % dims reference") =
+    forAll(asciiText, Gen.choose(1, 16)) { (s, dims) =>
+      def md5p32(t: String): Long = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+      val want = new Array[Long](dims)
+      s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        .foreach(t => want((md5p32(t) % dims).toInt) += 1)
+      val got = longs(TextKernels.hashLaneCounts(u(s), dims))
+      got == want.toSeq
+    }
+
   private val hashSet: Gen[Seq[Long]] = Gen.nonEmptyListOf(Gen.long).map(_.distinct)
   private def arr(xs: Seq[Long]): ArrayData =
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(xs.toArray)
