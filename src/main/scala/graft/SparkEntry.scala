@@ -162,6 +162,7 @@ object SparkEntry {
     "txt_selfdedup"     -> (TextAnalysis.dedupWithinDocs _),
     "txt_hash_vectors"  -> (TextAnalysis.hashedVectorDocs _),
     "dedup_semantic_text" -> ((s, d) => Dedup.semanticDedupText(s, d)),
+    "txt_semantic_search" -> (TextAnalysis.semanticSearchDocs _),
     "q_bloom_join"      -> (BloomJoin.negBalanceActivity _),
     "txt_neg_pairs"     -> (Contrastive.docNegativePairs _),
     "txt_mix"           -> (TextAnalysis.mixCorpus _),
@@ -280,7 +281,7 @@ object SparkEntry {
     "txt_decontam_bloom", "txt_hybrid_rrf", "sim_ann_recall",
     "txt_quality_calibrated", "txt_budget_mix", "txt_boilerplate",
     "txt_key_terms", "txt_fertility", "txt_quality_lr", "txt_selfdedup",
-    "txt_hash_vectors", "dedup_semantic_text",
+    "txt_hash_vectors", "dedup_semantic_text", "txt_semantic_search",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -660,6 +661,42 @@ object SparkEntry {
        |           * list_inner_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))) >= $tau
        |)
        |SELECT vec_id FROM base WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin
+
+  /** txt_semantic_search oracle: the hashed-vector base (txt_hash_vectors
+    * lanes, FLOAT-cast) scored against the SAME hashing of the probe
+    * string — computed in SQL over a 1-row VALUES — with the
+    * sim_topk_cosine scoring/rank tail (NaN zero-vector skip included). */
+  private def semanticSearchOracleSql(query: String, k: Int = 10): String =
+    s"""WITH dt AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT CAST(-1 AS BIGINT) AS doc_id, '$query' AS text
+       |), hv AS (
+       |  SELECT doc_id,
+       |    list_transform(range(8), j -> CAST(len(list_filter(
+       |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0),
+       |      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) % 8 = j)) AS DOUBLE)) AS v
+       |  FROM dt
+       |), base AS (
+       |  SELECT doc_id AS vec_id,
+       |    list_transform(v, x -> CAST(CASE
+       |      WHEN sqrt(list_sum(list_transform(v, y -> y * y))) = 0 THEN 0.0
+       |      ELSE round(x / sqrt(list_sum(list_transform(v, y -> y * y))), 6)
+       |    END AS FLOAT)) AS embedding
+       |  FROM hv
+       |)
+       |SELECT query_id, vec_id, score FROM (
+       |  SELECT query_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+       |  FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+       |      list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+       |        / sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+       |             * list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS score
+       |    FROM base q JOIN base e ON e.vec_id >= 0
+       |    WHERE q.vec_id = -1
+       |  ) WHERE NOT isnan(score)
+       |) WHERE rn <= $k""".stripMargin
 
   /** sim_cluster_sample oracle: trained assignment (same CTE block as
     * sim_kmeans_assign) + a per-cell rank over the identical md5 order. */
@@ -1168,6 +1205,8 @@ object SparkEntry {
     "sim_cluster_sample" -> clusterSampleOracleSql(),
     "dedup_semantic" -> semanticDedupOracleSql(),
     "dedup_semantic_text" -> semanticDedupTextOracleSql(),
+    "txt_semantic_search" ->
+      semanticSearchOracleSql("table scan query fast value sort"),
     // Sliding distinct: the same fan-out spelled with generate_series —
     // distinct (user, day) first, each contributing to its ≤7 window days.
     "q_sliding_distinct" ->

@@ -1232,6 +1232,41 @@ object TextAnalysis {
       .select(col("doc_id"), posexplode_outer(col("embedding")).as(Seq("lane", "val")))
       .select(col("doc_id"), col("lane").cast("long").as("lane"), col("val"))
 
+  /** SEMANTIC search over raw text — the query is a STRING, the corpus
+    * is the documents table, and no trained model exists anywhere: the
+    * query embeds driver-side through the SAME `hash_lane_counts`
+    * kernel the corpus uses (a dims-length literal — the probe-set
+    * legitimacy class), and [[Similarity.topKCosine]]'s
+    * broadcast-probe + pre-exchange `topk_by` k-cut runs unchanged.
+    * Completes the retrieval family: lexical ([[bm25Rank]]), phrase
+    * ([[phraseCount]]), hybrid ([[hybridSearch]]) — and now
+    * model-free dense. Zero-token docs keep zero vectors whose NaN
+    * cosine the topk aggregate skips (the sim_topk_cosine contract).
+    * query_id is −1: a text probe is not a corpus row, so no corpus
+    * doc is self-excluded. */
+  def semanticSearch(spark: SparkSession, dir: String, queryText: String,
+      k: Int = 10, dims: Int = 8): DataFrame = {
+    val corpus = hashedDocVectors(
+        Tables.load(spark, dir, "documents"), "doc_id", "text", dims)
+      .select(col("doc_id").as("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val counts = graft.functions.TextKernels
+      .hashLaneCounts(org.apache.spark.unsafe.types.UTF8String
+        .fromString(queryText), dims).toLongArray()
+    val nrm = math.sqrt(counts.map(c => c.toDouble * c.toDouble).sum)
+    val qv = counts.map(c => if (nrm == 0) 0.0f
+      else BigDecimal(c.toDouble / nrm)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toFloat)
+    val queries = spark.range(1).select(lit(-1L).as("query_id"),
+      array(qv.toIndexedSeq.map(lit): _*).cast("array<float>").as("q_emb"))
+    Similarity.topKCosine(corpus, queries, k)
+  }
+
+  /** CORRECTNESS instantiation: a fixed in-vocabulary probe phrase,
+    * top 10. */
+  def semanticSearchDocs(spark: SparkSession, dir: String): DataFrame =
+    semanticSearch(spark, dir, "table scan query fast value sort")
+
   /** WITHIN-document repeated-window strip — the intra-document sibling
     * of [[boilerplateStrip]] (the other half of the published
     * line-dedup recipe: a page repeating its own nav block, a generation

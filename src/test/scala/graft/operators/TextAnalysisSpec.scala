@@ -610,6 +610,33 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(3L) == Seq.fill(8)(0.0), "zero-token doc keeps a zero vector")
   }
 
+  test("semanticSearch ranks by cosine against the hashed query vector") {
+    val dir = "/root/testdata/sf0.001"
+    val query = "table scan query fast value sort"
+    val got = TextAnalysis.semanticSearch(spark, dir, query, k = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 5 && got.forall(_._1 == -1L))
+    // ground truth from the operator's own building blocks in Scala
+    val emb = TextAnalysis.hashedDocVectors(
+        graft.sources.Tables.load(spark, dir, "documents"), "doc_id", "text")
+      .as[(Long, Seq[Double])].collect()
+    val counts = graft.functions.TextKernels.hashLaneCounts(
+      org.apache.spark.unsafe.types.UTF8String.fromString(query), 8).toLongArray()
+    val nrm = math.sqrt(counts.map(c => c.toDouble * c.toDouble).sum)
+    val qv = counts.map(c => BigDecimal(c / nrm)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toFloat.toDouble)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val af = a.map(_.toFloat.toDouble); val dot = af.zip(b).map(p => p._1 * p._2).sum
+      dot / math.sqrt(af.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val want = emb.map { case (id, v) => (id, cos(v, qv.toSeq)) }
+      .filterNot(p => p._2.isNaN)
+      .sortBy(p => (-p._2, p._1)).take(5).map(_._1).toSeq
+    assert(got.sortBy(r => (-r._3, r._2)).map(_._2).toSeq == want)
+    // identical text to the query scores ~1 above everything else
+    assert(got.map(_._3).max <= 1.0 + 1e-9)
+  }
+
   test("dedupWithinDoc keeps first occurrences of repeated slices") {
     val docs = Seq(
       (1L, "a b c d a b e f"), // slices: ab cd ab ef -> ab cd ef
