@@ -163,6 +163,7 @@ object SparkEntry {
     "txt_hash_vectors"  -> (TextAnalysis.hashedVectorDocs _),
     "dedup_semantic_text" -> ((s, d) => Dedup.semanticDedupText(s, d)),
     "txt_semantic_search" -> (TextAnalysis.semanticSearchDocs _),
+    "sim_hard_negatives" -> (Similarity.hardNegativeDocs _),
     "q_bloom_join"      -> (BloomJoin.negBalanceActivity _),
     "txt_neg_pairs"     -> (Contrastive.docNegativePairs _),
     "txt_mix"           -> (TextAnalysis.mixCorpus _),
@@ -282,6 +283,7 @@ object SparkEntry {
     "txt_quality_calibrated", "txt_budget_mix", "txt_boilerplate",
     "txt_key_terms", "txt_fertility", "txt_quality_lr", "txt_selfdedup",
     "txt_hash_vectors", "dedup_semantic_text", "txt_semantic_search",
+    "sim_hard_negatives",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1495,6 +1497,21 @@ object SparkEntry {
     // inner products, dot/sqrt(na*nb)); DuckDB's builtin
     // list_cosine_similarity accumulates in float and diverges at 1e-7.
     "sim_topk_cosine" -> cosineTopkSql,
+    // Hard negatives: the cosine ground truth with the duplicate-ceiling
+    // band applied before the rank (NaN already excluded there).
+    "sim_hard_negatives" ->
+      """SELECT query_id, vec_id, score FROM (
+        |  SELECT query_id, vec_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+        |  FROM (
+        |    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+        |      list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+        |        / sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+        |             * list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS score
+        |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |    WHERE q.vec_id IN (0, 100, 200, 300, 400)
+        |  ) WHERE NOT isnan(score) AND score < 0.95
+        |) WHERE rn <= 5""".stripMargin,
     // The exact prefix-filtered Jaccard join has the SAME ground truth as
     // the LSH pipeline (all pairs with word-3-gram Jaccard ≥ 0.7) — but
     // here equality is guaranteed by construction, not w.h.p.: prefix

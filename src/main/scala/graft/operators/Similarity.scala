@@ -60,6 +60,33 @@ object Similarity {
     topKCut(scored, k)
   }
 
+  /** HARD-negative mining — the contrastive-training complement of the
+    * md5-uniform RANDOM negatives ([[Contrastive]], E55): the published
+    * dense-retrieval recipe (DPR class) wants the most-similar
+    * NON-duplicates as negatives — similar enough to be informative,
+    * but anything above `dupCeil` is a probable duplicate/positive and
+    * would poison the loss as a false negative. One band filter over
+    * the same scored pairs as [[topKCosine]], then the same
+    * pre-exchange `topk_by` cut; NaN (zero-norm junk) is excluded by
+    * the explicit band test, so the band — not the aggregate — is the
+    * documented NaN gate here. */
+  def hardNegatives(emb: DataFrame, queries: DataFrame, k: Int,
+      dupCeil: Double): DataFrame = {
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id"),
+        GraftFunctions.cosineSim(col("q_emb"), col("embedding")).as("score"))
+      .filter(!isnan(col("score")) && col("score") < dupCeil)
+    topKCut(scored, k)
+  }
+
+  /** CORRECTNESS instantiation: 5 hard negatives per default probe,
+    * duplicate ceiling 0.95. */
+  def hardNegativeDocs(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    hardNegatives(emb, defaultQueries(emb), k = 5, dupCeil = 0.95)
+  }
+
   /** The shared k-cut: topk_by aggregate → explode back to rows. */
   private def topKCut(scored: DataFrame, k: Int): DataFrame =
     scored

@@ -35,6 +35,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("hardNegatives bands out probable duplicates, keeps the best of the rest") {
+    // plant a near-twin of query 0: it would top the plain cosine cut
+    // but sits above the dup ceiling, so mining must skip it
+    val twin = (2000L, corpus(0)._2.map(x => (x * 1.001f)))
+    val junk = (998L, Array.fill(32)(0f))
+    val emb = (corpus :+ twin :+ junk).toDF("vec_id", "embedding")
+    val queries = Seq((0L, corpus(0)._2)).toDF("query_id", "q_emb")
+    val got = Similarity.hardNegatives(emb, queries, k = 5, dupCeil = 0.95)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 5)
+    assert(!got.exists(_._2 == 2000L), "near-twin is a false negative, banded out")
+    assert(!got.exists(_._2 == 998L), "NaN junk never ranks")
+    assert(got.forall(r => r._3 < 0.95))
+    // and it is exactly the plain top-k minus the banded rows
+    val want = (corpus.drop(1) :+ twin)
+      .map { case (id, v) => (id, cosine(corpus(0)._2, v)) }
+      .filter(_._2 < 0.95)
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+    assert(got.map(_._2).toSet == want)
+  }
+
   test("zero-norm junk vectors never rank (NaN cosine is filtered, not sorted first)") {
     val junk = (998L, Array.fill(32)(0f)) // zero norm → cosine NaN
     val emb = (corpus :+ junk).toDF("vec_id", "embedding")
