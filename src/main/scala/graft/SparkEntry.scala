@@ -164,6 +164,7 @@ object SparkEntry {
     "dedup_semantic_text" -> ((s, d) => Dedup.semanticDedupText(s, d)),
     "txt_semantic_search" -> (TextAnalysis.semanticSearchDocs _),
     "sim_hard_negatives" -> (Similarity.hardNegativeDocs _),
+    "txt_mlm_mask"      -> (TextAnalysis.mlmMaskDocs _),
     "q_bloom_join"      -> (BloomJoin.negBalanceActivity _),
     "txt_neg_pairs"     -> (Contrastive.docNegativePairs _),
     "txt_mix"           -> (TextAnalysis.mixCorpus _),
@@ -283,7 +284,7 @@ object SparkEntry {
     "txt_quality_calibrated", "txt_budget_mix", "txt_boilerplate",
     "txt_key_terms", "txt_fertility", "txt_quality_lr", "txt_selfdedup",
     "txt_hash_vectors", "dedup_semantic_text", "txt_semantic_search",
-    "sim_hard_negatives",
+    "sim_hard_negatives", "txt_mlm_mask",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1086,6 +1087,26 @@ object SparkEntry {
         |SELECT doc_id, CAST(j AS BIGINT) AS lane,
         |  CASE WHEN nrm = 0 THEN 0.0 ELSE round(v[CAST(j+1 AS BIGINT)] / nrm, 6) END AS val
         |FROM n, unnest(range(8)) AS t(j)""".stripMargin,
+    // MLM masking: the same md5 hash-draw per (seed, doc, 0-based pos) —
+    // DuckDB's lambda index is 1-based, so j-1 mirrors Spark's i.
+    "txt_mlm_mask" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, w,
+        |    list_transform(w, (tok, j) -> CASE
+        |      WHEN CAST(('0x' || substr(md5('mlm0:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j - 1 AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 15
+        |      THEN CAST(j - 1 AS VARCHAR) || ':' || tok END) AS tagged
+        |  FROM d
+        |)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_transform(w, (tok, j) -> CASE
+        |    WHEN tagged[j] IS NULL THEN tok ELSE '<mask>' END), ' '), '') AS input_text,
+        |  coalesce(array_to_string(list_filter(tagged, x -> x IS NOT NULL), ' '), '') AS targets,
+        |  coalesce(CAST(len(list_filter(tagged, x -> x IS NOT NULL)) AS BIGINT), 0) AS n_masked
+        |FROM t""".stripMargin,
     // Within-doc window dedup: first-occurrence filter via
     // list_position's first-match semantics, index-aware lambda (1-based
     // in DuckDB, 0-based in Spark — both spelled to the same rule).

@@ -1232,6 +1232,41 @@ object TextAnalysis {
       .select(col("doc_id"), posexplode_outer(col("embedding")).as(Seq("lane", "val")))
       .select(col("doc_id"), col("lane").cast("long").as("lane"), col("val"))
 
+  /** Deterministic MLM sample construction (BERT-style masking) — the
+    * sample-building step between a cleaned corpus and a training run:
+    * each position masks independently at `pct`% by the engine's
+    * hash-draw device (md5Prefix32(doc:pos) % 100 < pct — the
+    * stratifiedSample rule, reproducible across runs, engines, and
+    * partitionings, and STABLE under corpus edits: a doc's mask depends
+    * only on its own id), emitting the masked input text, the
+    * `pos:token` recovery targets, and the mask count. Entirely
+    * ROW-LOCAL — one scan-side projection, zero shuffles; the
+    * re-generation-over-epochs story is the `seed` argument (a new seed
+    * re-draws every mask). */
+  def mlmMask(docs: DataFrame, idCol: String, textCol: String,
+      pct: Int = 15, seed: String = "mlm0"): DataFrame = {
+    def sel(i: Column) = GraftFunctions.md5Prefix32(
+      concat(lit(seed), lit(":"), col("doc_id").cast("string"),
+        lit(":"), i.cast("string"))) % 100 < pct
+    val tagged = transform(col("w"),
+      (t, i) => when(sel(i), concat(i.cast("string"), lit(":"), t)))
+    // coalesce: a NULL text row (the q3 QC class) normalizes to the
+    // same empty sample as a zero-token doc on both engines
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+      .select(col("doc_id"),
+        coalesce(array_join(transform(col("w"),
+          (t, i) => when(sel(i), lit("<mask>")).otherwise(t)), " "), lit(""))
+          .as("input_text"),
+        coalesce(array_join(filter(tagged, x => x.isNotNull), " "), lit(""))
+          .as("targets"),
+        coalesce(size(filter(tagged, x => x.isNotNull)).cast("long"), lit(0L))
+          .as("n_masked"))
+  }
+
+  /** CORRECTNESS instantiation: 15% masking under the epoch-0 seed. */
+  def mlmMaskDocs(spark: SparkSession, dir: String): DataFrame =
+    mlmMask(Tables.load(spark, dir, "documents"), "doc_id", "text")
+
   /** SEMANTIC search over raw text — the query is a STRING, the corpus
     * is the documents table, and no trained model exists anywhere: the
     * query embeds driver-side through the SAME `hash_lane_counts`

@@ -610,6 +610,36 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(3L) == Seq.fill(8)(0.0), "zero-token doc keeps a zero vector")
   }
 
+  test("mlmMask draws deterministic masks and emits recoverable targets") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, ""), (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.mlmMask(docs, "doc_id", "text", pct = 30)
+      .as[(Long, String, String, Long)].collect().map(r => r._1 -> r).toMap
+    // ground truth from the same hash rule in plain Scala
+    def md5p32(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    val toks = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split(" ")
+    val sel = toks.indices.filter(i => md5p32(s"mlm0:1:$i") % 100 < 30)
+    assert(sel.nonEmpty && sel.size < toks.length, "fixture must mask some, not all")
+    val wantInput = toks.indices.map(i => if (sel.contains(i)) "<mask>" else toks(i)).mkString(" ")
+    val wantTargets = sel.map(i => s"$i:${toks(i)}").mkString(" ")
+    assert(out(1L) == ((1L, wantInput, wantTargets, sel.size.toLong)))
+    // applying targets over the input reconstructs the original text
+    val rebuilt = wantInput.split(" ").toBuffer
+    wantTargets.split(" ").foreach { kv =>
+      val Array(i, t) = kv.split(":"); rebuilt(i.toInt) = t }
+    assert(rebuilt.mkString(" ") == toks.mkString(" "))
+    // empty and NULL text normalize to the same empty sample
+    assert(out(2L) == ((2L, "", "", 0L)) && out(3L) == ((3L, "", "", 0L)))
+    // a different seed re-draws the mask (epoch re-generation)
+    val again = TextAnalysis.mlmMask(docs, "doc_id", "text", pct = 30, seed = "mlm1")
+      .as[(Long, String, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(again(1L) != out(1L)._2, "new seed, new mask draw")
+  }
+
   test("semanticSearch ranks by cosine against the hashed query vector") {
     val dir = "/root/testdata/sf0.001"
     val query = "table scan query fast value sort"
