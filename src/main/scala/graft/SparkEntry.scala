@@ -165,6 +165,7 @@ object SparkEntry {
     "txt_semantic_search" -> (TextAnalysis.semanticSearchDocs _),
     "sim_hard_negatives" -> (Similarity.hardNegativeDocs _),
     "txt_mlm_mask"      -> (TextAnalysis.mlmMaskDocs _),
+    "txt_span_corrupt"  -> (TextAnalysis.spanCorruptDocs _),
     "q_bloom_join"      -> (BloomJoin.negBalanceActivity _),
     "txt_neg_pairs"     -> (Contrastive.docNegativePairs _),
     "txt_mix"           -> (TextAnalysis.mixCorpus _),
@@ -284,7 +285,7 @@ object SparkEntry {
     "txt_quality_calibrated", "txt_budget_mix", "txt_boilerplate",
     "txt_key_terms", "txt_fertility", "txt_quality_lr", "txt_selfdedup",
     "txt_hash_vectors", "dedup_semantic_text", "txt_semantic_search",
-    "sim_hard_negatives", "txt_mlm_mask",
+    "sim_hard_negatives", "txt_mlm_mask", "txt_span_corrupt",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1087,6 +1088,43 @@ object SparkEntry {
         |SELECT doc_id, CAST(j AS BIGINT) AS lane,
         |  CASE WHEN nrm = 0 THEN 0.0 ELSE round(v[CAST(j+1 AS BIGINT)] / nrm, 6) END AS val
         |FROM n, unnest(range(8)) AS t(j)""".stripMargin,
+    // Span corruption: same draw as txt_mlm_mask under the t5-0 seed,
+    // runs collapsed to numbered sentinels; DuckDB's 1-based lambda
+    // index j mirrors Spark's 0-based i as j-1 throughout, and the
+    // start list / run length are the same array_position devices.
+    "txt_span_corrupt" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM documents
+        |), drawn AS (
+        |  SELECT doc_id, w,
+        |    list_transform(w, (tok, j) ->
+        |      CAST(('0x' || substr(md5('t5-0:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j - 1 AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 15) AS m
+        |  FROM d
+        |), staged AS (
+        |  SELECT doc_id, w, m,
+        |    list_filter(list_transform(m, (x, j) -> CASE
+        |      WHEN x AND (j = 1 OR NOT m[j - 1]) THEN j - 1 END),
+        |      v -> v IS NOT NULL) AS sp
+        |  FROM drawn
+        |)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_filter(list_transform(w, (tok, j) -> CASE
+        |    WHEN NOT m[j] THEN tok
+        |    WHEN list_position(sp, j - 1) > 0 THEN
+        |      '<extra_' || CAST(list_position(sp, j - 1) - 1 AS VARCHAR) || '>'
+        |    END), v -> v IS NOT NULL), ' '), '') AS input_text,
+        |  coalesce(array_to_string(flatten(list_transform(sp, i ->
+        |    list_prepend('<extra_' || CAST(list_position(sp, i) - 1 AS VARCHAR) || '>',
+        |      w[CAST(i + 1 AS BIGINT) : CAST(i + (CASE
+        |        WHEN list_position(m[CAST(i + 2 AS BIGINT) :], false) = 0
+        |          THEN 1 + len(m[CAST(i + 2 AS BIGINT) :])
+        |        ELSE list_position(m[CAST(i + 2 AS BIGINT) :], false) END) AS BIGINT)]))),
+        |    ' '), '') AS target_text,
+        |  coalesce(CAST(len(sp) AS BIGINT), 0) AS n_spans,
+        |  coalesce(CAST(len(list_filter(m, x -> x)) AS BIGINT), 0) AS n_masked
+        |FROM staged""".stripMargin,
     // MLM masking: the same md5 hash-draw per (seed, doc, 0-based pos) —
     // DuckDB's lambda index is 1-based, so j-1 mirrors Spark's i.
     "txt_mlm_mask" ->

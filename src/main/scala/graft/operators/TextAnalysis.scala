@@ -1267,6 +1267,58 @@ object TextAnalysis {
   def mlmMaskDocs(spark: SparkSession, dir: String): DataFrame =
     mlmMask(Tables.load(spark, dir, "documents"), "doc_id", "text")
 
+  /** Deterministic T5-style SPAN corruption — the sequence-to-sequence
+    * sibling of [[mlmMask]] (the published span-denoising objective):
+    * the same per-position md5 draw, but maximal RUNS of masked
+    * positions collapse into one numbered sentinel each — the input
+    * keeps unmasked tokens with `<extra_K>` at each span start, the
+    * target lists each sentinel followed by the tokens it hides.
+    *
+    * Entirely ROW-LOCAL in three STAGED projections (draw bits → span
+    * starts + start-position list → assembly) so the md5 draw is
+    * written once and never re-inlined into the downstream ops
+    * (the InferFiltersFromGenerate lesson); sentinel ordinals come
+    * from `array_position` over the start list (O(spans) per lookup)
+    * and run lengths from the first unmasked position after each
+    * start — no quadratic boolean scans. NULL text normalizes to the
+    * empty sample. */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+      pct: Int = 15, seed: String = "t5-0"): DataFrame = {
+    val drawn = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+      .select(col("doc_id"), col("w"),
+        transform(col("w"), (_, i) => GraftFunctions.md5Prefix32(
+          concat(lit(seed), lit(":"), col("doc_id").cast("string"),
+            lit(":"), i.cast("string"))) % 100 < pct).as("m"))
+    val staged = drawn.select(col("doc_id"), col("w"), col("m"),
+      filter(transform(col("m"), (x, i) => when(x &&
+          (i === 0 || !get(col("m"), i - 1)), i)), v => v.isNotNull)
+        .as("sp"))
+    val n = size(col("w"))
+    def runLen(i: Column) = {
+      val rest = slice(col("m"), i + 2, n)
+      val p = array_position(rest, lit(false))
+      lit(1) + when(p === 0, size(rest)).otherwise(p - 1)
+    }
+    val sentinel = (i: Column) =>
+      concat(lit("<extra_"), (array_position(col("sp"), i) - 1).cast("string"), lit(">"))
+    staged.select(col("doc_id"),
+      coalesce(array_join(filter(transform(col("w"), (t, i) =>
+          when(!element_at(col("m"), i + 1), t)
+            .when(array_position(col("sp"), i) > 0, sentinel(i))),
+        v => v.isNotNull), " "), lit("")).as("input_text"),
+      coalesce(array_join(flatten(filter(transform(col("sp"),
+          i => concat(array(sentinel(i)), slice(col("w"), i + 1, runLen(i)))),
+        v => v.isNotNull)), " "), lit("")).as("target_text"),
+      coalesce(size(col("sp")).cast("long"), lit(0L)).as("n_spans"),
+      coalesce(size(filter(col("m"), x => x)).cast("long"), lit(0L))
+        .as("n_masked"))
+  }
+
+  /** CORRECTNESS instantiation: 15% draw under the epoch-0 seed. */
+  def spanCorruptDocs(spark: SparkSession, dir: String): DataFrame =
+    spanCorrupt(Tables.load(spark, dir, "documents"), "doc_id", "text")
+
   /** SEMANTIC search over raw text — the query is a STRING, the corpus
     * is the documents table, and no trained model exists anywhere: the
     * query embeds driver-side through the SAME `hash_lane_counts`

@@ -640,6 +640,46 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(again(1L) != out(1L)._2, "new seed, new mask draw")
   }
 
+  test("spanCorrupt collapses mask runs into sentinels; targets recover the text") {
+    val text = (0 until 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // pct=40 so the fixture reliably produces multi-token runs
+    val out = TextAnalysis.spanCorrupt(docs, "doc_id", "text", pct = 40)
+      .as[(Long, String, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    def md5p32(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    val toks = text.split(" ")
+    val m = toks.indices.map(i => md5p32(s"t5-0:1:$i") % 100 < 40)
+    val spans = toks.indices.filter(i => m(i) && (i == 0 || !m(i - 1)))
+    assert(spans.nonEmpty && m.count(identity) > spans.size,
+      "fixture must contain a multi-token run")
+    val (_, input, target, nSpans, nMasked) = out(1L)
+    assert(nSpans == spans.size && nMasked == m.count(identity))
+    // input: unmasked tokens with one sentinel per run, in order
+    val wantInput = {
+      val b = scala.collection.mutable.ArrayBuffer[String]()
+      toks.indices.foreach { i =>
+        if (!m(i)) b += toks(i)
+        else if (spans.contains(i)) b += s"<extra_${spans.indexOf(i)}>"
+      }
+      b.mkString(" ")
+    }
+    assert(input == wantInput)
+    // target: each sentinel followed by exactly the tokens it hides;
+    // substituting them back into the input reconstructs the original
+    val spanToks = target.split(" ").foldLeft(Map[String, Vector[String]]() -> "") {
+      case ((acc, cur), t) =>
+        if (t.startsWith("<extra_")) (acc + (t -> Vector()), t)
+        else (acc + (cur -> (acc(cur) :+ t)), cur)
+    }._1
+    val rebuilt = input.split(" ").flatMap(t =>
+      if (t.startsWith("<extra_")) spanToks(t) else Vector(t)).mkString(" ")
+    assert(rebuilt == text, "sentinel substitution must reconstruct the original")
+    assert(out(2L) == ((2L, "", "", 0L, 0L)) && out(3L) == ((3L, "", "", 0L, 0L)))
+  }
+
   test("semanticSearch ranks by cosine against the hashed query vector") {
     val dir = "/root/testdata/sf0.001"
     val query = "table scan query fast value sort"
