@@ -166,6 +166,7 @@ object SparkEntry {
     "sim_hard_negatives" -> (Similarity.hardNegativeDocs _),
     "txt_mlm_mask"      -> (TextAnalysis.mlmMaskDocs _),
     "txt_span_corrupt"  -> (TextAnalysis.spanCorruptDocs _),
+    "dedup_record_link" -> (Dedup.recordLinkCustomers _),
     "q_bloom_join"      -> (BloomJoin.negBalanceActivity _),
     "txt_neg_pairs"     -> (Contrastive.docNegativePairs _),
     "txt_mix"           -> (TextAnalysis.mixCorpus _),
@@ -286,6 +287,7 @@ object SparkEntry {
     "txt_key_terms", "txt_fertility", "txt_quality_lr", "txt_selfdedup",
     "txt_hash_vectors", "dedup_semantic_text", "txt_semantic_search",
     "sim_hard_negatives", "txt_mlm_mask", "txt_span_corrupt",
+    "dedup_record_link",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1088,6 +1090,22 @@ object SparkEntry {
         |SELECT doc_id, CAST(j AS BIGINT) AS lane,
         |  CASE WHEN nrm = 0 THEN 0.0 ELSE round(v[CAST(j+1 AS BIGINT)] / nrm, 6) END AS val
         |FROM n, unnest(range(8)) AS t(j)""".stripMargin,
+    // Record linkage: the symmetric-delete blocking replayed — 1-deletion
+    // variants as join keys, distinct candidate pairs, exact levenshtein
+    // confirm (identical DP definition in both engines).
+    "dedup_record_link" ->
+      """WITH c AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name FROM customer
+        |), v AS (
+        |  SELECT id, name, CASE WHEN j = 0 THEN name
+        |    ELSE substr(name, 1, j - 1) || substr(name, j + 1) END AS variant
+        |  FROM c, unnest(range(0, len(name) + 1)) AS t(j)
+        |), p AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.name AS na, b.name AS nb
+        |  FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id
+        |)
+        |SELECT id_a, id_b, CAST(levenshtein(na, nb) AS BIGINT) AS dist
+        |FROM p WHERE levenshtein(na, nb) <= 1""".stripMargin,
     // Span corruption: same draw as txt_mlm_mask under the t5-0 seed,
     // runs collapsed to numbered sentinels; DuckDB's 1-based lambda
     // index j mirrors Spark's 0-based i as j-1 throughout, and the

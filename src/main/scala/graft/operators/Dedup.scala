@@ -675,6 +675,50 @@ object Dedup extends Logging {
     semanticDedup(emb, tau)
   }
 
+  /** RECORD linkage by deletion-neighborhood blocking — the structured
+    * (typo'd-key) sibling of the text near-dup family, using the
+    * published symmetric-delete device (SymSpell): every 1-deletion
+    * variant of a name is a blocking key, and any two names within
+    * edit distance 1 PROVABLY share one (substitution at i → both drop
+    * i; insertion/deletion → the longer drops the extra), so the
+    * candidate generator is a bucketed EQUI-join on the variant — no
+    * all-pairs, no per-pair distance until the bounded verify. The
+    * exact `levenshtein` confirm then removes the false candidates the
+    * blocking over-generates (distance-2 names can share a variant).
+    *
+    * Scale shape: the variant explode is |name| per row (bounded by key
+    * length, not corpus size); the join shuffles (variant, id, name);
+    * candidate pairs dedup through a two-phase distinct before the
+    * verify. Returns (id_a, id_b, dist ≤ 1), id_a < id_b. */
+  def deletionLinkPairs(records: DataFrame, idCol: String,
+      nameCol: String): DataFrame = {
+    val c = records.select(col(idCol).cast("long").as("id"),
+      col(nameCol).as("name"))
+    // index the name ITSELF plus every 1-deletion (j = 0 is the name):
+    // a substitution pair shares a deletion variant, but an insertion/
+    // deletion pair shares the SHORTER NAME — which is no deletion of
+    // itself, so a deletions-only index would miss it
+    val v = c.select(col("id"), col("name"),
+      explode(transform(sequence(lit(0), length(col("name"))),
+        j => when(j === 0, col("name"))
+          .otherwise(concat(col("name").substr(lit(1), j - 1),
+            col("name").substr(j + 1, length(col("name"))))))).as("variant"))
+    val pairs = v.select(col("variant"), col("id").as("id_a"), col("name").as("na"))
+      .join(v.select(col("variant"), col("id").as("id_b"), col("name").as("nb")),
+        Seq("variant"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "na", "nb").distinct()
+    pairs.filter(levenshtein(col("na"), col("nb")) <= 1)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("na"), col("nb")).cast("long").as("dist"))
+  }
+
+  /** CORRECTNESS instantiation: distance-≤1 customer-name pairs (the
+    * digit-padded synthetic names make single-digit neighbors natural
+    * typo pairs — non-vacuous without planting). */
+  def recordLinkCustomers(spark: SparkSession, dir: String): DataFrame =
+    deletionLinkPairs(Tables.load(spark, dir, "customer"), "c_custkey", "c_name")
+
   /** Near-duplicate REMOVAL (the policy layer over [[minhashLshPairs]]):
     * keep the lower doc_id of every verified pair, drop the other side —
     * the standard greedy cluster-canonicalization (a chain a~b~c keeps a;

@@ -187,6 +187,20 @@ class DedupSpec extends SparkTestBase {
     assert(again == survivors, "trained dedup must be deterministic")
   }
 
+  test("deletionLinkPairs finds every edit-distance-1 pair, nothing farther") {
+    val recs = Seq(
+      (1L, "smith"), (2L, "smyth"),   // substitution
+      (3L, "jones"), (4L, "joness"),  // insertion
+      (5L, "brown"), (6L, "brwn"),    // deletion
+      (7L, "gray"), (8L, "gray"),     // identical (distance 0)
+      (9L, "taylor"), (10L, "tailer") // distance 2 — must NOT link
+    ).toDF("id", "name")
+    val got = Dedup.deletionLinkPairs(recs, "id", "name")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (3L, 4L, 1L), (5L, 6L, 1L), (7L, 8L, 0L)),
+      s"got $got")
+  }
+
   test("semanticDedup over hashed text vectors drops verbatim twins") {
     // the E130∘E115 composition: text embeds itself by the hashing
     // trick, SemDedup runs unchanged. Verbatim twins have identical
