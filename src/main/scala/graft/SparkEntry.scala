@@ -167,6 +167,7 @@ object SparkEntry {
     "txt_mlm_mask"      -> (TextAnalysis.mlmMaskDocs _),
     "txt_span_corrupt"  -> (TextAnalysis.spanCorruptDocs _),
     "dedup_record_link" -> (Dedup.recordLinkCustomers _),
+    "dedup_entities"    -> (Dedup.resolveCustomers _),
     "q_bloom_join"      -> (BloomJoin.negBalanceActivity _),
     "txt_neg_pairs"     -> (Contrastive.docNegativePairs _),
     "txt_mix"           -> (TextAnalysis.mixCorpus _),
@@ -287,7 +288,7 @@ object SparkEntry {
     "txt_key_terms", "txt_fertility", "txt_quality_lr", "txt_selfdedup",
     "txt_hash_vectors", "dedup_semantic_text", "txt_semantic_search",
     "sim_hard_negatives", "txt_mlm_mask", "txt_span_corrupt",
-    "dedup_record_link",
+    "dedup_record_link", "dedup_entities",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1106,6 +1107,48 @@ object SparkEntry {
         |)
         |SELECT id_a, id_b, CAST(levenshtein(na, nb) AS BIGINT) AS dist
         |FROM p WHERE levenshtein(na, nb) <= 1""".stripMargin,
+    // Entity resolution: the record-link blocking + confirm, the
+    // dedup_cc recursive closure over the linked pairs, then one
+    // canonical row per component under (acctbal DESC, custkey ASC) —
+    // the dedup_keep_best survivorship spelling; singletons keep
+    // themselves.
+    "dedup_entities" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id,
+        |    c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR) || '|' || c_name AS name,
+        |    c_acctbal
+        |  FROM customer
+        |), v AS (
+        |  SELECT id, name, CASE WHEN j = 0 THEN name
+        |    ELSE substr(name, 1, j - 1) || substr(name, j + 1) END AS variant
+        |  FROM c, unnest(range(0, len(name) + 1)) AS t(j)
+        |), p AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.name AS na, b.name AS nb
+        |  FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM p WHERE levenshtein(na, nb) <= 1
+        |), e AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs
+        |), reach(n, m) AS (
+        |  SELECT u, u FROM e
+        |  UNION
+        |  SELECT reach.n, e.v FROM reach JOIN e ON reach.m = e.u
+        |), comps AS (
+        |  SELECT n AS node, min(m) AS component FROM reach GROUP BY n
+        |), labeled AS (
+        |  SELECT d.id, d.c_acctbal,
+        |    CAST(COALESCE(cp.component, d.id) AS BIGINT) AS component
+        |  FROM c d LEFT JOIN comps cp ON d.id = cp.node
+        |)
+        |SELECT id AS c_custkey, component, n_members FROM (
+        |  SELECT id, component,
+        |    count(*) OVER (PARTITION BY component) AS n_members,
+        |    row_number() OVER (PARTITION BY component
+        |      ORDER BY c_acctbal DESC, id) AS rn
+        |  FROM labeled
+        |) WHERE rn = 1""".stripMargin,
     // Span corruption: same draw as txt_mlm_mask under the t5-0 seed,
     // runs collapsed to numbered sentinels; DuckDB's 1-based lambda
     // index j mirrors Spark's 0-based i as j-1 throughout, and the

@@ -719,6 +719,40 @@ object Dedup extends Logging {
   def recordLinkCustomers(spark: SparkSession, dir: String): DataFrame =
     deletionLinkPairs(Tables.load(spark, dir, "customer"), "c_custkey", "c_name")
 
+  /** ENTITY RESOLUTION — the policy close of [[deletionLinkPairs]]
+    * (the record-linkage literature's survivorship step): linked pairs
+    * → exact transitive clusters ([[connectedComponents]] — a typo
+    * chain a~b~c is one entity even when a≁c directly) → ONE canonical
+    * record per cluster by the survivorship rule `score` (here: the
+    * richest record wins, ties to the smallest id — the
+    * [[keepBestPerCluster]] max_by device). Unlinked records are their
+    * own singleton entity. Returns (idCol, component, n_members) —
+    * canonical records only. */
+  def resolveEntities(records: DataFrame, idCol: String, nameCol: String,
+      score: Column): DataFrame = {
+    val pairs = deletionLinkPairs(records, idCol, nameCol)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    keepBestPerCluster(records, pairs, idCol, score)
+  }
+
+  /** CORRECTNESS instantiation: canonical customers under the
+    * highest-acctbal survivorship rule. The fuzzy key is BLOCKED on the
+    * reliable structured attributes (mktsegment, nationkey) by
+    * prepending them — the standard linkage discipline (fuzzy-match
+    * only the unreliable field): names are unique, so any cross-block
+    * pair is ≥ 2 edits apart and can never link, while the digit-padded
+    * names inside a block still produce natural typo pairs. (Unblocked,
+    * the digit-neighbor graph is fully connected — 1 500 customers
+    * collapse into ONE entity, the classic over-linking failure this
+    * instantiation demonstrates avoiding.) */
+  def resolveCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+      .withColumn("blocked_name", concat_ws("|", col("c_mktsegment"),
+        col("c_nationkey").cast("string"), col("c_name")))
+    resolveEntities(c, "c_custkey", "blocked_name", col("c_acctbal"))
+      .select(col("c_custkey"), col("component"), col("n_members"))
+  }
+
   /** Near-duplicate REMOVAL (the policy layer over [[minhashLshPairs]]):
     * keep the lower doc_id of every verified pair, drop the other side —
     * the standard greedy cluster-canonicalization (a chain a~b~c keeps a;

@@ -201,6 +201,19 @@ class DedupSpec extends SparkTestBase {
       s"got $got")
   }
 
+  test("resolveEntities keeps one survivor per typo chain by score") {
+    // a~b~c is one entity even though a and c are 2 edits apart; the
+    // richest record survives, ties to the smallest id; d is distance 2
+    // from the chain and stays its own entity, as does unlinked e
+    val recs = Seq(
+      (1L, "smith", 10.0), (2L, "smyth", 30.0), (3L, "smythe", 20.0),
+      (4L, "smudge", 99.0), (5L, "jones", 1.0)
+    ).toDF("id", "name", "bal")
+    val got = Dedup.resolveEntities(recs, "id", "name", col("bal"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((2L, 1L, 3L), (4L, 4L, 1L), (5L, 5L, 1L)), s"got $got")
+  }
+
   test("semanticDedup over hashed text vectors drops verbatim twins") {
     // the E130∘E115 composition: text embeds itself by the hashing
     // trick, SemDedup runs unchanged. Verbatim twins have identical
