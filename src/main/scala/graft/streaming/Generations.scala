@@ -24,11 +24,17 @@ private[streaming] object Generations {
 
   /** Union-read of an explicit generation-name list (callers that filter
     * the committed set first — e.g. manifest exclusion — share this one
-    * path-building site); fails fast on an empty list. */
+    * path-building site); fails fast on an empty list. Each generation
+    * dir is read as its OWN root and the scans union by name: a
+    * multi-path read would refuse the layout when generations are
+    * `partitionBy`-partitioned (the non-`k=v` `gen-<id>` segment between
+    * the shared parent and the partition dirs reads as a conflicting
+    * directory structure), while per-root reads recover each
+    * generation's partition columns independently. */
   def readNames(spark: SparkSession, dir: String, names: Seq[String],
       prefix: String): org.apache.spark.sql.DataFrame = {
     require(names.nonEmpty, s"no committed '$prefix' generations under $dir")
-    spark.read.parquet(names.map(p => s"$dir/$p"): _*)
+    names.map(p => spark.read.parquet(s"$dir/$p")).reduce(_.unionByName(_))
   }
 
   /** Union-read of every committed generation; fails fast when none has
@@ -67,6 +73,113 @@ private[streaming] object Generations {
         .parquet(s"$dir/gen-compact-$epoch")
       val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       sources.foreach(g => f.delete(new Path(dir, g), true))
+    }
+  }
+
+  /** The fold-source manifest a MANIFESTED compaction writes inside its
+    * output generation ([[compactManifested]]): the generation names it
+    * folded, one per line. Readers of non-duplication-inert state resolve
+    * these to exclude folded sources that are still on disk (deferred
+    * delete — see [[compactManifested]]'s crash-window rules). */
+  private def manifestOf(f: org.apache.hadoop.fs.FileSystem, dir: String,
+      gen: String): Seq[String] = {
+    val p = new Path(s"$dir/$gen/_sources.txt")
+    if (!f.exists(p)) Seq.empty
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in).getLines().toList
+      finally in.close()
+    }
+  }
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Committed generations MINUS any generation a committed fold's
+    * manifest lists as already folded — the reader-side half of the
+    * manifested-compaction discipline. State that is NOT inert under row
+    * duplication (additive counts, BM25 statistics, ADC partial sums, CC
+    * edges) must list generations through here, or the window between a
+    * fold's commit and its sources' physical delete double-counts. */
+  def live(spark: SparkSession, dir: String, prefix: String = "gen-"): Seq[String] = {
+    val f = fs(spark, dir)
+    val all = committed(spark, dir, prefix)
+    val folded = all.filter(_.startsWith(s"${prefix}compact-"))
+      .flatMap(manifestOf(f, dir, _)).toSet
+    all.filterNot(folded)
+  }
+
+  /** [[live]] joined to full paths, ready for a multi-root parquet read
+    * (each generation dir is its own base path, so `partitionBy` columns
+    * written under it are recovered per root). */
+  def livePaths(spark: SparkSession, dir: String, prefix: String = "gen-"): Seq[String] =
+    live(spark, dir, prefix).map(g => s"$dir/$g")
+
+  /** MANIFESTED fold of accumulated `gen-<id>` generations — the
+    * compaction discipline for state that is NOT inert under row
+    * duplication, where [[compactFold]]'s heal-by-dropDuplicates cannot
+    * apply (summed counts, additive statistics sidecars, partitioned
+    * index rows whose readers skip the dedup exchange). `fold` collapses
+    * the unioned sources (identity for append-only rows, a re-aggregate
+    * for additive state); `partitionCols` optionally lands the fold
+    * physically partitioned so pruned readers keep their
+    * `PartitionFilters` across compactions.
+    *
+    * Crash-window rules (shared with — and extracted from — the
+    * [[StreamAnomaly]] state compactor, which pins them in its spec):
+    *
+    *  - the fold is built in a `tmp-`-prefixed directory — invisible to
+    *    every reader — with its `_sources.txt` manifest written INSIDE
+    *    it, and becomes visible only through one atomic directory rename
+    *    (a false return aborts BEFORE anything is deleted). There is no
+    *    instant at which a committed fold exists without its manifest;
+    *  - a committed fold's sources are NOT deleted in the same run:
+    *    deletion happens at the START of the NEXT compaction (the
+    *    leftover sweep), long after any reader that listed generations
+    *    before this fold's rename has finished with them;
+    *  - the newest raw batch generation is never folded (replay rule: an
+    *    uncommitted trailing batch rewrites `gen-<id>` under its own name
+    *    on restart, and must not ALSO live on inside a fold).
+    *
+    * SINGLE-MAINTENANCE-JOB CONTRACT: run inside the serial foreachBatch
+    * loop (the `compactEvery` hooks) or otherwise one at a time. */
+  def compactManifested(spark: SparkSession, dir: String,
+      fold: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val f = fs(spark, dir)
+    // sweep invisible tmp leftovers from crashed folds
+    val root = new Path(dir)
+    if (f.exists(root)) f.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("tmp-gen-compact-"))
+      .foreach(s => f.delete(s.getPath, true))
+    val all = committed(spark, dir, "gen-")
+    val priorAll = all.filter(_.startsWith("gen-compact-"))
+    val alreadyFolded = priorAll.flatMap(manifestOf(f, dir, _)).toSet
+    // crash leftovers — folded (raw OR older compact) but not yet
+    // deleted: finish the delete
+    all.filter(alreadyFolded).foreach(g => f.delete(new Path(dir, g), true))
+    val prior = priorAll.filterNot(alreadyFolded)
+    val gens = all.filterNot(g =>
+      alreadyFolded(g) || g.startsWith("gen-compact-"))
+    val newestBatchGen = gens
+      .flatMap(g => g.stripPrefix("gen-").toLongOption.map((_, g)))
+      .maxByOption(_._1).map(_._2)
+    val sources = prior ++ gens.filterNot(newestBatchGen.contains)
+    if (sources.size > 1) {
+      val epoch = prior.flatMap(_.stripPrefix("gen-compact-").toLongOption)
+        .maxOption.getOrElse(0L) + 1
+      val tmp = s"$dir/tmp-gen-compact-$epoch"
+      val w = fold(readNames(spark, dir, sources, "gen-"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(tmp)
+      val out = f.create(new Path(s"$tmp/_sources.txt"), true)
+      try out.write(sources.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      require(f.rename(new Path(tmp), new Path(s"$dir/gen-compact-$epoch")),
+        s"compaction rename failed for $tmp — sources left untouched")
+      // sources now excluded by every reader via the manifest; their
+      // physical delete is the NEXT run's leftover sweep (see scaladoc)
     }
   }
 

@@ -38,34 +38,19 @@ import graft.operators.Analytics
   */
 object StreamAnomaly {
 
-  private def manifest(f: FileSystem, stateDir: String, gen: String): Seq[String] = {
-    val p = new Path(s"$stateDir/$gen/_sources.txt")
-    if (!f.exists(p)) Seq.empty
-    else {
-      val in = f.open(p)
-      try scala.io.Source.fromInputStream(in).getLines().toList
-      finally in.close()
-    }
-  }
-
   private def fs(spark: SparkSession, stateDir: String): FileSystem =
     new Path(stateDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Committed generations MINUS any generation a committed fold's
-    * manifest lists as already folded. Counts are additive, so — unlike
-    * [[StreamNearDedup]]'s inert duplicate signature rows — reading a
-    * fold together with one of its own sources would double every count
-    * it covers; EVERY reader (the per-batch board recompute included, not
-    * just compaction) must therefore resolve manifests, or the window
-    * between a fold's commit and its sources' deletion publishes doubled
-    * counts. */
-  def liveGens(spark: SparkSession, stateDir: String): Seq[String] = {
-    val f = fs(spark, stateDir)
-    val all = Generations.committed(spark, stateDir, "gen-")
-    val folded = all.filter(_.startsWith("gen-compact-"))
-      .flatMap(manifest(f, stateDir, _)).toSet
-    all.filterNot(folded)
-  }
+    * manifest lists as already folded ([[Generations.live]]). Counts are
+    * additive, so — unlike [[StreamNearDedup]]'s inert duplicate
+    * signature rows — reading a fold together with one of its own sources
+    * would double every count it covers; EVERY reader (the per-batch
+    * board recompute included, not just compaction) must therefore
+    * resolve manifests, or the window between a fold's commit and its
+    * sources' deletion publishes doubled counts. */
+  def liveGens(spark: SparkSession, stateDir: String): Seq[String] =
+    Generations.live(spark, stateDir)
 
   /** Merged (event_type, day, n) over every LIVE committed generation. */
   def mergedCounts(spark: SparkSession, stateDir: String): DataFrame =
@@ -132,76 +117,16 @@ object StreamAnomaly {
 
   /** Fold accumulated per-batch count generations into one (small-file
     * maintenance): rows are re-summed per (type, day) so the folded
-    * generation is one row per key.
-    *
-    * Crash-window rules (summed counts are NOT inert under duplication,
-    * see [[liveGens]]):
-    *
-    *  - the fold is built in a `tmp-`-prefixed directory — invisible to
-    *    every reader — with its `_sources.txt` manifest written INSIDE
-    *    it, and becomes visible only through one atomic directory rename
-    *    (checked: a false return aborts BEFORE anything is deleted —
-    *    Hadoop filesystems report rename failure as false, and deleting
-    *    sources after a failed rename would destroy the only copy).
-    *    There is no instant at which a committed fold exists without its
-    *    manifest, so a crash anywhere leaves either (a) an invisible tmp
-    *    dir (swept on the next run) or (b) a manifested fold whose
-    *    sources every reader already excludes;
-    *  - a committed fold's sources are NOT deleted in the same run:
-    *    deletion happens at the START of the NEXT compaction (the
-    *    leftover sweep), long after any reader that listed generations
-    *    before this fold's rename has finished with them — deleting here
-    *    would race a concurrent per-batch board recompute that listed
-    *    moments earlier and still holds the source paths;
-    *  - the newest raw batch generation is never folded (the
-    *    [[StreamNearDedup.compactIndex]] replay rule): if the stream
-    *    crashed before its checkpoint commit, that batch replays and
-    *    rewrites `gen-<id>`, which must still exist under its own name —
-    *    not also live on inside a fold.
-    *
-    * SINGLE-MAINTENANCE-JOB CONTRACT: the deferred-delete discipline
-    * above assumes compactions are serialized with merged-counts readers
-    * — two compactions in quick succession could sweep sources a
-    * concurrent reader already listed (transient FileNotFound on that
-    * read). The `compactEvery` hook in [[start]] discharges this by
-    * construction (hook runs inside the serial foreachBatch loop);
-    * manual invocations must run one at a time, while the stream is
-    * stopped or between triggers. */
-  def compactState(spark: SparkSession, stateDir: String): Unit = {
-    val f = fs(spark, stateDir)
-    // sweep invisible tmp leftovers from crashed folds
-    val root = new Path(stateDir)
-    if (f.exists(root)) f.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("tmp-gen-compact-"))
-      .foreach(s => f.delete(s.getPath, true))
-    val all = Generations.committed(spark, stateDir, "gen-")
-    val priorAll = all.filter(_.startsWith("gen-compact-"))
-    val alreadyFolded = priorAll.flatMap(manifest(f, stateDir, _)).toSet
-    // crash leftovers — folded (raw OR older compact) but not yet
-    // deleted: finish the delete
-    all.filter(alreadyFolded).foreach(g =>
-      f.delete(new Path(stateDir, g), true))
-    val prior = priorAll.filterNot(alreadyFolded)
-    val gens = all.filterNot(g =>
-      alreadyFolded(g) || g.startsWith("gen-compact-"))
-    val newestBatchGen = gens
-      .flatMap(g => g.stripPrefix("gen-").toLongOption.map((_, g)))
-      .maxByOption(_._1).map(_._2)
-    val sources = prior ++ gens.filterNot(newestBatchGen.contains)
-    if (sources.size > 1) {
-      val epoch = prior.flatMap(_.stripPrefix("gen-compact-").toLongOption)
-        .maxOption.getOrElse(0L) + 1
-      val tmp = s"$stateDir/tmp-gen-compact-$epoch"
-      Generations.readNames(spark, stateDir, sources, "gen-")
-        .groupBy("event_type", "day").agg(sum(col("n")).as("n"))
-        .write.mode(SaveMode.Overwrite).parquet(tmp)
-      val out = f.create(new Path(s"$tmp/_sources.txt"), true)
-      try out.write(sources.mkString("\n").getBytes("UTF-8"))
-      finally out.close()
-      require(f.rename(new Path(tmp), new Path(s"$stateDir/gen-compact-$epoch")),
-        s"compaction rename failed for $tmp — sources left untouched")
-      // sources now excluded by every reader via the manifest; their
-      // physical delete is the NEXT run's leftover sweep (see scaladoc)
-    }
-  }
+    * generation is one row per key. Summed counts are NOT inert under
+    * duplication, so this is a MANIFESTED fold
+    * ([[Generations.compactManifested]] — the crash-window rules these
+    * spec tests originally pinned now live, shared, on that helper):
+    * tmp-build + in-fold manifest + atomic rename, sources deleted only
+    * at the NEXT run's leftover sweep, newest raw batch generation never
+    * folded. The `compactEvery` hook in [[start]] discharges the
+    * single-maintenance-job contract; manual invocations must run one at
+    * a time, while the stream is stopped or between triggers. */
+  def compactState(spark: SparkSession, stateDir: String): Unit =
+    Generations.compactManifested(spark, stateDir,
+      _.groupBy("event_type", "day").agg(sum(col("n")).as("n")))
 }

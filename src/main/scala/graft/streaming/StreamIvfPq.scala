@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.Similarity
 
@@ -10,55 +11,75 @@ import graft.operators.Similarity
   * trained quantizers ([[graft.operators.Similarity.landQuantizers]] —
   * the fixed coarse centroids + PQ codebook every batch must share, or
   * the codes aren't comparable) and appended to a disk-resident
-  * inverted code list as batch-id-named generations. Per micro-batch:
+  * inverted code list as batch-id-named generations, each PHYSICALLY
+  * PARTITIONED BY `cell_id` — the on-disk inverted-list layout, so a
+  * serve-time `cell_id IN (probed cells)` prunes partitions and reads
+  * only the probed lists (the round-9 layout kept cell_id as an
+  * ordinary column and every query scanned the whole code table).
+  * Per micro-batch:
   *
-  *  1. encode the batch scan-side into (vec_id, cell_id, sub, code)
-  *     inverted-list rows ([[Similarity.ivfPqIndexRows]] — the same m
-  *     LUT-addressable bytes per vector the batch index carries);
-  *  2. land them as the batch's own generation `indexDir/gen-<id>`
-  *     (idempotent Overwrite: a replayed batch rewrites byte-identically
-  *     because the quantizers are landed constants);
+  *  1. encode the batch scan-side into (vec_id, sub, code) rows under
+  *     their coarse cell ([[Similarity.ivfPqIndexRows]]);
+  *  2. land them as the batch's own generation `indexDir/gen-<id>`,
+  *     `partitionBy("cell_id")` (idempotent Overwrite: a replayed batch
+  *     rewrites byte-identically because the quantizers are landed
+  *     constants);
   *  3. at `compactEvery` cadence, fold accumulated generations into one
   *     ([[compactIndex]]) inside the serial batch loop — the safe point,
   *     as with [[StreamNearDedup.start]]'s hook.
   *
   * Queries serve from the accumulated index at any time via [[search]] —
-  * the identical prune + ADC plan as the batch operator, reading the
-  * landed code rows instead of re-encoding the corpus. Because ADC
-  * partial sums are NOT inert under row duplication (a crashed
-  * compaction's fold + not-yet-deleted sources would double-count),
-  * search always collapses candidates post-prune
-  * (`dedupCandidates = true`); compaction itself full-row-dedups, so an
-  * interrupted fold self-heals on the next cycle.
+  * the identical prune + ADC plan as the batch operator, reading ONLY
+  * the probed cells' partitions of the landed code rows. ADC partial
+  * sums are NOT inert under row duplication, so compaction follows the
+  * MANIFESTED discipline ([[Generations.compactManifested]]): readers
+  * resolve fold manifests and never observe a fold together with its
+  * sources, which is what lets [[search]] skip any candidate dedup
+  * exchange (round 9 paid a per-query dropDuplicates instead).
   *
   * Scale shape per batch: encode is scan-side codegen (zero shuffles
   * beyond the bounded centroid argmax); the generation write is
-  * batch-sized; search reads (nprobe/|cells|) of the code table via the
-  * broadcast probe equi-join. The corpus embeddings are never re-read
-  * after their batch lands — the index IS the m-byte codes.
+  * batch-sized; search reads (nprobe/|cells|) of the code table via
+  * partition pruning (IvfPqLayoutSpec pins `PartitionFilters` on the
+  * serve scan). The corpus embeddings are never re-read after their
+  * batch lands — the index IS the m-byte codes.
   */
 object StreamIvfPq extends Logging {
 
-  /** Every committed index generation, unioned; `template` supplies the
-    * (empty) schema before the first generation commits. */
+  /** Every LIVE committed index generation (manifest-resolved —
+    * [[Generations.live]]), unioned with per-root partition recovery and
+    * optionally pruned to `cells` BEFORE the partition column is
+    * normalized back to long (partition-value inference types the
+    * `cell_id=` directory values as int; the filter runs on the inferred
+    * column so `PartitionFilters` prune, then the cast restores the
+    * batch schema). `template` supplies the (empty) schema before the
+    * first generation commits. */
   def currentIndex(spark: SparkSession, indexDir: String,
-      template: => DataFrame, exclude: Set[String] = Set.empty): DataFrame = {
-    val gens = Generations.committed(spark, indexDir, "gen-").filterNot(exclude)
-    if (gens.isEmpty) template
-    else Generations.readNames(spark, indexDir, gens, "gen-")
+      template: => DataFrame, cells: Option[Seq[Long]] = None): DataFrame = {
+    val paths = Generations.livePaths(spark, indexDir)
+    if (paths.isEmpty) template
+    else paths.map { p =>
+      val raw = spark.read.parquet(p)
+      val pruned = cells match {
+        case Some(cs) => raw.filter(col("cell_id").isin(cs: _*))
+        case None => raw
+      }
+      pruned.select(col("vec_id").cast("long"), col("sub").cast("int"),
+        col("code").cast("long"), col("cell_id").cast("long"))
+    }.reduce(_.unionByName(_))
   }
 
-  /** Fold accumulated per-batch code generations into one (the
-    * [[StreamNearDedup.compactIndex]] recipe on the ANN index): union →
-    * full-row dropDuplicates → one new `gen-compact-<epoch>` → delete
-    * sources. The newest raw batch generation is never folded (replay
-    * protection: an uncommitted trailing batch rewrites `gen-<id>` under
-    * its own name on replay; its rows must not ALSO live in a fold —
-    * though even that window is safe here because [[search]] dedups
-    * candidates). Interruption between write and deletes leaves exact
-    * duplicate rows; the next fold's dropDuplicates collapses them. */
+  /** Fold accumulated per-batch code generations into one, keeping the
+    * cell-partitioned layout ([[Generations.compactManifested]] with
+    * `partitionBy("cell_id")` — identity fold: code rows are append-only
+    * and doc-unique, and the manifested discipline guarantees readers
+    * never double-read a fold with its sources, so no dedup exchange is
+    * paid at fold time either). */
   def compactIndex(spark: SparkSession, indexDir: String): Unit =
-    Generations.compactFold(spark, indexDir)
+    Generations.compactManifested(spark, indexDir,
+      _.select(col("vec_id").cast("long"), col("sub").cast("int"),
+        col("code").cast("long"), col("cell_id").cast("long")),
+      partitionCols = Seq("cell_id"))
 
   /** Start encoding `vectors` (a streaming DataFrame carrying `vec_id`
     * and `embedding`) into the inverted code list at `indexDir`, using
@@ -75,7 +96,8 @@ object StreamIvfPq extends Logging {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
         Similarity.ivfPqIndexRows(batch, m, subDim, centroids, book)
-          .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/gen-$id")
+          .write.mode(SaveMode.Overwrite).partitionBy("cell_id")
+          .parquet(s"$indexDir/gen-$id")
         if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
           compactIndex(spark, indexDir)
         ()
@@ -98,14 +120,21 @@ object StreamIvfPq extends Logging {
   /** Top-k ADC search over everything the stream has landed so far —
     * identical answer to the batch [[Similarity.topKPqIvfWith]] over the
     * union of all arrived vectors (StreamIvfPqSpec pins that law,
-    * cross-restart and across compaction cycles). */
+    * cross-restart and across compaction cycles). The probe assignment
+    * is collected first ([[Similarity.collectProbes]]) so the generation
+    * read itself is pruned to the probed cells' partitions. */
   def search(spark: SparkSession, indexDir: String, queries: DataFrame,
       centroids: DataFrame, book: Seq[(Int, Int, Array[Double])],
-      k: Int = 5, nprobe: Int = 4, m: Int = 8, subDim: Int = 8): DataFrame =
+      k: Int = 5, nprobe: Int = 4, m: Int = 8, subDim: Int = 8): DataFrame = {
+    val probes = Similarity.collectProbes(queries, centroids, nprobe)
     Similarity.searchIvfPqIndex(
-      Generations.read(spark, indexDir, "gen-"),
+      currentIndex(spark, indexDir,
+        template = throw new IllegalStateException(
+          s"no committed index generation under $indexDir"),
+        cells = Some(probes.map(_._2).distinct.sorted)),
       queries, k, nprobe, m, subDim, centroids, book,
-      dedupCandidates = true)
+      probesPre = Some(probes))
+  }
 
   /** [[search]] with the quantizers from the corpus dir's landed
     * artifact tables. */

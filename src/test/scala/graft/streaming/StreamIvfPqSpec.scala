@@ -64,17 +64,41 @@ class StreamIvfPqSpec extends SparkTestBase {
     assert(searchNow(probeIds) == batchWant(all, probeIds),
       "post-stream: search must equal batch IVF-PQ on the union corpus")
 
-    // index rows are the full inverted list: m rows per vector
-    val rows = Generations.read(spark, indexDir, "gen-").count()
+    // CRASH/DEFERRED WINDOW: the manifested fold defers source deletes to
+    // the NEXT compaction, so right now the fold AND (some of) its sources
+    // coexist on disk — exactly the state a crashed post-fold delete
+    // leaves. ADC sums are not duplication-inert; readers must resolve
+    // manifests (Generations.live) rather than dedup per query.
+    val live = Generations.live(spark, indexDir).toSet
+    assert(gens.diff(live).nonEmpty,
+      s"expected manifest-excluded sources still on disk; gens=$gens live=$live")
+    // index rows (live, manifest-resolved) are the full inverted list:
+    // m rows per vector, exactly once
+    val rows = StreamIvfPq.currentIndex(spark, indexDir,
+      template = sys.error("gens exist")).count()
     assert(rows == all.size * 8L, s"got $rows")
 
-    // crash-window duplication is harmless to search: duplicate an
-    // existing generation wholesale (a fold whose source delete died),
-    // answers must not change because candidates are deduped post-prune
-    val aGen = gens.find(_.startsWith("gen-compact-")).get
-    spark.read.parquet(s"$indexDir/$aGen")
-      .write.parquet(s"$indexDir/gen-900")
+    // generations land partitioned by cell_id and the serve scan prunes:
+    // the probed cells appear as PartitionFilters on the generation read
+    assert(gens.exists(g => new java.io.File(s"$indexDir/$g").listFiles() != null &&
+      new java.io.File(s"$indexDir/$g").listFiles().exists(_.getName.startsWith("cell_id="))),
+      "generation dirs must be physically partitioned by cell_id")
+    val served = StreamIvfPq.search(spark, indexDir, queries(probeIds), centroids, book)
+    served.collect()
+    val plan = served.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(raw"PartitionFilters: \[[^\]]*cell_id".r.findFirstIn(plan).isDefined,
+      s"serve scan must carry a cell_id partition filter:\n$plan")
+
+    // a crashed fold's tmp dir is invisible to readers and swept by the
+    // next compaction
+    val tmpFold = new java.io.File(s"$indexDir/tmp-gen-compact-99")
+    tmpFold.mkdirs()
     assert(searchNow(probeIds) == batchWant(all, probeIds),
-      "duplicated index rows must not double ADC sums")
+      "an uncommitted tmp fold must be invisible to search")
+    StreamIvfPq.compactIndex(spark, indexDir)
+    assert(!tmpFold.exists(), "next compaction must sweep crashed tmp folds")
+    assert(searchNow(probeIds) == batchWant(all, probeIds),
+      "search must be exact after a manual compaction cycle")
   }
 }
