@@ -8,45 +8,70 @@ import graft.operators.TextAnalysis
 /** Continuous search-index maintenance — the full-text sibling of
   * [[StreamIvfPq]]: arriving documents are tokenized into BM25 postings
   * and appended to a disk-resident inverted index as batch-id-named
-  * generations. Per micro-batch:
+  * generations, each PHYSICALLY PARTITIONED by a term hash-bucket
+  * (`bkt = crc32(term) mod 32` — term cardinality is unbounded, so the
+  * partition key is the bucket, not the term), so a query's
+  * `bkt IN (buckets of Q)` prunes partitions and reads only the query
+  * terms' slices — the bucket-pruned serve cost the batch
+  * [[TextAnalysis.landSearchIndex]] layout gets from the catalog, kept
+  * across the streamed generations (round 9 served from unpartitioned
+  * parquet and scanned every posting per query). Per micro-batch:
   *
-  *  1. derive the batch's postings (term, doc_id, dl, tf) — the same
-  *     rows [[TextAnalysis.landSearchIndex]] lands, minus the bucketing
-  *     (a per-batch write is batch-sized; the bucketed layout is the
-  *     COMPACTED form's job) — and its doclens (doc_id, dl), the
-  *     corpus-statistics sidecar that keeps zero-token documents in
-  *     (N, avgdl) exactly as the batch operator counts them — and its
-  *     positional postings (term, doc_id, pos), the `_positions` rows
-  *     that let the streamed index serve phrase queries;
-  *  2. land the three as the batch's own generations
-  *     `indexDir/{postings,lens,positions}/gen-<id>`
-  *     (idempotent Overwrite: tokenization is deterministic, so a
-  *     replayed batch rewrites byte-identically);
+  *  1. derive the batch's postings (term, doc_id, dl, tf), positional
+  *     postings (term, doc_id, pos), doclens (doc_id, dl), and a 1-row
+  *     ADDITIVE statistics sidecar (n_docs, dl_sum) — landed stats mean
+  *     serving never rescans doclens to recompute (N, avgdl): round 9
+  *     paid a corpus-sized dedup+agg per query for exactly this row;
+  *  2. land the four as the batch's own generations
+  *     `indexDir/{postings,positions,lens,stats}/gen-<id>` (idempotent
+  *     Overwrite: tokenization is deterministic, so a replayed batch
+  *     rewrites byte-identically);
   *  3. at `compactEvery` cadence, fold each side's generations into one
-  *     ([[Generations.compactFold]]) inside the serial batch loop — the
+  *     ([[compactIndex]]) inside the serial batch loop — the
   *     single-maintenance-job safe point, as with every other hook.
   *
-  * [[search]] serves BM25 over everything landed so far — identical
-  * answer to the batch [[TextAnalysis.bm25Rank]] on the union of all
-  * arrived documents (StreamSearchIndexSpec pins that law, cross-restart
-  * and across compaction cycles). BM25 statistics are NOT inert under
-  * row duplication (df counts and the per-doc sum would double), so
-  * search full-row-dedups both sides first — exact duplicates are the
-  * only kind the crash window (fold written, sources not yet deleted)
-  * or a replayed generation can produce.
+  * BM25 statistics, phrase occurrence counts, and the additive sidecar
+  * are all NOT inert under row duplication, so every fold follows the
+  * MANIFESTED discipline ([[Generations.compactManifested]]): readers
+  * resolve fold manifests ([[Generations.live]]) and never observe a
+  * fold together with its sources — which is what lets [[search]] and
+  * [[searchPhrase]] drop the round-9 full-row dedups from the serve
+  * plans entirely.
   *
   * CONTRACT: doc ids are unique across the stream (the
   * [[StreamNearDedup]] id discipline); a re-sent id with different text
-  * would contribute two doclen rows and skew N.
+  * would contribute twice to postings and stats.
   *
   * Scale shape per batch: tokenize/explode is scan-side, the (term,
-  * doc, dl) tf count shuffles batch-sized rows only, and the generation
-  * write is batch-sized. Serve cost is the accumulated postings of the
-  * query terms — the compacted index is one fold away from
-  * [[TextAnalysis.landSearchIndex]]'s bucket-pruned layout, which a
-  * deployment would apply to the fold output.
+  * doc, dl) tf count shuffles batch-sized rows only, the stats row is a
+  * 1-row agg, and the generation writes are batch-sized. Serve cost is
+  * the PRUNED postings of the query terms plus a few 1-row stats reads
+  * — independent of corpus size (StreamSearchIndexSpec pins the
+  * `PartitionFilters` on the serve scan and the absence of any doclens
+  * scan in the serve plan).
   */
 object StreamSearchIndex {
+
+  /** Term-bucket fan-out of the partitioned layout. At 100 TB: ≈ index
+    * size / 128–256 MiB, rounded to cluster parallelism (the
+    * [[graft.sources.Layout]] bucket-count rule). */
+  val TermBuckets = 32
+
+  /** The partition bucket of a term — CRC32 mod [[TermBuckets]], chosen
+    * because both engines of the contract can compute it exactly: the
+    * plan side as the codegen'd `crc32` over the term's UTF-8 bytes, the
+    * driver side ([[termBucket]]) as `java.util.zip.CRC32` — so serve
+    * can turn a query into literal partition values with no extra job. */
+  def termBucketCol(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(crc32(term.cast("binary")), lit(TermBuckets.toLong))
+
+  /** Driver-side [[termBucketCol]]: the literal partition values of a
+    * query's terms. */
+  def termBucket(term: String): Int = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (crc.getValue % TermBuckets).toInt
+  }
 
   /** The batch's postings rows — tokenization identical to
     * [[TextAnalysis.bm25Rank]]'s, so stream-built and batch-built
@@ -61,10 +86,21 @@ object StreamSearchIndex {
       .agg(count(lit(1)).as("tf"))
 
   /** The batch's doclen rows — every document, including zero-token
-    * ones (they carry no posting but DO count in (N, avgdl)). */
+    * ones (they carry no posting but DO count in (N, avgdl)). Landed as
+    * the per-doc durable record; serving reads the 1-row [[statsOf]]
+    * sidecar instead. */
   def doclensOf(batch: DataFrame, idCol: String, textCol: String): DataFrame =
     batch.select(col(idCol).as("doc_id"),
       size(TextAnalysis.tokens(col(textCol))).as("dl"))
+
+  /** The batch's 1-row additive corpus-statistics sidecar: (n_docs,
+    * dl_sum). Summed across live generations at serve time, it yields
+    * the same (N, avgdl) the batch operator computes — doclen sums are
+    * exact integers, so the double division matches `avg(dl)` bitwise. */
+  def statsOf(batch: DataFrame, idCol: String, textCol: String): DataFrame =
+    doclensOf(batch, idCol, textCol)
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("dl_sum"))
 
   /** The batch's positional-posting rows — the (term, doc_id, pos)
     * occurrences [[TextAnalysis.landSearchIndex]]'s `_positions` table
@@ -89,51 +125,92 @@ object StreamSearchIndex {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
         postingsOf(batch, idCol, textCol)
-          .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings/gen-$id")
+          .withColumn("bkt", termBucketCol(col("term")))
+          .write.mode(SaveMode.Overwrite).partitionBy("bkt")
+          .parquet(s"$indexDir/postings/gen-$id")
+        positionsOf(batch, idCol, textCol)
+          .withColumn("bkt", termBucketCol(col("term")))
+          .write.mode(SaveMode.Overwrite).partitionBy("bkt")
+          .parquet(s"$indexDir/positions/gen-$id")
         doclensOf(batch, idCol, textCol)
           .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/lens/gen-$id")
-        positionsOf(batch, idCol, textCol)
-          .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/positions/gen-$id")
+        statsOf(batch, idCol, textCol)
+          .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats/gen-$id")
         if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
           compactIndex(spark, indexDir)
         ()
       }
       .start()
 
-  /** Fold both sides' accumulated generations ([[Generations.compactFold]]
-    * twice — postings and lens compact independently; search dedups, so
-    * the two sides never need a joint commit point). */
+  /** Fold each side's accumulated generations ([[Generations
+    * .compactManifested]] four times — the sides compact independently;
+    * manifest resolution means readers never need a joint commit point):
+    * postings/positions fold by identity, KEEPING the term-bucket
+    * partitioning so serve pruning survives compaction; lens fold by
+    * identity; the stats sidecar folds by SUM (additive — the
+    * [[StreamAnomaly]] counts argument). */
   def compactIndex(spark: SparkSession, indexDir: String): Unit = {
-    Generations.compactFold(spark, s"$indexDir/postings")
-    Generations.compactFold(spark, s"$indexDir/lens")
-    Generations.compactFold(spark, s"$indexDir/positions")
+    Generations.compactManifested(spark, s"$indexDir/postings",
+      _.select(col("term"), col("doc_id"), col("dl"), col("tf"), col("bkt")),
+      partitionCols = Seq("bkt"))
+    Generations.compactManifested(spark, s"$indexDir/positions",
+      _.select(col("term"), col("doc_id"), col("pos"), col("bkt")),
+      partitionCols = Seq("bkt"))
+    Generations.compactManifested(spark, s"$indexDir/lens", identity)
+    Generations.compactManifested(spark, s"$indexDir/stats",
+      _.agg(sum(col("n_docs")).as("n_docs"), sum(col("dl_sum")).as("dl_sum")))
   }
 
+  /** Live (manifest-resolved) union of one side's generations, each dir
+    * read as its own root; for the term-bucketed sides, `bkts` prunes
+    * each scan's partitions BEFORE the recovered partition column is
+    * dropped from the result. */
+  private def readSide(spark: SparkSession, dir: String,
+      bkts: Option[Seq[Int]]): DataFrame = {
+    val paths = Generations.livePaths(spark, dir)
+    require(paths.nonEmpty, s"no committed 'gen-' generations under $dir")
+    paths.map { p =>
+      val raw = spark.read.parquet(p)
+      bkts match {
+        case Some(bs) => raw.filter(col("bkt").isin(bs: _*)).drop("bkt")
+        case None => raw
+      }
+    }.reduce(_.unionByName(_))
+  }
+
+  /** The streamed index's (n_docs, avgdl) — a sum over the live 1-row
+    * stats sidecars (a few rows at any corpus size), NOT a doclens
+    * rescan. */
+  private def corpusStats(spark: SparkSession, indexDir: String): DataFrame =
+    readSide(spark, s"$indexDir/stats", None)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("dl_sum")).as("dl_sum"))
+      .select(col("n_docs"),
+        (col("dl_sum").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+
   /** BM25 top-k over everything the stream has landed so far — the
-    * [[TextAnalysis.bm25RankIndexed]] serve plan over generation reads,
-    * with the duplication guard described above. */
+    * [[TextAnalysis.bm25RankIndexed]] serve plan over PRUNED generation
+    * reads: partition pruning to the query terms' buckets, df from the
+    * pruned rows, (N, avgdl) from the additive sidecar. No dedup, no
+    * doclens scan (the manifested-fold discipline and the stats sidecar
+    * retire both round-9 costs). */
   def search(spark: SparkSession, indexDir: String, query: Seq[String],
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty && k > 0)
-    val tf = Generations.read(spark, s"$indexDir/postings", "gen-")
-      .dropDuplicates()
+    val tf = readSide(spark, s"$indexDir/postings",
+        Some(query.map(termBucket).distinct.sorted))
       .filter(col("term").isin(query: _*))
     val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = Generations.read(spark, s"$indexDir/lens", "gen-")
-      .dropDuplicates()
-      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    TextAnalysis.bm25ScoreTail(tf, dfs, stats, k, k1, b)
+    TextAnalysis.bm25ScoreTail(tf, dfs, corpusStats(spark, indexDir), k, k1, b)
   }
 
   /** Exact-phrase occurrence counts over everything the stream has landed
     * so far — [[TextAnalysis.phraseCountOver]]'s positional intersection
-    * over the accumulated generations. Occurrence counts are NOT inert
-    * under row duplication (the L-way join multiplies duplicated rows),
-    * so the positions full-row-dedup first — the same guard as
-    * [[search]]'s BM25 statistics. */
+    * over the PRUNED live generations (the phrase terms' buckets only;
+    * manifest resolution replaces the round-9 full-row dedup). */
   def searchPhrase(spark: SparkSession, indexDir: String,
       phrase: Seq[String]): DataFrame =
     TextAnalysis.phraseCountOver(
-      Generations.read(spark, s"$indexDir/positions", "gen-").dropDuplicates(),
+      readSide(spark, s"$indexDir/positions",
+        Some(phrase.map(termBucket).distinct.sorted)),
       phrase)
 }

@@ -49,30 +49,46 @@ class StreamSearchIndexSpec extends SparkTestBase {
     assert(searchNow() == batchWant(all),
       "post-stream: search must equal batch BM25 on the union corpus")
 
-    // lens carry every document exactly once after dedup; (N, avgdl)
-    // therefore match the batch operator's corpus stats
-    val lens = Generations.read(spark, s"$indexDir/lens", "gen-")
-      .dropDuplicates().as[(Long, Int)].collect()
-    assert(lens.length == all.size, "one doclen per arrived doc")
+    // CRASH/DEFERRED WINDOW: the manifested fold defers source deletes
+    // to the NEXT compaction, so the fold and (some of) its sources
+    // coexist on disk right now — BM25 statistics are not
+    // duplication-inert; the exact search above proves readers resolve
+    // manifests instead of dedup-scanning per query
+    val live = Generations.live(spark, s"$indexDir/postings").toSet
+    assert(gens.diff(live).nonEmpty,
+      s"expected manifest-excluded sources still on disk; gens=$gens live=$live")
 
-    // crash-window duplication is harmless: duplicate a compacted
-    // generation wholesale (a fold whose source delete died) on BOTH
-    // sides — df counts, (N, avgdl), and per-doc sums must not double
-    // because search full-row-dedups first
-    val aGen = gens.find(_.startsWith("gen-compact-")).get
-    spark.read.parquet(s"$indexDir/postings/$aGen")
-      .write.parquet(s"$indexDir/postings/gen-900")
-    val lensGens = new java.io.File(s"$indexDir/lens").listFiles()
-      .filter(_.isDirectory).map(_.getName)
-    spark.read.parquet(s"$indexDir/lens/${lensGens.head}")
-      .write.parquet(s"$indexDir/lens/gen-900")
-    assert(searchNow() == batchWant(all),
-      "duplicated index rows must not perturb BM25 statistics")
+    // live lens generations carry every document exactly once, and the
+    // additive stats sidecar sums to the batch operator's (N, dl_sum)
+    val lens = Generations.readNames(spark, s"$indexDir/lens",
+        Generations.live(spark, s"$indexDir/lens"), "gen-")
+      .as[(Long, Int)].collect()
+    assert(lens.length == all.size, "one doclen per arrived doc, no dedup needed")
+    val stats = Generations.readNames(spark, s"$indexDir/stats",
+        Generations.live(spark, s"$indexDir/stats"), "gen-")
+      .agg(org.apache.spark.sql.functions.sum("n_docs"),
+        org.apache.spark.sql.functions.sum("dl_sum"))
+      .as[(Long, Long)].collect().head
+    assert(stats == ((all.size.toLong, lens.map(_._2.toLong).sum)),
+      "stats sidecars must sum to the corpus (n_docs, dl_sum)")
+
+    // the serve plan is PRUNED and stats-sidecar-fed: the postings scan
+    // carries a bkt partition filter, and no doclens path is scanned
+    val served = StreamSearchIndex.search(spark, indexDir, q, k = 25)
+    served.collect()
+    val plan = served.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(raw"PartitionFilters: \[[^\]]*bkt".r.findFirstIn(plan).isDefined,
+      s"postings serve scan must carry a bkt partition filter:\n$plan")
+    assert(!plan.contains("/lens/"),
+      s"serve must read the stats sidecar, not rescan doclens:\n$plan")
+    // generation dirs are physically partitioned by term bucket
+    assert(gens.exists(g => Option(new java.io.File(s"$indexDir/postings/$g")
+      .listFiles()).exists(_.exists(_.getName.startsWith("bkt=")))),
+      "postings generations must be physically partitioned by bkt")
 
     // phrase serve over the streamed positions: equals the batch scan
     // kernel on the union corpus — across the compaction cycles above
-    // and under a duplicated positions generation (occurrence counts
-    // are not duplication-inert; searchPhrase dedups first)
     val p = TextAnalysis.searchPhrase
     def phraseWant(corpus: Seq[(Long, String)]): Map[Long, Int] =
       corpus.toDF("doc_id", "text")
@@ -89,9 +105,16 @@ class StreamSearchIndexSpec extends SparkTestBase {
     val posGens = new java.io.File(s"$indexDir/positions").listFiles()
       .filter(_.isDirectory).map(_.getName)
     assert(posGens.exists(_.startsWith("gen-compact-")), "positions must fold too")
-    spark.read.parquet(s"$indexDir/positions/${posGens.head}")
-      .write.parquet(s"$indexDir/positions/gen-900")
-    assert(phraseNow() == phraseWant(all),
-      "duplicated position rows must not inflate occurrence counts")
+
+    // a crashed fold's tmp dir is invisible; the next compaction sweeps
+    // it and the deferred sources, and answers stay exact
+    val tmpFold = new java.io.File(s"$indexDir/postings/tmp-gen-compact-99")
+    tmpFold.mkdirs()
+    assert(searchNow() == batchWant(all),
+      "an uncommitted tmp fold must be invisible to search")
+    StreamSearchIndex.compactIndex(spark, indexDir)
+    assert(!tmpFold.exists(), "next compaction must sweep crashed tmp folds")
+    assert(searchNow() == batchWant(all) && phraseNow() == phraseWant(all),
+      "search must stay exact after a manual compaction cycle")
   }
 }
