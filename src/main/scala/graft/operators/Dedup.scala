@@ -687,9 +687,14 @@ object Dedup extends Logging {
     * blocking over-generates (distance-2 names can share a variant).
     *
     * Scale shape: the variant explode is |name| per row (bounded by key
-    * length, not corpus size); the join shuffles (variant, id, name);
-    * candidate pairs dedup through a two-phase distinct before the
-    * verify. Returns (id_a, id_b, dist ≤ 1), id_a < id_b. */
+    * length, not corpus size); the join shuffles (variant, id) — ids
+    * only: the candidate distinct runs on the 16-byte id pair, NOT on
+    * the name strings (carrying both names of every |name|-way-exploded
+    * collision through the shuffle is the width trap the round-9 form
+    * paid), and the surviving candidates fetch their names back through
+    * two narrow equi-joins against the input before the one exact
+    * `levenshtein` confirm (computed once, filtered as a column).
+    * Returns (id_a, id_b, dist ≤ 1), id_a < id_b. */
   def deletionLinkPairs(records: DataFrame, idCol: String,
       nameCol: String): DataFrame = {
     val c = records.select(col(idCol).cast("long").as("id"),
@@ -698,19 +703,22 @@ object Dedup extends Logging {
     // a substitution pair shares a deletion variant, but an insertion/
     // deletion pair shares the SHORTER NAME — which is no deletion of
     // itself, so a deletions-only index would miss it
-    val v = c.select(col("id"), col("name"),
+    val v = c.select(col("id"),
       explode(transform(sequence(lit(0), length(col("name"))),
         j => when(j === 0, col("name"))
           .otherwise(concat(col("name").substr(lit(1), j - 1),
             col("name").substr(j + 1, length(col("name"))))))).as("variant"))
-    val pairs = v.select(col("variant"), col("id").as("id_a"), col("name").as("na"))
-      .join(v.select(col("variant"), col("id").as("id_b"), col("name").as("nb")),
-        Seq("variant"))
+    val cand = v.select(col("variant"), col("id").as("id_a"))
+      .join(v.select(col("variant"), col("id").as("id_b")), Seq("variant"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "na", "nb").distinct()
-    pairs.filter(levenshtein(col("na"), col("nb")) <= 1)
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(c.select(col("id").as("id_a"), col("name").as("na")), Seq("id_a"))
+      .join(c.select(col("id").as("id_b"), col("name").as("nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         levenshtein(col("na"), col("nb")).cast("long").as("dist"))
+      .filter(col("dist") <= 1)
+      .select("id_a", "id_b", "dist")
   }
 
   /** CORRECTNESS instantiation: distance-≤1 customer-name pairs (the
