@@ -699,19 +699,35 @@ object Dedup extends Logging {
       nameCol: String): DataFrame = {
     val c = records.select(col(idCol).cast("long").as("id"),
       col(nameCol).as("name"))
-    // index the name ITSELF plus every 1-deletion (j = 0 is the name):
-    // a substitution pair shares a deletion variant, but an insertion/
-    // deletion pair shares the SHORTER NAME — which is no deletion of
-    // itself, so a deletions-only index would miss it
-    val v = c.select(col("id"),
-      explode(transform(sequence(lit(0), length(col("name"))),
-        j => when(j === 0, col("name"))
-          .otherwise(concat(col("name").substr(lit(1), j - 1),
-            col("name").substr(j + 1, length(col("name"))))))).as("variant"))
+    val v = deletionVariants(c)
     val cand = v.select(col("variant"), col("id").as("id_a"))
       .join(v.select(col("variant"), col("id").as("id_b")), Seq("variant"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    confirmLinkPairs(cand, c)
+  }
+
+  /** The symmetric-delete blocking index of (id, name) rows: one
+    * (variant, id) row per 1-deletion variant — the name ITSELF plus
+    * every single-character deletion (j = 0 is the name): a substitution
+    * pair shares a deletion variant, but an insertion/deletion pair
+    * shares the SHORTER NAME — which is no deletion of itself, so a
+    * deletions-only index would miss it. Split out of
+    * [[deletionLinkPairs]] so the streaming maintainer
+    * ([[graft.streaming.StreamLink]]) can append per-batch generations
+    * of exactly these rows and probe them incrementally. */
+  def deletionVariants(c: DataFrame): DataFrame =
+    c.select(col("id"),
+      explode(transform(sequence(lit(0), length(col("name"))),
+        j => when(j === 0, col("name"))
+          .otherwise(concat(col("name").substr(lit(1), j - 1),
+            col("name").substr(j + 1, length(col("name"))))))).as("variant"))
+
+  /** The exact verify half of [[deletionLinkPairs]]: fetch both names of
+    * each candidate (id_a, id_b) through two narrow equi-joins against
+    * the (id, name) relation and keep pairs within edit distance 1 —
+    * levenshtein computed once, filtered as a column. */
+  def confirmLinkPairs(cand: DataFrame, c: DataFrame): DataFrame =
     cand
       .join(c.select(col("id").as("id_a"), col("name").as("na")), Seq("id_a"))
       .join(c.select(col("id").as("id_b"), col("name").as("nb")), Seq("id_b"))
@@ -719,7 +735,6 @@ object Dedup extends Logging {
         levenshtein(col("na"), col("nb")).cast("long").as("dist"))
       .filter(col("dist") <= 1)
       .select("id_a", "id_b", "dist")
-  }
 
   /** CORRECTNESS instantiation: distance-≤1 customer-name pairs (the
     * digit-padded synthetic names make single-digit neighbors natural
