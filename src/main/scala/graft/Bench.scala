@@ -257,6 +257,13 @@ object Bench {
     val probeJson = probes
       .map { case (k, v) => jstr(k) + ":" + fnum(v) }.mkString("{", ",", "}")
     val probeFloor = if (probes.isEmpty) 0.0 else probes.values.min
+    // Contention self-certification (round-9 verdict): the tail line must
+    // carry enough to attribute outliers WITHOUT the full probe map —
+    // n_contended = queries whose probe median read > 3× the run's floor
+    // (timed in a contended window; their times say nothing about the
+    // plan), probe_max = the worst such window.
+    val nContended = probes.values.count(_ > 3 * probeFloor)
+    val probeMax = if (probes.isEmpty) 0.0 else probes.values.max
     // "value"/"queries" cover the stable headline set (comparable across
     // rounds and to BASELINE.md); "ext" informally times the extension ops.
     // "probe" is the per-query contention sentinel (see scaladoc):
@@ -274,7 +281,7 @@ object Bench {
     // scalars. The full JSON (with probes and stream objects) stays in
     // `outFile` and the line above.
     val tailJson =
-      s"""{"metric":"tail","ext":${qjson(extResults)},"queries":${qjson(results)},"value":$total,"unit":"sec","prep_full":$prepJson,"probe_floor":${fnum(probeFloor)},"n_errors":${errors.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"tail","ext":${qjson(extResults)},"queries":${qjson(results)},"value":$total,"unit":"sec","prep_full":$prepJson,"probe_floor":${fnum(probeFloor)},"n_contended":$nContended,"probe_max":${fnum(probeMax)},"n_errors":${errors.size},"sf":${jstr(sfDir)}}"""
     println(tailJson)
     spark.stop()
   }
