@@ -672,12 +672,19 @@ object SparkEntry {
   /** txt_semantic_search oracle: the hashed-vector base (txt_hash_vectors
     * lanes, FLOAT-cast) scored against the SAME hashing of the probe
     * string — computed in SQL over a 1-row VALUES — with the
-    * sim_topk_cosine scoring/rank tail (NaN zero-vector skip included). */
-  private def semanticSearchOracleSql(query: String, k: Int = 10): String =
+    * sim_topk_cosine scoring/rank tail (NaN zero-vector skip included).
+    * The probe interpolates into a single-quoted SQL literal: quotes
+    * double ('' — the one escape both engines share), and backslashes
+    * are rejected rather than guessed at (DuckDB treats them literally,
+    * other dialects don't — no current probe carries one). */
+  private def semanticSearchOracleSql(query: String, k: Int = 10): String = {
+    require(!query.contains('\\'),
+      "oracle probe must not contain backslashes (dialect-dependent escaping)")
+    val q = query.replace("'", "''")
     s"""WITH dt AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT CAST(-1 AS BIGINT) AS doc_id, '$query' AS text
+       |  SELECT CAST(-1 AS BIGINT) AS doc_id, '$q' AS text
        |), hv AS (
        |  SELECT doc_id,
        |    list_transform(range(8), j -> CAST(len(list_filter(
@@ -704,6 +711,7 @@ object SparkEntry {
        |    WHERE q.vec_id = -1
        |  ) WHERE NOT isnan(score)
        |) WHERE rn <= $k""".stripMargin
+  }
 
   /** sim_cluster_sample oracle: trained assignment (same CTE block as
     * sim_kmeans_assign) + a per-cell rank over the identical md5 order. */
@@ -1209,10 +1217,12 @@ object SparkEntry {
     // Within-doc window dedup: first-occurrence filter via
     // list_position's first-match semantics, index-aware lambda (1-based
     // in DuckDB, 0-based in Spark — both spelled to the same rule).
+    // NULL text coalesces to empty on BOTH engines (the E135/E136 NULL
+    // discipline).
     "txt_selfdedup" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        |    list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
         |  FROM documents
         |), b AS (
         |  SELECT doc_id,

@@ -222,7 +222,15 @@ object TextKernels {
     * conv(substr(hex,1,8),16,10)). Measured 2.5× over the staged HOF
     * chain at sf0.1 — and unlike the HOF form it cannot be silently
     * re-evaluated by expression-cloning rules (InferFiltersFromGenerate
-    * class): the whole cost is one kernel call per row. */
+    * class): the whole cost is one kernel call per row.
+    *
+    * CONTRACT: ASCII corpora (TESTDATA's). Lowercasing is ASCII-only and
+    * every non-ASCII byte is a separator, which diverges from Unicode
+    * lowercasing (Spark `lower()`/`tokens()`, the SQL oracles) on the
+    * rare codepoints whose Unicode lowercase lands inside [a-z0-9]
+    * (U+212A KELVIN SIGN → 'k', U+0130 → 'i'+dot). KernelProps pins the
+    * off-contract behavior so the divergence class is tested, not
+    * latent. */
   def hashLaneCounts(s: UTF8String, dims: Int): ArrayData = {
     val nb = s.numBytes()
     val counts = new Array[Long](dims)

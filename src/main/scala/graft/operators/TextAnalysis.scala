@@ -1368,11 +1368,14 @@ object TextAnalysis {
     * `array_position`'s first-match semantics), ZERO shuffles at any
     * corpus size. Quadratic only in slices-per-document (the
     * repetitionStats trade, explicitly fine at document lengths).
-    * Output: (doc_id, clean_text, n_kept, n_dropped). */
+    * NULL text coalesces to empty BEFORE tokenizing (the E135/E136 NULL
+    * discipline, mirrored in the oracle — without it the `n > 0` branch
+    * would yield ('', 0, NULL) on Spark while the oracle propagates
+    * NULL). Output: (doc_id, clean_text, n_kept, n_dropped). */
   def dedupWithinDoc(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 2): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"),
-        tokens(col(textCol)).as("toks"))
+        tokens(coalesce(col(textCol), lit(""))).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
       .withColumn("n_segs",
         ceil(col("n").cast("double") / window).cast("long"))

@@ -87,15 +87,36 @@ object StreamUpsert extends Logging {
     * Iceberg "VERSION AS OF" semantics over the generation-dir layout).
     * Readers never see a half-written state: only `_SUCCESS`-committed
     * generations qualify. Throws when `batchId` predates the retained
-    * history. */
+    * history.
+    *
+    * RETENTION-TAIL RACE: the list-then-read is not atomic — a
+    * concurrent writer batch may prune the chosen generation (only the
+    * current + previous are guaranteed to survive one batch) between the
+    * listing and the parquet schema read. Resolution RETRIES against a
+    * fresh listing (the pruned generation has left the committed set, so
+    * the retry either finds a newer still-≤-batchId generation or
+    * reports the honest predates-history error). A prune can still land
+    * between the schema read and job execution — readers of the OLDEST
+    * retained generations race the writer by construction; read the
+    * current snapshot (always survives ≥ one extra batch) or raise
+    * `retain` for audit-grade history. */
   def snapshotAsOf(spark: SparkSession, snapshotDir: String,
       batchId: Long): DataFrame = {
-    val ids = history(spark, snapshotDir)
-    val hit = ids.filter(_ <= batchId).lastOption.getOrElse(
-      throw new IllegalStateException(
-        s"no committed generation ≤ $batchId under $snapshotDir " +
-          s"(retained: ${ids.mkString(",")})"))
-    spark.read.parquet(s"$snapshotDir/gen-$hit")
+    var last: Throwable = null
+    (1 to 3).foreach { _ =>
+      val ids = history(spark, snapshotDir)
+      val hit = ids.filter(_ <= batchId).lastOption.getOrElse(
+        throw new IllegalStateException(
+          s"no committed generation ≤ $batchId under $snapshotDir " +
+            s"(retained: ${ids.mkString(",")})"))
+      try return spark.read.parquet(s"$snapshotDir/gen-$hit")
+      catch {
+        // schema resolution is eager: a pruned-under-us directory
+        // surfaces here; re-list and fall forward
+        case e: org.apache.spark.sql.AnalysisException => last = e
+      }
+    }
+    throw last
   }
 
   /** Start folding `changes` (a streaming DataFrame carrying the key,

@@ -50,17 +50,44 @@ object KernelProps extends Properties("kernels") {
       a == b && a == c
     }
 
+  private def md5p32(t: String): Long = java.lang.Long.parseLong(
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+
   property("hashLaneCounts == tokenize + md5-prefix % dims reference") =
     forAll(asciiText, Gen.choose(1, 16)) { (s, dims) =>
-      def md5p32(t: String): Long = java.lang.Long.parseLong(
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
       val want = new Array[Long](dims)
       s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
         .foreach(t => want((md5p32(t) % dims).toInt) += 1)
       val got = longs(TextKernels.hashLaneCounts(u(s), dims))
       got == want.toSeq
     }
+
+  // The kernel's tokenizer contract on ARBITRARY input: ASCII-only
+  // lowercasing, tokens are ASCII [a-z0-9]+ runs, every non-ASCII byte is
+  // a separator. This deliberately DIVERGES from Unicode-lowercase
+  // tokenization (Spark's lower()/tokens(), the DuckDB oracles) on the
+  // rare codepoints whose Unicode lowercase lands inside [a-z0-9]
+  // (U+212A KELVIN SIGN → 'k', U+0130 İ → 'i' + combining dot); the
+  // engine's corpora are ASCII by contract (TESTDATA), and this property
+  // pins what the kernel does OFF that contract so the divergence class
+  // is tested, not latent.
+  private def asciiLowerTokens(s: String): Seq[String] =
+    s.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c).mkString
+      .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+
+  property("hashLaneCounts: ASCII-only contract on arbitrary (non-ASCII) input") =
+    forAll(anyText, Gen.choose(1, 16)) { (s, dims) =>
+      val want = new Array[Long](dims)
+      asciiLowerTokens(s).foreach(t => want((md5p32(t) % dims).toInt) += 1)
+      longs(TextKernels.hashLaneCounts(u(s), dims)) == want.toSeq
+    }
+
+  property("hashLaneCounts: the KELVIN-SIGN divergence is the documented class") = {
+    val kelvin = "K" // Unicode lowercase → "k": tokens() sees one token
+    kelvin.toLowerCase == "k" &&
+      longs(TextKernels.hashLaneCounts(u(kelvin), 4)).forall(_ == 0L) // kernel: separator
+  }
 
   private val hashSet: Gen[Seq[Long]] = Gen.nonEmptyListOf(Gen.long).map(_.distinct)
   private def arr(xs: Seq[Long]): ArrayData =
