@@ -59,6 +59,8 @@ object SparkEntry {
     }),
     "dedup_embed_cos"   -> ((s, d) => Dedup.embedCosinePairs(Dedup.plantedNearVectors(s, d))),
     "dedup_semantic"    -> (Dedup.semanticDedupPlanted _),
+    "dedup_semantic_steady" -> (Dedup.semanticDedupPlantedSteady _),
+    "dedup_semantic_text_steady" -> ((s, d) => Dedup.semanticDedupTextSteady(s, d)),
     "sim_topk_cosine"   -> ((s, d) => Similarity.topKCosine(s, d)),
     "sim_kmeans"        -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, posexplode, round}
@@ -289,6 +291,8 @@ object SparkEntry {
     "txt_hash_vectors", "dedup_semantic_text", "txt_semantic_search",
     "sim_hard_negatives", "txt_mlm_mask", "txt_span_corrupt",
     "dedup_record_link", "dedup_entities",
+    // round-10 additions: the SemDedup steady (landed-cell) siblings
+    "dedup_semantic_steady", "dedup_semantic_text_steady",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -926,6 +930,8 @@ object SparkEntry {
     // admits false positives only, and the exact join removes them — the
     // result is row-identical to the broadcast-join spelling
     "txt_decontam_bloom" -> oracleBase("txt_decontam"),
+    "dedup_semantic_steady" -> oracleBase("dedup_semantic"),
+    "dedup_semantic_text_steady" -> oracleBase("dedup_semantic_text"),
     "sim_rp_reduce" -> rpOracleSql())
 
   /** Exact-cosine top-k ground truth — shared by `sim_topk_cosine` and

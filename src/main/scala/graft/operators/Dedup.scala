@@ -622,8 +622,17 @@ object Dedup extends Logging {
     * training k proportional to corpus size); the drop set applies as one
     * anti-join. The corpus assignment is persisted across its two
     * self-join sides, not recomputed. */
-  def semanticDedup(emb: DataFrame, tau: Double = 0.999): DataFrame = {
-    val asg = Similarity.ivfAssign(emb, Similarity.kmeansCentroids(emb))
+  def semanticDedup(emb: DataFrame, tau: Double = 0.999): DataFrame =
+    semanticDedupWith(emb, Similarity.kmeansCentroids(emb), tau)
+
+  /** [[semanticDedup]] with caller-supplied cells — the train/serve seam
+    * the STEADY instantiations use: production SemDedup trains its
+    * quantizer once per corpus snapshot and every dedup pass serves from
+    * the landed cells (assignment + within-cell verify only, no Lloyd's
+    * in the plan). */
+  def semanticDedupWith(emb: DataFrame, centroids: DataFrame,
+      tau: Double): DataFrame = {
+    val asg = Similarity.ivfAssign(emb, centroids)
       .select(col("vec_id"), col("cell_id"))
     val withCell = emb.select(col("vec_id"), col("embedding"))
       .join(asg, "vec_id")
@@ -650,6 +659,45 @@ object Dedup extends Logging {
   def semanticDedupPlanted(spark: SparkSession, dir: String): DataFrame =
     semanticDedup(plantedNearVectors(spark, dir))
 
+  /** Catalog table name for a LANDED SemDedup quantizer (trained cells of
+    * one corpus instantiation) — MD5 of (variant, dir), the
+    * [[steadyIndexPrefix]] collision rationale. */
+  def semanticCellsTable(dir: String, variant: String): String = {
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$variant|$dir".getBytes("UTF-8")).take(8)
+      .map("%02x".format(_)).mkString
+    s"semdedup_${variant}_$suffix"
+  }
+
+  /** Land-once-then-read of a SemDedup cell table: trains via `train`
+    * only when the catalog has no landed copy (first call / fresh
+    * catalog), otherwise broadcasts straight off the landed parquet —
+    * the [[graft.operators.Similarity.landQuantizers]] pattern. */
+  private def ensureSemanticCells(spark: SparkSession, table: String,
+      train: => DataFrame): DataFrame = {
+    if (!spark.catalog.tableExists(table)) {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_semdedup_cells_").toString
+      train.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").option("path", s"$path/cells").saveAsTable(table)
+    }
+    spark.table(table)
+  }
+
+  /** STEADY-STATE [[semanticDedupPlanted]]: the trained k-means cells
+    * come from the LANDED artifact table — the timed plan is what a
+    * production SemDedup pass actually pays per corpus snapshot
+    * (assignment cross + within-cell verify + anti-join), training
+    * amortized to the first call. Same cells (the trainer is
+    * deterministic), same answer, same oracle as the retrain entry. */
+  def semanticDedupPlantedSteady(spark: SparkSession, dir: String): DataFrame = {
+    val emb = plantedNearVectors(spark, dir)
+    semanticDedupWith(emb,
+      ensureSemanticCells(spark, semanticCellsTable(dir, "emb"),
+        Similarity.kmeansCentroids(emb)),
+      tau = 0.999)
+  }
+
   /** SemDedup over a RAW TEXT corpus — the composition
     * [[TextAnalysis.hashedDocVectors]] (E130) exists for: the corpus
     * embeds itself by the hashing trick (no trained model anywhere in
@@ -661,18 +709,36 @@ object Dedup extends Logging {
     * cross-engine-safe contract is to keep them out of the vector
     * space). Returns surviving doc_ids as `vec_id`. */
   def semanticDedupText(spark: SparkSession, dir: String,
-      tau: Double = 0.99): DataFrame = {
+      tau: Double = 0.99): DataFrame =
+    semanticDedup(hashedCorpusVectors(spark, dir), tau)
+
+  /** The self-embedded corpus [[semanticDedupText]] runs over — hashed
+    * doc vectors, zero-token docs excluded, materialized once (the
+    * bpeCore/kmeans trainer device: the Lloyd's loop and both self-join
+    * sides would otherwise re-run the interpreted HOF hashing chain over
+    * the text per pass). */
+  private def hashedCorpusVectors(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
       .filter(size(graft.operators.TextAnalysis.tokens(col("text"))) > 0)
-    // materialize the hashed vectors once (the bpeCore/kmeans trainer
-    // device): the Lloyd's loop and both self-join sides would otherwise
-    // re-run the interpreted HOF hashing chain over the text per pass
-    val emb = graft.operators.TextAnalysis
+    graft.operators.TextAnalysis
       .hashedDocVectors(docs, "doc_id", "text")
       .select(col("doc_id").as("vec_id"),
         col("embedding").cast("array<float>").as("embedding"))
       .localCheckpoint()
-    semanticDedup(emb, tau)
+  }
+
+  /** STEADY-STATE [[semanticDedupText]]: landed trained cells, serve
+    * cost = self-embedding scan + assignment + within-cell verify (the
+    * hashing is part of the serve path by design — the corpus embeds
+    * itself; only the TRAINING is amortizable). Same answer, same
+    * oracle as the retrain entry. */
+  def semanticDedupTextSteady(spark: SparkSession, dir: String,
+      tau: Double = 0.99): DataFrame = {
+    val emb = hashedCorpusVectors(spark, dir)
+    semanticDedupWith(emb,
+      ensureSemanticCells(spark, semanticCellsTable(dir, "text"),
+        Similarity.kmeansCentroids(emb)),
+      tau)
   }
 
   /** RECORD linkage by deletion-neighborhood blocking — the structured

@@ -187,6 +187,19 @@ class DedupSpec extends SparkTestBase {
     assert(again == survivors, "trained dedup must be deterministic")
   }
 
+  test("semanticDedup steady (landed cells) equals the retrain path and reuses its land") {
+    val dir = "/root/testdata/sf0.001"
+    def ids(df: org.apache.spark.sql.DataFrame) = df.as[Long].collect().toSet
+    val want = ids(Dedup.semanticDedupPlanted(spark, dir))
+    assert(ids(Dedup.semanticDedupPlantedSteady(spark, dir)) == want)
+    // second call must serve from the already-landed cell table
+    assert(ids(Dedup.semanticDedupPlantedSteady(spark, dir)) == want)
+    assert(spark.catalog.tableExists(Dedup.semanticCellsTable(dir, "emb")))
+    val wantText = ids(Dedup.semanticDedupText(spark, dir))
+    assert(ids(Dedup.semanticDedupTextSteady(spark, dir)) == wantText)
+    assert(spark.catalog.tableExists(Dedup.semanticCellsTable(dir, "text")))
+  }
+
   test("deletionLinkPairs finds every edit-distance-1 pair, nothing farther") {
     val recs = Seq(
       (1L, "smith"), (2L, "smyth"),   // substitution
