@@ -61,6 +61,8 @@ object SparkEntry {
     "dedup_semantic"    -> (Dedup.semanticDedupPlanted _),
     "dedup_semantic_steady" -> (Dedup.semanticDedupPlantedSteady _),
     "dedup_semantic_text_steady" -> ((s, d) => Dedup.semanticDedupTextSteady(s, d)),
+    "dedup_incr_semantic" -> (Dedup.incrementalSemanticArrivals _),
+    "dedup_incr_semantic_steady" -> (Dedup.incrementalSemanticArrivalsSteady _),
     "sim_topk_cosine"   -> ((s, d) => Similarity.topKCosine(s, d)),
     "sim_kmeans"        -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, posexplode, round}
@@ -291,8 +293,10 @@ object SparkEntry {
     "txt_hash_vectors", "dedup_semantic_text", "txt_semantic_search",
     "sim_hard_negatives", "txt_mlm_mask", "txt_span_corrupt",
     "dedup_record_link", "dedup_entities",
-    // round-10 additions: the SemDedup steady (landed-cell) siblings
+    // round-10 additions: the SemDedup steady (landed-cell) siblings and
+    // incremental semantic arrival dedup
     "dedup_semantic_steady", "dedup_semantic_text_steady",
+    "dedup_incr_semantic", "dedup_incr_semantic_steady",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -629,6 +633,54 @@ object SparkEntry {
        |)
        |SELECT vec_id FROM base WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin
 
+  /** dedup_incr_semantic oracle: cells trained on the CORPUS only (the
+    * production asymmetry — arrivals never influence the quantizer),
+    * the batch (scaled near-copies + negated fresh vectors) assigned to
+    * those cells, drops = batch-vs-corpus same-cell cosine ≥ τ plus
+    * smaller-id batch-vs-batch same-cell pairs, survivors = batch minus
+    * drops. */
+  private def incrSemanticOracleSql(iters: Int = 3, tau: Double = 0.999): String = {
+    val cos = (a: String, b: String) =>
+      s"""list_inner_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
+         |      / sqrt(list_inner_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))
+         |           * list_inner_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))""".stripMargin
+    s"""WITH ${kmeansCteBlock(29, iters)},
+       |batch AS (
+       |  SELECT vec_id + 500000 AS vec_id,
+       |         list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT)) AS embedding
+       |  FROM embeddings WHERE vec_id % 20 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 600000,
+       |         list_transform(embedding, x -> CAST(-x AS FLOAT))
+       |  FROM embeddings WHERE vec_id % 30 = 7
+       |), basg AS (
+       |  SELECT vec_id, cell_id, embedding FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cos("e.embedding", "c.c_emb")} DESC,
+       |        c.cell_id ASC) AS rn
+       |    FROM batch e CROSS JOIN c$iters c
+       |  ) WHERE rn = 1
+       |), casg AS (
+       |  SELECT vec_id, cell_id, embedding FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cos("e.embedding", "c.c_emb")} DESC,
+       |        c.cell_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c$iters c
+       |  ) WHERE rn = 1
+       |), drops AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM basg b JOIN casg m ON b.cell_id = m.cell_id
+       |  WHERE ${cos("b.embedding", "m.embedding")} >= $tau
+       |  UNION
+       |  SELECT DISTINCT b.vec_id
+       |  FROM basg a JOIN basg b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+       |  WHERE ${cos("a.embedding", "b.embedding")} >= $tau
+       |)
+       |SELECT vec_id FROM batch WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin
+  }
+
   /** dedup_semantic_text oracle: the semanticDedup recurrence with
     * `base` = the hashed-vector projection of documents (the
     * txt_hash_vectors lanes, cast FLOAT — the embeddings-table shape)
@@ -932,6 +984,7 @@ object SparkEntry {
     "txt_decontam_bloom" -> oracleBase("txt_decontam"),
     "dedup_semantic_steady" -> oracleBase("dedup_semantic"),
     "dedup_semantic_text_steady" -> oracleBase("dedup_semantic_text"),
+    "dedup_incr_semantic_steady" -> oracleBase("dedup_incr_semantic"),
     "sim_rp_reduce" -> rpOracleSql())
 
   /** Exact-cosine top-k ground truth — shared by `sim_topk_cosine` and
@@ -1343,6 +1396,7 @@ object SparkEntry {
     "sim_cluster_sample" -> clusterSampleOracleSql(),
     "dedup_semantic" -> semanticDedupOracleSql(),
     "dedup_semantic_text" -> semanticDedupTextOracleSql(),
+    "dedup_incr_semantic" -> incrSemanticOracleSql(),
     "txt_semantic_search" ->
       semanticSearchOracleSql("table scan query fast value sort"),
     // Sliding distinct: the same fan-out spelled with generate_series —

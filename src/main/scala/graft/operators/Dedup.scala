@@ -741,6 +741,86 @@ object Dedup extends Logging {
       tau)
   }
 
+  /** Incremental SEMANTIC arrival dedup — the E77/E78 incremental
+    * pattern applied to SemDedup, closing the gap the exact and MinHash
+    * incremental forms leave for embedding-space near-duplicates: a
+    * paraphrased re-arrival shares no fingerprint and few shingles, but
+    * lands next to its original in embedding space. Given the corpus,
+    * the TRAINED cells (landed artifacts in the steady form — training
+    * never reruns per batch), and an arrival batch: assign the batch to
+    * the corpus's cells, verify cosine ≥ `tau` against same-cell CORPUS
+    * members (landed data always wins — the keep-first policy of
+    * [[incrementalNew]]) and against smaller-id same-cell BATCH members
+    * (the within-batch greedy rule), and return the surviving arrivals.
+    * Corpus–corpus pairs are never examined — that dedup happened when
+    * the corpus landed ([[semanticDedup]]).
+    *
+    * Scale shape: both assignments are the bounded corpus×constant
+    * broadcast cross; the verify joins are equi-joins on cell_id whose
+    * BATCH side is small by contract, so the per-batch cost is
+    * |batch|·|cell| — and with the corpus assignment landed bucketed by
+    * cell_id the probe side needs no exchange (the
+    * [[landNearDupIndex]] discipline; the cells themselves are already
+    * landed by [[graft.operators.Similarity.landQuantizers]]). */
+  def incrementalSemanticNew(corpus: DataFrame, batch: DataFrame,
+      centroids: DataFrame, tau: Double = 0.999): DataFrame = {
+    val cAsg = Similarity.ivfAssign(corpus, centroids)
+      .select(col("cell_id"), col("embedding").as("m_emb"))
+    val bAsg = Similarity.ivfAssign(batch, centroids)
+      .select(col("vec_id"), col("cell_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vsCorpus = bAsg.join(cAsg, Seq("cell_id"))
+      .withColumn("score", GraftFunctions.cosineSim(col("embedding"), col("m_emb")))
+      .filter(!isnan(col("score")) && col("score") >= tau)
+      .select("vec_id")
+    val within = bAsg
+      .select(col("cell_id"), col("vec_id").as("vec_a"), col("embedding").as("e_a"))
+      .join(bAsg.select(col("cell_id"), col("vec_id").as("vec_b"),
+        col("embedding").as("e_b")), Seq("cell_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("score", GraftFunctions.cosineSim(col("e_a"), col("e_b")))
+      .filter(!isnan(col("score")) && col("score") >= tau)
+      .select(col("vec_b").as("vec_id"))
+    val drops = vsCorpus.unionByName(within).distinct()
+    materializeAndRelease(
+      batch.join(drops, Seq("vec_id"), "left_anti").select("vec_id"), bAsg)
+  }
+
+  /** The CORRECTNESS arrival batch: scaled near-copies of every 20th
+    * corpus vector (must drop — same cell as their original, cosine 1 up
+    * to the float re-round) plus NEGATED copies of every 30th-offset-7
+    * vector (must survive — negation flips cosine to −1 against the
+    * original, and a ≥0.999 match to anything else would require a
+    * ≤−0.999 pair in the corpus). Mirrored exactly in the oracle SQL. */
+  def incrementalSemanticBatch(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 500000L).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(1.01d)).cast("float")).as("embedding"))
+      .unionByName(emb.filter(col("vec_id") % 30 === 7)
+        .select((col("vec_id") + 600000L).as("vec_id"),
+          transform(col("embedding"), x => (-x).cast("float")).as("embedding")))
+
+  /** CORRECTNESS instantiation (retrain-in-plan form): cells trained on
+    * the CORPUS only — arrivals never influence the quantizer, exactly
+    * the production asymmetry. */
+  def incrementalSemanticArrivals(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    incrementalSemanticNew(emb, incrementalSemanticBatch(emb),
+      Similarity.kmeansCentroids(emb))
+  }
+
+  /** STEADY-STATE [[incrementalSemanticArrivals]]: the cells come from
+    * the corpus dir's LANDED trained-quantizer table
+    * ([[graft.operators.Similarity.loadLandedQuantizers]] — the same
+    * k-means artifact the ANN serve path reads), so the timed plan is
+    * pure serve: two assignment crosses + the cell-scoped verifies.
+    * Same cells, same answer, same oracle as the retrain entry. */
+  def incrementalSemanticArrivalsSteady(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    incrementalSemanticNew(emb, incrementalSemanticBatch(emb),
+      Similarity.loadLandedQuantizers(spark, dir)._1)
+  }
+
   /** RECORD linkage by deletion-neighborhood blocking — the structured
     * (typo'd-key) sibling of the text near-dup family, using the
     * published symmetric-delete device (SymSpell): every 1-deletion

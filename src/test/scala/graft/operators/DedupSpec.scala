@@ -200,6 +200,25 @@ class DedupSpec extends SparkTestBase {
     assert(spark.catalog.tableExists(Dedup.semanticCellsTable(dir, "text")))
   }
 
+  test("incrementalSemanticNew drops embedding-near arrivals, keeps fresh ones") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    def ids(df: org.apache.spark.sql.DataFrame) = df.as[Long].collect().toSet
+    val got = ids(Dedup.incrementalSemanticArrivals(spark, dir))
+    val near = emb.filter($"vec_id" % 20 === 0).as[(Long, Array[Float])]
+      .collect().map(_._1 + 500000L).toSet
+    val fresh = emb.filter($"vec_id" % 30 === 7).as[(Long, Array[Float])]
+      .collect().map(_._1 + 600000L).toSet
+    assert(near.nonEmpty && fresh.nonEmpty, "fixture must exercise both classes")
+    assert(got.intersect(near).isEmpty,
+      "scaled near-copies of landed vectors must drop")
+    assert(fresh.subsetOf(got),
+      "negated (cosine −1) arrivals must survive")
+    // steady (landed-quantizer cells) form computes the same survivors
+    assert(ids(Dedup.incrementalSemanticArrivalsSteady(spark, dir)) == got)
+  }
+
   test("deletionLinkPairs finds every edit-distance-1 pair, nothing farther") {
     val recs = Seq(
       (1L, "smith"), (2L, "smyth"),   // substitution
