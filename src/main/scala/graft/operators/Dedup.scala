@@ -763,9 +763,19 @@ object Dedup extends Logging {
     * [[landNearDupIndex]] discipline; the cells themselves are already
     * landed by [[graft.operators.Similarity.landQuantizers]]). */
   def incrementalSemanticNew(corpus: DataFrame, batch: DataFrame,
+      centroids: DataFrame, tau: Double = 0.999): DataFrame =
+    incrementalSemanticNewAssigned(
+      Similarity.ivfAssign(corpus, centroids)
+        .select(col("cell_id"), col("embedding").as("m_emb")),
+      batch, centroids, tau)
+
+  /** [[incrementalSemanticNew]] against a PRE-ASSIGNED corpus side
+    * (cell_id, m_emb rows — an already-landed assignment index): the
+    * seam the streaming maintainer ([[graft.streaming.StreamSemantic]])
+    * probes, where the corpus assignment accumulated at land time and
+    * must not be recomputed per batch. */
+  def incrementalSemanticNewAssigned(cAsg: DataFrame, batch: DataFrame,
       centroids: DataFrame, tau: Double = 0.999): DataFrame = {
-    val cAsg = Similarity.ivfAssign(corpus, centroids)
-      .select(col("cell_id"), col("embedding").as("m_emb"))
     val bAsg = Similarity.ivfAssign(batch, centroids)
       .select(col("vec_id"), col("cell_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
