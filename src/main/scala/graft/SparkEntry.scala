@@ -83,6 +83,10 @@ object SparkEntry {
     "sim_topk_ivfpq_landed" -> ((s, d) => Similarity.topKPqIvfLanded(s, d)),
     "sim_kmeans_assign" -> (Similarity.kmeansAssignments _),
     "sim_ann_recall"    -> ((s, d) => Similarity.annRecall(s, d)),
+    "sim_topk_refine"   -> ((s, d) => Similarity.topKPqIvfRefined(s, d)),
+    "sim_topk_refine_landed" -> ((s, d) => Similarity.topKPqIvfRefinedLanded(s, d)),
+    "sim_knn_graph"     -> ((s, d) => Similarity.knnGraphDocs(s, d)),
+    "sim_knn_graph_steady" -> ((s, d) => Similarity.knnGraphSteady(s, d)),
     "sim_kmeans_assign_steady" -> (Similarity.kmeansAssignmentsSteady _),
     "sim_cluster_sample" -> ((s, d) => Similarity.clusterSample(s, d)),
     "sim_cluster_sample_steady" -> ((s, d) => Similarity.clusterSampleSteady(s, d)),
@@ -297,6 +301,10 @@ object SparkEntry {
     // incremental semantic arrival dedup
     "dedup_semantic_steady", "dedup_semantic_text_steady",
     "dedup_incr_semantic", "dedup_incr_semantic_steady",
+    // round-10 session-2 additions: the two-stage refined ANN serves and
+    // the blocked k-NN graph build (retrain + landed-centroid siblings)
+    "sim_topk_refine", "sim_topk_refine_landed",
+    "sim_knn_graph", "sim_knn_graph_steady",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -799,6 +807,60 @@ object SparkEntry {
       k: Int = 5, nprobe: Int = 4): String =
     s"WITH ${kmeansCteBlock(29, 3)},\n${trainedCbCtes(m, kc, subDim, 31, 2)}, " +
       ivfPqBodySql(subDim, k, nprobe, "SELECT cell_id, c_emb FROM c3")
+
+  /** sim_topk_refine oracle: the given IVF-PQ stage-1 block widened to
+    * r·k candidates (verbatim as a CTE — DuckDB allows a WITH inside a
+    * CTE body, the annRecall device), then the exact-cosine re-rank over
+    * just those (query, candidate) pairs with sim_topk_cosine's NaN
+    * filter and (score DESC, vec_id) tie-break. */
+  private def refineOracleSql(stage1: String, k: Int = 5): String =
+    s"""WITH cand AS (
+       |$stage1
+       |), rer AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+       |      / sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+       |           * list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS score
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN embeddings q ON q.vec_id = c.query_id
+       |)
+       |SELECT query_id, vec_id, score FROM (
+       |  SELECT query_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+       |  FROM rer WHERE NOT isnan(score)
+       |) WHERE rn <= $k""".stripMargin
+
+  /** sim_knn_graph oracle: the trained centroids (the sim_kmeans CTE
+    * block), the cosine-argmax assignment KEEPING the embedding, the
+    * within-cell pairwise cosine, and the per-vector (score DESC, nbr)
+    * nn-cut with the NaN gate — the whole blocked graph build replayed
+    * in SQL. */
+  private def knnGraphOracleSql(iters: Int = 3, nn: Int = 4): String = {
+    val cos = (a: String, b: String) =>
+      s"""list_inner_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
+         |      / sqrt(list_inner_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))
+         |           * list_inner_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))""".stripMargin
+    s"""WITH ${kmeansCteBlock(29, iters)},
+       |asg AS (
+       |  SELECT vec_id, cell_id, embedding FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cos("e.embedding", "c.c_emb")} DESC,
+       |        c.cell_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c$iters c
+       |  ) WHERE rn = 1
+       |), pairs AS (
+       |  SELECT a.vec_id, b.vec_id AS nbr_id,
+       |    ${cos("a.embedding", "b.embedding")} AS score
+       |  FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+       |)
+       |SELECT vec_id, nbr_id, score FROM (
+       |  SELECT vec_id, nbr_id, score,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, nbr_id) AS rn
+       |  FROM pairs WHERE NOT isnan(score)
+       |) WHERE rn <= $nn""".stripMargin
+  }
 
   /** The IVF-PQ search body (cent → assigned → probes → codes → LUT →
     * pruned ADC top-k), parameterized on the coarse-centroid source. Reads
@@ -1392,6 +1454,10 @@ object SparkEntry {
     "sim_topk_ivfpq" -> ivfPqOracleSql(),
     "sim_ann_recall" -> annRecallOracleSql(),
     "sim_topk_ivfpq_trained" -> ivfPqTrainedOracleSql(),
+    "sim_topk_refine" -> refineOracleSql(ivfPqOracleSql(k = 20)),
+    "sim_topk_refine_landed" -> refineOracleSql(ivfPqTrainedOracleSql(k = 20)),
+    "sim_knn_graph" -> knnGraphOracleSql(),
+    "sim_knn_graph_steady" -> knnGraphOracleSql(),
     "sim_kmeans_assign" -> kmeansAssignOracleSql(),
     "sim_cluster_sample" -> clusterSampleOracleSql(),
     "dedup_semantic" -> semanticDedupOracleSql(),

@@ -541,6 +541,83 @@ object Similarity {
     topKPqIvf(emb, defaultQueries(emb), k, nprobe = 4, m = 8, kc = 16, subDim = 8)
   }
 
+  /** TWO-STAGE refined ANN serve — the candidate-generation → exact
+    * re-rank pattern production systems ship as a refine wrapper over a
+    * compressed index (Jégou et al., TPAMI 2011 §V.C's reranking with
+    * source coding; public): ADC distances are approximations, so the
+    * serve path widens the IVF-PQ cut to r·k candidates per query and
+    * re-scores JUST those on their exact embeddings, returning the top k
+    * by true cosine. Refined recall at k dominates the unrefined cut
+    * whenever a true neighbor survives the wide cut but ADC mis-ranks it
+    * below k — the standard recall/latency dial (r=1 is the plain
+    * search; r=|cell| candidates is IVF-exact).
+    *
+    * Scale shape: stage 1 is the audited prune+ADC plan; its r·k·|Q|
+    * result is COLLECTED (the probe-set bounded class) so stage 2's
+    * vector fetch is a literal `vec_id IN (…)` AT THE SCAN — parquet
+    * row-group / bucket pruning reads only the candidate vectors, never
+    * a second corpus pass (the whole reason to rerank from a compressed
+    * index at 100 TB: full vectors are touched for |Q|·r·k rows only).
+    * Re-scoring and the final k-cut run over driver-scale constants. */
+  def topKPqIvfRefined(emb: DataFrame, queries: DataFrame, k: Int, r: Int,
+      nprobe: Int, m: Int, subDim: Int, centroids: DataFrame,
+      b: Seq[(Int, Int, Array[Double])]): DataFrame = {
+    val cand = topKPqIvfWith(emb, queries, k * r, nprobe, m, subDim,
+        centroids, b)
+      .select(col("query_id").cast("long"), col("vec_id").cast("long"))
+      .collect().map(rw => (rw.getLong(0), rw.getLong(1))).toSeq.sorted
+    refineCandidates(emb, queries, cand, k)
+  }
+
+  /** The exact re-rank half of [[topKPqIvfRefined]], reusable over any
+    * candidate generator (ADC, LSH, a streamed index): fetch the
+    * candidate vectors through a scan-pruning literal id filter,
+    * re-associate query ids via the broadcast (query, cand) pair set,
+    * score with true cosine, and k-cut. NaN (zero-norm junk that slipped
+    * through a compressed-score stage) is skipped inside the aggregate —
+    * the [[topKCosine]] contract. */
+  def refineCandidates(emb: DataFrame, queries: DataFrame,
+      cand: Seq[(Long, Long)], k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ids = cand.map(_._2).distinct.sorted
+    val candDf = cand.toDF("query_id", "vec_id")
+    val scored = emb.filter(col("vec_id").isin(ids: _*))
+      .join(broadcast(candDf), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosineSim(col("q_emb"), col("embedding")).as("score"))
+    topKCut(scored, k)
+  }
+
+  /** CORRECTNESS instantiation of the refined serve: the seeded
+    * quantizers of `sim_topk_ivfpq` widened 4× and re-ranked exactly. */
+  def topKPqIvfRefined(spark: SparkSession, dir: String, k: Int = 5,
+      r: Int = 4): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    topKPqIvfRefined(emb, defaultQueries(emb), k, r, nprobe = 4, m = 8,
+      subDim = 8, defaultCentroids(emb), pqCodebook())
+  }
+
+  /** Refined serve FROM THE LANDED ARTIFACTS — stage 1 is
+    * [[topKPqIvfLanded]]'s bucket-pruned candidate plan widened to r·k
+    * (landed trained quantizers, cell-bucketed code table, no training
+    * or encode anywhere), stage 2 the same literal-id-pruned exact
+    * re-rank: the full production read path of a refined compressed
+    * index, restart-durable. Same answer, same oracle class as the
+    * trained refine (training and encode are deterministic). */
+  def topKPqIvfRefinedLanded(spark: SparkSession, dir: String, k: Int = 5,
+      r: Int = 4): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val (centDf, book) = loadLandedQuantizers(spark, dir)
+    val cand = searchIvfPqIndex(ensureIvfPqCodes(spark, dir),
+        defaultQueries(emb), k * r, nprobe = 4, m = 8, subDim = 8,
+        centDf, book)
+      .select(col("query_id").cast("long"), col("vec_id").cast("long"))
+      .collect().map(rw => (rw.getLong(0), rw.getLong(1))).toSeq.sorted
+    refineCandidates(emb, defaultQueries(emb), cand, k)
+  }
+
   /** ANN quality evaluation — recall@k of the IVF-PQ search against the
     * exact cosine ground truth, per probe query: the operational metric
     * every ANN deployment monitors (PQ distance is an approximation and
@@ -611,6 +688,71 @@ object Similarity {
       asg.withColumn("h", md5(col("vec_id").cast("string"))),
       Seq("cell_id"), Seq(col("h").asc, col("vec_id").asc), k)
       .select("cell_id", "vec_id")
+
+  /** k-NN GRAPH construction — every vector's `nn` nearest same-cell
+    * neighbors by true cosine, the foundational batch primitive under
+    * graph-based dedup/diversity filtering and NN-Descent-class index
+    * builds (Dong et al., WWW 2011 — public): all-pairs is quadratic, so
+    * candidates are blocked by the trained coarse cells (the SemDedup
+    * blocking — two vectors compete only if k-means agrees they live in
+    * the same region) and each cell runs its pairwise scoring
+    * independently. Missing a cross-cell true neighbor is the documented
+    * approximation, exactly IVF's nprobe=1 recall trade.
+    *
+    * Scale shape: the cell self-join is a key equi-join (never
+    * all-pairs); per-cell cost is |cell|² — bounded by the trainer's
+    * cell balance, with AQE skew-split as the degrade for a hot cell —
+    * and the `topk_by` k-cut forwards at most nn rows per vector per
+    * partition, so the post-join exchange carries the graph edges, not
+    * the candidate pairs. Zero-norm vectors emit no edges (NaN skipped
+    * in the aggregate) and rank in none (NaN never compares ahead) —
+    * symmetric with the oracle's NOT isnan gate. */
+  def knnGraph(emb: DataFrame, centroids: DataFrame, nn: Int): DataFrame = {
+    // persist the assignment so the corpus is scored against the
+    // centroids ONCE, not once per self-join side (the semanticDedupWith
+    // discipline — at scale the assignment cross is the dominant scan)
+    val asg = ivfAssign(emb, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored = asg
+      .select(col("vec_id").as("query_id"), col("cell_id"),
+        col("embedding").as("q_emb"))
+      .join(asg.select(col("vec_id"), col("cell_id"), col("embedding")),
+        Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosineSim(col("q_emb"), col("embedding")).as("score"))
+    val graph = topKCut(scored, nn)
+      .select(col("query_id").as("vec_id"), col("vec_id").as("nbr_id"),
+        col("score"))
+    // audit escape hatch (the Dedup.materializeAndRelease contract): lazy
+    // mode returns the un-checkpointed DAG for PlanAudit, keeping the
+    // persist alive; jobs materialize and release the cached assignment
+    if (sys.props.get("graft.dedup.lazyPlans").contains("true")) graph
+    else {
+      val reliable =
+        graph.sparkSession.sparkContext.getCheckpointDir.isDefined
+      val out = if (reliable) graph.checkpoint() else graph.localCheckpoint()
+      asg.unpersist()
+      out
+    }
+  }
+
+  /** CORRECTNESS instantiation: 4 neighbors per vector under the TRAINED
+    * k-means cells (same centroids, same oracle CTEs as `sim_kmeans`). */
+  def knnGraphDocs(spark: SparkSession, dir: String, nn: Int = 4): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    knnGraph(emb, kmeansCentroids(emb), nn)
+  }
+
+  /** STEADY-STATE [[knnGraphDocs]]: cells from the LANDED trained
+    * centroids ([[landQuantizers]]) — no Lloyd's in the plan; the timed
+    * cost is assignment + the blocked pairwise scoring + k-cut, the
+    * recurring production build. Same answer, same oracle as the
+    * retrain entry. */
+  def knnGraphSteady(spark: SparkSession, dir: String, nn: Int = 4): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    knnGraph(emb, loadLandedQuantizers(spark, dir)._1, nn)
+  }
 
   /** The END-TO-END trained production ANN stack: k-means coarse cells
     * ([[kmeansCentroids]]) × per-subspace-Lloyd's PQ codebook

@@ -229,6 +229,105 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("topKPqIvfRefined: true-cosine scores, exact rank within the wide ADC cut") {
+    val emb = corpus.toDF("vec_id", "embedding")
+    val queries = Seq((0L, corpus(0)._2)).toDF("query_id", "q_emb")
+    val cents = Similarity.defaultCentroids(emb)
+    val book = Similarity.pqCodebook(4, 8, 8)
+    val refined = Similarity.topKPqIvfRefined(emb, queries, k = 3, r = 4,
+        nprobe = 2, m = 4, subDim = 8, cents, book)
+      .as[(Long, Long, Double)].collect()
+    assert(refined.length == 3)
+    // every returned score is the true cosine, not the ADC approximation
+    refined.foreach { case (q, v, s) =>
+      assert(math.abs(s - cosine(corpus(q.toInt)._2, corpus(v.toInt)._2)) < 1e-12)
+    }
+    // and the ids are exactly the exact-cosine rank of the stage-1 cut
+    val cand = Similarity.topKPqIvfWith(emb, queries, 12, 2, 4, 8, cents, book)
+      .select("vec_id").as[Long].collect().toSet
+    val want = corpus.filter(c => cand.contains(c._1))
+      .map { case (id, v) => (id, cosine(corpus(0)._2, v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1).toSeq
+    assert(refined.sortBy(t => (-t._3, t._2)).map(_._2).toSeq == want)
+  }
+
+  test("wide refine equals IVF true-score search (r spanning the probed cells)") {
+    val emb = corpus.toDF("vec_id", "embedding")
+    val queries = Seq((0L, corpus(0)._2)).toDF("query_id", "q_emb")
+    val cents = Similarity.defaultCentroids(emb)
+    val book = Similarity.pqCodebook(4, 8, 8)
+    // k·r ≥ corpus: stage 1 keeps every probed-cell candidate, so the
+    // re-rank IS the true-cosine IVF search over the same probes
+    val wide = Similarity.topKPqIvfRefined(emb, queries, k = 3, r = 30,
+        nprobe = 2, m = 4, subDim = 8, cents, book)
+      .as[(Long, Long, Double)].collect().toSet
+    val ivf = Similarity.topKCosineIvf(emb, queries, k = 3, nprobe = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(wide == ivf)
+  }
+
+  test("refined recall at k dominates the unrefined ADC cut (real corpus)") {
+    val dir = "/root/testdata/sf0.001"
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val exact = Similarity.topKCosine(spark, dir)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      val got = df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val plain = recall(Similarity.topKPqIvf(spark, dir))
+    val refined = recall(Similarity.topKPqIvfRefined(spark, dir))
+    assert(refined >= plain,
+      s"refine must not lose recall: $refined < $plain")
+  }
+
+  test("topKPqIvfRefinedLanded equals the trained refine recomputed") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    val want = Similarity.topKPqIvfRefined(emb, Similarity.defaultQueries(emb),
+        k = 5, r = 4, nprobe = 4, m = 8, subDim = 8,
+        Similarity.kmeansCentroids(emb), Similarity.pqCodebookTrained(emb))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(Similarity.topKPqIvfRefinedLanded(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet == want)
+  }
+
+  test("knnGraph: nn nearest same-cell neighbors, true scores, junk emits no edges") {
+    val junk = (998L, Array.fill(32)(0f))
+    val all = corpus :+ junk
+    val emb = all.toDF("vec_id", "embedding")
+    val cents = Similarity.defaultCentroids(emb)
+    val got = Similarity.knnGraph(emb, cents, nn = 3)
+      .as[(Long, Long, Double)].collect()
+    // driver-side oracle: argmax-cell assignment (ties → smaller cell),
+    // within-cell top-3 by (cosine desc, id), NaN pairs dropped
+    val centSeq = Seq(corpus(0), corpus(37))
+    val asg = corpus.map { case (id, v) =>
+      id -> centSeq.map { case (cid, cv) => (cid, cosine(v, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }.head._1
+    }.toMap
+    val want = corpus.flatMap { case (id, v) =>
+      corpus.filter(o => o._1 != id && asg(o._1) == asg(id))
+        .map(o => (o._1, cosine(v, o._2)))
+        .sortBy { case (nid, s) => (-s, nid) }.take(3)
+        .map { case (nid, _) => (id, nid) }
+    }.toSet
+    assert(got.map(t => (t._1, t._2)).toSet == want)
+    got.foreach { case (id, nid, s) =>
+      assert(math.abs(s - cosine(corpus(id.toInt)._2, corpus(nid.toInt)._2)) < 1e-12)
+    }
+    assert(!got.exists(t => t._1 == 998L || t._2 == 998L),
+      "zero-norm vector neither sources nor receives edges")
+  }
+
+  test("knnGraphSteady (landed centroids) equals the retrain build") {
+    val dir = "/root/testdata/sf0.001"
+    val want = Similarity.knnGraphDocs(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(Similarity.knnGraphSteady(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet == want)
+  }
+
   test("int8Quantize: codes bounded, dequantization error ≤ scale/2, zero vector safe") {
     val emb = Seq(
       (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
