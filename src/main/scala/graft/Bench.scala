@@ -267,6 +267,60 @@ object Bench {
           errors += s"stream_search: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
           None
       }
+    // Streamed hybrid-retrieval maintenance + serve: the StreamHybrid
+    // composer drives (text, embedding) arrivals in as four micro-batches
+    // (hook compaction after id 1 and 3), then times the FUSED serve —
+    // BM25 off the pruned streamed postings + exact cosine over the live
+    // landed vectors + RRF, median of 3. The claim under test: the fused
+    // serve pays the two branches' serve costs (pruned postings + one
+    // dense scan of the landed vectors), not a corpus re-index.
+    def streamHybridBench(): Option[String] =
+      try {
+        import org.apache.spark.sql.functions.col
+        val tmp = Files.createTempDirectory("graft_stream_hybrid_").toString
+        val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text")
+          .join(spark.read.parquet(s"$sfDir/embeddings.parquet")
+            .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+        val rowsIn = rows.count()
+        Files.createDirectory(Paths.get(s"$tmp/in"))
+        def stagedFile(stage: String): java.nio.file.Path = {
+          val st = Files.list(Paths.get(stage))
+          try st.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          finally st.close()
+        }
+        (0 until 4).foreach { i =>
+          rows.filter(col("doc_id") % 4 === i)
+            .coalesce(1).write.parquet(s"$tmp/stage$i")
+          Files.move(stagedFile(s"$tmp/stage$i"), Paths.get(s"$tmp/in/f$i.parquet"))
+        }
+        val stream = spark.readStream.schema(rows.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+        val t0 = System.nanoTime()
+        graft.streaming.StreamHybrid.start(
+          stream, s"$tmp/state", s"$tmp/ckpt", compactEvery = 2)
+          .awaitTermination()
+        val wallGrow = (System.nanoTime() - t0) / 1e9
+        def med3(f: => Unit): Double = {
+          val ts = (1 to 3).map { _ =>
+            val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+          }
+          ts.sorted.apply(1)
+        }
+        val serve = med3 {
+          graft.streaming.StreamHybrid.search(
+            spark, s"$tmp/state", graft.operators.TextAnalysis.searchQuery,
+            queryVecId = 0L)
+            .write.format("noop").mode("overwrite").save()
+        }
+        Some(s"""{"op":"stream_hybrid","rows_in":$rowsIn,"batches":4,""" +
+          s""""grow_wall_sec":${fnum(wallGrow)},""" +
+          s""""serve_hybrid_sec":${fnum(serve)}}""")
+      } catch {
+        case e: Throwable =>
+          errors += s"stream_hybrid: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          None
+      }
     // Full prep-pipeline wall time: clean → mix → chunk → pack →
     // deterministic epoch shuffle → sharded land, as ONE job
     // (PrepJob.runFull) — the "make training shards" artifact. Timed once
@@ -308,6 +362,10 @@ object Bench {
       if (only.forall(sel => sel.contains("stream") || sel.contains("stream_search")))
         streamSearchBench().getOrElse("null")
       else "null"
+    val streamHybridJson: String =
+      if (only.forall(sel => sel.contains("stream") || sel.contains("stream_hybrid")))
+        streamHybridBench().getOrElse("null")
+      else "null"
     val prepJson: String =
       if (only.forall(_.contains("prep_full"))) prepBench().getOrElse("null")
       else "null"
@@ -332,7 +390,7 @@ object Bench {
     // "probe" is the per-query contention sentinel (see scaladoc):
     // probe[q] >> probe_floor ⇒ q was timed in a contended window.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"ext":${qjson(extResults)},"stream":$streamJson,"stream_near":$streamNearJson,"stream_search":$streamSearchJson,"prep_full":$prepJson,"probe":$probeJson,"probe_floor":${fnum(probeFloor)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"ext":${qjson(extResults)},"stream":$streamJson,"stream_near":$streamNearJson,"stream_search":$streamSearchJson,"stream_hybrid":$streamHybridJson,"prep_full":$prepJson,"probe":$probeJson,"probe_floor":${fnum(probeFloor)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
     println(json)
     Files.writeString(Paths.get(outFile), json)
     // The driver's per-round artifact keeps only the LAST 2000 chars of

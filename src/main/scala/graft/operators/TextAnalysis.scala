@@ -726,17 +726,31 @@ object TextAnalysis {
   def hybridSearch(docs: DataFrame, emb: DataFrame, idCol: String,
       textCol: String, query: Seq[String], queryVecId: Long,
       depth: Int = 50, k: Int = 25, k0: Int = 60): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val lexR = bm25Rank(docs, idCol, textCol, query, depth)
-      .select(col(idCol).as("doc_id"),
-        row_number().over(Window.orderBy(col("score").desc, col(idCol)))
-          .as("r_lex"))
+    val lex = bm25Rank(docs, idCol, textCol, query, depth)
+      .select(col(idCol).as("doc_id"), col("score"))
     val queries = emb.filter(col("vec_id") === queryVecId)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val denseR = Similarity.topKCosine(emb, queries, depth)
-      .select(col("vec_id").as("doc_id"),
-        row_number().over(Window.orderBy(col("score").desc, col("vec_id")))
-          .as("r_dense"))
+    val dense = Similarity.topKCosine(emb, queries, depth)
+      .select(col("vec_id").as("doc_id"), col("score"))
+    rrfFuse(lex, dense, k, k0)
+  }
+
+  /** The RRF fusion tail of [[hybridSearch]], reusable over any pair of
+    * ranked branches (the streamed composer
+    * [[graft.streaming.StreamHybrid]] feeds it from its landed indexes):
+    * both inputs are (doc_id, score) top-`depth` cuts; ranks are
+    * re-derived with the shared (score DESC, doc_id) tie-break, so
+    * fusion depends only on each branch's ANSWER, not on how it was
+    * served. The single-partition rank windows are bounded by the
+    * branches' k-cuts above them. */
+  def rrfFuse(lex: DataFrame, dense: DataFrame, k: Int, k0: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lexR = lex.select(col("doc_id"),
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+        .as("r_lex"))
+    val denseR = dense.select(col("doc_id"),
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+        .as("r_dense"))
     lexR.join(denseR, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         // lex + dense, in this order — the oracle mirrors the association

@@ -113,6 +113,26 @@ object StreamSearchIndex {
       .select(col("doc_id"), posexplode(col("w")))
       .select(col("col").as("term"), col("doc_id"), (col("pos") + 1).as("pos"))
 
+  /** One micro-batch's index maintenance — the four generation writes,
+    * callable from any foreachBatch loop (the [[StreamHybrid]] composer
+    * shares it): idempotent Overwrite (tokenization is deterministic, so
+    * a replayed batch rewrites byte-identically). */
+  def indexBatch(batch: DataFrame, indexDir: String, id: Long,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    postingsOf(batch, idCol, textCol)
+      .withColumn("bkt", termBucketCol(col("term")))
+      .write.mode(SaveMode.Overwrite).partitionBy("bkt")
+      .parquet(s"$indexDir/postings/gen-$id")
+    positionsOf(batch, idCol, textCol)
+      .withColumn("bkt", termBucketCol(col("term")))
+      .write.mode(SaveMode.Overwrite).partitionBy("bkt")
+      .parquet(s"$indexDir/positions/gen-$id")
+    doclensOf(batch, idCol, textCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/lens/gen-$id")
+    statsOf(batch, idCol, textCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats/gen-$id")
+  }
+
   /** Start indexing `docs` (a streaming DataFrame carrying `idCol` and
     * `textCol`) into the inverted index at `indexDir`. */
   def start(docs: DataFrame, indexDir: String, checkpoint: String,
@@ -124,18 +144,7 @@ object StreamSearchIndex {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
-        postingsOf(batch, idCol, textCol)
-          .withColumn("bkt", termBucketCol(col("term")))
-          .write.mode(SaveMode.Overwrite).partitionBy("bkt")
-          .parquet(s"$indexDir/postings/gen-$id")
-        positionsOf(batch, idCol, textCol)
-          .withColumn("bkt", termBucketCol(col("term")))
-          .write.mode(SaveMode.Overwrite).partitionBy("bkt")
-          .parquet(s"$indexDir/positions/gen-$id")
-        doclensOf(batch, idCol, textCol)
-          .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/lens/gen-$id")
-        statsOf(batch, idCol, textCol)
-          .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/stats/gen-$id")
+        indexBatch(batch, indexDir, id, idCol, textCol)
         if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
           compactIndex(spark, indexDir)
         ()
