@@ -74,6 +74,7 @@ object SparkEntry {
           round(col("v").cast("double"), 6).as("v"))
     }),
     "sim_topk_ann"      -> ((s, d) => Similarity.topKCosineLsh(s, d)),
+    "sim_topk_ann_mp"   -> ((s, d) => Similarity.topKCosineLshMp(s, d, k = 5)),
     "sim_topk_ivf"      -> ((s, d) => Similarity.topKCosineIvf(s, d)),
     "sim_topk_pq"       -> ((s, d) => Similarity.topKPq(s, d)),
     "sim_topk_pq_trained" -> ((s, d) => Similarity.topKPqTrained(s, d)),
@@ -304,7 +305,7 @@ object SparkEntry {
     // round-10 session-2 additions: the two-stage refined ANN serves and
     // the blocked k-NN graph build (retrain + landed-centroid siblings)
     "sim_topk_refine", "sim_topk_refine_landed",
-    "sim_knn_graph", "sim_knn_graph_steady",
+    "sim_knn_graph", "sim_knn_graph_steady", "sim_topk_ann_mp",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -515,6 +516,50 @@ object SparkEntry {
        |    JOIN embeddings ce ON ce.vec_id = cand.vec_id
        |  ) WHERE NOT isnan(score)
        |) WHERE rn <= 5""".stripMargin
+  }
+
+  /** sim_topk_ann_mp oracle: the annOracleSql signature/banding CTEs
+    * with the query side fanned out to its Hamming-1 bucket ring
+    * (xor with each single-bit mask, plus the self bucket via xor 0) —
+    * the exact probe set the operator explodes — then the same DISTINCT
+    * candidate pairs + true-cosine rank tail. */
+  private def annMpOracleSql(bitsPerBand: Int = 4, k: Int = 5): String = {
+    val planes = graft.operators.Similarity.planeVectors()
+    val sigTerms = planes.zipWithIndex.map { case (v, p) =>
+      val lit = v.mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), $lit) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n      + ")
+    val masks = (0L +: (0 until bitsPerBand).map(i => 1L << i))
+      .mkString("[", ", ", "]")
+    s"""WITH sig AS (
+       |  SELECT vec_id, embedding,
+       |      $sigTerms AS hsig
+       |  FROM embeddings
+       |), banded AS (
+       |  SELECT vec_id, embedding, b.band, (hsig >> (b.band * $bitsPerBand)) & ${(1L << bitsPerBand) - 1} AS bucket
+       |  FROM sig, (SELECT unnest(range(0, ${16 / bitsPerBand})) AS band) b
+       |), qprobes AS (
+       |  SELECT vec_id, band, xor(bucket, m.m) AS bucket
+       |  FROM banded, (SELECT unnest($masks) AS m) m
+       |  WHERE vec_id IN (0, 100, 200, 300, 400)
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+       |  FROM qprobes q JOIN banded c ON q.band = c.band AND q.bucket = c.bucket
+       |  WHERE c.vec_id <> q.vec_id
+       |)
+       |SELECT query_id, vec_id, score FROM (
+       |  SELECT query_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+       |  FROM (
+       |    SELECT cand.query_id, cand.vec_id,
+       |      list_inner_product(CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[]))
+       |        / sqrt(list_inner_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[]))
+       |             * list_inner_product(CAST(ce.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[]))) AS score
+       |    FROM cand
+       |    JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |    JOIN embeddings ce ON ce.vec_id = cand.vec_id
+       |  ) WHERE NOT isnan(score)
+       |) WHERE rn <= $k""".stripMargin
   }
 
   /** sim_topk_pq oracle, generated: the PQ codebook is deterministic
@@ -1449,6 +1494,7 @@ object SparkEntry {
         |  FROM t
         |) WHERE n_occ > 0""".stripMargin,
     "sim_topk_ann" -> annOracleSql,
+    "sim_topk_ann_mp" -> annMpOracleSql(),
     "sim_topk_pq" -> pqOracleSql(),
     "sim_topk_pq_trained" -> pqTrainedOracleSql(),
     "sim_topk_ivfpq" -> ivfPqOracleSql(),

@@ -737,6 +737,18 @@ object Similarity {
     }
   }
 
+  /** Per-vector top-nn cut over (vec_id, nbr_id, score) edge rows — the
+    * [[knnGraph]] tail as a standalone fold, shared with the streamed
+    * maintainer ([[graft.streaming.StreamKnn]])'s serve and compaction:
+    * top-nn is ABSORBING (top-nn(top-nn(A) ∪ B) = top-nn(A ∪ B), ties
+    * (score DESC, nbr ASC) inside `topk_by`), which is what makes edge
+    * generations foldable without replaying old pairs. */
+  def knnCut(edges: DataFrame, nn: Int): DataFrame =
+    topKCut(edges.select(col("vec_id").as("query_id"),
+      col("nbr_id").as("vec_id"), col("score")), nn)
+      .select(col("query_id").as("vec_id"), col("vec_id").as("nbr_id"),
+        col("score"))
+
   /** CORRECTNESS instantiation: 4 neighbors per vector under the TRAINED
     * k-means cells (same centroids, same oracle CTEs as `sim_kmeans`). */
   def knnGraphDocs(spark: SparkSession, dir: String, nn: Int = 4): DataFrame = {
@@ -972,5 +984,48 @@ object Similarity {
       .groupBy("query_id", "vec_id")
       .agg(max(col("score")).as("score"))
     topKCut(scored, k)
+  }
+
+  /** MULTI-PROBE LSH search (Lv et al., VLDB 2007 — public): a near
+    * neighbor that disagrees with the query on ONE sign bit of a band
+    * misses that band's bucket, so each query additionally probes every
+    * bucket at Hamming distance 1 — recall rises the way it would with
+    * more hash tables, but from the SAME index (the published
+    * memory/recall trade; the distance-1 ring is the dominant
+    * perturbation term in the success-probability expansion, probed
+    * here exhaustively since a band is only `bitsPerBand` bits wide).
+    *
+    * Scale shape: identical to [[topKCosineLsh]] — the corpus side is
+    * banded once and never re-hashed; only the QUERY side fans out
+    * (1 + bitsPerBand)× before the bucket equi-join, and the query set
+    * is bounded by contract. Candidate count grows with the probed
+    * buckets' occupancy, the dial's documented cost. Same
+    * score-then-max-dedup discipline: the big exchange carries 24-byte
+    * scored pairs, never vectors. The candidate set is a SUPERSET of
+    * the single-probe search's (self bucket = the XOR-0 probe), so
+    * recall at k never drops (spec-pinned). */
+  def topKCosineLshMp(emb: DataFrame, isQuery: org.apache.spark.sql.Column,
+      k: Int, bitsPerBand: Int = 4): DataFrame = {
+    val banded = hyperplaneBands(emb)
+    val qProbes = banded.filter(isQuery)
+      .select(col("band"), col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"),
+        explode(array((lit(0L) +: (0 until bitsPerBand).map(i => lit(1L << i)))
+          .map(m => col("bucket").bitwiseXOR(m)): _*)).as("bucket"))
+    val scored = banded.join(qProbes, Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosineSim(col("q_emb"), col("embedding")).as("score"))
+      .groupBy("query_id", "vec_id")
+      .agg(max(col("score")).as("score"))
+    topKCut(scored, k)
+  }
+
+  /** CORRECTNESS instantiation: the [[defaultProbeIds]] queries under
+    * the same seeded hyperplanes as `sim_topk_ann`, distance-1 probing.
+    * (No default k here — Scala forbids defaults on two overloads.) */
+  def topKCosineLshMp(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    topKCosineLshMp(emb, col("vec_id").isin(defaultProbeIds: _*), k)
   }
 }

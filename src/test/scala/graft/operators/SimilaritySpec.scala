@@ -229,6 +229,34 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("multi-probe LSH: true scores, candidate superset of single-probe, recall never drops") {
+    val twin = (999L, corpus(0)._2.map(x => (x * 1.01).toFloat))
+    val emb = (corpus :+ twin).toDF("vec_id", "embedding")
+    val isQ = col("vec_id") === 0L
+    // with k spanning the corpus, each search returns exactly its
+    // candidate set — multi-probe's must contain single-probe's
+    val mpAll = Similarity.topKCosineLshMp(emb, isQ, k = 61)
+      .as[(Long, Long, Double)].collect()
+    val spAll = Similarity.topKCosineLsh(emb, isQ, k = 61)
+      .as[(Long, Long, Double)].collect()
+    assert(spAll.map(_._2).toSet.subsetOf(mpAll.map(_._2).toSet),
+      "Hamming-1 probing must only add candidates (xor-0 keeps the self bucket)")
+    // every score is the true cosine of its pair
+    mpAll.foreach { case (q, v, s) =>
+      val truth = cosine(corpus(q.toInt)._2,
+        (if (v == 999L) twin._2 else corpus(v.toInt)._2))
+      assert(math.abs(s - truth) < 1e-12, s"score mismatch for ($q,$v)")
+    }
+    // recall vs exact at k never drops vs single-probe (true-score
+    // rank over a candidate superset)
+    val exact = Similarity.topKCosine(emb,
+        Seq((0L, corpus(0)._2)).toDF("query_id", "q_emb"), k = 5)
+      .as[(Long, Long, Double)].collect().map(_._2).toSet
+    def recall(rows: Seq[(Long, Long, Double)]): Int =
+      rows.sortBy(t => (-t._3, t._2)).take(5).map(_._2).toSet.intersect(exact).size
+    assert(recall(mpAll.toSeq) >= recall(spAll.toSeq))
+  }
+
   test("topKPqIvfRefined: true-cosine scores, exact rank within the wide ADC cut") {
     val emb = corpus.toDF("vec_id", "embedding")
     val queries = Seq((0L, corpus(0)._2)).toDF("query_id", "q_emb")
