@@ -88,6 +88,8 @@ object SparkEntry {
     "sim_topk_refine_landed" -> ((s, d) => Similarity.topKPqIvfRefinedLanded(s, d)),
     "sim_knn_graph"     -> ((s, d) => Similarity.knnGraphDocs(s, d)),
     "sim_knn_graph_steady" -> ((s, d) => Similarity.knnGraphSteady(s, d)),
+    "sim_density_prune" -> ((s, d) => Similarity.densityPruneDocs(s, d)),
+    "sim_density_prune_steady" -> ((s, d) => Similarity.densityPruneSteady(s, d)),
     "sim_kmeans_assign_steady" -> (Similarity.kmeansAssignmentsSteady _),
     "sim_cluster_sample" -> ((s, d) => Similarity.clusterSample(s, d)),
     "sim_cluster_sample_steady" -> ((s, d) => Similarity.clusterSampleSteady(s, d)),
@@ -306,6 +308,7 @@ object SparkEntry {
     // the blocked k-NN graph build (retrain + landed-centroid siblings)
     "sim_topk_refine", "sim_topk_refine_landed",
     "sim_knn_graph", "sim_knn_graph_steady", "sim_topk_ann_mp",
+    "sim_density_prune", "sim_density_prune_steady",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -561,6 +564,22 @@ object SparkEntry {
        |  ) WHERE NOT isnan(score)
        |) WHERE rn <= $k""".stripMargin
   }
+
+  /** sim_density_prune oracle: the knn-graph block as a CTE, per-vector
+    * mean edge score (6-dp), the exact-percentile cutoff (quantile_cont
+    * ≡ Spark percentile — the calibrated-quality convention), ties and
+    * NULL-density (edgeless) vectors keeping. */
+  private def densityPruneOracleSql(nn: Int = 4, pct: Double = 0.2): String =
+    s"""WITH g AS (
+       |${knnGraphOracleSql(nn = nn)}
+       |), dens AS (
+       |  SELECT vec_id, round(avg(score), 6) AS density FROM g GROUP BY vec_id
+       |), cut AS (
+       |  SELECT round(quantile_cont(density, ${1.0 - pct}), 6) AS cutoff FROM dens
+       |)
+       |SELECT e.vec_id, d.density
+       |FROM embeddings e LEFT JOIN dens d ON d.vec_id = e.vec_id, cut
+       |WHERE d.density IS NULL OR d.density <= cut.cutoff""".stripMargin
 
   /** sim_topk_pq oracle, generated: the PQ codebook is deterministic
     * (seeded splitmix64 plan literals), so the oracle embeds the SAME
@@ -1504,6 +1523,8 @@ object SparkEntry {
     "sim_topk_refine_landed" -> refineOracleSql(ivfPqTrainedOracleSql(k = 20)),
     "sim_knn_graph" -> knnGraphOracleSql(),
     "sim_knn_graph_steady" -> knnGraphOracleSql(),
+    "sim_density_prune" -> densityPruneOracleSql(),
+    "sim_density_prune_steady" -> densityPruneOracleSql(),
     "sim_kmeans_assign" -> kmeansAssignOracleSql(),
     "sim_cluster_sample" -> clusterSampleOracleSql(),
     "dedup_semantic" -> semanticDedupOracleSql(),

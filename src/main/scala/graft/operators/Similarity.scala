@@ -766,6 +766,57 @@ object Similarity {
     knnGraph(emb, loadLandedQuantizers(spark, dir)._1, nn)
   }
 
+  /** DENSITY-BASED pruning — the data-curation decision the k-NN graph
+    * exists to feed (the D4 / SSL-prototypicality line, Tirumala et al.
+    * 2023; Sorscher et al. 2022 — public): vectors in the DENSEST
+    * embedding regions are the most mutually redundant, so score each
+    * vector by density = mean cosine of its nn nearest same-cell
+    * neighbors ([[knnGraph]]) and drop the densest `pct` of the scored
+    * corpus. Unlike SemDedup's pairwise τ-threshold (drop verbatim-class
+    * twins), density pruning thins whole over-represented NEIGHBORHOODS
+    * — the two compose: dedup first, then prune density.
+    *
+    * Contract details pinned by spec + oracle: the cutoff is the exact
+    * (1−pct) percentile of the density distribution (Spark `percentile`
+    * ≡ DuckDB `quantile_cont`, 6-dp rounded — the calibrated-quality
+    * convention); ties at the cutoff KEEP; vectors with NO graph edges
+    * (zero-norm junk, singleton cells) carry NULL density and KEEP —
+    * nothing is redundant about an isolated point.
+    *
+    * Scale shape: the graph build dominates (E144's blocked equi-join);
+    * density is a two-phase avg over graph edges (≤ nn rows per vector),
+    * the cutoff is a 1-row aggregate broadcast back, and the keep filter
+    * is scan-side. */
+  def densityPrune(emb: DataFrame, centroids: DataFrame, nn: Int,
+      pct: Double): DataFrame = {
+    val dens = knnGraph(emb, centroids, nn)
+      .groupBy("vec_id")
+      .agg(round(avg(col("score")), 6).as("density"))
+    val cutoff = dens.agg(
+      round(percentile(col("density"), lit(1.0 - pct)), 6).as("cutoff"))
+    emb.select("vec_id")
+      .join(dens, Seq("vec_id"), "left_outer")
+      .crossJoin(broadcast(cutoff))
+      .filter(col("density").isNull || col("density") <= col("cutoff"))
+      .select(col("vec_id"), col("density"))
+  }
+
+  /** CORRECTNESS instantiation: drop the densest quintile under the
+    * TRAINED cells (same centroids and graph as `sim_knn_graph`). */
+  def densityPruneDocs(spark: SparkSession, dir: String, nn: Int = 4,
+      pct: Double = 0.2): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    densityPrune(emb, kmeansCentroids(emb), nn, pct)
+  }
+
+  /** STEADY-STATE [[densityPruneDocs]]: landed trained centroids, no
+    * Lloyd's in the plan. Same answer, same oracle. */
+  def densityPruneSteady(spark: SparkSession, dir: String, nn: Int = 4,
+      pct: Double = 0.2): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    densityPrune(emb, loadLandedQuantizers(spark, dir)._1, nn, pct)
+  }
+
   /** The END-TO-END trained production ANN stack: k-means coarse cells
     * ([[kmeansCentroids]]) × per-subspace-Lloyd's PQ codebook
     * ([[pqCodebookTrained]]) through the same inverted-list prune +

@@ -348,6 +348,38 @@ class SimilaritySpec extends SparkTestBase {
       "zero-norm vector neither sources nor receives edges")
   }
 
+  test("densityPrune: densest neighborhood drops, isolated and sparse vectors keep") {
+    // plant a tight clump of near-copies of vector 0: its members' mean
+    // neighbor cosine ≈ 1, the densest region by construction
+    val clump = (0 until 6).map(i =>
+      (3000L + i, corpus(0)._2.map(x => x * (1.0f + 0.001f * i))))
+    val junk = (998L, Array.fill(32)(0f))
+    val all = corpus ++ clump :+ junk
+    val emb = all.toDF("vec_id", "embedding")
+    val cents = Similarity.defaultCentroids(emb)
+    val kept = Similarity.densityPrune(emb, cents, nn = 3, pct = 0.1)
+      .as[(Long, Option[Double])].collect()
+    val keptIds = kept.map(_._1).toSet
+    // the clump dominates the densest decile — most of it must drop
+    assert(clump.map(_._1).count(id => !keptIds.contains(id)) >= 5,
+      s"planted clump must be pruned, kept: ${keptIds.intersect(clump.map(_._1).toSet)}")
+    // the zero-norm junk vector has no edges → NULL density → keeps
+    assert(keptIds.contains(998L), "edgeless junk keeps (NULL density)")
+    assert(kept.find(_._1 == 998L).get._2.isEmpty)
+    // drop count matches the percentile contract: ≤ pct of the SCORED
+    // vectors (ties at the cutoff keep)
+    val scored = all.size - 1 // junk is unscored
+    assert(all.size - kept.length <= math.ceil(scored * 0.1) + 1)
+  }
+
+  test("densityPruneSteady (landed centroids) equals the retrain build") {
+    val dir = "/root/testdata/sf0.001"
+    val want = Similarity.densityPruneDocs(spark, dir)
+      .as[(Long, Option[Double])].collect().toSet
+    assert(Similarity.densityPruneSteady(spark, dir)
+      .as[(Long, Option[Double])].collect().toSet == want)
+  }
+
   test("knnGraphSteady (landed centroids) equals the retrain build") {
     val dir = "/root/testdata/sf0.001"
     val want = Similarity.knnGraphDocs(spark, dir)
