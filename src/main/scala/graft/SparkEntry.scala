@@ -80,6 +80,7 @@ object SparkEntry {
     "sim_topk_pq_trained" -> ((s, d) => Similarity.topKPqTrained(s, d)),
     "sim_topk_ivfpq"    -> ((s, d) => Similarity.topKPqIvf(s, d)),
     "sim_topk_ivfpq_trained" -> ((s, d) => Similarity.topKPqIvfTrained(s, d)),
+    "sim_topk_ivfpq_res" -> ((s, d) => Similarity.topKPqIvfResTrained(s, d)),
     "sim_topk_ivfpq_steady" -> ((s, d) => Similarity.topKPqIvfSteady(s, d)),
     "sim_topk_ivfpq_landed" -> ((s, d) => Similarity.topKPqIvfLanded(s, d)),
     "sim_kmeans_assign" -> (Similarity.kmeansAssignments _),
@@ -308,7 +309,7 @@ object SparkEntry {
     // the blocked k-NN graph build (retrain + landed-centroid siblings)
     "sim_topk_refine", "sim_topk_refine_landed",
     "sim_knn_graph", "sim_knn_graph_steady", "sim_topk_ann_mp",
-    "sim_density_prune", "sim_density_prune_steady",
+    "sim_density_prune", "sim_density_prune_steady", "sim_topk_ivfpq_res",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -563,6 +564,80 @@ object SparkEntry {
        |    JOIN embeddings ce ON ce.vec_id = cand.vec_id
        |  ) WHERE NOT isnan(score)
        |) WHERE rn <= $k""".stripMargin
+  }
+
+  /** sim_topk_ivfpq_res oracle: trained coarse cells (the sim_kmeans CTE
+    * block), the cosine-argmax assignment KEEPING (embedding, c_emb),
+    * the DOUBLE residual table, per-subspace Lloyd's trained ON the
+    * residuals (trainedCbCtes with from = resid), then the residual ADC
+    * body — encode argmin over residual slices, per-probe q·c additive
+    * term, LUT sum, 6-dp round, k-cut. The full production form replayed
+    * end to end in SQL. */
+  private def ivfPqResOracleSql(m: Int = 8, kc: Int = 16, subDim: Int = 8,
+      k: Int = 5, nprobe: Int = 4, iters: Int = 3): String = {
+    val cos = (a: String, b: String) =>
+      s"""list_inner_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
+         |          / sqrt(list_inner_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))
+         |               * list_inner_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))""".stripMargin
+    s"""WITH ${kmeansCteBlock(29, iters)},
+       |asgc AS (
+       |  SELECT vec_id, cell_id, embedding, c_emb FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell_id, c.c_emb,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cos("e.embedding", "c.c_emb")} DESC,
+       |        c.cell_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c$iters c
+       |  ) WHERE rn = 1
+       |), resid AS (
+       |  SELECT vec_id, cell_id,
+       |    list_transform(range(1, len(embedding) + 1),
+       |      i -> CAST(embedding[i] AS DOUBLE) - CAST(c_emb[i] AS DOUBLE)) AS embedding
+       |  FROM asgc
+       |),
+       |${trainedCbCtes(m, kc, subDim, 31, 2, from = "resid")},
+       |probes AS (
+       |  SELECT query_id, cell_id, qc FROM (
+       |    SELECT q.vec_id AS query_id, c.cell_id,
+       |      list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[])) AS qc,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${cos("q.embedding", "c.c_emb")} DESC,
+       |        c.cell_id ASC) AS rn
+       |    FROM embeddings q CROSS JOIN c$iters c
+       |    WHERE q.vec_id IN (0, 100, 200, 300, 400)
+       |  ) WHERE rn <= $nprobe
+       |), dists AS (
+       |  SELECT r.vec_id, cb.sub, cb.cell,
+       |    cb.n2 - 2 * list_inner_product(
+       |      r.embedding[cb.sub*$subDim+1 : cb.sub*$subDim+$subDim], cb.cv) AS d
+       |  FROM resid r, cb
+       |), codes AS (
+       |  SELECT vec_id, sub, cell FROM (
+       |    SELECT vec_id, sub, cell,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cell) AS rn
+       |    FROM dists)
+       |  WHERE rn = 1
+       |), lut AS (
+       |  SELECT q.vec_id AS query_id, cb.sub, cb.cell,
+       |    list_inner_product(
+       |      CAST(q.embedding[cb.sub*$subDim+1 : cb.sub*$subDim+$subDim] AS DOUBLE[]), cb.cv) AS w
+       |  FROM embeddings q, cb
+       |  WHERE q.vec_id IN (0, 100, 200, 300, 400)
+       |), cand AS (
+       |  SELECT p.query_id, a.vec_id, p.qc
+       |  FROM probes p JOIN resid a ON a.cell_id = p.cell_id
+       |  WHERE a.vec_id <> p.query_id
+       |), scored AS (
+       |  SELECT n.query_id, n.vec_id, round(max(n.qc) + sum(l.w), 6) AS score
+       |  FROM cand n
+       |  JOIN codes c ON c.vec_id = n.vec_id
+       |  JOIN lut l ON l.query_id = n.query_id AND l.sub = c.sub AND l.cell = c.cell
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, vec_id, score FROM (
+       |  SELECT query_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= $k""".stripMargin
   }
 
   /** sim_density_prune oracle: the knn-graph block as a CTE, per-vector
@@ -1006,7 +1081,7 @@ object SparkEntry {
     * `cb` (sub, cell, cv, n2) — shared by the trained-PQ oracle and the
     * trained IVF-PQ composition. */
   private def trainedCbCtes(m: Int, kc: Int, subDim: Int,
-      initStep: Int, iters: Int): String = {
+      initStep: Int, iters: Int, from: String = "embeddings"): String = {
     val subCtes = (0 until m).map { s =>
       val lo = s * subDim + 1
       val hi = s * subDim + subDim
@@ -1014,7 +1089,7 @@ object SparkEntry {
       val init =
         s"""cb${s}_0 AS (
            |  SELECT CAST(vec_id // $initStep AS INT) AS cell, $sv AS cv
-           |  FROM embeddings WHERE vec_id % $initStep = 0 AND vec_id < ${initStep.toLong * kc}
+           |  FROM $from WHERE vec_id % $initStep = 0 AND vec_id < ${initStep.toLong * kc}
            |)""".stripMargin
       val its = (1 to iters).map { i =>
         s"""a${s}_$i AS (
@@ -1024,7 +1099,7 @@ object SparkEntry {
            |        list_inner_product(c.cv, c.cv)
            |          - 2 * list_inner_product(${sv.replace("embedding", "e.embedding")}, c.cv) ASC,
            |        c.cell ASC) AS rn
-           |    FROM embeddings e, cb${s}_${i - 1} c
+           |    FROM $from e, cb${s}_${i - 1} c
            |  ) WHERE rn = 1
            |), m${s}_$i AS (
            |  SELECT cell, u.lane AS lane, round(avg(u.v), 6) AS mv FROM (
@@ -1519,6 +1594,7 @@ object SparkEntry {
     "sim_topk_ivfpq" -> ivfPqOracleSql(),
     "sim_ann_recall" -> annRecallOracleSql(),
     "sim_topk_ivfpq_trained" -> ivfPqTrainedOracleSql(),
+    "sim_topk_ivfpq_res" -> ivfPqResOracleSql(),
     "sim_topk_refine" -> refineOracleSql(ivfPqOracleSql(k = 20)),
     "sim_topk_refine_landed" -> refineOracleSql(ivfPqTrainedOracleSql(k = 20)),
     "sim_knn_graph" -> knnGraphOracleSql(),

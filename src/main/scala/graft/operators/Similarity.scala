@@ -323,8 +323,10 @@ object Similarity {
         .select(col("vec_id"), posexplode(subCols))
         .toDF("vec_id", "sub", "sv")
         .collect().map { r =>
+          // element-type-tolerant: the corpus embeds as float, the
+          // residual table ([[residuals]]) as double — both train here
           ((r.getInt(1), (r.getLong(0) / initStep).toInt) ->
-            r.getSeq[Float](2).map(_.toDouble).toArray)
+            r.getSeq[Number](2).map(_.doubleValue).toArray)
         }.toMap
     for (_ <- 1 to iters) {
       val perSubCands = array((0 until m).map { s =>
@@ -827,6 +829,101 @@ object Similarity {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
     topKPqIvfWith(emb, defaultQueries(emb), k, nprobe = 4, m = 8, subDim = 8,
       kmeansCentroids(emb), pqCodebookTrained(emb))
+  }
+
+  /** Coarse-cell RESIDUALS — r = e − c(cell(e)), computed in DOUBLE so
+    * the subtraction is bit-identical cross-engine: the input of the
+    * residual-PQ form below. One assignment cross + a broadcast centroid
+    * fetch + a row-local zip; the output column is named `embedding` so
+    * every PQ trainer/encoder consumes it unchanged. */
+  def residuals(emb: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssign(emb, centroids)
+      .join(broadcast(centroids), "cell_id")
+      .select(col("vec_id"), col("cell_id"),
+        zip_with(col("embedding"), col("c_emb"),
+          (x, c) => x.cast("double") - c.cast("double")).as("embedding"))
+
+  /** RESIDUAL IVF-PQ index rows — the encode production systems
+    * actually ship (Jégou et al., TPAMI 2011 §IV.B; the FAISS IVFPQ
+    * default): PQ quantizes the RESIDUAL r = e − c instead of the raw
+    * vector, because residuals concentrate near the origin once the
+    * coarse quantizer has soaked up the between-cell variance — the
+    * same codebook budget then spends its cells on a far smaller
+    * support, cutting quantization error (spec-measured vs the raw
+    * form). Same (vec_id, cell_id, sub, code) layout as
+    * [[ivfPqIndexRows]], so landing/bucketing/pruning carry over. */
+  def ivfPqResIndexRows(resid: DataFrame, m: Int, subDim: Int,
+      b: Seq[(Int, Int, Array[Double])]): DataFrame =
+    pqEncodeWithBook(resid.select("vec_id", "embedding"), m, subDim, b)
+      .select(col("vec_id"), posexplode(
+        array((0 until m).map(s => col(s"code_$s")): _*)))
+      .toDF("vec_id", "sub", "code")
+      .join(resid.select("vec_id", "cell_id"), "vec_id")
+
+  /** [[collectProbes]] carrying the raw q·c dot of each probed cell —
+    * the additive term of the residual ADC decomposition
+    * q·v ≈ q·c + Σ_s q_s·r̂_s. Same bounded-collect class; the dot is a
+    * sequential left fold, matching the oracle's `list_inner_product`
+    * order exactly. */
+  def collectProbesDot(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int): Seq[(Long, Long, Double)] = {
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("cs").desc, col("cell_id").asc)
+    val qcDot = aggregate(zip_with(col("q_emb"), col("c_emb"),
+      (x, c) => x.cast("double") * c.cast("double")), lit(0.0d), (a, t) => a + t)
+    queries.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("cell_id"),
+        GraftFunctions.cosineSim(col("q_emb"), col("c_emb")).as("cs"),
+        qcDot.as("qc"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id").cast("long"), col("cell_id").cast("long"),
+        col("qc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sortBy(t => (t._1, t._2))
+  }
+
+  /** The serve half of the residual form: prune to the probed cells
+    * (same literal `cell_id IN (…)` scan prune as [[searchIvfPqIndex]]),
+    * then score q·v ≈ q·c_probed + Σ_s LUT — the per-(query, cell) dot
+    * rides the broadcast probe rows, the LUT is unchanged (the residual
+    * decomposition reuses the same subspace dots). 6-dp round before
+    * the k-cut, the shared ADC drift rule. */
+  def searchIvfPqResIndex(index: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int, m: Int, subDim: Int, centroids: DataFrame,
+      b: Seq[(Int, Int, Array[Double])]): DataFrame = {
+    val probePairs = collectProbesDot(queries, centroids, nprobe)
+    val cells = probePairs.map(_._2).distinct.sorted
+    val spark = index.sparkSession
+    import spark.implicits._
+    val probes = probePairs.toDF("query_id", "cell_id", "qc")
+    val lutRows = pqLutRows(queries, m, subDim, b)
+      .withColumnRenamed("cell", "code")
+    val cand = index.filter(col("cell_id").isin(cells: _*))
+      .join(broadcast(probes), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val scored = cand
+      .join(broadcast(lutRows), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(round(max(col("qc")) + sum(col("w")), 6).as("score"))
+    topKCut(scored, k)
+  }
+
+  /** The TRAINED residual IVF-PQ entry — both quantizers trained the
+    * production way: k-means coarse cells over the corpus, then
+    * per-subspace Lloyd's over the RESIDUAL table (training on
+    * residuals is the point — a book trained on raw vectors wastes its
+    * cells on between-cell variance the coarse quantizer already
+    * removed). The residual table is computed twice (once feeding the
+    * trainer, once the encode) — the retrain entry's documented cost;
+    * a landed form would persist it with the other artifacts. */
+  def topKPqIvfResTrained(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val cents = kmeansCentroids(emb)
+    val resid = residuals(emb, cents)
+    val book = pqCodebookTrained(resid.select("vec_id", "embedding"))
+    searchIvfPqResIndex(ivfPqResIndexRows(resid, m = 8, subDim = 8, book),
+      defaultQueries(emb), k, nprobe = 4, m = 8, subDim = 8, cents, book)
   }
 
   /** Catalog table-name prefix for the LANDED trained quantizers of a

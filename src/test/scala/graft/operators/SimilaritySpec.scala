@@ -348,6 +348,39 @@ class SimilaritySpec extends SparkTestBase {
       "zero-norm vector neither sources nor receives edges")
   }
 
+  test("residual IVF-PQ: trained-on-residual ADC approximates the true dot better than raw ADC") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    val truth = emb.as[(Long, Array[Float])].collect().toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; for (i <- a.indices) s += a(i).toDouble * b(i); s
+    }
+    val cents = Similarity.kmeansCentroids(emb)
+    val queries = Similarity.defaultQueries(emb)
+    val nCells = cents.count().toInt
+    // probe EVERY cell so both searches score the whole corpus and the
+    // comparison is over the same (query, vector) pairs
+    def errOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val rows = df.as[(Long, Long, Double)].collect()
+      assert(rows.nonEmpty)
+      rows.map { case (q, v, s) =>
+        math.abs(s - dot(truth(q), truth(v))) }.sum / rows.length
+    }
+    val k = truth.size
+    val resid = Similarity.residuals(emb, cents)
+    val bookRes = Similarity.pqCodebookTrained(resid.select("vec_id", "embedding"))
+    val resErr = errOf(Similarity.searchIvfPqResIndex(
+      Similarity.ivfPqResIndexRows(resid, 8, 8, bookRes),
+      queries, k, nCells, 8, 8, cents, bookRes))
+    val bookRaw = Similarity.pqCodebookTrained(emb)
+    val rawErr = errOf(Similarity.searchIvfPqIndex(
+      Similarity.ivfPqIndexRows(emb, 8, 8, cents, bookRaw),
+      queries, k, nCells, 8, 8, cents, bookRaw))
+    assert(resErr < rawErr,
+      s"residual encoding must cut ADC error: residual $resErr vs raw $rawErr")
+  }
+
   test("densityPrune: densest neighborhood drops, isolated and sparse vectors keep") {
     // plant a tight clump of near-copies of vector 0: its members' mean
     // neighbor cosine ≈ 1, the densest region by construction
