@@ -216,6 +216,7 @@ object SparkEntry {
     "q_user_seq"        -> (Analytics.userSequences _),
     "q_heavy_hitters"   -> (Analytics.heavyUserKeys _),
     "txt_source_filter" -> (TextAnalysis.sourceFiltered _),
+    "txt_source_cap"    -> ((s, d) => TextAnalysis.sourceCapDocs(s, d)),
     "txt_bpe"           -> (TextAnalysis.bpeMergeTable _),
     "txt_bpe_apply"     -> (TextAnalysis.bpeTokenized _),
     "txt_bpe_apply_steady" -> (TextAnalysis.bpeTokenizedSteady _),
@@ -310,6 +311,7 @@ object SparkEntry {
     "sim_topk_refine", "sim_topk_refine_landed",
     "sim_knn_graph", "sim_knn_graph_steady", "sim_topk_ann_mp",
     "sim_density_prune", "sim_density_prune_steady", "sim_topk_ivfpq_res",
+    "txt_source_cap",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -2866,6 +2868,16 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY n DESC, user_id) AS rank
         |  FROM c
         |) CROSS JOIN t WHERE rank <= 10""".stripMargin,
+    // Per-source quota cap: the clusterSample md5-draw convention
+    // applied per source — md5(CAST(doc_id AS VARCHAR)) order, doc_id
+    // tie-break, keep the first 15 of each source (the cap BINDS at every test SF).
+    "txt_source_cap" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn <= 15""".stripMargin,
     // Source-level filter ground truth: same tokenizer, stopword list,
     // and greatest(len, 1) division guard as the Spark projection; the
     // 0.06 floor has ≥ 3.5e-5 margin to the nearest sf0.01 source mean.

@@ -769,6 +769,33 @@ object TextAnalysis {
       Tables.load(spark, dir, "embeddings"),
       "doc_id", "text", searchQuery, queryVecId = 0L)
 
+  /** PER-SOURCE quota capping — the per-domain cap the public web-corpus
+    * recipes apply before any mixing (RefinedWeb's and CCNet's
+    * domain-balance step): no single source may contribute more than
+    * `cap` documents, whatever its raw size, so a crawl dominated by one
+    * boilerplate-heavy domain cannot dominate the training mix. The
+    * DOCUMENT-count complement of `txt_budget_mix`'s token budgeting —
+    * the two compose (cap first, then budget tokens).
+    *
+    * The within-source pick is the deterministic md5 draw (the
+    * stratifiedSample / clusterSample device — reproducible across runs,
+    * engines, and partitionings, stable under corpus growth for the
+    * retained ids). Scale shape: the per-source cut runs through
+    * TopKPerKey's bounded partial heaps BEFORE the exchange — at most
+    * `cap` rows per source per partition cross, never the corpus. */
+  def sourceCap(docs: DataFrame, cap: Int): DataFrame =
+    graft.plans.TopKPerKey(
+      docs.select(col("doc_id"), col("source"))
+        .withColumn("h", md5(col("doc_id").cast("string"))),
+      Seq("source"), Seq(col("h").asc, col("doc_id").asc), cap)
+      .select("source", "doc_id")
+
+  /** CORRECTNESS instantiation: at most 15 documents per source —
+    * below the uniform per-source count at every test SF, so the cap
+    * BINDS (a non-binding cap checks nothing). */
+  def sourceCapDocs(spark: SparkSession, dir: String, cap: Int = 15): DataFrame =
+    sourceCap(Tables.load(spark, dir, "documents"), cap)
+
   /** Source-level (domain-level) quality filtering — the coarse sibling of
     * the per-document [[qualityFilter]], after the public web-corpus
     * practice of dropping entire domains whose aggregate quality is poor

@@ -836,4 +836,26 @@ class TextAnalysisSpec extends SparkTestBase {
       lexRank.contains(id) && denseRank.contains(id) }
     both.headOption.foreach { case (_, s) => assert(s > 1.0 / 61.0) }
   }
+
+  test("sourceCap: at most cap per source, small sources keep all, draw deterministic") {
+    val docs = ((0 until 25).map(i => (i.toLong, "big")) ++
+      (100 until 105).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val got = TextAnalysis.sourceCap(docs, cap = 10)
+      .as[(String, Long)].collect()
+    val bySource = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(bySource("big").size == 10, "oversized source cut to the cap")
+    assert(bySource("small") == (100 until 105).map(_.toLong).toSet,
+      "undersized source keeps every document")
+    assert(bySource("big").subsetOf((0 until 25).map(_.toLong).toSet))
+    // the md5 draw is deterministic: a rerun picks the identical subset
+    assert(TextAnalysis.sourceCap(docs, cap = 10)
+      .as[(String, Long)].collect().toSet == got.toSet)
+    // and matches the driver-side replay of the same draw
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val wantBig = (0 until 25).map(_.toLong)
+      .sortBy(id => (h(id), id)).take(10).toSet
+    assert(bySource("big") == wantBig)
+  }
 }
