@@ -81,6 +81,7 @@ object SparkEntry {
     "sim_topk_ivfpq"    -> ((s, d) => Similarity.topKPqIvf(s, d)),
     "sim_topk_ivfpq_trained" -> ((s, d) => Similarity.topKPqIvfTrained(s, d)),
     "sim_topk_ivfpq_res" -> ((s, d) => Similarity.topKPqIvfResTrained(s, d)),
+    "sim_topk_ivfpq_res_landed" -> ((s, d) => Similarity.topKPqIvfResLanded(s, d)),
     "sim_topk_ivfpq_steady" -> ((s, d) => Similarity.topKPqIvfSteady(s, d)),
     "sim_topk_ivfpq_landed" -> ((s, d) => Similarity.topKPqIvfLanded(s, d)),
     "sim_kmeans_assign" -> (Similarity.kmeansAssignments _),
@@ -311,7 +312,7 @@ object SparkEntry {
     "sim_topk_refine", "sim_topk_refine_landed",
     "sim_knn_graph", "sim_knn_graph_steady", "sim_topk_ann_mp",
     "sim_density_prune", "sim_density_prune_steady", "sim_topk_ivfpq_res",
-    "txt_source_cap",
+    "txt_source_cap", "sim_topk_ivfpq_res_landed",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1597,6 +1598,7 @@ object SparkEntry {
     "sim_ann_recall" -> annRecallOracleSql(),
     "sim_topk_ivfpq_trained" -> ivfPqTrainedOracleSql(),
     "sim_topk_ivfpq_res" -> ivfPqResOracleSql(),
+    "sim_topk_ivfpq_res_landed" -> ivfPqResOracleSql(),
     "sim_topk_refine" -> refineOracleSql(ivfPqOracleSql(k = 20)),
     "sim_topk_refine_landed" -> refineOracleSql(ivfPqTrainedOracleSql(k = 20)),
     "sim_knn_graph" -> knnGraphOracleSql(),

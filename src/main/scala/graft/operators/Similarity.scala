@@ -926,6 +926,63 @@ object Similarity {
       defaultQueries(emb), k, nprobe = 4, m = 8, subDim = 8, cents, book)
   }
 
+  /** Land the RESIDUAL-form artifacts next to the raw ones: the
+    * residual-trained codebook (`<prefix>_res_codebook`) and the
+    * cell-BUCKETED residual code table (`<prefix>_res_codes` — the
+    * [[landIvfPqCodes]] inverted-list layout, so the residual serve
+    * prunes buckets identically). Coarse centroids are shared with the
+    * raw form ([[landQuantizers]] — same k-means, same corpus). */
+  def landResQuantizers(spark: SparkSession, dir: String, path: String,
+      m: Int = 8, subDim: Int = 8, buckets: Int = 16): Unit = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val (centDf, _) = loadLandedQuantizers(spark, dir)
+    val resid = residuals(emb, centDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val book = pqCodebookTrained(resid.select("vec_id", "embedding"))
+    val prefix = quantizerPrefix(dir)
+    import spark.implicits._
+    book.toDF("sub", "cell", "cv")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .option("path", s"$path/res_codebook").saveAsTable(s"${prefix}_res_codebook")
+    graft.sources.Layout.writeBucketed(
+      ivfPqResIndexRows(resid, m, subDim, book),
+      s"${prefix}_res_codes", Seq("cell_id"),
+      Seq("cell_id", "vec_id", "sub"), buckets, s"$path/res_codes")
+    resid.unpersist()
+    ()
+  }
+
+  /** Ensure the residual artifacts are landed and return (codes table,
+    * coarse centroid table, residual book literals). */
+  def ensureResArtifacts(spark: SparkSession, dir: String): (DataFrame, DataFrame, Seq[(Int, Int, Array[Double])]) = {
+    val prefix = quantizerPrefix(dir)
+    if (!spark.catalog.tableExists(s"${prefix}_res_codebook") ||
+        !spark.catalog.tableExists(s"${prefix}_res_codes")) {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_res_").toString
+      landResQuantizers(spark, dir, path)
+    }
+    val book = spark.table(s"${prefix}_res_codebook").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .toSeq.sortBy(t => (t._1, t._2))
+    (spark.table(s"${prefix}_res_codes"),
+      loadLandedQuantizers(spark, dir)._1, book)
+  }
+
+  /** Residual IVF-PQ serve FROM THE LANDED ARTIFACTS — no training and
+    * no encode anywhere in the plan: coarse centroids off their landed
+    * table, residual book literals off the landed `_res_codebook`, and
+    * candidates from the cell-BUCKETED `_res_codes` through the same
+    * bucket-pruned scan as [[topKPqIvfLanded]]. Same answer, same
+    * oracle as the retrain entry (both trainings and the residual
+    * subtraction are deterministic). */
+  def topKPqIvfResLanded(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val (codes, centDf, book) = ensureResArtifacts(spark, dir)
+    searchIvfPqResIndex(codes, defaultQueries(emb), k, nprobe = 4,
+      m = 8, subDim = 8, centDf, book)
+  }
+
   /** Catalog table-name prefix for the LANDED trained quantizers of a
     * corpus dir: MD5 of the dir (same collision rationale as
     * [[graft.operators.Dedup.steadyIndexPrefix]] — a 31-bit

@@ -381,6 +381,23 @@ class SimilaritySpec extends SparkTestBase {
       s"residual encoding must cut ADC error: residual $resErr vs raw $rawErr")
   }
 
+  test("topKPqIvfResLanded equals the residual retrain, serves bucket-pruned") {
+    val dir = "/root/testdata/sf0.001"
+    val want = Similarity.topKPqIvfResTrained(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    val served = Similarity.topKPqIvfResLanded(spark, dir)
+    assert(served.as[(Long, Long, Double)].collect().toSet == want)
+    // the landed residual code table serves through a bucket-pruned scan
+    served.collect()
+    val plan = served.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val sel = raw"SelectedBucketsCount: (\d+) out of (\d+)".r
+    val m = sel.findFirstMatchIn(plan)
+    assert(m.isDefined, s"res_codes serve must be bucket-pruned:\n$plan")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      "probed cells must select a strict subset of buckets")
+  }
+
   test("densityPrune: densest neighborhood drops, isolated and sparse vectors keep") {
     // plant a tight clump of near-copies of vector 0: its members' mean
     // neighbor cosine ≈ 1, the densest region by construction
