@@ -321,6 +321,55 @@ object Bench {
           errors += s"stream_hybrid: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
           None
       }
+    // Streaming k-NN graph maintenance: drive the embedding corpus in as
+    // four micro-batches against the landed trained cells (hook
+    // compaction after ids 1 and 3 — the absorbing top-nn fold bounds
+    // edge state), then time the SERVE re-cut over the live edges,
+    // median of 3. Serve reads ≤ nn·|corpus| folded edge rows + the raw
+    // tail — never re-scores the corpus.
+    def streamKnnBench(): Option[String] =
+      try {
+        import org.apache.spark.sql.functions.col
+        val tmp = Files.createTempDirectory("graft_stream_knn_").toString
+        val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select("vec_id", "embedding")
+        val rowsIn = vecs.count()
+        Files.createDirectory(Paths.get(s"$tmp/in"))
+        def stagedFile(stage: String): java.nio.file.Path = {
+          val st = Files.list(Paths.get(stage))
+          try st.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          finally st.close()
+        }
+        (0 until 4).foreach { i =>
+          vecs.filter(col("vec_id") % 4 === i)
+            .coalesce(1).write.parquet(s"$tmp/stage$i")
+          Files.move(stagedFile(s"$tmp/stage$i"), Paths.get(s"$tmp/in/f$i.parquet"))
+        }
+        val stream = spark.readStream.schema(vecs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+        val t0 = System.nanoTime()
+        graft.streaming.StreamKnn.startFromLanded(
+          stream, s"$tmp/state", s"$tmp/ckpt", sfDir, nn = 4,
+          compactEvery = 2).awaitTermination()
+        val wallGrow = (System.nanoTime() - t0) / 1e9
+        def med3(f: => Unit): Double = {
+          val ts = (1 to 3).map { _ =>
+            val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+          }
+          ts.sorted.apply(1)
+        }
+        val serve = med3 {
+          graft.streaming.StreamKnn.graph(spark, s"$tmp/state", nn = 4)
+            .write.format("noop").mode("overwrite").save()
+        }
+        Some(s"""{"op":"stream_knn","rows_in":$rowsIn,"batches":4,""" +
+          s""""grow_wall_sec":${fnum(wallGrow)},""" +
+          s""""serve_graph_sec":${fnum(serve)}}""")
+      } catch {
+        case e: Throwable =>
+          errors += s"stream_knn: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          None
+      }
     // Full prep-pipeline wall time: clean → mix → chunk → pack →
     // deterministic epoch shuffle → sharded land, as ONE job
     // (PrepJob.runFull) — the "make training shards" artifact. Timed once
@@ -366,6 +415,10 @@ object Bench {
       if (only.forall(sel => sel.contains("stream") || sel.contains("stream_hybrid")))
         streamHybridBench().getOrElse("null")
       else "null"
+    val streamKnnJson: String =
+      if (only.forall(sel => sel.contains("stream") || sel.contains("stream_knn")))
+        streamKnnBench().getOrElse("null")
+      else "null"
     val prepJson: String =
       if (only.forall(_.contains("prep_full"))) prepBench().getOrElse("null")
       else "null"
@@ -390,7 +443,7 @@ object Bench {
     // "probe" is the per-query contention sentinel (see scaladoc):
     // probe[q] >> probe_floor ⇒ q was timed in a contended window.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"ext":${qjson(extResults)},"stream":$streamJson,"stream_near":$streamNearJson,"stream_search":$streamSearchJson,"stream_hybrid":$streamHybridJson,"prep_full":$prepJson,"probe":$probeJson,"probe_floor":${fnum(probeFloor)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"ext":${qjson(extResults)},"stream":$streamJson,"stream_near":$streamNearJson,"stream_search":$streamSearchJson,"stream_hybrid":$streamHybridJson,"stream_knn":$streamKnnJson,"prep_full":$prepJson,"probe":$probeJson,"probe_floor":${fnum(probeFloor)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
     println(json)
     Files.writeString(Paths.get(outFile), json)
     // The driver's per-round artifact keeps only the LAST 2000 chars of
