@@ -218,6 +218,7 @@ object SparkEntry {
     "q_heavy_hitters"   -> (Analytics.heavyUserKeys _),
     "txt_source_filter" -> (TextAnalysis.sourceFiltered _),
     "txt_source_cap"    -> ((s, d) => TextAnalysis.sourceCapDocs(s, d)),
+    "txt_bm25_prf"      -> ((s, d) => TextAnalysis.bm25PrfDocs(s, d)),
     "txt_bpe"           -> (TextAnalysis.bpeMergeTable _),
     "txt_bpe_apply"     -> (TextAnalysis.bpeTokenized _),
     "txt_bpe_apply_steady" -> (TextAnalysis.bpeTokenizedSteady _),
@@ -312,7 +313,7 @@ object SparkEntry {
     "sim_topk_refine", "sim_topk_refine_landed",
     "sim_knn_graph", "sim_knn_graph_steady", "sim_topk_ann_mp",
     "sim_density_prune", "sim_density_prune_steady", "sim_topk_ivfpq_res",
-    "txt_source_cap", "sim_topk_ivfpq_res_landed",
+    "txt_source_cap", "sim_topk_ivfpq_res_landed", "txt_bm25_prf",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -641,6 +642,56 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
        |  FROM scored)
        |WHERE rn <= $k""".stripMargin
+  }
+
+  /** txt_bm25_prf oracle: the txt_bm25 scoring body twice — pass 1 cut
+    * to the fb feedback docs, the (count DESC, term ASC) expansion pick
+    * excluding the original terms, then the identical scoring body over
+    * original ∪ expansion (a term-set subquery instead of a literal
+    * list — same tf/df/score expressions verbatim). */
+  private def bm25PrfOracleSql(fb: Int = 10, e: Int = 5, k: Int = 25): String = {
+    val qlist = TextAnalysis.searchQuery.map("'" + _ + "'").mkString(", ")
+    val scoreBody =
+      """round(sum(
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0)
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |  ), 6)""".stripMargin
+    s"""WITH lens AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS dl
+       |  FROM documents
+       |), stats AS (
+       |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens
+       |), toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
+       |  FROM documents
+       |), tf1 AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE term IN ($qlist) GROUP BY doc_id, term
+       |), dfs1 AS (
+       |  SELECT term, count(*) AS df FROM tf1 GROUP BY term
+       |), base AS (
+       |  SELECT doc_id, $scoreBody AS score
+       |  FROM tf1 JOIN dfs1 USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+       |  GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $fb
+       |), expterms AS (
+       |  SELECT term FROM (
+       |    SELECT t.term, count(*) AS n
+       |    FROM toks t JOIN base b ON b.doc_id = t.doc_id
+       |    WHERE t.term NOT IN ($qlist)
+       |    GROUP BY t.term ORDER BY n DESC, t.term LIMIT $e)
+       |), allterms AS (
+       |  SELECT unnest([$qlist]) AS term UNION SELECT term FROM expterms
+       |), tf2 AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE term IN (SELECT term FROM allterms) GROUP BY doc_id, term
+       |), dfs2 AS (
+       |  SELECT term, count(*) AS df FROM tf2 GROUP BY term
+       |)
+       |SELECT doc_id, $scoreBody AS score
+       |FROM tf2 JOIN dfs2 USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
   /** sim_density_prune oracle: the knn-graph block as a CTE, per-vector
@@ -1599,6 +1650,7 @@ object SparkEntry {
     "sim_topk_ivfpq_trained" -> ivfPqTrainedOracleSql(),
     "sim_topk_ivfpq_res" -> ivfPqResOracleSql(),
     "sim_topk_ivfpq_res_landed" -> ivfPqResOracleSql(),
+    "txt_bm25_prf" -> bm25PrfOracleSql(),
     "sim_topk_refine" -> refineOracleSql(ivfPqOracleSql(k = 20)),
     "sim_topk_refine_landed" -> refineOracleSql(ivfPqTrainedOracleSql(k = 20)),
     "sim_knn_graph" -> knnGraphOracleSql(),

@@ -769,6 +769,37 @@ object TextAnalysis {
       Tables.load(spark, dir, "embeddings"),
       "doc_id", "text", searchQuery, queryVecId = 0L)
 
+  /** Pseudo-relevance-feedback query expansion (the RM3/Rocchio device —
+    * public IR): run the base BM25 query, treat its top `fb` documents
+    * as the relevance model, add the `e` most frequent NON-query terms
+    * of that feedback set (occurrence count DESC, term ASC — fully
+    * deterministic), and re-rank with the expanded query — the standard
+    * recall lift for short queries, with no model anywhere.
+    *
+    * Scale shape: pass 1 is the audited BM25 plan cut to `fb` rows; the
+    * feedback-term count joins the BOUNDED top-doc set broadcast into
+    * the corpus tokenize (one scan), and the `e` expansion terms are a
+    * bounded collect (the probe-set legitimacy class — they become
+    * scan-side literals of pass 2, which is the same BM25 plan over
+    * |Q|+e terms). Two corpus scans total — what PRF costs anywhere. */
+  def bm25Prf(docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], fb: Int = 10, e: Int = 5, k: Int = 25): DataFrame = {
+    val top = bm25Rank(docs, idCol, textCol, query, fb).select(col(idCol))
+    val expanded = docs.join(broadcast(top), idCol)
+      .select(explode(tokens(col(textCol))).as("term"))
+      .filter(!col("term").isin(query: _*))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(e)
+      .collect().map(_.getString(0)).toSeq
+    bm25Rank(docs, idCol, textCol, query ++ expanded, k)
+  }
+
+  /** CORRECTNESS instantiation: [[searchQuery]] expanded by the top 5
+    * feedback terms of its top 10 documents. */
+  def bm25PrfDocs(spark: SparkSession, dir: String): DataFrame =
+    bm25Prf(Tables.load(spark, dir, "documents"), "doc_id", "text", searchQuery)
+
   /** PER-SOURCE quota capping — the per-domain cap the public web-corpus
     * recipes apply before any mixing (RefinedWeb's and CCNet's
     * domain-balance step): no single source may contribute more than

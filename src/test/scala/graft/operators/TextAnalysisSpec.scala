@@ -837,6 +837,34 @@ class TextAnalysisSpec extends SparkTestBase {
     both.headOption.foreach { case (_, s) => assert(s > 1.0 / 61.0) }
   }
 
+  test("bm25Prf expands with the feedback set's top non-query terms and re-ranks") {
+    // tiny corpus: the query term co-occurs with "alpha" in its top
+    // docs; a doc containing only "alpha" is invisible to the base
+    // query but reachable after expansion
+    val docs = Seq(
+      (1L, "needle alpha alpha common"),
+      (2L, "needle alpha beta"),
+      (3L, "alpha alpha alpha alone here"),
+      (4L, "unrelated words entirely different"),
+      (5L, "common filler text nothing")).toDF("doc_id", "text")
+    val q = Seq("needle")
+    val base = TextAnalysis.bm25Rank(docs, "doc_id", "text", q, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(base == Set(1L, 2L), "base query reaches only the needle docs")
+    val prf = TextAnalysis.bm25Prf(docs, "doc_id", "text", q,
+        fb = 2, e = 1, k = 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    // top feedback term of docs {1,2} excluding "needle" is "alpha"
+    // (3 occurrences); expansion must surface doc 3
+    assert(prf.contains(3L), s"expansion must reach the alpha-only doc, got $prf")
+    // and equals bm25 with the hand-expanded query
+    val want = TextAnalysis.bm25Rank(docs, "doc_id", "text",
+        Seq("needle", "alpha"), 10)
+      .as[(Long, Double)].collect().toSet
+    assert(TextAnalysis.bm25Prf(docs, "doc_id", "text", q, fb = 2, e = 1, k = 10)
+      .as[(Long, Double)].collect().toSet == want)
+  }
+
   test("sourceCap: at most cap per source, small sources keep all, draw deterministic") {
     val docs = ((0 until 25).map(i => (i.toLong, "big")) ++
       (100 until 105).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
