@@ -219,6 +219,7 @@ object SparkEntry {
     "txt_source_filter" -> (TextAnalysis.sourceFiltered _),
     "txt_source_cap"    -> ((s, d) => TextAnalysis.sourceCapDocs(s, d)),
     "txt_bm25_prf"      -> ((s, d) => TextAnalysis.bm25PrfDocs(s, d)),
+    "txt_bm25_prf_steady" -> ((s, d) => TextAnalysis.bm25PrfSteady(s, d)),
     "txt_bpe"           -> (TextAnalysis.bpeMergeTable _),
     "txt_bpe_apply"     -> (TextAnalysis.bpeTokenized _),
     "txt_bpe_apply_steady" -> (TextAnalysis.bpeTokenizedSteady _),
@@ -314,6 +315,7 @@ object SparkEntry {
     "sim_knn_graph", "sim_knn_graph_steady", "sim_topk_ann_mp",
     "sim_density_prune", "sim_density_prune_steady", "sim_topk_ivfpq_res",
     "txt_source_cap", "sim_topk_ivfpq_res_landed", "txt_bm25_prf",
+    "txt_bm25_prf_steady",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1651,6 +1653,8 @@ object SparkEntry {
     "sim_topk_ivfpq_res" -> ivfPqResOracleSql(),
     "sim_topk_ivfpq_res_landed" -> ivfPqResOracleSql(),
     "txt_bm25_prf" -> bm25PrfOracleSql(),
+    // steady PRF: landed serve ≡ direct (the txt_bm25_steady law, twice)
+    "txt_bm25_prf_steady" -> bm25PrfOracleSql(),
     "sim_topk_refine" -> refineOracleSql(ivfPqOracleSql(k = 20)),
     "sim_topk_refine_landed" -> refineOracleSql(ivfPqTrainedOracleSql(k = 20)),
     "sim_knn_graph" -> knnGraphOracleSql(),

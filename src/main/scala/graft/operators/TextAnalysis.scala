@@ -800,6 +800,33 @@ object TextAnalysis {
   def bm25PrfDocs(spark: SparkSession, dir: String): DataFrame =
     bm25Prf(Tables.load(spark, dir, "documents"), "doc_id", "text", searchQuery)
 
+  /** STEADY-STATE [[bm25Prf]] — PRF with ZERO corpus scans, the form a
+    * serving system actually runs: pass 1 serves from the landed
+    * bucket-pruned inverted index ([[bm25RankIndexed]]), the fb feedback
+    * documents' text is fetched through a pushed-down literal id filter
+    * (fb rows out of the corpus — parquet row-group pruning), their
+    * expansion terms counted over that bounded set, and pass 2 serves
+    * from the same index over |Q|+e terms. Same answer, same oracle as
+    * the direct entry (the txt_bm25_steady landed ≡ direct law, applied
+    * twice). */
+  def bm25PrfSteady(spark: SparkSession, dir: String, fb: Int = 10,
+      e: Int = 5, k: Int = 25): DataFrame = {
+    ensureSearchIndex(spark, dir)
+    val prefix = searchIndexPrefix(dir)
+    val topIds = bm25RankIndexed(spark, prefix, searchQuery, fb)
+      .select(col("doc_id").cast("long"))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val expanded = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id").isin(topIds: _*))
+      .select(explode(tokens(col("text"))).as("term"))
+      .filter(!col("term").isin(searchQuery: _*))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(e)
+      .collect().map(_.getString(0)).toSeq
+    bm25RankIndexed(spark, prefix, searchQuery ++ expanded, k)
+  }
+
   /** PER-SOURCE quota capping — the per-domain cap the public web-corpus
     * recipes apply before any mixing (RefinedWeb's and CCNet's
     * domain-balance step): no single source may contribute more than

@@ -865,6 +865,14 @@ class TextAnalysisSpec extends SparkTestBase {
       .as[(Long, Double)].collect().toSet == want)
   }
 
+  test("bm25PrfSteady (landed index, both passes) equals the direct PRF") {
+    val dir = "/root/testdata/sf0.001"
+    val want = TextAnalysis.bm25PrfDocs(spark, dir)
+      .as[(Long, Double)].collect().toSet
+    assert(TextAnalysis.bm25PrfSteady(spark, dir)
+      .as[(Long, Double)].collect().toSet == want)
+  }
+
   test("sourceCap: at most cap per source, small sources keep all, draw deterministic") {
     val docs = ((0 until 25).map(i => (i.toLong, "big")) ++
       (100 until 105).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
