@@ -86,6 +86,7 @@ object SparkEntry {
     "sim_topk_ivfpq_landed" -> ((s, d) => Similarity.topKPqIvfLanded(s, d)),
     "sim_kmeans_assign" -> (Similarity.kmeansAssignments _),
     "sim_ann_recall"    -> ((s, d) => Similarity.annRecall(s, d)),
+    "sim_ann_recall_refined" -> ((s, d) => Similarity.annRecallRefined(s, d)),
     "sim_topk_refine"   -> ((s, d) => Similarity.topKPqIvfRefined(s, d)),
     "sim_topk_refine_landed" -> ((s, d) => Similarity.topKPqIvfRefinedLanded(s, d)),
     "sim_knn_graph"     -> ((s, d) => Similarity.knnGraphDocs(s, d)),
@@ -315,7 +316,7 @@ object SparkEntry {
     "sim_knn_graph", "sim_knn_graph_steady", "sim_topk_ann_mp",
     "sim_density_prune", "sim_density_prune_steady", "sim_topk_ivfpq_res",
     "txt_source_cap", "sim_topk_ivfpq_res_landed", "txt_bm25_prf",
-    "txt_bm25_prf_steady",
+    "txt_bm25_prf_steady", "sim_ann_recall_refined",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1264,6 +1265,23 @@ object SparkEntry {
     * and the exact-cosine block, verbatim — DuckDB allows a WITH inside a
     * CTE body) and count the per-query overlap; every probe query emits a
     * row even at zero overlap. */
+  /** sim_ann_recall_refined oracle: the same overlap count with the
+    * refined-serve block (refineOracleSql over the widened seeded cut)
+    * as the ann side. */
+  private def annRecallRefinedOracleSql(k: Int = 5, r: Int = 4): String =
+    s"""WITH ann AS (
+       |${refineOracleSql(ivfPqOracleSql(k = k * r), k)}
+       |), exact AS (
+       |$cosineTopkSql
+       |), o AS (
+       |  SELECT a.query_id, count(*) AS n_overlap
+       |  FROM ann a JOIN exact e ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+       |  GROUP BY a.query_id
+       |)
+       |SELECT q.query_id, CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  round(COALESCE(o.n_overlap, 0) / $k.0, 6) AS recall
+       |FROM (SELECT DISTINCT query_id FROM ann) q LEFT JOIN o ON q.query_id = o.query_id""".stripMargin
+
   private def annRecallOracleSql(k: Int = 5): String =
     s"""WITH ann AS (
        |${ivfPqOracleSql()}
@@ -1649,6 +1667,7 @@ object SparkEntry {
     "sim_topk_pq_trained" -> pqTrainedOracleSql(),
     "sim_topk_ivfpq" -> ivfPqOracleSql(),
     "sim_ann_recall" -> annRecallOracleSql(),
+    "sim_ann_recall_refined" -> annRecallRefinedOracleSql(),
     "sim_topk_ivfpq_trained" -> ivfPqTrainedOracleSql(),
     "sim_topk_ivfpq_res" -> ivfPqResOracleSql(),
     "sim_topk_ivfpq_res_landed" -> ivfPqResOracleSql(),

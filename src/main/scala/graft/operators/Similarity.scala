@@ -634,8 +634,21 @@ object Similarity {
     * constants. At 100 TB the exact branch is the cost (that is what
     * ground truth costs); a deployment runs this on a sampled probe set,
     * which is exactly the |Q|-bounded shape here. */
-  def annRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val ann = topKPqIvf(spark, dir, k).select("query_id", "vec_id")
+  def annRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    recallAgainstExact(topKPqIvf(spark, dir, k), spark, dir, k)
+
+  /** [[annRecall]] for the REFINED serve ([[topKPqIvfRefined]]) — the
+    * number that shows the refine dial paying for itself: per probe
+    * query, recall can only rise vs the unrefined entry (the wide-cut
+    * dominance argument, spec-pinned), and the monitored pair is what
+    * a deployment tunes r against. */
+  def annRecallRefined(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    recallAgainstExact(
+      topKPqIvfRefined(spark, dir, k), spark, dir, k)
+
+  private def recallAgainstExact(ann0: DataFrame, spark: SparkSession,
+      dir: String, k: Int): DataFrame = {
+    val ann = ann0.select("query_id", "vec_id")
     val exact = topKCosine(spark, dir, k).select("query_id", "vec_id")
     val overlap = ann.join(exact, Seq("query_id", "vec_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
