@@ -62,6 +62,32 @@ object StreamKnn {
     paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
   }
 
+  /** Density-based pruning served FROM THE MAINTAINED GRAPH — the E148
+    * decision without a batch graph build: density = mean edge score of
+    * the served top-nn graph, cutoff = the exact (1−pct) percentile
+    * (the [[graft.operators.Similarity.densityPrune]] contract —
+    * NULL-density (edgeless) vectors keep, ties keep), corpus = every
+    * arrived vector (the live assignment index). Equals the batch
+    * operator on the union of all arrivals under the same fixed cells
+    * (StreamKnnSpec pins it) because the served graph equals the batch
+    * graph — the composition is free once the graph law holds. */
+  def densityPrune(spark: SparkSession, stateDir: String, nn: Int,
+      pct: Double): DataFrame = {
+    val dens = graph(spark, stateDir, nn)
+      .groupBy("vec_id")
+      .agg(round(avg(col("score")), 6).as("density"))
+    val cutoff = dens.agg(
+      round(percentile(col("density"), lit(1.0 - pct)), 6).as("cutoff"))
+    val paths = Generations.livePaths(spark, s"$stateDir/asg")
+    require(paths.nonEmpty, s"no committed 'gen-' generations under $stateDir/asg")
+    paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      .select("vec_id").distinct()
+      .join(dens, Seq("vec_id"), "left_outer")
+      .crossJoin(broadcast(cutoff))
+      .filter(col("density").isNull || col("density") <= col("cutoff"))
+      .select(col("vec_id"), col("density"))
+  }
+
   /** Fold both state sides (manifested — see the object scaladoc): the
     * assignment index by identity, the edges through the absorbing
     * top-nn cut. Run via the hook or while the stream is stopped. */

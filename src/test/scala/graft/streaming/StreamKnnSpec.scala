@@ -71,5 +71,14 @@ class StreamKnnSpec extends SparkTestBase {
     StreamKnn.compactState(spark, state, nn)
     assert(now() == want(all),
       "the graph must stay exact after a manual compaction cycle")
+
+    // the composed decision: density pruning served from the maintained
+    // graph equals the batch operator on the union, same fixed cells
+    val wantPrune = Similarity.densityPrune(
+        all.toDF("vec_id", "embedding"), cents, nn, pct = 0.2)
+      .as[(Long, Option[Double])].collect().toSet
+    assert(StreamKnn.densityPrune(spark, state, nn, pct = 0.2)
+      .as[(Long, Option[Double])].collect().toSet == wantPrune,
+      "served density prune must equal the batch operator on the union")
   }
 }
