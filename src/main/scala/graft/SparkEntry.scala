@@ -82,6 +82,7 @@ object SparkEntry {
     "sim_topk_ivfpq_trained" -> ((s, d) => Similarity.topKPqIvfTrained(s, d)),
     "sim_topk_ivfpq_res" -> ((s, d) => Similarity.topKPqIvfResTrained(s, d)),
     "sim_topk_ivfpq_res_landed" -> ((s, d) => Similarity.topKPqIvfResLanded(s, d)),
+    "sim_topk_res_refine" -> ((s, d) => Similarity.topKPqIvfResRefined(s, d)),
     "sim_topk_ivfpq_steady" -> ((s, d) => Similarity.topKPqIvfSteady(s, d)),
     "sim_topk_ivfpq_landed" -> ((s, d) => Similarity.topKPqIvfLanded(s, d)),
     "sim_kmeans_assign" -> (Similarity.kmeansAssignments _),
@@ -316,7 +317,7 @@ object SparkEntry {
     "sim_knn_graph", "sim_knn_graph_steady", "sim_topk_ann_mp",
     "sim_density_prune", "sim_density_prune_steady", "sim_topk_ivfpq_res",
     "txt_source_cap", "sim_topk_ivfpq_res_landed", "txt_bm25_prf",
-    "txt_bm25_prf_steady", "sim_ann_recall_refined",
+    "txt_bm25_prf_steady", "sim_ann_recall_refined", "sim_topk_res_refine",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1671,6 +1672,7 @@ object SparkEntry {
     "sim_topk_ivfpq_trained" -> ivfPqTrainedOracleSql(),
     "sim_topk_ivfpq_res" -> ivfPqResOracleSql(),
     "sim_topk_ivfpq_res_landed" -> ivfPqResOracleSql(),
+    "sim_topk_res_refine" -> refineOracleSql(ivfPqResOracleSql(k = 20)),
     "txt_bm25_prf" -> bm25PrfOracleSql(),
     // steady PRF: landed serve ≡ direct (the txt_bm25_steady law, twice)
     "txt_bm25_prf_steady" -> bm25PrfOracleSql(),

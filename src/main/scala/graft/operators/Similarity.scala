@@ -996,6 +996,25 @@ object Similarity {
       m = 8, subDim = 8, centDf, book)
   }
 
+  /** The composed BEST production read path — residual candidates,
+    * exact re-rank, everything landed: stage 1 is
+    * [[topKPqIvfResLanded]]'s bucket-pruned residual ADC widened to
+    * r·k (the best compressed scorer), stage 2 the literal-id-pruned
+    * exact re-rank ([[refineCandidates]]). The two dials compose
+    * independently: residual encoding cuts the compressed-score error
+    * (so the wide cut ranks better candidates in), refine removes the
+    * remaining compression error from the final k. */
+  def topKPqIvfResRefined(spark: SparkSession, dir: String, k: Int = 5,
+      r: Int = 4): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val (codes, centDf, book) = ensureResArtifacts(spark, dir)
+    val cand = searchIvfPqResIndex(codes, defaultQueries(emb), k * r,
+        nprobe = 4, m = 8, subDim = 8, centDf, book)
+      .select(col("query_id").cast("long"), col("vec_id").cast("long"))
+      .collect().map(rw => (rw.getLong(0), rw.getLong(1))).toSeq.sorted
+    refineCandidates(emb, defaultQueries(emb), cand, k)
+  }
+
   /** Catalog table-name prefix for the LANDED trained quantizers of a
     * corpus dir: MD5 of the dir (same collision rationale as
     * [[graft.operators.Dedup.steadyIndexPrefix]] — a 31-bit
