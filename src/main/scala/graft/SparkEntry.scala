@@ -220,6 +220,10 @@ object SparkEntry {
     "q_heavy_hitters"   -> (Analytics.heavyUserKeys _),
     "txt_source_filter" -> (TextAnalysis.sourceFiltered _),
     "txt_source_cap"    -> ((s, d) => TextAnalysis.sourceCapDocs(s, d)),
+    "txt_dsir"          -> (TextAnalysis.dsirDocs _),
+    "dedup_paragraphs"  -> (Dedup.paragraphDedupDocs _),
+    "q_hist_quantile"   -> (Analytics.histQuantilesEvents _),
+    "q_hist_quantile_steady" -> ((s, d) => Analytics.histQuantilesSteady(s, d)),
     "txt_bm25_prf"      -> ((s, d) => TextAnalysis.bm25PrfDocs(s, d)),
     "txt_bm25_prf_steady" -> ((s, d) => TextAnalysis.bm25PrfSteady(s, d)),
     "txt_bpe"           -> (TextAnalysis.bpeMergeTable _),
@@ -318,6 +322,8 @@ object SparkEntry {
     "sim_density_prune", "sim_density_prune_steady", "sim_topk_ivfpq_res",
     "txt_source_cap", "sim_topk_ivfpq_res_landed", "txt_bm25_prf",
     "txt_bm25_prf_steady", "sim_ann_recall_refined", "sim_topk_res_refine",
+    // round-10 session-3 additions
+    "txt_dsir", "dedup_paragraphs", "q_hist_quantile", "q_hist_quantile_steady",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1236,6 +1242,7 @@ object SparkEntry {
     "sim_cluster_sample_steady" -> oracleBase("sim_cluster_sample"),
     "txt_bpe_apply_steady" -> oracleBase("txt_bpe_apply"),
     "txt_bm25_steady" -> oracleBase("txt_bm25"),
+    "q_hist_quantile_steady" -> oracleBase("q_hist_quantile"),
     "txt_phrase_steady" -> oracleBase("txt_phrase"),
     // not a steady entry but the same exactness contract: the bloom gate
     // admits false positives only, and the exact join removes them — the
@@ -2957,6 +2964,98 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents
         |) WHERE rn <= 15""".stripMargin,
+    // Mergeable-histogram range quantiles, replayed end to end: same
+    // fixed-edge clamped binning, same BIGINT casts (DuckDB sums land
+    // HUGEINT otherwise), same cumulative/interpolation associations,
+    // 6 dp. The steady entry serves the identical numbers from the
+    // landed day-partitioned table.
+    "q_hist_quantile" ->
+      """WITH h AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    greatest(least(CAST(floor(value / 25.0) AS BIGINT), 19), 0) AS bin,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT bin, CAST(sum(n) AS BIGINT) AS n FROM h
+        |  WHERE day BETWEEN DATE '2024-01-08' AND DATE '2024-01-21'
+        |  GROUP BY bin
+        |), c AS (
+        |  SELECT bin, n,
+        |    CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cum,
+        |    CAST(sum(n) OVER (ORDER BY bin) - n AS BIGINT) AS cum_before,
+        |    (SELECT CAST(sum(n) AS BIGINT) FROM m) AS total
+        |  FROM m
+        |)
+        |SELECT p, round(bin * 25.0 + 25.0 * (p * total - cum_before) / n, 6) AS est,
+        |  total
+        |FROM c, unnest([0.5, 0.95, 0.99]) AS t(p)
+        |WHERE cum_before < p * total AND p * total <= cum""".stripMargin,
+    // CCNet paragraph dedup in STRING space (the Spark plan keeps first
+    // by 8-byte xxhash64 block keys — identical w.h.p., the
+    // dedup_minhash_lsh argument): same tokenizer, same aligned 3-token
+    // blocks, global keep-first by (doc_id, idx), reassembly in idx
+    // order, docs with zero survivors keep an empty clean_text.
+    "dedup_paragraphs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, CAST(ceil(len(toks) / 3.0) AS BIGINT) AS n_segs FROM d
+        |), o AS (
+        |  SELECT doc_id, j AS idx, array_to_string(toks[3*j+1:3*j+3], ' ') AS blk
+        |  FROM d, unnest(range(CAST(ceil(len(toks) / 3.0) AS BIGINT))) AS t(j)
+        |), k AS (
+        |  SELECT doc_id, idx, blk FROM (
+        |    SELECT doc_id, idx, blk,
+        |      row_number() OVER (PARTITION BY blk ORDER BY doc_id, idx) AS rn
+        |    FROM o
+        |  ) WHERE rn = 1
+        |), r AS (
+        |  SELECT doc_id, array_to_string(list(blk ORDER BY idx), ' ') AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM k GROUP BY doc_id
+        |)
+        |SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |  coalesce(r.n_kept, 0) AS n_kept,
+        |  b.n_segs - coalesce(r.n_kept, 0) AS n_dropped
+        |FROM b LEFT JOIN r ON b.doc_id = r.doc_id""".stripMargin,
+    // DSIR importance weights, replayed end to end: the txt_hash_vectors
+    // lane hash (32-bit md5 prefix mod 64), per-lane target/raw totals,
+    // add-one smoothing, llr rounded 6 dp BEFORE the fold, and a
+    // left-to-right list_sum fold matching Spark's sequential
+    // `aggregate` — then the (weight DESC, doc_id) top-100 cut.
+    "txt_dsir" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang = 'en' AS is_target,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), lanes AS (
+        |  SELECT doc_id, is_target,
+        |    list_transform(range(64), j -> len(list_filter(toks,
+        |      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) % 64 = j))) AS cnt
+        |  FROM d
+        |), model AS (
+        |  SELECT j AS lane,
+        |    sum(CASE WHEN is_target THEN cnt[CAST(j+1 AS BIGINT)] ELSE 0 END) AS tc,
+        |    sum(CASE WHEN NOT is_target THEN cnt[CAST(j+1 AS BIGINT)] ELSE 0 END) AS rc
+        |  FROM lanes, unnest(range(64)) AS t(j) GROUP BY j
+        |), tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM model),
+        |llr AS (
+        |  SELECT list(round(ln((tc + 1.0) / (tt + 64.0)) -
+        |                    ln((rc + 1.0) / (rt + 64.0)), 6) ORDER BY lane) AS l
+        |  FROM model, tot
+        |), scored AS (
+        |  SELECT doc_id,
+        |    round(list_sum(list_transform(range(64),
+        |      j -> CAST(cnt[CAST(j+1 AS BIGINT)] AS DOUBLE) * l[CAST(j+1 AS BIGINT)])), 6) AS weight
+        |  FROM lanes, llr WHERE NOT is_target
+        |)
+        |SELECT doc_id, weight, rank FROM (
+        |  SELECT doc_id, weight,
+        |    row_number() OVER (ORDER BY weight DESC, doc_id) AS rank
+        |  FROM scored
+        |) WHERE rank <= 100""".stripMargin,
     // Source-level filter ground truth: same tokenizer, stopword list,
     // and greatest(len, 1) division guard as the Spark projection; the
     // 0.06 floor has ≥ 3.5e-5 margin to the nearest sf0.01 source mean.

@@ -1099,6 +1099,70 @@ object Dedup extends Logging {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("df"))
   }
 
+  /** Cross-document PARAGRAPH-level dedup with reassembly — the CCNet
+    * dedup step (the public Common Crawl recipe: hash every paragraph,
+    * drop all but the corpus-wide FIRST occurrence of each, and keep the
+    * document with its surviving paragraphs stitched back together).
+    * Unlike [[duplicateSpans]] (overlapping windows, flag-only) and
+    * [[graft.operators.TextAnalysis.dedupWithinDoc]] (within one doc),
+    * this REMOVES duplicated units across the whole corpus and returns
+    * the cleaned text. The synthetic corpus has no newline structure, so
+    * the "paragraph" unit is the same non-overlapping `window`-token
+    * block dedupWithinDoc uses — real pipelines split on blank lines and
+    * plug the same plan in.
+    *
+    * Keep-first is GLOBAL: one occurrence of each distinct block
+    * survives corpus-wide — the minimal (doc_id, idx) — so a
+    * within-document repeat dedups exactly like a cross-document one
+    * (CCNet's rule). Scale shape: blocks build row-local (the
+    * dedupWithinDoc projection); only (8-byte block hash, doc_id, idx)
+    * ever crosses the network — the winner pick is a two-phase
+    * `min(struct)` aggregate on the hash, kept indices fold to one
+    * int-list row per doc, and reassembly is row-local from each doc's
+    * OWN token array (the text itself never shuffles; hash equality
+    * stands in for block equality, the dedup_minhash_lsh w.h.p.
+    * argument — the oracle checks string space). */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 3): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(coalesce(col(textCol), lit(""))).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("n_segs",
+        ceil(col("n").cast("double") / window).cast("long"))
+      .withColumn("ss", when(col("n") > 0,
+          transform(sequence(lit(0L), col("n_segs") - 1),
+            i => array_join(slice(col("toks"),
+              (i * window + 1).cast("int"), lit(window)), " ")))
+        .otherwise(array().cast("array<string>")))
+    val occ = base
+      .select(col("doc_id"), posexplode(col("ss")).as(Seq("idx", "blk")))
+      .select(col("doc_id"), col("idx").cast("long").as("idx"),
+        xxhash64(col("blk")).as("bh"))
+    val winners = occ.groupBy("bh")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.idx").as("idx"))
+    val keptIdx = winners.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("idx"))).as("kept"))
+    base.join(keptIdx, Seq("doc_id"), "left")
+      .withColumn("kept",
+        coalesce(col("kept"), array().cast("array<long>")))
+      .select(col("doc_id"),
+        array_join(transform(col("kept"),
+          i => element_at(col("ss"), (i + 1).cast("int"))), " ")
+          .as("clean_text"),
+        size(col("kept")).cast("long").as("n_kept"),
+        col("n_segs"))
+      .select(col("doc_id"), col("clean_text"), col("n_kept"),
+        (col("n_segs") - col("n_kept")).as("n_dropped"))
+  }
+
+  /** CORRECTNESS instantiation: 3-token blocks — 1 756 of the sf0.01
+    * corpus's 9 216 aligned blocks are corpus-wide repeats, so the cut
+    * binds broadly without hollowing documents out (window 2 would drop
+    * 93% of all blocks on this 40-word vocabulary). */
+  def paragraphDedupDocs(spark: SparkSession, dir: String): DataFrame =
+    dedupParagraphs(Tables.load(spark, dir, "documents"), "doc_id", "text")
+
   /** Benchmark decontamination — the n-gram-overlap scan every public
     * training-data pipeline runs before training (remove documents that
     * contain evaluation-set text, so benchmark scores measure

@@ -1560,6 +1560,70 @@ object TextAnalysis {
     trainQualityLr(Tables.load(spark, dir, "documents"),
       Seq("src0", "src1", "src2"))
 
+  /** DSIR-class importance-weighted data selection (Xie et al., NeurIPS
+    * 2023, "Data Selection for Language Models via Importance Resampling"
+    * — public): pick the raw-corpus documents whose hashed-token profile
+    * best matches a TARGET domain, the published device for "make the
+    * pretraining mix look like the domain you care about" without a
+    * trained model anywhere.
+    *
+    * Features are the [[hashedDocVectors]] lane counts (the codegen
+    * `hash_lane_counts` kernel — one pass, one md5 per token); both bag
+    * models are add-one-smoothed lane distributions, so the per-document
+    * importance weight is log p̂_target(doc) − log p̂_raw(doc)
+    * = Σ_lane cnt·(ln p̂_t[lane] − ln p̂_r[lane]).
+    *
+    * Scale shape: the model fit is one row-local posexplode + a two-phase
+    * aggregate moving ≤ dims rows per partition; the per-lane
+    * log-likelihood ratios are a DIMS-row bounded collect (the
+    * centroid/codebook probe-set class) entering scoring as a plan
+    * literal, so scoring is entirely ROW-LOCAL — a sequential
+    * `aggregate` fold over the doc's own lane counts, zero joins, zero
+    * shuffles beyond the model fit — and the k-cut is a per-task-heap
+    * `TakeOrderedAndProject`. Determinism: llr is 6-dp rounded BEFORE
+    * the fold (absorbing the 1-ulp cross-engine `ln` class), the fold is
+    * left-to-right on both engines, and the final weight rounds to 6 dp
+    * (the bigram-LM discipline).
+    *
+    * The selection is the paper's top-k deterministic variant (their
+    * Gumbel-top-k reduces to this as temperature → 0); target documents
+    * never score — they define the distribution, not the candidate
+    * pool. */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, dims: Int = 64, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("doc_id"), isTarget.as("is_target"),
+      GraftFunctions.hashLaneCounts(col(textCol), dims).as("cnt"))
+    val model = base
+      .select(col("is_target"), posexplode(col("cnt")).as(Seq("lane", "c")))
+      .groupBy("lane")
+      .agg(sum(when(col("is_target"), col("c")).otherwise(0L)).as("tc"),
+        sum(when(!col("is_target"), col("c")).otherwise(0L)).as("rc"))
+    val llr = model
+      .crossJoin(broadcast(model.agg(sum("tc").as("tt"), sum("rc").as("rt"))))
+      .select(col("lane"),
+        round(log((col("tc") + lit(1.0)) / (col("tt") + lit(dims.toDouble))) -
+          log((col("rc") + lit(1.0)) / (col("rt") + lit(dims.toDouble))), 6)
+          .as("llr"))
+      .orderBy("lane").collect().map(_.getDouble(1)) // bounded: dims rows
+    val llrLit = array(llr.map(lit(_)).toIndexedSeq: _*)
+    val scored = base.filter(!col("is_target"))
+      .select(col("doc_id"),
+        round(aggregate(zip_with(col("cnt"), llrLit,
+          (c, l) => c.cast("double") * l), lit(0.0), _ + _), 6).as("weight"))
+    val w = Window.orderBy(col("weight").desc, col("doc_id").asc)
+    scored.orderBy(col("weight").desc, col("doc_id").asc).limit(k)
+      .withColumn("rank", row_number().over(w))
+  }
+
+  /** CORRECTNESS instantiation: English documents are the target domain,
+    * every other language is the raw pool; top 100 (binds at sf ≥ 0.01 —
+    * 282 raw docs at sf0.01). */
+  def dsirDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    dsirSelect(docs, "doc_id", "text", col("lang") === "en")
+  }
+
   /** The langId projection as a reusable column: struct(pred_lang, score). */
   def langIdCol(text: Column): Column = {
     val toks = tokens(text)

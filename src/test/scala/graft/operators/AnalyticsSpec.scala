@@ -416,4 +416,57 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("histQuantiles: estimates within one bin width of the exact quantile; clamped bins conserve counts") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 600).map { i =>
+      val day = 1 + (i % 5) // 2024-01-01..05
+      val v = if (i % 100 == 0) 999.0 else rnd.nextDouble() * 200.0 // clamp outliers
+      (i.toLong, Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), i.toLong % 7,
+        "click", v)
+    }
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val width = 20.0
+    val hist = Analytics.dailyValueHistograms(events, width, bins = 10)
+    // conservation under clamping: Σ bin counts ≡ row count
+    assert(hist.agg(org.apache.spark.sql.functions.sum("n")).as[Long].head() == 600L)
+    // every estimate within one bin width of the true range quantile
+    val inRange = rows.filter(r => {
+      val d = r._2.toLocalDateTime.getDayOfMonth; d >= 2 && d <= 4
+    }).map(_._5).sorted
+    val got = Analytics.histQuantiles(hist, "2024-01-02", "2024-01-04",
+        Seq(0.5, 0.9), width)
+      .select("p", "est").as[(Double, Double)].collect().toMap
+    assert(got.size == 2)
+    got.foreach { case (p, est) =>
+      // exact p-quantile bracket: the value at rank ceil(p·N)
+      val exact = inRange(math.ceil(p * inRange.size).toInt - 1)
+      // clamped outliers (999 → top bin) shift the top-bin interpolation,
+      // but 0.9 sits below the clamp mass; tolerance = one bin width
+      assert(math.abs(est - math.min(exact, 200.0)) <= width,
+        s"p=$p est=$est exact=$exact")
+    }
+  }
+
+  test("histQuantiles: empty day range answers zero rows") {
+    import java.sql.Timestamp
+    val events = Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "c", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val hist = Analytics.dailyValueHistograms(events)
+    assert(Analytics.histQuantiles(hist, "2024-02-01", "2024-02-05",
+      Seq(0.5)).count() == 0L)
+  }
+
+  test("landed day-partitioned histogram serve prunes partitions and matches the direct answer") {
+    val direct = Analytics.histQuantilesEvents(spark, dir)
+      .as[(Double, Double, Long)].collect().toSet
+    val served = Analytics.histQuantilesSteady(spark, dir)
+    val got = served.as[(Double, Double, Long)].collect().toSet
+    assert(got == direct, s"served $got, direct $direct")
+    val plan = served.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(raw"PartitionFilters: \[[^\]]*day".r.findFirstIn(plan).isDefined,
+      s"landed serve must prune on the day partition column:\n$plan")
+  }
 }

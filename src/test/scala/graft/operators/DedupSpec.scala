@@ -369,4 +369,51 @@ class DedupSpec extends SparkTestBase {
       assert(out == truth, s"seed=$seed: got $out want $truth")
     }
   }
+
+  test("dedupParagraphs: global keep-first across and within docs, reassembly in order") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma unique two three"), // 1st block repeats doc 1's
+      (3L, "rep rep rep rep rep rep"),           // both blocks identical
+      (4L, "solo words here"),
+      (5L, ""),
+      (6L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .select("doc_id", "clean_text", "n_kept", "n_dropped")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", 2L, 0L),
+      (2L, "unique two three", 1L, 1L),
+      (3L, "rep rep rep", 1L, 1L),
+      (4L, "solo words here", 1L, 0L),
+      (5L, "", 0L, 0L),
+      (6L, "", 0L, 0L)), s"got $out")
+  }
+
+  test("dedupParagraphs: every distinct aligned block survives exactly once corpus-wide") {
+    import graft.TestDocs.doc
+    val docs = (1 to 30).map(i => (i.toLong, doc(i)))
+      .toDF("doc_id", "text")
+    val w = 3
+    val distinctBlocks = docs
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.sequence(
+            org.apache.spark.sql.functions.lit(0),
+            org.apache.spark.sql.functions.ceil(
+              org.apache.spark.sql.functions.size(
+                graft.operators.TextAnalysis.tokens(col("text")))
+                .cast("double") / w).cast("int") - 1),
+          i => org.apache.spark.sql.functions.array_join(
+            org.apache.spark.sql.functions.slice(
+              graft.operators.TextAnalysis.tokens(col("text")),
+              (i * w + 1).cast("int"),
+              org.apache.spark.sql.functions.lit(w)), " "))).as("blk"))
+      .distinct().count()
+    val kept = Dedup.dedupParagraphs(docs, "doc_id", "text", w)
+      .agg(org.apache.spark.sql.functions.sum("n_kept")).as[Long].head()
+    assert(kept == distinctBlocks,
+      s"kept $kept blocks, corpus has $distinctBlocks distinct aligned blocks")
+  }
 }

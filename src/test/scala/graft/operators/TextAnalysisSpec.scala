@@ -894,4 +894,73 @@ class TextAnalysisSpec extends SparkTestBase {
       .sortBy(id => (h(id), id)).take(10).toSet
     assert(bySource("big") == wantBig)
   }
+
+  test("dsirSelect ranks target-like raw docs above off-domain docs; target docs never score") {
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "alpha beta gamma alpha beta", true)) ++ Seq(
+        (101L, "alpha beta gamma alpha", false), // target-vocab raw doc
+        (102L, "zig zag zog zig", false),        // off-domain raw doc
+        (103L, "alpha zig beta zag", false))     // mixed
+    ).toDF("doc_id", "text", "tgt")
+    val out = TextAnalysis.dsirSelect(docs, "doc_id", "text", col("tgt"),
+        dims = 32, k = 3)
+      .select("doc_id", "weight", "rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3).toSeq
+    assert(out.map(_._1) == Seq(101L, 103L, 102L), s"got $out")
+    assert(out(0)._2 > out(1)._2 && out(1)._2 > out(2)._2, s"got $out")
+    assert(!out.map(_._1).exists(id => id <= 10L), "target docs must never score")
+  }
+
+  test("dsirSelect weights equal a driver-side replay of the hashed-bag model") {
+    val dims = 16
+    val docs = Seq(
+      (1L, "data table spark", true), (2L, "table spark spark query", true),
+      (3L, "window sort merge", false), (4L, "data table window", false),
+      (5L, "spark query data table", false),
+    ).toDF("doc_id", "text", "tgt")
+    def lanes(text: String): Array[Long] = {
+      val c = new Array[Long](dims)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).foreach { t =>
+        val d = md.digest(t.getBytes("UTF-8"))
+        val lane = ((((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)) % dims).toInt
+        c(lane) += 1
+      }
+      c
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val corpus = Seq(1L -> true, 2L -> true, 3L -> false, 4L -> false, 5L -> false)
+    val texts = Map(1L -> "data table spark", 2L -> "table spark spark query",
+      3L -> "window sort merge", 4L -> "data table window", 5L -> "spark query data table")
+    val tc = new Array[Long](dims); val rc = new Array[Long](dims)
+    corpus.foreach { case (id, tgt) =>
+      val l = lanes(texts(id))
+      (0 until dims).foreach(j => if (tgt) tc(j) += l(j) else rc(j) += l(j))
+    }
+    val (tt, rt) = (tc.sum, rc.sum)
+    val llr = (0 until dims).map(j => r6(
+      math.log((tc(j) + 1.0) / (tt + dims.toDouble)) -
+        math.log((rc(j) + 1.0) / (rt + dims.toDouble))))
+    val want = corpus.filterNot(_._2).map { case (id, _) =>
+      val l = lanes(texts(id))
+      id -> r6((0 until dims).foldLeft(0.0)((acc, j) => acc + l(j) * llr(j)))
+    }.toMap
+    val got = TextAnalysis.dsirSelect(docs, "doc_id", "text", col("tgt"),
+        dims = dims, k = 10)
+      .select("doc_id", "weight").as[(Long, Double)].collect().toMap
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("dsirSelect is reproducible across reruns and partitionings") {
+    val docs = (1 to 40).map(i =>
+      (i.toLong, graft.TestDocs.doc(i), i % 3 == 0)).toDF("doc_id", "text", "tgt")
+    val a = TextAnalysis.dsirSelect(docs, "doc_id", "text", col("tgt"), k = 10)
+      .select("doc_id", "weight", "rank").as[(Long, Double, Int)].collect().toSet
+    val b = TextAnalysis.dsirSelect(docs.repartition(7), "doc_id", "text",
+        col("tgt"), k = 10)
+      .select("doc_id", "weight", "rank").as[(Long, Double, Int)].collect().toSet
+    assert(a == b && a.size == 10)
+  }
 }
