@@ -224,6 +224,7 @@ object SparkEntry {
     "dedup_paragraphs"  -> (Dedup.paragraphDedupDocs _),
     "q_hist_quantile"   -> (Analytics.histQuantilesEvents _),
     "q_hist_quantile_steady" -> ((s, d) => Analytics.histQuantilesSteady(s, d)),
+    "txt_budget_cap"    -> (TextAnalysis.budgetCapDocs _),
     "txt_bm25_prf"      -> ((s, d) => TextAnalysis.bm25PrfDocs(s, d)),
     "txt_bm25_prf_steady" -> ((s, d) => TextAnalysis.bm25PrfSteady(s, d)),
     "txt_bpe"           -> (TextAnalysis.bpeMergeTable _),
@@ -324,6 +325,7 @@ object SparkEntry {
     "txt_bm25_prf_steady", "sim_ann_recall_refined", "sim_topk_res_refine",
     // round-10 session-3 additions
     "txt_dsir", "dedup_paragraphs", "q_hist_quantile", "q_hist_quantile_steady",
+    "txt_budget_cap",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1360,6 +1362,22 @@ object SparkEntry {
         |SELECT c.doc_id, c.source, c.n_tokens
         |FROM c JOIN tot USING (source)
         |WHERE c.cum_before < tot.budget""".stripMargin,
+    // Absolute per-source token budget: the txt_budget_mix prefix-sum
+    // rule with a constant 100-token allowance (the absorbing /
+    // streamable form; same md5 order, same strict cum_before < budget).
+    "txt_budget_cap" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before
+        |  FROM base
+        |)
+        |SELECT doc_id, source, n_tokens FROM c WHERE cum_before < 100""".stripMargin,
     // Boilerplate strip: fixed 8-token segments, md5 census, drop
     // segments present in ≥ 3 distinct docs, rebuild each doc from its
     // surviving slices in order. Everything is integer/string — the md5

@@ -639,13 +639,33 @@ object TextAnalysis {
     * ROWS-UNBOUNDED-PRECEDING window, with the work of a bucketed sort. */
   def budgetMix(docs: DataFrame, idCol: String, textCol: String,
       srcCol: String, frac: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
-        size(tokens(col(textCol))).cast("long").as("n_tokens"),
-        md5(col(idCol).cast("string")).as("h"))
-      .withColumn("bucket", substring(col("h"), 1, 2))
-    val budgets = base.groupBy("source")
+    val rows = tokenCountRows(docs, idCol, textCol, srcCol)
+    val budgets = rows.groupBy("source")
       .agg(floor(lit(frac) * sum(col("n_tokens"))).cast("long").as("budget"))
+    withCumBefore(rows)
+      .join(broadcast(budgets), "source")
+      .filter(col("cum_before") < col("budget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
+  /** The (doc_id, source, n_tokens) projection the budget cuts run over —
+    * tokenization happens here ONCE; the cut itself never needs text
+    * (which is what lets the streamed form fold landed rows without
+    * re-reading any document). */
+  private[graft] def tokenCountRows(docs: DataFrame, idCol: String,
+      textCol: String, srcCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+
+  /** The distributed per-source prefix sum under the md5 hash order (see
+    * [[budgetMix]]'s scaladoc for why this is range-bucketed rather than
+    * one window per source): adds `cum_before` = tokens strictly before
+    * the row in its source's (h, doc_id) order. */
+  private def withCumBefore(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = rows
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("bucket", substring(col("h"), 1, 2))
     val wOff = Window.partitionBy("source").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = base.groupBy("source", "bucket")
@@ -657,10 +677,37 @@ object TextAnalysis {
     base.join(broadcast(offsets), Seq("source", "bucket"))
       .withColumn("cum_before",
         col("offset") + sum(col("n_tokens")).over(wIn) - col("n_tokens"))
-      .join(broadcast(budgets), "source")
-      .filter(col("cum_before") < col("budget"))
-      .select(col("doc_id"), col("source"), col("n_tokens"))
   }
+
+  /** ABSOLUTE per-source token budget — the fixed-allowance form of
+    * [[budgetMix]] ("collect at most `budget` tokens per domain",
+    * the production knob when the target mix is stated in tokens, not
+    * fractions): same deterministic md5-order greedy-prefix keep rule,
+    * same distributed prefix sum, but the budget is a constant — which
+    * is exactly what makes the cut ABSORBING
+    * (cut(cut(A) ∪ B) = cut(A ∪ B): adding rows can only GROW a doc's
+    * prefix mass, never shrink it, so a cut doc stays cut — unlike the
+    * fractional form, whose budget itself grows with the corpus), and
+    * therefore streamable as a compaction fold
+    * ([[graft.streaming.StreamBudget]]). Operates on pre-tokenized
+    * (doc_id, source, n_tokens) rows; [[budgetCap]] is the from-text
+    * entry. */
+  def budgetCapRows(rows: DataFrame, budget: Long): DataFrame =
+    withCumBefore(rows)
+      .filter(col("cum_before") < budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+
+  /** [[budgetCapRows]] over raw documents: tokenize once, cut. */
+  def budgetCap(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, budget: Long): DataFrame =
+    budgetCapRows(tokenCountRows(docs, idCol, textCol, srcCol), budget)
+
+  /** CORRECTNESS instantiation: 100 tokens per source — binds at every
+    * test SF (per-source masses run ~10× that at sf0.01) while always
+    * keeping each source's first-hash document (cum_before = 0). */
+  def budgetCapDocs(spark: SparkSession, dir: String): DataFrame =
+    budgetCap(Tables.load(spark, dir, "documents"),
+      "doc_id", "text", "source", budget = 100L)
 
   /** CORRECTNESS instantiation: cap every source at 30% of its own token
     * mass. */
