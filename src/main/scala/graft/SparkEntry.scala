@@ -225,6 +225,8 @@ object SparkEntry {
     "q_hist_quantile"   -> (Analytics.histQuantilesEvents _),
     "q_hist_quantile_steady" -> ((s, d) => Analytics.histQuantilesSteady(s, d)),
     "txt_budget_cap"    -> (TextAnalysis.budgetCapDocs _),
+    "txt_dsir_steady"   -> ((s, d) => TextAnalysis.dsirDocsSteady(s, d)),
+    "txt_ppl_buckets"   -> (TextAnalysis.pplBucketDocs _),
     "txt_bm25_prf"      -> ((s, d) => TextAnalysis.bm25PrfDocs(s, d)),
     "txt_bm25_prf_steady" -> ((s, d) => TextAnalysis.bm25PrfSteady(s, d)),
     "txt_bpe"           -> (TextAnalysis.bpeMergeTable _),
@@ -325,7 +327,7 @@ object SparkEntry {
     "txt_bm25_prf_steady", "sim_ann_recall_refined", "sim_topk_res_refine",
     // round-10 session-3 additions
     "txt_dsir", "dedup_paragraphs", "q_hist_quantile", "q_hist_quantile_steady",
-    "txt_budget_cap",
+    "txt_budget_cap", "txt_dsir_steady", "txt_ppl_buckets",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1245,6 +1247,7 @@ object SparkEntry {
     "txt_bpe_apply_steady" -> oracleBase("txt_bpe_apply"),
     "txt_bm25_steady" -> oracleBase("txt_bm25"),
     "q_hist_quantile_steady" -> oracleBase("q_hist_quantile"),
+    "txt_dsir_steady" -> oracleBase("txt_dsir"),
     "txt_phrase_steady" -> oracleBase("txt_phrase"),
     // not a steady entry but the same exactness contract: the bloom gate
     // admits false positives only, and the exact join removes them — the
@@ -1754,6 +1757,42 @@ object SparkEntry {
         |JOIN lc ON p.l = lc.l
         |CROSS JOIN v
         |GROUP BY 1""".stripMargin,
+    // CCNet perplexity terciles: the txt_bigram_lm body, length-
+    // normalized at 6 dp, per-LANG quantile_cont cutoffs (≡ Spark's
+    // exact percentile interpolation) rounded 6 dp before the compare.
+    "txt_ppl_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT doc_id, w[j] AS l, w[j+1] AS r FROM (
+        |    SELECT doc_id, w, unnest(range(1, len(w))) AS j FROM t
+        |  )
+        |), model AS (SELECT l, r, count(*) AS c_lr FROM pairs GROUP BY 1, 2),
+        |lc AS (SELECT l, sum(c_lr) AS c_l FROM model GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(w) AS tok FROM t)),
+        |ll AS (
+        |  SELECT p.doc_id, count(*) AS n_bigrams,
+        |    round(sum(ln((m.c_lr + 1.0) / (lc.c_l + v.v))), 6) AS ll
+        |  FROM pairs p
+        |  JOIN model m ON p.l = m.l AND p.r = m.r
+        |  JOIN lc ON p.l = lc.l
+        |  CROSS JOIN v
+        |  GROUP BY 1
+        |), scored AS (
+        |  SELECT ll.doc_id, t.lang, round(ll.ll / ll.n_bigrams, 6) AS ll_norm
+        |  FROM ll JOIN t ON ll.doc_id = t.doc_id
+        |), cuts AS (
+        |  SELECT lang, round(quantile_cont(ll_norm, 1.0/3), 6) AS c1,
+        |    round(quantile_cont(ll_norm, 2.0/3), 6) AS c2
+        |  FROM scored GROUP BY lang
+        |)
+        |SELECT s.doc_id, s.lang, s.ll_norm,
+        |  CASE WHEN s.ll_norm >= c.c2 THEN 'head'
+        |       WHEN s.ll_norm >= c.c1 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM scored s JOIN cuts c ON s.lang = c.lang""".stripMargin,
     // Byte-entropy ground truth: per-char histogram → −Σ p·ln p (the
     // corpus is ASCII, so characters ≡ the kernel's bytes); empty docs
     // score 0 via the left join + coalesce.

@@ -375,6 +375,46 @@ object TextAnalysis {
   def bigramScores(spark: SparkSession, dir: String): DataFrame =
     bigramLogLik(Tables.load(spark, dir, "documents"), "doc_id", "text")
 
+  /** CCNet-style perplexity bucketing — the published Common Crawl
+    * recipe's final quality split (Wenzek et al. 2019: score every
+    * document under a language model, cut each LANGUAGE's score
+    * distribution into head / middle / tail terciles, and let the
+    * consumer choose which strata to train on): the model is the
+    * engine's own [[bigramLogLik]] (their KenLM seat), the per-document
+    * score is the length-normalized mean bigram log-likelihood (the
+    * perplexity ordering, negated — higher = less perplexed = head),
+    * and the cutoffs are PER-LANGUAGE so a language's bucket membership
+    * never depends on how other languages score (CCNet's point).
+    *
+    * Scale shape: scoring is the bigram-LM plan unchanged; the tercile
+    * cutoffs are a two-phase exact `percentile` aggregate — ONE row per
+    * language crosses the shuffle (the [[calibratedQualityFloor]]
+    * quantile-cutoff discipline, same (n−1)·p interpolation as DuckDB's
+    * `quantile_cont`), broadcast back; the bucket label is a scan-side
+    * compare. Scores and cutoffs are 6-dp rounded BEFORE comparing so a
+    * last-ulp interpolation difference cannot flip a boundary row
+    * cross-engine. Documents under 2 tokens have no bigrams and no
+    * perplexity — excluded up front, the [[bigramLogLik]] contract. */
+  def pplBuckets(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val scored = bigramLogLik(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(langCol).as("lang")), idCol)
+      .select(col(idCol).as("doc_id"), col("lang"),
+        round(col("ll") / col("n_bigrams"), 6).as("ll_norm"))
+    val cuts = scored.groupBy("lang")
+      .agg(round(percentile(col("ll_norm"), lit(1.0 / 3)), 6).as("c1"),
+        round(percentile(col("ll_norm"), lit(2.0 / 3)), 6).as("c2"))
+    scored.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"), col("ll_norm"),
+        when(col("ll_norm") >= col("c2"), lit("head"))
+          .when(col("ll_norm") >= col("c1"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** CORRECTNESS instantiation over documents (per-lang terciles). */
+  def pplBucketDocs(spark: SparkSession, dir: String): DataFrame =
+    pplBuckets(Tables.load(spark, dir, "documents"), "doc_id", "text", "lang")
+
   /** Okapi BM25 ranked retrieval — the standard lexical search scoring
     * (Robertson/Lucene idf form) the TF-IDF family stops short of: for a
     * literal query term set, score every matching document
@@ -1638,21 +1678,39 @@ object TextAnalysis {
     * pool. */
   def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, dims: Int = 64, k: Int = 100): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = docs.select(col(idCol).as("doc_id"), isTarget.as("is_target"),
+    val base = dsirBase(docs, idCol, textCol, isTarget, dims)
+    dsirScore(base, collectLlr(dsirLlr(base, dims)), k)
+  }
+
+  private def dsirBase(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, dims: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), isTarget.as("is_target"),
       GraftFunctions.hashLaneCounts(col(textCol), dims).as("cnt"))
+
+  /** The fitted model as a relation: one (lane, llr) row per lane —
+    * what [[landDsirModel]] persists. */
+  private def dsirLlr(base: DataFrame, dims: Int): DataFrame = {
     val model = base
       .select(col("is_target"), posexplode(col("cnt")).as(Seq("lane", "c")))
       .groupBy("lane")
       .agg(sum(when(col("is_target"), col("c")).otherwise(0L)).as("tc"),
         sum(when(!col("is_target"), col("c")).otherwise(0L)).as("rc"))
-    val llr = model
+    model
       .crossJoin(broadcast(model.agg(sum("tc").as("tt"), sum("rc").as("rt"))))
       .select(col("lane"),
         round(log((col("tc") + lit(1.0)) / (col("tt") + lit(dims.toDouble))) -
           log((col("rc") + lit(1.0)) / (col("rt") + lit(dims.toDouble))), 6)
           .as("llr"))
-      .orderBy("lane").collect().map(_.getDouble(1)) // bounded: dims rows
+  }
+
+  /** Bounded collect of the (lane, llr) relation in lane order — dims
+    * rows, the centroid/codebook probe-set class. */
+  private def collectLlr(llr: DataFrame): Array[Double] =
+    llr.orderBy("lane").collect().map(_.getDouble(1))
+
+  private def dsirScore(base: DataFrame, llr: Array[Double],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val llrLit = array(llr.map(lit(_)).toIndexedSeq: _*)
     val scored = base.filter(!col("is_target"))
       .select(col("doc_id"),
@@ -1661,6 +1719,43 @@ object TextAnalysis {
     val w = Window.orderBy(col("weight").desc, col("doc_id").asc)
     scored.orderBy(col("weight").desc, col("doc_id").asc).limit(k)
       .withColumn("rank", row_number().over(w))
+  }
+
+  /** Land the fitted DSIR model — the dims-row (lane, llr) table — as a
+    * catalog artifact, so steady serves (and streamed admission gates)
+    * score under a FROZEN model with no fit anywhere in the plan: the
+    * production asymmetry of every landed-quantizer path (arrivals never
+    * influence the model they are scored under). */
+  def landDsirModel(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, dims: Int, prefix: String, path: String): Unit =
+    dsirLlr(dsirBase(docs, idCol, textCol, isTarget, dims), dims)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .option("path", s"$path/llr").saveAsTable(s"${prefix}_llr")
+
+  /** Catalog table-name prefix for a corpus dir's landed DSIR model. */
+  def dsirPrefix(dir: String): String = {
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    s"dsir_steady_$suffix"
+  }
+
+  private def ensureDsirModel(spark: SparkSession, dir: String): Unit =
+    if (!spark.catalog.tableExists(s"${dsirPrefix(dir)}_llr")) {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_dsir_steady_").toString
+      landDsirModel(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", col("lang") === "en", 64, dsirPrefix(dir), path)
+    }
+
+  /** STEADY-STATE [[dsirDocs]]: score + cut under the LANDED model —
+    * the per-batch production plan (one scan-side kernel projection, a
+    * dims-row artifact read, the top-k heap); no posexplode, no model
+    * aggregate, no fit. Same answer, same oracle. */
+  def dsirDocsSteady(spark: SparkSession, dir: String): DataFrame = {
+    ensureDsirModel(spark, dir)
+    val llr = collectLlr(spark.table(s"${dsirPrefix(dir)}_llr"))
+    dsirScore(dsirBase(Tables.load(spark, dir, "documents"),
+      "doc_id", "text", col("lang") === "en", 64), llr, k = 100)
   }
 
   /** CORRECTNESS instantiation: English documents are the target domain,

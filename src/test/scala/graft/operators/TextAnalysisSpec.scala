@@ -953,6 +953,43 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got == want, s"got $got want $want")
   }
 
+  test("pplBuckets: per-language terciles partition the scored docs, monotone in score") {
+    val out = TextAnalysis.pplBucketDocs(spark, "/root/testdata/sf0.001")
+      .as[(Long, String, Double, String)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(out.map(_._4).toSet.subsetOf(Set("head", "middle", "tail")))
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val b = rows.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      for (h <- b.get("head"); m <- b.get("middle"))
+        assert(h.min >= m.max, s"$lang: head/middle overlap")
+      for (m <- b.get("middle"); t <- b.get("tail"))
+        assert(m.min >= t.max, s"$lang: middle/tail overlap")
+      // a tercile split of ≥ 3 docs populates every stratum
+      if (rows.size >= 3)
+        assert(b.keySet == Set("head", "middle", "tail"),
+          s"$lang: ${rows.size} docs split into ${b.keySet}")
+    }
+    // sub-2-token docs carry no perplexity and are excluded, others all present
+    val n = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(org.apache.spark.sql.functions.size(
+        TextAnalysis.tokens(org.apache.spark.sql.functions.col("text"))) >= 2)
+      .count()
+    assert(out.size.toLong == n)
+  }
+
+  test("dsirDocsSteady serves the retrain answer from the landed model") {
+    val dir = "/root/testdata/sf0.001"
+    val retrain = TextAnalysis.dsirDocs(spark, dir)
+      .as[(Long, Double, Int)].collect().toSet
+    val served = TextAnalysis.dsirDocsSteady(spark, dir)
+    assert(served.as[(Long, Double, Int)].collect().toSet == retrain)
+    // the landed artifact exists and the serve plan carries no model fit
+    assert(spark.catalog.tableExists(s"${TextAnalysis.dsirPrefix(dir)}_llr"))
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("posexplode"),
+      s"steady serve must not refit the lane model:\n$plan")
+  }
+
   test("dsirSelect is reproducible across reruns and partitionings") {
     val docs = (1 to 40).map(i =>
       (i.toLong, graft.TestDocs.doc(i), i % 3 == 0)).toDF("doc_id", "text", "tgt")
