@@ -227,6 +227,7 @@ object SparkEntry {
     "txt_budget_cap"    -> (TextAnalysis.budgetCapDocs _),
     "txt_dsir_steady"   -> ((s, d) => TextAnalysis.dsirDocsSteady(s, d)),
     "txt_ppl_buckets"   -> (TextAnalysis.pplBucketDocs _),
+    "txt_dsir_gumbel"   -> (TextAnalysis.dsirResampleDocs _),
     "txt_bm25_prf"      -> ((s, d) => TextAnalysis.bm25PrfDocs(s, d)),
     "txt_bm25_prf_steady" -> ((s, d) => TextAnalysis.bm25PrfSteady(s, d)),
     "txt_bpe"           -> (TextAnalysis.bpeMergeTable _),
@@ -327,7 +328,7 @@ object SparkEntry {
     "txt_bm25_prf_steady", "sim_ann_recall_refined", "sim_topk_res_refine",
     // round-10 session-3 additions
     "txt_dsir", "dedup_paragraphs", "q_hist_quantile", "q_hist_quantile_steady",
-    "txt_budget_cap", "txt_dsir_steady", "txt_ppl_buckets",
+    "txt_budget_cap", "txt_dsir_steady", "txt_ppl_buckets", "txt_dsir_gumbel",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -3112,6 +3113,46 @@ object SparkEntry {
         |  SELECT doc_id, weight,
         |    row_number() OVER (ORDER BY weight DESC, doc_id) AS rank
         |  FROM scored
+        |) WHERE rank <= 100""".stripMargin,
+    // Gumbel-top-k DSIR resample: the txt_dsir weight body + the
+    // deterministic md5 uniform (txt_mix spelling) through
+    // key = weight/2 − ln(−ln(u)), rounded 6 dp before the rank.
+    "txt_dsir_gumbel" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang = 'en' AS is_target,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), lanes AS (
+        |  SELECT doc_id, is_target,
+        |    list_transform(range(64), j -> len(list_filter(toks,
+        |      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) % 64 = j))) AS cnt
+        |  FROM d
+        |), model AS (
+        |  SELECT j AS lane,
+        |    sum(CASE WHEN is_target THEN cnt[CAST(j+1 AS BIGINT)] ELSE 0 END) AS tc,
+        |    sum(CASE WHEN NOT is_target THEN cnt[CAST(j+1 AS BIGINT)] ELSE 0 END) AS rc
+        |  FROM lanes, unnest(range(64)) AS t(j) GROUP BY j
+        |), tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM model),
+        |llr AS (
+        |  SELECT list(round(ln((tc + 1.0) / (tt + 64.0)) -
+        |                    ln((rc + 1.0) / (rt + 64.0)), 6) ORDER BY lane) AS l
+        |  FROM model, tot
+        |), scored AS (
+        |  SELECT doc_id,
+        |    round(list_sum(list_transform(range(64),
+        |      j -> CAST(cnt[CAST(j+1 AS BIGINT)] AS DOUBLE) * l[CAST(j+1 AS BIGINT)])), 6) AS weight
+        |  FROM lanes, llr WHERE NOT is_target
+        |), keyed AS (
+        |  SELECT doc_id, weight,
+        |    round(weight / 2.0 - ln(-ln(
+        |      (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 0.5)
+        |        / 4294967296.0)), 6) AS key
+        |  FROM scored
+        |)
+        |SELECT doc_id, weight, key, rank FROM (
+        |  SELECT doc_id, weight, key,
+        |    row_number() OVER (ORDER BY key DESC, doc_id) AS rank
+        |  FROM keyed
         |) WHERE rank <= 100""".stripMargin,
     // Source-level filter ground truth: same tokenizer, stopword list,
     // and greatest(len, 1) division guard as the Spark projection; the

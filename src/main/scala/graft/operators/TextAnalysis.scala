@@ -1708,17 +1708,58 @@ object TextAnalysis {
   private def collectLlr(llr: DataFrame): Array[Double] =
     llr.orderBy("lane").collect().map(_.getDouble(1))
 
-  private def dsirScore(base: DataFrame, llr: Array[Double],
-      k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The row-local importance-weight projection shared by the
+    * deterministic and Gumbel selections. */
+  private def dsirWeights(base: DataFrame, llr: Array[Double]): DataFrame = {
     val llrLit = array(llr.map(lit(_)).toIndexedSeq: _*)
-    val scored = base.filter(!col("is_target"))
+    base.filter(!col("is_target"))
       .select(col("doc_id"),
         round(aggregate(zip_with(col("cnt"), llrLit,
           (c, l) => c.cast("double") * l), lit(0.0), _ + _), 6).as("weight"))
+  }
+
+  private def dsirScore(base: DataFrame, llr: Array[Double],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = dsirWeights(base, llr)
     val w = Window.orderBy(col("weight").desc, col("doc_id").asc)
     scored.orderBy(col("weight").desc, col("doc_id").asc).limit(k)
       .withColumn("rank", row_number().over(w))
+  }
+
+  /** The paper's actual RESAMPLE step — Gumbel-top-k over the importance
+    * weights (sampling k documents ∝ exp(weight/T) without replacement,
+    * the standard Gumbel-max device): key = weight/T − ln(−ln(u)), top k
+    * by key. The noise u is the engine's DETERMINISTIC md5 draw (the
+    * [[temperatureMix]] / stratifiedSample convention — reproducible
+    * across runs, engines, and partitionings; a new epoch is a salt on
+    * the id, exactly [[mlmMask]]'s seed rule), so "sampling" here is a
+    * pure function of (corpus, model, T) — the property a data pipeline
+    * wants from its selection step. T → 0 recovers [[dsirSelect]]'s
+    * deterministic top-k; larger T trades match quality for diversity
+    * (the paper's motivation for resampling over ranking). Still
+    * entirely ROW-LOCAL after the model fit: one projection, the same
+    * top-k heap cut. */
+  def dsirResample(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, dims: Int = 64, k: Int = 100,
+      temp: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = dsirBase(docs, idCol, textCol, isTarget, dims)
+    val keyed = dsirWeights(base, collectLlr(dsirLlr(base, dims)))
+      .withColumn("u", GraftFunctions.md5Uniform(col("doc_id").cast("string")))
+      .withColumn("key",
+        round(col("weight") / temp - log(-log(col("u"))), 6))
+      .drop("u")
+    val w = Window.orderBy(col("key").desc, col("doc_id").asc)
+    keyed.orderBy(col("key").desc, col("doc_id").asc).limit(k)
+      .withColumn("rank", row_number().over(w))
+  }
+
+  /** CORRECTNESS instantiation: T = 2 resample of the [[dsirDocs]]
+    * selection problem. */
+  def dsirResampleDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    dsirResample(docs, "doc_id", "text", col("lang") === "en")
   }
 
   /** Land the fitted DSIR model — the dims-row (lane, llr) table — as a

@@ -911,46 +911,76 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!out.map(_._1).exists(id => id <= 10L), "target docs must never score")
   }
 
-  test("dsirSelect weights equal a driver-side replay of the hashed-bag model") {
-    val dims = 16
-    val docs = Seq(
-      (1L, "data table spark", true), (2L, "table spark spark query", true),
-      (3L, "window sort merge", false), (4L, "data table window", false),
-      (5L, "spark query data table", false),
-    ).toDF("doc_id", "text", "tgt")
-    def lanes(text: String): Array[Long] = {
-      val c = new Array[Long](dims)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).foreach { t =>
-        val d = md.digest(t.getBytes("UTF-8"))
-        val lane = ((((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
-          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)) % dims).toInt
-        c(lane) += 1
-      }
-      c
+  // ── DSIR driver-side replay machinery (shared by the weight and
+  //    Gumbel-key tests) ──
+  private val dsirDims = 16
+  private val dsirCorpus = Seq(1L -> true, 2L -> true, 3L -> false,
+    4L -> false, 5L -> false)
+  private val dsirTexts = Map(1L -> "data table spark",
+    2L -> "table spark spark query", 3L -> "window sort merge",
+    4L -> "data table window", 5L -> "spark query data table")
+  private def dsirDf = dsirCorpus
+    .map { case (id, tgt) => (id, dsirTexts(id), tgt) }
+    .toDF("doc_id", "text", "tgt")
+  private def md5Bytes(s: String): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+  private def dsirLanes(text: String): Array[Long] = {
+    val c = new Array[Long](dsirDims)
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).foreach { t =>
+      val d = md5Bytes(t)
+      val lane = ((((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)) % dsirDims).toInt
+      c(lane) += 1
     }
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val corpus = Seq(1L -> true, 2L -> true, 3L -> false, 4L -> false, 5L -> false)
-    val texts = Map(1L -> "data table spark", 2L -> "table spark spark query",
-      3L -> "window sort merge", 4L -> "data table window", 5L -> "spark query data table")
-    val tc = new Array[Long](dims); val rc = new Array[Long](dims)
-    corpus.foreach { case (id, tgt) =>
-      val l = lanes(texts(id))
-      (0 until dims).foreach(j => if (tgt) tc(j) += l(j) else rc(j) += l(j))
+    c
+  }
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  /** Weights replayed exactly as the operator computes them. */
+  private def dsirWantWeights: Map[Long, Double] = {
+    val tc = new Array[Long](dsirDims); val rc = new Array[Long](dsirDims)
+    dsirCorpus.foreach { case (id, tgt) =>
+      val l = dsirLanes(dsirTexts(id))
+      (0 until dsirDims).foreach(j => if (tgt) tc(j) += l(j) else rc(j) += l(j))
     }
     val (tt, rt) = (tc.sum, rc.sum)
-    val llr = (0 until dims).map(j => r6(
-      math.log((tc(j) + 1.0) / (tt + dims.toDouble)) -
-        math.log((rc(j) + 1.0) / (rt + dims.toDouble))))
-    val want = corpus.filterNot(_._2).map { case (id, _) =>
-      val l = lanes(texts(id))
-      id -> r6((0 until dims).foldLeft(0.0)((acc, j) => acc + l(j) * llr(j)))
+    val llr = (0 until dsirDims).map(j => r6(
+      math.log((tc(j) + 1.0) / (tt + dsirDims.toDouble)) -
+        math.log((rc(j) + 1.0) / (rt + dsirDims.toDouble))))
+    dsirCorpus.filterNot(_._2).map { case (id, _) =>
+      val l = dsirLanes(dsirTexts(id))
+      id -> r6((0 until dsirDims).foldLeft(0.0)((acc, j) => acc + l(j) * llr(j)))
     }.toMap
-    val got = TextAnalysis.dsirSelect(docs, "doc_id", "text", col("tgt"),
-        dims = dims, k = 10)
+  }
+
+  test("dsirSelect weights equal a driver-side replay of the hashed-bag model") {
+    val got = TextAnalysis.dsirSelect(dsirDf, "doc_id", "text", col("tgt"),
+        dims = dsirDims, k = 10)
       .select("doc_id", "weight").as[(Long, Double)].collect().toMap
+    assert(got == dsirWantWeights, s"got $got want $dsirWantWeights")
+  }
+
+  test("dsirResample keys equal weight/T − ln(−ln(u)) under the deterministic md5 draw") {
+    val temp = 2.0
+    val want = dsirWantWeights.map { case (id, w) =>
+      val d = md5Bytes(id.toString)
+      val prefix = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      val u = (prefix.toDouble + 0.5) / 4294967296.0
+      id -> (w, r6(w / temp - math.log(-math.log(u))))
+    }
+    val got = TextAnalysis.dsirResample(dsirDf, "doc_id", "text", col("tgt"),
+        dims = dsirDims, k = 10, temp = temp)
+      .select("doc_id", "weight", "key")
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
     assert(got == want, s"got $got want $want")
+    // ranks descend in key with the doc_id tie-break
+    val ranks = TextAnalysis.dsirResample(dsirDf, "doc_id", "text", col("tgt"),
+        dims = dsirDims, k = 10, temp = temp)
+      .select("doc_id", "key", "rank").as[(Long, Double, Int)].collect()
+      .sortBy(_._3).toSeq
+    assert(ranks.map(r => (-r._2, r._1)) == ranks.map(r => (-r._2, r._1)).sorted)
   }
 
   test("pplBuckets: per-language terciles partition the scored docs, monotone in score") {
