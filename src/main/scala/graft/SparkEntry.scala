@@ -228,6 +228,8 @@ object SparkEntry {
     "txt_dsir_steady"   -> ((s, d) => TextAnalysis.dsirDocsSteady(s, d)),
     "txt_ppl_buckets"   -> (TextAnalysis.pplBucketDocs _),
     "txt_dsir_gumbel"   -> (TextAnalysis.dsirResampleDocs _),
+    "txt_proximity"     -> (TextAnalysis.proximityDocs _),
+    "txt_proximity_steady" -> ((s, d) => TextAnalysis.proximityDocsSteady(s, d)),
     "txt_bm25_prf"      -> ((s, d) => TextAnalysis.bm25PrfDocs(s, d)),
     "txt_bm25_prf_steady" -> ((s, d) => TextAnalysis.bm25PrfSteady(s, d)),
     "txt_bpe"           -> (TextAnalysis.bpeMergeTable _),
@@ -329,6 +331,7 @@ object SparkEntry {
     // round-10 session-3 additions
     "txt_dsir", "dedup_paragraphs", "q_hist_quantile", "q_hist_quantile_steady",
     "txt_budget_cap", "txt_dsir_steady", "txt_ppl_buckets", "txt_dsir_gumbel",
+    "txt_proximity", "txt_proximity_steady",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1249,6 +1252,7 @@ object SparkEntry {
     "txt_bm25_steady" -> oracleBase("txt_bm25"),
     "q_hist_quantile_steady" -> oracleBase("q_hist_quantile"),
     "txt_dsir_steady" -> oracleBase("txt_dsir"),
+    "txt_proximity_steady" -> oracleBase("txt_proximity"),
     "txt_phrase_steady" -> oracleBase("txt_phrase"),
     // not a steady entry but the same exactness contract: the bloom gate
     // admits false positives only, and the exact join removes them — the
@@ -3114,6 +3118,32 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY weight DESC, doc_id) AS rank
         |  FROM scored
         |) WHERE rank <= 100""".stripMargin,
+    // Minimum covering window: the last-occurrence scan spelled as the
+    // same q max(CASE) window columns + least + min-per-doc — pure
+    // integer math, docs lacking any term excluded by the IS NOT NULL
+    // gate (≡ the Spark all-contains prefilter).
+    "txt_proximity" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), occ AS (
+        |  SELECT doc_id, j AS pos, toks[j] AS term
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS j FROM t)
+        |  WHERE toks[j] IN ('vector', 'merge', 'stream')
+        |), lastp AS (
+        |  SELECT doc_id, pos,
+        |    max(CASE WHEN term = 'vector' THEN pos END) OVER w AS l0,
+        |    max(CASE WHEN term = 'merge' THEN pos END) OVER w AS l1,
+        |    max(CASE WHEN term = 'stream' THEN pos END) OVER w AS l2
+        |  FROM occ
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT doc_id, CAST(min(pos - least(l0, l1, l2) + 1) AS BIGINT) AS prox_win
+        |FROM lastp
+        |WHERE l0 IS NOT NULL AND l1 IS NOT NULL AND l2 IS NOT NULL
+        |GROUP BY doc_id""".stripMargin,
     // Gumbel-top-k DSIR resample: the txt_dsir weight body + the
     // deterministic md5 uniform (txt_mix spelling) through
     // key = weight/2 − ln(−ln(u)), rounded 6 dp before the rank.

@@ -625,6 +625,81 @@ object TextAnalysis {
     phraseCountIndexed(spark, searchIndexPrefix(dir), searchPhrase)
   }
 
+  /** PROXIMITY ranking — the minimum covering window (the classic IR
+    * proximity signal, Clarke et al.'s cover density class: the
+    * tightest token span containing at least one occurrence of EVERY
+    * query term; tighter = more topical than scattered mentions), the
+    * retrieval-family member between the unordered bag ([[bm25Rank]])
+    * and the exact sequence ([[phraseCount]]).
+    *
+    * The algorithm is the published last-occurrence scan: walking the
+    * doc's query-term occurrences in position order, the best window
+    * ENDING at position p is p − min(last occurrence of each term) + 1
+    * once every term has been seen; the document's score is the min
+    * over p. Spelled as ONE window pass — q `max(CASE)` columns over
+    * the same (doc_id, pos) frame, then least/min — all integer math,
+    * no float discipline anywhere.
+    *
+    * Scale shape: candidate docs prune SCAN-SIDE (every query term
+    * `array_contains` before the explode — only docs containing ALL
+    * terms ever explode), only query-term occurrence rows (doc_id, pos,
+    * term) shuffle into the doc-keyed window, per-doc frames are
+    * occurrence-list-bounded (never a whole-partition sort), and the
+    * final min-per-doc aggregate reuses the window's partitioning — no
+    * second exchange. The STEADY form serves the same tail off the
+    * landed bucket-pruned `_positions` table: no tokenize, no explode,
+    * a `term IN (query)` scan that reads only the query terms'
+    * buckets. */
+  def proximityRank(docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String]): DataFrame = {
+    val w = tokens(col(textCol))
+    val positions = docs
+      .filter(query.map(t => array_contains(w, t)).reduce(_ && _))
+      .select(col(idCol).as("doc_id"), posexplode(w))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        col("col").as("term"))
+    proximityOver(positions, query)
+  }
+
+  /** The window-scan tail over ANY (term, doc_id, pos) relation — the
+    * direct tokenize, the landed `_positions` table, or the streaming
+    * maintainer's accumulated generations (manifest-resolved: the
+    * L-last-occurrence scan is NOT duplication-inert). */
+  private[graft] def proximityOver(positions: DataFrame,
+      query: Seq[String]): DataFrame = {
+    require(query.length >= 2 && query.distinct == query,
+      "proximity needs >= 2 distinct terms")
+    import org.apache.spark.sql.expressions.Window
+    val frame = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val lasts = query.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("pos"))).over(frame).as(s"__l$i")
+    }
+    val occ = positions.filter(col("term").isin(query: _*))
+      .select(col("doc_id") +: col("pos") +: lasts: _*)
+    occ
+      .filter(query.indices.map(i => col(s"__l$i").isNotNull).reduce(_ && _))
+      .select(col("doc_id"),
+        (col("pos") - least(query.indices.map(i => col(s"__l$i")): _*) + 1)
+          .as("win"))
+      .groupBy("doc_id")
+      .agg(min(col("win")).cast("long").as("prox_win"))
+  }
+
+  /** CORRECTNESS instantiation: minimum [[searchQuery]]-covering window
+    * per matching document. */
+  def proximityDocs(spark: SparkSession, dir: String): DataFrame =
+    proximityRank(Tables.load(spark, dir, "documents"), "doc_id", "text",
+      searchQuery)
+
+  /** STEADY-STATE [[proximityDocs]]: the same window tail off the landed
+    * bucket-pruned positional index — same answer, same oracle. */
+  def proximityDocsSteady(spark: SparkSession, dir: String): DataFrame = {
+    ensureSearchIndex(spark, dir)
+    proximityOver(spark.table(s"${searchIndexPrefix(dir)}_positions"),
+      searchQuery)
+  }
+
   /** Catalog table-name prefix for a corpus dir's landed search index
     * (MD5 of the dir — the [[graft.operators.Dedup.steadyIndexPrefix]]
     * collision rationale). */

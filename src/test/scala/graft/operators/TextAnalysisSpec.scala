@@ -983,6 +983,32 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(ranks.map(r => (-r._2, r._1)) == ranks.map(r => (-r._2, r._1)).sorted)
   }
 
+  test("proximityRank: minimum covering windows on planted position patterns") {
+    val q = Seq("vector", "merge", "stream")
+    val docs = Seq(
+      (1L, "vector x merge stream"),                     // v1 m3 s4 → 4
+      (2L, "merge vector stream vector"),                // m1 v2 s3 → 3
+      (3L, "vector merge x x stream merge vector"),      // s5 m6 v7 → 3
+      (4L, "vector merge only"),                         // missing stream
+      (5L, "stream merge vector"),                       // adjacent → 3
+      (6L, "vector x x x x x x x merge stream vector"),  // m9 s10 v11 → 3
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.proximityRank(docs, "doc_id", "text", q)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 4L, 2L -> 3L, 3L -> 3L, 5L -> 3L, 6L -> 3L),
+      s"got $got")
+  }
+
+  test("proximityDocsSteady serves the direct answer from the landed positional index") {
+    val dir = "/root/testdata/sf0.001"
+    val direct = TextAnalysis.proximityDocs(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(direct.nonEmpty, "searchQuery must co-occur somewhere at sf0.001")
+    val served = TextAnalysis.proximityDocsSteady(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(served == direct)
+  }
+
   test("pplBuckets: per-language terciles partition the scored docs, monotone in score") {
     val out = TextAnalysis.pplBucketDocs(spark, "/root/testdata/sf0.001")
       .as[(Long, String, Double, String)].collect().toSeq
