@@ -230,6 +230,7 @@ object SparkEntry {
     "txt_dsir_gumbel"   -> (TextAnalysis.dsirResampleDocs _),
     "txt_proximity"     -> (TextAnalysis.proximityDocs _),
     "txt_proximity_steady" -> ((s, d) => TextAnalysis.proximityDocsSteady(s, d)),
+    "q_stationary"      -> (Analytics.stationaryEvents _),
     "txt_bm25_prf"      -> ((s, d) => TextAnalysis.bm25PrfDocs(s, d)),
     "txt_bm25_prf_steady" -> ((s, d) => TextAnalysis.bm25PrfSteady(s, d)),
     "txt_bpe"           -> (TextAnalysis.bpeMergeTable _),
@@ -331,7 +332,7 @@ object SparkEntry {
     // round-10 session-3 additions
     "txt_dsir", "dedup_paragraphs", "q_hist_quantile", "q_hist_quantile_steady",
     "txt_budget_cap", "txt_dsir_steady", "txt_ppl_buckets", "txt_dsir_gumbel",
-    "txt_proximity", "txt_proximity_steady",
+    "txt_proximity", "txt_proximity_steady", "q_stationary",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -350,6 +351,40 @@ object SparkEntry {
     * previous round's merged token strings — `replace` scans the input
     * identically in both engines, so the merge tables are an exact
     * cross-engine fixpoint. */
+  /** q_stationary oracle, generated per power iteration: the
+    * q_transitions body → row-normalized 6-dp probabilities → uniform
+    * π0 → `iters` unrolled π·P CTEs, each LEFT-joined from the full
+    * state list so mass-starved states keep explicit zeros (mirroring
+    * the operator's all-types emit), each 6-dp rounded (the kmeans
+    * per-iteration discipline). */
+  private def stationaryOracleSql(iters: Int = 5): String = {
+    val head =
+      """WITH types AS (SELECT DISTINCT event_type AS state FROM events),
+        |k AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM types),
+        |trans AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM (
+        |    SELECT event_type AS from_type,
+        |      lead(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY epoch_ns(ts) // 1000, event_id) AS to_type
+        |    FROM events
+        |  ) WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |), rowtot AS (SELECT from_type, sum(n) AS tot FROM trans GROUP BY 1),
+        |m AS (SELECT t.from_type, t.to_type,
+        |        round(CAST(t.n AS DOUBLE) / r.tot, 6) AS prob
+        |      FROM trans t JOIN rowtot r USING (from_type)),
+        |p0 AS (SELECT state, round(1.0 / k.k, 6) AS p FROM types, k)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s""",
+         |p$i AS (
+         |  SELECT ty.state, round(coalesce(sum(pp.p * m.prob), 0.0), 6) AS p
+         |  FROM types ty
+         |  LEFT JOIN m ON m.to_type = ty.state
+         |  LEFT JOIN p${i - 1} pp ON pp.state = m.from_type
+         |  GROUP BY ty.state)""".stripMargin
+    }.mkString
+    head + iterCtes + s"\nSELECT state, p FROM p$iters"
+  }
+
   private def bpeOracleSql(iters: Int = 3): String = {
     val d0 = "d0 AS (\n" +
       "  SELECT ' ' || array_to_string(list_filter(string_split_regex(lower(text), " +
@@ -1737,6 +1772,7 @@ object SparkEntry {
         |FROM f GROUP BY 1""".stripMargin,
     "sim_kmeans" -> kmeansOracleSql(),
     "txt_bpe" -> bpeOracleSql(),
+    "q_stationary" -> stationaryOracleSql(),
     "txt_bpe_apply" -> bpeApplyOracleSql(),
     "txt_fertility" -> bpeFertilityOracleSql(),
     "txt_quality_lr" -> lrOracleSql(),

@@ -312,6 +312,53 @@ object Analytics {
   def eventTransitionMatrix(spark: SparkSession, dir: String): DataFrame =
     eventTransitions(Tables.load(spark, dir, "events"))
 
+  /** STATIONARY event mix — the long-run state distribution of the
+    * [[eventTransitions]] Markov chain by power iteration (π P^T
+    * applied `iters` times from uniform): the "where does user behavior
+    * settle" number behind session-mix dashboards, and the analytics
+    * sibling of the PageRank recurrence (public: the power method).
+    *
+    * Scale split, explicitly: the CORPUS-scale work is the one
+    * transition-count aggregate (the [[eventTransitions]] plan — a
+    * doc-keyed window + two-phase count); everything after it is a
+    * ≤ |types|² relation, which COLLECTS (the bounded trainer class —
+    * k-means centroids, BPE merge tables, LR weights) and iterates
+    * driver-side in a canonical sorted order, 6-dp rounded per
+    * iteration (the kmeans cross-engine discipline — the oracle
+    * replays every iteration as an unrolled CTE). Emitting the final π
+    * as literals is the honest design: a distributed spelling of a
+    * 25-row fixpoint would re-run the corpus aggregate once per
+    * iteration for nothing.
+    *
+    * States with no outgoing transitions would leak mass (the dangling-
+    * node caveat of every power method); all event types transition in
+    * this schema, and the spec pins conservation Σπ ≈ 1. */
+  def stationaryEventMix(events: DataFrame, iters: Int = 5): DataFrame = {
+    val spark = events.sparkSession
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val trans = eventTransitions(events)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val types = events.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val tot = trans.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val prob = trans.map { case (f, t, n) => (f, t) -> r6(n.toDouble / tot(f)) }.toMap
+    var p = types.map(s => s -> r6(1.0 / types.length)).toMap
+    (1 to iters).foreach { _ =>
+      p = types.map { to =>
+        to -> r6(types.foldLeft(0.0)((acc, from) =>
+          acc + p(from) * prob.getOrElse((from, to), 0.0)))
+      }.toMap
+    }
+    import spark.implicits._
+    types.map(s => (s, p(s))).toSeq.toDF("state", "p")
+  }
+
+  /** CORRECTNESS instantiation: 5 power iterations over the events
+    * chain. */
+  def stationaryEvents(spark: SparkSession, dir: String): DataFrame =
+    stationaryEventMix(Tables.load(spark, dir, "events"))
+
   /** EXACT sliding-window distinct users — distinct-over-a-trailing-range
     * is NOT sum-of-dailies (users repeat across days), and a RANGE-frame
     * `count_distinct` window does not exist; the scalable exact spelling

@@ -449,6 +449,27 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("stationaryEventMix: conserves mass and converges on a hand-built chain") {
+    import java.sql.Timestamp
+    // one user walks a -> b -> a -> b ... : stationary = (0.5, 0.5)
+    val walk = (1 to 40).map(i =>
+      (i.toLong, Timestamp.valueOf(f"2024-01-01 10:${i}%02d:00"), 1L,
+        if (i % 2 == 1) "a" else "b", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Analytics.stationaryEventMix(walk, iters = 5)
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("a" -> 0.5, "b" -> 0.5), s"got $got")
+    // real data: mass conserved within per-iteration rounding, all
+    // states present, every p in [0, 1]
+    val mix = Analytics.stationaryEvents(spark, dir)
+      .as[(String, Double)].collect()
+    assert(math.abs(mix.map(_._2).sum - 1.0) < 1e-4, s"mass ${mix.map(_._2).sum}")
+    assert(mix.forall(r => r._2 >= 0.0 && r._2 <= 1.0))
+    val types = graft.sources.Tables.load(spark, dir, "events")
+      .select("event_type").distinct().count()
+    assert(mix.length.toLong == types)
+  }
+
   test("histQuantiles: empty day range answers zero rows") {
     import java.sql.Timestamp
     val events = Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "c", 5.0))
