@@ -222,4 +222,18 @@ object StreamSearchIndex {
       readSide(spark, s"$indexDir/positions",
         Some(phrase.map(termBucket).distinct.sorted)),
       phrase)
+
+  /** Minimum-covering-window proximity ranking off the live positional
+    * generations — the [[TextAnalysis.proximityOver]] window tail, with
+    * the read pruned to the query terms' partitions like
+    * [[searchPhrase]]'s. The scan is NOT duplication-inert (a
+    * duplicated position row cannot change a max-so-far, but readers
+    * still resolve fold manifests so a fold and its sources are never
+    * both read — the shared readSide rule). */
+  def searchProximity(spark: SparkSession, indexDir: String,
+      query: Seq[String]): DataFrame =
+    TextAnalysis.proximityOver(
+      readSide(spark, s"$indexDir/positions",
+        Some(query.map(termBucket).distinct.sorted)),
+      query)
 }

@@ -106,6 +106,19 @@ class StreamSearchIndexSpec extends SparkTestBase {
       .filter(_.isDirectory).map(_.getName)
     assert(posGens.exists(_.startsWith("gen-compact-")), "positions must fold too")
 
+    // proximity serve over the same streamed positions: equals the batch
+    // minimum-covering-window operator on the union corpus
+    val pq = TextAnalysis.searchQuery
+    def proxWant(corpus: Seq[(Long, String)]): Map[Long, Long] =
+      TextAnalysis.proximityRank(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", pq).as[(Long, Long)].collect().toMap
+    def proxNow(): Map[Long, Long] =
+      StreamSearchIndex.searchProximity(spark, indexDir, pq)
+        .as[(Long, Long)].collect().toMap
+    assert(proxWant(all).nonEmpty, "the fixture query must co-occur at sf0.001")
+    assert(proxNow() == proxWant(all),
+      "streamed positional index must serve the batch proximity answer")
+
     // a crashed fold's tmp dir is invisible; the next compaction sweeps
     // it and the deferred sources, and answers stay exact
     val tmpFold = new java.io.File(s"$indexDir/postings/tmp-gen-compact-99")
