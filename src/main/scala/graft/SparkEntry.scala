@@ -231,6 +231,7 @@ object SparkEntry {
     "txt_proximity"     -> (TextAnalysis.proximityDocs _),
     "txt_proximity_steady" -> ((s, d) => TextAnalysis.proximityDocsSteady(s, d)),
     "q_stationary"      -> (Analytics.stationaryEvents _),
+    "q_zorder"          -> (Analytics.zOrderEvents _),
     "txt_bm25_prf"      -> ((s, d) => TextAnalysis.bm25PrfDocs(s, d)),
     "txt_bm25_prf_steady" -> ((s, d) => TextAnalysis.bm25PrfSteady(s, d)),
     "txt_bpe"           -> (TextAnalysis.bpeMergeTable _),
@@ -332,7 +333,7 @@ object SparkEntry {
     // round-10 session-3 additions
     "txt_dsir", "dedup_paragraphs", "q_hist_quantile", "q_hist_quantile_steady",
     "txt_budget_cap", "txt_dsir_steady", "txt_ppl_buckets", "txt_dsir_gumbel",
-    "txt_proximity", "txt_proximity_steady", "q_stationary",
+    "txt_proximity", "txt_proximity_steady", "q_stationary", "q_zorder",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1773,6 +1774,32 @@ object SparkEntry {
     "sim_kmeans" -> kmeansOracleSql(),
     "txt_bpe" -> bpeOracleSql(),
     "q_stationary" -> stationaryOracleSql(),
+    // The z_order2 kernel replayed bit-for-bit: sign-flip via xor with
+    // 2^31 (inputs are non-negative here, so the 64-bit xor + mask ≡ the
+    // kernel's 32-bit xor), five spread rounds per dimension in UBIGINT
+    // (multiplication stands in for << — DuckDB's shift raises on signed
+    // overflow), interleave, flip the sign bit back via HUGEINT.
+    "q_zorder" ->
+      """WITH s AS (
+        |  SELECT event_id,
+        |    CAST(xor(CAST(CAST(user_id AS INTEGER) AS BIGINT), 2147483648) & 4294967295 AS UBIGINT) AS a0,
+        |    CAST(xor(CAST(CAST(floor(value) AS INTEGER) AS BIGINT), 2147483648) & 4294967295 AS UBIGINT) AS b0
+        |  FROM events
+        |), c1 AS (SELECT event_id, (a0 | (a0 * 65536)) & CAST(281470681808895 AS UBIGINT) AS a1,
+        |                           (b0 | (b0 * 65536)) & CAST(281470681808895 AS UBIGINT) AS b1 FROM s),
+        |c2 AS (SELECT event_id, (a1 | (a1 * 256)) & CAST(71777214294589695 AS UBIGINT) AS a2,
+        |                        (b1 | (b1 * 256)) & CAST(71777214294589695 AS UBIGINT) AS b2 FROM c1),
+        |c3 AS (SELECT event_id, (a2 | (a2 * 16)) & CAST(1085102592571150095 AS UBIGINT) AS a3,
+        |                        (b2 | (b2 * 16)) & CAST(1085102592571150095 AS UBIGINT) AS b3 FROM c2),
+        |c4 AS (SELECT event_id, (a3 | (a3 * 4)) & CAST(3689348814741910323 AS UBIGINT) AS a4,
+        |                        (b3 | (b3 * 4)) & CAST(3689348814741910323 AS UBIGINT) AS b4 FROM c3),
+        |c5 AS (SELECT event_id, (a4 | (a4 * 2)) & CAST(6148914691236517205 AS UBIGINT) AS a5,
+        |                        (b4 | (b4 * 2)) & CAST(6148914691236517205 AS UBIGINT) AS b5 FROM c4),
+        |z AS (SELECT event_id, xor(a5 | (b5 * 2), CAST(9223372036854775808 AS UBIGINT)) AS zu FROM c5)
+        |SELECT event_id,
+        |  CAST(CAST(zu AS HUGEINT) - CASE WHEN zu >= CAST(9223372036854775808 AS UBIGINT)
+        |    THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT) AS zval
+        |FROM z""".stripMargin,
     "txt_bpe_apply" -> bpeApplyOracleSql(),
     "txt_fertility" -> bpeFertilityOracleSql(),
     "txt_quality_lr" -> lrOracleSql(),

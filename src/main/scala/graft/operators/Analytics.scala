@@ -359,6 +359,21 @@ object Analytics {
   def stationaryEvents(spark: SparkSession, dir: String): DataFrame =
     stationaryEventMix(Tables.load(spark, dir, "events"))
 
+  /** The Morton z-value projection as a QUERY — the clustering key
+    * [[graft.sources.Layout.writeZOrdered]] sorts by, surfaced so the
+    * `z_order2` codegen kernel has a full value-level DuckDB oracle
+    * (ZOrderLayoutSpec pins the layout effect; this pins every output
+    * bit of the kernel itself on real data: sign-flip, five
+    * spread-mask rounds per dimension, interleave, flip-back). Pure
+    * scan-side projection, zero shuffles. */
+  def zOrderKeys(events: DataFrame): DataFrame =
+    events.select(col("event_id"),
+      graft.functions.GraftFunctions.zOrder2(col("user_id").cast("int"),
+        floor(col("value")).cast("int")).as("zval"))
+
+  def zOrderEvents(spark: SparkSession, dir: String): DataFrame =
+    zOrderKeys(Tables.load(spark, dir, "events"))
+
   /** EXACT sliding-window distinct users — distinct-over-a-trailing-range
     * is NOT sum-of-dailies (users repeat across days), and a RANGE-frame
     * `count_distinct` window does not exist; the scalable exact spelling
