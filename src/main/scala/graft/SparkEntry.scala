@@ -232,6 +232,7 @@ object SparkEntry {
     "txt_proximity_steady" -> ((s, d) => TextAnalysis.proximityDocsSteady(s, d)),
     "q_stationary"      -> (Analytics.stationaryEvents _),
     "q_zorder"          -> (Analytics.zOrderEvents _),
+    "q_anomaly_mad"     -> (Analytics.eventRobustAnomalies _),
     "txt_bm25_prf"      -> ((s, d) => TextAnalysis.bm25PrfDocs(s, d)),
     "txt_bm25_prf_steady" -> ((s, d) => TextAnalysis.bm25PrfSteady(s, d)),
     "txt_bpe"           -> (TextAnalysis.bpeMergeTable _),
@@ -334,6 +335,7 @@ object SparkEntry {
     "txt_dsir", "dedup_paragraphs", "q_hist_quantile", "q_hist_quantile_steady",
     "txt_budget_cap", "txt_dsir_steady", "txt_ppl_buckets", "txt_dsir_gumbel",
     "txt_proximity", "txt_proximity_steady", "q_stationary", "q_zorder",
+    "q_anomaly_mad",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1774,6 +1776,26 @@ object SparkEntry {
     "sim_kmeans" -> kmeansOracleSql(),
     "txt_bpe" -> bpeOracleSql(),
     "q_stationary" -> stationaryOracleSql(),
+    // Median/MAD robust anomalies: exact quantile_cont ≡ Spark's
+    // percentile interpolation, 6-dp cutoff discipline, NULL rz where
+    // MAD = 0 via nullif on both engines.
+    "q_anomaly_mad" ->
+      """WITH byday AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), med AS (
+        |  SELECT event_type, round(quantile_cont(n, 0.5), 6) AS med
+        |  FROM byday GROUP BY 1
+        |), wm AS (
+        |  SELECT b.event_type, b.day, b.n, m.med, abs(b.n - m.med) AS dev
+        |  FROM byday b JOIN med m USING (event_type)
+        |), mad AS (
+        |  SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
+        |  FROM wm GROUP BY 1
+        |)
+        |SELECT w.event_type, w.day, w.n, w.med, d.mad,
+        |  round(0.6745 * (w.n - w.med) / nullif(d.mad, 0.0), 6) AS rz
+        |FROM wm w JOIN mad d USING (event_type)""".stripMargin,
     // The z_order2 kernel replayed bit-for-bit: sign-flip via xor with
     // 2^31 (inputs are non-negative here, so the 64-bit xor + mask ≡ the
     // kernel's 32-bit xor), five spread rounds per dimension in UBIGINT

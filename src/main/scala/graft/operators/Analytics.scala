@@ -552,6 +552,41 @@ object Analytics {
   def eventAnomalies(spark: SparkSession, dir: String): DataFrame =
     dailyAnomalies(Tables.load(spark, dir, "events"))
 
+  /** ROBUST daily anomalies — the median/MAD sibling of
+    * [[dailyAnomalies]]' mean/stddev z-scores (the public robust-stats
+    * recipe: a single extreme day inflates the mean AND the stddev,
+    * masking itself and flagging normal days; the median and the median
+    * absolute deviation have a 50% breakdown point, so outliers can't
+    * hide themselves). Score = 0.6745·(n − median)/MAD (the standard
+    * consistency constant making MAD comparable to σ under normality),
+    * NULL where MAD = 0 (a constant series has no scale — the
+    * [[dailyAnomalies]] nullif discipline).
+    *
+    * Scale shape: the corpus collapses to per-(type, day) counts
+    * (two-phase); each robust center is an exact `percentile` aggregate
+    * moving ONE row per type (the calibratedQualityFloor discipline,
+    * ≡ DuckDB quantile_cont, 6-dp), broadcast back — two tiny
+    * aggregate+join rounds over the already-aggregated day grid, the
+    * corpus is read once. */
+  def robustDailyAnomalies(events: DataFrame): DataFrame = {
+    val byDay = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val med = byDay.groupBy("event_type")
+      .agg(round(percentile(col("n"), lit(0.5)), 6).as("med"))
+    val withMed = byDay.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("n") - col("med")))
+    val mad = withMed.groupBy("event_type")
+      .agg(round(percentile(col("dev"), lit(0.5)), 6).as("mad"))
+    withMed.join(broadcast(mad), "event_type")
+      .select(col("event_type"), col("day"), col("n"), col("med"), col("mad"),
+        round(lit(0.6745) * (col("n") - col("med")) /
+          nullif(col("mad"), lit(0.0d)), 6).as("rz"))
+  }
+
+  def eventRobustAnomalies(spark: SparkSession, dir: String): DataFrame =
+    robustDailyAnomalies(Tables.load(spark, dir, "events"))
+
   /** Fixed-width value histogram per event type: two-phase aggregate on
     * (type, bin) — the profiling primitive behind any numeric-distribution
     * dashboard. floor() bins so negative values land in negative bins

@@ -449,6 +449,32 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("robustDailyAnomalies: an extreme day cannot mask itself; MAD=0 series score NULL") {
+    import java.sql.Timestamp
+    def day(d: Int, k: Int) = (1 to k).map(i =>
+      ((d * 100 + i).toLong, Timestamp.valueOf(f"2024-01-$d%02d 10:00:00"),
+        i.toLong, "spike", 0.0))
+    // 6 normal days of ~10 events, one day of 100
+    val spiky = (1 to 6).flatMap(d => day(d, 10 + d % 2)) ++ day(7, 100)
+    // a perfectly constant series: MAD = 0, rz must be NULL
+    val flat = (10 to 14).flatMap(d => (1 to 5).map(i =>
+      ((d * 1000 + i).toLong, Timestamp.valueOf(f"2024-01-$d%02d 11:00:00"),
+        i.toLong, "flat", 0.0)))
+    val events = (spiky ++ flat)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Analytics.robustDailyAnomalies(events)
+      .as[(String, java.sql.Timestamp, Long, Double, Double, Option[Double])]
+      .collect()
+    val spike = out.filter(_._1 == "spike")
+    val spikeDay = spike.maxBy(_._3)
+    assert(spikeDay._3 == 100L && spikeDay._6.get > 3.0,
+      s"the 100-event day must flag: $spikeDay")
+    assert(spike.filter(_._3 <= 11).forall(r => math.abs(r._6.get) <= 3.0),
+      s"normal days must not flag: ${spike.toSeq}")
+    assert(out.filter(_._1 == "flat").forall(_._6.isEmpty),
+      "a constant series has no scale - rz must be NULL")
+  }
+
   test("stationaryEventMix: conserves mass and converges on a hand-built chain") {
     import java.sql.Timestamp
     // one user walks a -> b -> a -> b ... : stationary = (0.5, 0.5)
