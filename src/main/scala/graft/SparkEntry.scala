@@ -233,6 +233,7 @@ object SparkEntry {
     "q_stationary"      -> (Analytics.stationaryEvents _),
     "q_zorder"          -> (Analytics.zOrderEvents _),
     "q_anomaly_mad"     -> (Analytics.eventRobustAnomalies _),
+    "mm_interleave"     -> ((s, d) => Multimodal.interleavedSamples(s, d)),
     "txt_bm25_prf"      -> ((s, d) => TextAnalysis.bm25PrfDocs(s, d)),
     "txt_bm25_prf_steady" -> ((s, d) => TextAnalysis.bm25PrfSteady(s, d)),
     "txt_bpe"           -> (TextAnalysis.bpeMergeTable _),
@@ -335,7 +336,7 @@ object SparkEntry {
     "txt_dsir", "dedup_paragraphs", "q_hist_quantile", "q_hist_quantile_steady",
     "txt_budget_cap", "txt_dsir_steady", "txt_ppl_buckets", "txt_dsir_gumbel",
     "txt_proximity", "txt_proximity_steady", "q_stationary", "q_zorder",
-    "q_anomaly_mad",
+    "q_anomaly_mad", "mm_interleave",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1776,6 +1777,34 @@ object SparkEntry {
     "sim_kmeans" -> kmeansOracleSql(),
     "txt_bpe" -> bpeOracleSql(),
     "q_stationary" -> stationaryOracleSql(),
+    // Interleaved multimodal sample manifests: non-overlapping 16-token
+    // chunks in odd slots, the media item in the doc_id-mod-(n_chunks+1)
+    // even slot, patch cost 64 + n_bytes mod 192 — the whole assembly
+    // replayed with an ORDER BY pos string_agg.
+    "mm_interleave" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS BIGINT) AS n
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, text, n, CAST(ceil(n / 16.0) AS BIGINT) AS n_chunks FROM b
+        |), txt AS (
+        |  SELECT doc_id, 2*j + 1 AS pos, 'txt' AS kind,
+        |    least(16, n - 16*j) AS cost
+        |  FROM c, unnest(range(n_chunks)) AS t(j) WHERE n > 0
+        |), med AS (
+        |  SELECT doc_id, 2 * (doc_id % (n_chunks + 1)) AS pos,
+        |    (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+        |    64 + (length(text) % 192) AS cost
+        |  FROM c
+        |), u AS (
+        |  SELECT * FROM txt UNION ALL SELECT * FROM med
+        |)
+        |SELECT doc_id, count(*) AS n_items,
+        |  CAST(sum(CASE WHEN kind = 'txt' THEN cost ELSE 0 END) AS BIGINT) AS text_tokens,
+        |  CAST(sum(CASE WHEN kind <> 'txt' THEN cost ELSE 0 END) AS BIGINT) AS patch_cost,
+        |  string_agg(kind || ':' || cost, '|' ORDER BY pos) AS manifest
+        |FROM u GROUP BY doc_id""".stripMargin,
     // Median/MAD robust anomalies: exact quantile_cont ≡ Spark's
     // percentile interpolation, 6-dp cutoff discipline, NULL rz where
     // MAD = 0 via nullif on both engines.

@@ -180,4 +180,62 @@ object Multimodal {
     mediaTable(spark, dir)
       .select(col("media_id"), array(lanes: _*).as("feature"))
   }
+
+  /** INTERLEAVED multimodal sample assembly — the step that turns a
+    * (documents, media) pair into the ordered text-and-image sequences
+    * interleaved-pretraining corpora ship (the public MMC4 / OBELICS
+    * format: media items spliced between text chunks, each item carrying
+    * its modality and its context cost — text in tokens, media in
+    * patches — so the trainer's packing stage can budget sequences
+    * without touching payloads).
+    *
+    * Per document: non-overlapping `chunk`-token text chunks occupy the
+    * odd sequence slots in order; the document's media item splices into
+    * the even slot chosen by the deterministic `doc_id mod (n_chunks+1)`
+    * draw (this corpus has no native alignment marks — a real crawl
+    * supplies the media's document OFFSET here, same plan); media cost is
+    * the stub codec's patch count (64 + n_bytes mod 192 — a ViT-style
+    * resolution-dependent patch budget, derived from metadata only).
+    *
+    * Scale shape: both sides are row-local projections off their scans
+    * (the text explode runs over a cheap int sequence — the
+    * dedup_paragraphs InferFiltersFromGenerate lesson); the only shuffle
+    * is the per-doc assembly fold (collect_list of (pos, item) structs,
+    * array_sort — per-doc bounded by construction), and payload bytes
+    * appear NOWHERE in the plan: the manifest is metadata end to end. */
+  def interleavedSamples(spark: SparkSession, dir: String,
+      chunk: Int = 16): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n"))
+      .withColumn("n_chunks",
+        ceil(col("n").cast("double") / chunk).cast("long"))
+    val txt = base.filter(col("n") > 0)
+      .select(col("doc_id"), col("n"),
+        posexplode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(col("doc_id"), (col("col") * 2 + 1).as("pos"),
+        lit("txt").as("kind"),
+        least(lit(chunk.toLong), col("n") - col("col") * chunk).as("cost"))
+    val med = mediaTable(spark, dir)
+      .select(col("media_id").as("doc_id"), col("media_type"),
+        col("meta.n_bytes").as("nb"))
+      .join(base.select(col("doc_id"), col("n_chunks")), "doc_id")
+      .select(col("doc_id"),
+        (pmod(col("doc_id"), col("n_chunks") + 1) * 2).as("pos"),
+        col("media_type").as("kind"),
+        (lit(64L) + pmod(col("nb"), lit(192L))).as("cost"))
+    txt.unionByName(med)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(when(col("kind") === "txt", col("cost")).otherwise(0L))
+          .as("text_tokens"),
+        sum(when(col("kind") =!= "txt", col("cost")).otherwise(0L))
+          .as("patch_cost"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"),
+            concat(col("kind"), lit(":"), col("cost")).as("item")))),
+          s => s.getField("item")), "|").as("manifest"))
+  }
 }

@@ -61,4 +61,32 @@ class MultimodalSpec extends SparkTestBase {
     assert(f1.forall(_._2.length == 16))
     assert(f1.forall(_._2.forall(v => v >= 0f && v < 1f)))
   }
+
+  test("interleavedSamples: one media item per doc, ordered slots, costs account exactly") {
+    val out = Multimodal.interleavedSamples(spark, dir)
+      .as[(Long, Long, Long, Long, String)].collect()
+    val tokens = graft.operators.TextAnalysis.tokens(
+      org.apache.spark.sql.functions.col("text"))
+    val nTok = graft.sources.Tables.load(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(tokens).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(out.length == nTok.size, "one sample per document")
+    out.foreach { case (id, nItems, textTokens, patchCost, manifest) =>
+      val items = manifest.split('|').toSeq
+      assert(items.length.toLong == nItems)
+      val media = items.filterNot(_.startsWith("txt:"))
+      assert(media.length == 1, s"doc $id: exactly one media item, got $manifest")
+      assert(Set("image", "audio", "video").contains(media.head.split(':')(0)))
+      assert(patchCost >= 64 && patchCost < 256, s"doc $id: $patchCost")
+      // text costs in the manifest sum to the doc's token count
+      val txtSum = items.filter(_.startsWith("txt:")).map(_.split(':')(1).toLong).sum
+      assert(txtSum == textTokens && textTokens == nTok(id),
+        s"doc $id: manifest $txtSum, column $textTokens, corpus ${nTok(id)}")
+      // every text slot carries 1..16 tokens, only the final may be short
+      val costs = items.filter(_.startsWith("txt:")).map(_.split(':')(1).toInt)
+      assert(costs.dropRight(1).forall(_ == 16) &&
+        costs.takeRight(1).forall(c => c >= 1 && c <= 16), s"doc $id: $costs")
+    }
+  }
 }
