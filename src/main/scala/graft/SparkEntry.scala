@@ -234,6 +234,7 @@ object SparkEntry {
     "q_zorder"          -> (Analytics.zOrderEvents _),
     "q_anomaly_mad"     -> (Analytics.eventRobustAnomalies _),
     "mm_interleave"     -> ((s, d) => Multimodal.interleavedSamples(s, d)),
+    "mm_pack"           -> ((s, d) => Multimodal.packedSamples(s, d)),
     "txt_bm25_prf"      -> ((s, d) => TextAnalysis.bm25PrfDocs(s, d)),
     "txt_bm25_prf_steady" -> ((s, d) => TextAnalysis.bm25PrfSteady(s, d)),
     "txt_bpe"           -> (TextAnalysis.bpeMergeTable _),
@@ -336,7 +337,7 @@ object SparkEntry {
     "txt_dsir", "dedup_paragraphs", "q_hist_quantile", "q_hist_quantile_steady",
     "txt_budget_cap", "txt_dsir_steady", "txt_ppl_buckets", "txt_dsir_gumbel",
     "txt_proximity", "txt_proximity_steady", "q_stationary", "q_zorder",
-    "q_anomaly_mad", "mm_interleave",
+    "q_anomaly_mad", "mm_interleave", "mm_pack",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1805,6 +1806,36 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN kind <> 'txt' THEN cost ELSE 0 END) AS BIGINT) AS patch_cost,
         |  string_agg(kind || ':' || cost, '|' ORDER BY pos) AS manifest
         |FROM u GROUP BY doc_id""".stripMargin,
+    // Multimodal packing: unified token+patch cost per sample, the
+    // txt_pack first-fit recurrence with budget 640 over 8 shards.
+    "mm_pack" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS BIGINT) AS n
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    CAST(n + 64 + (length(text) % 192) AS INT) AS cost,
+        |    CAST(doc_id % 8 AS INT) AS shard
+        |  FROM t
+        |), ordered AS (
+        |  SELECT shard, doc_id, cost,
+        |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        |  FROM s
+        |), packed AS (
+        |  SELECT shard, rn, doc_id, cost,
+        |    CAST(0 AS BIGINT) AS seq, cost AS fill, 0 AS pos
+        |  FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.rn, o.doc_id, o.cost,
+        |    CASE WHEN p.fill + o.cost > 640 AND p.fill > 0 THEN p.seq + 1 ELSE p.seq END,
+        |    CASE WHEN p.fill + o.cost > 640 AND p.fill > 0 THEN o.cost ELSE p.fill + o.cost END,
+        |    CASE WHEN p.fill + o.cost > 640 AND p.fill > 0 THEN 0 ELSE p.pos + 1 END
+        |  FROM packed p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+        |)
+        |SELECT shard, doc_id, cost,
+        |  CAST(shard AS BIGINT) * 4294967296 + seq AS pack_id, pos AS pack_pos
+        |FROM packed""".stripMargin,
     // Median/MAD robust anomalies: exact quantile_cont ≡ Spark's
     // percentile interpolation, 6-dp cutoff discipline, NULL rz where
     // MAD = 0 via nullif on both engines.

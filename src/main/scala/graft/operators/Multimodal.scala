@@ -238,4 +238,21 @@ object Multimodal {
             concat(col("kind"), lit(":"), col("cost")).as("item")))),
           s => s.getField("item")), "|").as("manifest"))
   }
+
+  /** MULTIMODAL sequence packing — [[interleavedSamples]] composed with
+    * the text pipeline's first-fit packer ([[Packing.firstFitPack]],
+    * unchanged): each sample's context cost is its token mass PLUS its
+    * patch budget (the unified-context accounting a multimodal trainer
+    * bills — an image displaces exactly its patch count of tokens), and
+    * whole samples pack into fixed `budget` bins per shard. Media
+    * payloads still appear nowhere; the packer sees only costs. */
+  def packedSamples(spark: SparkSession, dir: String,
+      budget: Int = 640, shards: Int = 8): DataFrame =
+    Packing.firstFitPack(
+      interleavedSamples(spark, dir)
+        .select(col("doc_id"), lit(0).as("chunk_id"),
+          (col("text_tokens") + col("patch_cost")).as("n_chunk_tokens")),
+      budget, shards).toDF()
+      .select(col("shard"), col("doc_id"), col("n_tokens").as("cost"),
+        col("pack_id"), col("pack_pos"))
 }
