@@ -106,16 +106,35 @@ object PrepJob {
       .withColumn("text", TextAnalysis.redactPii(col("text")))
   }
 
-  /** [[prepareClean]] followed by the α-temperature language rebalance —
-    * the document set every training artifact downstream is built from.
-    * Public so tests (and callers that want documents, not shards) can
-    * hold the exact intermediate [[trainingShards]] consumes. */
+  /** [[prepareClean]] followed by the OPTIONAL domain-balance pair and
+    * the α-temperature language rebalance — the document set every
+    * training artifact downstream is built from. The balance stages run
+    * in the published RefinedWeb order (document cap first, then the
+    * token allowance, then the language mix — each cut sees only what
+    * the previous admitted) and default OFF (`sourceCap`/`tokenBudget`
+    * = 0) so the established prep laws are unchanged unless a caller
+    * asks for balance. Public so tests (and callers that want
+    * documents, not shards) can hold the exact intermediate
+    * [[trainingShards]] consumes. */
   def cleanMixed(spark: SparkSession, dir: String, evalSet: DataFrame,
-      alpha: Double = 0.5, n: Int = 8): DataFrame = {
+      alpha: Double = 0.5, n: Int = 8,
+      sourceCap: Int = 0, tokenBudget: Long = 0L): DataFrame = {
     val base = pin(prepareClean(spark, dir, evalSet, n))
-    val kept = TextAnalysis.temperatureMix(base, "lang", "doc_id", alpha)
+    val capped =
+      if (sourceCap > 0)
+        base.join(TextAnalysis.sourceCap(base, sourceCap).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      else base
+    val budgeted =
+      if (tokenBudget > 0)
+        capped.join(
+          TextAnalysis.budgetCap(capped, "doc_id", "text", "source",
+            tokenBudget).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      else capped
+    val kept = TextAnalysis.temperatureMix(budgeted, "lang", "doc_id", alpha)
       .select("doc_id")
-    base.join(kept, Seq("doc_id"), "left_semi")
+    budgeted.join(kept, Seq("doc_id"), "left_semi")
   }
 
   /** THE end-to-end "make training shards" artifact — the composition the

@@ -187,4 +187,41 @@ class PrepJobSpec extends SparkTestBase {
         s"shard $s not landed in (pos, pack_pos) order")
     }
   }
+
+  test("cleanMixed domain balance: cap then budget then mix, each cut over the previous stage") {
+    val cap = 2
+    val budget = 60L
+    val got = PrepJob.cleanMixed(spark, dir, benchEval,
+        sourceCap = cap, tokenBudget = budget)
+      .select("doc_id").as[Long].collect().toSet
+    // the hand-assembled composition over the same intermediates
+    val base = PrepJob.prepareClean(spark, dir, benchEval)
+    val capped = base.join(
+      graft.operators.TextAnalysis.sourceCap(base, cap).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val budgeted = capped.join(
+      graft.operators.TextAnalysis.budgetCap(capped, "doc_id", "text",
+        "source", budget).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val want = budgeted.join(
+      graft.operators.TextAnalysis.temperatureMix(budgeted, "lang", "doc_id")
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.size < base.count(),
+      "the balance stages must bind")
+    // the cap held per source
+    val perSource = PrepJob.cleanMixed(spark, dir, benchEval,
+        sourceCap = cap, tokenBudget = budget)
+      .groupBy("source").count().as[(String, Long)].collect()
+    assert(perSource.forall(_._2 <= cap), s"got ${perSource.toSeq}")
+    // defaults stay the established pipeline
+    val plain = PrepJob.cleanMixed(spark, dir, benchEval)
+      .select("doc_id").as[Long].collect().toSet
+    val wantPlain = base.join(
+      graft.operators.TextAnalysis.temperatureMix(base, "lang", "doc_id")
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id").as[Long].collect().toSet
+    assert(plain == wantPlain)
+  }
 }
