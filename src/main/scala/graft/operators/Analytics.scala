@@ -334,13 +334,21 @@ object Analytics {
     * node caveat of every power method); all event types transition in
     * this schema, and the spec pins conservation Σπ ≈ 1. */
   def stationaryEventMix(events: DataFrame, iters: Int = 5): DataFrame = {
-    val spark = events.sparkSession
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val trans = eventTransitions(events)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val types = events.select(col("event_type")).distinct()
       .collect().map(_.getString(0)).sorted
+    stationaryFromCounts(events.sparkSession, trans, types, iters)
+  }
+
+  /** The driver-side power-iteration tail over an already-collected
+    * (from, to, n) matrix — the bounded trainer core shared with the
+    * streamed serve ([[graft.streaming.StreamSequences.stationaryMix]]). */
+  private[graft] def stationaryFromCounts(spark: SparkSession,
+      trans: Array[(String, String, Long)], types: Array[String],
+      iters: Int): DataFrame = {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val tot = trans.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val prob = trans.map { case (f, t, n) => (f, t) -> r6(n.toDouble / tot(f)) }.toMap
     var p = types.map(s => s -> r6(1.0 / types.length)).toMap

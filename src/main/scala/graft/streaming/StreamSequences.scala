@@ -78,4 +78,43 @@ object StreamSequences {
     * generation). */
   def latestHistories(spark: SparkSession, snapshotDir: String): DataFrame =
     StreamUpsert.currentSnapshot(spark, snapshotDir)
+
+  /** Event transitions DERIVED from the maintained heads — the
+    * OUT-OF-ORDER-safe streamed form of
+    * [[graft.operators.Analytics.eventTransitions]]: a naive streaming
+    * count of adjacent arrivals is wrong the moment a late event belongs
+    * in the middle of someone's history (it silently replaces two true
+    * transitions with two false ones), but the landed histories are
+    * already arrival-order-insensitive (the [[userHistories]] fold), so
+    * reading adjacent pairs OFF the heads inherits that correctness for
+    * free — the composition is the fix. Bounded by contract: ≤ maxLen−1
+    * pairs per user, a row-local explode off the snapshot. */
+  def transitions(spark: SparkSession, snapshotDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    latestHistories(spark, snapshotDir)
+      .select(split(col("seq"), "\\|").as("s"))
+      .filter(size(col("s")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("s")) - 1),
+        j => struct(element_at(col("s"), j).as("from_type"),
+          element_at(col("s"), j + 1).as("to_type")))).as("p"))
+      .groupBy(col("p.from_type").as("from_type"),
+        col("p.to_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The stationary mix of the streamed chain — the
+    * [[graft.operators.Analytics.stationaryEventMix]] power-iteration
+    * tail over [[transitions]]' counts. Served entirely from the landed
+    * snapshot; raw events are never re-read. */
+  def stationaryMix(spark: SparkSession, snapshotDir: String,
+      iters: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val trans = transitions(spark, snapshotDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val types = latestHistories(spark, snapshotDir)
+      .select(explode(split(col("seq"), "\\|")).as("t"))
+      .filter(length(col("t")) > 0)
+      .distinct().collect().map(_.getString(0)).sorted
+    graft.operators.Analytics.stationaryFromCounts(spark, trans, types, iters)
+  }
 }

@@ -102,5 +102,31 @@ class StreamSequencesSpec extends SparkTestBase {
     // the landed __seq/__op plumbing columns must not leak into the table
     assert(StreamSequences.latestHistories(spark, dir).columns.toSet ==
       Set("user_id", "n_events", "seq_len", "seq"))
+
+    // transitions served off the heads equal the pairs of the batch
+    // operator's sequences — out-of-order safe by construction (the
+    // arrivals above were deliberately shuffled)
+    val wantPairs = batchWant(all).toSeq
+      .flatMap { case (_, _, _, seq) =>
+        val s = seq.split('|').toSeq
+        s.zip(s.drop(1))
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val gotPairs = StreamSequences.transitions(spark, dir)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(gotPairs == wantPairs, s"got $gotPairs want $wantPairs")
+    // the streamed stationary mix equals the power-iteration tail over
+    // exactly those counts
+    // all head tokens, including pairless singleton users (user 3's "z")
+    val types = batchWant(all).toSeq
+      .flatMap(_._4.split('|').toSeq).filter(_.nonEmpty)
+      .distinct.sorted.toArray
+    val wantPi = graft.operators.Analytics.stationaryFromCounts(spark,
+        wantPairs.map { case ((f, t), n) => (f, t, n) }.toArray, types, 5)
+      .as[(String, Double)].collect().toSet
+    val gotPi = StreamSequences.stationaryMix(spark, dir)
+      .as[(String, Double)].collect().toSet
+    assert(gotPi == wantPi)
   }
 }
