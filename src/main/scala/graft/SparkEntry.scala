@@ -235,6 +235,7 @@ object SparkEntry {
     "q_anomaly_mad"     -> (Analytics.eventRobustAnomalies _),
     "mm_interleave"     -> ((s, d) => Multimodal.interleavedSamples(s, d)),
     "mm_pack"           -> ((s, d) => Multimodal.packedSamples(s, d)),
+    "q_winsorize"       -> (Analytics.winsorizedEvents _),
     "txt_bm25_prf"      -> ((s, d) => TextAnalysis.bm25PrfDocs(s, d)),
     "txt_bm25_prf_steady" -> ((s, d) => TextAnalysis.bm25PrfSteady(s, d)),
     "txt_bpe"           -> (TextAnalysis.bpeMergeTable _),
@@ -337,7 +338,7 @@ object SparkEntry {
     "txt_dsir", "dedup_paragraphs", "q_hist_quantile", "q_hist_quantile_steady",
     "txt_budget_cap", "txt_dsir_steady", "txt_ppl_buckets", "txt_dsir_gumbel",
     "txt_proximity", "txt_proximity_steady", "q_stationary", "q_zorder",
-    "q_anomaly_mad", "mm_interleave", "mm_pack",
+    "q_anomaly_mad", "mm_interleave", "mm_pack", "q_winsorize",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1806,6 +1807,18 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN kind <> 'txt' THEN cost ELSE 0 END) AS BIGINT) AS patch_cost,
         |  string_agg(kind || ':' || cost, '|' ORDER BY pos) AS manifest
         |FROM u GROUP BY doc_id""".stripMargin,
+    // Per-type winsorization: exact quantile_cont cutoffs at 6 dp,
+    // scan-side least/greatest clip, raw doubles pass through untouched.
+    "q_winsorize" ->
+      """WITH cuts AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(value, 0.05), 6) AS lo,
+        |    round(quantile_cont(value, 0.95), 6) AS hi
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  least(greatest(e.value, c.lo), c.hi) AS clipped, c.lo, c.hi
+        |FROM events e JOIN cuts c USING (event_type)""".stripMargin,
     // Multimodal packing: unified token+patch cost per sample, the
     // txt_pack first-fit recurrence with budget 640 over 8 shards.
     "mm_pack" ->

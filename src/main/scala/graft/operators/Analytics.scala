@@ -595,6 +595,29 @@ object Analytics {
   def eventRobustAnomalies(spark: SparkSession, dir: String): DataFrame =
     robustDailyAnomalies(Tables.load(spark, dir, "events"))
 
+  /** Per-group WINSORIZATION — the standard outlier treatment for
+    * metric columns feeding aggregates or model features (clip to the
+    * group's [lo, hi] quantiles instead of dropping rows, so heavy
+    * tails stop dominating sums without shrinking the sample): cutoffs
+    * are the exact two-phase `percentile` aggregate (ONE row per group
+    * crosses — the calibratedQualityFloor discipline, ≡ DuckDB
+    * quantile_cont, 6-dp), broadcast back; the clip itself is a
+    * scan-side `least/greatest` — unclipped rows pass their RAW double
+    * through bit-identically on both engines. */
+  def winsorize(events: DataFrame, lo: Double = 0.05,
+      hi: Double = 0.95): DataFrame = {
+    val cuts = events.groupBy("event_type")
+      .agg(round(percentile(col("value"), lit(lo)), 6).as("lo"),
+        round(percentile(col("value"), lit(hi)), 6).as("hi"))
+    events.join(broadcast(cuts), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        least(greatest(col("value"), col("lo")), col("hi")).as("clipped"),
+        col("lo"), col("hi"))
+  }
+
+  def winsorizedEvents(spark: SparkSession, dir: String): DataFrame =
+    winsorize(Tables.load(spark, dir, "events"))
+
   /** Fixed-width value histogram per event type: two-phase aggregate on
     * (type, bin) — the profiling primitive behind any numeric-distribution
     * dashboard. floor() bins so negative values land in negative bins

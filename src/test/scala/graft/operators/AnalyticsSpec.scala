@@ -449,6 +449,20 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("winsorize: clips to the group quantiles, interior values pass raw") {
+    val out = Analytics.winsorizedEvents(spark, dir)
+      .as[(Long, String, Double, Double, Double, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, tpe, v, clipped, lo, hi) =>
+      assert(clipped >= lo && clipped <= hi, s"$tpe: $clipped outside [$lo, $hi]")
+      if (v >= lo && v <= hi) assert(clipped == v, s"$tpe: interior $v changed")
+      if (v < lo) assert(clipped == lo)
+      if (v > hi) assert(clipped == hi)
+    }
+    // the cut binds on both sides somewhere
+    assert(out.exists(r => r._3 < r._5) && out.exists(r => r._3 > r._6))
+  }
+
   test("robustDailyAnomalies: an extreme day cannot mask itself; MAD=0 series score NULL") {
     import java.sql.Timestamp
     def day(d: Int, k: Int) = (1 to k).map(i =>
