@@ -236,6 +236,7 @@ object SparkEntry {
     "mm_interleave"     -> ((s, d) => Multimodal.interleavedSamples(s, d)),
     "mm_pack"           -> ((s, d) => Multimodal.packedSamples(s, d)),
     "q_winsorize"       -> (Analytics.winsorizedEvents _),
+    "txt_lr_calibration" -> ((s, d) => TextAnalysis.lrCalibration(s, d)),
     "txt_bm25_prf"      -> ((s, d) => TextAnalysis.bm25PrfDocs(s, d)),
     "txt_bm25_prf_steady" -> ((s, d) => TextAnalysis.bm25PrfSteady(s, d)),
     "txt_bpe"           -> (TextAnalysis.bpeMergeTable _),
@@ -339,6 +340,7 @@ object SparkEntry {
     "txt_budget_cap", "txt_dsir_steady", "txt_ppl_buckets", "txt_dsir_gumbel",
     "txt_proximity", "txt_proximity_steady", "q_stationary", "q_zorder",
     "q_anomaly_mad", "mm_interleave", "mm_pack", "q_winsorize",
+    "txt_lr_calibration",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1898,6 +1900,18 @@ object SparkEntry {
     "txt_bpe_apply" -> bpeApplyOracleSql(),
     "txt_fertility" -> bpeFertilityOracleSql(),
     "txt_quality_lr" -> lrOracleSql(),
+    // Reliability diagram over the trained classifier's scores: the full
+    // lrOracleSql replay as a CTE, equal-width bins with the top edge
+    // clamped, 6-dp bin means.
+    "txt_lr_calibration" ->
+      s"""WITH scored AS (
+         |${lrOracleSql()}
+         |)
+         |SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+         |  count(*) AS n,
+         |  round(avg(score), 6) AS mean_pred,
+         |  round(avg(CAST(y AS DOUBLE)), 6) AS obs_rate
+         |FROM scored GROUP BY 1""".stripMargin,
     // Bigram-LM ground truth: same tokenizer, same add-one model trained
     // on the same corpus, ln-sum rounded to 6 dp (summation order differs
     // across engines by design).

@@ -1722,6 +1722,26 @@ object TextAnalysis {
     trainQualityLr(Tables.load(spark, dir, "documents"),
       Seq("src0", "src1", "src2"))
 
+  /** CALIBRATION curve for the trained classifier — the reliability
+    * diagram every model-based filter should ship with (public ML-eval
+    * practice: bin the predicted probabilities, compare each bin's mean
+    * prediction to its observed positive rate; a well-calibrated
+    * filter's threshold means what it says, a mis-calibrated one
+    * silently shifts the effective cut): equal-width probability bins,
+    * top edge clamped in. One two-phase aggregate over the scored
+    * projection — ≤ `bins` rows cross the shuffle. */
+  def lrCalibration(spark: SparkSession, dir: String,
+      bins: Int = 10): DataFrame =
+    qualityLrDocs(spark, dir)
+      .select(
+        least(floor(col("score") * bins), lit((bins - 1).toLong))
+          .cast("long").as("bin"),
+        col("score"), col("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("score")), 6).as("mean_pred"),
+        round(avg(col("y").cast("double")), 6).as("obs_rate"))
+
   /** DSIR-class importance-weighted data selection (Xie et al., NeurIPS
     * 2023, "Data Selection for Language Models via Importance Resampling"
     * — public): pick the raw-corpus documents whose hashed-token profile
