@@ -237,6 +237,7 @@ object SparkEntry {
     "mm_pack"           -> ((s, d) => Multimodal.packedSamples(s, d)),
     "q_winsorize"       -> (Analytics.winsorizedEvents _),
     "txt_lr_calibration" -> ((s, d) => TextAnalysis.lrCalibration(s, d)),
+    "sim_psi_drift"     -> (Similarity.psiDriftEmbeddings _),
     "txt_bm25_prf"      -> ((s, d) => TextAnalysis.bm25PrfDocs(s, d)),
     "txt_bm25_prf_steady" -> ((s, d) => TextAnalysis.bm25PrfSteady(s, d)),
     "txt_bpe"           -> (TextAnalysis.bpeMergeTable _),
@@ -340,7 +341,7 @@ object SparkEntry {
     "txt_budget_cap", "txt_dsir_steady", "txt_ppl_buckets", "txt_dsir_gumbel",
     "txt_proximity", "txt_proximity_steady", "q_stationary", "q_zorder",
     "q_anomaly_mad", "mm_interleave", "mm_pack", "q_winsorize",
-    "txt_lr_calibration",
+    "txt_lr_calibration", "sim_psi_drift",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -848,6 +849,47 @@ object SparkEntry {
   /** sim_kmeans_assign oracle: the trained centroids (same CTE block the
     * sim_kmeans oracle replays) + the cosine-argmax assignment with the
     * engine's (score DESC, cell ASC) tie-break. */
+  /** sim_psi_drift oracle: cells trained on the even-id half only (the
+    * kmeans CTE block with from = base), BOTH halves assigned under the
+    * identical argmax, add-one smoothing over the full trained cell
+    * list, p's rounded 6 dp BEFORE the contribution. */
+  private def psiDriftOracleSql(iters: Int = 3): String = {
+    def assign(side: String, out: String) =
+      s"""$out AS (
+         |  SELECT cell_id, count(*) AS n FROM (
+         |    SELECT e.vec_id, c.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
+         |          / sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+         |               * list_inner_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))) DESC,
+         |        c.cell_id ASC) AS rn
+         |    FROM $side e CROSS JOIN c$iters c
+         |  ) WHERE rn = 1 GROUP BY cell_id)""".stripMargin
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+       |cur AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 <> 0),
+       |${kmeansCteBlock(29, iters, from = "base")},
+       |${assign("base", "nb")},
+       |${assign("cur", "nc")},
+       |cells AS (SELECT DISTINCT cell_id FROM c$iters),
+       |j AS (
+       |  SELECT cells.cell_id,
+       |    coalesce(nb.n, 0) AS n_base, coalesce(nc.n, 0) AS n_cur
+       |  FROM cells LEFT JOIN nb ON cells.cell_id = nb.cell_id
+       |             LEFT JOIN nc ON cells.cell_id = nc.cell_id
+       |), t AS (
+       |  SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+       |    CAST(sum(n_cur) AS BIGINT) AS tc, count(*) AS k FROM j
+       |), p AS (
+       |  SELECT cell_id, n_base, n_cur,
+       |    round((n_base + 1.0) / (tb + k), 6) AS p_base,
+       |    round((n_cur + 1.0) / (tc + k), 6) AS p_cur
+       |  FROM j, t
+       |)
+       |SELECT cell_id, n_base, n_cur, p_base, p_cur,
+       |  round((p_base - p_cur) * ln(p_base / p_cur), 6) AS contrib
+       |FROM p""".stripMargin
+  }
+
   private def kmeansAssignOracleSql(iters: Int = 3): String =
     s"""WITH ${kmeansCteBlock(29, iters)}
        |SELECT vec_id, cell_id FROM (
@@ -1759,6 +1801,7 @@ object SparkEntry {
     "sim_density_prune" -> densityPruneOracleSql(),
     "sim_density_prune_steady" -> densityPruneOracleSql(),
     "sim_kmeans_assign" -> kmeansAssignOracleSql(),
+    "sim_psi_drift" -> psiDriftOracleSql(),
     "sim_cluster_sample" -> clusterSampleOracleSql(),
     "dedup_semantic" -> semanticDedupOracleSql(),
     "dedup_semantic_text" -> semanticDedupTextOracleSql(),

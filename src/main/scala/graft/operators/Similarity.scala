@@ -683,6 +683,62 @@ object Similarity {
     ivfAssign(emb, loadLandedQuantizers(spark, dir)._1).select("vec_id", "cell_id")
   }
 
+  /** EMBEDDING-DISTRIBUTION drift — the Population Stability Index over
+    * trained cells, the published model-monitoring recipe (PSI:
+    * Σ (p_ref − p_cur)·ln(p_ref/p_cur) over a fixed binning; < 0.1 is
+    * conventionally stable, > 0.25 actionable) applied where a vector
+    * pipeline needs it: is TODAY'S embedding traffic still distributed
+    * like the corpus the quantizers/indexes were trained on? The
+    * "binning" is the coarse quantizer itself — cells trained on the
+    * REFERENCE side only (the production asymmetry: the monitored slice
+    * never influences its own yardstick), both slices assigned under the
+    * identical argmax, counts add-one smoothed over the full cell list
+    * so an emptied cell contributes signal instead of a log blowup.
+    *
+    * Scale shape: two bounded corpus×constant broadcast crosses +
+    * two-phase counts (one row per cell crosses), a cell-list join, and
+    * a 1-row totals broadcast — the monitor costs two labeling passes,
+    * nothing more. Deterministic 6-dp at every stage (p's rounded
+    * BEFORE the contribution — the llr discipline). */
+  def psiDrift(emb: DataFrame, initEvery: Int = 29,
+      iters: Int = 3): DataFrame = {
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val cur = emb.filter(col("vec_id") % 2 =!= 0)
+    psiDriftOver(base, cur, kmeansCentroids(base, initEvery, iters))
+  }
+
+  /** The PSI tail over ANY (reference, current, centroids) triple —
+    * reusable by the streamed monitor against landed quantizers. */
+  def psiDriftOver(base: DataFrame, cur: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val nb = ivfAssign(base, centroids)
+      .groupBy("cell_id").agg(count(lit(1)).as("n_base"))
+    val nc = ivfAssign(cur, centroids)
+      .groupBy("cell_id").agg(count(lit(1)).as("n_cur"))
+    val joined = centroids.select("cell_id")
+      .join(nb, Seq("cell_id"), "left")
+      .join(nc, Seq("cell_id"), "left")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+    val tot = joined.agg(sum("n_base").as("tb"), sum("n_cur").as("tc"),
+      count(lit(1)).as("k"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("cell_id"), col("n_base"), col("n_cur"),
+        round((col("n_base") + lit(1.0)) / (col("tb") + col("k")), 6)
+          .as("p_base"),
+        round((col("n_cur") + lit(1.0)) / (col("tc") + col("k")), 6)
+          .as("p_cur"))
+      .select(col("cell_id"), col("n_base"), col("n_cur"),
+        col("p_base"), col("p_cur"),
+        round((col("p_base") - col("p_cur")) *
+          log(col("p_base") / col("p_cur")), 6).as("contrib"))
+  }
+
+  /** CORRECTNESS instantiation: even vec_ids are the reference slice,
+    * odd the monitored slice. */
+  def psiDriftEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    psiDrift(Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding"))
+
   /** Cluster-balanced sampling: at most `k` vectors per trained k-means
     * cell, picked by a DETERMINISTIC pseudo-random order (md5 of the id —
     * reproducible across runs, engines, and partitionings, the same

@@ -646,4 +646,31 @@ class SimilaritySpec extends SparkTestBase {
       assert(math.abs(r - n / 5.0) < 1e-9 && r >= 0.0 && r <= 1.0)
     }
   }
+
+  test("psiDrift: a mirrored slice scores exactly zero; a shifted mix scores high") {
+    def vec(kind: Int, j: Int): Array[Float] = {
+      // two well-separated directions with small deterministic jitter
+      val v = Array.fill(4)(0.01f * ((j % 7) + 1))
+      v(kind) = 1f
+      v
+    }
+    // even ids (reference): 30 of direction 0, 30 of direction 1;
+    // odd ids mirror the even vectors exactly -> per-cell counts equal
+    val mirrored = (0 until 60).flatMap { i =>
+      val v = vec(i % 2, i)
+      Seq((2L * i, v), (2L * i + 1, v))
+    }.toDF("vec_id", "embedding")
+    val calm = Similarity.psiDrift(mirrored, initEvery = 29)
+      .select("contrib").as[Double].collect()
+    assert(calm.nonEmpty && calm.forall(_ == 0.0),
+      s"mirrored slices must score exactly zero, got ${calm.toSeq}")
+
+    // the monitored slice collapses onto direction 0: drift must flag
+    val shifted = ((0 until 60).map(i => (2L * i, vec(i % 2, i))) ++
+      (0 until 60).map(i => (2L * i + 1, vec(0, i))))
+      .toDF("vec_id", "embedding")
+    val psi = Similarity.psiDrift(shifted, initEvery = 29)
+      .agg(sum("contrib")).as[Double].head()
+    assert(psi > 0.25, s"collapsed mix must cross the actionable PSI, got $psi")
+  }
 }
