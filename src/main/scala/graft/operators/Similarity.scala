@@ -710,14 +710,21 @@ object Similarity {
   /** The PSI tail over ANY (reference, current, centroids) triple —
     * reusable by the streamed monitor against landed quantizers. */
   def psiDriftOver(base: DataFrame, cur: DataFrame,
-      centroids: DataFrame): DataFrame = {
-    val nb = ivfAssign(base, centroids)
-      .groupBy("cell_id").agg(count(lit(1)).as("n_base"))
-    val nc = ivfAssign(cur, centroids)
-      .groupBy("cell_id").agg(count(lit(1)).as("n_cur"))
-    val joined = centroids.select("cell_id")
-      .join(nb, Seq("cell_id"), "left")
-      .join(nc, Seq("cell_id"), "left")
+      centroids: DataFrame): DataFrame =
+    psiFromCounts(centroids.select("cell_id"),
+      ivfAssign(base, centroids)
+        .groupBy("cell_id").agg(count(lit(1)).as("n_base")),
+      ivfAssign(cur, centroids)
+        .groupBy("cell_id").agg(count(lit(1)).as("n_cur")))
+
+  /** The smoothing + contribution tail over already-aggregated per-cell
+    * counts — what a monitor with LANDED baseline counts (or a streamed
+    * arrival index) actually runs. */
+  def psiFromCounts(cells: DataFrame, nBase: DataFrame,
+      nCur: DataFrame): DataFrame = {
+    val joined = cells
+      .join(nBase, Seq("cell_id"), "left")
+      .join(nCur, Seq("cell_id"), "left")
       .na.fill(0L, Seq("n_base", "n_cur"))
     val tot = joined.agg(sum("n_base").as("tb"), sum("n_cur").as("tc"),
       count(lit(1)).as("k"))

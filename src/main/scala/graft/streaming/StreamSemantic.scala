@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.{Dedup, Similarity}
 
@@ -103,4 +103,28 @@ object StreamSemantic {
     start(vectors, indexDir, outDir, checkpoint,
       Similarity.loadLandedQuantizers(vectors.sparkSession, corpusDir)._1,
       tau, trigger, compactEvery)
+
+  /** DRIFT monitor over the maintained gate — the streamed face of
+    * [[Similarity.psiDrift]]: is the arriving vector traffic still
+    * distributed (over the landed trained cells) like the corpus those
+    * quantizers were trained on? The current side needs NO assignment
+    * pass — the gate already landed every survivor's cell row; counts
+    * read off a `(vec_id, cell_id)` distinct of the live index (distinct
+    * because the simple-fold index tolerates transiently duplicated
+    * rows — inert to the PROBE, not to counts). The baseline labeling is
+    * one bounded corpus×cells cross; a production deployment lands those
+    * counts once next to the quantizers and this becomes metadata-only. */
+  def driftMonitor(spark: SparkSession, indexDir: String,
+      corpusDir: String): DataFrame = {
+    val cent = Similarity.loadLandedQuantizers(spark, corpusDir)._1
+    val emb = graft.sources.Tables.load(spark, corpusDir, "embeddings")
+      .select("vec_id", "embedding")
+    val nb = Similarity.ivfAssign(emb, cent)
+      .groupBy("cell_id").agg(count(lit(1)).as("n_base"))
+    val nc = currentIndex(spark, indexDir,
+        template = emb.limit(0).select(col("vec_id"), lit(0L).as("cell_id")))
+      .select("vec_id", "cell_id").distinct()
+      .groupBy("cell_id").agg(count(lit(1)).as("n_cur"))
+    Similarity.psiFromCounts(cent.select("cell_id"), nb, nc)
+  }
 }

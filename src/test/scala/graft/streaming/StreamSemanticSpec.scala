@@ -78,4 +78,39 @@ class StreamSemanticSpec extends SparkTestBase {
       template = sys.error("index must not be empty"))
     assert(afterIdx.select("vec_id").as[Long].collect().toSet == want)
   }
+
+  test("driftMonitor equals the batch PSI tail over the gate's accumulated assignments") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    val arrivals = emb.filter(col("vec_id") % 3 === 1)
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+    val tmp = Files.createTempDirectory("graft_ssem_drift_").toString
+    val input = MemoryStream[(Long, Array[Float])](
+      org.apache.spark.sql.Encoders.product[(Long, Array[Float])],
+      spark.sqlContext)
+    def runOnce(): Unit =
+      StreamSemantic.startFromLanded(
+        input.toDF().toDF("vec_id", "embedding"),
+        s"$tmp/idx", s"$tmp/out", s"$tmp/ckpt", dir).awaitTermination()
+    val halves = arrivals.grouped((arrivals.size + 1) / 2).toSeq
+    input.addData(halves(0): _*); runOnce()
+    input.addData(halves(1): _*); runOnce()
+
+    val cent = graft.operators.Similarity.loadLandedQuantizers(spark, dir)._1
+    import org.apache.spark.sql.functions.{count => fcount, lit => flit}
+    val nb = graft.operators.Similarity.ivfAssign(emb, cent)
+      .groupBy("cell_id").agg(fcount(flit(1)).as("n_base"))
+    val survivors = StreamSemantic.cleanedVectors(spark, s"$tmp/out")
+      .select("vec_id", "embedding")
+    val nc = graft.operators.Similarity.ivfAssign(survivors, cent)
+      .groupBy("cell_id").agg(fcount(flit(1)).as("n_cur"))
+    val want = graft.operators.Similarity
+      .psiFromCounts(cent.select("cell_id"), nb, nc)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSet
+    val got = StreamSemantic.driftMonitor(spark, s"$tmp/idx", dir)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSet
+    assert(got == want, s"monitor ≠ batch tail")
+    assert(got.nonEmpty && got.exists(_._3 > 0), "arrivals must have landed")
+  }
 }
