@@ -238,6 +238,7 @@ object SparkEntry {
     "q_winsorize"       -> (Analytics.winsorizedEvents _),
     "txt_lr_calibration" -> ((s, d) => TextAnalysis.lrCalibration(s, d)),
     "sim_psi_drift"     -> (Similarity.psiDriftEmbeddings _),
+    "txt_vocab_coverage" -> (TextAnalysis.vocabCoverageDocs _),
     "txt_bm25_prf"      -> ((s, d) => TextAnalysis.bm25PrfDocs(s, d)),
     "txt_bm25_prf_steady" -> ((s, d) => TextAnalysis.bm25PrfSteady(s, d)),
     "txt_bpe"           -> (TextAnalysis.bpeMergeTable _),
@@ -341,7 +342,7 @@ object SparkEntry {
     "txt_budget_cap", "txt_dsir_steady", "txt_ppl_buckets", "txt_dsir_gumbel",
     "txt_proximity", "txt_proximity_steady", "q_stationary", "q_zorder",
     "q_anomaly_mad", "mm_interleave", "mm_pack", "q_winsorize",
-    "txt_lr_calibration", "sim_psi_drift",
+    "txt_lr_calibration", "sim_psi_drift", "txt_vocab_coverage",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1852,6 +1853,25 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN kind <> 'txt' THEN cost ELSE 0 END) AS BIGINT) AS patch_cost,
         |  string_agg(kind || ':' || cost, '|' ORDER BY pos) AS manifest
         |FROM u GROUP BY doc_id""".stripMargin,
+    // Vocabulary coverage curve: (n DESC, term) ranking, fixed-k fan-out,
+    // BIGINT casts, 6-dp share.
+    "txt_vocab_coverage" ->
+      """WITH counts AS (
+        |  SELECT t AS term, count(*) AS n FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> len(x) > 0)) AS t
+        |    FROM documents)
+        |  GROUP BY t
+        |), tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+        |ranked AS (
+        |  SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS rank
+        |  FROM counts
+        |)
+        |SELECT k, CAST(sum(n) AS BIGINT) AS covered, tot.total,
+        |  round(CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) / tot.total, 6) AS share
+        |FROM ranked, unnest([5, 10, 20, 40]) AS t(k), tot
+        |WHERE rank <= k
+        |GROUP BY k, tot.total""".stripMargin,
     // Per-type winsorization: exact quantile_cont cutoffs at 6 dp,
     // scan-side least/greatest clip, raw doubles pass through untouched.
     "q_winsorize" ->

@@ -989,6 +989,46 @@ object TextAnalysis {
     bm25RankIndexed(spark, prefix, searchQuery ++ expanded, k)
   }
 
+  /** VOCABULARY coverage curve — the tokenizer-design audit behind every
+    * vocab-size decision (public practice: rank terms by corpus
+    * frequency, read off what share of all token OCCURRENCES the top-k
+    * types cover; the knee of this curve is where a bigger vocab stops
+    * paying): for each k in `ks`, the covered mass and its share of the
+    * corpus.
+    *
+    * Scale shape: term counts are a two-phase aggregate (one row per
+    * TYPE crosses); the curve needs only the top max(ks) types, a
+    * bounded `TakeOrderedAndProject` — the full vocabulary never sorts
+    * globally (the deterministicShuffle lesson applies only when the
+    * whole ranking must land; a fixed-k curve doesn't) — and each
+    * surviving type fans out row-locally to the ks that cover it.
+    * Ties rank by term ascending (deterministic cross-engine). */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+      ks: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ks.nonEmpty && ks.forall(_ > 0))
+    val counts = docs.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val ranked = counts.orderBy(col("n").desc, col("term").asc).limit(ks.max)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("term").asc)))
+    ranked
+      .withColumn("k", explode(filter(
+        array(ks.map(lit(_)).toIndexedSeq: _*), k => k >= col("rank"))))
+      .groupBy("k").agg(sum(col("n")).as("covered"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("covered"), col("total"),
+        round(col("covered").cast("double") / col("total"), 6).as("share"))
+  }
+
+  /** CORRECTNESS instantiation: the curve at k ∈ {5, 10, 20, 40} — the
+    * fixture vocabulary saturates inside the range, so both the binding
+    * and the saturated regimes are exercised. */
+  def vocabCoverageDocs(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverage(Tables.load(spark, dir, "documents"), "doc_id", "text",
+      Seq(5, 10, 20, 40))
+
   /** PER-SOURCE quota capping — the per-domain cap the public web-corpus
     * recipes apply before any mixing (RefinedWeb's and CCNet's
     * domain-balance step): no single source may contribute more than
