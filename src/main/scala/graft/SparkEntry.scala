@@ -239,6 +239,7 @@ object SparkEntry {
     "txt_lr_calibration" -> ((s, d) => TextAnalysis.lrCalibration(s, d)),
     "sim_psi_drift"     -> (Similarity.psiDriftEmbeddings _),
     "txt_vocab_coverage" -> (TextAnalysis.vocabCoverageDocs _),
+    "q_skew_profile"    -> (Analytics.eventKeySkew _),
     "txt_bm25_prf"      -> ((s, d) => TextAnalysis.bm25PrfDocs(s, d)),
     "txt_bm25_prf_steady" -> ((s, d) => TextAnalysis.bm25PrfSteady(s, d)),
     "txt_bpe"           -> (TextAnalysis.bpeMergeTable _),
@@ -343,6 +344,7 @@ object SparkEntry {
     "txt_proximity", "txt_proximity_steady", "q_stationary", "q_zorder",
     "q_anomaly_mad", "mm_interleave", "mm_pack", "q_winsorize",
     "txt_lr_calibration", "sim_psi_drift", "txt_vocab_coverage",
+    "q_skew_profile",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1853,6 +1855,26 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN kind <> 'txt' THEN cost ELSE 0 END) AS BIGINT) AS patch_cost,
         |  string_agg(kind || ':' || cost, '|' ORDER BY pos) AS manifest
         |FROM u GROUP BY doc_id""".stripMargin,
+    // Key-skew profile: per-key counts, exact quantiles over the count
+    // distribution, bounded top-10 share — one row, BIGINT casts, 6 dp.
+    "q_skew_profile" ->
+      """WITH counts AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS n
+        |  FROM events GROUP BY 1
+        |), stats AS (
+        |  SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+        |    max(n) AS max_n,
+        |    round(quantile_cont(n, 0.5), 6) AS p50_n,
+        |    round(quantile_cont(n, 0.99), 6) AS p99_n
+        |  FROM counts
+        |), top AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS top10_rows FROM (
+        |    SELECT n FROM counts ORDER BY n DESC, k LIMIT 10)
+        |)
+        |SELECT n_keys, n_rows, max_n, p50_n, p99_n,
+        |  round(CAST(max_n AS DOUBLE) / n_rows, 6) AS top1_share,
+        |  round(CAST(top10_rows AS DOUBLE) / n_rows, 6) AS top10_share
+        |FROM stats, top""".stripMargin,
     // Vocabulary coverage curve: (n DESC, term) ranking, fixed-k fan-out,
     // BIGINT casts, 6-dp share.
     "txt_vocab_coverage" ->

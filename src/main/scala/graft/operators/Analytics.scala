@@ -618,6 +618,43 @@ object Analytics {
   def winsorizedEvents(spark: SparkSession, dir: String): DataFrame =
     winsorize(Tables.load(spark, dir, "events"))
 
+  /** KEY-SKEW profile — the audit a join/aggregate plan review runs
+    * BEFORE choosing between plain hash distribution, AQE skew-join, and
+    * explicit salting ([[SaltedAgg]]): one row summarizing how a key
+    * column's row mass is distributed — distinct keys, the count
+    * quantiles, the heaviest key's share, and the top-10 keys' share.
+    * (The full Gini needs a global sort of the key distribution;
+    * max/p50/p99/top-share answer the planning question — "does one key
+    * dominate a partition" — without one.)
+    *
+    * Scale shape: per-key counts are a two-phase aggregate; quantiles
+    * are ONE exact `percentile` row over the counts; the top-10 is a
+    * bounded `TakeOrderedAndProject`; everything joins as 1-row
+    * broadcasts. */
+  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("k"))
+      .agg(count(lit(1)).as("n"))
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("n")).as("n_rows"),
+      max(col("n")).as("max_n"),
+      round(percentile(col("n"), lit(0.5)), 6).as("p50_n"),
+      round(percentile(col("n"), lit(0.99)), 6).as("p99_n"))
+    val top = counts.orderBy(col("n").desc, col("k").asc).limit(10)
+      .agg(sum(col("n")).as("top10_rows"))
+    stats.crossJoin(broadcast(top))
+      .select(col("n_keys"), col("n_rows"), col("max_n"),
+        col("p50_n"), col("p99_n"),
+        round(col("max_n").cast("double") / col("n_rows"), 6)
+          .as("top1_share"),
+        round(col("top10_rows").cast("double") / col("n_rows"), 6)
+          .as("top10_share"))
+  }
+
+  /** CORRECTNESS instantiation: the events table's user_id key. */
+  def eventKeySkew(spark: SparkSession, dir: String): DataFrame =
+    keySkewProfile(Tables.load(spark, dir, "events"), "user_id")
+
   /** Fixed-width value histogram per event type: two-phase aggregate on
     * (type, bin) — the profiling primitive behind any numeric-distribution
     * dashboard. floor() bins so negative values land in negative bins
