@@ -132,4 +132,47 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(exchanges(ps) == exchanges(pa),
       s"SQL and Column plans must shuffle identically:\n$ps\n$pa")
   }
+
+  test("DSIR importance selection as pure SQL: kernel + HOF fold reach the same ranking") {
+    // the whole E153 selection as ONE statement: the registered
+    // hash_lane_counts kernel, the model as aggregates, the llr as a
+    // collected array via a scalar subquery, the weight as the same
+    // sequential aggregate() fold
+    val sql = spark.sql(
+      s"""WITH lanes AS (
+         |  SELECT doc_id, lang = 'en' AS is_target,
+         |    hash_lane_counts(text, 64) AS cnt
+         |  FROM $docsView
+         |), model AS (
+         |  SELECT lane,
+         |    sum(CASE WHEN is_target THEN c ELSE 0L END) AS tc,
+         |    sum(CASE WHEN NOT is_target THEN c ELSE 0L END) AS rc
+         |  FROM lanes LATERAL VIEW posexplode(cnt) g AS lane, c
+         |  GROUP BY lane
+         |), tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM model),
+         |llr AS (
+         |  SELECT transform(
+         |    sort_array(collect_list(named_struct('lane', lane, 'v',
+         |      round(ln((tc + 1.0D) / (tt + 64.0D)) -
+         |            ln((rc + 1.0D) / (rt + 64.0D)), 6)))),
+         |    x -> x.v) AS l
+         |  FROM model CROSS JOIN tot
+         |), scored AS (
+         |  -- the 1-row llr rides a broadcast cross: subqueries are not
+         |  -- allowed inside higher-order functions
+         |  SELECT doc_id,
+         |    round(aggregate(zip_with(cnt, l,
+         |      (c, v) -> CAST(c AS DOUBLE) * v), 0.0D, (a, b) -> a + b), 6)
+         |      AS weight
+         |  FROM lanes CROSS JOIN llr WHERE NOT is_target
+         |)
+         |SELECT doc_id, weight,
+         |  row_number() OVER (ORDER BY weight DESC, doc_id) AS rank
+         |FROM scored ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin)
+    val api = TextAnalysis.dsirSelect(
+      graft.sources.Tables.load(spark, dir, "documents"),
+      "doc_id", "text", org.apache.spark.sql.functions.col("lang") === "en")
+    def rows(df: DataFrame) = df.as[(Long, Double, Int)].collect().toSet
+    assert(rows(sql) == rows(api), "the SQL spelling must reproduce the selection")
+  }
 }
