@@ -199,6 +199,39 @@ object PrepJob {
     spark.read.parquet(outPath).count()
   }
 
+  /** MULTIMODAL training shards — the [[trainingShards]] tail over the
+    * interleaved-sample manifests: [[graft.operators.Multimodal
+    * .packedSamples]]' unified token+patch packs, epoch-ordered by the
+    * same deterministic shuffle of PACK ids, round-robin sharded, landed
+    * with each shard's rows in epoch order (a loader reading shard files
+    * sequentially replays the epoch round-robin across readers — the
+    * runFull contract, unchanged). Payload bytes appear nowhere: the
+    * landed manifest carries sample coordinates and costs; the trainer
+    * fetches media by id at consumption time. */
+  def multimodalShards(spark: SparkSession, dir: String,
+      epochSeed: String = "epoch0", outShards: Int = 8): DataFrame = {
+    require(outShards > 0, "outShards must be positive")
+    val packed = pin(graft.operators.Multimodal.packedSamples(spark, dir))
+    val order = Relational.deterministicShuffle(
+      packed.select("pack_id").distinct(), "pack_id", epochSeed)
+    packed.join(order, Seq("pack_id"))
+      .select(
+        pmod(col("pos"), lit(outShards)).cast("int").as("shard"),
+        col("pos"), col("pack_id"), col("pack_pos"),
+        col("doc_id"), col("cost"))
+  }
+
+  /** Land [[multimodalShards]] partitioned by shard, rows in epoch
+    * order. Returns the landed row count. */
+  def runMultimodal(spark: SparkSession, dir: String, outPath: String,
+      epochSeed: String = "epoch0", outShards: Int = 8): Long = {
+    multimodalShards(spark, dir, epochSeed, outShards)
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "pos", "pack_pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(outPath)
+    spark.read.parquet(outPath).count()
+  }
+
   /** Run the pipeline and land it partitioned by language. Returns the
     * number of surviving documents. */
   def run(spark: SparkSession, dir: String, outPath: String): Long = {

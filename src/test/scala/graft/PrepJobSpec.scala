@@ -188,6 +188,32 @@ class PrepJobSpec extends SparkTestBase {
     }
   }
 
+  test("multimodalShards: every pack lands whole and in epoch order; reruns identical") {
+    val outPath = java.nio.file.Files.createTempDirectory("prep_mm_").toString
+    val outShards = 4
+    val n = PrepJob.runMultimodal(spark, dir, outPath, outShards = outShards)
+    val landed = spark.read.parquet(outPath)
+    assert(landed.count() == n && n > 0)
+    val rows = landed
+      .select(col("shard").cast("int"), col("pos"), col("pack_id"),
+        col("pack_pos"), col("doc_id"), col("cost"))
+      .as[(Int, Long, Long, Int, Long, Long)].collect()
+    // one row per document (whole samples pack)
+    assert(rows.map(_._5).distinct.length == rows.length)
+    // a pack's rows share one (pos, shard); shard = pos mod outShards
+    rows.groupBy(_._3).values.foreach { pack =>
+      assert(pack.map(_._2).distinct.length == 1)
+      assert(pack.forall(r => r._1 == (r._2 % outShards).toInt))
+    }
+    // shards balanced to ±1 pack by construction
+    val perShard = rows.groupBy(_._1).view.mapValues(_.map(_._3).distinct.length)
+    assert(perShard.values.max - perShard.values.min <= 1, s"$perShard")
+    // deterministic: rerun lands the identical manifest
+    val again = PrepJob.multimodalShards(spark, dir, outShards = outShards)
+      .as[(Int, Long, Long, Int, Long, Long)].collect().toSet
+    assert(again == rows.toSet)
+  }
+
   test("cleanMixed domain balance: cap then budget then mix, each cut over the previous stage") {
     val cap = 2
     val budget = 60L
