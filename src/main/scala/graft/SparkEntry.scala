@@ -94,6 +94,8 @@ object SparkEntry {
     "sim_knn_graph_steady" -> ((s, d) => Similarity.knnGraphSteady(s, d)),
     "sim_density_prune" -> ((s, d) => Similarity.densityPruneDocs(s, d)),
     "sim_density_prune_steady" -> ((s, d) => Similarity.densityPruneSteady(s, d)),
+    "q_pagerank"        -> ((s, d) => GraphRank.pageRankDocs(s, d)),
+    "q_pagerank_steady" -> ((s, d) => GraphRank.pageRankSteady(s, d)),
     "sim_kmeans_assign_steady" -> (Similarity.kmeansAssignmentsSteady _),
     "sim_cluster_sample" -> ((s, d) => Similarity.clusterSample(s, d)),
     "sim_cluster_sample_steady" -> ((s, d) => Similarity.clusterSampleSteady(s, d)),
@@ -345,6 +347,8 @@ object SparkEntry {
     "q_anomaly_mad", "mm_interleave", "mm_pack", "q_winsorize",
     "txt_lr_calibration", "sim_psi_drift", "txt_vocab_coverage",
     "q_skew_profile",
+    // round-10 session-4 additions
+    "q_pagerank", "q_pagerank_steady",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1161,6 +1165,62 @@ object SparkEntry {
        |) WHERE rn <= $nn""".stripMargin
   }
 
+  /** q_pagerank oracle: the whole sim_knn_graph oracle as the edge CTE
+    * (the annRecall WITH-inside-CTE device), then the power method
+    * UNROLLED — per iteration a dangling-mass scalar, the weighted
+    * contribution aggregate, and the recombine over all vertices. The
+    * multiply-referenced CTEs (g/deg/e and every rᵢ — each rank state
+    * feeds both the next dangling scalar and the next contribution sum)
+    * are pinned AS MATERIALIZED: DuckDB's default inlining re-expands
+    * the embedded k-means+graph replay once per reference, which turns
+    * the 5-step unroll exponential (measured 146 s vs ~2 s pinned). The
+    * damping constants are interpolated as the exact shortest-repr
+    * doubles the Spark side computes (`(1.0-d).toString` round-trips to
+    * the identical IEEE value via DuckDB's decimal→double cast), and
+    * every division is spelled CAST(… AS DOUBLE) so DuckDB never slips
+    * into decimal arithmetic; 9-dp rounding absorbs the summation-order
+    * drift (ranks are O(1/n), so the house 6 dp would waste the check's
+    * discrimination — see GraphRank's Scaladoc). */
+  private def pageRankOracleSql(iters: Int = 5, damping: Double = 0.85,
+      nn: Int = 4): String = {
+    val d = damping.toString
+    val omd = (1.0 - damping).toString
+    val iterCtes = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s"""d$i AS (
+         |  SELECT coalesce(sum(rank), CAST(0.0 AS DOUBLE)) AS dmass FROM $p
+         |  WHERE vec_id NOT IN (SELECT src FROM deg)
+         |), c$i AS (
+         |  SELECT e.dst AS vec_id, sum(e.w * r.rank) AS contrib
+         |  FROM e JOIN $p r ON r.vec_id = e.src GROUP BY 1
+         |), r$i AS MATERIALIZED (
+         |  SELECT v.vec_id,
+         |    CAST('$omd' AS DOUBLE) / nd.n + CAST('$d' AS DOUBLE) *
+         |      (coalesce(c.contrib, CAST(0.0 AS DOUBLE)) +
+         |       (SELECT dmass FROM d$i) / nd.n) AS rank
+         |  FROM v CROSS JOIN nd LEFT JOIN c$i c ON c.vec_id = v.vec_id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH g AS MATERIALIZED (
+       |${knnGraphOracleSql(nn = nn)}
+       |), deg AS MATERIALIZED (
+       |  SELECT vec_id AS src, count(*) AS deg FROM g GROUP BY 1
+       |), e AS MATERIALIZED (
+       |  SELECT g.vec_id AS src, g.nbr_id AS dst,
+       |    CAST(1.0 AS DOUBLE) / deg.deg AS w
+       |  FROM g JOIN deg ON deg.src = g.vec_id
+       |), v AS (
+       |  SELECT vec_id FROM embeddings
+       |), nd AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
+       |), r0 AS MATERIALIZED (
+       |  SELECT v.vec_id, CAST(1.0 AS DOUBLE) / nd.n AS rank
+       |  FROM v CROSS JOIN nd
+       |),
+       |$iterCtes
+       |SELECT vec_id, round(rank, 9) AS rank FROM r$iters""".stripMargin
+  }
+
   /** The IVF-PQ search body (cent → assigned → probes → codes → LUT →
     * pruned ADC top-k), parameterized on the coarse-centroid source. Reads
     * the PQ book from a preceding `cb` CTE. */
@@ -1801,6 +1861,8 @@ object SparkEntry {
     "sim_topk_refine_landed" -> refineOracleSql(ivfPqTrainedOracleSql(k = 20)),
     "sim_knn_graph" -> knnGraphOracleSql(),
     "sim_knn_graph_steady" -> knnGraphOracleSql(),
+    "q_pagerank" -> pageRankOracleSql(),
+    "q_pagerank_steady" -> pageRankOracleSql(),
     "sim_density_prune" -> densityPruneOracleSql(),
     "sim_density_prune_steady" -> densityPruneOracleSql(),
     "sim_kmeans_assign" -> kmeansAssignOracleSql(),

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.sources.Tables
+
+/** Graph-centrality scoring over the k-NN similarity graph — the
+  * "rank documents by how central they are in embedding space" stage of
+  * a curation pipeline (the representativeness complement to
+  * [[Similarity.densityPrune]]'s redundancy pruning: density says DROP
+  * over-represented neighborhoods, centrality says PREFER prototypical
+  * exemplars when sampling a fixed budget). The recurrence is the public
+  * PageRank power method (Page et al., 1999; the same recurrence as
+  * `q_stationary`'s Markov mix, but over a corpus-sized vertex set, so
+  * the matrix can never be collected — the iteration must stay
+  * distributed).
+  *
+  * Semantics (pinned by the oracle's SQL replay):
+  *  - vertices V = every `vec_id` in the corpus; edges = the blocked
+  *    k-NN graph ([[Similarity.knnGraph]]), each edge weighted
+  *    1/outdeg(src);
+  *  - r₀(v) = 1/n; rₜ₊₁(v) = (1−d)/n + d·(Σ_{u→v} rₜ(u)/outdeg(u)
+  *    + Dₜ/n), where Dₜ = Σ_{outdeg(u)=0} rₜ(u) is the dangling mass
+  *    (zero-norm vectors and singleton cells emit no edges; their rank
+  *    redistributes uniformly — total mass stays exactly 1);
+  *  - a fixed iteration count (no convergence test — a driver-side
+  *    delta check would add a full pass per iteration; at nn=4/d=0.85
+  *    five iterations is past the knee, and a FIXED count is what makes
+  *    the oracle an exact SQL unroll);
+  *  - ranks rounded at 9 dp, not the house 6: ranks are O(1/n) (~2·10⁻³
+  *    at the 500-vector gate, shrinking with corpus size), so 6 dp would
+  *    keep only 3–4 significant digits of a value whose cross-engine
+  *    drift is ~10⁻¹⁶ absolute.
+  *
+  * Scale shape (the part that must survive 1000 executors): the weighted
+  * edge list is hash-partitioned by `src` ONCE and persisted — the
+  * corpus-sized side never moves again; each iteration shuffles only the
+  * rank VECTOR (|V| rows, two narrow columns) into the edge partitioning,
+  * and the contribution `groupBy(dst)` is a two-phase hash aggregate
+  * (map-side partials combine the ≤nn contributions per dst inside each
+  * edge partition before the exchange). The dangling mass is a 1-row
+  * aggregate broadcast back (the adjudicated 1-row-BNLJ class, one per
+  * iteration); n is a driver scalar (the bounded trainer-literal class —
+  * one long). Nothing corpus-sized is ever collected, sorted globally,
+  * or re-partitioned per iteration.
+  */
+object GraphRank {
+
+  /** Power-method PageRank over an explicit edge list.
+    *
+    * @param vertices one row per vertex, column `vec_id`
+    * @param edges    directed edges, columns `src`, `dst` (weights are
+    *                 derived: 1/outdeg(src))
+    */
+  def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    // vertex count as a plan literal: one driver-side long (the bounded
+    // collect class) — (1-d)/n and 1/n must be SINGLE divisions so the
+    // oracle's doubles match bit-for-bit
+    val n = vertices.count()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // the corpus-sized relation: partitioned by src once, reused by
+    // every iteration's rank join (only the rank vector shuffles after
+    // this point)
+    val e = edges.join(deg, Seq("src"))
+      .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val srcSet = deg.select(col("src").as("vec_id"))
+    // per-iteration pin (the connectedComponents convention, applied
+    // unconditionally — lazy audit included): rₜ feeds BOTH the next
+    // dangling scalar and the next contribution join, so an unpinned
+    // recurrence doubles the plan (and the executed work) every
+    // iteration — 2^iters replays of the graph build. Pinning cuts the
+    // lineage to the materialized rank vector (|V| rows, two columns),
+    // which is also why the audited plan shows one iteration over a
+    // pinned leaf rather than the unrolled recurrence.
+    val sc = vertices.sparkSession.sparkContext
+    def pin(df: DataFrame): DataFrame =
+      if (sc.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    var ranks = vertices.select(col("vec_id"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iters) {
+      // dangling mass: rank stranded on vertices with no out-edges
+      val dang = ranks.join(srcSet, Seq("vec_id"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
+      val contribs = e
+        .join(ranks.withColumnRenamed("vec_id", "src"), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("w") * col("rank")).as("contrib"))
+      ranks = pin(vertices.select(col("vec_id"))
+        .join(contribs.withColumnRenamed("dst", "vec_id"),
+          Seq("vec_id"), "left_outer")
+        .crossJoin(broadcast(dang))
+        .select(col("vec_id"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) +
+              col("dmass") / lit(n.toDouble))).as("rank")))
+    }
+    val out = ranks.select(col("vec_id"), round(col("rank"), 9).as("rank"))
+    if (!sys.props.get("graft.dedup.lazyPlans").contains("true")) e.unpersist()
+    out
+  }
+
+  /** CORRECTNESS instantiation: PageRank over the TRAINED k-NN graph
+    * (same centroids, same graph, same oracle CTEs as `sim_knn_graph`),
+    * 5 iterations at d = 0.85. */
+  def pageRankDocs(spark: SparkSession, dir: String, nn: Int = 4,
+      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val g = Similarity.knnGraph(emb, Similarity.kmeansCentroids(emb), nn)
+    pageRank(emb.select("vec_id"),
+      g.select(col("vec_id").as("src"), col("nbr_id").as("dst")),
+      iters, damping)
+  }
+
+  /** STEADY-STATE [[pageRankDocs]]: the graph is rebuilt under the
+    * LANDED trained centroids ([[Similarity.loadLandedQuantizers]]) — no
+    * Lloyd's in the plan; the timed cost is the graph build + the five
+    * rank iterations, the recurring production scoring pass. Same
+    * answer, same oracle as the retrain entry. */
+  def pageRankSteady(spark: SparkSession, dir: String, nn: Int = 4,
+      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val g = Similarity.knnGraph(emb,
+      Similarity.loadLandedQuantizers(spark, dir)._1, nn)
+    pageRank(emb.select("vec_id"),
+      g.select(col("vec_id").as("src"), col("nbr_id").as("dst")),
+      iters, damping)
+  }
+}

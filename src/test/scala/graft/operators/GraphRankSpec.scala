@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank semantics on graphs whose stationary behavior is known in
+  * closed form — the oracle checks the corpus instantiation; these pin
+  * the recurrence itself (mass conservation, uniformity on symmetric
+  * graphs, dangling redistribution, hub dominance) on adversarial
+  * shapes the corpus graph can't isolate. */
+class GraphRankSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def verts(n: Int): DataFrame =
+    (0L until n.toLong).toDF("vec_id")
+
+  private def ranksOf(df: DataFrame): Map[Long, Double] =
+    df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("ring graph: uniform ranks, mass exactly conserved") {
+    val n = 8
+    val edges = (0L until n.toLong).map(i => (i, (i + 1) % n)).toDF("src", "dst")
+    val r = ranksOf(GraphRank.pageRank(verts(n), edges, iters = 5))
+    assert(r.size == n)
+    // the uniform vector is the ring's fixed point from iteration 0
+    r.values.foreach(v => assert(math.abs(v - 1.0 / n) < 1e-9, r))
+    assert(math.abs(r.values.sum - 1.0) < 1e-7)
+  }
+
+  test("hub graph: every leaf points at the hub; hub dominates and leaves tie") {
+    val n = 6
+    val edges = (1L until n.toLong).map(i => (i, 0L)).toDF("src", "dst")
+    val r = ranksOf(GraphRank.pageRank(verts(n), edges, iters = 5))
+    val leaves = (1L until n.toLong).map(r)
+    assert(leaves.distinct.size == 1, "leaves must tie exactly")
+    assert(r(0L) > 3 * leaves.head, s"hub must dominate: $r")
+    // hub itself is dangling — its mass redistributes, total stays 1
+    assert(math.abs(r.values.sum - 1.0) < 1e-7)
+  }
+
+  test("all-dangling graph (no edges): stays uniform via redistribution") {
+    val n = 5
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val r = ranksOf(GraphRank.pageRank(verts(n), edges, iters = 3))
+    r.values.foreach(v => assert(math.abs(v - 1.0 / n) < 1e-9, r))
+  }
+
+  test("two-scc asymmetry: a vertex receiving two in-edges outranks one receiving zero") {
+    // 1->0, 2->0, 0->1: vertex 0 has in-degree 2, vertex 2 in-degree 0
+    val edges = Seq((1L, 0L), (2L, 0L), (0L, 1L)).toDF("src", "dst")
+    val r = ranksOf(GraphRank.pageRank(verts(3), edges, iters = 5))
+    assert(r(0L) > r(1L) && r(1L) > r(2L), r)
+    assert(math.abs(r.values.sum - 1.0) < 1e-7)
+  }
+
+  test("iteration count is honored: iters=0 returns the uniform start") {
+    val edges = Seq((0L, 1L)).toDF("src", "dst")
+    val r = ranksOf(GraphRank.pageRank(verts(4), edges, iters = 0))
+    r.values.foreach(v => assert(v == 0.25, r))
+  }
+
+  test("corpus instantiation is deterministic and covers every vector") {
+    val dir = "/root/testdata/sf0.001"
+    val a = GraphRank.pageRankDocs(spark, dir)
+    val nVec = graft.sources.Tables.load(spark, dir, "embeddings").count()
+    assert(a.count() == nVec)
+    val b = GraphRank.pageRankDocs(spark, dir)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    // mass conservation survives the real graph's dangling vertices
+    val total = a.agg(sum(col("rank"))).head.getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-5, total)
+  }
+}
