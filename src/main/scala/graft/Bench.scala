@@ -417,6 +417,61 @@ object Bench {
           errors += s"stream_hist: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
           None
       }
+    // Streaming KMV sketch maintenance: per-batch sketch + fold cadence,
+    // then the metadata-scale serve (estimates + pair algebra) off live
+    // state — the number that certifies distinct-count serving cost is
+    // bound by k·|segments|, not stream history.
+    def streamKmvBench(): Option[String] =
+      try {
+        import org.apache.spark.sql.functions.col
+        val tmp = Files.createTempDirectory("graft_stream_kmv_").toString
+        val events = graft.sources.Tables.load(spark, sfDir, "events")
+          .select("event_id", "event_type", "user_id")
+        val rowsIn = events.count()
+        Files.createDirectory(Paths.get(s"$tmp/in"))
+        def stagedFile(stage: String): java.nio.file.Path = {
+          val st = Files.list(Paths.get(stage))
+          try st.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          finally st.close()
+        }
+        (0 until 4).foreach { i =>
+          events.filter(col("event_id") % 4 === i)
+            .select("event_type", "user_id")
+            .coalesce(1).write.parquet(s"$tmp/stage$i")
+          Files.move(stagedFile(s"$tmp/stage$i"), Paths.get(s"$tmp/in/f$i.parquet"))
+        }
+        val schema = org.apache.spark.sql.types.StructType(
+          events.select("event_type", "user_id").schema)
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+        val t0 = System.nanoTime()
+        graft.streaming.StreamKmv.start(
+          stream, s"$tmp/state", s"$tmp/ckpt",
+          compactEvery = 2).awaitTermination()
+        val wallGrow = (System.nanoTime() - t0) / 1e9
+        def med3(f: => Unit): Double = {
+          val ts = (1 to 3).map { _ =>
+            val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+          }
+          ts.sorted.apply(1)
+        }
+        val serveEst = med3 {
+          graft.streaming.StreamKmv.estimates(spark, s"$tmp/state")
+            .write.format("noop").mode("overwrite").save()
+        }
+        val serveOps = med3 {
+          graft.streaming.StreamKmv.setOps(spark, s"$tmp/state")
+            .write.format("noop").mode("overwrite").save()
+        }
+        Some(s"""{"op":"stream_kmv","rows_in":$rowsIn,"batches":4,""" +
+          s""""grow_wall_sec":${fnum(wallGrow)},""" +
+          s""""serve_estimates_sec":${fnum(serveEst)},""" +
+          s""""serve_setops_sec":${fnum(serveOps)}}""")
+      } catch {
+        case e: Throwable =>
+          errors += s"stream_kmv: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          None
+      }
     // Full prep-pipeline wall time: clean → mix → chunk → pack →
     // deterministic epoch shuffle → sharded land, as ONE job
     // (PrepJob.runFull) — the "make training shards" artifact. Timed once
@@ -470,6 +525,10 @@ object Bench {
       if (only.forall(sel => sel.contains("stream") || sel.contains("stream_hist")))
         streamHistBench().getOrElse("null")
       else "null"
+    val streamKmvJson: String =
+      if (only.forall(sel => sel.contains("stream") || sel.contains("stream_kmv")))
+        streamKmvBench().getOrElse("null")
+      else "null"
     val prepJson: String =
       if (only.forall(_.contains("prep_full"))) prepBench().getOrElse("null")
       else "null"
@@ -494,7 +553,7 @@ object Bench {
     // "probe" is the per-query contention sentinel (see scaladoc):
     // probe[q] >> probe_floor ⇒ q was timed in a contended window.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"ext":${qjson(extResults)},"stream":$streamJson,"stream_near":$streamNearJson,"stream_search":$streamSearchJson,"stream_hybrid":$streamHybridJson,"stream_knn":$streamKnnJson,"stream_hist":$streamHistJson,"prep_full":$prepJson,"probe":$probeJson,"probe_floor":${fnum(probeFloor)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"ext":${qjson(extResults)},"stream":$streamJson,"stream_near":$streamNearJson,"stream_search":$streamSearchJson,"stream_hybrid":$streamHybridJson,"stream_knn":$streamKnnJson,"stream_hist":$streamHistJson,"stream_kmv":$streamKmvJson,"prep_full":$prepJson,"probe":$probeJson,"probe_floor":${fnum(probeFloor)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
     println(json)
     Files.writeString(Paths.get(outFile), json)
     // The driver's per-round artifact keeps only the LAST 2000 chars of

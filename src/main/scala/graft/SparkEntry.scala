@@ -96,6 +96,10 @@ object SparkEntry {
     "sim_density_prune_steady" -> ((s, d) => Similarity.densityPruneSteady(s, d)),
     "q_pagerank"        -> ((s, d) => GraphRank.pageRankDocs(s, d)),
     "q_pagerank_steady" -> ((s, d) => GraphRank.pageRankSteady(s, d)),
+    "q_kmv_distinct"    -> ((s, d) => Sketches.kmvDistinctEvents(s, d)),
+    "q_kmv_setops"      -> ((s, d) => Sketches.kmvSetOpsEvents(s, d)),
+    "q_kmv_steady"      -> ((s, d) => Sketches.kmvDistinctSteady(s, d)),
+    "q_kmv_setops_steady" -> ((s, d) => Sketches.kmvSetOpsSteady(s, d)),
     "sim_kmeans_assign_steady" -> (Similarity.kmeansAssignmentsSteady _),
     "sim_cluster_sample" -> ((s, d) => Similarity.clusterSample(s, d)),
     "sim_cluster_sample_steady" -> ((s, d) => Similarity.clusterSampleSteady(s, d)),
@@ -349,6 +353,7 @@ object SparkEntry {
     "q_skew_profile",
     // round-10 session-4 additions
     "q_pagerank", "q_pagerank_steady",
+    "q_kmv_distinct", "q_kmv_setops", "q_kmv_steady", "q_kmv_setops_steady",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1221,6 +1226,70 @@ object SparkEntry {
        |SELECT vec_id, round(rank, 9) AS rank FROM r$iters""".stripMargin
   }
 
+  /** The deterministic KMV sketch as SQL: distinct 60-bit md5-prefix
+    * hashes per segment, bottom-k by row_number. Shared by the
+    * q_kmv_* oracles — the sketch is a pure function of the data, so
+    * the oracle replays it exactly (estimates and all), not just its
+    * expectation. */
+  private def kmvSketchCtes(k: Int = 64): String =
+    s"""hset AS MATERIALIZED (
+       |  SELECT DISTINCT event_type AS key,
+       |    CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+       |  FROM events WHERE user_id IS NOT NULL
+       |), sk AS MATERIALIZED (
+       |  SELECT key, h FROM (
+       |    SELECT key, h, row_number() OVER (PARTITION BY key ORDER BY h) AS rn
+       |    FROM hset
+       |  ) WHERE rn <= $k
+       |)""".stripMargin
+
+  /** q_kmv_distinct oracle: estimates off the replayed sketch — exact
+    * n_kept below k, (k−1)/θ at the cap (θ = max kept hash / 2⁶⁰). */
+  private def kmvDistinctOracleSql(k: Int = 64): String =
+    s"""WITH ${kmvSketchCtes(k)}
+       |SELECT key AS event_type, count(*) AS n_kept,
+       |  round(CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+       |    ELSE CAST(${k - 1} AS DOUBLE) /
+       |      (CAST(max(h) AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE))
+       |  END, 6) AS est_distinct
+       |FROM sk GROUP BY 1""".stripMargin
+
+  /** q_kmv_setops oracle: the theta-sketch pair algebra replayed —
+    * θ_ab = min(θ_a, θ_b), union/intersection samples below θ_ab,
+    * |S|/θ_ab estimates, sample-ratio Jaccard. */
+  private def kmvSetOpsOracleSql(k: Int = 64): String =
+    s"""WITH ${kmvSketchCtes(k)},
+       |th AS MATERIALIZED (
+       |  SELECT key, CASE WHEN count(*) < $k
+       |    THEN CAST(1152921504606846976 AS BIGINT) ELSE max(h) END AS th
+       |  FROM sk GROUP BY 1
+       |), pairs AS MATERIALIZED (
+       |  SELECT a.key AS ka, b.key AS kb, least(a.th, b.th) AS thab
+       |  FROM th a JOIN th b ON a.key < b.key
+       |), sa AS MATERIALIZED (
+       |  SELECT p.ka, p.kb, p.thab, s.h
+       |  FROM pairs p JOIN sk s ON s.key = p.ka WHERE s.h < p.thab
+       |), sb AS MATERIALIZED (
+       |  SELECT p.ka, p.kb, p.thab, s.h
+       |  FROM pairs p JOIN sk s ON s.key = p.kb WHERE s.h < p.thab
+       |), uc AS (
+       |  SELECT ka, kb, thab, count(*) AS nu FROM (
+       |    SELECT DISTINCT ka, kb, thab, h
+       |    FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb)
+       |  ) GROUP BY 1, 2, 3
+       |), ic AS (
+       |  SELECT sa.ka, sa.kb, count(*) AS ni
+       |  FROM sa JOIN sb ON sa.ka = sb.ka AND sa.kb = sb.kb AND sa.h = sb.h
+       |  GROUP BY 1, 2
+       |)
+       |SELECT uc.ka AS type_a, uc.kb AS type_b,
+       |  round(CAST(nu AS DOUBLE) /
+       |    (CAST(thab AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)), 6) AS est_union,
+       |  round(CAST(coalesce(ni, 0) AS DOUBLE) /
+       |    (CAST(thab AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)), 6) AS est_inter,
+       |  round(CAST(coalesce(ni, 0) AS DOUBLE) / CAST(nu AS DOUBLE), 6) AS est_jaccard
+       |FROM uc LEFT JOIN ic ON ic.ka = uc.ka AND ic.kb = uc.kb""".stripMargin
+
   /** The IVF-PQ search body (cent → assigned → probes → codes → LUT →
     * pruned ADC top-k), parameterized on the coarse-centroid source. Reads
     * the PQ book from a preceding `cb` CTE. */
@@ -1863,6 +1932,11 @@ object SparkEntry {
     "sim_knn_graph_steady" -> knnGraphOracleSql(),
     "q_pagerank" -> pageRankOracleSql(),
     "q_pagerank_steady" -> pageRankOracleSql(),
+    "q_kmv_distinct" -> kmvDistinctOracleSql(),
+    "q_kmv_setops" -> kmvSetOpsOracleSql(),
+    // landed serve ≡ direct (the steady law): same oracles
+    "q_kmv_steady" -> kmvDistinctOracleSql(),
+    "q_kmv_setops_steady" -> kmvSetOpsOracleSql(),
     "sim_density_prune" -> densityPruneOracleSql(),
     "sim_density_prune_steady" -> densityPruneOracleSql(),
     "sim_kmeans_assign" -> kmeansAssignOracleSql(),
