@@ -96,6 +96,8 @@ object SparkEntry {
     "sim_density_prune_steady" -> ((s, d) => Similarity.densityPruneSteady(s, d)),
     "q_pagerank"        -> ((s, d) => GraphRank.pageRankDocs(s, d)),
     "q_pagerank_steady" -> ((s, d) => GraphRank.pageRankSteady(s, d)),
+    "sim_bitext_mine"   -> ((s, d) => Bitext.mineDocs(s, d)),
+    "sim_bitext_mine_steady" -> ((s, d) => Bitext.mineSteady(s, d)),
     "q_kmv_distinct"    -> ((s, d) => Sketches.kmvDistinctEvents(s, d)),
     "q_kmv_setops"      -> ((s, d) => Sketches.kmvSetOpsEvents(s, d)),
     "q_kmv_steady"      -> ((s, d) => Sketches.kmvDistinctSteady(s, d)),
@@ -354,6 +356,7 @@ object SparkEntry {
     // round-10 session-4 additions
     "q_pagerank", "q_pagerank_steady",
     "q_kmv_distinct", "q_kmv_setops", "q_kmv_steady", "q_kmv_setops_steady",
+    "sim_bitext_mine", "sim_bitext_mine_steady",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1226,6 +1229,68 @@ object SparkEntry {
        |SELECT vec_id, round(rank, 9) AS rank FROM r$iters""".stripMargin
   }
 
+  /** sim_bitext_mine oracle: trained cells (the sim_kmeans CTE block),
+    * the argmax assignment, the cell-blocked cross-side pair scoring,
+    * both top-k margin denominators, the 6-dp-rounded margin (rounded
+    * BEFORE ranking, so the argmax compares identical doubles on both
+    * engines), and the mutual-best intersection — the whole mine
+    * replayed in SQL. */
+  private def bitextOracleSql(iters: Int = 3, k: Int = 4): String = {
+    val cos = (a: String, b: String) =>
+      s"""list_inner_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
+         |      / sqrt(list_inner_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))
+         |           * list_inner_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))""".stripMargin
+    s"""WITH ${kmeansCteBlock(29, iters)},
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, cell_id, embedding FROM (
+       |    SELECT e.vec_id, e.embedding, c.cell_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cos("e.embedding", "c.c_emb")} DESC,
+       |        c.cell_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN c$iters c
+       |  ) WHERE rn = 1
+       |), pairs AS MATERIALIZED (
+       |  SELECT src_id, tgt_id, score FROM (
+       |    SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+       |      ${cos("a.embedding", "b.embedding")} AS score
+       |    FROM asg a JOIN asg b ON a.cell_id = b.cell_id
+       |    WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+       |  ) WHERE NOT isnan(score)
+       |), ta AS MATERIALIZED (
+       |  SELECT src_id, avg(score) AS ax FROM (
+       |    SELECT src_id, score, row_number() OVER (
+       |      PARTITION BY src_id ORDER BY score DESC, tgt_id) AS rn
+       |    FROM pairs
+       |  ) WHERE rn <= $k GROUP BY 1
+       |), tb AS MATERIALIZED (
+       |  SELECT tgt_id, avg(score) AS bx FROM (
+       |    SELECT tgt_id, score, row_number() OVER (
+       |      PARTITION BY tgt_id ORDER BY score DESC, src_id) AS rn
+       |    FROM pairs
+       |  ) WHERE rn <= $k GROUP BY 1
+       |), m AS MATERIALIZED (
+       |  SELECT p.src_id, p.tgt_id,
+       |    round(p.score / ((ta.ax + tb.bx) / 2), 6) AS margin
+       |  FROM pairs p
+       |  JOIN ta ON ta.src_id = p.src_id
+       |  JOIN tb ON tb.tgt_id = p.tgt_id
+       |), ba AS (
+       |  SELECT src_id, tgt_id, margin FROM (
+       |    SELECT src_id, tgt_id, margin, row_number() OVER (
+       |      PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rn
+       |    FROM m
+       |  ) WHERE rn = 1
+       |), bb AS (
+       |  SELECT src_id, tgt_id FROM (
+       |    SELECT src_id, tgt_id, row_number() OVER (
+       |      PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS rn
+       |    FROM m
+       |  ) WHERE rn = 1
+       |)
+       |SELECT ba.src_id, ba.tgt_id, ba.margin
+       |FROM ba JOIN bb ON bb.src_id = ba.src_id AND bb.tgt_id = ba.tgt_id""".stripMargin
+  }
+
   /** The deterministic KMV sketch as SQL: distinct 60-bit md5-prefix
     * hashes per segment, bottom-k by row_number. Shared by the
     * q_kmv_* oracles — the sketch is a pure function of the data, so
@@ -1932,6 +1997,8 @@ object SparkEntry {
     "sim_knn_graph_steady" -> knnGraphOracleSql(),
     "q_pagerank" -> pageRankOracleSql(),
     "q_pagerank_steady" -> pageRankOracleSql(),
+    "sim_bitext_mine" -> bitextOracleSql(),
+    "sim_bitext_mine_steady" -> bitextOracleSql(),
     "q_kmv_distinct" -> kmvDistinctOracleSql(),
     "q_kmv_setops" -> kmvSetOpsOracleSql(),
     // landed serve ≡ direct (the steady law): same oracles
