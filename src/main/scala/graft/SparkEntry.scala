@@ -96,6 +96,7 @@ object SparkEntry {
     "sim_density_prune_steady" -> ((s, d) => Similarity.densityPruneSteady(s, d)),
     "q_pagerank"        -> ((s, d) => GraphRank.pageRankDocs(s, d)),
     "q_pagerank_steady" -> ((s, d) => GraphRank.pageRankSteady(s, d)),
+    "mm_near_dup"       -> ((s, d) => Multimodal.nearDupMedia(s, d)),
     "sim_bitext_mine"   -> ((s, d) => Bitext.mineDocs(s, d)),
     "sim_bitext_mine_steady" -> ((s, d) => Bitext.mineSteady(s, d)),
     "q_kmv_distinct"    -> ((s, d) => Sketches.kmvDistinctEvents(s, d)),
@@ -356,7 +357,7 @@ object SparkEntry {
     // round-10 session-4 additions
     "q_pagerank", "q_pagerank_steady",
     "q_kmv_distinct", "q_kmv_setops", "q_kmv_steady", "q_kmv_setops_steady",
-    "sim_bitext_mine", "sim_bitext_mine_steady",
+    "sim_bitext_mine", "sim_bitext_mine_steady", "mm_near_dup",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1291,6 +1292,68 @@ object SparkEntry {
        |FROM ba JOIN bb ON bb.src_id = ba.src_id AND bb.tgt_id = ba.tgt_id""".stripMargin
   }
 
+  /** mm_near_dup oracle: the planted media corpus (payload bytes == text
+    * codepoints on the ASCII corpus — the mm_features device), the
+    * hashed-bigram histogram, the SAME seeded ±1 sign matrix the
+    * `phash_bands` kernel carries (embedded as 64 compact +/- strings),
+    * band packing, the banded candidate join, and the exact XOR-popcount
+    * hamming confirm — every bit replayed. Integer sums are CAST back to
+    * BIGINT (DuckDB widens integer SUM to HUGEINT, which would
+    * schema-mismatch the Spark longs). */
+  private def mmNearDupOracleSql(maxHamming: Int = 3): String = {
+    val rows = graft.functions.MediaKernels.phashSigns.zipWithIndex
+      .map { case (row, bit) =>
+        val s = row.map(v => if (v > 0) "+" else "-").mkString
+        s"($bit, '$s')"
+      }.mkString(",\n       |    ")
+    s"""WITH corpus AS MATERIALIZED (
+       |  SELECT doc_id AS media_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' graftdup'
+       |  FROM documents WHERE doc_id % 10 = 0
+       |), bt AS MATERIALIZED (
+       |  SELECT media_id,
+       |    list_transform(range(1, length(text) + 1),
+       |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS bs
+       |  FROM corpus WHERE length(text) >= 2
+       |), hist AS MATERIALIZED (
+       |  SELECT media_id, v, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT media_id,
+       |      unnest(list_transform(range(1, len(bs)),
+       |        i -> (bs[i] * 31 + bs[i + 1]) % 256)) AS v
+       |    FROM bt
+       |  ) GROUP BY 1, 2
+       |), sgn AS MATERIALIZED (
+       |  SELECT bit, vv.v AS v,
+       |    CASE WHEN substr(s, vv.v + 1, 1) = '+' THEN 1 ELSE -1 END AS sgn
+       |  FROM (VALUES
+       |    $rows) t(bit, s)
+       |  CROSS JOIN (SELECT unnest(range(0, 256)) AS v) vv
+       |), bands AS MATERIALIZED (
+       |  SELECT media_id, bit // 16 AS band,
+       |    CAST(sum(CASE WHEN proj > 0
+       |      THEN (1::BIGINT << CAST(bit % 16 AS INTEGER))
+       |      ELSE 0 END) AS BIGINT) AS bv
+       |  FROM (
+       |    SELECT h.media_id, s.bit, sum(h.c * s.sgn) AS proj
+       |    FROM hist h JOIN sgn s ON s.v = h.v
+       |    GROUP BY 1, 2
+       |  ) GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+       |  FROM bands a
+       |  JOIN bands b ON a.band = b.band AND a.bv = b.bv
+       |    AND a.media_id < b.media_id
+       |)
+       |SELECT c.media_a, c.media_b,
+       |  CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+       |FROM cand c
+       |JOIN bands x ON x.media_id = c.media_a
+       |JOIN bands y ON y.media_id = c.media_b AND y.band = x.band
+       |GROUP BY 1, 2
+       |HAVING CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) <= $maxHamming""".stripMargin
+  }
+
   /** The deterministic KMV sketch as SQL: distinct 60-bit md5-prefix
     * hashes per segment, bottom-k by row_number. Shared by the
     * q_kmv_* oracles — the sketch is a pure function of the data, so
@@ -1999,6 +2062,7 @@ object SparkEntry {
     "q_pagerank_steady" -> pageRankOracleSql(),
     "sim_bitext_mine" -> bitextOracleSql(),
     "sim_bitext_mine_steady" -> bitextOracleSql(),
+    "mm_near_dup" -> mmNearDupOracleSql(),
     "q_kmv_distinct" -> kmvDistinctOracleSql(),
     "q_kmv_setops" -> kmvSetOpsOracleSql(),
     // landed serve ≡ direct (the steady law): same oracles

@@ -251,3 +251,24 @@ case class ZOrder2(left: Expression, right: Expression) extends BinaryExpression
       newLeft: Expression, newRight: Expression): ZOrder2 =
     copy(left = newLeft, right = newRight)
 }
+
+/** `phash_bands(binary)` → array<bigint> of 4 × 16-bit perceptual-hash
+  * band values over the payload's hashed-bigram histogram
+  * ([[MediaKernels.phashBands]]) — the banded-LSH signature for
+  * perceptual near-dup detection over opaque media columns. */
+case class PhashBands(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "phash_bands"
+  override def checkInputDataTypes(): TypeCheckResult =
+    expect(prettyName, child.dataType == BinaryType, "binary", Seq(child.dataType))
+
+  override def nullSafeEval(input: Any): Any =
+    MediaKernels.phashBands(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MediaKernels.phashBands($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): PhashBands =
+    copy(child = newChild)
+}

@@ -38,6 +38,7 @@ object GraftFunctions {
   def shingleHashes(c: Column, n: Int, seed: Long = 42L): Column =
     col(ShingleHashes(expr(c), n, seed))
   def zOrder2(a: Column, b: Column): Column = col(ZOrder2(expr(a), expr(b)))
+  def phashBands(c: Column): Column = col(PhashBands(expr(c)))
 
   /** Bounded top-k aggregate: k best ids by (score DESC, id ASC) — the
     * map-side-cut replacement for a rank-window top-k (see TopKByScore). */
@@ -101,6 +102,8 @@ object GraftFunctions {
       (es: Seq[Expression]) => ZOrder2(es(0), es(1))),
     (FunctionIdentifier("hash_lane_counts"), info("hash_lane_counts", classOf[HashLaneCounts]),
       (es: Seq[Expression]) => HashLaneCounts(es.head, litInt(es(1), "hash_lane_counts dims"))),
+    (FunctionIdentifier("phash_bands"), info("phash_bands", classOf[PhashBands]),
+      (es: Seq[Expression]) => PhashBands(es.head)),
   )
 }
 

@@ -321,3 +321,53 @@ object ZOrderKernels {
   def zInterleave(a: Int, b: Int): Long =
     (spreadBits(a ^ Int.MinValue) | (spreadBits(b ^ Int.MinValue) << 1)) ^ Long.MinValue
 }
+
+object MediaKernels {
+  /** Perceptual-signature geometry: 64 sign-projection bits over a
+    * 256-bucket hashed byte-bigram histogram, packed as 4 × 16-bit band
+    * values (packing per band, not one 64-bit long, keeps bit 63 out of
+    * the signed-shift overflow zone on both engines). */
+  val PhashBits = 64
+  val PhashDims = 256
+  val PhashBands = 4
+  val PhashSeed = 11L
+
+  /** Seeded ±1 sign matrix (the rpSigns construction —
+    * java.util.Random(seed) booleans in row-major order). Public so the
+    * oracle embeds the SAME signs as SQL literals. */
+  lazy val phashSigns: Array[Array[Int]] = {
+    val rnd = new java.util.Random(PhashSeed)
+    Array.fill(PhashBits, PhashDims)(if (rnd.nextBoolean()) 1 else -1)
+  }
+
+  /** Perceptual signature of an opaque binary payload: hashed-bigram
+    * histogram (bucket = (b₁·31 + b₂) mod 256 over consecutive byte
+    * pairs) sign-projected to 64 bits — a content signature that is
+    * STABLE under small payload edits (an appended tail moves a handful
+    * of histogram counts, so only low-|projection| bits can flip) yet
+    * discriminative across unrelated payloads (projections of distinct
+    * sparse histograms sign-flip independently). All-integer arithmetic
+    * — no float drift anywhere. Payloads with fewer than 2 bytes have
+    * no bigrams; callers filter them (no-content contract). */
+  def phashBands(payload: Array[Byte]): ArrayData = {
+    val hist = new Array[Long](PhashDims)
+    var i = 0
+    while (i < payload.length - 1) {
+      val b1 = payload(i) & 0xff
+      val b2 = payload(i + 1) & 0xff
+      hist((b1 * 31 + b2) % PhashDims) += 1L
+      i += 1
+    }
+    val out = new Array[Long](PhashBands)
+    var bit = 0
+    while (bit < PhashBits) {
+      val row = phashSigns(bit)
+      var proj = 0L
+      var v = 0
+      while (v < PhashDims) { proj += hist(v) * row(v); v += 1 }
+      if (proj > 0) out(bit >>> 4) |= (1L << (bit & 15))
+      bit += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}

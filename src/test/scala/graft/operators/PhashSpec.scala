@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Perceptual media near-dup laws — the oracle replays the corpus
+  * instantiation bit-for-bit; these pin the properties the replay can't
+  * express: banded candidate generation is COMPLETE at the pigeonhole
+  * τ (verified against brute-force hamming), signatures are stable
+  * under small byte edits and well-formed, and contract edges (short
+  * payloads, exact copies) behave. */
+class PhashSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bands are 4 values, each inside 16 bits") {
+    val rows = Multimodal.plantedNearMedia(spark, dir)
+      .select(graft.functions.GraftFunctions.phashBands(col("payload")).as("b"))
+      .as[Seq[Long]].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { b =>
+      assert(b.length == 4)
+      b.foreach(v => assert(v >= 0 && v < 65536, b))
+    }
+  }
+
+  test("banded pairs ≡ brute-force hamming ≤ 3 (pigeonhole completeness)") {
+    val media = Multimodal.plantedNearMedia(spark, dir)
+    val got = Multimodal.phashNearDupPairs(media, "media_id", "payload")
+      .as[(Long, Long, Long)].collect().toSet
+    val sigs = media.filter(length(col("payload")) >= 2)
+      .select(col("media_id"),
+        graft.functions.GraftFunctions.phashBands(col("payload")).as("b"))
+      .as[(Long, Seq[Long])].collect()
+    val brute = (for {
+      (a, ba) <- sigs; (b, bb) <- sigs if a < b
+      h = ba.zip(bb).map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+      if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got == brute, s"banded=${got.size} brute=${brute.size}")
+  }
+
+  test("an exact byte copy surfaces at hamming 0") {
+    val media = Multimodal.plantedNearMedia(spark, dir)
+      .unionByName(Multimodal.plantedNearMedia(spark, dir)
+        .filter(col("media_id") === 3L)
+        .select(lit(7000003L).as("media_id"), col("payload")))
+    val got = Multimodal.phashNearDupPairs(media, "media_id", "payload")
+      .as[(Long, Long, Long)].collect()
+    assert(got.exists(r => r._1 == 3L && r._2 == 7000003L && r._3 == 0L),
+      got.take(5).mkString(","))
+  }
+
+  test("the 9-byte planted edit stays perceptually near: most planted pairs surface") {
+    val got = Multimodal.nearDupMedia(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    val planted = got.count(r => r._2 == r._1 + 1000000L)
+    val nPlanted = graft.sources.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0).count()
+    assert(planted >= (nPlanted * 7) / 10,
+      s"only $planted of $nPlanted planted copies surfaced")
+  }
+
+  test("payloads without a bigram pair with nothing") {
+    val media = Seq(
+      (1L, Array[Byte]('x')), (2L, Array[Byte]('x')),
+      (3L, "same long payload text".getBytes), (4L, "same long payload text".getBytes))
+      .toDF("media_id", "payload")
+    val got = Multimodal.phashNearDupPairs(media, "media_id", "payload")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((3L, 4L, 0L)), got)
+  }
+}
