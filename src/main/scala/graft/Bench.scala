@@ -362,9 +362,14 @@ object Bench {
           graft.streaming.StreamKnn.graph(spark, s"$tmp/state", nn = 4)
             .write.format("noop").mode("overwrite").save()
         }
+        val serveRank = med3 {
+          graft.streaming.StreamKnn.pageRank(spark, s"$tmp/state", nn = 4)
+            .write.format("noop").mode("overwrite").save()
+        }
         Some(s"""{"op":"stream_knn","rows_in":$rowsIn,"batches":4,""" +
           s""""grow_wall_sec":${fnum(wallGrow)},""" +
-          s""""serve_graph_sec":${fnum(serve)}}""")
+          s""""serve_graph_sec":${fnum(serve)},""" +
+          s""""serve_pagerank_sec":${fnum(serveRank)}}""")
       } catch {
         case e: Throwable =>
           errors += s"stream_knn: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"

@@ -97,6 +97,7 @@ object SparkEntry {
     "q_pagerank"        -> ((s, d) => GraphRank.pageRankDocs(s, d)),
     "q_pagerank_steady" -> ((s, d) => GraphRank.pageRankSteady(s, d)),
     "mm_near_dup"       -> ((s, d) => Multimodal.nearDupMedia(s, d)),
+    "txt_contam_frac"   -> (Dedup.contamFracDocs _),
     "sim_bitext_mine"   -> ((s, d) => Bitext.mineDocs(s, d)),
     "sim_bitext_mine_steady" -> ((s, d) => Bitext.mineSteady(s, d)),
     "q_kmv_distinct"    -> ((s, d) => Sketches.kmvDistinctEvents(s, d)),
@@ -358,6 +359,7 @@ object SparkEntry {
     "q_pagerank", "q_pagerank_steady",
     "q_kmv_distinct", "q_kmv_setops", "q_kmv_steady", "q_kmv_setops_steady",
     "sim_bitext_mine", "sim_bitext_mine_steady", "mm_near_dup",
+    "txt_contam_frac",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -3762,6 +3764,51 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(g) AS g FROM grams) cg
         |JOIN egrams USING (g)
         |GROUP BY doc_id""".stripMargin,
+    // Fractional contamination: the txt_decontam string-space replay
+    // extended with per-doc distinct-window totals, the 6-dp fraction,
+    // and the keep verdict on the exact unrounded integer ratio (the
+    // hash-vs-string identity argument is txt_decontam's, applied to
+    // the count as well as the membership).
+    "txt_contam_frac" ->
+      """WITH eval AS (
+        |  SELECT doc_id, doc_id // 37 AS ei, text FROM documents WHERE doc_id % 37 = 0
+        |), base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0
+        |), corpus AS (
+        |  SELECT b.doc_id, b.text || ' ' || e.text AS text
+        |  FROM base b JOIN eval e ON b.doc_id % 14 = e.ei
+        |  WHERE b.doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id, text FROM base WHERE doc_id % 5 <> 1
+        |), grams AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(w) - 7, 1) + 1),
+        |      i -> array_to_string(w[i:i+7], ' '))) AS g
+        |  FROM (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |    FROM corpus)
+        |), egrams AS MATERIALIZED (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(w) - 7, 1) + 1),
+        |      i -> array_to_string(w[i:i+7], ' ')))) AS g
+        |  FROM (SELECT
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |    FROM eval)
+        |), hits AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM (SELECT doc_id, unnest(g) AS g FROM grams) cg
+        |  JOIN egrams USING (g)
+        |  GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, t.n_grams,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+        |    / CAST(t.n_grams AS DOUBLE), 6) AS frac,
+        |  (CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+        |    / CAST(t.n_grams AS DOUBLE)) <= 0.05 AS keep
+        |FROM (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams FROM grams) t
+        |LEFT JOIN hits h ON h.doc_id = t.doc_id""".stripMargin,
     // PII scan over the planted contact lines (doc_id % 3 = 0 → email,
     // % 3 = 1 → email + phone, % 3 = 2 → clean): patterns are plain
     // character classes + \b so Java and RE2 agree; DuckDB's

@@ -1228,6 +1228,53 @@ object Dedup extends Logging {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** FRACTIONAL contamination scoring — the monitor form of
+    * [[decontaminate]] (the published n-gram-overlap decontamination
+    * recipe reports and thresholds a PER-DOCUMENT overlap fraction, not
+    * a boolean): for every document, the share of its distinct w-token
+    * windows that appear in the eval-set window set, plus the keep
+    * verdict at `tau`. A document a benchmark QUOTES (high fraction)
+    * and a document that merely shares one idiom (one window in
+    * hundreds) are different curation decisions — the boolean operator
+    * can't tell them apart.
+    *
+    * Scale shape: identical to [[decontaminate]] (the gram explosion +
+    * the eval-gram equi-join are unchanged) plus one ROW-LOCAL distinct
+    * count per document (`size(array_distinct(...))` at the scan — no
+    * second explosion, no extra shuffle) and a vertex-sized left join
+    * of hit counts back onto totals. The keep flag compares the exact
+    * unrounded ratio (integer/integer — bit-identical cross-engine);
+    * the reported fraction is 6-dp display rounding. */
+  def contamFraction(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, tau: Double = 0.05): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(array_distinct(shingleHashes(col(textCol), n))).as("gh"))
+      .distinct()
+    val totals = corpus.select(col(idCol).as("doc_id"),
+      size(array_distinct(shingleHashes(col(textCol), n)))
+        .cast("long").as("n_grams"))
+    val hits = corpus
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(shingleHashes(col(textCol), n))).as("gh"))
+      .join(evalGrams, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+    val ratio = coalesce(col("n_hits"), lit(0L)).cast("double") /
+      col("n_grams").cast("double")
+    totals.join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(ratio, 6).as("frac"),
+        (ratio <= lit(tau)).as("keep"))
+  }
+
+  /** CORRECTNESS instantiation over the planted fixture (same corpus
+    * and eval split as `txt_decontam`). */
+  def contamFracDocs(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, evalSet) = decontamFixture(spark, dir)
+    contamFraction(corpus, evalSet, "doc_id", "text")
+  }
+
   /** The planted decontamination fixture: eval set = every 37th document;
     * corpus = the rest, where docs with doc_id % 5 = 1 are contaminated
     * by construction (one of the first 14 eval texts appended, selected

@@ -88,6 +88,26 @@ object StreamKnn {
       .select(col("vec_id"), col("density"))
   }
 
+  /** PageRank served FROM THE MAINTAINED GRAPH — centrality scoring
+    * with no batch graph build: edges = the served absorbing top-nn
+    * re-cut, vertices = every arrived vector (the live assignment
+    * index, so edgeless vectors participate as dangling mass exactly
+    * as in the batch operator). Equals
+    * [[graft.operators.GraphRank.pageRank]] over the batch graph on
+    * the union of all arrivals under the same fixed cells
+    * (StreamKnnSpec pins it) — the composition is free once the graph
+    * law holds, because PageRank is a pure function of (V, E). */
+  def pageRank(spark: SparkSession, stateDir: String, nn: Int,
+      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    val edges = graph(spark, stateDir, nn)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val paths = Generations.livePaths(spark, s"$stateDir/asg")
+    require(paths.nonEmpty, s"no committed 'gen-' generations under $stateDir/asg")
+    val verts = paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      .select("vec_id").distinct()
+    graft.operators.GraphRank.pageRank(verts, edges, iters, damping)
+  }
+
   /** Fold both state sides (manifested — see the object scaladoc): the
     * assignment index by identity, the edges through the absorbing
     * top-nn cut. Run via the hook or while the stream is stopped. */

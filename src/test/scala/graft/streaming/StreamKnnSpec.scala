@@ -80,5 +80,20 @@ class StreamKnnSpec extends SparkTestBase {
     assert(StreamKnn.densityPrune(spark, state, nn, pct = 0.2)
       .as[(Long, Option[Double])].collect().toSet == wantPrune,
       "served density prune must equal the batch operator on the union")
+
+    // the second composed decision: centrality served from the
+    // maintained graph equals batch PageRank over the batch graph on
+    // the union, same fixed cells (PageRank is a pure function of
+    // (V, E), so this law is free once the graph law holds)
+    import org.apache.spark.sql.functions.col
+    val batchEdges = Similarity.knnGraph(
+        all.toDF("vec_id", "embedding"), cents, nn)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val wantRank = graft.operators.GraphRank.pageRank(
+        all.toDF("vec_id", "embedding").select("vec_id"), batchEdges)
+      .as[(Long, Double)].collect().toSet
+    assert(StreamKnn.pageRank(spark, state, nn)
+      .as[(Long, Double)].collect().toSet == wantRank,
+      "served PageRank must equal the batch operator on the union")
   }
 }
