@@ -37,6 +37,7 @@ object SparkEntry {
     "dedup_exact_docs"  -> (Dedup.exactByContent _),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Dedup.plantedNearDocs(s, d), "doc_id", "text")),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.jaccardPairs(Dedup.plantedNearDocs(s, d), "doc_id", "text")),
+    "dedup_containment" -> ((s, d) => Dedup.containedDocs(s, d)),
     "dedup_simhash"     -> ((s, d) => Dedup.simhashPairs(Dedup.plantedNearDocs(s, d), "doc_id", "text")),
     "dedup_simhash_exact" -> ((s, d) => Dedup.simhashPairs(Dedup.plantedExactDocs(s, d), "doc_id", "text", maxHamming = 0)),
     "dedup_near_drop"   -> ((s, d) => Dedup.dropNearDuplicates(Dedup.plantedNearDocs(s, d), "doc_id", "text")
@@ -360,6 +361,7 @@ object SparkEntry {
     "q_kmv_distinct", "q_kmv_setops", "q_kmv_steady", "q_kmv_setops_steady",
     "sim_bitext_mine", "sim_bitext_mine_steady", "mm_near_dup",
     "txt_contam_frac",
+    "dedup_containment",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -2615,6 +2617,35 @@ object SparkEntry {
         |      / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |) WHERE jaccard >= 0.7""".stripMargin,
+    // Directed set-containment ground truth: ALL ordered pairs with
+    // |Sh(A)∩Sh(B)|/|Sh(A)| ≥ 0.9 over documents ∪ half-token excerpts
+    // (the same excerpt construction as plantedContainedDocs, replayed on
+    // the shared tokenizer). Equality with the prefix-filtered plan is by
+    // construction — the probe-side prefix provably loses no qualifying
+    // directed pair and verification is the exact integer ratio.
+    "dedup_containment" ->
+      """WITH basetoks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, w FROM basetoks
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    list_slice(w, 1, greatest(len(w) // 2, 1)) AS w
+        |  FROM basetoks WHERE doc_id % 10 = 0
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM base
+        |)
+        |SELECT doc_a, doc_b, containment FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS containment
+        |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |) WHERE containment >= 0.9""".stripMargin,
     // Survivors of greedy near-dup removal: ground truth recomputes the
     // all-pairs Jaccard pair set and drops every doc_b — the same
     // keep-smallest policy as the operator, over the exact pair set the

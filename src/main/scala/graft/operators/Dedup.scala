@@ -518,6 +518,96 @@ object Dedup extends Logging {
     materializeAndRelease(pairs, sh)
   }
 
+  /** Exact set-CONTAINMENT near-dup pairs — the excerpt/superset detector
+    * symmetric Jaccard misses BY CONSTRUCTION: a 100-token excerpt inside
+    * a 10 000-token page has Jaccard ≈ 0.01 but containment 1.0, and
+    * training corpora are full of exactly that shape (quoted articles,
+    * syndicated fragments, pages that embed whole smaller documents). The
+    * predicate is the asymmetric C(A→B) = |Sh(A) ∩ Sh(B)| / |Sh(A)| ≥ τ
+    * ("A is near-contained in B"), so qualifying pairs are DIRECTED and
+    * both directions of a mutual pair are emitted.
+    *
+    * Candidate generation is the containment form of the prefix filter
+    * (the set-containment-join family — PRETTI/PIEJoin line): only the
+    * PROBE side prefixes. If C(A→B) ≥ τ then |A \ B| ≤ |A| − ⌈τ·|A|⌉, so
+    * under ANY fixed total order A's first |A| − ⌈τ·|A|⌉ + 1 shingles
+    * must intersect B's FULL set — the container side cannot prune and
+    * indexes every shingle (the inverted-index side, the [[jaccardPairs]]
+    * posting join shape), while the probe side keeps only its df-rarest
+    * prefix (losslessness holds for any order; df-ascending keeps hot
+    * boilerplate shingles OUT of prefixes so posting-list fan-out stays
+    * bounded). The one admissible size gate is |B| ≥ ⌈τ·|A|⌉ (the
+    * intersection can't exceed |B|); there is NO upper bound on |B| —
+    * that asymmetry is the whole point. Verification is the exact ratio
+    * over the two shingle sets (an integer÷integer double, bit-identical
+    * cross-engine), so output = ground truth by construction, not w.h.p.
+    *
+    * Scale shape: identical to [[jaccardPairs]] — the shuffles are the
+    * posting join on `shingle` and the two verification lookups; nothing
+    * is ever all-pairs, document text never leaves the scan. */
+  def containmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(
+      col(idCol).as("doc_id"),
+      array_sort(array_distinct(shingleHashes(col(textCol), n))).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val occ = sh.select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle"))
+    val freq = occ.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // probe prefix: |A| - ceil(t·|A|) + 1 (≥ 1 since t ≤ 1), df-ascending
+    val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
+    val probe = occ.join(freq, "shingle")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
+      .filter(col("rk") <= prefixLen)
+      .select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("shingle"))
+
+    val cand = probe
+      .join(occ.select(col("doc_id").as("id_b"), col("sz").as("sz_b"),
+        col("shingle")), "shingle")
+      .filter(col("id_a") =!= col("id_b") &&
+        col("sz_b") >= ceil(lit(threshold) * col("sz_a")))
+      .select("id_a", "id_b").distinct()
+
+    val pairs = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+        col("sz").as("den_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / col("den_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("containment"))
+    materializeAndRelease(pairs, sh)
+  }
+
+  /** CORRECTNESS instantiation for `dedup_containment`: documents ∪
+    * EXCERPTS — the first ⌊tokens/2⌋ tokens (min 1) of every 10th doc,
+    * re-joined with single spaces under shifted ids. An excerpt's shingle
+    * set is a subset of its source's (every 3-token window of a token
+    * prefix is a window of the full sequence), so each planted pair
+    * scores containment 1.0 into its source while its symmetric Jaccard
+    * sits near 0.5 — below every Jaccard gate in the suite. The oracle
+    * replays the same excerpt construction and the ALL-PAIRS directed
+    * ratio in SQL. */
+  def plantedContainedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val toks = TextAnalysis.tokens(col("text"))
+    docs.unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(toks, lit(1),
+            greatest(floor(size(toks) / 2).cast("int"), lit(1))), " ")
+            .as("text")))
+  }
+
+  def containedDocs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(plantedContainedDocs(spark, dir), "doc_id", "text")
+
   /** SimHash near-duplicate pairs: 64-bit fingerprint per document, split
     * into 4 16-bit bands (pigeonhole: any pair within Hamming distance 3
     * shares at least one exact band), bucket-join on (band, band-bits),

@@ -134,6 +134,63 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("containmentPairs equals brute-force directed containment; excerpts hit 1.0 one-way") {
+    // an excerpt (token prefix) of doc 5: containment(excerpt→source)=1.0,
+    // but the reverse direction and the symmetric Jaccard both fall well
+    // below threshold — the asymmetry the operator exists for
+    val base = (1 to 25).map(i => (i.toLong, doc(i, n = 40)))
+    val excerpt = (105L, doc(5, n = 40).split(" ").take(12).mkString(" "))
+    val exact = (207L, doc(7, n = 40))
+    val docs = (base ++ Seq(excerpt, exact)).toDF("doc_id", "text")
+    val sets = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.array_distinct(
+        Dedup.shingleHashes(col("text"), 3)).as("sh"))
+      .as[(Long, Array[Long])].collect()
+    val truth = (for {
+      (a, sa) <- sets; (b, sb) <- sets
+      if a != b
+      c = sa.intersect(sb).length.toDouble / sa.length
+      if c >= 0.9
+    } yield (a, b)).toSet
+    assert(truth.contains((105L, 5L)) && !truth.contains((5L, 105L)),
+      s"excerpt must contain one-way only: $truth")
+    assert(truth.contains((7L, 207L)) && truth.contains((207L, 7L)),
+      s"exact dup must contain both ways: $truth")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == truth, s"got $pairs want $truth")
+  }
+
+  test("containmentPairs matches brute force on randomized corpora and edge docs") {
+    // the jaccardPairs randomized harness in containment space: every
+    // corpus must equal the directed brute force exactly, or the probe
+    // prefix / size gate dropped a qualifying candidate
+    for (seed <- Seq(1, 2, 3); t <- Seq(0.6, 0.9)) {
+      val rng = new scala.util.Random(seed)
+      val randomDocs = (1 to 15).map(i => (i.toLong, doc(seed * 100 + i, n = 5 + rng.nextInt(40))))
+      val edges = Seq(
+        (900L, ""), (901L, ""),       // empty: sentinel shingle, mutual 1.0
+        (902L, "a"), (903L, "a"),     // sub-n-token exact dup
+        (904L, "a b"), (905L, "b a"))
+      val docs = (randomDocs ++ edges).toDF("doc_id", "text")
+      val sets = docs.select(col("doc_id"),
+        org.apache.spark.sql.functions.array_distinct(
+          Dedup.shingleHashes(col("text"), 3)).as("sh"))
+        .as[(Long, Array[Long])].collect()
+      val truth = (for {
+        (a, sa) <- sets; (b, sb) <- sets
+        if a != b
+        c = sa.intersect(sb).length.toDouble / sa.length
+        if c >= t
+      } yield (a, b)).toSet
+      val pairs = Dedup.containmentPairs(docs, "doc_id", "text", threshold = t)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(pairs == truth, s"seed=$seed t=$t: got $pairs want $truth")
+      if (t == 0.9) assert(truth.contains((900L, 901L)) && truth.contains((902L, 903L)),
+        s"planted edge dups must be ground truth: $truth")
+    }
+  }
+
   test("simhashPairs equals brute-force Hamming ground truth (pigeonhole recall)") {
     // identical copy (hamming 0) + near-copy + unrelated docs; ground truth
     // is computed by brute force over the actual 64-bit fingerprints, so
