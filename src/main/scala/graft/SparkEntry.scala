@@ -97,6 +97,8 @@ object SparkEntry {
     "sim_density_prune_steady" -> ((s, d) => Similarity.densityPruneSteady(s, d)),
     "q_pagerank"        -> ((s, d) => GraphRank.pageRankDocs(s, d)),
     "q_pagerank_steady" -> ((s, d) => GraphRank.pageRankSteady(s, d)),
+    "q_lpa"             -> ((s, d) => GraphRank.labelPropagationDocs(s, d)),
+    "q_lpa_steady"      -> ((s, d) => GraphRank.labelPropagationSteady(s, d)),
     "mm_near_dup"       -> ((s, d) => Multimodal.nearDupMedia(s, d)),
     "txt_contam_frac"   -> (Dedup.contamFracDocs _),
     "sim_bitext_mine"   -> ((s, d) => Bitext.mineDocs(s, d)),
@@ -361,7 +363,7 @@ object SparkEntry {
     "q_kmv_distinct", "q_kmv_setops", "q_kmv_steady", "q_kmv_setops_steady",
     "sim_bitext_mine", "sim_bitext_mine_steady", "mm_near_dup",
     "txt_contam_frac",
-    "dedup_containment",
+    "dedup_containment", "q_lpa", "q_lpa_steady",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1234,6 +1236,48 @@ object SparkEntry {
        |SELECT vec_id, round(rank, 9) AS rank FROM r$iters""".stripMargin
   }
 
+  /** q_lpa oracle: the sim_knn_graph oracle as the edge CTE, symmetrized
+    * and deduplicated, then the synchronous label-propagation rounds
+    * UNROLLED — per round the neighbor votes + one self-vote, the
+    * (vec_id, label) count, and the (cnt DESC, label ASC) argmax. The
+    * multiply-referenced CTEs are AS MATERIALIZED (the pageRankOracleSql
+    * lesson: default inlining re-expands the embedded graph replay once
+    * per reference — exponential in rounds). All-integer, so the hash
+    * compare is exact with no rounding anywhere. */
+  private def lpaOracleSql(iters: Int = 5, nn: Int = 4): String = {
+    val iterCtes = (1 to iters).map { i =>
+      val p = s"l${i - 1}"
+      s"""l$i AS MATERIALIZED (
+         |  SELECT vec_id, label FROM (
+         |    SELECT vec_id, label,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM (
+         |      SELECT vec_id, label, count(*) AS cnt FROM (
+         |        SELECT e.src AS vec_id, l.label FROM und e
+         |        JOIN $p l ON l.vec_id = e.dst
+         |        UNION ALL
+         |        SELECT vec_id, label FROM $p
+         |      ) GROUP BY 1, 2
+         |    )
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH g AS MATERIALIZED (
+       |${knnGraphOracleSql(nn = nn)}
+       |), und AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT vec_id AS src, nbr_id AS dst FROM g
+       |    UNION ALL
+       |    SELECT nbr_id AS src, vec_id AS dst FROM g
+       |  )
+       |), l0 AS MATERIALIZED (
+       |  SELECT vec_id, vec_id AS label FROM embeddings
+       |),
+       |$iterCtes
+       |SELECT vec_id, label AS community FROM l$iters""".stripMargin
+  }
+
   /** sim_bitext_mine oracle: trained cells (the sim_kmeans CTE block),
     * the argmax assignment, the cell-blocked cross-side pair scoring,
     * both top-k margin denominators, the 6-dp-rounded margin (rounded
@@ -2064,6 +2108,8 @@ object SparkEntry {
     "sim_knn_graph_steady" -> knnGraphOracleSql(),
     "q_pagerank" -> pageRankOracleSql(),
     "q_pagerank_steady" -> pageRankOracleSql(),
+    "q_lpa" -> lpaOracleSql(),
+    "q_lpa_steady" -> lpaOracleSql(),
     "sim_bitext_mine" -> bitextOracleSql(),
     "sim_bitext_mine_steady" -> bitextOracleSql(),
     "mm_near_dup" -> mmNearDupOracleSql(),

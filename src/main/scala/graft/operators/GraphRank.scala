@@ -129,4 +129,90 @@ object GraphRank {
       g.select(col("vec_id").as("src"), col("nbr_id").as("dst")),
       iters, damping)
   }
+
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007) over the k-NN similarity graph — the cluster-DISCOVERY
+    * complement to the trained k-means labeling ([[Similarity]]'s
+    * assignment fixes |cells| up front; LPA lets the graph pick its own
+    * community count), used to group near-topic documents for mix
+    * auditing and per-community sampling caps. The published algorithm
+    * is randomized (random update order, random tie-break); this is the
+    * DETERMINISTIC synchronous form the oracle can replay exactly:
+    *  - the graph is symmetrized (kNN edges are directed; community
+    *    structure wants the undirected neighborhood) and deduplicated,
+    *    so a mutual kNN edge votes once per direction-target;
+    *  - every vertex starts as its own label (ℓ₀(v) = v);
+    *  - each round, v adopts the label with the most votes among its
+    *    neighbors' current labels PLUS ONE self-vote for its own current
+    *    label (the self-vote is the standard damping against the
+    *    two-coloring oscillation synchronous LPA is prone to on
+    *    bipartite-ish subgraphs), ties broken by SMALLEST label — an
+    *    all-integer argmax, bit-identical cross-engine;
+    *  - a FIXED iteration count (the [[pageRank]] argument: a
+    *    convergence test costs a full pass per round and would make the
+    *    oracle unexpressible as a finite unroll).
+    *
+    * Scale shape: the symmetrized edge list is hash-partitioned by `dst`
+    * ONCE and persisted (the vote join's key — the corpus-sized side
+    * never moves again); each iteration shuffles the |V|-row label
+    * vector into the edge partitioning, the vote count is a two-phase
+    * hash aggregate on (voter-target, label), and the argmax is one
+    * window rank per vertex. Labels are pinned per iteration (the
+    * [[pageRank]] recurrence discipline — an unpinned chain doubles the
+    * executed plan every round). Nothing corpus-sized is collected or
+    * globally sorted. */
+  def labelPropagation(vertices: DataFrame, edges: DataFrame,
+      iters: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sc = vertices.sparkSession.sparkContext
+    def pin(df: DataFrame): DataFrame =
+      if (sc.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    var labels = vertices.select(col("vec_id"), col("vec_id").as("label"))
+    for (_ <- 1 to iters) {
+      val votes = und
+        .join(labels.withColumnRenamed("vec_id", "dst"), Seq("dst"))
+        .select(col("src").as("vec_id"), col("label"))
+        .unionByName(labels)
+        .groupBy(col("vec_id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      labels = pin(votes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("cnt").desc, col("label").asc)))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label")))
+    }
+    val out = labels.select(col("vec_id"), col("label").as("community"))
+    if (!sys.props.get("graft.dedup.lazyPlans").contains("true")) und.unpersist()
+    out
+  }
+
+  /** CORRECTNESS instantiation: LPA over the TRAINED k-NN graph (same
+    * centroids, same graph, same oracle CTEs as `sim_knn_graph`), 5
+    * synchronous rounds. */
+  def labelPropagationDocs(spark: SparkSession, dir: String, nn: Int = 4,
+      iters: Int = 5): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val g = Similarity.knnGraph(emb, Similarity.kmeansCentroids(emb), nn)
+    labelPropagation(emb.select("vec_id"),
+      g.select(col("vec_id").as("src"), col("nbr_id").as("dst")), iters)
+  }
+
+  /** STEADY-STATE [[labelPropagationDocs]]: graph rebuilt under the
+    * LANDED centroids — no Lloyd's in the plan; same answer, same
+    * oracle. */
+  def labelPropagationSteady(spark: SparkSession, dir: String, nn: Int = 4,
+      iters: Int = 5): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val g = Similarity.knnGraph(emb,
+      Similarity.loadLandedQuantizers(spark, dir)._1, nn)
+    labelPropagation(emb.select("vec_id"),
+      g.select(col("vec_id").as("src"), col("nbr_id").as("dst")), iters)
+  }
 }

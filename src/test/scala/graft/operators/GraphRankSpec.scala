@@ -71,4 +71,69 @@ class GraphRankSpec extends SparkTestBase {
     val total = a.agg(sum(col("rank"))).head.getDouble(0)
     assert(math.abs(total - 1.0) < 1e-5, total)
   }
+
+  // ---- label propagation ----
+
+  /** Reference LPA: the same deterministic synchronous rule (symmetrize
+    * + dedup, neighbor votes + one self-vote, max count then min label)
+    * as a driver-side loop — ground truth for the distributed plan. */
+  private def lpaRef(n: Seq[Long], edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, Long] = {
+    val und = (edges ++ edges.map(e => (e._2, e._1))).distinct
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab = n.map(v => v -> v).toMap
+    for (_ <- 1 to iters) {
+      lab = n.map { v =>
+        val votes = (adj.getOrElse(v, Seq.empty).map(lab) :+ lab(v))
+          .groupBy(identity).view.mapValues(_.size)
+        v -> votes.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }.toMap
+    }
+    lab
+  }
+
+  private def labelsOf(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("LPA: two disjoint triangles collapse to their min ids; isolated vertex keeps its own") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L), (5L, 3L))
+      .toDF("src", "dst")
+    val l = labelsOf(GraphRank.labelPropagation(verts(7), edges, iters = 5))
+    assert(Seq(0L, 1L, 2L).map(l).forall(_ == 0L), l)
+    assert(Seq(3L, 4L, 5L).map(l).forall(_ == 3L), l)
+    assert(l(6L) == 6L, s"isolated vertex must keep its own label: $l")
+  }
+
+  test("LPA: the self-vote damps the star's synchronous oscillation to one stable community") {
+    // K1,3: without the self-vote the center would adopt a leaf label in
+    // the same round the leaves adopt the center's — a two-cycle. With
+    // it, round 1 is already the fixed point {all -> 0}.
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val one = labelsOf(GraphRank.labelPropagation(verts(4), edges, iters = 1))
+    assert(one.values.forall(_ == 0L), one)
+    val five = labelsOf(GraphRank.labelPropagation(verts(4), edges, iters = 5))
+    assert(five == one, s"fixed point must be stable: $five vs $one")
+  }
+
+  test("LPA: matched pair adopts min(a,b); direction of the input edge is irrelevant") {
+    val f = labelsOf(GraphRank.labelPropagation(verts(4),
+      Seq((2L, 1L)).toDF("src", "dst"), iters = 3))
+    val b = labelsOf(GraphRank.labelPropagation(verts(4),
+      Seq((1L, 2L)).toDF("src", "dst"), iters = 3))
+    assert(f == b, s"symmetrization must erase direction: $f vs $b")
+    assert(f(1L) == 1L && f(2L) == 1L && f(0L) == 0L && f(3L) == 3L, f)
+  }
+
+  test("LPA equals the reference rule on randomized graphs") {
+    for (seed <- Seq(1, 2, 3)) {
+      val rng = new scala.util.Random(seed)
+      val n = 12L
+      val edges = Seq.fill(20)((rng.nextInt(12).toLong, rng.nextInt(12).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val want = lpaRef(0L until n, edges, iters = 5)
+      val got = labelsOf(GraphRank.labelPropagation(verts(12),
+        edges.toDF("src", "dst"), iters = 5))
+      assert(got == want, s"seed=$seed: got $got want $want")
+    }
+  }
 }
