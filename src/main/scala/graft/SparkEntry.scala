@@ -225,6 +225,7 @@ object SparkEntry {
     "q_set_ops_all"     -> (Relational.setOpsAll _),
     "q_union_evolve"    -> (Relational.unionEvolved _),
     "txt_pack"          -> ((s, d) => Packing.packedChunks(s, d)),
+    "txt_batch_buckets" -> ((s, d) => Packing.bucketBatchesDocs(s, d)),
     "dedup_incr_near"   -> (Dedup.incrementalNearArrivals _),
     "dedup_incr_near_steady" -> (Dedup.incrementalNearArrivalsSteady _),
     "sim_topk_pq_steady" -> ((s, d) => Similarity.topKPqSteady(s, d)),
@@ -363,7 +364,7 @@ object SparkEntry {
     "q_kmv_distinct", "q_kmv_setops", "q_kmv_steady", "q_kmv_setops_steady",
     "sim_bitext_mine", "sim_bitext_mine_steady", "mm_near_dup",
     "txt_contam_frac",
-    "dedup_containment", "q_lpa", "q_lpa_steady",
+    "dedup_containment", "q_lpa", "q_lpa_steady", "txt_batch_buckets",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -3179,6 +3180,38 @@ object SparkEntry {
         |SELECT shard, doc_id, chunk_id, n_tokens,
         |  CAST(shard AS BIGINT) * 4294967296 + seq AS pack_id, pos AS pack_pos
         |FROM packed""".stripMargin,
+    // Length-bucketed batch assembly: the oracle replays the identical
+    // (salt, doc_id) total order as a plain per-bucket window (fine at
+    // oracle scale; the Spark side lifts salted slice ranks by bounded
+    // offsets instead — same order, scale-safe). All-integer except the
+    // exact-ratio pad fraction.
+    "txt_batch_buckets" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    greatest(len(list_filter(
+        |      string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+        |      x -> len(x) > 0)), 1) AS n_tok
+        |  FROM documents
+        |), keyed AS (
+        |  SELECT doc_id, n_tok,
+        |    ((n_tok + 15) // 16) * 16 AS bucket_len,
+        |    doc_id % 32 AS salt
+        |  FROM lens
+        |), ranked AS (
+        |  SELECT bucket_len, n_tok,
+        |    row_number() OVER (PARTITION BY bucket_len ORDER BY salt, doc_id) - 1 AS grank
+        |  FROM keyed
+        |), batched AS (
+        |  SELECT bucket_len, n_tok,
+        |    grank // greatest(512 // bucket_len, 1) AS batch_id
+        |  FROM ranked
+        |)
+        |SELECT bucket_len, batch_id, count(*) AS n_rows,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |  bucket_len * count(*) AS padded_tokens,
+        |  CAST(bucket_len * count(*) - sum(n_tok) AS DOUBLE)
+        |    / (bucket_len * count(*)) AS pad_frac
+        |FROM batched GROUP BY 1, 2""".stripMargin,
     "txt_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id,

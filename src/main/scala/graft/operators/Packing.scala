@@ -70,4 +70,76 @@ object Packing {
     firstFitPack(TextAnalysis.chunkDocs(spark, dir), budget, shards)
       .toDF()
   }
+
+  /** Length-bucketed batch assembly — the STATIC-SHAPE batching recipe
+    * ([[firstFitPack]]'s complement: packing CONCATENATES variable docs
+    * into one sequence; bucketed batching keeps docs separate and groups
+    * same-padded-length docs so a batch is one rectangular tensor).
+    * This is the published pad-to-multiple + bucket-by-length sampler
+    * every seq2seq/encoder trainer ships (fairseq's batch_by_size /
+    * the XLA fixed-shape requirement): pad each doc's token count up to
+    * the next multiple of `pad` (the bucket), fill batches of
+    * ⌊budget / bucket⌋ rows (min 1 — an over-budget outlier still trains,
+    * alone), and report per-batch padding waste — the metric the recipe
+    * exists to minimize.
+    *
+    * Batch composition within a bucket is deterministic but otherwise
+    * arbitrary (every member pads to the same length, so ANY fixed order
+    * yields identical waste); the fixed order is (salt, doc_id). The
+    * per-bucket sequential index is NOT a global per-bucket window — at
+    * corpus scale a `PARTITION BY bucket` window funnels each bucket
+    * through one task (the handful of length classes would be ~100
+    * partitions for 100 TB of rows). Instead the epoch-shuffle offset
+    * pattern ([[Relational]]'s bucketed reshuffle): rank within
+    * (bucket, salt) slices — `salts`× the parallelism — then lift to the
+    * bucket-global rank by adding the salt-ascending running offset, a
+    * bounded |buckets|·salts-row aggregate that re-enters the plan
+    * broadcast. The oracle replays the identical order as a plain
+    * per-bucket window (fine at oracle scale).
+    *
+    * Output: one row per assembled batch — (bucket_len, batch_id,
+    * n_rows, sum_tokens, padded_tokens, pad_frac), all-integer except
+    * the exact-ratio fraction. */
+  def lengthBucketBatches(docs: DataFrame, idCol: String, textCol: String,
+      pad: Int = 16, budget: Int = 512, salts: Int = 32): DataFrame = {
+    require(pad > 0 && budget > 0 && salts > 0)
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.select(
+      col(idCol).as("doc_id"),
+      greatest(size(TextAnalysis.tokens(coalesce(col(textCol), lit("")))),
+        lit(1)).cast("long").as("n_tok"))
+      .withColumn("bucket_len",
+        (floor((col("n_tok") + lit(pad - 1)) / lit(pad)) * lit(pad)).cast("long"))
+      .withColumn("salt", pmod(col("doc_id"), lit(salts.toLong)))
+    // rank within the (bucket, salt) slice; slice counts are the bounded
+    // collect (≤ |buckets|·salts rows) that lifts it to the bucket rank
+    val ranked = keyed.withColumn("rn", row_number().over(
+      Window.partitionBy(col("bucket_len"), col("salt"))
+        .orderBy(col("doc_id"))))
+    val offsets = {
+      val w = Window.partitionBy(col("bucket_len")).orderBy(col("salt"))
+      keyed.groupBy("bucket_len", "salt").agg(count(lit(1)).as("cnt"))
+        .withColumn("off",
+          coalesce(sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select("bucket_len", "salt", "off")
+    }
+    val rowsPer = greatest(floor(lit(budget) / col("bucket_len")), lit(1.0))
+    ranked
+      .join(broadcast(offsets), Seq("bucket_len", "salt"))
+      .withColumn("grank", col("off") + col("rn") - 1)
+      .withColumn("batch_id", floor(col("grank") / rowsPer).cast("long"))
+      .groupBy(col("bucket_len"), col("batch_id"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_tok")).as("sum_tokens"))
+      .withColumn("padded_tokens", col("bucket_len") * col("n_rows"))
+      .withColumn("pad_frac",
+        (col("padded_tokens") - col("sum_tokens")).cast("double")
+          / col("padded_tokens"))
+  }
+
+  /** CORRECTNESS instantiation for `txt_batch_buckets`: the documents
+    * table, pad-to-16, 512-token batch budget. */
+  def bucketBatchesDocs(spark: SparkSession, dir: String): DataFrame =
+    lengthBucketBatches(
+      graft.sources.Tables.load(spark, dir, "documents"), "doc_id", "text")
 }

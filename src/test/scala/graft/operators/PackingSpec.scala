@@ -70,4 +70,59 @@ class PackingSpec extends SparkTestBase {
     val b = Packing.firstFitPack(chunks, budget, shards = 8).collect().toSet
     assert(a == b, "packing must not depend on input partitioning")
   }
+
+  // ---- length-bucketed batch assembly ----
+
+  private def txt(n: Int): String = Seq.fill(n)("w").zipWithIndex
+    .map { case (w, i) => s"$w$i" }.mkString(" ")
+
+  test("lengthBucketBatches assembles the hand-computable batches exactly") {
+    // pad=4, budget=8: counts 3 and 4 share bucket 4 (2 rows/batch),
+    // count 5 pads to bucket 8 (1 row/batch), count 20 overflows the
+    // budget and still batches alone at its own bucket
+    val docs = Seq((0L, txt(3)), (1L, txt(4)), (2L, txt(5)), (3L, txt(20)))
+      .toDF("doc_id", "text")
+    val got = Packing.lengthBucketBatches(docs, "doc_id", "text",
+        pad = 4, budget = 8, salts = 2)
+      .select("bucket_len", "batch_id", "n_rows", "sum_tokens",
+        "padded_tokens", "pad_frac")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    val want = Set(
+      (4L, 0L, 2L, 7L, 8L, 1.0 / 8),
+      (8L, 0L, 1L, 5L, 8L, 3.0 / 8),
+      (20L, 0L, 1L, 20L, 20L, 0.0))
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("lengthBucketBatches conserves tokens, caps batch sizes, and bounds per-row padding") {
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val batches = Packing.bucketBatchesDocs(spark, dir).collect()
+    val pad = 16; val budget = 512
+    val corpusToks = docs.select(
+      greatest(size(TextAnalysis.tokens(coalesce(col("text"), lit("")))), lit(1))
+        .cast("long").as("n")).agg(sum("n")).head.getLong(0)
+    assert(batches.map(_.getAs[Long]("sum_tokens")).sum == corpusToks,
+      "every token is in exactly one batch")
+    val byBucket = batches.groupBy(_.getAs[Long]("bucket_len"))
+    byBucket.foreach { case (bl, bs) =>
+      val rowsPer = math.max(budget / bl, 1L)
+      assert(bs.forall(_.getAs[Long]("n_rows") <= rowsPer),
+        s"bucket $bl exceeds $rowsPer rows")
+      assert(bs.count(_.getAs[Long]("n_rows") < rowsPer) <= 1,
+        s"bucket $bl has more than one ragged batch")
+      bs.foreach { b =>
+        val waste = b.getAs[Long]("padded_tokens") - b.getAs[Long]("sum_tokens")
+        assert(waste >= 0 && waste < pad * b.getAs[Long]("n_rows"),
+          s"per-row padding must be < pad: $b")
+      }
+    }
+  }
+
+  test("lengthBucketBatches is deterministic across input partitioning") {
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val a = Packing.lengthBucketBatches(docs, "doc_id", "text").collect().toSet
+    val b = Packing.lengthBucketBatches(docs.repartition(13), "doc_id", "text")
+      .collect().toSet
+    assert(a == b, "batch manifest must not depend on input layout")
+  }
 }
