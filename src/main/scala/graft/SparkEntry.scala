@@ -227,6 +227,8 @@ object SparkEntry {
     "txt_pack"          -> ((s, d) => Packing.packedChunks(s, d)),
     "txt_batch_buckets" -> ((s, d) => Packing.bucketBatchesDocs(s, d)),
     "dedup_incr_near"   -> (Dedup.incrementalNearArrivals _),
+    "dedup_incr_contain" -> (Dedup.incrementalContainArrivals _),
+    "dedup_incr_contain_steady" -> (Dedup.incrementalContainArrivalsSteady _),
     "dedup_incr_near_steady" -> (Dedup.incrementalNearArrivalsSteady _),
     "sim_topk_pq_steady" -> ((s, d) => Similarity.topKPqSteady(s, d)),
     "dedup_keep_best"   -> (Dedup.keepLongestDocs _),
@@ -365,6 +367,7 @@ object SparkEntry {
     "sim_bitext_mine", "sim_bitext_mine_steady", "mm_near_dup",
     "txt_contam_frac",
     "dedup_containment", "q_lpa", "q_lpa_steady", "txt_batch_buckets",
+    "dedup_incr_contain", "dedup_incr_contain_steady",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1637,6 +1640,7 @@ object SparkEntry {
     * plan, not the result — so each shares its sibling's oracle verbatim. */
   def oracleSql: Map[String, String] = oracleBase ++ Map(
     "dedup_incr_near_steady" -> oracleBase("dedup_incr_near"),
+    "dedup_incr_contain_steady" -> oracleBase("dedup_incr_contain"),
     "sim_topk_pq_steady" -> oracleBase("sim_topk_pq_trained"),
     "sim_topk_ivfpq_steady" -> oracleBase("sim_topk_ivfpq_trained"),
     "sim_topk_ivfpq_landed" -> oracleBase("sim_topk_ivfpq_trained"),
@@ -3624,6 +3628,59 @@ object SparkEntry {
         |SELECT doc_id, md5(text) AS fp FROM bs
         |WHERE doc_id NOT IN (SELECT doc_b FROM cdrops)
         |  AND doc_id NOT IN (SELECT doc_b FROM bdrops)""".stripMargin,
+    // Arrival-time containment gate: drop batch docs near-contained in
+    // the corpus (directed C(a->corpus) >= 0.9 — the excerpt-of-landed
+    // path the symmetric incremental gate misses) or one-way contained in
+    // a fellow arrival; mutual within-batch containments keep the
+    // smallest id. Superset arrivals are kept (new content). Ground
+    // truth is the all-pairs directed ratio over the same fixture.
+    "dedup_incr_contain" ->
+      """WITH docw AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM documents
+        |), batch AS (
+        |  SELECT doc_id, text, w FROM docw WHERE doc_id % 4 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(list_slice(w, 1, greatest(len(w) // 2, 1)), ' '),
+        |    list_slice(w, 1, greatest(len(w) // 2, 1))
+        |  FROM docw WHERE doc_id % 4 <> 1 AND doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    array_to_string(list_slice(w, 1, greatest(len(w) // 2, 1)), ' '),
+        |    list_slice(w, 1, greatest(len(w) // 2, 1))
+        |  FROM docw WHERE doc_id % 8 = 1
+        |), bs AS (
+        |  SELECT doc_id, text, CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM batch
+        |), cs AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM docw WHERE doc_id % 4 <> 1
+        |), cdrops AS (
+        |  SELECT doc_a FROM (
+        |    SELECT a.doc_id AS doc_a,
+        |      CAST(len(list_intersect(a.s, c.s)) AS DOUBLE) / len(a.s) AS cont
+        |    FROM bs a JOIN cs c ON true
+        |  ) WHERE cont >= 0.9
+        |), bdrops AS (
+        |  SELECT doc_a FROM (
+        |    SELECT a.doc_id AS doc_a,
+        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS ca,
+        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s) AS cb,
+        |      b.doc_id AS doc_b
+        |    FROM bs a JOIN bs b ON a.doc_id <> b.doc_id
+        |  ) WHERE ca >= 0.9 AND (cb < 0.9 OR doc_b < doc_a)
+        |)
+        |SELECT doc_id, md5(text) AS fp FROM bs
+        |WHERE doc_id NOT IN (SELECT doc_a FROM cdrops)
+        |  AND doc_id NOT IN (SELECT doc_a FROM bdrops)""".stripMargin,
     // Sequence ground truth: row_number over the same (µs, event_id) total
     // order the Spark side sorts by (epoch_ns // 1000 ≡ Spark's µs
     // timestamps — the cdc_apply pattern), string_agg in rank order.

@@ -608,6 +608,181 @@ object Dedup extends Logging {
   def containedDocs(spark: SparkSession, dir: String): DataFrame =
     containmentPairs(plantedContainedDocs(spark, dir), "doc_id", "text")
 
+  /** First ⌊tokens/2⌋ tokens (min 1) re-joined with single spaces — the
+    * shared excerpt constructor for the containment fixtures (tokens
+    * re-joined with spaces re-tokenize to themselves, so the excerpt's
+    * shingle set is exactly a subset of its source's). */
+  private def halfTokenText(textCol: Column): Column = {
+    val toks = TextAnalysis.tokens(textCol)
+    array_join(slice(toks, lit(1),
+      greatest(floor(size(toks) / 2).cast("int"), lit(1))), " ")
+  }
+
+  /** Per-document containment-index rows for a landed corpus:
+    * (doc_id, distinct sorted shingle hashes, set size). The landed form
+    * ([[landContainmentIndex]]) derives the posting side from this. */
+  def containmentIndexRows(corpus: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame =
+    corpus.select(col(idCol).as("doc_id"),
+        array_sort(array_distinct(shingleHashes(col(textCol), n))).as("sh"))
+      .withColumn("sz", size(col("sh")))
+
+  /** Land the containment index: the FULL posting table `<prefix>_post`
+    * bucketed (and sorted) on the probe join's key `shingle` — the
+    * container side of the asymmetric prefix filter cannot prune, so
+    * unlike the near-dup band index it must index every shingle — plus
+    * the verification lookup `<prefix>_sh` bucketed on `doc_id`. */
+  def landContainmentIndex(index: DataFrame, prefix: String, path: String,
+      buckets: Int = 32): Unit = {
+    graft.sources.Layout.writeBucketed(
+      index.select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle")),
+      s"${prefix}_post", Seq("shingle"), Seq("shingle"), buckets,
+      s"$path/post")
+    graft.sources.Layout.writeBucketed(
+      index, s"${prefix}_sh", Seq("doc_id"), Seq("doc_id"), buckets,
+      s"$path/sh")
+  }
+
+  /** Arrival-time CONTAINMENT gate — [[incrementalNearNew]]'s asymmetric
+    * sibling: drop arriving documents that are (near-)EXCERPTS of the
+    * landed corpus or of a fellow arrival, the redundancy class the
+    * symmetric Jaccard gate is blind to (a quoted fragment of a landed
+    * page sails through Jaccard ≈ |frag|/|page|). A SUPERSET arrival —
+    * one that CONTAINS a landed doc — is deliberately kept: it carries
+    * new content; demoting the landed subset is compaction's decision,
+    * not admission's.
+    *
+    * Candidates use the [[containmentPairs]] prefix filter with the
+    * probe prefix in HASH order (the sorted set's smallest hashes):
+    * losslessness holds for ANY fixed order, and hash order needs no
+    * df fetch from the index — the probe never reads corpus statistics,
+    * only the posting buckets its prefix hashes route to. Within-batch
+    * mutual containments (exact dups) keep the smallest id (the
+    * [[incrementalNearNewBanded]] rule); one-way within-batch
+    * containments drop the contained side regardless of id.
+    *
+    * @param corpusPost full posting table (shingle, doc_id, sz) — at
+    *   steady state the landed `<prefix>_post` bucketed on shingle, so
+    *   the probe join is index-side-shuffle-free
+    * @param corpusSh   verification lookup (doc_id, sh, sz) */
+  def incrementalContainmentNew(corpusPost: DataFrame, corpusSh: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      threshold: Double = 0.9): DataFrame = {
+    // CONTRACT (as incrementalNearNewBanded): idCol uniquely identifies a
+    // batch row; verbatim re-sends collapse here
+    val b = batch.dropDuplicates(idCol, textCol)
+    val bIdx = containmentIndexRows(b, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
+    // sh is sorted ascending, so the hash-order prefix is a plain slice
+    val pref = bIdx.select(col("doc_id").as("id_a"), col("sz").as("sz_a"),
+      explode(slice(col("sh"), lit(1), prefLen)).as("shingle"))
+
+    // (a) batch vs corpus: excerpt-of-landed drops
+    val cCand = pref
+      .join(corpusPost.select(col("shingle"), col("doc_id").as("id_b"),
+        col("sz").as("sz_b")), "shingle")
+      .filter(col("sz_b") >= ceil(lit(threshold) * col("sz_a")))
+      .select("id_a", "id_b").distinct()
+    val cDrops = cCand
+      .join(bIdx.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+        col("sz").as("den_a")), "id_a")
+      .join(corpusSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        "id_b")
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+        / col("den_a") >= threshold)
+      .select(col("id_a").as("__drop"))
+
+    // (b) within-batch: one-way containment drops the contained side;
+    // mutual (exact-dup) ties keep the smallest id
+    val bOcc = bIdx.select(col("doc_id").as("id_b"), col("sz").as("sz_b"),
+      explode(col("sh")).as("shingle"))
+    val bCand = pref.join(bOcc, "shingle")
+      .filter(col("id_a") =!= col("id_b") &&
+        col("sz_b") >= ceil(lit(threshold) * col("sz_a")))
+      .select("id_a", "id_b").distinct()
+    val bDrops = bCand
+      .join(bIdx.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+        col("sz").as("den_a")), "id_a")
+      .join(bIdx.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+        col("sz").as("den_b")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("inter") / col("den_a") >= threshold &&
+        (col("inter") / col("den_b") < threshold ||
+          col("id_b") < col("id_a")))
+      .select(col("id_a").as("__drop"))
+
+    val survivors = b.join(
+      cDrops.union(bDrops).distinct().select(col("__drop").as(idCol)),
+      Seq(idCol), "left_anti")
+    materializeAndRelease(survivors, bIdx)
+  }
+
+  /** The arrival batch both containment-gate instantiations probe with:
+    * the % 4 = 1 docs ∪ half-token excerpts of the % 10 = 0 corpus docs
+    * (excerpt-of-landed drop path — the case the near-dup gate misses by
+    * construction) ∪ half-token excerpts of the % 8 = 1 batch docs
+    * (within-batch drop path). */
+  private def containArrivalBatch(docs: DataFrame): DataFrame = {
+    val corpus = docs.filter(col("doc_id") % 4 =!= 1)
+    docs.filter(col("doc_id") % 4 === 1)
+      .unionByName(corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          halfTokenText(col("text")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 8 === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          halfTokenText(col("text")).as("text")))
+  }
+
+  /** CORRECTNESS instantiation (`dedup_incr_contain`): corpus = % 4 ≠ 1
+    * docs, its index built from scratch; batch = [[containArrivalBatch]].
+    * Survivors are the % 4 = 1 rows minus any natural containments. */
+  def incrementalContainArrivals(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val idx = containmentIndexRows(
+      docs.filter(col("doc_id") % 4 =!= 1), "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = incrementalContainmentNew(
+      idx.select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle")),
+      idx, containArrivalBatch(docs), "doc_id", "text")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    idx.unpersist()
+    out
+  }
+
+  /** Catalog table-name prefix for the landed containment index (the
+    * [[steadyIndexPrefix]] naming scheme). */
+  def steadyContainPrefix(dir: String): String = {
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    s"contain_steady_$suffix"
+  }
+
+  /** STEADY-STATE [[incrementalContainArrivals]]: probes the LANDED
+    * shingle-bucketed posting table — no corpus re-shingling, and the
+    * posting join shuffles only the batch prefix (the index side is
+    * bucket-aligned on `shingle`). Same answer, same oracle. */
+  def incrementalContainArrivalsSteady(spark: SparkSession, dir: String): DataFrame = {
+    val prefix = steadyContainPrefix(dir)
+    if (!spark.catalog.tableExists(s"${prefix}_post") ||
+        !spark.catalog.tableExists(s"${prefix}_sh")) {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_contain_steady_").toString
+      val corpus = Tables.load(spark, dir, "documents")
+        .select("doc_id", "text").filter(col("doc_id") % 4 =!= 1)
+      val index = containmentIndexRows(corpus, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      landContainmentIndex(index, prefix, path)
+      index.unpersist()
+    }
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    incrementalContainmentNew(
+      spark.table(s"${prefix}_post"), spark.table(s"${prefix}_sh"),
+      containArrivalBatch(docs), "doc_id", "text")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+  }
+
   /** SimHash near-duplicate pairs: 64-bit fingerprint per document, split
     * into 4 16-bit bands (pigeonhole: any pair within Hamming distance 3
     * shares at least one exact band), bucket-join on (band, band-bits),
