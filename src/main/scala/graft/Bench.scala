@@ -208,6 +208,62 @@ object Bench {
           errors += s"stream_near: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
           None
       }
+    // Streamed containment admission: grow the excerpt-free corpus over
+    // three micro-batches (hook compaction after id 1), then time one
+    // steady all-drop batch of half-token excerpts of every 20th landed
+    // doc against the fully-grown compacted index.
+    def streamContainBench(): Option[String] =
+      try {
+        import org.apache.spark.sql.functions.{array_join, col, floor => ffloor, greatest, lit, size => fsize, slice}
+        val tmp = Files.createTempDirectory("graft_stream_contain_").toString
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text")
+        val rowsIn = docs.count()
+        Files.createDirectory(Paths.get(s"$tmp/in"))
+        def stagedFile(stage: String): java.nio.file.Path = {
+          val st = Files.list(Paths.get(stage))
+          try st.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          finally st.close()
+        }
+        (0 until 3).foreach { i =>
+          docs.filter(col("doc_id") % 3 === i)
+            .coalesce(1).write.parquet(s"$tmp/stage$i")
+          Files.move(stagedFile(s"$tmp/stage$i"), Paths.get(s"$tmp/in/f$i.parquet"))
+        }
+        def drive(): Double = {
+          val stream = spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+          val t0 = System.nanoTime()
+          graft.streaming.StreamContain.start(
+            stream, s"$tmp/idx", s"$tmp/out", s"$tmp/ckpt",
+            "doc_id", "text", compactEvery = 2).awaitTermination()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val wallGrow = drive()
+        val toks = graft.operators.TextAnalysis.tokens(col("text"))
+        docs.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 9000000L).as("doc_id"),
+            array_join(slice(toks, lit(1),
+              greatest(ffloor(fsize(toks) / 2).cast("int"), lit(1))), " ")
+              .as("text"))
+          .coalesce(1).write.parquet(s"$tmp/stage3")
+        val part = stagedFile(s"$tmp/stage3")
+        val steadyRows = spark.read.parquet(part.toString).count()
+        Files.move(part, Paths.get(s"$tmp/in/f3.parquet"))
+        val wallSteady = drive()
+        val rowsOut = spark.read.option("recursiveFileLookup", "true")
+          .parquet(s"$tmp/out").count()
+        Some(s"""{"op":"stream_contain","rows_in":$rowsIn,"batches":3,""" +
+          s""""grow_wall_sec":${fnum(wallGrow)},""" +
+          s""""grow_rows_per_sec":${fnum(rowsIn / wallGrow)},""" +
+          s""""steady_batch_rows":$steadyRows,""" +
+          s""""steady_batch_wall_sec":${fnum(wallSteady)},""" +
+          s""""rows_out":$rowsOut}""")
+      } catch {
+        case e: Throwable =>
+          errors += s"stream_contain: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          None
+      }
     // Streamed search-index maintenance + serve: drive the corpus in as
     // three micro-batches (hook compaction after id 1), then time the
     // SERVE paths over the accumulated generations — BM25 and phrase,
@@ -534,6 +590,10 @@ object Bench {
       if (only.forall(sel => sel.contains("stream") || sel.contains("stream_kmv")))
         streamKmvBench().getOrElse("null")
       else "null"
+    val streamContainJson: String =
+      if (only.forall(sel => sel.contains("stream") || sel.contains("stream_contain")))
+        streamContainBench().getOrElse("null")
+      else "null"
     val prepJson: String =
       if (only.forall(_.contains("prep_full"))) prepBench().getOrElse("null")
       else "null"
@@ -558,7 +618,7 @@ object Bench {
     // "probe" is the per-query contention sentinel (see scaladoc):
     // probe[q] >> probe_floor ⇒ q was timed in a contended window.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"ext":${qjson(extResults)},"stream":$streamJson,"stream_near":$streamNearJson,"stream_search":$streamSearchJson,"stream_hybrid":$streamHybridJson,"stream_knn":$streamKnnJson,"stream_hist":$streamHistJson,"stream_kmv":$streamKmvJson,"prep_full":$prepJson,"probe":$probeJson,"probe_floor":${fnum(probeFloor)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"ext":${qjson(extResults)},"stream":$streamJson,"stream_near":$streamNearJson,"stream_search":$streamSearchJson,"stream_hybrid":$streamHybridJson,"stream_knn":$streamKnnJson,"stream_hist":$streamHistJson,"stream_kmv":$streamKmvJson,"stream_contain":$streamContainJson,"prep_full":$prepJson,"probe":$probeJson,"probe_floor":${fnum(probeFloor)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
     println(json)
     Files.writeString(Paths.get(outFile), json)
     // The driver's per-round artifact keeps only the LAST 2000 chars of
