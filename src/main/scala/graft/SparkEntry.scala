@@ -99,6 +99,7 @@ object SparkEntry {
     "q_pagerank_steady" -> ((s, d) => GraphRank.pageRankSteady(s, d)),
     "q_lpa"             -> ((s, d) => GraphRank.labelPropagationDocs(s, d)),
     "q_lpa_steady"      -> ((s, d) => GraphRank.labelPropagationSteady(s, d)),
+    "q_lpa_sample"      -> ((s, d) => GraphRank.communitySampleDocs(s, d)),
     "mm_near_dup"       -> ((s, d) => Multimodal.nearDupMedia(s, d)),
     "txt_contam_frac"   -> (Dedup.contamFracDocs _),
     "sim_bitext_mine"   -> ((s, d) => Bitext.mineDocs(s, d)),
@@ -367,7 +368,7 @@ object SparkEntry {
     "sim_bitext_mine", "sim_bitext_mine_steady", "mm_near_dup",
     "txt_contam_frac",
     "dedup_containment", "q_lpa", "q_lpa_steady", "txt_batch_buckets",
-    "dedup_incr_contain", "dedup_incr_contain_steady",
+    "dedup_incr_contain", "dedup_incr_contain_steady", "q_lpa_sample",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1282,6 +1283,20 @@ object SparkEntry {
        |SELECT vec_id, label AS community FROM l$iters""".stripMargin
   }
 
+  /** q_lpa_sample oracle: the whole LPA replay as a CTE (the
+    * WITH-inside-CTE device), then the same md5-ordered per-community
+    * cap as clusterSampleOracleSql. */
+  private def lpaSampleOracleSql(k: Int = 5): String =
+    s"""WITH com AS MATERIALIZED (
+       |${lpaOracleSql()}
+       |)
+       |SELECT community, vec_id FROM (
+       |  SELECT community, vec_id,
+       |    row_number() OVER (PARTITION BY community
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |  FROM com
+       |) WHERE rn <= $k""".stripMargin
+
   /** sim_bitext_mine oracle: trained cells (the sim_kmeans CTE block),
     * the argmax assignment, the cell-blocked cross-side pair scoring,
     * both top-k margin denominators, the 6-dp-rounded margin (rounded
@@ -2115,6 +2130,7 @@ object SparkEntry {
     "q_pagerank_steady" -> pageRankOracleSql(),
     "q_lpa" -> lpaOracleSql(),
     "q_lpa_steady" -> lpaOracleSql(),
+    "q_lpa_sample" -> lpaSampleOracleSql(),
     "sim_bitext_mine" -> bitextOracleSql(),
     "sim_bitext_mine_steady" -> bitextOracleSql(),
     "mm_near_dup" -> mmNearDupOracleSql(),

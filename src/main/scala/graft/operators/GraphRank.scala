@@ -215,4 +215,24 @@ object GraphRank {
     labelPropagation(emb.select("vec_id"),
       g.select(col("vec_id").as("src"), col("nbr_id").as("dst")), iters)
   }
+
+  /** Community-balanced sampling — [[Similarity.clusterSample]]'s cap
+    * applied to the DISCOVERED communities instead of the trained cells:
+    * at most `k` members per [[labelPropagation]] community, picked by
+    * the house deterministic pseudo-random order (md5 of the id), so no
+    * organically-dense community dominates a fixed sampling budget even
+    * when its density was never anticipated by a trained quantizer. The
+    * per-community cut runs through TopKPerKey's bounded partial heaps
+    * BEFORE the exchange; at most k rows per community cross. */
+  def communitySample(communities: DataFrame, k: Int): DataFrame =
+    graft.plans.TopKPerKey(
+      communities.withColumn("h", md5(col("vec_id").cast("string"))),
+      Seq("community"), Seq(col("h").asc, col("vec_id").asc), k)
+      .select("community", "vec_id")
+
+  /** CORRECTNESS instantiation (`q_lpa_sample`): the capped draw over
+    * the 5-round corpus communities. */
+  def communitySampleDocs(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame =
+    communitySample(labelPropagationDocs(spark, dir), k)
 }

@@ -124,6 +124,22 @@ class GraphRankSpec extends SparkTestBase {
     assert(f(1L) == 1L && f(2L) == 1L && f(0L) == 0L && f(3L) == 3L, f)
   }
 
+  test("communitySample caps every community at k, keeps singletons, and is deterministic") {
+    // two triangles (collapse to communities of 3) + an isolated vertex:
+    // cap at 2 keeps exactly 2 per triangle and the singleton itself
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L), (5L, 3L))
+      .toDF("src", "dst")
+    val com = GraphRank.labelPropagation(verts(7), edges, iters = 5)
+    val s = GraphRank.communitySample(com, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byCom = s.groupBy(_._1)
+    assert(byCom.keySet == Set(0L, 3L, 6L), s"communities: ${byCom.keySet}")
+    assert(byCom(0L).length == 2 && byCom(3L).length == 2 && byCom(6L).length == 1, s)
+    val again = GraphRank.communitySample(com, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(s.sorted.sameElements(again.sorted), "sample must be deterministic")
+  }
+
   test("LPA equals the reference rule on randomized graphs") {
     for (seed <- Seq(1, 2, 3)) {
       val rng = new scala.util.Random(seed)
