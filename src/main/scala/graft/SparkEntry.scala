@@ -100,6 +100,7 @@ object SparkEntry {
     "q_lpa"             -> ((s, d) => GraphRank.labelPropagationDocs(s, d)),
     "q_lpa_steady"      -> ((s, d) => GraphRank.labelPropagationSteady(s, d)),
     "q_lpa_sample"      -> ((s, d) => GraphRank.communitySampleDocs(s, d)),
+    "q_modularity"      -> ((s, d) => GraphRank.modularityDocs(s, d)),
     "mm_near_dup"       -> ((s, d) => Multimodal.nearDupMedia(s, d)),
     "txt_contam_frac"   -> (Dedup.contamFracDocs _),
     "sim_bitext_mine"   -> ((s, d) => Bitext.mineDocs(s, d)),
@@ -369,6 +370,7 @@ object SparkEntry {
     "txt_contam_frac",
     "dedup_containment", "q_lpa", "q_lpa_steady", "txt_batch_buckets",
     "dedup_incr_contain", "dedup_incr_contain_steady", "q_lpa_sample",
+    "q_modularity",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1297,6 +1299,47 @@ object SparkEntry {
        |  FROM com
        |) WHERE rn <= $k""".stripMargin
 
+  /** q_modularity oracle: the LPA replay + the symmetrized edge CTE,
+    * then three integer count aggregates and the one per-community
+    * formula — every input to the formula is an exact integer, so no
+    * rounding anywhere (see GraphRank.modularity's Scaladoc). */
+  private def modularityOracleSql(nn: Int = 4): String =
+    s"""WITH com AS MATERIALIZED (
+       |${lpaOracleSql(nn = nn)}
+       |), g AS MATERIALIZED (
+       |${knnGraphOracleSql(nn = nn)}
+       |), und AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT vec_id AS src, nbr_id AS dst FROM g
+       |    UNION ALL
+       |    SELECT nbr_id AS src, vec_id AS dst FROM g
+       |  )
+       |), md AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM und),
+       |labeled AS (
+       |  SELECT cs.community AS c_src, cd.community AS c_dst
+       |  FROM und e
+       |  JOIN com cs ON cs.vec_id = e.src
+       |  JOIN com cd ON cd.vec_id = e.dst
+       |), ine AS (
+       |  SELECT c_src AS community, count(*) AS in_edges FROM labeled
+       |  WHERE c_src = c_dst GROUP BY 1
+       |), deg AS (
+       |  SELECT c_src AS community, count(*) AS deg_sum FROM labeled
+       |  GROUP BY 1
+       |), mem AS (
+       |  SELECT community, count(*) AS n_members FROM com GROUP BY 1
+       |)
+       |SELECT mem.community, mem.n_members,
+       |  coalesce(ine.in_edges, 0) AS in_edges,
+       |  coalesce(deg.deg_sum, 0) AS deg_sum,
+       |  CAST(coalesce(ine.in_edges, 0) AS DOUBLE) / md.m
+       |    - (CAST(coalesce(deg.deg_sum, 0) AS DOUBLE) / md.m)
+       |      * (CAST(coalesce(deg.deg_sum, 0) AS DOUBLE) / md.m) AS q_contrib
+       |FROM mem
+       |LEFT JOIN deg ON deg.community = mem.community
+       |LEFT JOIN ine ON ine.community = mem.community
+       |CROSS JOIN md""".stripMargin
+
   /** sim_bitext_mine oracle: trained cells (the sim_kmeans CTE block),
     * the argmax assignment, the cell-blocked cross-side pair scoring,
     * both top-k margin denominators, the 6-dp-rounded margin (rounded
@@ -2131,6 +2174,7 @@ object SparkEntry {
     "q_lpa" -> lpaOracleSql(),
     "q_lpa_steady" -> lpaOracleSql(),
     "q_lpa_sample" -> lpaSampleOracleSql(),
+    "q_modularity" -> modularityOracleSql(),
     "sim_bitext_mine" -> bitextOracleSql(),
     "sim_bitext_mine_steady" -> bitextOracleSql(),
     "mm_near_dup" -> mmNearDupOracleSql(),

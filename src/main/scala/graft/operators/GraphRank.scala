@@ -235,4 +235,70 @@ object GraphRank {
   def communitySampleDocs(spark: SparkSession, dir: String,
       k: Int = 5): DataFrame =
     communitySample(labelPropagationDocs(spark, dir), k)
+
+  /** Per-community MODULARITY contributions (Newman & Girvan 2004) — the
+    * partition-quality monitor for [[labelPropagation]]'s discovered
+    * communities: Q_c = e_c/m − (d_c/2m)², summing to the partition's
+    * modularity Q ∈ [−1/2, 1) (≈0 for a random cut, higher = denser
+    * within-community structure than chance). A mix audit reads this
+    * next to the community table: a near-zero Q says the "communities"
+    * are noise and per-community caps are arbitrary.
+    *
+    * Computed entirely from DIRECTED counts over the symmetrized edge
+    * set (both directions present): e_c/m = in_c/m_dir and d_c/2m =
+    * deg_c/m_dir, so every aggregate is an integer count and the one
+    * formula per community row is bit-identical cross-engine — no
+    * rounding anywhere. Scale shape: two label joins against the
+    * |V|-row community vector, three two-phase count aggregates, a
+    * driver-literal edge count (one long); nothing corpus-sized is
+    * collected. */
+  def modularity(communities: DataFrame, edges: DataFrame): DataFrame = {
+    // und evaluates twice (the m_dir count + the returned plan) — pass
+    // pinned `edges` (the modularityDocs pattern) if derivation is
+    // expensive; a persist here would outlive the returned lazy plan
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val mDir = und.count()
+    require(mDir > 0, "modularity needs at least one edge")
+    val cSrc = communities.select(col("vec_id").as("src"),
+      col("community").as("c_src"))
+    val cDst = communities.select(col("vec_id").as("dst"),
+      col("community").as("c_dst"))
+    val labeled = und.join(cSrc, "src").join(cDst, "dst")
+    val inEdges = labeled.filter(col("c_src") === col("c_dst"))
+      .groupBy(col("c_src").as("community"))
+      .agg(count(lit(1)).as("in_edges"))
+    val degSum = labeled.groupBy(col("c_src").as("community"))
+      .agg(count(lit(1)).as("deg_sum"))
+    val members = communities.groupBy(col("community"))
+      .agg(count(lit(1)).as("n_members"))
+    val out = members
+      .join(degSum, Seq("community"), "left_outer")
+      .join(inEdges, Seq("community"), "left_outer")
+      .select(col("community"), col("n_members"),
+        coalesce(col("in_edges"), lit(0L)).as("in_edges"),
+        coalesce(col("deg_sum"), lit(0L)).as("deg_sum"))
+      .withColumn("q_contrib",
+        col("in_edges").cast("double") / lit(mDir.toDouble) -
+          (col("deg_sum").cast("double") / lit(mDir.toDouble)) *
+          (col("deg_sum").cast("double") / lit(mDir.toDouble)))
+    out
+  }
+
+  /** CORRECTNESS instantiation (`q_modularity`): the discovered
+    * partition's quality over the same trained k-NN graph. */
+  def modularityDocs(spark: SparkSession, dir: String, nn: Int = 4,
+      iters: Int = 5): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    // pin the graph (the per-iteration rank/label convention): it feeds
+    // LPA's edge build AND both modularity passes — unpinned, the whole
+    // k-means + knn build would replay per consumer
+    val sc = spark.sparkContext
+    val g0 = Similarity.knnGraph(emb, Similarity.kmeansCentroids(emb), nn)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val g = if (sc.getCheckpointDir.isDefined) g0.checkpoint()
+            else g0.localCheckpoint()
+    modularity(labelPropagation(emb.select("vec_id"), g, iters), g)
+  }
 }

@@ -140,6 +140,22 @@ class GraphRankSpec extends SparkTestBase {
     assert(s.sorted.sameElements(again.sorted), "sample must be deterministic")
   }
 
+  test("modularity: disjoint triangles score 0.25 each; the all-in-one partition scores 0") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L), (5L, 3L))
+      .toDF("src", "dst")
+    // the LPA partition: {0,1,2} and {3,4,5} — m_dir=12, per triangle
+    // in_dir=6, deg=6 → 6/12 − (6/12)² = 0.25; Q = 0.5
+    val com = GraphRank.labelPropagation(verts(6), edges, iters = 5)
+    val m = GraphRank.modularity(com, edges).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(m == Map(0L -> 0.25, 3L -> 0.25), s"got $m")
+    // the degenerate one-community partition always scores exactly 0
+    val one = verts(6).select(col("vec_id"), lit(0L).as("community"))
+    val q0 = GraphRank.modularity(one, edges).collect()
+      .map(_.getDouble(4)).sum
+    assert(q0 == 0.0, s"one-community Q must be 0, got $q0")
+  }
+
   test("LPA equals the reference rule on randomized graphs") {
     for (seed <- Seq(1, 2, 3)) {
       val rng = new scala.util.Random(seed)
