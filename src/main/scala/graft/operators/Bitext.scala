@@ -65,6 +65,9 @@ object Bitext {
         .agg(GraftFunctions.topKBy(col("score"), col(other), k).as("top"))
         .select(col("query_id"), explode(col("top")).as("t"))
         .groupBy("query_id").agg(avg(col("t.score")).as(out))
+    // persisted: both mutual-best cuts below consume margins, and the
+    // margin join (two topAvg window aggregates + the three-way join)
+    // must run once, not once per cut
     val margins = pairs
       .join(topAvg("src_id", "tgt_id", "ax")
         .withColumnRenamed("query_id", "src_id"), Seq("src_id"))
@@ -73,6 +76,7 @@ object Bitext {
       .select(col("src_id"), col("tgt_id"),
         round(col("score") / ((col("ax") + col("bx")) / lit(2.0)), 6)
           .as("margin"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val bestA = graft.plans.TopKPerKey(margins, Seq("src_id"),
       Seq(col("margin").desc, col("tgt_id").asc), 1)
     val bestB = graft.plans.TopKPerKey(margins, Seq("tgt_id"),
@@ -85,7 +89,7 @@ object Bitext {
     else {
       val reliable = out.sparkSession.sparkContext.getCheckpointDir.isDefined
       val fin = if (reliable) out.checkpoint() else out.localCheckpoint()
-      pairs.unpersist(); asg.unpersist()
+      margins.unpersist(); pairs.unpersist(); asg.unpersist()
       fin
     }
   }

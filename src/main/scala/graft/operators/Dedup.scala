@@ -1503,34 +1503,33 @@ object Dedup extends Logging {
     * hundreds) are different curation decisions — the boolean operator
     * can't tell them apart.
     *
-    * Scale shape: identical to [[decontaminate]] (the gram explosion +
-    * the eval-gram equi-join are unchanged) plus one ROW-LOCAL distinct
-    * count per document (`size(array_distinct(...))` at the scan — no
-    * second explosion, no extra shuffle) and a vertex-sized left join
-    * of hit counts back onto totals. The keep flag compares the exact
-    * unrounded ratio (integer/integer — bit-identical cross-engine);
-    * the reported fraction is 6-dp display rounding. */
+    * Scale shape: ONE corpus scan — the shingle-hash kernel runs once
+    * per document, `n_grams` is a row-local `size` over the same gram
+    * array the explosion consumes, and hit counting is a broadcast LEFT
+    * join of the exploded grams against the eval-gram set summed per
+    * (doc_id, n_grams) group (zero-hit and zero-gram documents survive
+    * via explode_outer + the null-miss sum, so no second totals pass is
+    * needed). The keep flag compares the exact unrounded ratio
+    * (integer/integer — bit-identical cross-engine); the reported
+    * fraction is 6-dp display rounding. */
   def contamFraction(corpus: DataFrame, evalSet: DataFrame, idCol: String,
       textCol: String, n: Int = 8, tau: Double = 0.05): DataFrame = {
     val evalGrams = evalSet
       .select(explode(array_distinct(shingleHashes(col(textCol), n))).as("gh"))
       .distinct()
-    val totals = corpus.select(col(idCol).as("doc_id"),
-      size(array_distinct(shingleHashes(col(textCol), n)))
-        .cast("long").as("n_grams"))
-    val hits = corpus
-      .select(col(idCol).as("doc_id"),
-        explode(array_distinct(shingleHashes(col(textCol), n))).as("gh"))
-      .join(evalGrams, "gh")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_hits"))
-    val ratio = coalesce(col("n_hits"), lit(0L)).cast("double") /
-      col("n_grams").cast("double")
-    totals.join(hits, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        round(ratio, 6).as("frac"),
-        (ratio <= lit(tau)).as("keep"))
+    val grams = corpus.select(col(idCol).as("doc_id"),
+      array_distinct(shingleHashes(col(textCol), n)).as("grams"))
+    val counted = grams
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        explode_outer(col("grams")).as("gh"))
+      .join(broadcast(evalGrams.withColumn("hit", lit(1L))),
+        Seq("gh"), "left_outer")
+      .groupBy("doc_id", "n_grams")
+      .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+    val ratio = col("n_hits").cast("double") / col("n_grams").cast("double")
+    counted.select(col("doc_id"), col("n_grams"), col("n_hits"),
+      round(ratio, 6).as("frac"),
+      (ratio <= lit(tau)).as("keep"))
   }
 
   /** CORRECTNESS instantiation over the planted fixture (same corpus

@@ -67,7 +67,6 @@ object GraphRank {
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val srcSet = deg.select(col("src").as("vec_id"))
     // per-iteration pin (the connectedComponents convention, applied
     // unconditionally — lazy audit included): rₜ feeds BOTH the next
     // dangling scalar and the next contribution join, so an unpinned
@@ -80,6 +79,11 @@ object GraphRank {
     def pin(df: DataFrame): DataFrame =
       if (sc.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
+    // the no-out-edge vertex set is iteration-invariant — pin it once
+    // (off the persisted e, not the raw edge plan) so the per-iteration
+    // dangling-mass job reads a materialized |V|-bounded leaf instead of
+    // re-aggregating whatever lazy derivation the caller passed as edges
+    val srcSet = pin(e.select(col("src").as("vec_id")).distinct())
     var ranks = vertices.select(col("vec_id"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to iters) {
       // dangling mass: rank stranded on vertices with no out-edges
@@ -253,12 +257,17 @@ object GraphRank {
     * driver-literal edge count (one long); nothing corpus-sized is
     * collected. */
   def modularity(communities: DataFrame, edges: DataFrame): DataFrame = {
-    // und evaluates twice (the m_dir count + the returned plan) — pass
-    // pinned `edges` (the modularityDocs pattern) if derivation is
-    // expensive; a persist here would outlive the returned lazy plan
-    val und = edges.select(col("src"), col("dst"))
+    // und feeds TWO consumers (the m_dir count + the returned plan), so
+    // it is pinned HERE — a caller passing an expensive lazy edge
+    // derivation must not pay the build twice (localCheckpoint rather
+    // than persist: the materialization must outlive this call into the
+    // returned lazy plan, with no unpersist hook to miss)
+    val sc = edges.sparkSession.sparkContext
+    val und0 = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+    val und = if (sc.getCheckpointDir.isDefined) und0.checkpoint()
+              else und0.localCheckpoint()
     val mDir = und.count()
     require(mDir > 0, "modularity needs at least one edge")
     val cSrc = communities.select(col("vec_id").as("src"),

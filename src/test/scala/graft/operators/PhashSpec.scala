@@ -62,6 +62,20 @@ class PhashSpec extends SparkTestBase {
       s"only $planted of $nPlanted planted copies surfaced")
   }
 
+  test("oracle precondition: the fixture corpus is pure ASCII") {
+    // mm_near_dup's oracle equates UTF-8 payload BYTES with DuckDB
+    // per-CHARACTER code points (and mediaTable labels char-count
+    // length(text) as n_bytes) — sound only while text is ASCII, where
+    // bytes ≡ code points. A non-ASCII corpus change must fail HERE,
+    // loudly, not as a silent oracle-vs-kernel divergence hunt.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val nonAscii = graft.sources.Tables.load(spark, d, "documents")
+        .filter(!col("text").rlike("^[\\x00-\\x7F]*$")).count()
+      assert(nonAscii == 0, s"$d holds $nonAscii non-ASCII documents — " +
+        "the mm_near_dup byte/codepoint oracle equivalence no longer holds")
+    }
+  }
+
   test("payloads without a bigram pair with nothing") {
     val media = Seq(
       (1L, Array[Byte]('x')), (2L, Array[Byte]('x')),
