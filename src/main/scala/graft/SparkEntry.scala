@@ -183,6 +183,7 @@ object SparkEntry {
     "txt_phrase"        -> (TextAnalysis.phraseDocs _),
     "txt_phrase_steady" -> (TextAnalysis.phraseDocsSteady _),
     "txt_hybrid_rrf"    -> (TextAnalysis.hybridDocs _),
+    "txt_hybrid_rrf_steady" -> ((s, d) => TextAnalysis.hybridDocsSteady(s, d)),
     "txt_quality_calibrated" -> ((s, d) => TextAnalysis.calibratedQualityFilter(s, d)),
     "txt_budget_mix"    -> (TextAnalysis.budgetMixDocs _),
     "txt_boilerplate"   -> (TextAnalysis.boilerplateDocs _),
@@ -371,6 +372,9 @@ object SparkEntry {
     "dedup_containment", "q_lpa", "q_lpa_steady", "txt_batch_buckets",
     "dedup_incr_contain", "dedup_incr_contain_steady", "q_lpa_sample",
     "q_modularity",
+    // round-11 additions: the index-backed hybrid serve (no corpus-linear
+    // dense scan in the timed plan)
+    "txt_hybrid_rrf_steady",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1129,9 +1133,10 @@ object SparkEntry {
     * prune+ADC body — the cross-engine check of the END-TO-END trained
     * production stack. */
   private def ivfPqTrainedOracleSql(m: Int = 8, kc: Int = 16, subDim: Int = 8,
-      k: Int = 5, nprobe: Int = 4): String =
+      k: Int = 5, nprobe: Int = 4,
+      queryIds: String = "(0, 100, 200, 300, 400)"): String =
     s"WITH ${kmeansCteBlock(29, 3)},\n${trainedCbCtes(m, kc, subDim, 31, 2)}, " +
-      ivfPqBodySql(subDim, k, nprobe, "SELECT cell_id, c_emb FROM c3")
+      ivfPqBodySql(subDim, k, nprobe, "SELECT cell_id, c_emb FROM c3", queryIds)
 
   /** sim_topk_refine oracle: the given IVF-PQ stage-1 block widened to
     * r·k candidates (verbatim as a CTE — DuckDB allows a WITH inside a
@@ -1155,6 +1160,57 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
        |  FROM rer WHERE NOT isnan(score)
        |) WHERE rn <= $k""".stripMargin
+
+  /** txt_hybrid_rrf_steady oracle: the lexical branch is txt_hybrid_rrf's
+    * BM25 replay verbatim (the landed bucket-pruned serve computes the
+    * identical scoring expression — the txt_bm25_steady precedent); the
+    * dense branch replays the APPROXIMATE index-backed leg exactly, the
+    * sim_topk_ivfpq_* house style: trained quantizers (k-means cells +
+    * Lloyd's codebook in SQL), the pruned ADC cut widened to r·depth for
+    * query vec 0 only, the exact-cosine re-rank over just those
+    * candidates (refineOracleSql), a depth-cut rank window, and the same
+    * 1/(k0+rank) fusion tail in the same lex-then-dense association
+    * order. */
+  private def hybridSteadyOracleSql(depth: Int = 50, k: Int = 25,
+      k0: Int = 60, r: Int = 4): String =
+    s"""WITH dense0 AS (
+       |${refineOracleSql(ivfPqTrainedOracleSql(k = depth * r, queryIds = "(0)"), depth)}
+       |), denser AS (
+       |  SELECT vec_id AS doc_id,
+       |    row_number() OVER (ORDER BY score DESC, vec_id) AS r_dense
+       |  FROM dense0
+       |), lens AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS dl
+       |  FROM documents
+       |), stats AS (
+       |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id,
+       |      unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS term
+       |    FROM documents)
+       |  WHERE term IN (${TextAnalysis.searchQuery.map("'" + _ + "'").mkString(", ")})
+       |  GROUP BY doc_id, term
+       |), dfs AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), bm AS (
+       |  SELECT doc_id, round(sum(
+       |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0)
+       |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+       |    ), 6) AS score
+       |  FROM tf JOIN dfs USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+       |  GROUP BY doc_id
+       |), lexr AS (
+       |  SELECT doc_id, r_lex FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex FROM bm
+       |  ) WHERE r_lex <= $depth
+       |)
+       |SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+       |  round(coalesce(1.0 / ($k0 + l.r_lex), 0) + coalesce(1.0 / ($k0 + d.r_dense), 0), 6) AS rrf
+       |FROM lexr l FULL JOIN denser d ON l.doc_id = d.doc_id
+       |ORDER BY rrf DESC, doc_id
+       |LIMIT $k""".stripMargin
 
   /** sim_knn_graph oracle: the trained centroids (the sim_kmeans CTE
     * block), the cosine-argmax assignment KEEPING the embedding, the
@@ -1532,7 +1588,8 @@ object SparkEntry {
     * pruned ADC top-k), parameterized on the coarse-centroid source. Reads
     * the PQ book from a preceding `cb` CTE. */
   private def ivfPqBodySql(subDim: Int, k: Int, nprobe: Int,
-      centSelect: String): String = {
+      centSelect: String,
+      queryIds: String = "(0, 100, 200, 300, 400)"): String = {
     s"""cent AS (
        |  $centSelect
        |), assigned AS (
@@ -1554,7 +1611,7 @@ object SparkEntry {
        |               * list_inner_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))) DESC,
        |        c.cell_id ASC) AS rn
        |    FROM embeddings q CROSS JOIN cent c
-       |    WHERE q.vec_id IN (0, 100, 200, 300, 400)
+       |    WHERE q.vec_id IN $queryIds
        |  ) WHERE rn <= $nprobe
        |), dists AS (
        |  SELECT e.vec_id, cb.sub, cb.cell,
@@ -1572,7 +1629,7 @@ object SparkEntry {
        |    list_inner_product(
        |      CAST(q.embedding[cb.sub*$subDim+1 : cb.sub*$subDim+$subDim] AS DOUBLE[]), cb.cv) AS w
        |  FROM embeddings q, cb
-       |  WHERE q.vec_id IN (0, 100, 200, 300, 400)
+       |  WHERE q.vec_id IN $queryIds
        |), cand AS (
        |  SELECT p.query_id, a.vec_id
        |  FROM probes p JOIN assigned a ON a.cell_id = p.cell_id
@@ -1717,7 +1774,11 @@ object SparkEntry {
     "dedup_semantic_steady" -> oracleBase("dedup_semantic"),
     "dedup_semantic_text_steady" -> oracleBase("dedup_semantic_text"),
     "dedup_incr_semantic_steady" -> oracleBase("dedup_incr_semantic"),
-    "sim_rp_reduce" -> rpOracleSql())
+    "sim_rp_reduce" -> rpOracleSql(),
+    // NOT oracle-shared with txt_hybrid_rrf: the steady dense leg is the
+    // index-backed approximate serve (ADC cut + refine), a different
+    // answer by design — its oracle replays that branch exactly
+    "txt_hybrid_rrf_steady" -> hybridSteadyOracleSql())
 
   /** Exact-cosine top-k ground truth — shared by `sim_topk_cosine` and
     * the recall evaluation's exact branch. */

@@ -601,6 +601,26 @@ object Similarity {
       subDim = 8, defaultCentroids(emb), pqCodebook())
   }
 
+  /** Two-stage refined serve over ANY prebuilt inverted-list `index`
+    * ([[ivfPqIndexRows]] rows — landed bucketed table, streaming
+    * maintainer generations, or in-memory): stage 1 is the pruned
+    * ADC candidate plan widened to r·k, its |Q|·r·k result collected
+    * (the probe-set bounded class), stage 2 the literal-id-pruned exact
+    * re-rank ([[refineCandidates]]). The shared serve half of
+    * [[topKPqIvfRefinedLanded]], the index-backed hybrid dense leg
+    * ([[TextAnalysis.hybridSearchCompressed]]), and the streamed hybrid
+    * serve ([[graft.streaming.StreamHybrid.searchSteady]]). */
+  def refinedSearchIndex(emb: DataFrame, index: DataFrame,
+      queries: DataFrame, k: Int, r: Int, nprobe: Int, m: Int, subDim: Int,
+      centroids: DataFrame, b: Seq[(Int, Int, Array[Double])],
+      probesPre: Option[Seq[(Long, Long)]] = None): DataFrame = {
+    val cand = searchIvfPqIndex(index, queries, k * r, nprobe, m, subDim,
+        centroids, b, probesPre)
+      .select(col("query_id").cast("long"), col("vec_id").cast("long"))
+      .collect().map(rw => (rw.getLong(0), rw.getLong(1))).toSeq.sorted
+    refineCandidates(emb, queries, cand, k)
+  }
+
   /** Refined serve FROM THE LANDED ARTIFACTS — stage 1 is
     * [[topKPqIvfLanded]]'s bucket-pruned candidate plan widened to r·k
     * (landed trained quantizers, cell-bucketed code table, no training
@@ -612,12 +632,8 @@ object Similarity {
       r: Int = 4): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
     val (centDf, book) = loadLandedQuantizers(spark, dir)
-    val cand = searchIvfPqIndex(ensureIvfPqCodes(spark, dir),
-        defaultQueries(emb), k * r, nprobe = 4, m = 8, subDim = 8,
-        centDf, book)
-      .select(col("query_id").cast("long"), col("vec_id").cast("long"))
-      .collect().map(rw => (rw.getLong(0), rw.getLong(1))).toSeq.sorted
-    refineCandidates(emb, defaultQueries(emb), cand, k)
+    refinedSearchIndex(emb, ensureIvfPqCodes(spark, dir),
+      defaultQueries(emb), k, r, nprobe = 4, m = 8, subDim = 8, centDf, book)
   }
 
   /** ANN quality evaluation — recall@k of the IVF-PQ search against the

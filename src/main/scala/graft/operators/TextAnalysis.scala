@@ -931,6 +931,72 @@ object TextAnalysis {
       Tables.load(spark, dir, "embeddings"),
       "doc_id", "text", searchQuery, queryVecId = 0L)
 
+  /** INDEX-BACKED hybrid retrieval — [[hybridSearch]] with the dense leg
+    * served from a compressed IVF-PQ index instead of an exact O(corpus)
+    * cosine scan per query: stage 1 widens the pruned ADC cut to
+    * r·depth candidates, stage 2 re-ranks JUST those on their exact
+    * embeddings ([[Similarity.refinedSearchIndex]] — the
+    * `sim_topk_refine_landed` serve), and the top-`depth` re-ranked
+    * neighbors fuse with the lexical branch through the same
+    * [[rrfFuse]]. This is the serve shape a RAG stack runs at 100 TB:
+    * the ONLY corpus-linear retrieval path left in the batch composer
+    * (`hybridSearch`'s exact dense leg) becomes probed-inverted-lists +
+    * a bounded re-rank, so per-query dense cost tracks nprobe/|cells|
+    * of the CODE table (m bytes/vector) plus |Q|·r·depth full-vector
+    * fetches — never a full embedding scan. The answer is approximate
+    * exactly where the ADC cut is (a true neighbor outside the probed
+    * cells or below the r·depth cut is missed); recall vs the exact
+    * leg is monitored by the same annRecall harness the plain serves
+    * use.
+    *
+    * Takes the prebuilt code `index` + fixed quantizers so the landed
+    * ([[hybridDocsSteady]]) and streamed
+    * ([[graft.streaming.StreamHybrid.searchSteady]]) serves share one
+    * composer with the from-scratch spec form. */
+  def hybridSearchCompressed(docs: DataFrame, emb: DataFrame,
+      index: DataFrame, centroids: DataFrame,
+      book: Seq[(Int, Int, Array[Double])], idCol: String, textCol: String,
+      query: Seq[String], queryVecId: Long, depth: Int = 50, k: Int = 25,
+      k0: Int = 60, r: Int = 4, nprobe: Int = 4, m: Int = 8,
+      subDim: Int = 8): DataFrame = {
+    val lex = bm25Rank(docs, idCol, textCol, query, depth)
+      .select(col(idCol).as("doc_id"), col("score"))
+    val queries = emb.filter(col("vec_id") === queryVecId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val dense = Similarity.refinedSearchIndex(emb, index, queries,
+        depth, r, nprobe, m, subDim, centroids, book)
+      .select(col("vec_id").as("doc_id"), col("score"))
+    rrfFuse(lex, dense, k, k0)
+  }
+
+  /** STEADY-STATE [[hybridDocs]] — both branches off LANDED indexes:
+    * the lexical leg from the bucket-pruned inverted index
+    * ([[bm25RankIndexed]], the `txt_bm25_steady` serve), the dense leg
+    * from the cell-bucketed landed IVF-PQ code table through the
+    * refined two-stage serve ([[Similarity.ensureIvfPqCodes]] +
+    * [[Similarity.refinedSearchIndex]] — the `sim_topk_refine_landed`
+    * serve). No tokenize, no training, no encode, and NO corpus-linear
+    * scan anywhere in the timed plan: per-query cost is
+    * postings-of-query-terms + probed inverted code lists + a bounded
+    * exact re-rank. The oracle replays the approximate dense branch
+    * exactly (trained quantizers + ADC + refine in SQL — the
+    * `sim_topk_ivfpq_*` house style) fused with the lexical replay. */
+  def hybridDocsSteady(spark: SparkSession, dir: String,
+      depth: Int = 50, k: Int = 25, k0: Int = 60, r: Int = 4): DataFrame = {
+    ensureSearchIndex(spark, dir)
+    val lex = bm25RankIndexed(spark, searchIndexPrefix(dir), searchQuery,
+      k = depth).select(col("doc_id"), col("score"))
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val (centDf, book) = Similarity.loadLandedQuantizers(spark, dir)
+    val dense = Similarity.refinedSearchIndex(emb,
+        Similarity.ensureIvfPqCodes(spark, dir), queries, depth, r,
+        nprobe = 4, m = 8, subDim = 8, centDf, book)
+      .select(col("vec_id").as("doc_id"), col("score"))
+    rrfFuse(lex, dense, k, k0)
+  }
+
   /** Pseudo-relevance-feedback query expansion (the RM3/Rocchio device —
     * public IR): run the base BM25 query, treat its top `fb` documents
     * as the relevance model, add the `e` most frequent NON-query terms

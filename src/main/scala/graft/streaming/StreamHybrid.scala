@@ -46,12 +46,19 @@ object StreamHybrid {
 
   /** Start maintaining both retrieval sides of `docs` (a streaming
     * DataFrame carrying `idCol`, `textCol`, `embCol`) under
-    * `stateDir/{index,vecs}`. */
+    * `stateDir/{index,vecs}`. With `quantizers` supplied (fixed landed
+    * centroids + PQ codebook — every batch must encode under the SAME
+    * quantizers or the codes aren't comparable), each batch ALSO lands
+    * its IVF-PQ code rows as a cell-partitioned generation under
+    * `stateDir/codes` (the [[StreamIvfPq]] layout), which is what
+    * [[searchSteady]] serves its dense leg from. */
   def start(docs: DataFrame, stateDir: String, checkpoint: String,
       idCol: String = "doc_id", textCol: String = "text",
       embCol: String = "embedding",
       trigger: Trigger = Trigger.AvailableNow(),
-      compactEvery: Int = 0): StreamingQuery =
+      compactEvery: Int = 0,
+      quantizers: Option[(DataFrame, Seq[(Int, Int, Array[Double])])] = None,
+      m: Int = 8, subDim: Int = 8): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -59,21 +66,34 @@ object StreamHybrid {
         val spark = batch.sparkSession
         StreamSearchIndex.indexBatch(batch, s"$stateDir/index", id,
           idCol, textCol)
-        batch.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
-          .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/vecs/gen-$id")
+        val vecs = batch
+          .select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+        vecs.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/vecs/gen-$id")
+        quantizers.foreach { case (centroids, book) =>
+          Similarity.ivfPqIndexRows(vecs, m, subDim, centroids, book)
+            .write.mode(SaveMode.Overwrite).partitionBy("cell_id")
+            .parquet(s"$stateDir/codes/gen-$id")
+        }
         if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
           compactState(spark, stateDir)
         ()
       }
       .start()
 
-  /** Fold both sides' accumulated generations — the lexical four via
+  /** Fold all sides' accumulated generations — the lexical four via
     * [[StreamSearchIndex.compactIndex]], the vector side by identity
     * under the manifested discipline (see the object Scaladoc for why
-    * vectors are not duplication-inert here). */
+    * vectors are not duplication-inert here), and — when the stream
+    * maintains one — the code side via [[StreamIvfPq.compactIndex]]
+    * (identity fold keeping the `cell_id` partitioning, so pruned
+    * serves keep their PartitionFilters across compactions). */
   def compactState(spark: SparkSession, stateDir: String): Unit = {
     StreamSearchIndex.compactIndex(spark, s"$stateDir/index")
     Generations.compactManifested(spark, s"$stateDir/vecs", identity)
+    val codes = new org.apache.hadoop.fs.Path(s"$stateDir/codes")
+    if (codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(codes))
+      StreamIvfPq.compactIndex(spark, s"$stateDir/codes")
   }
 
   /** Live (manifest-resolved) union of the landed vector generations. */
@@ -98,6 +118,41 @@ object StreamHybrid {
     val queries = emb.filter(col("vec_id") === queryVecId)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val dense = Similarity.topKCosine(emb, queries, depth)
+      .select(col("vec_id").as("doc_id"), col("score"))
+    TextAnalysis.rrfFuse(lex, dense, k, k0)
+  }
+
+  /** INDEX-BACKED hybrid serve — [[search]] with the dense leg off the
+    * MAINTAINED cell-partitioned code generations instead of an exact
+    * O(live corpus) cosine scan per query: the probe assignment is
+    * collected first so the generation read is pruned to the probed
+    * cells' partitions ([[StreamIvfPq.currentIndex]] — the serve reads
+    * (nprobe/|cells|) of the code rows), the widened ADC cut re-ranks
+    * exactly on the candidates' live vectors fetched BY ID
+    * ([[graft.operators.Similarity.refinedSearchIndex]]), and the fused
+    * answer equals the batch [[TextAnalysis.hybridSearchCompressed]]
+    * over the union of everything that arrived, under the same fixed
+    * quantizers (StreamHybridSpec pins the law post-stream,
+    * cross-restart, and across compactions). The last corpus-linear
+    * per-query serve path in the streamed retrieval family becomes
+    * probed-lists + a bounded re-rank. */
+  def searchSteady(spark: SparkSession, stateDir: String,
+      query: Seq[String], queryVecId: Long, centroids: DataFrame,
+      book: Seq[(Int, Int, Array[Double])], depth: Int = 50, k: Int = 25,
+      k0: Int = 60, r: Int = 4, nprobe: Int = 4, m: Int = 8,
+      subDim: Int = 8): DataFrame = {
+    val lex = StreamSearchIndex.search(spark, s"$stateDir/index", query, depth)
+      .select(col("doc_id"), col("score"))
+    val emb = liveVectors(spark, stateDir)
+    val queries = emb.filter(col("vec_id") === queryVecId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probes = Similarity.collectProbes(queries, centroids, nprobe)
+    val index = StreamIvfPq.currentIndex(spark, s"$stateDir/codes",
+      template = throw new IllegalStateException(
+        s"no committed code generation under $stateDir/codes"),
+      cells = Some(probes.map(_._2).distinct.sorted))
+    val dense = Similarity.refinedSearchIndex(emb, index, queries, depth,
+        r, nprobe, m, subDim, centroids, book, probesPre = Some(probes))
       .select(col("vec_id").as("doc_id"), col("score"))
     TextAnalysis.rrfFuse(lex, dense, k, k0)
   }

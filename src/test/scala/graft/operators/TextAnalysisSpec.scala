@@ -837,6 +837,27 @@ class TextAnalysisSpec extends SparkTestBase {
     both.headOption.foreach { case (_, s) => assert(s > 1.0 / 61.0) }
   }
 
+  test("hybridDocsSteady (landed serves) equals the direct compressed composer") {
+    // answer parity between the production read path (landed bucket-pruned
+    // postings + landed cell-bucketed code table) and the from-scratch
+    // index-backed composer over the same corpus and quantizers — the
+    // steady/rebuild discipline every *_steady entry follows; the
+    // approximate-dense ORACLE is the txt_hybrid_rrf_steady entry
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    val (centDf, book) = Similarity.loadLandedQuantizers(spark, dir)
+    val want = TextAnalysis.hybridSearchCompressed(docs, emb,
+        Similarity.ivfPqIndexRows(emb, 8, 8, centDf, book), centDf, book,
+        "doc_id", "text", TextAnalysis.searchQuery, queryVecId = 0L)
+      .as[(Long, Double)].collect().toSeq
+    val got = TextAnalysis.hybridDocsSteady(spark, dir)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.size == 25)
+  }
+
   test("bm25Prf expands with the feedback set's top non-query terms and re-ranks") {
     // tiny corpus: the query term co-occurs with "alpha" in its top
     // docs; a doc containing only "alpha" is invisible to the base
