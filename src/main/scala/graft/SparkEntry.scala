@@ -102,6 +102,7 @@ object SparkEntry {
     "q_lpa_sample"      -> ((s, d) => GraphRank.communitySampleDocs(s, d)),
     "q_modularity"      -> ((s, d) => GraphRank.modularityDocs(s, d)),
     "mm_near_dup"       -> ((s, d) => Multimodal.nearDupMedia(s, d)),
+    "mm_incr_near_dup"  -> (Multimodal.incrementalMediaArrivals _),
     "txt_contam_frac"   -> (Dedup.contamFracDocs _),
     "sim_bitext_mine"   -> ((s, d) => Bitext.mineDocs(s, d)),
     "sim_bitext_mine_steady" -> ((s, d) => Bitext.mineSteady(s, d)),
@@ -373,8 +374,8 @@ object SparkEntry {
     "dedup_incr_contain", "dedup_incr_contain_steady", "q_lpa_sample",
     "q_modularity",
     // round-11 additions: the index-backed hybrid serve (no corpus-linear
-    // dense scan in the timed plan)
-    "txt_hybrid_rrf_steady",
+    // dense scan in the timed plan) and the perceptual media arrival gate
+    "txt_hybrid_rrf_steady", "mm_incr_near_dup",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1466,18 +1467,18 @@ object SparkEntry {
     * hamming confirm — every bit replayed. Integer sums are CAST back to
     * BIGINT (DuckDB widens integer SUM to HUGEINT, which would
     * schema-mismatch the Spark longs). */
-  private def mmNearDupOracleSql(maxHamming: Int = 3): String = {
+  /** The phash signature replay over a `corpus(media_id, text, …)` CTE
+    * already in scope — the seeded 64×256 sign matrix as SQL literals,
+    * byte list → bigram histogram → sign projection → 4×16-bit bands,
+    * the codegen kernel bit-for-bit (all-integer, so no rounding
+    * anywhere). Shared by mm_near_dup and mm_incr_near_dup. */
+  private def phashBandsCtes(maxHamming: Int): String = {
     val rows = graft.functions.MediaKernels.phashSigns.zipWithIndex
       .map { case (row, bit) =>
         val s = row.map(v => if (v > 0) "+" else "-").mkString
         s"($bit, '$s')"
       }.mkString(",\n       |    ")
-    s"""WITH corpus AS MATERIALIZED (
-       |  SELECT doc_id AS media_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 1000000, text || ' graftdup'
-       |  FROM documents WHERE doc_id % 10 = 0
-       |), bt AS MATERIALIZED (
+    s"""bt AS MATERIALIZED (
        |  SELECT media_id,
        |    list_transform(range(1, length(text) + 1),
        |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS bs
@@ -1505,20 +1506,66 @@ object SparkEntry {
        |    FROM hist h JOIN sgn s ON s.v = h.v
        |    GROUP BY 1, 2
        |  ) GROUP BY 1, 2
-       |), cand AS (
-       |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
-       |  FROM bands a
-       |  JOIN bands b ON a.band = b.band AND a.bv = b.bv
-       |    AND a.media_id < b.media_id
-       |)
-       |SELECT c.media_a, c.media_b,
-       |  CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
-       |FROM cand c
-       |JOIN bands x ON x.media_id = c.media_a
-       |JOIN bands y ON y.media_id = c.media_b AND y.band = x.band
-       |GROUP BY 1, 2
-       |HAVING CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) <= $maxHamming""".stripMargin
+       |), ham AS (
+       |  SELECT c.media_a, c.media_b,
+       |    CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+       |  FROM (
+       |    SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+       |    FROM bands a
+       |    JOIN bands b ON a.band = b.band AND a.bv = b.bv
+       |      AND a.media_id <> b.media_id
+       |  ) c
+       |  JOIN bands x ON x.media_id = c.media_a
+       |  JOIN bands y ON y.media_id = c.media_b AND y.band = x.band
+       |  GROUP BY 1, 2
+       |  HAVING CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) <= $maxHamming
+       |)""".stripMargin
   }
+
+  private def mmNearDupOracleSql(maxHamming: Int = 3): String =
+    s"""WITH corpus AS MATERIALIZED (
+       |  SELECT doc_id AS media_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' graftdup'
+       |  FROM documents WHERE doc_id % 10 = 0
+       |), ${phashBandsCtes(maxHamming)}
+       |SELECT media_a, media_b, hamming FROM ham
+       |WHERE media_a < media_b""".stripMargin
+
+  /** mm_incr_near_dup oracle: the planted corpus/batch split, the shared
+    * signature + hamming replay over the union, then the gate's two drop
+    * rules — a batch asset within τ of any CORPUS asset drops, and the
+    * higher-id side of a within-BATCH near pair drops; survivors report
+    * their byte length (text chars ≡ payload bytes on the ASCII corpus —
+    * PhashSpec pins the precondition). */
+  private def mmIncrNearDupOracleSql(maxHamming: Int = 3): String =
+    s"""WITH corpus AS MATERIALIZED (
+       |  SELECT doc_id AS media_id, text, 0 AS is_batch
+       |  FROM documents WHERE doc_id % 4 <> 1
+       |  UNION ALL
+       |  SELECT doc_id AS media_id, text, 1 AS is_batch
+       |  FROM documents WHERE doc_id % 4 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text || ' graftdup', 1
+       |  FROM documents WHERE doc_id % 4 <> 1 AND doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, text || ' graftdup', 1
+       |  FROM documents WHERE doc_id % 8 = 1
+       |), ${phashBandsCtes(maxHamming)}, batchids AS (
+       |  SELECT media_id, CAST(length(text) AS BIGINT) AS n_bytes
+       |  FROM corpus WHERE is_batch = 1
+       |), drops AS (
+       |  SELECT h.media_a AS media_id FROM ham h
+       |  JOIN batchids ba ON ba.media_id = h.media_a
+       |  JOIN corpus co ON co.media_id = h.media_b AND co.is_batch = 0
+       |  UNION
+       |  SELECT h.media_b FROM ham h
+       |  JOIN batchids b1 ON b1.media_id = h.media_a
+       |  JOIN batchids b2 ON b2.media_id = h.media_b
+       |  WHERE h.media_a < h.media_b
+       |)
+       |SELECT b.media_id, b.n_bytes FROM batchids b
+       |WHERE b.media_id NOT IN (SELECT media_id FROM drops)""".stripMargin
 
   /** The deterministic KMV sketch as SQL: distinct 60-bit md5-prefix
     * hashes per segment, bottom-k by row_number. Shared by the
@@ -2239,6 +2286,7 @@ object SparkEntry {
     "sim_bitext_mine" -> bitextOracleSql(),
     "sim_bitext_mine_steady" -> bitextOracleSql(),
     "mm_near_dup" -> mmNearDupOracleSql(),
+    "mm_incr_near_dup" -> mmIncrNearDupOracleSql(),
     "q_kmv_distinct" -> kmvDistinctOracleSql(),
     "q_kmv_setops" -> kmvSetOpsOracleSql(),
     // landed serve ≡ direct (the steady law): same oracles

@@ -317,6 +317,122 @@ object Multimodal {
     }
   }
 
+  /** Perceptual signature index of a landed media corpus — the artifact
+    * the incremental/streamed media gates probe, maintained at land time
+    * exactly like the text near-dup signature index
+    * ([[graft.operators.Dedup.buildNearDupIndex]]): one
+    * (media_id, 4×16-bit band array) row per payload with a bigram pair
+    * (32 bytes of signature — payloads themselves never enter the
+    * index). */
+  def buildMediaSigIndex(media: DataFrame, idCol: String,
+      payloadCol: String): DataFrame =
+    media.filter(length(col(payloadCol)) >= 2)
+      .select(col(idCol).as("media_id"),
+        graft.functions.GraftFunctions.phashBands(col(payloadCol)).as("bands"))
+
+  /** The (media_id, band, bv) banded key form of a signature index —
+    * the probe join's key table (the [[Dedup.bandHashTable]] shape for
+    * media). */
+  def mediaBandTable(idx: DataFrame): DataFrame =
+    idx.select(col("media_id"),
+      posexplode(col("bands")).as(Seq("band", "bv")))
+
+  /** Incremental PERCEPTUAL arrival gate — the media sibling of
+    * [[graft.operators.Dedup.incrementalNearNew]], closing the one gap
+    * in the per-class gate family: every other dedup class (exact,
+    * near, semantic, containment) already gates arrivals against landed
+    * state; media near-dups only had the batch pair scan
+    * ([[phashNearDupPairs]]). Given the landed corpus's signature index
+    * ([[buildMediaSigIndex]], maintained at land time) and an arrival
+    * batch, returns the batch rows that are neither (a) within
+    * `maxHamming` of any landed signature nor (b) the higher-id side of
+    * a verified within-batch near pair (the keep-smallest policy of the
+    * text gates). Payloads too short for a bigram have no signature and
+    * always survive — the [[phashNearDupPairs]] contract.
+    *
+    * Scale shape: batch signatures are one codegen kernel call per
+    * arrival row at the scan — payloads never shuffle; the probe is an
+    * equi-join on (band, bv) against the index's banded form (banded
+    * candidate generation is pigeonhole-COMPLETE at τ = 3 over 64 bits
+    * — PhashSpec); the XOR-popcount confirm re-joins the two 4-long
+    * signatures by id for |candidates| ≪ |corpus| pairs. The corpus
+    * payloads are never re-read. */
+  def incrementalMediaNew(corpusIndex: DataFrame, batch: DataFrame,
+      idCol: String, payloadCol: String, maxHamming: Int = 3): DataFrame = {
+    // verbatim re-sends (same id AND same payload) collapse to one
+    // logical asset — the incrementalNearNewBanded contract
+    val b = batch.dropDuplicates(idCol, payloadCol)
+    val bIdx = buildMediaSigIndex(b, idCol, payloadCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bBands = mediaBandTable(bIdx)
+    def verified(cand: DataFrame, left: DataFrame, right: DataFrame): DataFrame =
+      cand
+        .join(left.select(col("media_id").as("id_a"), col("bands").as("ba")), "id_a")
+        .join(right.select(col("media_id").as("id_b"), col("bands").as("bb")), "id_b")
+        .filter(aggregate(zip_with(col("ba"), col("bb"),
+            (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+          lit(0L), (acc, x) => acc + x) <= maxHamming)
+    // (a) batch vs corpus: band probe of the landed index (directional —
+    // the landed side always wins)
+    val corpusCand = bBands.as("a")
+      .join(mediaBandTable(corpusIndex).as("c"), Seq("band", "bv"))
+      .select(col("a.media_id").as("id_a"), col("c.media_id").as("id_b"))
+      .distinct()
+    val corpusDrops = verified(corpusCand, bIdx, corpusIndex)
+      .select(col("id_a").as("__drop"))
+    // (b) within-batch: band self-join, keep-smallest drops the id_b side
+    val batchCand = bBands.as("a").join(bBands.as("b"), Seq("band", "bv"))
+      .filter(col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .distinct()
+    val batchDrops = verified(batchCand, bIdx, bIdx)
+      .select(col("id_b").as("__drop"))
+    val survivors = b.join(
+      corpusDrops.union(batchDrops).distinct()
+        .select(col("__drop").as(idCol)),
+      Seq(idCol), "left_anti")
+    if (sys.props.get("graft.dedup.lazyPlans").contains("true")) survivors
+    else {
+      val reliable =
+        survivors.sparkSession.sparkContext.getCheckpointDir.isDefined
+      val fin = if (reliable) survivors.checkpoint()
+                else survivors.localCheckpoint()
+      bIdx.unpersist()
+      fin
+    }
+  }
+
+  /** CORRECTNESS instantiation (`mm_incr_near_dup`, mirroring the text
+    * gate's arrival shape in perceptual space): landed corpus = media
+    * with media_id % 4 ≠ 1; batch = the % 4 = 1 assets ∪ 9-byte-tail
+    * re-encodes of every 10th corpus asset (shifted ids — the
+    * corpus-near drop path) ∪ tail re-encodes of the % 8 = 1 batch
+    * assets (higher ids — the within-batch drop path). The oracle
+    * replays signatures, probe, and confirm bit-for-bit over the same
+    * planted relations. */
+  def incrementalMediaArrivals(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    def media(d: DataFrame): DataFrame =
+      d.select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+    val corpus = media(docs.filter(col("doc_id") % 4 =!= 1))
+    val batch = media(docs.filter(col("doc_id") % 4 === 1))
+      .unionByName(media(
+        docs.filter(col("doc_id") % 4 =!= 1 && col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" graftdup")).as("text"))))
+      .unionByName(media(
+        docs.filter(col("doc_id") % 8 === 1)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(col("text"), lit(" graftdup")).as("text"))))
+    val index = buildMediaSigIndex(corpus, "media_id", "payload")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = incrementalMediaNew(index, batch, "media_id", "payload")
+      .select(col("media_id"), length(col("payload")).cast("long").as("n_bytes"))
+    if (!sys.props.get("graft.dedup.lazyPlans").contains("true")) index.unpersist()
+    out
+  }
+
   /** The planted near-dup media corpus: the [[mediaTable]] payloads plus
     * a re-encoded copy of every 10th asset with a 9-byte tail (the
     * Dedup.plantedNearDocs edit, applied at the byte level). */
