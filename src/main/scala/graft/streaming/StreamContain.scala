@@ -45,19 +45,35 @@ import graft.operators.Dedup
   * landed tables between re-landings. */
 object StreamContain {
 
-  /** Every committed index generation, unioned. */
+  /** Every committed index generation, unioned, tombstoned docs
+    * excluded ([[Retention]] — a deleted document's shingle set must
+    * stop gating future arrivals as its excerpts). */
   def currentIndex(spark: SparkSession, indexDir: String,
       template: => DataFrame, exclude: Set[String] = Set.empty): DataFrame = {
     val gens = Generations.committed(spark, indexDir, "gen-")
       .filterNot(exclude)
     if (gens.isEmpty) template
-    else Generations.readNames(spark, indexDir, gens, "gen-")
+    else Retention.filter(
+      Generations.readNames(spark, indexDir, gens, "gen-"),
+      indexDir, "doc_id")
   }
 
   /** Every committed admitted batch, unioned — the continuously-growing
-    * excerpt-free corpus. */
-  def admittedDocs(spark: SparkSession, outDir: String): DataFrame =
-    Generations.read(spark, outDir, "batch-")
+    * excerpt-free corpus, tombstoned docs excluded. */
+  def admittedDocs(spark: SparkSession, outDir: String,
+      idCol: String = "doc_id"): DataFrame =
+    Retention.filter(Generations.read(spark, outDir, "batch-"),
+      outDir, idCol)
+
+  /** Targeted deletion across both maintained roots — the
+    * [[StreamNearDedup.delete]] discipline (whose tombstone-aware
+    * [[StreamNearDedup.compactIndex]] this gate already shares for the
+    * physical purge). */
+  def delete(spark: SparkSession, indexDir: String, outDir: String,
+      requestId: String, ids: Seq[Long]): Unit = {
+    Retention.tombstone(spark, indexDir, requestId, ids)
+    Retention.tombstone(spark, outDir, requestId, ids)
+  }
 
   /** Start gating `docs` into `outDir`, growing the containment index at
     * `indexDir`. `compactEvery` wires [[StreamNearDedup.compactIndex]]

@@ -89,18 +89,35 @@ object StreamHybrid {
     * serves keep their PartitionFilters across compactions). */
   def compactState(spark: SparkSession, stateDir: String): Unit = {
     StreamSearchIndex.compactIndex(spark, s"$stateDir/index")
-    Generations.compactManifested(spark, s"$stateDir/vecs", identity)
+    Generations.compactManifested(spark, s"$stateDir/vecs",
+      Retention.filter(_, stateDir, "vec_id"))
     val codes = new org.apache.hadoop.fs.Path(s"$stateDir/codes")
     if (codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(codes))
       StreamIvfPq.compactIndex(spark, s"$stateDir/codes")
   }
 
-  /** Live (manifest-resolved) union of the landed vector generations. */
+  /** Targeted deletion across ALL maintained retrieval sides at once
+    * (doc_id ≡ vec_id — the object contract): the lexical index through
+    * [[StreamSearchIndex.delete]] (tombstone + negative stats delta),
+    * the vector store and the code list through their own tombstones.
+    * Every serve — [[search]] and [[searchSteady]], both legs — excludes
+    * the ids immediately; the next [[compactState]] purges all sides
+    * physically. */
+  def delete(spark: SparkSession, stateDir: String, requestId: String,
+      ids: Seq[Long]): Unit = {
+    StreamSearchIndex.delete(spark, s"$stateDir/index", requestId, ids)
+    Retention.tombstone(spark, stateDir, requestId, ids)
+    StreamIvfPq.delete(spark, s"$stateDir/codes", requestId, ids)
+  }
+
+  /** Live (manifest-resolved) union of the landed vector generations,
+    * tombstoned vectors excluded. */
   def liveVectors(spark: SparkSession, stateDir: String): DataFrame = {
     val paths = Generations.livePaths(spark, s"$stateDir/vecs")
     require(paths.nonEmpty, s"no committed 'gen-' generations under $stateDir/vecs")
-    paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    Retention.filter(paths.map(spark.read.parquet(_)).reduce(_.unionByName(_)),
+      stateDir, "vec_id")
   }
 
   /** Hybrid top-k over everything the stream has landed so far: BM25

@@ -58,7 +58,7 @@ object StreamIvfPq extends Logging {
       template: => DataFrame, cells: Option[Seq[Long]] = None): DataFrame = {
     val paths = Generations.livePaths(spark, indexDir)
     if (paths.isEmpty) template
-    else paths.map { p =>
+    else Retention.filter(paths.map { p =>
       val raw = spark.read.parquet(p)
       val pruned = cells match {
         case Some(cs) => raw.filter(col("cell_id").isin(cs: _*))
@@ -66,19 +66,31 @@ object StreamIvfPq extends Logging {
       }
       pruned.select(col("vec_id").cast("long"), col("sub").cast("int"),
         col("code").cast("long"), col("cell_id").cast("long"))
-    }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_)), indexDir, "vec_id")
   }
+
+  /** Targeted deletion: commit the tombstone generation — every
+    * [[currentIndex]] read excludes the vectors immediately, and the
+    * next [[compactIndex]] purges their code rows physically
+    * ([[Retention]]'s two halves; no additive sidecar here, so deletion
+    * is the tombstone alone). */
+  def delete(spark: SparkSession, indexDir: String, requestId: String,
+      vecIds: Seq[Long]): Unit =
+    Retention.tombstone(spark, indexDir, requestId, vecIds)
 
   /** Fold accumulated per-batch code generations into one, keeping the
     * cell-partitioned layout ([[Generations.compactManifested]] with
     * `partitionBy("cell_id")` — identity fold: code rows are append-only
     * and doc-unique, and the manifested discipline guarantees readers
     * never double-read a fold with its sources, so no dedup exchange is
-    * paid at fold time either). */
+    * paid at fold time either). Tombstoned vectors' rows are dropped
+    * from the fold — the physical-purge half of [[delete]]. */
   def compactIndex(spark: SparkSession, indexDir: String): Unit =
     Generations.compactManifested(spark, indexDir,
-      _.select(col("vec_id").cast("long"), col("sub").cast("int"),
-        col("code").cast("long"), col("cell_id").cast("long")),
+      d => Retention.filter(
+        d.select(col("vec_id").cast("long"), col("sub").cast("int"),
+          col("code").cast("long"), col("cell_id").cast("long")),
+        indexDir, "vec_id"),
       partitionCols = Seq("cell_id"))
 
   /** Start encoding `vectors` (a streaming DataFrame carrying `vec_id`

@@ -43,19 +43,36 @@ import graft.operators.Multimodal
   */
 object StreamMedia extends Logging {
 
-  /** Every committed signature generation, unioned; `template` supplies
-    * the (empty) schema before the first generation commits. */
+  /** Every committed signature generation, unioned, tombstoned assets
+    * excluded ([[Retention]] — a deleted asset's signature must stop
+    * gating future arrivals); `template` supplies the (empty) schema
+    * before the first generation commits. */
   def currentIndex(spark: SparkSession, indexDir: String,
       template: => DataFrame, exclude: Set[String] = Set.empty): DataFrame = {
     val gens = Generations.committed(spark, indexDir, "gen-").filterNot(exclude)
     if (gens.isEmpty) template
-    else Generations.readNames(spark, indexDir, gens, "gen-")
+    else Retention.filter(
+      Generations.readNames(spark, indexDir, gens, "gen-"),
+      indexDir, "media_id")
   }
 
   /** Every committed admitted batch, unioned — the continuously-growing
-    * deduplicated media corpus. */
-  def admittedMedia(spark: SparkSession, outDir: String): DataFrame =
-    Generations.read(spark, outDir, "batch-")
+    * deduplicated media corpus, tombstoned assets excluded. `idCol`
+    * names the landed id column (the one passed to [[start]]). */
+  def admittedMedia(spark: SparkSession, outDir: String,
+      idCol: String = "media_id"): DataFrame =
+    Retention.filter(Generations.read(spark, outDir, "batch-"),
+      outDir, idCol)
+
+  /** Targeted deletion across both maintained roots (the
+    * [[StreamNearDedup.delete]] discipline for media): tombstone the
+    * landed corpus and the signature index; serve-side exclusion is
+    * immediate, [[compactIndex]] purges physically. */
+  def delete(spark: SparkSession, indexDir: String, outDir: String,
+      requestId: String, ids: Seq[Long]): Unit = {
+    Retention.tombstone(spark, indexDir, requestId, ids)
+    Retention.tombstone(spark, outDir, requestId, ids)
+  }
 
   /** Fold accumulated signature generations into one, keeping the
     * newest batch generation out (the [[StreamNearDedup.compactIndex]]
@@ -76,8 +93,12 @@ object StreamMedia extends Logging {
       val epoch = priorCompactions
         .flatMap(_.stripPrefix("gen-compact-").toLongOption)
         .maxOption.getOrElse(0L) + 1
-      spark.read.parquet(sources.map(g => s"$indexDir/$g"): _*)
-        .dropDuplicates()
+      // tombstoned assets drop from the fold — Retention's
+      // physical-purge half
+      Retention.filter(
+          spark.read.parquet(sources.map(g => s"$indexDir/$g"): _*)
+            .dropDuplicates(),
+          indexDir, "media_id")
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$indexDir/gen-compact-$epoch")
       val f = new org.apache.hadoop.fs.Path(indexDir)

@@ -60,19 +60,38 @@ object StreamNearDedup extends Logging {
   // (kept as a named local alias: every listing in this file is
   // generation-layout listing, and the name documents that)
 
-  /** Every committed signature generation, unioned; `template` supplies
-    * the (empty) schema before the first generation commits. */
+  /** Every committed signature generation, unioned, tombstoned docs
+    * excluded ([[Retention]] — a DELETED document's signature must stop
+    * gating future arrivals, or near-copies of content the corpus no
+    * longer holds would be silently dropped); `template` supplies the
+    * (empty) schema before the first generation commits. */
   def currentIndex(spark: SparkSession, indexDir: String,
       template: => DataFrame, exclude: Set[String] = Set.empty): DataFrame = {
     val gens = committedGens(spark, indexDir, "gen-").filterNot(exclude)
     if (gens.isEmpty) template
-    else Generations.readNames(spark, indexDir, gens, "gen-")
+    else Retention.filter(
+      Generations.readNames(spark, indexDir, gens, "gen-"),
+      indexDir, "doc_id")
   }
 
   /** Every committed cleaned batch, unioned — the continuously-growing
-    * deduplicated corpus. */
-  def cleanedDocs(spark: SparkSession, outDir: String): DataFrame =
-    Generations.read(spark, outDir, "batch-")
+    * deduplicated corpus, tombstoned docs excluded. `idCol` names the
+    * landed id column (the one passed to [[start]]). */
+  def cleanedDocs(spark: SparkSession, outDir: String,
+      idCol: String = "doc_id"): DataFrame =
+    Retention.filter(Generations.read(spark, outDir, "batch-"),
+      outDir, idCol)
+
+  /** Targeted deletion across both maintained roots: the landed corpus
+    * (`outDir` batch generations) and the signature index. Serve-side
+    * exclusion is immediate; [[compactIndex]] purges the index rows
+    * physically at its next run (the corpus generations purge the same
+    * way when folded by a corpus compactor). */
+  def delete(spark: SparkSession, indexDir: String, outDir: String,
+      requestId: String, ids: Seq[Long]): Unit = {
+    Retention.tombstone(spark, indexDir, requestId, ids)
+    Retention.tombstone(spark, outDir, requestId, ids)
+  }
 
   /** Compact the index's accumulated per-batch generations into one —
     * the signature-index instance of the small-file pathology
@@ -114,8 +133,12 @@ object StreamNearDedup extends Logging {
       // ever reuses a doc_id with different text across batches, both
       // payloads survive compaction, so neither document's future
       // near-arrivals can silently sail past the probe index.
-      spark.read.parquet(sources.map(g => s"$indexDir/$g"): _*)
-        .dropDuplicates()
+      // tombstoned docs drop from the fold — Retention's physical-purge
+      // half (serve-side filtering already excluded them)
+      Retention.filter(
+          spark.read.parquet(sources.map(g => s"$indexDir/$g"): _*)
+            .dropDuplicates(),
+          indexDir, "doc_id")
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$indexDir/gen-compact-$epoch")
       val f = new Path(indexDir)

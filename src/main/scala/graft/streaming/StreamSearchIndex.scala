@@ -157,34 +157,85 @@ object StreamSearchIndex {
     * postings/positions fold by identity, KEEPING the term-bucket
     * partitioning so serve pruning survives compaction; lens fold by
     * identity; the stats sidecar folds by SUM (additive — the
-    * [[StreamAnomaly]] counts argument). */
+    * [[StreamAnomaly]] counts argument, which is also what absorbs
+    * [[delete]]'s negative delta generations with no special casing).
+    * Every per-doc fold additionally anti-joins the committed tombstone
+    * ids ([[Retention]]) — the PHYSICAL-PURGE half of deletion. */
   def compactIndex(spark: SparkSession, indexDir: String): Unit = {
+    def purge(df: DataFrame): DataFrame =
+      Retention.filter(df, indexDir, "doc_id")
     Generations.compactManifested(spark, s"$indexDir/postings",
-      _.select(col("term"), col("doc_id"), col("dl"), col("tf"), col("bkt")),
+      d => purge(d.select(col("term"), col("doc_id"), col("dl"), col("tf"),
+        col("bkt"))),
       partitionCols = Seq("bkt"))
     Generations.compactManifested(spark, s"$indexDir/positions",
-      _.select(col("term"), col("doc_id"), col("pos"), col("bkt")),
+      d => purge(d.select(col("term"), col("doc_id"), col("pos"), col("bkt"))),
       partitionCols = Seq("bkt"))
-    Generations.compactManifested(spark, s"$indexDir/lens", identity)
+    Generations.compactManifested(spark, s"$indexDir/lens", purge)
     Generations.compactManifested(spark, s"$indexDir/stats",
       _.agg(sum(col("n_docs")).as("n_docs"), sum(col("dl_sum")).as("dl_sum")))
+  }
+
+  /** Targeted deletion ([[Retention]]'s discipline instantiated for the
+    * additive-sidecar family): subtract the freshly-deleted documents
+    * from the stats sidecar, then commit the tombstone generation that
+    * excludes their postings/positions/lens rows from every serve and
+    * purges them at the next fold.
+    *
+    * ORDER AND CRASH WINDOW: the negative delta lands FIRST. A crash
+    * between the two writes leaves stats subtracted while postings still
+    * serve — closed by re-running delete under the SAME requestId: the
+    * delta recomputes from ids not already tombstoned (own generation
+    * excluded) against the live lens rows, which no fold can have purged
+    * (the tombstone that would purge them is exactly the write that
+    * didn't happen), so the rewrite is byte-identical and the tombstone
+    * commit completes the pair. The reverse order would break replay: a
+    * fold between crash and re-run would purge the lens rows the delta
+    * needs, silently zeroing the subtraction.
+    *
+    * Cost: one live-lens read per deletion request (a maintenance op,
+    * not a serve) + two bounded writes. Ids never landed (or already
+    * deleted) contribute nothing. */
+  def delete(spark: SparkSession, indexDir: String, requestId: String,
+      docIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    val own = s"gen-$requestId"
+    val fresh0 = docIds.distinct.sorted.toDF("doc_id")
+    val fresh = Retention.deletedIds(spark, indexDir, exclude = Set(own))
+      .map(t => fresh0.join(broadcast(t.select(col("id").as("doc_id"))),
+        Seq("doc_id"), "left_anti"))
+      .getOrElse(fresh0)
+    val lensLive =
+      if (Generations.livePaths(spark, s"$indexDir/lens").isEmpty)
+        Seq.empty[(Long, Int)].toDF("doc_id", "dl")
+      else readSide(spark, s"$indexDir/lens", None)
+    lensLive.join(broadcast(fresh), Seq("doc_id"))
+      .agg((count(lit(1)) * lit(-1L)).as("n_docs"),
+        (coalesce(sum(col("dl")), lit(0L)) * lit(-1L)).as("dl_sum"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$indexDir/stats/gen-tomb-$requestId")
+    Retention.tombstone(spark, indexDir, requestId, docIds)
   }
 
   /** Live (manifest-resolved) union of one side's generations, each dir
     * read as its own root; for the term-bucketed sides, `bkts` prunes
     * each scan's partitions BEFORE the recovered partition column is
-    * dropped from the result. */
+    * dropped from the result. Per-doc sides exclude tombstoned documents
+    * ([[Retention.filter]] — the serve-side half of [[delete]]); the
+    * stats side must NOT filter (deletion reaches it as the negative
+    * delta generations instead). */
   private def readSide(spark: SparkSession, dir: String,
-      bkts: Option[Seq[Int]]): DataFrame = {
+      bkts: Option[Seq[Int]], tombRoot: Option[String] = None): DataFrame = {
     val paths = Generations.livePaths(spark, dir)
     require(paths.nonEmpty, s"no committed 'gen-' generations under $dir")
-    paths.map { p =>
+    val u = paths.map { p =>
       val raw = spark.read.parquet(p)
       bkts match {
         case Some(bs) => raw.filter(col("bkt").isin(bs: _*)).drop("bkt")
         case None => raw
       }
     }.reduce(_.unionByName(_))
+    tombRoot.map(r => Retention.filter(u, r, "doc_id")).getOrElse(u)
   }
 
   /** The streamed index's (n_docs, avgdl) — a sum over the live 1-row
@@ -206,7 +257,7 @@ object StreamSearchIndex {
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(query.nonEmpty && k > 0)
     val tf = readSide(spark, s"$indexDir/postings",
-        Some(query.map(termBucket).distinct.sorted))
+        Some(query.map(termBucket).distinct.sorted), Some(indexDir))
       .filter(col("term").isin(query: _*))
     val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
     TextAnalysis.bm25ScoreTail(tf, dfs, corpusStats(spark, indexDir), k, k1, b)
@@ -220,7 +271,7 @@ object StreamSearchIndex {
       phrase: Seq[String]): DataFrame =
     TextAnalysis.phraseCountOver(
       readSide(spark, s"$indexDir/positions",
-        Some(phrase.map(termBucket).distinct.sorted)),
+        Some(phrase.map(termBucket).distinct.sorted), Some(indexDir)),
       phrase)
 
   /** Minimum-covering-window proximity ranking off the live positional
@@ -234,6 +285,6 @@ object StreamSearchIndex {
       query: Seq[String]): DataFrame =
     TextAnalysis.proximityOver(
       readSide(spark, s"$indexDir/positions",
-        Some(query.map(termBucket).distinct.sorted)),
+        Some(query.map(termBucket).distinct.sorted), Some(indexDir)),
       query)
 }
