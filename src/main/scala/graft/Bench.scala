@@ -352,9 +352,14 @@ object Bench {
         }
         val stream = spark.readStream.schema(rows.schema)
           .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+        // fixed quantizers so the loop ALSO maintains the cell-partitioned
+        // code list the index-backed serve reads
+        val (centDf, book) =
+          graft.operators.Similarity.loadLandedQuantizers(spark, sfDir)
         val t0 = System.nanoTime()
         graft.streaming.StreamHybrid.start(
-          stream, s"$tmp/state", s"$tmp/ckpt", compactEvery = 2)
+          stream, s"$tmp/state", s"$tmp/ckpt", compactEvery = 2,
+          quantizers = Some((centDf, book)))
           .awaitTermination()
         val wallGrow = (System.nanoTime() - t0) / 1e9
         def med3(f: => Unit): Double = {
@@ -369,9 +374,19 @@ object Bench {
             queryVecId = 0L)
             .write.format("noop").mode("overwrite").save()
         }
+        // the index-backed sibling: dense leg off the probed partitions
+        // of the maintained code list + bounded refine, never a scan of
+        // the live vectors — the serve cost that tracks probed state
+        val serveSteady = med3 {
+          graft.streaming.StreamHybrid.searchSteady(
+            spark, s"$tmp/state", graft.operators.TextAnalysis.searchQuery,
+            queryVecId = 0L, centDf, book)
+            .write.format("noop").mode("overwrite").save()
+        }
         Some(s"""{"op":"stream_hybrid","rows_in":$rowsIn,"batches":4,""" +
           s""""grow_wall_sec":${fnum(wallGrow)},""" +
-          s""""serve_hybrid_sec":${fnum(serve)}}""")
+          s""""serve_hybrid_sec":${fnum(serve)},""" +
+          s""""serve_hybrid_steady_sec":${fnum(serveSteady)}}""")
       } catch {
         case e: Throwable =>
           errors += s"stream_hybrid: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
@@ -559,6 +574,88 @@ object Bench {
           errors += s"prep_full: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
           None
       }
+    // One-loop unified ingest: the full gate cascade (exact → near →
+    // containment → semantic) + every serve-index regrow driven by ONE
+    // foreachBatch over 4 staged doc+embedding batches with one
+    // compaction cadence, then each family's serve timed off the
+    // combined state, median of 3. The number under test: the combined
+    // loop costs one job DAG per batch, and each serve keeps its own
+    // documented read shape off the shared state.
+    def unifiedBench(): Option[String] =
+      try {
+        import org.apache.spark.sql.functions.col
+        val tmp = Files.createTempDirectory("graft_unified_bench_").toString
+        val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text", "source")
+          .join(spark.read.parquet(s"$sfDir/embeddings.parquet")
+            .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+          .select("doc_id", "text", "embedding", "source")
+        val rowsIn = rows.count()
+        Files.createDirectory(Paths.get(s"$tmp/in"))
+        def stagedFile(stage: String): java.nio.file.Path = {
+          val st = Files.list(Paths.get(stage))
+          try st.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          finally st.close()
+        }
+        (0 until 4).foreach { i =>
+          rows.filter(col("doc_id") % 4 === i)
+            .coalesce(1).write.parquet(s"$tmp/stage$i")
+          Files.move(stagedFile(s"$tmp/stage$i"), Paths.get(s"$tmp/in/f$i.parquet"))
+        }
+        val (centDf, book) =
+          graft.operators.Similarity.loadLandedQuantizers(spark, sfDir)
+        val stream = spark.readStream.schema(rows.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+        val t0 = System.nanoTime()
+        graft.streaming.UnifiedIngest.start(
+          stream, s"$tmp/state", s"$tmp/ckpt", centDf, book,
+          compactEvery = 2).awaitTermination()
+        val wallGrow = (System.nanoTime() - t0) / 1e9
+        val admitted = graft.streaming.UnifiedIngest
+          .admittedDocs(spark, s"$tmp/state").count()
+        def med3(f: => Unit): Double = {
+          val ts = (1 to 3).map { _ =>
+            val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+          }
+          ts.sorted.apply(1)
+        }
+        val sBm25 = med3 {
+          graft.streaming.UnifiedIngest.search(spark, s"$tmp/state",
+              graft.operators.TextAnalysis.searchQuery)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val queries = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .filter(col("vec_id") === 0L)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        val sAnn = med3 {
+          graft.streaming.UnifiedIngest.searchAnn(spark, s"$tmp/state",
+              queries, centDf, book)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val sKmv = med3 {
+          graft.streaming.UnifiedIngest.kmvEstimates(spark, s"$tmp/state")
+            .write.format("noop").mode("overwrite").save()
+        }
+        val sHist = med3 {
+          graft.streaming.UnifiedIngest.histQuantiles(spark, s"$tmp/state",
+              Seq(0.5, 0.95, 0.99))
+            .write.format("noop").mode("overwrite").save()
+        }
+        val sBudget = med3 {
+          graft.streaming.UnifiedIngest.budgetKept(spark, s"$tmp/state",
+              budget = 1000L)
+            .write.format("noop").mode("overwrite").save()
+        }
+        Some(s"""{"op":"unified_ingest","rows_in":$rowsIn,"batches":4,""" +
+          s""""admitted":$admitted,"grow_wall_sec":${fnum(wallGrow)},""" +
+          s""""serve_bm25_sec":${fnum(sBm25)},"serve_ann_sec":${fnum(sAnn)},""" +
+          s""""serve_kmv_sec":${fnum(sKmv)},"serve_hist_sec":${fnum(sHist)},""" +
+          s""""serve_budget_sec":${fnum(sBudget)}}""")
+      } catch {
+        case e: Throwable =>
+          errors += s"unified: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          None
+      }
     // Selection by EXACT name (Set membership, not substring): "stream"
     // runs both streaming benches (back-compat umbrella), "stream_near"
     // runs only the near-dedup bench; no filter runs both.
@@ -594,6 +691,10 @@ object Bench {
       if (only.forall(sel => sel.contains("stream") || sel.contains("stream_contain")))
         streamContainBench().getOrElse("null")
       else "null"
+    val unifiedJson: String =
+      if (only.forall(sel => sel.contains("stream") || sel.contains("unified")))
+        unifiedBench().getOrElse("null")
+      else "null"
     val prepJson: String =
       if (only.forall(_.contains("prep_full"))) prepBench().getOrElse("null")
       else "null"
@@ -618,7 +719,7 @@ object Bench {
     // "probe" is the per-query contention sentinel (see scaladoc):
     // probe[q] >> probe_floor ⇒ q was timed in a contended window.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"ext":${qjson(extResults)},"stream":$streamJson,"stream_near":$streamNearJson,"stream_search":$streamSearchJson,"stream_hybrid":$streamHybridJson,"stream_knn":$streamKnnJson,"stream_hist":$streamHistJson,"stream_kmv":$streamKmvJson,"stream_contain":$streamContainJson,"prep_full":$prepJson,"probe":$probeJson,"probe_floor":${fnum(probeFloor)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"ext":${qjson(extResults)},"stream":$streamJson,"stream_near":$streamNearJson,"stream_search":$streamSearchJson,"stream_hybrid":$streamHybridJson,"stream_knn":$streamKnnJson,"stream_hist":$streamHistJson,"stream_kmv":$streamKmvJson,"stream_contain":$streamContainJson,"unified":$unifiedJson,"prep_full":$prepJson,"probe":$probeJson,"probe_floor":${fnum(probeFloor)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
     println(json)
     Files.writeString(Paths.get(outFile), json)
     // The driver's per-round artifact keeps only the LAST 2000 chars of

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-factor replicator for LOCAL scaling measurements beyond the
+  * driver-provided testdata (`sf1 = 10 × sf0.1`): replicates the tables
+  * the steady-serve and LSH-dedup bench families read, with id offsets
+  * and per-replica content transforms chosen so the STATISTICS that
+  * drive those plans scale linearly instead of degenerately:
+  *
+  *  - `documents`: every token gets a per-replica prefix
+  *    (`r<i>token`), so shingle/minhash/band distributions replicate
+  *    per copy but NO cross-replica near-dup pairs appear — without
+  *    this, 10 verbatim copies of each document would inflate the LSH
+  *    candidate count ~45× per duplicate set and the "sf1" point would
+  *    measure an artifact, not scale. Within-replica structure
+  *    (planted near-dups, term statistics shape, doc lengths ± the
+  *    prefix) is preserved.
+  *  - `embeddings`: per-replica additive perturbation (+i·0.001 per
+  *    lane) — a scalar MULTIPLE would leave cosine unchanged and make
+  *    every replica an exact semantic duplicate; the additive shift
+  *    keeps neighborhoods realistic while scaling the corpus.
+  *  - `events`: id/user offsets, timestamps and values unchanged (the
+  *    histogram/sketch families scale by row count, not key range).
+  *
+  * Usage: `runMain graft.ScaleUp /root/testdata/sf0.1 <outDir> [copies]`.
+  * The output is generated state, never committed (see .gitignore). */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = Sessions.local("graft-scaleup")
+
+    def replicate(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      (0 until copies).map(i => f(base, i)).reduce(_.unionByName(_))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
+    }
+
+    val off = 10000000L
+    replicate("documents", (d, i) =>
+      if (i == 0) d
+      else d.withColumn("doc_id", col("doc_id") + lit(i * off))
+        .withColumn("text",
+          regexp_replace(col("text"), "([a-z0-9]+)", s"r$i$$1")))
+    replicate("embeddings", (d, i) =>
+      if (i == 0) d
+      else d.withColumn("vec_id", col("vec_id") + lit(i * off))
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(i * 0.001f))))
+    replicate("events", (d, i) =>
+      if (i == 0) d
+      else d.withColumn("event_id", col("event_id") + lit(i * off))
+        .withColumn("user_id", col("user_id") + lit(i * off)))
+    spark.stop()
+  }
+}

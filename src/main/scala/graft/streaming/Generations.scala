@@ -48,14 +48,18 @@ private[streaming] object Generations {
     * `gen-compact-<epoch>`: union committed sources (prior compactions +
     * all batch generations EXCEPT the newest — replay protection: an
     * uncommitted trailing batch rewrites its own generation on replay,
-    * so its rows must not also live in a fold), full-row dropDuplicates,
-    * write the fold, then delete sources. Interruption between the fold
-    * write and the source deletes leaves exact duplicate rows; the next
-    * fold's dropDuplicates collapses them, so readers that either
-    * full-row-dedup or are duplication-inert self-heal. MUST run inside
-    * the serial foreachBatch loop (the `compactEvery` hooks) — the
+    * so its rows must not also live in a fold), full-row dropDuplicates
+    * (+ the caller's `fold`, e.g. a tombstone purge — it must be
+    * duplication-inert like the rows themselves), write the fold, then
+    * delete sources. Interruption between the fold write and the source
+    * deletes leaves exact duplicate rows; the next fold's dropDuplicates
+    * collapses them, so readers that either full-row-dedup or are
+    * duplication-inert self-heal. MUST run inside the serial
+    * foreachBatch loop (the `compactEvery` hooks) — the
     * single-maintenance-job contract. */
-  def compactFold(spark: SparkSession, dir: String): Unit = {
+  def compactFold(spark: SparkSession, dir: String,
+      fold: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        identity): Unit = {
     val gens = committed(spark, dir, "gen-")
       .filterNot(_.startsWith("gen-compact-"))
     val priorCompactions = committed(spark, dir, "gen-compact-")
@@ -67,8 +71,8 @@ private[streaming] object Generations {
       val epoch = priorCompactions
         .flatMap(_.stripPrefix("gen-compact-").toLongOption)
         .maxOption.getOrElse(0L) + 1
-      spark.read.parquet(sources.map(g => s"$dir/$g"): _*)
-        .dropDuplicates()
+      fold(spark.read.parquet(sources.map(g => s"$dir/$g"): _*)
+          .dropDuplicates())
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$dir/gen-compact-$epoch")
       val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)

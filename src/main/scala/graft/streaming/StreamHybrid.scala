@@ -70,9 +70,12 @@ object StreamHybrid {
           .select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
         vecs.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/vecs/gen-$id")
         quantizers.foreach { case (centroids, book) =>
-          Similarity.ivfPqIndexRows(vecs, m, subDim, centroids, book)
-            .write.mode(SaveMode.Overwrite).partitionBy("cell_id")
-            .parquet(s"$stateDir/codes/gen-$id")
+          // empty batch: skip (a zero-row partitionBy write lands no
+          // schema-bearing file — the StreamIvfPq rule)
+          if (!vecs.isEmpty)
+            Similarity.ivfPqIndexRows(vecs, m, subDim, centroids, book)
+              .write.mode(SaveMode.Overwrite).partitionBy("cell_id")
+              .parquet(s"$stateDir/codes/gen-$id")
         }
         if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
           compactState(spark, stateDir)

@@ -107,9 +107,13 @@ object StreamIvfPq extends Logging {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
-        Similarity.ivfPqIndexRows(batch, m, subDim, centroids, book)
-          .write.mode(SaveMode.Overwrite).partitionBy("cell_id")
-          .parquet(s"$indexDir/gen-$id")
+        // empty micro-batch: skip the generation — a partitionBy write
+        // of zero rows lands no schema-bearing file and would wedge
+        // every later generation read
+        if (!batch.isEmpty)
+          Similarity.ivfPqIndexRows(batch, m, subDim, centroids, book)
+            .write.mode(SaveMode.Overwrite).partitionBy("cell_id")
+            .parquet(s"$indexDir/gen-$id")
         if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
           compactIndex(spark, indexDir)
         ()

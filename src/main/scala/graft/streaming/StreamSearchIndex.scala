@@ -119,6 +119,11 @@ object StreamSearchIndex {
     * a replayed batch rewrites byte-identically). */
   def indexBatch(batch: DataFrame, indexDir: String, id: Long,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    // an empty micro-batch writes NO generations: a partitionBy write of
+    // zero rows lands only _SUCCESS (no schema-bearing file), which every
+    // later generation read would refuse — and an all-zero stats row
+    // contributes nothing. Absent generations read as absent rows.
+    if (batch.isEmpty) return
     postingsOf(batch, idCol, textCol)
       .withColumn("bkt", termBucketCol(col("term")))
       .write.mode(SaveMode.Overwrite).partitionBy("bkt")

@@ -42,13 +42,17 @@ import graft.operators.{Dedup, Similarity}
   */
 object StreamSemantic {
 
-  /** Every committed assignment generation, unioned; `template` supplies
-    * the (empty) schema before the first generation commits. */
+  /** Every committed assignment generation, unioned, tombstoned vectors
+    * excluded ([[Retention]] — a deleted document's embedding must stop
+    * gating future paraphrase arrivals); `template` supplies the (empty)
+    * schema before the first generation commits. */
   def currentIndex(spark: SparkSession, indexDir: String,
       template: => DataFrame, exclude: Set[String] = Set.empty): DataFrame = {
     val gens = Generations.committed(spark, indexDir, "gen-").filterNot(exclude)
     if (gens.isEmpty) template
-    else Generations.readNames(spark, indexDir, gens, "gen-")
+    else Retention.filter(
+      Generations.readNames(spark, indexDir, gens, "gen-"),
+      indexDir, "vec_id")
   }
 
   /** Every committed surviving batch, unioned — the continuously-growing
@@ -58,9 +62,12 @@ object StreamSemantic {
 
   /** Fold accumulated index generations (duplicate rows are inert to the
     * probe — see the object scaladoc — so the simple fold discipline
-    * applies). Run via the hook or while the stream is stopped. */
+    * applies), purging tombstoned vectors' rows ([[Retention]]'s
+    * physical-purge half). Run via the hook or while the stream is
+    * stopped. */
   def compactIndex(spark: SparkSession, indexDir: String): Unit =
-    Generations.compactFold(spark, indexDir)
+    Generations.compactFold(spark, indexDir,
+      Retention.filter(_, indexDir, "vec_id"))
 
   /** Start gating `vectors` (a streaming DataFrame carrying `vec_id` and
     * `embedding`) into `outDir`, growing the assignment index at

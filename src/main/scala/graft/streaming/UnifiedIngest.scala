@@ -1,0 +1,254 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.{Analytics, Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
+
+/** ONE-LOOP unified ingest — the operational composition the separate
+  * Stream* maintainers imply but, individually, never demonstrate: a
+  * single `foreachBatch` drives every hygiene gate AND every serve
+  * index off ONE arrival stream of (doc_id, text, embedding, source)
+  * rows, with one compaction cadence. Per micro-batch, serially:
+  *
+  *  1. **exact gate** — keep-first within the batch, drop fingerprints
+  *     already landed ([[Dedup.incrementalNew]] against the accumulated
+  *     fingerprint index);
+  *  2. **near gate** — MinHash band probe + Jaccard verify against the
+  *     accumulated signature index ([[Dedup.incrementalNearNew]]);
+  *  3. **containment gate** — prefix-filtered excerpt probe
+  *     ([[Dedup.incrementalContainmentNew]]);
+  *  4. **semantic gate** — fixed-cell cosine probe against the
+  *     accumulated assignment index
+  *     ([[Dedup.incrementalSemanticNewAssigned]], the caller's FIXED
+  *     trained cells);
+  *  5. the ADMITTED survivors land as `corpus/batch-<id>`, and every
+  *     piece of derived state regrows FROM THE LANDED BYTES (so a
+  *     replayed batch re-derives byte-identical generations): the four
+  *     gate indexes, the term-bucket-partitioned search index
+  *     ([[StreamSearchIndex.indexBatch]]), the cell-partitioned IVF-PQ
+  *     code list, the vector store, the per-source KMV doc-count
+  *     sketch, the token-length histogram, and the (doc_id, source,
+  *     n_tokens) rows the absorbing budget view re-cuts.
+  *
+  * SELECTION views (cap/budget/DSIR-class) are deliberately SERVE-side,
+  * not admission gates: the absorbing-cut law (a kept document can be
+  * displaced by a later lower-hash arrival) means the kept set is a
+  * property of the accumulated corpus, so [[budgetKept]] re-cuts the
+  * live rows — admission-dropping at arrival would violate the
+  * post-stream ≡ batch-on-union law the family is built on
+  * ([[StreamBudget]]'s scaladoc).
+  *
+  * The law (UnifiedIngestSpec): after any batch sequence — across
+  * restarts and the single compaction cadence — EVERY family's serve
+  * equals its batch operator applied to the admitted union: BM25/phrase
+  * off the admitted docs, ADC search off the admitted vectors, KMV
+  * estimates and histogram quantiles off the admitted rows, the budget
+  * cut off the admitted token counts; and the admitted set itself
+  * equals the serial batch fold of the four gates.
+  *
+  * Durability: the [[StreamNearDedup]] rules for every write —
+  * idempotent batch-id-named Overwrites, `_SUCCESS`-committed reads,
+  * each gate's probe excluding the batch's OWN generation by name.
+  * Deletion: [[delete]] tombstones every per-doc root at once
+  * ([[Retention]]); the KMV sketch and histograms are the documented
+  * rebuild-only classes.
+  *
+  * Scale shape per batch: each gate pays its documented probe cost
+  * (band/cell/prefix equi-joins against disk state — never all-pairs,
+  * never a corpus re-read); the regrow writes are batch-sized; the
+  * compaction cadence folds each side under its own discipline (simple
+  * fold where rows are duplication-inert, manifested where they are
+  * not). The serially-composed gates share one batch-loop — at 1000
+  * executors this is one job DAG per micro-batch instead of 10
+  * independent streams re-reading the same arrivals. */
+object UnifiedIngest {
+
+  /** One fixed histogram day: the unified stream carries no event time,
+    * so the token-length histogram accumulates under a single day key
+    * (the additive-bin law is unaffected — the spec's serve range covers
+    * it). */
+  val HistDay = "2024-01-01"
+
+  /** Start the unified loop over `docs` — a streaming DataFrame carrying
+    * `doc_id`, `text`, `embedding`, `source` — under `stateDir`, with
+    * the caller's FIXED trained quantizers (the [[StreamIvfPq]] /
+    * [[StreamSemantic]] comparability contract). */
+  def start(docs: DataFrame, stateDir: String, checkpoint: String,
+      centroids: DataFrame, book: Seq[(Int, Int, Array[Double])],
+      tau: Double = 0.999, m: Int = 8, subDim: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 0): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val own = s"gen-$id"
+
+        // 1. exact gate — index rows carry (doc_id, fp) so deletion can
+        // tombstone by id (a deleted doc's fingerprint must stop
+        // blocking verbatim re-arrivals, like every other gate); the
+        // probe narrows to the fp column after the tombstone filter
+        val fpGens = Generations.committed(spark, s"$stateDir/fps", "gen-")
+          .filterNot(_ == own)
+        val fps =
+          if (fpGens.isEmpty)
+            batch.limit(0)
+              .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+          else Generations.readNames(spark, s"$stateDir/fps", fpGens, "gen-")
+        val b1 = Dedup.incrementalNew(
+          Retention.filter(fps, s"$stateDir/fps", "doc_id").select("fp"),
+          batch, "doc_id", "text")
+
+        // 2. near gate
+        val nearIdx = StreamNearDedup.currentIndex(spark, s"$stateDir/near",
+          template = Dedup.buildNearDupIndex(batch.limit(0), "doc_id", "text"),
+          exclude = Set(own))
+        val b2 = Dedup.incrementalNearNew(nearIdx, b1, "doc_id", "text")
+
+        // 3. containment gate
+        val cIdx = StreamContain.currentIndex(spark, s"$stateDir/contain",
+          template = Dedup.containmentIndexRows(batch.limit(0), "doc_id", "text"),
+          exclude = Set(own))
+        val b3 = Dedup.incrementalContainmentNew(
+          cIdx.select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle"))
+            .select(col("shingle"), col("doc_id"), col("sz")),
+          cIdx, b2, "doc_id", "text")
+
+        // 4. semantic gate
+        val semIdx = StreamSemantic.currentIndex(spark, s"$stateDir/sem",
+          template = batch.limit(0).select(col("doc_id").as("vec_id"),
+            lit(0L).as("cell_id"), col("embedding")),
+          exclude = Set(own))
+        val keptIds = Dedup.incrementalSemanticNewAssigned(
+          semIdx.select(col("cell_id"), col("embedding").as("m_emb")),
+          b3.select(col("doc_id").as("vec_id"), col("embedding")),
+          centroids, tau)
+        val admitted = b3.join(
+          keptIds.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+
+        // 5. land, then regrow all derived state from the landed bytes.
+        // An all-dropped batch lands its (empty, still readable —
+        // non-partitioned) corpus generation but regrows nothing: the
+        // partitioned sides' zero-row writes would be unreadable (the
+        // indexBatch rule), and empty gate generations add nothing.
+        admitted.write.mode(SaveMode.Overwrite)
+          .parquet(s"$stateDir/corpus/batch-$id")
+        val landed = spark.read.parquet(s"$stateDir/corpus/batch-$id")
+        if (!landed.isEmpty) {
+        val vecs = landed.select(col("doc_id").as("vec_id"), col("embedding"))
+        landed.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+          .distinct()
+          .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/fps/$own")
+        Dedup.buildNearDupIndex(landed, "doc_id", "text")
+          .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/near/$own")
+        Dedup.containmentIndexRows(landed, "doc_id", "text")
+          .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/contain/$own")
+        Similarity.ivfAssign(vecs, centroids)
+          .select(col("vec_id"), col("cell_id"), col("embedding"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/sem/$own")
+        StreamSearchIndex.indexBatch(landed, s"$stateDir/search", id)
+        Similarity.ivfPqIndexRows(vecs, m, subDim, centroids, book)
+          .write.mode(SaveMode.Overwrite).partitionBy("cell_id")
+          .parquet(s"$stateDir/codes/$own")
+        vecs.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/vecs/$own")
+        Sketches.kmvSketch(landed, "source", "doc_id")
+          .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/kmv/rows/$own")
+        Analytics.dailyValueHistograms(landed.select(
+            lit(HistDay).cast("timestamp").as("ts"),
+            size(TextAnalysis.tokens(col("text"))).cast("double").as("value")))
+          .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/hist/rows/$own")
+        TextAnalysis.tokenCountRows(landed, "doc_id", "text", "source")
+          .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/budget/rows/$own")
+        }
+
+        if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+          compactAll(spark, stateDir)
+        ()
+      }
+      .start()
+
+  /** ONE compaction cadence for every side, each under its own
+    * discipline: simple self-healing folds where rows are
+    * duplication-inert (gate indexes, with tombstoned rows purged), and
+    * manifested folds where they are not (search sides, codes, vecs,
+    * histogram counts, KMV state bound). `budget` additionally folds
+    * the budget rows through the absorbing cut — it must be ≥ any
+    * budget later served (folding at a SMALLER budget than the serve
+    * would discard rows the serve needs; callers serving multiple
+    * budgets fold at the largest, or not at all — the default). */
+  def compactAll(spark: SparkSession, stateDir: String,
+      budget: Option[Long] = None): Unit = {
+    Generations.compactFold(spark, s"$stateDir/fps",
+      Retention.filter(_, s"$stateDir/fps", "doc_id"))
+    StreamNearDedup.compactIndex(spark, s"$stateDir/near")
+    StreamNearDedup.compactIndex(spark, s"$stateDir/contain")
+    StreamSemantic.compactIndex(spark, s"$stateDir/sem")
+    StreamSearchIndex.compactIndex(spark, s"$stateDir/search")
+    StreamIvfPq.compactIndex(spark, s"$stateDir/codes")
+    Generations.compactManifested(spark, s"$stateDir/vecs",
+      Retention.filter(_, stateDir, "vec_id"))
+    StreamKmv.compactState(spark, s"$stateDir/kmv")
+    StreamHist.compactState(spark, s"$stateDir/hist")
+    budget.foreach(b =>
+      StreamBudget.compactState(spark, s"$stateDir/budget", b))
+  }
+
+  /** The admitted corpus — every committed landed batch, tombstoned
+    * docs excluded. */
+  def admittedDocs(spark: SparkSession, stateDir: String): DataFrame =
+    Retention.filter(Generations.read(spark, s"$stateDir/corpus", "batch-"),
+      s"$stateDir/corpus", "doc_id")
+
+  /** Serve: BM25 off the maintained bucket-pruned search index. */
+  def search(spark: SparkSession, stateDir: String, query: Seq[String],
+      k: Int = 10): DataFrame =
+    StreamSearchIndex.search(spark, s"$stateDir/search", query, k)
+
+  /** Serve: exact-phrase counts off the maintained positional index. */
+  def searchPhrase(spark: SparkSession, stateDir: String,
+      phrase: Seq[String]): DataFrame =
+    StreamSearchIndex.searchPhrase(spark, s"$stateDir/search", phrase)
+
+  /** Serve: ADC top-k off the maintained cell-partitioned code list. */
+  def searchAnn(spark: SparkSession, stateDir: String, queries: DataFrame,
+      centroids: DataFrame, book: Seq[(Int, Int, Array[Double])],
+      k: Int = 5, nprobe: Int = 4): DataFrame =
+    StreamIvfPq.search(spark, s"$stateDir/codes", queries, centroids, book,
+      k, nprobe)
+
+  /** Serve: per-source distinct-doc estimates off the maintained KMV
+    * sketch (rebuild-only under deletion — [[Retention]]). */
+  def kmvEstimates(spark: SparkSession, stateDir: String): DataFrame =
+    StreamKmv.estimates(spark, s"$stateDir/kmv")
+
+  /** Serve: token-length quantiles off the maintained histogram
+    * (rebuild-only under deletion). */
+  def histQuantiles(spark: SparkSession, stateDir: String,
+      ps: Seq[Double]): DataFrame =
+    StreamHist.quantiles(spark, s"$stateDir/hist", HistDay, HistDay, ps)
+
+  /** Serve: the absorbing per-source token-budget cut over everything
+    * admitted so far. */
+  def budgetKept(spark: SparkSession, stateDir: String,
+      budget: Long): DataFrame =
+    StreamBudget.kept(spark, s"$stateDir/budget", budget)
+
+  /** Targeted deletion across every per-doc root at once (vec_id ≡
+    * doc_id): the corpus, all four gate indexes, the search index (with
+    * its stats delta), codes, and vectors. The KMV and histogram sides
+    * are the documented rebuild-only classes — their tombstone is the
+    * intent record; rebuild them from the purged corpus. */
+  def delete(spark: SparkSession, stateDir: String, requestId: String,
+      ids: Seq[Long]): Unit = {
+    Retention.tombstone(spark, s"$stateDir/corpus", requestId, ids)
+    Retention.tombstone(spark, s"$stateDir/fps", requestId, ids)
+    Retention.tombstone(spark, s"$stateDir/near", requestId, ids)
+    Retention.tombstone(spark, s"$stateDir/contain", requestId, ids)
+    Retention.tombstone(spark, s"$stateDir/sem", requestId, ids)
+    StreamSearchIndex.delete(spark, s"$stateDir/search", requestId, ids)
+    StreamIvfPq.delete(spark, s"$stateDir/codes", requestId, ids)
+    Retention.tombstone(spark, stateDir, requestId, ids) // vecs
+  }
+}

@@ -1,0 +1,192 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Dedup, Similarity, Sketches, TextAnalysis}
+
+/** One-loop unified ingest: a single foreachBatch drives all four
+  * hygiene gates and every serve index off one arrival stream. Laws:
+  * the admitted set equals the serial batch fold of the gates, each
+  * planted duplicate class is caught by its gate, and EVERY family's
+  * serve equals its batch operator on the admitted union — across
+  * restarts and the single compaction cadence.
+  */
+class UnifiedIngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  type Arrival = (Long, String, Array[Float], String)
+
+  test("every family's serve equals its batch operator on the admitted union") {
+    val rows = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text", "source")
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    val embs = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    val base: Seq[Arrival] = rows.collect {
+      case (id, text, src) if embs.contains(id) => (id, text, embs(id), src)
+    }
+    assert(base.exists(_._1 == 0L), "probe vector 0 must exist")
+    val (centroids, book) = Similarity.loadLandedQuantizers(spark, dir)
+
+    // planted duplicate classes, each arriving AFTER its original:
+    def tokens(t: String): Seq[String] =
+      t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val a0 = base.head                      // original in batch 0
+    val a1 = base(1)
+    val exactDup = (a0._1 + 1000000L, a0._2, embs(a1._1), a0._4)
+    val nearDup = (a0._1 + 2000000L, a0._2 + " graftdup", embs(a1._1), a0._4)
+    val excerpt = (a0._1 + 3000000L,
+      tokens(a0._2).take(tokens(a0._2).size / 2 + 1).mkString(" "),
+      embs(a1._1), a0._4)
+    val semDup = (a0._1 + 4000000L,
+      "a fully rewritten paraphrase with no shared tokens whatsoever",
+      a0._3, a0._4)                          // identical embedding to a0
+    val batches: Seq[Seq[Arrival]] = Seq(
+      base.filter(_._1 % 3 == 0),
+      base.filter(_._1 % 3 == 1) ++ Seq(exactDup, nearDup),
+      base.filter(_._1 % 3 == 2) ++ Seq(excerpt, semDup),
+      Seq.empty[Arrival] ++ Seq((a0._1 + 5000000L,
+        a1._2, embs(a0._1 + 0L), a1._4)))    // late verbatim dup of a1
+
+    val tmp = Files.createTempDirectory("graft_unified_").toString
+    val (state, ckpt) = (s"$tmp/state", s"$tmp/ckpt")
+    val input = MemoryStream[Arrival](
+      org.apache.spark.sql.Encoders.product[Arrival], spark.sqlContext)
+    // fresh AvailableNow query per batch off the shared checkpoint —
+    // every batch boundary IS a restart; compaction hook at ids 1 and 3
+    def runOnce(): Unit =
+      UnifiedIngest.start(
+        input.toDF().toDF("doc_id", "text", "embedding", "source"),
+        state, ckpt, centroids, book, compactEvery = 2).awaitTermination()
+    batches.foreach { b => input.addData(b: _*); runOnce() }
+
+    // ---- serial batch fold of the same four gates ----
+    var fps = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .select(md5(col("text").cast("binary")).as("fp"))
+    var nearIdx = Dedup.buildNearDupIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+      .localCheckpoint()
+    var containIdx = Dedup.containmentIndexRows(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+      .localCheckpoint()
+    var semIdx = Seq.empty[(Long, Long, Array[Float])]
+      .toDF("vec_id", "cell_id", "embedding").localCheckpoint()
+    var admitted = Seq.empty[Arrival]
+    batches.foreach { b =>
+      val bdf = b.toDF("doc_id", "text", "embedding", "source")
+      val b1 = Dedup.incrementalNew(fps, bdf, "doc_id", "text")
+      val b2 = Dedup.incrementalNearNew(nearIdx, b1, "doc_id", "text")
+      val b3 = Dedup.incrementalContainmentNew(
+        containIdx.select(col("doc_id"), col("sz"),
+          explode(col("sh")).as("shingle"))
+          .select(col("shingle"), col("doc_id"), col("sz")),
+        containIdx, b2, "doc_id", "text")
+      val kept = Dedup.incrementalSemanticNewAssigned(
+        semIdx.select(col("cell_id"), col("embedding").as("m_emb")),
+        b3.select(col("doc_id").as("vec_id"), col("embedding")),
+        centroids, tau = 0.999)
+      val adm = b3.join(kept.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+        .as[Arrival].collect().toSeq.sortBy(_._1)
+      admitted ++= adm
+      val admDf = adm.toDF("doc_id", "text", "embedding", "source")
+      fps = fps.unionByName(admDf
+        .select(md5(col("text").cast("binary")).as("fp"))).localCheckpoint()
+      nearIdx = nearIdx.unionByName(
+        Dedup.buildNearDupIndex(admDf, "doc_id", "text")).localCheckpoint()
+      containIdx = containIdx.unionByName(
+        Dedup.containmentIndexRows(admDf, "doc_id", "text")).localCheckpoint()
+      semIdx = semIdx.unionByName(
+        Similarity.ivfAssign(admDf.select(col("doc_id").as("vec_id"),
+          col("embedding")), centroids)
+          .select("vec_id", "cell_id", "embedding")).localCheckpoint()
+    }
+
+    // admitted set == serial fold; all four planted dup classes dropped
+    val got = UnifiedIngest.admittedDocs(spark, state)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == admitted.map(_._1).toSet,
+      s"stream admitted ${got.size}, serial fold ${admitted.size}")
+    Seq(exactDup._1, nearDup._1, excerpt._1, semDup._1,
+        a0._1 + 5000000L).foreach { planted =>
+      assert(!got.contains(planted), s"planted dup $planted must be dropped")
+    }
+    assert(got.contains(a0._1) && got.contains(a1._1))
+
+    val admDf = admitted.toDF("doc_id", "text", "embedding", "source")
+      .localCheckpoint()
+
+    // ---- every family's serve == its batch operator on the union ----
+    val q = TextAnalysis.searchQuery
+    assert(UnifiedIngest.search(spark, state, q)
+      .as[(Long, Double)].collect().toSeq ==
+      TextAnalysis.bm25Rank(admDf, "doc_id", "text", q, 10)
+        .as[(Long, Double)].collect().toSeq, "BM25 serve")
+
+    val phrase = TextAnalysis.searchPhrase
+    assert(UnifiedIngest.searchPhrase(spark, state, phrase)
+      .select(col("doc_id"), col("n_occ").cast("long"))
+      .as[(Long, Long)].collect().toSet ==
+      admDf.select(col("doc_id"),
+          TextAnalysis.phraseCount(col("text"), phrase).cast("long").as("n_occ"))
+        .filter(col("n_occ") > 0).as[(Long, Long)].collect().toSet,
+      "phrase serve")
+
+    val queries = admDf.filter(col("doc_id") === 0L)
+      .select(col("doc_id").as("query_id"), col("embedding").as("q_emb"))
+    assert(UnifiedIngest.searchAnn(spark, state, queries, centroids, book)
+      .as[(Long, Long, Double)].collect().toSet ==
+      Similarity.topKPqIvfWith(
+          admDf.select(col("doc_id").as("vec_id"), col("embedding")),
+          queries, k = 5, nprobe = 4, m = 8, subDim = 8, centroids, book)
+        .as[(Long, Long, Double)].collect().toSet, "ADC serve")
+
+    assert(UnifiedIngest.kmvEstimates(spark, state)
+      .collect().map(_.toSeq).toSet ==
+      Sketches.kmvEstimates(
+          Sketches.kmvSketch(admDf, "source", "doc_id"))
+        .collect().map(_.toSeq).toSet, "KMV serve")
+
+    val ps = Seq(0.5, 0.95)
+    def histInput(d: DataFrame) = d.select(
+      lit(UnifiedIngest.HistDay).cast("timestamp").as("ts"),
+      size(TextAnalysis.tokens(col("text"))).cast("double").as("value"))
+    assert(UnifiedIngest.histQuantiles(spark, state, ps)
+      .collect().map(_.toSeq).toSet ==
+      Analytics.histQuantiles(Analytics.dailyValueHistograms(histInput(admDf)),
+          UnifiedIngest.HistDay, UnifiedIngest.HistDay, ps)
+        .collect().map(_.toSeq).toSet, "histogram quantile serve")
+
+    assert(UnifiedIngest.budgetKept(spark, state, budget = 200L)
+      .as[(Long, String, Long)].collect().toSet ==
+      TextAnalysis.budgetCapRows(
+          TextAnalysis.tokenCountRows(admDf, "doc_id", "text", "source"), 200L)
+        .as[(Long, String, Long)].collect().toSet, "budget-cut serve")
+
+    // one more compaction cycle over every side keeps all laws
+    UnifiedIngest.compactAll(spark, state)
+    assert(UnifiedIngest.search(spark, state, q)
+      .as[(Long, Double)].collect().toSeq ==
+      TextAnalysis.bm25Rank(admDf, "doc_id", "text", q, 10)
+        .as[(Long, Double)].collect().toSeq, "BM25 after compaction")
+    assert(UnifiedIngest.kmvEstimates(spark, state)
+      .collect().map(_.toSeq).toSet ==
+      Sketches.kmvEstimates(Sketches.kmvSketch(admDf, "source", "doc_id"))
+        .collect().map(_.toSeq).toSet, "KMV after compaction")
+
+    // deletion reaches the per-doc families in one call
+    UnifiedIngest.delete(spark, state, "gdpr-1", Seq(a1._1))
+    assert(!UnifiedIngest.admittedDocs(spark, state)
+      .select("doc_id").as[Long].collect().toSet.contains(a1._1))
+    val remaining = admitted.filterNot(_._1 == a1._1)
+      .toDF("doc_id", "text", "embedding", "source")
+    assert(UnifiedIngest.search(spark, state, q)
+      .as[(Long, Double)].collect().toSeq ==
+      TextAnalysis.bm25Rank(remaining, "doc_id", "text", q, 10)
+        .as[(Long, Double)].collect().toSeq, "BM25 after deletion")
+  }
+}
