@@ -185,6 +185,7 @@ object SparkEntry {
     "txt_phrase_steady" -> (TextAnalysis.phraseDocsSteady _),
     "txt_hybrid_rrf"    -> (TextAnalysis.hybridDocs _),
     "txt_hybrid_rrf_steady" -> ((s, d) => TextAnalysis.hybridDocsSteady(s, d)),
+    "sim_recall_hybrid_dense" -> ((s, d) => Similarity.hybridDenseRecall(s, d)),
     "txt_quality_calibrated" -> ((s, d) => TextAnalysis.calibratedQualityFilter(s, d)),
     "txt_budget_mix"    -> (TextAnalysis.budgetMixDocs _),
     "txt_boilerplate"   -> (TextAnalysis.boilerplateDocs _),
@@ -374,8 +375,9 @@ object SparkEntry {
     "dedup_incr_contain", "dedup_incr_contain_steady", "q_lpa_sample",
     "q_modularity",
     // round-11 additions: the index-backed hybrid serve (no corpus-linear
-    // dense scan in the timed plan) and the perceptual media arrival gate
-    "txt_hybrid_rrf_steady", "mm_incr_near_dup",
+    // dense scan in the timed plan), its dense-leg recall monitor, and
+    // the perceptual media arrival gate
+    "txt_hybrid_rrf_steady", "sim_recall_hybrid_dense", "mm_incr_near_dup",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1825,7 +1827,8 @@ object SparkEntry {
     // NOT oracle-shared with txt_hybrid_rrf: the steady dense leg is the
     // index-backed approximate serve (ADC cut + refine), a different
     // answer by design — its oracle replays that branch exactly
-    "txt_hybrid_rrf_steady" -> hybridSteadyOracleSql())
+    "txt_hybrid_rrf_steady" -> hybridSteadyOracleSql(),
+    "sim_recall_hybrid_dense" -> hybridDenseRecallOracleSql())
 
   /** Exact-cosine top-k ground truth — shared by `sim_topk_cosine` and
     * the recall evaluation's exact branch. */
@@ -1862,6 +1865,36 @@ object SparkEntry {
        |)
        |SELECT q.query_id, CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
        |  round(COALESCE(o.n_overlap, 0) / $k.0, 6) AS recall
+       |FROM (SELECT DISTINCT query_id FROM ann) q LEFT JOIN o ON q.query_id = o.query_id""".stripMargin
+
+  /** sim_recall_hybrid_dense oracle: the annRecall overlap count with
+    * the hybrid steady entry's dense branch (trained-quantizer ADC cut
+    * widened to r·depth for query vec 0, exact refine to depth) as the
+    * ann side and the exact-cosine top-depth of the same probe as
+    * ground truth. */
+  private def hybridDenseRecallOracleSql(depth: Int = 50, r: Int = 4): String =
+    s"""WITH ann AS (
+       |${refineOracleSql(ivfPqTrainedOracleSql(k = depth * r, queryIds = "(0)"), depth)}
+       |), exact AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+       |    FROM (
+       |      SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+       |        list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+       |          / sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+       |               * list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS score
+       |      FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+       |      WHERE q.vec_id = 0
+       |    ) WHERE NOT isnan(score)
+       |  ) WHERE rn <= $depth
+       |), o AS (
+       |  SELECT a.query_id, count(*) AS n_overlap
+       |  FROM ann a JOIN exact e ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+       |  GROUP BY a.query_id
+       |)
+       |SELECT q.query_id, CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  round(COALESCE(o.n_overlap, 0) / $depth.0, 6) AS recall
        |FROM (SELECT DISTINCT query_id FROM ann) q LEFT JOIN o ON q.query_id = o.query_id""".stripMargin
 
   private def annRecallOracleSql(k: Int = 5): String =

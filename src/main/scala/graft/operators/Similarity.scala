@@ -662,6 +662,35 @@ object Similarity {
     recallAgainstExact(
       topKPqIvfRefined(spark, dir, k), spark, dir, k)
 
+  /** Recall@depth of the INDEX-BACKED hybrid dense leg against the
+    * exact dense leg it replaced — the annRecall monitor for the
+    * hybrid-retrieval dial ([[TextAnalysis.hybridDocsSteady]]'s
+    * approximate branch vs [[TextAnalysis.hybridDocs]]'s exact one,
+    * same probe vector, same depth): the number a deployment reads
+    * before trusting the compressed serve, and tunes (r, nprobe)
+    * against. Scale shape: the ann branch is the audited refined
+    * landed serve; the exact branch is what ground truth costs
+    * (corpus-linear — run on the bounded probe set, as here). */
+  def hybridDenseRecall(spark: SparkSession, dir: String,
+      depth: Int = 50, r: Int = 4): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val (centDf, book) = loadLandedQuantizers(spark, dir)
+    val ann = refinedSearchIndex(emb, ensureIvfPqCodes(spark, dir), queries,
+        depth, r, nprobe = 4, m = 8, subDim = 8, centDf, book)
+      .select("query_id", "vec_id")
+    val exact = topKCosine(emb, queries, depth).select("query_id", "vec_id")
+    val overlap = ann.join(exact, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+    ann.select("query_id").distinct()
+      .join(overlap, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)) / lit(depth.toDouble), 6)
+          .as("recall"))
+  }
+
   private def recallAgainstExact(ann0: DataFrame, spark: SparkSession,
       dir: String, k: Int): DataFrame = {
     val ann = ann0.select("query_id", "vec_id")
