@@ -103,6 +103,7 @@ object SparkEntry {
     "q_modularity"      -> ((s, d) => GraphRank.modularityDocs(s, d)),
     "mm_near_dup"       -> ((s, d) => Multimodal.nearDupMedia(s, d)),
     "mm_incr_near_dup"  -> (Multimodal.incrementalMediaArrivals _),
+    "mm_incr_near_dup_steady" -> (Multimodal.incrementalMediaArrivalsSteady _),
     "txt_contam_frac"   -> (Dedup.contamFracDocs _),
     "sim_bitext_mine"   -> ((s, d) => Bitext.mineDocs(s, d)),
     "sim_bitext_mine_steady" -> ((s, d) => Bitext.mineSteady(s, d)),
@@ -378,6 +379,7 @@ object SparkEntry {
     // dense scan in the timed plan), its dense-leg recall monitor, and
     // the perceptual media arrival gate
     "txt_hybrid_rrf_steady", "sim_recall_hybrid_dense", "mm_incr_near_dup",
+    "mm_incr_near_dup_steady",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1828,7 +1830,8 @@ object SparkEntry {
     // index-backed approximate serve (ADC cut + refine), a different
     // answer by design — its oracle replays that branch exactly
     "txt_hybrid_rrf_steady" -> hybridSteadyOracleSql(),
-    "sim_recall_hybrid_dense" -> hybridDenseRecallOracleSql())
+    "sim_recall_hybrid_dense" -> hybridDenseRecallOracleSql(),
+    "mm_incr_near_dup_steady" -> mmIncrNearDupOracleSql())
 
   /** Exact-cosine top-k ground truth — shared by `sim_topk_cosine` and
     * the recall evaluation's exact branch. */

@@ -76,6 +76,31 @@ class PhashSpec extends SparkTestBase {
     }
   }
 
+  test("landed media probe equals the from-scratch gate, with no index-side Exchange") {
+    // the NearDupIndexLayoutSpec contract for media: the (band, bv)
+    // bucketed layout serves the probe join exchange-free, and the
+    // steady instantiation answers identically to the rebuild one
+    val got = Multimodal.incrementalMediaArrivalsSteady(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    val want = Multimodal.incrementalMediaArrivals(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // exchange audit on the probe join (merge hint forces the at-scale
+    // shuffle-join path; broadcast would trivially pass)
+    val bandsT = spark.table(Multimodal.mediaSteadyPrefix(dir) + "_bands")
+    val batchIdx = Multimodal.buildMediaSigIndex(
+      Multimodal.plantedNearMedia(spark, dir), "media_id", "payload")
+    val probe = Multimodal.mediaBandTable(batchIdx).hint("merge")
+      .join(bandsT, Seq("band", "bv"))
+      .select("band", "bv")
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected exactly the probe-side Exchange (index side bucketed):\n$plan")
+  }
+
   test("payloads without a bigram pair with nothing") {
     val media = Seq(
       (1L, Array[Byte]('x')), (2L, Array[Byte]('x')),
