@@ -185,6 +185,7 @@ object SparkEntry {
     "txt_phrase"        -> (TextAnalysis.phraseDocs _),
     "txt_phrase_steady" -> (TextAnalysis.phraseDocsSteady _),
     "txt_hybrid_rrf"    -> (TextAnalysis.hybridDocs _),
+    "txt_curriculum"    -> (TextAnalysis.curriculumDocs _),
     "txt_hybrid_rrf_steady" -> ((s, d) => TextAnalysis.hybridDocsSteady(s, d)),
     "sim_recall_hybrid_dense" -> ((s, d) => Similarity.hybridDenseRecall(s, d)),
     "txt_quality_calibrated" -> ((s, d) => TextAnalysis.calibratedQualityFilter(s, d)),
@@ -379,7 +380,7 @@ object SparkEntry {
     // dense scan in the timed plan), its dense-leg recall monitor, and
     // the perceptual media arrival gate
     "txt_hybrid_rrf_steady", "sim_recall_hybrid_dense", "mm_incr_near_dup",
-    "mm_incr_near_dup_steady",
+    "mm_incr_near_dup_steady", "txt_curriculum",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1831,7 +1832,8 @@ object SparkEntry {
     // answer by design — its oracle replays that branch exactly
     "txt_hybrid_rrf_steady" -> hybridSteadyOracleSql(),
     "sim_recall_hybrid_dense" -> hybridDenseRecallOracleSql(),
-    "mm_incr_near_dup_steady" -> mmIncrNearDupOracleSql())
+    "mm_incr_near_dup_steady" -> mmIncrNearDupOracleSql(),
+    "txt_curriculum" -> curriculumOracleSql())
 
   /** Exact-cosine top-k ground truth — shared by `sim_topk_cosine` and
     * the recall evaluation's exact branch. */
@@ -1869,6 +1871,46 @@ object SparkEntry {
        |SELECT q.query_id, CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
        |  round(COALESCE(o.n_overlap, 0) / $k.0, 6) AS recall
        |FROM (SELECT DISTINCT query_id FROM ann) q LEFT JOIN o ON q.query_id = o.query_id""".stripMargin
+
+  /** txt_curriculum oracle: the calibrated-quality scoring block (global,
+    * not per-source), exact quantile_cont cutoffs at (nPhases−1)/nPhases
+    * … 1/nPhases (6-dp rounded both sides — the boundary-row rule), the
+    * descending-cutoff CASE phase, and ONE per-phase rank window over
+    * the txt_shuffle key expression — the ground truth the bucketed
+    * prefix-offset device must equal. The quantile fractions are
+    * interpolated as the exact shortest-repr doubles the Spark side
+    * computes (the pageRank damping device). */
+  private def curriculumOracleSql(nPhases: Int = 3,
+      seed: String = "curriculum0"): String = {
+    val cutCols = (0 until nPhases - 1).map { i =>
+      val frac = ((nPhases - 1 - i).toDouble / nPhases).toString
+      s"round(quantile_cont(q_score, $frac), 6) AS c$i"
+    }.mkString(",\n       |    ")
+    val cases = (0 until nPhases - 1)
+      .map(i => s"WHEN s.q_score >= c.c$i THEN $i").mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    round(CAST(len(list_filter(toks, x -> list_contains(
+       |        ['the','a','an','of','to','and','in','is','it','that'], x))) AS DOUBLE)
+       |      / len(toks), 6) AS q_score
+       |  FROM (
+       |    SELECT doc_id,
+       |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+       |    FROM documents
+       |  ) WHERE len(toks) > 0
+       |), cuts AS (
+       |  SELECT $cutCols
+       |  FROM scored
+       |)
+       |SELECT doc_id, phase, q_score,
+       |  CAST(row_number() OVER (PARTITION BY phase ORDER BY k, doc_id) - 1 AS BIGINT) AS seq
+       |FROM (
+       |  SELECT s.doc_id, s.q_score,
+       |    CAST(CASE $cases ELSE ${nPhases - 1} END AS BIGINT) AS phase,
+       |    CAST(('0x' || substr(md5('$seed:' || s.doc_id), 1, 8)) AS UBIGINT) AS k
+       |  FROM scored s CROSS JOIN cuts c
+       |)""".stripMargin
+  }
 
   /** sim_recall_hybrid_dense oracle: the annRecall overlap count with
     * the hybrid steady entry's dense branch (trained-quantizer ADC cut

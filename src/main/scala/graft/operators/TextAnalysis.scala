@@ -871,6 +871,106 @@ object TextAnalysis {
       floor: Double = 0.2): DataFrame =
     calibratedQualityFloor(Tables.load(spark, dir, "documents"), floor)
 
+  /** CURRICULUM data ordering (Bengio et al. 2009 — public): order
+    * training documents easy → hard in `nPhases` quality phases, with a
+    * DETERMINISTIC within-phase shuffle, the reproducible data-ordering
+    * recipe a curriculum-trained run needs (order is a pure function of
+    * (seed, id) — `rand()` reproduces across nothing). Difficulty
+    * signal: the house stopword-ratio quality score (higher = cleaner =
+    * earlier phase); phase boundaries are exact per-corpus quantile
+    * cutoffs.
+    *
+    * Scale shape: the phase cutoffs are a two-phase exact `percentile`
+    * aggregate collected as nPhases−1 plan literals (the
+    * [[calibratedQualityFloor]] discipline — a global ntile window
+    * would total-sort the corpus in one task); score and cutoffs are
+    * 6-dp rounded before the compare so a boundary row can't flip
+    * cross-engine. The within-phase SEQUENCE is the
+    * [[Relational.deterministicShuffle]] device per phase, in one pass:
+    * the 32-bit shuffle key range-buckets by its high bits, per-(phase,
+    * bucket) ranks come from slice-local windows, and (phase, bucket)
+    * offsets re-enter as one dense driver-side literal (≤
+    * nPhases·buckets longs — the bounded-collect class). seq ≡
+    * `row_number() OVER (PARTITION BY phase ORDER BY key, id) − 1` with
+    * the work of a bucketed sort. Zero-token documents are dropped (no
+    * score — the calibrated-floor rule). */
+  def curriculumOrder(docs: DataFrame, idCol: String, textCol: String,
+      nPhases: Int = 3, seed: String = "curriculum0",
+      buckets: Int = 1024): DataFrame = {
+    require(nPhases >= 2, "a curriculum needs at least two phases")
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0 && buckets <= (1 << 20),
+      "buckets must be a power of two (range-aligned key prefix), bounded")
+    val toks = tokens(col(textCol))
+    // pinned: three consumers (cutoff aggregate, bucket counts, the
+    // ranked result) would each re-run the tokenize+stopword kernel
+    // over the corpus; the materialized (id, score) projection is 16
+    // bytes/doc — the cheap side of that trade at any SF (curriculum
+    // ordering runs once per training run, not per epoch, so the
+    // localCheckpoint blocks don't accumulate the way a per-epoch
+    // reshuffle's would — the deterministicShuffle trade goes the
+    // other way for exactly that reason)
+    val scored = docs
+      .select(col(idCol).as("doc_id"), size(toks).as("n_tokens"),
+        size(filter(toks, t => t.isInCollection(qcStopwords))).as("n_stop"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 6).as("q_score"))
+      .localCheckpoint()
+    // nPhases−1 cutoffs, descending quantiles → ascending phase number
+    // (phase 0 = top quality slice)
+    val cutRow = scored.agg(
+      round(percentile(col("q_score"), lit((nPhases - 1).toDouble / nPhases)), 6)
+        .as("c0"),
+      (1 until nPhases - 1).map(i =>
+        round(percentile(col("q_score"),
+          lit((nPhases - 1 - i).toDouble / nPhases)), 6).as(s"c$i")): _*)
+      .head()
+    val cuts = (0 until nPhases - 1).map(i => cutRow.getDouble(i))
+    val phase = cuts.zipWithIndex.foldRight(lit((nPhases - 1).toLong)) {
+      case ((c, i), acc) => when(col("q_score") >= c, lit(i.toLong)).otherwise(acc)
+    }
+    val key = GraftFunctions.md5Prefix32(
+      concat(lit(seed), lit(":"), col("doc_id").cast("string")))
+    val perBucket = (1L << 32) / buckets
+    val withB = scored
+      .select(col("doc_id"), col("q_score"), phase.as("phase"), key.as("__k"))
+      .withColumn("__b", (col("__k") / lit(perBucket)).cast("long"))
+    // (phase, bucket) offsets — dense driver-side literal (the
+    // deterministicShuffle rationale verbatim; nPhases·buckets longs)
+    val counts = withB.groupBy("phase", "__b").agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val dense = new Array[Long](nPhases * buckets)
+    var ci = 0
+    var p = 0
+    while (p < nPhases) {
+      var run = 0L
+      var b = 0
+      while (b < buckets) {
+        dense(p * buckets + b) = run
+        if (ci < counts.length && counts(ci)._1 == p && counts(ci)._2 == b) {
+          run += counts(ci)._3; ci += 1
+        }
+        b += 1
+      }
+      p += 1
+    }
+    import org.apache.spark.sql.expressions.Window
+    withB
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("phase", "__b").orderBy(col("__k"), col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("phase"), col("q_score"),
+        (element_at(typedlit(dense.toSeq),
+          (col("phase") * buckets + col("__b") + 1).cast("int")) +
+          col("__r") - 1).as("seq"))
+  }
+
+  /** CORRECTNESS instantiation: 3-phase curriculum over documents at
+    * the epoch-0 curriculum seed. */
+  def curriculumDocs(spark: SparkSession, dir: String): DataFrame =
+    curriculumOrder(Tables.load(spark, dir, "documents"), "doc_id", "text")
+
   /** Hybrid retrieval — reciprocal-rank fusion of the lexical ([[bm25Rank]])
     * and dense ([[Similarity.topKCosine]]) rankings, the standard published
     * recipe for combining incomparable score scales (RRF: score is

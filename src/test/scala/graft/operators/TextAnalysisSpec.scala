@@ -837,6 +837,36 @@ class TextAnalysisSpec extends SparkTestBase {
     both.headOption.foreach { case (_, s) => assert(s > 1.0 / 61.0) }
   }
 
+  test("curriculumOrder: phases cover quality terciles, seq is dense per phase, order is deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val got = TextAnalysis.curriculumOrder(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(got.nonEmpty)
+    // phases partition the corpus; phase 0 is the HIGHEST-quality slice
+    val byPhase = got.groupBy(_._2)
+    assert(byPhase.keySet.subsetOf(Set(0L, 1L, 2L)))
+    val minQ0 = byPhase(0L).map(_._3).min
+    val maxQ2 = byPhase(2L).map(_._3).max
+    assert(minQ0 >= maxQ2,
+      s"phase 0 must be easier (higher quality) than phase 2: $minQ0 vs $maxQ2")
+    // seq is exactly 0..n-1 within each phase
+    byPhase.foreach { case (p, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (0L until rows.size).toSeq,
+        s"phase $p seq not dense")
+    }
+    // a re-run reproduces the identical order (pure function of (seed, id))
+    val again = TextAnalysis.curriculumOrder(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // a different seed permutes within-phase order but keeps the phases
+    val other = TextAnalysis.curriculumOrder(docs, "doc_id", "text",
+        seed = "curriculum1")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(other.map(r => r._1 -> r._2).toMap == got.map(r => r._1 -> r._2).toMap)
+    assert(other.map(r => r._1 -> r._4).toMap != got.map(r => r._1 -> r._4).toMap)
+  }
+
   test("hybridDocsSteady (landed serves) equals the direct compressed composer") {
     // answer parity between the production read path (landed bucket-pruned
     // postings + landed cell-bucketed code table) and the from-scratch
