@@ -51,6 +51,17 @@ import org.apache.spark.sql.functions.{broadcast, col}
   * SINGLE-MAINTENANCE-JOB CONTRACT: like compaction, deletions run
   * inside the owning stream's serial batch loop or while it is stopped —
   * never concurrently with a fold of the same root.
+  *
+  * SCOPE: tombstones govern the GENERATION-layout state the streaming
+  * maintainers own. The catalog-table steady serves
+  * ([[graft.operators.TextAnalysis.searchDocsSteady]],
+  * [[graft.operators.Similarity.topKPqIvfLanded]], the banded dedup
+  * tables) are a different artifact class: landed once per IMMUTABLE
+  * corpus dir (their documented memo-invalidation contract — a corpus
+  * changed in place requires dropping the `<prefix>_*` tables, which
+  * their `ensure*` wrappers then re-land from the current corpus).
+  * Deletion there IS that contract: purge the corpus, drop the tables,
+  * and the next serve re-lands against what remains.
   */
 object Retention {
 

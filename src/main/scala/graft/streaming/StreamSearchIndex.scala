@@ -198,6 +198,11 @@ object StreamSearchIndex {
     * fold between crash and re-run would purge the lens rows the delta
     * needs, silently zeroing the subtraction.
     *
+    * A crashed delete is replayed BEFORE any other maintenance on this
+    * root (the micro-batch replay rule applied to deletions): a stats
+    * fold or an overlapping later delete slotted into the window would
+    * change what the byte-identical-rewrite argument may assume.
+    *
     * Cost: one live-lens read per deletion request (a maintenance op,
     * not a serve) + two bounded writes. Ids never landed (or already
     * deleted) contribute nothing. */
