@@ -493,6 +493,60 @@ object Bench {
           errors += s"stream_hist: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
           None
       }
+    // Continuous gram-df maintenance (soft dedup): grow wall over 4
+    // staged document batches, the weight serve for a 1-in-10 doc slice
+    // off live df state, and one targeted-deletion request — the numbers
+    // that certify weight serving is slice-sized + df-join, not a corpus
+    // re-aggregate, and deletion is a bounded negative-delta write.
+    def streamSoftDfBench(): Option[String] =
+      try {
+        import org.apache.spark.sql.functions.col
+        val tmp = Files.createTempDirectory("graft_stream_softdf_").toString
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text")
+        val rowsIn = docs.count()
+        Files.createDirectory(Paths.get(s"$tmp/in"))
+        def stagedFile(stage: String): java.nio.file.Path = {
+          val st = Files.list(Paths.get(stage))
+          try st.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          finally st.close()
+        }
+        (0 until 4).foreach { i =>
+          docs.filter(col("doc_id") % 4 === i)
+            .coalesce(1).write.parquet(s"$tmp/stage$i")
+          Files.move(stagedFile(s"$tmp/stage$i"), Paths.get(s"$tmp/in/f$i.parquet"))
+        }
+        val stream = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+        val t0 = System.nanoTime()
+        graft.streaming.StreamSoftDf.start(
+          stream, s"$tmp/state", s"$tmp/ckpt",
+          compactEvery = 2).awaitTermination()
+        val wallGrow = (System.nanoTime() - t0) / 1e9
+        def med3(f: => Unit): Double = {
+          val ts = (1 to 3).map { _ =>
+            val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+          }
+          ts.sorted.apply(1)
+        }
+        val serve = med3 {
+          graft.streaming.StreamSoftDf.weights(spark, s"$tmp/state",
+            docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+            .write.format("noop").mode("overwrite").save()
+        }
+        val tDel = System.nanoTime()
+        graft.streaming.StreamSoftDf.delete(spark, s"$tmp/state", "bench-del",
+          docs.filter(col("doc_id") % 100 === 7))
+        val delSec = (System.nanoTime() - tDel) / 1e9
+        Some(s"""{"op":"stream_softdf","rows_in":$rowsIn,"batches":4,""" +
+          s""""grow_wall_sec":${fnum(wallGrow)},""" +
+          s""""serve_weights_sec":${fnum(serve)},""" +
+          s""""delete_sec":${fnum(delSec)}}""")
+      } catch {
+        case e: Throwable =>
+          errors += s"stream_softdf: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          None
+      }
     // Streaming KMV sketch maintenance: per-batch sketch + fold cadence,
     // then the metadata-scale serve (estimates + pair algebra) off live
     // state — the number that certifies distinct-count serving cost is
@@ -646,11 +700,15 @@ object Bench {
               budget = 1000L)
             .write.format("noop").mode("overwrite").save()
         }
+        val sSoft = med3 {
+          graft.streaming.UnifiedIngest.softWeights(spark, s"$tmp/state")
+            .write.format("noop").mode("overwrite").save()
+        }
         Some(s"""{"op":"unified_ingest","rows_in":$rowsIn,"batches":4,""" +
           s""""admitted":$admitted,"grow_wall_sec":${fnum(wallGrow)},""" +
           s""""serve_bm25_sec":${fnum(sBm25)},"serve_ann_sec":${fnum(sAnn)},""" +
           s""""serve_kmv_sec":${fnum(sKmv)},"serve_hist_sec":${fnum(sHist)},""" +
-          s""""serve_budget_sec":${fnum(sBudget)}}""")
+          s""""serve_budget_sec":${fnum(sBudget)},"serve_soft_sec":${fnum(sSoft)}}""")
       } catch {
         case e: Throwable =>
           errors += s"unified: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
@@ -687,6 +745,10 @@ object Bench {
       if (only.forall(sel => sel.contains("stream") || sel.contains("stream_kmv")))
         streamKmvBench().getOrElse("null")
       else "null"
+    val streamSoftDfJson: String =
+      if (only.forall(sel => sel.contains("stream") || sel.contains("stream_softdf")))
+        streamSoftDfBench().getOrElse("null")
+      else "null"
     val streamContainJson: String =
       if (only.forall(sel => sel.contains("stream") || sel.contains("stream_contain")))
         streamContainBench().getOrElse("null")
@@ -719,7 +781,7 @@ object Bench {
     // "probe" is the per-query contention sentinel (see scaladoc):
     // probe[q] >> probe_floor ⇒ q was timed in a contended window.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"ext":${qjson(extResults)},"stream":$streamJson,"stream_near":$streamNearJson,"stream_search":$streamSearchJson,"stream_hybrid":$streamHybridJson,"stream_knn":$streamKnnJson,"stream_hist":$streamHistJson,"stream_kmv":$streamKmvJson,"stream_contain":$streamContainJson,"unified":$unifiedJson,"prep_full":$prepJson,"probe":$probeJson,"probe_floor":${fnum(probeFloor)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"ext":${qjson(extResults)},"stream":$streamJson,"stream_near":$streamNearJson,"stream_search":$streamSearchJson,"stream_hybrid":$streamHybridJson,"stream_knn":$streamKnnJson,"stream_hist":$streamHistJson,"stream_kmv":$streamKmvJson,"stream_softdf":$streamSoftDfJson,"stream_contain":$streamContainJson,"unified":$unifiedJson,"prep_full":$prepJson,"probe":$probeJson,"probe_floor":${fnum(probeFloor)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
     println(json)
     Files.writeString(Paths.get(outFile), json)
     // The driver's per-round artifact keeps only the LAST 2000 chars of

@@ -44,6 +44,9 @@ object SparkEntry {
                               .select("doc_id")),
     "dedup_cc"          -> ((s, d) => Dedup.connectedComponents(
                               Dedup.minhashLshPairs(Dedup.plantedNearDocs(s, d), "doc_id", "text"))),
+    "dedup_soft"        -> (Dedup.softDedupDocs _),
+    "dedup_soft_steady" -> (Dedup.softDedupDocsSteady _),
+    "dedup_near_decontam" -> (Dedup.nearDecontamDocs _),
     "dedup_spans"       -> ((s, d) => Dedup.duplicateSpans(
                               Dedup.plantedNearDocs(s, d), "doc_id", "text", w = 8)),
     "cdc_apply"         -> (Cdc.userSnapshot _),
@@ -381,6 +384,9 @@ object SparkEntry {
     // the perceptual media arrival gate
     "txt_hybrid_rrf_steady", "sim_recall_hybrid_dense", "mm_incr_near_dup",
     "mm_incr_near_dup_steady", "txt_curriculum",
+    // round-11 session-2 additions: soft (reweighting) dedup + near-dup
+    // decontamination
+    "dedup_soft", "dedup_soft_steady", "dedup_near_decontam",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1824,6 +1830,8 @@ object SparkEntry {
     // result is row-identical to the broadcast-join spelling
     "txt_decontam_bloom" -> oracleBase("txt_decontam"),
     "dedup_semantic_steady" -> oracleBase("dedup_semantic"),
+    // the landed-df serve answers with the same exact integer sums
+    "dedup_soft_steady" -> oracleBase("dedup_soft"),
     "dedup_semantic_text_steady" -> oracleBase("dedup_semantic_text"),
     "dedup_incr_semantic_steady" -> oracleBase("dedup_incr_semantic"),
     "sim_rp_reduce" -> rpOracleSql(),
@@ -2845,6 +2853,75 @@ object SparkEntry {
         |      / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |) WHERE jaccard >= 0.7""".stripMargin,
+    // Soft dedup: commonness = mean corpus df of a doc's distinct word
+    // 3-grams, weight = 1/commonness. Gram identity is string-space here
+    // vs hash-space in the plan (isomorphic modulo 64-bit collisions, the
+    // dedup_minhash_lsh argument); commonness divides the EXACT integer
+    // df sum by the gram count on both sides — bit-identical before the
+    // 6-dp display round.
+    "dedup_soft" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' graftdup' FROM documents WHERE doc_id % 10 = 0
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM base
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM toks
+        |), ex AS (
+        |  SELECT doc_id, unnest(s) AS g FROM sh
+        |), dfreq AS (
+        |  SELECT g, count(*) AS df FROM ex GROUP BY g
+        |)
+        |SELECT ex.doc_id, count(*) AS n_grams,
+        |  round(CAST(sum(df) AS DOUBLE) / count(*), 6) AS commonness,
+        |  round(1.0 / (CAST(sum(df) AS DOUBLE) / count(*)), 6) AS weight
+        |FROM ex JOIN dfreq USING (g)
+        |GROUP BY ex.doc_id""".stripMargin,
+    // Near-dup decontamination: exact cross-side Jaccard ground truth
+    // (the LSH path recalls it w.h.p. and verifies exactly — the
+    // dedup_minhash_lsh argument applied to the corpus×eval restriction).
+    // The threshold applies to the UNROUNDED ratio on both sides; the
+    // eval side is bounded so the oracle's cross join is eval-sized.
+    "dedup_near_decontam" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' graftdup' FROM documents WHERE doc_id % 10 = 0
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM base
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM toks
+        |), etoks AS (
+        |  SELECT doc_id AS eval_id,
+        |    list_filter(string_split_regex(lower(text || ' evalvariant'), '[^a-z0-9]+'),
+        |      x -> len(x) > 0) AS w
+        |  FROM documents WHERE doc_id % 37 = 0
+        |), esh AS (
+        |  SELECT eval_id, CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM etoks
+        |)
+        |SELECT doc_id, eval_id, round(jac, 6) AS jaccard FROM (
+        |  SELECT c.doc_id AS doc_id, e.eval_id AS eval_id,
+        |    CAST(len(list_intersect(c.s, e.s)) AS DOUBLE)
+        |      / (len(c.s) + len(e.s) - len(list_intersect(c.s, e.s))) AS jac
+        |  FROM sh c CROSS JOIN esh e
+        |) WHERE jac >= 0.7""".stripMargin,
     // SimHash's only SQL-expressible ground truth: over a corpus planted
     // with VERBATIM copies, Hamming-0 pairs are exactly the pairs whose
     // TOKEN SEQUENCES match (identical token sequence ⇒ identical shingle

@@ -1587,4 +1587,169 @@ object Dedup extends Logging {
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(col("text"), lit(" graftdup")).as("text")))
   }
+
+  // --------------------------------------------------------------------
+  // Soft deduplication — frequency-weighted reweighting instead of
+  // removal (the published "soft dedup" recipe: common text is
+  // DOWN-WEIGHTED in the sampling distribution rather than dropped, so
+  // borderline near-dups contribute fractionally instead of riding a
+  // hard keep/drop cliff).
+  // --------------------------------------------------------------------
+
+  /** Per-document sampling weight from n-gram commonness: a document's
+    * `commonness` is the mean corpus document-frequency of its DISTINCT
+    * word n-grams, and its weight is the reciprocal — a unique document
+    * (every gram df=1) weighs 1.0, a verbatim duplicate pair weighs ~0.5
+    * each, N copies ~1/N each, so duplicated content contributes ~once in
+    * expectation no matter how many times it was crawled.
+    *
+    * Scale shape (the property hard dedup lacks): NO pair enumeration at
+    * all — cost is two aggregates over the exploded (doc_id, 8-byte gram
+    * hash) projection, both map-side combinable, keys are longs, the text
+    * body never crosses the network. The gram projection is computed once
+    * (persisted; it feeds the df aggregate and the probe side), and the
+    * df join's build side arrives already hash-partitioned on `gh` from
+    * its own aggregate — the probe-side exchange is the plan's only
+    * data-sized shuffle. Commonness divides the EXACT integer df sum by
+    * the gram count (bit-identical cross-engine; 6-dp rounding is
+    * display only). */
+  def softDedupWeights(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+      array_distinct(shingleHashes(col(textCol), n)).as("grams"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = grams.select(col("doc_id"), explode(col("grams")).as("gh"))
+    val out = softWeightsFromDf(ex, ex.groupBy("gh").agg(count(lit(1)).as("df")))
+    materializeAndRelease(out, grams)
+  }
+
+  /** The weight tail shared by the batch, landed, and streamed forms:
+    * join each document's exploded grams to a (gh, df) relation and
+    * reduce to (doc_id, n_grams, commonness, weight). */
+  private[graft] def softWeightsFromDf(ex: DataFrame, dfreq: DataFrame): DataFrame = {
+    val c = sum("df").cast("double") / count(lit(1))
+    ex.join(dfreq, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), c.as("c"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("c"), 6).as("commonness"),
+        round(lit(1.0) / col("c"), 6).as("weight"))
+  }
+
+  /** CORRECTNESS instantiation over the planted near-dup corpus (the one
+    * fixture where weights are non-trivial: every planted copy shares all
+    * but ~n grams with its original, so both land near weight 0.5 while
+    * unique docs stay at 1.0). */
+  def softDedupDocs(spark: SparkSession, dir: String): DataFrame =
+    softDedupWeights(plantedNearDocs(spark, dir), "doc_id", "text")
+
+  /** Land the corpus gram→df relation as a catalog table bucketed on
+    * `gh`, so steady-state weight serves pay the corpus-wide df aggregate
+    * ONCE: every later serve joins its documents' grams against the
+    * landed side with no index-side Exchange (the [[landNearDupIndex]]
+    * probe-alignment discipline applied to the df relation). */
+  def landGramDfIndex(corpus: DataFrame, idCol: String, textCol: String,
+      prefix: String, path: String, n: Int = 3, buckets: Int = 32): Unit =
+    graft.sources.Layout.writeBucketed(
+      corpus.select(explode(array_distinct(
+          shingleHashes(col(textCol), n))).as("gh"))
+        .groupBy("gh").agg(count(lit(1)).as("df")),
+      s"${prefix}_df", Seq("gh"), Seq("gh"), buckets, s"$path/df")
+
+  def softDfPrefix(dir: String): String = {
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    s"softdf_steady_$suffix"
+  }
+
+  /** [[softDedupDocs]] served off the landed df table — same corpus, same
+    * answer (shared oracle); the corpus-wide aggregate happens at land
+    * time only. Lands on first call per corpus dir (the memoized-training
+    * house contract: an in-place corpus change requires dropping the
+    * `<prefix>_*` tables). */
+  def softDedupDocsSteady(spark: SparkSession, dir: String): DataFrame = {
+    val prefix = softDfPrefix(dir)
+    if (!spark.catalog.tableExists(s"${prefix}_df")) {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_softdf_steady_").toString
+      landGramDfIndex(plantedNearDocs(spark, dir), "doc_id", "text",
+        prefix, path)
+    }
+    val ex = plantedNearDocs(spark, dir).select(col("doc_id"),
+      explode(array_distinct(shingleHashes(col("text"), 3))).as("gh"))
+    softWeightsFromDf(ex, spark.table(s"${prefix}_df"))
+  }
+
+  // --------------------------------------------------------------------
+  // Near-duplicate decontamination — the MinHash-LSH sibling of
+  // [[decontaminate]]: eval contamination that was paraphrased, trimmed,
+  // or lightly edited shares most-but-not-all n-grams, so the exact-gram
+  // scan under-reports it; the published web-corpus recipes therefore
+  // ALSO run a near-dup pass of the training corpus against the eval
+  // suites.
+  // --------------------------------------------------------------------
+
+  /** Every (corpus doc, eval doc) pair with word-n-gram Jaccard ≥
+    * `threshold`, found by the [[minhashLshPairs]] machinery restricted
+    * to CROSS-side candidates: both sides shingle → sign → band, the
+    * band table equi-join pairs corpus with eval only, and exact Jaccard
+    * over the two shingle sets verifies (no false positives; recall is
+    * the S-curve's w.h.p. guarantee, same as the self-join form).
+    *
+    * Scale shape: the eval side is bounded by contract (eval suites are
+    * fixed), so its banded table broadcasts and the corpus-side cost is
+    * one scan + band explosion — (doc_id, band, 8-byte hash) rows, never
+    * text. Candidate verification joins |candidates| rows back to the two
+    * shingle-set lookups, exactly the [[minhashLshPairs]] shape. */
+  def nearDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, evalIdCol: String,
+      n: Int = 3, k: Int = 128, bands: Int = 32,
+      seed: Long = 42L, threshold: Double = 0.7): DataFrame = {
+    def shingled(d: DataFrame, id: String, out: String): DataFrame =
+      d.select(col(id).as(out),
+        array_distinct(shingleHashes(col(textCol), n)).as("sh"))
+    def banded(sh: DataFrame, id: String): DataFrame =
+      bandHashTable(
+        sh.withColumnRenamed(id, "doc_id")
+          .withColumn("sig", GraftFunctions.minhashSig(col("sh"), k, seed)),
+        k, bands).withColumnRenamed("doc_id", id)
+    val cSh = shingled(corpus, idCol, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eSh = shingled(evalSet, evalIdCol, "eval_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = banded(cSh, "doc_id")
+      .join(broadcast(banded(eSh, "eval_id")), Seq("band", "bh"))
+      .select("doc_id", "eval_id").distinct()
+    val pairs = cand
+      .join(cSh.select(col("doc_id"), col("sh").as("sh_c"),
+        size(col("sh")).as("sz_c")), "doc_id")
+      .join(broadcast(eSh.select(col("eval_id"), col("sh").as("sh_e"),
+        size(col("sh")).as("sz_e"))), "eval_id")
+      .withColumn("inter",
+        size(array_intersect(col("sh_c"), col("sh_e"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (col("sz_c") + col("sz_e") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("eval_id"), round(col("jaccard"), 6).as("jaccard"))
+    // materialize BEFORE releasing either cache (the eval side feeds two
+    // branches too — banding and verification)
+    val out = materializeAndRelease(pairs, cSh)
+    eSh.unpersist()
+    out
+  }
+
+  /** The planted near-contamination fixture: eval set = every 37th
+    * document's text with one appended token (a LIGHT EDIT of training
+    * text — exactly what the exact-gram scan misses), corpus = the
+    * planted near-dup corpus. Ground truth is the exact cross-side
+    * Jaccard (SQL-expressible; the LSH path recalls it w.h.p., the
+    * [[minhashLshPairs]] argument). */
+  def nearDecontamDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val evalSet = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id").as("eval_id"),
+        concat(col("text"), lit(" evalvariant")).as("text"))
+    nearDecontaminate(plantedNearDocs(spark, dir), evalSet,
+      "doc_id", "text", "eval_id")
+  }
 }

@@ -28,8 +28,10 @@ import graft.operators.{Analytics, Dedup, Multimodal, Similarity, Sketches, Text
   *     gate indexes, the term-bucket-partitioned search index
   *     ([[StreamSearchIndex.indexBatch]]), the cell-partitioned IVF-PQ
   *     code list, the vector store, the per-source KMV doc-count
-  *     sketch, the token-length histogram, and the (doc_id, source,
-  *     n_tokens) rows the absorbing budget view re-cuts.
+  *     sketch, the token-length histogram, the (doc_id, source,
+  *     n_tokens) rows the absorbing budget view re-cuts, and the
+  *     additive gram-df store behind soft-dedup weights
+  *     ([[StreamSoftDf]]).
   *
   * SELECTION views (cap/budget/DSIR-class) are deliberately SERVE-side,
   * not admission gates: the absorbing-cut law (a kept document can be
@@ -44,8 +46,9 @@ import graft.operators.{Analytics, Dedup, Multimodal, Similarity, Sketches, Text
   * equals its batch operator applied to the admitted union: BM25/phrase
   * off the admitted docs, ADC search off the admitted vectors, KMV
   * estimates and histogram quantiles off the admitted rows, the budget
-  * cut off the admitted token counts; and the admitted set itself
-  * equals the serial batch fold of the four gates.
+  * cut off the admitted token counts, soft-dedup weights off the
+  * admitted grams; and the admitted set itself equals the serial batch
+  * fold of the four gates.
   *
   * Durability: the [[StreamNearDedup]] rules for every write —
   * idempotent batch-id-named Overwrites, `_SUCCESS`-committed reads,
@@ -161,6 +164,8 @@ object UnifiedIngest {
           .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/hist/rows/$own")
         TextAnalysis.tokenCountRows(landed, "doc_id", "text", "source")
           .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/budget/rows/$own")
+        StreamSoftDf.dfBatchRows(landed)
+          .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/softdf/rows/$own")
         }
 
         if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
@@ -191,6 +196,7 @@ object UnifiedIngest {
       Retention.filter(_, stateDir, "vec_id"))
     StreamKmv.compactState(spark, s"$stateDir/kmv")
     StreamHist.compactState(spark, s"$stateDir/hist")
+    StreamSoftDf.compactState(spark, s"$stateDir/softdf")
     budget.foreach(b =>
       StreamBudget.compactState(spark, s"$stateDir/budget", b))
   }
@@ -235,6 +241,12 @@ object UnifiedIngest {
       budget: Long): DataFrame =
     StreamBudget.kept(spark, s"$stateDir/budget", budget)
 
+  /** Serve: soft-dedup sampling weights for the admitted corpus off the
+    * maintained gram-df state ([[StreamSoftDf]]). */
+  def softWeights(spark: SparkSession, stateDir: String): DataFrame =
+    StreamSoftDf.weights(spark, s"$stateDir/softdf",
+      admittedDocs(spark, stateDir), "doc_id", "text")
+
   /** Targeted deletion across every per-doc root at once (vec_id ≡
     * doc_id): the corpus, all four gate indexes, the search index (with
     * its stats delta), codes, and vectors. The KMV and histogram sides
@@ -242,6 +254,14 @@ object UnifiedIngest {
     * intent record; rebuild them from the purged corpus. */
   def delete(spark: SparkSession, stateDir: String, requestId: String,
       ids: Seq[Long]): Unit = {
+    // soft-df FIRST: its negative delta needs the deleted docs' TEXT,
+    // which only the not-yet-purged corpus generations hold (a corpus
+    // fold after the tombstone below would purge them; ahead of it, no
+    // fold can — the crashed-delete-replays-first rule keeps the window
+    // closed, mirroring the search-index stats argument)
+    StreamSoftDf.delete(spark, s"$stateDir/softdf", requestId,
+      Generations.read(spark, s"$stateDir/corpus", "batch-")
+        .filter(col("doc_id").isin(ids: _*)).select("doc_id", "text"))
     Retention.tombstone(spark, s"$stateDir/corpus", requestId, ids)
     Retention.tombstone(spark, s"$stateDir/fps", requestId, ids)
     Retention.tombstone(spark, s"$stateDir/near", requestId, ids)

@@ -360,6 +360,62 @@ class DedupSpec extends SparkTestBase {
     assert(out == Set((10L, "fresh a"), (9L, "fresh b")))
   }
 
+  test("softDedupWeights downweights copies by 1/N and leaves unique docs at 1.0") {
+    val docs = Seq(
+      (1L, "one two three four"),   // pair with 2 — both grams df=2
+      (2L, "one two three four"),
+      (3L, "alpha beta gamma delta"), // unique — every gram df=1
+      (4L, "solo sample body here"),  // unique
+    ).toDF("doc_id", "text")
+    val out = Dedup.softDedupWeights(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(out == Set(
+      (1L, 2L, 2.0, 0.5), (2L, 2L, 2.0, 0.5),
+      (3L, 2L, 1.0, 1.0), (4L, 2L, 1.0, 1.0)))
+  }
+
+  test("softDedupWeights: N copies weigh ~1/N; a half-shared doc sits between") {
+    val docs = Seq(
+      (1L, "one two three four"), (2L, "one two three four"),
+      (3L, "one two three four"),             // triple → weight 1/3
+      (4L, "one two three nine"),             // shares gram "one two three" (df=4)
+    ).toDF("doc_id", "text")
+    val out = Dedup.softDedupWeights(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect()
+      .map { case (id, n, c, w) => (id, (n, c, w)) }.toMap
+    // copies: grams {one two three (df=4), two three four (df=3)} → c=3.5
+    for (id <- Seq(1L, 2L, 3L))
+      assert(out(id) == ((2L, 3.5, 0.285714)), s"doc $id: ${out(id)}")
+    // half-shared: {one two three (df=4), two three nine (df=1)} → c=2.5
+    assert(out(4L) == ((2L, 2.5, 0.4)))
+  }
+
+  test("softDedupDocsSteady (landed df table) equals the direct corpus-aggregate path") {
+    val dir = "/root/testdata/sf0.001"
+    val want = Dedup.softDedupDocs(spark, dir)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val got = Dedup.softDedupDocsSteady(spark, dir)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(got == want)
+    // second serve reuses the landed table and stays exact
+    val again = Dedup.softDedupDocsSteady(spark, dir)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(again == want)
+  }
+
+  test("nearDecontaminate flags lightly-edited eval overlap cross-side only, nothing else") {
+    val corpus = (1 to 20).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (500L, doc(5) + " edited"), // near-dup of corpus doc 5 — must flag
+      (999L, doc(999)),           // unrelated eval text — must not flag
+    ).toDF("eval_id", "text")
+    val hits = Dedup.nearDecontaminate(corpus, evalSet, "doc_id", "text", "eval_id")
+      .as[(Long, Long, Double)].collect()
+    assert(hits.map(h => (h._1, h._2)).toSet == Set((5L, 500L)),
+      s"expected exactly the planted cross-side pair, got ${hits.toSeq}")
+    assert(hits.head._3 >= 0.7)
+  }
+
   test("decontaminate flags only docs sharing an n-gram with the eval set, counting distinct hits") {
     // eval doc: tokens e1..e8 (exactly one 8-gram) plus a short one
     val eval = Seq(

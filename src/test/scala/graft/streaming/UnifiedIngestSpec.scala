@@ -167,6 +167,13 @@ class UnifiedIngestSpec extends SparkTestBase {
           TextAnalysis.tokenCountRows(admDf, "doc_id", "text", "source"), 200L)
         .as[(Long, String, Long)].collect().toSet, "budget-cut serve")
 
+    def wantSoft(d: DataFrame): Set[(Long, Long, Double, Double)] =
+      Dedup.softDedupWeights(d.select("doc_id", "text"), "doc_id", "text")
+        .as[(Long, Long, Double, Double)].collect().toSet
+    assert(UnifiedIngest.softWeights(spark, state)
+      .as[(Long, Long, Double, Double)].collect().toSet ==
+      wantSoft(admDf), "soft-dedup weight serve")
+
     // one more compaction cycle over every side keeps all laws
     UnifiedIngest.compactAll(spark, state)
     assert(UnifiedIngest.search(spark, state, q)
@@ -188,5 +195,14 @@ class UnifiedIngestSpec extends SparkTestBase {
       .as[(Long, Double)].collect().toSeq ==
       TextAnalysis.bm25Rank(remaining, "doc_id", "text", q, 10)
         .as[(Long, Double)].collect().toSeq, "BM25 after deletion")
+    assert(UnifiedIngest.softWeights(spark, state)
+      .as[(Long, Long, Double, Double)].collect().toSet ==
+      wantSoft(remaining), "soft-dedup weights after deletion")
+    // the one deletion call propagated text-dependent subtraction too:
+    // replaying it (the crash-window rule) stays inert
+    UnifiedIngest.delete(spark, state, "gdpr-1", Seq(a1._1))
+    assert(UnifiedIngest.softWeights(spark, state)
+      .as[(Long, Long, Double, Double)].collect().toSet ==
+      wantSoft(remaining), "soft-dedup weights after deletion replay")
   }
 }
