@@ -1590,7 +1590,7 @@ object Dedup extends Logging {
 
   // --------------------------------------------------------------------
   // Soft deduplication — frequency-weighted reweighting instead of
-  // removal (the published "soft dedup" recipe: common text is
+  // removal (the SoftDeDup recipe, He et al., ACL 2024: common text is
   // DOWN-WEIGHTED in the sampling distribution rather than dropped, so
   // borderline near-dups contribute fractionally instead of riding a
   // hard keep/drop cliff).

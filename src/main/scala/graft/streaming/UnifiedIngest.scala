@@ -258,10 +258,15 @@ object UnifiedIngest {
     // which only the not-yet-purged corpus generations hold (a corpus
     // fold after the tombstone below would purge them; ahead of it, no
     // fold can — the crashed-delete-replays-first rule keeps the window
-    // closed, mirroring the search-index stats argument)
-    StreamSoftDf.delete(spark, s"$stateDir/softdf", requestId,
+    // closed, mirroring the search-index stats argument). The id set is
+    // deletion-request-sized — broadcast, like every tombstone probe.
+    val delDocs = {
+      import spark.implicits._
       Generations.read(spark, s"$stateDir/corpus", "batch-")
-        .filter(col("doc_id").isin(ids: _*)).select("doc_id", "text"))
+        .join(broadcast(ids.distinct.toDF("doc_id")), Seq("doc_id"))
+        .select("doc_id", "text")
+    }
+    StreamSoftDf.delete(spark, s"$stateDir/softdf", requestId, delDocs)
     Retention.tombstone(spark, s"$stateDir/corpus", requestId, ids)
     Retention.tombstone(spark, s"$stateDir/fps", requestId, ids)
     Retention.tombstone(spark, s"$stateDir/near", requestId, ids)
