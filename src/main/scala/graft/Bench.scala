@@ -534,6 +534,13 @@ object Bench {
             docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
             .write.format("noop").mode("overwrite").save()
         }
+        val serveNov = med3 {
+          graft.streaming.StreamSoftDf.noveltyArrivals(spark, s"$tmp/state",
+            docs.filter(col("doc_id") % 10 === 3)
+              .select((col("doc_id") + 8000000L).as("doc_id"), col("text")),
+            "doc_id", "text")
+            .write.format("noop").mode("overwrite").save()
+        }
         val tDel = System.nanoTime()
         graft.streaming.StreamSoftDf.delete(spark, s"$tmp/state", "bench-del",
           docs.filter(col("doc_id") % 100 === 7))
@@ -541,6 +548,7 @@ object Bench {
         Some(s"""{"op":"stream_softdf","rows_in":$rowsIn,"batches":4,""" +
           s""""grow_wall_sec":${fnum(wallGrow)},""" +
           s""""serve_weights_sec":${fnum(serve)},""" +
+          s""""serve_novelty_sec":${fnum(serveNov)},""" +
           s""""delete_sec":${fnum(delSec)}}""")
       } catch {
         case e: Throwable =>

@@ -47,6 +47,7 @@ object SparkEntry {
     "dedup_soft"        -> (Dedup.softDedupDocs _),
     "dedup_soft_steady" -> (Dedup.softDedupDocsSteady _),
     "dedup_near_decontam" -> (Dedup.nearDecontamDocs _),
+    "dedup_novelty"     -> (Dedup.noveltyDocs _),
     "dedup_spans"       -> ((s, d) => Dedup.duplicateSpans(
                               Dedup.plantedNearDocs(s, d), "doc_id", "text", w = 8)),
     "cdc_apply"         -> (Cdc.userSnapshot _),
@@ -385,8 +386,9 @@ object SparkEntry {
     "txt_hybrid_rrf_steady", "sim_recall_hybrid_dense", "mm_incr_near_dup",
     "mm_incr_near_dup_steady", "txt_curriculum",
     // round-11 session-2 additions: soft (reweighting) dedup + near-dup
-    // decontamination
+    // decontamination + first-occurrence novelty
     "dedup_soft", "dedup_soft_steady", "dedup_near_decontam",
+    "dedup_novelty",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -2883,6 +2885,36 @@ object SparkEntry {
         |  round(CAST(sum(df) AS DOUBLE) / count(*), 6) AS commonness,
         |  round(1.0 / (CAST(sum(df) AS DOUBLE) / count(*)), 6) AS weight
         |FROM ex JOIN dfreq USING (g)
+        |GROUP BY ex.doc_id""".stripMargin,
+    // First-occurrence novelty: per doc, the fraction of its distinct
+    // grams whose corpus-wide min(doc_id) is the doc itself. Exact
+    // integer counts ÷ count, 6-dp display round (the dedup_soft
+    // argument); n_novel cast to BIGINT so both engines emit int64.
+    "dedup_novelty" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' graftdup' FROM documents WHERE doc_id % 10 = 0
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM base
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM toks
+        |), ex AS (
+        |  SELECT doc_id, unnest(s) AS g FROM sh
+        |), fs AS (
+        |  SELECT g, min(doc_id) AS first_id FROM ex GROUP BY g
+        |)
+        |SELECT ex.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN first_id = ex.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  round(CAST(sum(CASE WHEN first_id = ex.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS novelty
+        |FROM ex JOIN fs USING (g)
         |GROUP BY ex.doc_id""".stripMargin,
     // Near-dup decontamination: exact cross-side Jaccard ground truth
     // (the LSH path recalls it w.h.p. and verifies exactly — the

@@ -1680,6 +1680,46 @@ object Dedup extends Logging {
     softWeightsFromDf(ex, spark.table(s"${prefix}_df"))
   }
 
+  /** First-occurrence novelty scoring — the arrival-order companion of
+    * [[softDedupWeights]]: for each document, the fraction of its
+    * distinct word n-grams that no EARLIER document (smaller `idCol` —
+    * the corpus's arrival/crawl order) contains. A fresh document scores
+    * 1.0, a verbatim re-crawl 0.0 (only its own grams, all seen), a
+    * template page with a new body sits in between — the per-document
+    * "how much of this have we already got" signal the data-pruning
+    * literature cuts on, where df-based weights can't distinguish the
+    * FIRST copy from the last.
+    *
+    * Scale shape: identical to the soft-dedup plan with `min(doc_id)`
+    * in place of `count` — two map-side-combinable aggregates over the
+    * (doc_id, 8-byte gram hash) explosion, no pair enumeration, text
+    * never shuffles. Novelty compares the exact integer counts
+    * (bit-identical cross-engine; 6-dp rounding is display only). */
+  def noveltyScores(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+      array_distinct(shingleHashes(col(textCol), n)).as("grams"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = grams.select(col("doc_id"), explode(col("grams")).as("gh"))
+    val firstSeen = ex.groupBy("gh").agg(min("doc_id").as("first_id"))
+    val out = ex.join(firstSeen, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+    materializeAndRelease(out, grams)
+  }
+
+  /** CORRECTNESS instantiation over the planted near-dup corpus: every
+    * planted copy arrives AFTER its original (shifted id space), so the
+    * copies score near 0 (only the appended-token windows are new) while
+    * their originals keep the score the copy would otherwise steal —
+    * exactly the asymmetry df-weights can't express. */
+  def noveltyDocs(spark: SparkSession, dir: String): DataFrame =
+    noveltyScores(plantedNearDocs(spark, dir), "doc_id", "text")
+
   // --------------------------------------------------------------------
   // Near-duplicate decontamination — the MinHash-LSH sibling of
   // [[decontaminate]]: eval contamination that was paraphrased, trimmed,

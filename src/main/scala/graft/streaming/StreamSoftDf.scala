@@ -52,6 +52,31 @@ object StreamSoftDf {
     paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
   }
 
+  /** Serve: first-occurrence novelty for an ARRIVING batch against the
+    * maintained state ([[graft.operators.Dedup.noveltyScores]]'s
+    * incremental form): a gram is novel iff it is absent from the live
+    * df relation AND the doc is its first holder within the batch.
+    * Under the arrival contract (landed ids precede batch ids) this
+    * equals the batch operator on (landed ∪ batch) restricted to the
+    * batch rows — the spec's law — because df > 0 ⟺ the gram has an
+    * earlier landed holder, and the within-batch min resolves the rest.
+    * Presence is all the serve reads; no first-id store is needed. */
+  def noveltyArrivals(spark: SparkSession, stateDir: String, batch: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val ex = batch.select(col(idCol).as("doc_id"),
+      explode(array_distinct(Dedup.shingleHashes(col(textCol), n))).as("gh"))
+    val batchFirst = ex.groupBy("gh").agg(min("doc_id").as("bfirst"))
+    val seen = dfRows(spark, stateDir).select(col("gh"), lit(1).as("seen"))
+    ex.join(batchFirst, "gh")
+      .join(seen, Seq("gh"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull && col("bfirst") === col("doc_id"), 1L)
+          .otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+  }
+
   /** One batch's (gh, df) contribution — the per-generation reduction
     * shared by [[start]] and the unified ingest loop. */
   def dfBatchRows(batch: DataFrame, textCol: String = "text",

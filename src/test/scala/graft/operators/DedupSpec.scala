@@ -403,6 +403,56 @@ class DedupSpec extends SparkTestBase {
     assert(again == want)
   }
 
+  test("noveltyScores: fresh docs score 1.0, a later verbatim copy 0.0, half-shared between") {
+    val docs = Seq(
+      (1L, "one two three four"),      // first — both grams novel
+      (2L, "one two three four"),      // later copy — nothing novel
+      (3L, "one two three nine"),      // shares "one two three" → 1 of 2 novel
+      (4L, "alpha beta gamma delta"),  // fresh
+    ).toDF("doc_id", "text")
+    val out = Dedup.noveltyScores(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      (1L, 2L, 2L, 1.0), (2L, 2L, 0L, 0.0),
+      (3L, 2L, 1L, 0.5), (4L, 2L, 2L, 1.0)))
+  }
+
+  test("softDedupWeights and noveltyScores match brute force on randomized corpora and edge docs") {
+    for (seed <- Seq(7, 8)) {
+      val rng = new scala.util.Random(seed)
+      val randomDocs = (1 to 15).map(i =>
+        (i.toLong, doc(seed * 100 + i, n = 5 + rng.nextInt(40))))
+      val edges = Seq(
+        (900L, ""), (901L, ""),   // empty: single sentinel shingle, shared
+        (902L, "a"), (903L, "a")) // sub-n-token exact dup
+      val docs = (randomDocs ++ edges).toDF("doc_id", "text")
+      val sets = docs.select(col("doc_id"),
+        org.apache.spark.sql.functions.array_distinct(
+          Dedup.shingleHashes(col("text"), 3)).as("sh"))
+        .as[(Long, Array[Long])].collect()
+      val df = sets.flatMap { case (_, sh) => sh }
+        .groupBy(identity).map { case (g, o) => (g, o.length.toLong) }
+      val firstId = sets.flatMap { case (id, sh) => sh.map(g => (g, id)) }
+        .groupBy(_._1).map { case (g, o) => (g, o.map(_._2).min) }
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val wantSoft = sets.map { case (id, sh) =>
+        val c = sh.map(df).sum.toDouble / sh.length
+        (id, sh.length.toLong, r6(c), r6(1.0 / c))
+      }.toSet
+      val gotSoft = Dedup.softDedupWeights(docs, "doc_id", "text")
+        .as[(Long, Long, Double, Double)].collect().toSet
+      assert(gotSoft == wantSoft, s"seed=$seed soft: got $gotSoft want $wantSoft")
+      val wantNov = sets.map { case (id, sh) =>
+        val nov = sh.count(g => firstId(g) == id).toLong
+        (id, sh.length.toLong, nov, r6(nov.toDouble / sh.length))
+      }.toSet
+      val gotNov = Dedup.noveltyScores(docs, "doc_id", "text")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(gotNov == wantNov, s"seed=$seed novelty: got $gotNov want $wantNov")
+    }
+  }
+
   test("nearDecontaminate flags lightly-edited eval overlap cross-side only, nothing else") {
     val corpus = (1 to 20).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
     val evalSet = Seq(

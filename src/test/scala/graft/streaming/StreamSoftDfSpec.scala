@@ -75,6 +75,33 @@ class StreamSoftDfSpec extends SparkTestBase {
       "served weights must stay exact after a manual compaction cycle")
   }
 
+  test("noveltyArrivals equals the batch novelty on (landed ∪ batch) restricted to the batch") {
+    val landed = Seq((1L, "one two three four"), (2L, "alpha beta gamma delta"))
+    val batch = Seq(
+      (10L, "one two three four"),     // full re-crawl of landed → 0.0
+      (11L, "quiet river stone path"), // fresh → 1.0
+      (12L, "quiet river stone path"), // within-batch copy of 11 → 0.0
+      (13L, "one two three stone"))    // landed gram + fresh gram → 0.5
+    val tmp = Files.createTempDirectory("graft_softdf_nov_").toString
+    val input = MemoryStream[(Long, String)](
+      org.apache.spark.sql.Encoders.product[(Long, String)], spark.sqlContext)
+    input.addData(landed: _*)
+    StreamSoftDf.start(input.toDF().toDF("doc_id", "text"),
+      s"$tmp/state", s"$tmp/ckpt").awaitTermination()
+    val got = StreamSoftDf.noveltyArrivals(spark, s"$tmp/state",
+        batch.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val want = graft.operators.Dedup
+      .noveltyScores((landed ++ batch).toDF("doc_id", "text"), "doc_id", "text")
+      .filter($"doc_id" >= 10L)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == want, s"got $got want $want")
+    assert(got.exists(r => r._1 == 10L && r._4 == 0.0))
+    assert(got.exists(r => r._1 == 11L && r._4 == 1.0))
+    assert(got.exists(r => r._1 == 12L && r._4 == 0.0))
+    assert(got.exists(r => r._1 == 13L && r._4 == 0.5))
+  }
+
   test("delete: serve equals rebuild on remaining; idempotent, re-delete inert, fold absorbs") {
     val b0 = Seq((1L, "one two three four"), (2L, "one two three four"),
       (3L, "alpha beta gamma delta"), (4L, "solo sample body here"))
