@@ -125,6 +125,8 @@ object SparkEntry {
     "txt_tokens"        -> (TextAnalysis.tokenCounts _),
     "txt_fingerprint"   -> (TextAnalysis.fingerprints _),
     "txt_quality_filter" -> (TextAnalysis.qualityFilter _),
+    "txt_curation_report" -> (TextAnalysis.curationReportDocs _),
+    "txt_retrieval_eval" -> (TextAnalysis.retrievalEvalDocs _),
     "mm_decode"         -> ((s, d) => Multimodal.probe(s, d)),
     "mm_frames"         -> ((s, d) => Multimodal.frameSample(s, d)),
     "mm_resize"         -> ((s, d) => Multimodal.resize(s, d)),
@@ -386,9 +388,10 @@ object SparkEntry {
     "txt_hybrid_rrf_steady", "sim_recall_hybrid_dense", "mm_incr_near_dup",
     "mm_incr_near_dup_steady", "txt_curriculum",
     // round-11 session-2 additions: soft (reweighting) dedup + near-dup
-    // decontamination + first-occurrence novelty
+    // decontamination + first-occurrence novelty + the per-source
+    // curation report + lexical retrieval eval
     "dedup_soft", "dedup_soft_steady", "dedup_near_decontam",
-    "dedup_novelty",
+    "dedup_novelty", "txt_curation_report", "txt_retrieval_eval",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -2886,6 +2889,116 @@ object SparkEntry {
         |  round(1.0 / (CAST(sum(df) AS DOUBLE) / count(*)), 6) AS weight
         |FROM ex JOIN dfreq USING (g)
         |GROUP BY ex.doc_id""".stripMargin,
+    // Per-source curation report: every rate divides exact integers
+    // (dup = fingerprint held by an earlier doc; keep = the shared
+    // qualityKeep rule replayed verbatim — FALSE AND NULL = FALSE on
+    // both engines covers the degenerate-doc guards; novelty share is
+    // the micro-average Σnovel/Σgrams, never a mean of per-doc ratios).
+    "txt_curation_report" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, lang, source, text FROM documents WHERE doc_id % 7 = 0
+        |), toksrc AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM base
+        |), perdoc AS (
+        |  SELECT doc_id, source, len(w) AS n_tokens, md5(text) AS fp,
+        |    (length(text) >= 20 AND len(w) >= 5
+        |      AND CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS DOUBLE)
+        |            / len(w) BETWEEN 2.0 AND 12.0
+        |      AND CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |            / length(text) <= 0.2
+        |      AND CAST(len(list_filter(w, x -> list_contains(
+        |            ['the','a','an','of','to','and','in','is','it','that'], x))) AS DOUBLE)
+        |            / len(w) >= 0.01) AS keep
+        |  FROM toksrc
+        |), fsfp AS (
+        |  SELECT fp, min(doc_id) AS first_id FROM perdoc GROUP BY fp
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM toksrc
+        |), ex AS (
+        |  SELECT doc_id, unnest(s) AS g FROM sh
+        |), fs AS (
+        |  SELECT g, min(doc_id) AS first_g FROM ex GROUP BY g
+        |), nov AS (
+        |  SELECT ex.doc_id, count(*) AS n_grams,
+        |    sum(CASE WHEN first_g = ex.doc_id THEN 1 ELSE 0 END) AS n_novel
+        |  FROM ex JOIN fs USING (g) GROUP BY ex.doc_id
+        |), src AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN first_id < p.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        |    CAST(sum(n_tokens) AS BIGINT) AS tokens_sum,
+        |    sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_keep,
+        |    sum(n_grams) AS g_sum, sum(n_novel) AS nov_sum
+        |  FROM perdoc p JOIN fsfp USING (fp) JOIN nov ON nov.doc_id = p.doc_id
+        |  GROUP BY source
+        |)
+        |SELECT source, n_docs, n_dups,
+        |  round(CAST(n_dups AS DOUBLE) / n_docs, 6) AS dup_rate,
+        |  tokens_sum,
+        |  round(CAST(tokens_sum AS DOUBLE) / t.tokens_total, 6) AS token_share,
+        |  round(CAST(n_keep AS DOUBLE) / n_docs, 6) AS keep_rate,
+        |  round(CAST(nov_sum AS DOUBLE) / g_sum, 6) AS novel_gram_share
+        |FROM src CROSS JOIN (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tokens_total FROM perdoc) t""".stripMargin,
+    // Lexical retrieval eval: the txt_bm25 ranking CTE (same rounded
+    // scores, same ORDER BY tie-break) against the deterministic binary
+    // qrel "contains every query term"; ideal DCG is a left-to-right
+    // fold over 1..min(n_rel, k) on both engines, and the 6-dp round
+    // absorbs summation-order ulp on the DCG side.
+    "txt_retrieval_eval" ->
+      s"""WITH lens AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM documents
+        |), stats AS (
+        |  SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM lens
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(w) AS term FROM lens)
+        |  WHERE term IN (${TextAnalysis.searchQuery.map("'" + _ + "'").mkString(", ")})
+        |  GROUP BY doc_id, term
+        |), dfs AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), ranked AS (
+        |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+        |  FROM (
+        |    SELECT tf.doc_id, round(sum(
+        |        ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0)
+        |          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len(w) / avgdl))
+        |      ), 6) AS score
+        |    FROM tf
+        |    JOIN dfs USING (term)
+        |    JOIN lens ON lens.doc_id = tf.doc_id
+        |    CROSS JOIN stats
+        |    GROUP BY tf.doc_id
+        |    ORDER BY score DESC, tf.doc_id
+        |    LIMIT 25)
+        |), rel AS (
+        |  SELECT doc_id FROM lens
+        |  WHERE ${TextAnalysis.searchQuery
+                 .map(t => s"list_contains(w, '$t')").mkString(" AND ")}
+        |), hits AS (
+        |  SELECT rnk FROM ranked JOIN rel USING (doc_id)
+        |), agg AS (
+        |  SELECT count(*) AS rel_at_k, min(rnk) AS first_rank,
+        |    COALESCE(sum(1.0 / log2(rnk + 1)), 0) AS dcg
+        |  FROM hits
+        |), relc AS (SELECT count(*) AS n_rel FROM rel)
+        |SELECT 25 AS k, n_rel, rel_at_k,
+        |  round(CAST(rel_at_k AS DOUBLE) / n_rel, 6) AS recall_at_k,
+        |  round(CASE WHEN first_rank IS NULL THEN 0.0
+        |             ELSE 1.0 / first_rank END, 6) AS mrr,
+        |  round(CASE WHEN rel_at_k = 0 THEN 0.0
+        |             ELSE dcg / list_sum(list_transform(
+        |               range(1, least(n_rel, 25) + 1), i -> 1.0 / log2(i + 1))) END, 6) AS ndcg
+        |FROM agg CROSS JOIN relc""".stripMargin,
     // First-occurrence novelty: per doc, the fraction of its distinct
     // grams whose corpus-wide min(doc_id) is the doc itself. Exact
     // integer counts ÷ count, 6-dp display round (the dedup_soft

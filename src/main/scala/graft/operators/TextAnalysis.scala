@@ -40,36 +40,45 @@ object TextAnalysis {
   /** Per-document quality scoring: char/token counts, token char mass,
     * sentence punctuation count, stopword hits — the raw signals behind
     * length/punct/stopword-ratio quality filters. Pure projection. */
-  def qualityStats(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  def qualityStats(spark: SparkSession, dir: String): DataFrame =
+    qualityStatsOf(Tables.load(spark, dir, "documents")
+      .select("doc_id", "lang", "text"))
+
+  /** The [[qualityStats]] projection over any (doc_id, lang, text)
+    * frame — extra columns pass through untouched (the curation report
+    * keeps `source`). */
+  def qualityStatsOf(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     docs.select(
-      col("doc_id"),
-      col("lang"),
-      length(col("text")).as("n_chars"),
+      (docs.columns.filterNot(Set("text")).map(col).toSeq :+
+        length(col("text")).as("n_chars")) ++ Seq(
       size(toks).as("n_tokens"),
       aggregate(toks, lit(0), (acc, t) => acc + length(t)).as("token_chars"),
       (length(col("text")) -
         length(regexp_replace(col("text"), "[.,!?;:]", ""))).as("n_punct"),
-      size(filter(toks, t => t.isInCollection(qcStopwords))).as("n_stopwords"))
+      size(filter(toks, t => t.isInCollection(qcStopwords))).as("n_stopwords")): _*)
+  }
+
+  /** The composite keep rule over the [[qualityStats]] columns — ONE
+    * definition shared by [[qualityFilter]] and the curation report. */
+  def qualityKeep: Column = {
+    val meanTokLen = col("token_chars").cast("double") / col("n_tokens")
+    val punctRatio = col("n_punct").cast("double") / col("n_chars")
+    val stopRatio = col("n_stopwords").cast("double") / col("n_tokens")
+    col("n_chars") >= 20 && col("n_tokens") >= 5 &&
+      meanTokLen.between(2.0, 12.0) &&
+      punctRatio <= 0.2 &&
+      stopRatio >= 0.01
   }
 
   /** Composite training-data quality filter: the keep/drop decision the
     * quality signals exist for, as one scan-side projection. Rules are the
     * standard public heuristics (length bounds, mean-token-length band,
-    * punctuation ceiling, stopword floor); every signal is also emitted so
-    * downstream can re-threshold without re-scanning. */
-  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
-    val stats = qualityStats(spark, dir)
-    val meanTokLen = col("token_chars").cast("double") / col("n_tokens")
-    val punctRatio = col("n_punct").cast("double") / col("n_chars")
-    val stopRatio = col("n_stopwords").cast("double") / col("n_tokens")
-    stats.withColumn("keep",
-      col("n_chars") >= 20 && col("n_tokens") >= 5 &&
-        meanTokLen.between(2.0, 12.0) &&
-        punctRatio <= 0.2 &&
-        stopRatio >= 0.01)
-  }
+    * punctuation ceiling, stopword floor — [[qualityKeep]], one shared
+    * definition); every signal is also emitted so downstream can
+    * re-threshold without re-scanning. */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    qualityStats(spark, dir).withColumn("keep", qualityKeep)
 
   /** BPE merge induction — the core loop of tokenizer training (the public
     * byte-pair-encoding algorithm: repeatedly count adjacent token pairs
@@ -2121,4 +2130,122 @@ object TextAnalysis {
       best.getField("lang").as("pred_lang"),
       best.getField("score").as("score")).as("langid")
   }
+
+  // --------------------------------------------------------------------
+  // Corpus curation report — the per-source operational dashboard a
+  // curation team reads daily: volume, token share, exact-dup rate,
+  // quality keep rate, and gram-novelty share, one row per source.
+  // --------------------------------------------------------------------
+
+  /** The planted report corpus: documents ∪ verbatim copies of every 7th
+    * doc (shifted ids, SAME source/lang — the [[Dedup.plantedExactDocs]]
+    * id scheme carrying the full column set), so per-source dup and
+    * novelty rates are non-trivial; without planting the synthetic
+    * corpus's dup columns would be vacuously zero (round-2 feedback). */
+  def curationCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "lang", "source", "text")
+    docs.unionByName(docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        col("lang"), col("source"), col("text")))
+  }
+
+  /** Per-source curation report over any (doc_id, lang, source, text)
+    * corpus: document/duplicate counts, exact-dup rate (content
+    * fingerprint already held by an earlier doc — the novelty asymmetry,
+    * so the FIRST copy is not the dup), token volume and corpus share,
+    * the [[qualityKeep]] pass rate, and the gram-novelty share
+    * (micro-averaged [[Dedup.noveltyScores]]: Σ novel / Σ grams — the
+    * exact-integer form; a mean of per-doc ratios would be order-fragile
+    * cross-engine).
+    *
+    * Scale shape: ONE text-projection pass for stats+fingerprint, the
+    * novelty pipeline's two gram aggregates, then |sources|-row
+    * aggregation; the corpus token total is a 1-row broadcast (the
+    * adjudicated constant-side class). Every reported rate divides exact
+    * integers — 6-dp rounding is display only. */
+  def curationReport(docs: DataFrame): DataFrame = {
+    val withFp = docs.withColumn("fp", md5(col("text").cast("binary")))
+    val stats = qualityStatsOf(
+      withFp.select("doc_id", "lang", "source", "fp", "text"))
+      .withColumn("keep", qualityKeep)
+    val firstFp = stats.groupBy("fp").agg(min("doc_id").as("first_id"))
+    val nov = Dedup.noveltyScores(docs, "doc_id", "text")
+      .select("doc_id", "n_grams", "n_novel")
+    val perDoc = stats.join(firstFp, "fp").join(nov, "doc_id")
+    val bySource = perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("first_id") < col("doc_id"), 1L).otherwise(0L)).as("n_dups"),
+      sum(col("n_tokens").cast("long")).as("tokens_sum"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+      sum(col("n_grams")).as("g_sum"),
+      sum(col("n_novel")).as("nov_sum"))
+    val total = bySource.agg(sum("tokens_sum").as("tokens_total"))
+    bySource.crossJoin(broadcast(total)).select(
+      col("source"), col("n_docs"), col("n_dups"),
+      round(col("n_dups").cast("double") / col("n_docs"), 6).as("dup_rate"),
+      col("tokens_sum"),
+      round(col("tokens_sum").cast("double") / col("tokens_total"), 6)
+        .as("token_share"),
+      round(col("n_keep").cast("double") / col("n_docs"), 6).as("keep_rate"),
+      round(col("nov_sum").cast("double") / col("g_sum"), 6)
+        .as("novel_gram_share"))
+  }
+
+  /** CORRECTNESS instantiation over the planted report corpus. */
+  def curationReportDocs(spark: SparkSession, dir: String): DataFrame =
+    curationReport(curationCorpus(spark, dir))
+
+  // --------------------------------------------------------------------
+  // Retrieval evaluation — recall@k / MRR / nDCG@k for the lexical serve
+  // (the retrieval-family sibling of the annRecall harness: the ANN side
+  // has its recall dial monitored; the BM25 side gets the classic IR
+  // eval row).
+  // --------------------------------------------------------------------
+
+  /** Evaluate [[bm25Rank]]'s top-`k` for `query` against the
+    * deterministic binary qrel "document contains EVERY query term"
+    * (SQL-expressible ground truth — no human labels in this corpus).
+    * One output row: n_rel, rel_at_k, recall@k, MRR (1/rank of the first
+    * relevant), nDCG@k with binary gains.
+    *
+    * Determinism: ranks come from the SERVED ranking's rounded scores
+    * (ties broken by doc_id — the same order the oracle's window uses);
+    * recall divides exact integers; DCG and ideal-DCG are ≤ k-term sums
+    * of 1/log2(rank+1) — the ideal side a left-to-right fold over
+    * 1..min(n_rel, k) on both engines, and the 6-dp round absorbs
+    * summation-order ulp on the DCG side (the BM25 score-sum argument). */
+  def retrievalEval(docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k: Int = 25): DataFrame = {
+    val rel = docs.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("w"))
+      .filter(query.map(t => array_contains(col("w"), t)).reduce(_ && _))
+      .select("doc_id")
+    val ranked = bm25Rank(docs, idCol, textCol, query, k)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col(idCol))))
+    val hits = ranked.join(rel, ranked(idCol) === rel("doc_id"))
+    val agg = hits.agg(
+      count(lit(1)).as("rel_at_k"),
+      min(col("rnk")).as("first_rank"),
+      coalesce(sum(lit(1.0) / log2(col("rnk").cast("double") + 1)), lit(0.0))
+        .as("dcg"))
+    val relCount = rel.agg(count(lit(1)).as("n_rel"))
+    val idcg = aggregate(
+      sequence(lit(1), least(col("n_rel"), lit(k.toLong)).cast("int")),
+      lit(0.0), (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1))
+    agg.crossJoin(broadcast(relCount)).select(
+      lit(k).as("k"), col("n_rel"), col("rel_at_k"),
+      round(col("rel_at_k").cast("double") / col("n_rel"), 6).as("recall_at_k"),
+      round(when(col("first_rank").isNull, 0.0)
+        .otherwise(lit(1.0) / col("first_rank")), 6).as("mrr"),
+      round(when(col("rel_at_k") === 0L, 0.0)
+        .otherwise(col("dcg") / idcg), 6).as("ndcg"))
+  }
+
+  /** CORRECTNESS instantiation: the [[searchQuery]] eval row at k=25. */
+  def retrievalEvalDocs(spark: SparkSession, dir: String): DataFrame =
+    retrievalEval(Tables.load(spark, dir, "documents"), "doc_id", "text",
+      searchQuery)
 }

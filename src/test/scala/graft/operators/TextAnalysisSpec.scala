@@ -1107,4 +1107,38 @@ class TextAnalysisSpec extends SparkTestBase {
       .select("doc_id", "weight", "rank").as[(Long, Double, Int)].collect().toSet
     assert(a == b && a.size == 10)
   }
+
+  test("curationReport: per-source dup rate, token share, keep rate, novelty share, exactly") {
+    val docs = Seq(
+      (1L, "en", "A", "the alpha beta gamma delta"), // keep (stopword 'the')
+      (2L, "en", "A", "the alpha beta gamma delta"), // verbatim dup of 1
+      (3L, "en", "B", "one two three four"),         // 18 chars → keep false
+    ).toDF("doc_id", "lang", "source", "text")
+    val out = TextAnalysis.curationReport(docs)
+      .as[(String, Long, Long, Double, Long, Double, Double, Double)]
+      .collect().map(r => (r._1, r)).toMap
+    // A: 2 docs, 1 dup, tokens 10/14, keep 2/2; grams: 3 per doc, copy
+    // contributes 0 novel → 3/6
+    assert(out("A") == (("A", 2L, 1L, 0.5, 10L, 0.714286, 1.0, 0.5)))
+    // B: 1 doc, 0 dups, tokens 4/14, keep 0; both grams novel
+    assert(out("B") == (("B", 1L, 0L, 0.0, 4L, 0.285714, 0.0, 1.0)))
+  }
+
+  test("retrievalEval: perfect ranking scores 1.0 across the board; k cuts recall, not MRR") {
+    val docs = Seq(
+      (1L, "x y x y"),  // relevant, strongest
+      (2L, "x y"),      // relevant
+      (3L, "x z"),      // one term only — never outranks a both-term doc
+      (4L, "w w"),      // no terms
+    ).toDF("doc_id", "text")
+    val q = Seq("x", "y")
+    val full = TextAnalysis.retrievalEval(docs, "doc_id", "text", q, k = 25)
+      .as[(Int, Long, Long, Double, Double, Double)].collect().head
+    assert(full == ((25, 2L, 2L, 1.0, 1.0, 1.0)), s"full: $full")
+    // k=1: one of the two relevant docs is cut — recall halves, the
+    // rank-1 hit keeps MRR at 1.0, and nDCG@1 vs ideal@min(n_rel,1) is 1
+    val at1 = TextAnalysis.retrievalEval(docs, "doc_id", "text", q, k = 1)
+      .as[(Int, Long, Long, Double, Double, Double)].collect().head
+    assert(at1 == ((1, 2L, 1L, 0.5, 1.0, 1.0)), s"at1: $at1")
+  }
 }
