@@ -127,6 +127,7 @@ object SparkEntry {
     "txt_quality_filter" -> (TextAnalysis.qualityFilter _),
     "txt_curation_report" -> (TextAnalysis.curationReportDocs _),
     "txt_retrieval_eval" -> (TextAnalysis.retrievalEvalDocs _),
+    "txt_retrieval_eval_steady" -> (TextAnalysis.retrievalEvalSteadyDocs _),
     "mm_decode"         -> ((s, d) => Multimodal.probe(s, d)),
     "mm_frames"         -> ((s, d) => Multimodal.frameSample(s, d)),
     "mm_resize"         -> ((s, d) => Multimodal.resize(s, d)),
@@ -392,6 +393,7 @@ object SparkEntry {
     // curation report + lexical retrieval eval
     "dedup_soft", "dedup_soft_steady", "dedup_near_decontam",
     "dedup_novelty", "txt_curation_report", "txt_retrieval_eval",
+    "txt_retrieval_eval_steady",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1837,6 +1839,9 @@ object SparkEntry {
     "dedup_semantic_steady" -> oracleBase("dedup_semantic"),
     // the landed-df serve answers with the same exact integer sums
     "dedup_soft_steady" -> oracleBase("dedup_soft"),
+    // the landed-index ranking ≡ the direct ranking (the txt_bm25_steady
+    // law), so the eval row is identical
+    "txt_retrieval_eval_steady" -> oracleBase("txt_retrieval_eval"),
     "dedup_semantic_text_steady" -> oracleBase("dedup_semantic_text"),
     "dedup_incr_semantic_steady" -> oracleBase("dedup_incr_semantic"),
     "sim_rp_reduce" -> rpOracleSql(),

@@ -2216,12 +2216,24 @@ object TextAnalysis {
     * 1..min(n_rel, k) on both engines, and the 6-dp round absorbs
     * summation-order ulp on the DCG side (the BM25 score-sum argument). */
   def retrievalEval(docs: DataFrame, idCol: String, textCol: String,
-      query: Seq[String], k: Int = 25): DataFrame = {
-    val rel = docs.select(col(idCol).as("doc_id"),
-        tokens(col(textCol)).as("w"))
+      query: Seq[String], k: Int = 25): DataFrame =
+    retrievalEvalOf(bm25Rank(docs, idCol, textCol, query, k),
+      relevantIds(docs, idCol, textCol, query), idCol, k)
+
+  /** The deterministic binary qrel: ids of documents containing EVERY
+    * query term. */
+  def relevantIds(docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String]): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
       .filter(query.map(t => array_contains(col("w"), t)).reduce(_ && _))
       .select("doc_id")
-    val ranked = bm25Rank(docs, idCol, textCol, query, k)
+
+  /** The eval tail over ANY (idCol, score) ranking — shared by the
+    * direct and the landed-index serve (same answer by the landed ≡
+    * direct law, hence the shared oracle). */
+  def retrievalEvalOf(ranking: DataFrame, rel: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    val ranked = ranking
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("score").desc, col(idCol))))
@@ -2248,4 +2260,19 @@ object TextAnalysis {
   def retrievalEvalDocs(spark: SparkSession, dir: String): DataFrame =
     retrievalEval(Tables.load(spark, dir, "documents"), "doc_id", "text",
       searchQuery)
+
+  /** The eval row computed against the LANDED bucket-pruned serve
+    * ([[bm25RankIndexed]]) instead of the direct ranking — same answer
+    * by the landed ≡ direct law (shared oracle); what it certifies is
+    * that the eval harness runs off the production index with no corpus
+    * rescore. (The qrel projection still scans the corpus — it is the
+    * ground-truth side of the eval, not the serve.) */
+  def retrievalEvalSteadyDocs(spark: SparkSession, dir: String): DataFrame = {
+    ensureSearchIndex(spark, dir)
+    retrievalEvalOf(
+      bm25RankIndexed(spark, searchIndexPrefix(dir), searchQuery, k = 25),
+      relevantIds(Tables.load(spark, dir, "documents"), "doc_id", "text",
+        searchQuery),
+      "doc_id", k = 25)
+  }
 }
