@@ -2166,13 +2166,21 @@ object TextAnalysis {
     * integers — 6-dp rounding is display only. */
   def curationReport(docs: DataFrame): DataFrame = {
     val withFp = docs.withColumn("fp", md5(col("text").cast("binary")))
+    // pinned: the stats projection feeds BOTH the fingerprint-first
+    // aggregate and the per-doc join — unpinned, the text scan and the
+    // quality kernels would run twice (the contamFraction lesson). The
+    // pinned relation is text-free (ints + a 32-char fp per doc).
     val stats = qualityStatsOf(
       withFp.select("doc_id", "lang", "source", "fp", "text"))
       .withColumn("keep", qualityKeep)
+      .localCheckpoint()
     val firstFp = stats.groupBy("fp").agg(min("doc_id").as("first_id"))
     val nov = Dedup.noveltyScores(docs, "doc_id", "text")
       .select("doc_id", "n_grams", "n_novel")
     val perDoc = stats.join(firstFp, "fp").join(nov, "doc_id")
+    // pinned: |sources| rows feeding the corpus-total aggregate AND the
+    // final select — unpinned, the whole per-doc pipeline replays for
+    // the 1-row total.
     val bySource = perDoc.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(when(col("first_id") < col("doc_id"), 1L).otherwise(0L)).as("n_dups"),
@@ -2180,6 +2188,7 @@ object TextAnalysis {
       sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
       sum(col("n_grams")).as("g_sum"),
       sum(col("n_novel")).as("nov_sum"))
+      .localCheckpoint()
     val total = bySource.agg(sum("tokens_sum").as("tokens_total"))
     bySource.crossJoin(broadcast(total)).select(
       col("source"), col("n_docs"), col("n_dups"),
@@ -2237,13 +2246,16 @@ object TextAnalysis {
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("score").desc, col(idCol))))
-    val hits = ranked.join(rel, ranked(idCol) === rel("doc_id"))
+    // pinned: the qrel feeds the hit join AND the n_rel count —
+    // unpinned, its corpus token scan runs twice. Ids only, n_rel rows.
+    val relPinned = rel.localCheckpoint()
+    val hits = ranked.join(relPinned, ranked(idCol) === relPinned("doc_id"))
     val agg = hits.agg(
       count(lit(1)).as("rel_at_k"),
       min(col("rnk")).as("first_rank"),
       coalesce(sum(lit(1.0) / log2(col("rnk").cast("double") + 1)), lit(0.0))
         .as("dcg"))
-    val relCount = rel.agg(count(lit(1)).as("n_rel"))
+    val relCount = relPinned.agg(count(lit(1)).as("n_rel"))
     val idcg = aggregate(
       sequence(lit(1), least(col("n_rel"), lit(k.toLong)).cast("int")),
       lit(0.0), (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1))
