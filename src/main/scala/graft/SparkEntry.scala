@@ -128,6 +128,7 @@ object SparkEntry {
     "txt_curation_report" -> (TextAnalysis.curationReportDocs _),
     "txt_retrieval_eval" -> (TextAnalysis.retrievalEvalDocs _),
     "txt_retrieval_eval_steady" -> (TextAnalysis.retrievalEvalSteadyDocs _),
+    "txt_decontam_scrub" -> (Dedup.decontamScrubDocs _),
     "mm_decode"         -> ((s, d) => Multimodal.probe(s, d)),
     "mm_frames"         -> ((s, d) => Multimodal.frameSample(s, d)),
     "mm_resize"         -> ((s, d) => Multimodal.resize(s, d)),
@@ -393,7 +394,7 @@ object SparkEntry {
     // curation report + lexical retrieval eval
     "dedup_soft", "dedup_soft_steady", "dedup_near_decontam",
     "dedup_novelty", "txt_curation_report", "txt_retrieval_eval",
-    "txt_retrieval_eval_steady",
+    "txt_retrieval_eval_steady", "txt_decontam_scrub",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -2894,6 +2895,52 @@ object SparkEntry {
         |  round(1.0 / (CAST(sum(df) AS DOUBLE) / count(*)), 6) AS weight
         |FROM ex JOIN dfreq USING (g)
         |GROUP BY ex.doc_id""".stripMargin,
+    // Surgical decontamination: the txt_decontam corpus/eval fixture,
+    // every token covered by an eval-matching 8-token window cut, the
+    // rest stitched in order (tokenizer-canonical text both sides).
+    // Positions are 0-based in the plan, 1-based here — only counts and
+    // the rebuilt text compare, and those are position-convention-free.
+    "txt_decontam_scrub" ->
+      """WITH eval AS (
+        |  SELECT doc_id, doc_id // 37 AS ei, text FROM documents WHERE doc_id % 37 = 0
+        |), base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0
+        |), corpus AS (
+        |  SELECT b.doc_id, b.text || ' ' || e.text AS text
+        |  FROM base b JOIN eval e ON b.doc_id % 14 = e.ei
+        |  WHERE b.doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id, text FROM base WHERE doc_id % 5 <> 1
+        |), ctoks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM corpus
+        |), egrams AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(w) - 7, 1) + 1),
+        |      i -> array_to_string(w[i:i+7], ' ')))) AS g
+        |  FROM (SELECT
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |    FROM eval)
+        |), wflat AS (
+        |  SELECT doc_id, u['pos'] AS pos, u['g'] AS g FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, greatest(len(w) - 7, 1) + 1),
+        |      i -> {'pos': i, 'g': array_to_string(w[i:i+7], ' ')})) AS u
+        |    FROM ctoks)
+        |), ps AS (
+        |  SELECT doc_id, list(pos) AS ps FROM wflat JOIN egrams USING (g)
+        |  GROUP BY doc_id
+        |)
+        |SELECT doc_id, len(w) AS n_tokens,
+        |  len(w) - len(kept) AS n_removed,
+        |  array_to_string(kept, ' ') AS clean_text
+        |FROM (
+        |  SELECT c.doc_id, c.w,
+        |    list_transform(list_filter(range(1, len(c.w) + 1),
+        |      i -> len(list_filter(COALESCE(p.ps, []), q -> i >= q AND i <= q + 7)) = 0),
+        |      i -> c.w[i]) AS kept
+        |  FROM ctoks c LEFT JOIN ps p USING (doc_id))""".stripMargin,
     // Per-source curation report: every rate divides exact integers
     // (dup = fingerprint held by an earlier doc; keep = the shared
     // qualityKeep rule replayed verbatim — FALSE AND NULL = FALSE on

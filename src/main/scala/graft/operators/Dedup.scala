@@ -1539,6 +1539,60 @@ object Dedup extends Logging {
     contamFraction(corpus, evalSet, "doc_id", "text")
   }
 
+  /** SURGICAL decontamination — the curation action the flag/fraction
+    * scans ([[decontaminate]]/[[contamFraction]]) stop short of: instead
+    * of dropping a document that QUOTES a benchmark, remove just the
+    * quoted windows and keep the rest. For every corpus document, every
+    * token covered by any w-token window appearing in the eval set is
+    * cut, and the survivors are stitched back in order (tokenizer-
+    * canonical text, the [[dedupParagraphs]] reassembly convention).
+    * Output: (doc_id, n_tokens, n_removed, clean_text) for EVERY doc —
+    * clean docs pass through with n_removed = 0.
+    *
+    * Scale shape: eval windows reduce to DISTINCT 8-byte hashes
+    * (bounded, broadcast — the [[decontaminate]] contract); the corpus
+    * side is one pinned (tokens, positional window hashes) projection
+    * feeding the match probe and the row-local rewrite — only (doc_id,
+    * pos) pairs of MATCHING windows aggregate (contaminated docs only),
+    * and the rewrite filters each doc's own token array against its
+    * bounded match-position list. Text never shuffles. Hash-for-gram
+    * equality is the usual w.h.p. argument; the oracle checks string
+    * space. Short docs (< w tokens) carry the kernel's single
+    * whole-text window — a match covers every token, i.e. a sub-window
+    * verbatim eval doc is scrubbed entirely. */
+  def decontaminateScrub(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, w: Int = 8): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(array_distinct(shingleHashes(col(textCol), w))).as("wh"))
+      .distinct()
+    val base = corpus.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"),
+      shingleHashes(col(textCol), w).as("whs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val matches = base
+      .select(col("doc_id"), posexplode(col("whs")))
+      .toDF("doc_id", "pos", "wh")
+      .join(broadcast(evalGrams), "wh")
+      .groupBy("doc_id").agg(collect_list(col("pos")).as("ps"))
+    val kept = filter(col("toks"), (t, i) =>
+      !exists(col("ps2"), p => i >= p && i <= p + lit(w - 1)))
+    val out = base.join(matches, Seq("doc_id"), "left_outer")
+      .withColumn("ps2",
+        coalesce(col("ps"), typedlit(Array.empty[Int])))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        (size(col("toks")) - size(kept)).as("n_removed"),
+        array_join(kept, " ").as("clean_text"))
+    materializeAndRelease(out, base)
+  }
+
+  /** CORRECTNESS instantiation over the planted fixture: the
+    * contaminated docs (eval text appended) come back with exactly the
+    * appended windows cut. */
+  def decontamScrubDocs(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, evalSet) = decontamFixture(spark, dir)
+    decontaminateScrub(corpus, evalSet, "doc_id", "text")
+  }
+
   /** The planted decontamination fixture: eval set = every 37th document;
     * corpus = the rest, where docs with doc_id % 5 = 1 are contaminated
     * by construction (one of the first 14 eval texts appended, selected

@@ -453,6 +453,26 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("decontaminateScrub cuts exactly the eval-covered windows, keeps everything else") {
+    val evalSet = Seq(
+      (100L, "e1 e2 e3 e4 e5 e6 e7 e8"), // one full 8-token window
+      (101L, "s1 s2 s3"),                // short eval doc → whole-text window
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 e1 e2 e3 e4 e5 e6 e7 e8"), // quote appended
+      (2L, "b1 b2 b3 b4 b5 b6 b7 b8 b9"),                      // clean
+      (3L, "s1 s2 s3"),     // verbatim short eval doc → scrubbed entirely
+      (4L, "s1 s2 s3 s4"),  // short but NOT a whole-window match → untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminateScrub(corpus, evalSet, "doc_id", "text")
+      .as[(Long, Int, Int, String)].collect().toSet
+    assert(out == Set(
+      (1L, 16, 8, "a1 a2 a3 a4 a5 a6 a7 a8"),
+      (2L, 9, 0, "b1 b2 b3 b4 b5 b6 b7 b8 b9"),
+      (3L, 3, 3, ""),
+      (4L, 4, 0, "s1 s2 s3 s4")))
+  }
+
   test("nearDecontaminate flags lightly-edited eval overlap cross-side only, nothing else") {
     val corpus = (1 to 20).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
     val evalSet = Seq(
