@@ -60,7 +60,13 @@ object StreamSoftDf {
     * equals the batch operator on (landed ∪ batch) restricted to the
     * batch rows — the spec's law — because df > 0 ⟺ the gram has an
     * earlier landed holder, and the within-batch min resolves the rest.
-    * Presence is all the serve reads; no first-id store is needed. */
+    * Presence is all the serve reads; no first-id store is needed.
+    *
+    * The gram projection feeds the within-batch-min aggregate and the
+    * probe join unpinned — deliberately: the recompute is the row-local
+    * codegen kernel over the ARRIVAL batch (bounded by the micro-batch
+    * contract), not a corpus scan, so a pin would cost more in
+    * materialization than the second kernel pass. */
   def noveltyArrivals(spark: SparkSession, stateDir: String, batch: DataFrame,
       idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val ex = batch.select(col(idCol).as("doc_id"),
