@@ -194,8 +194,11 @@ object Bench {
         // all generations (compaction keeps the newest batch gen aside)
         val indexRows = spark.read.option("recursiveFileLookup", "true")
           .parquet(s"$tmp/idx").count()
-        val rowsOut = spark.read.option("recursiveFileLookup", "true")
-          .parquet(s"$tmp/out").count()
+        // manifest-resolved corpus count (the hook also folds the landed
+        // corpus now; a raw recursive count would double-read a fold with
+        // its not-yet-swept sources)
+        val rowsOut = graft.streaming.StreamNearDedup
+          .cleanedDocs(spark, s"$tmp/out").count()
         Some(s"""{"op":"stream_near_dedup","rows_in":$rowsIn,""" +
           s""""batches":3,"grow_wall_sec":${fnum(wallGrow)},""" +
           s""""grow_rows_per_sec":${fnum(rowsIn / wallGrow)},""" +
@@ -251,8 +254,9 @@ object Bench {
         val steadyRows = spark.read.parquet(part.toString).count()
         Files.move(part, Paths.get(s"$tmp/in/f3.parquet"))
         val wallSteady = drive()
-        val rowsOut = spark.read.option("recursiveFileLookup", "true")
-          .parquet(s"$tmp/out").count()
+        // manifest-resolved (the hook folds the landed corpus too)
+        val rowsOut = graft.streaming.StreamContain
+          .admittedDocs(spark, s"$tmp/out").count()
         Some(s"""{"op":"stream_contain","rows_in":$rowsIn,"batches":3,""" +
           s""""grow_wall_sec":${fnum(wallGrow)},""" +
           s""""grow_rows_per_sec":${fnum(rowsIn / wallGrow)},""" +
@@ -789,7 +793,7 @@ object Bench {
     // "probe" is the per-query contention sentinel (see scaladoc):
     // probe[q] >> probe_floor ⇒ q was timed in a contended window.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"ext":${qjson(extResults)},"stream":$streamJson,"stream_near":$streamNearJson,"stream_search":$streamSearchJson,"stream_hybrid":$streamHybridJson,"stream_knn":$streamKnnJson,"stream_hist":$streamHistJson,"stream_kmv":$streamKmvJson,"stream_softdf":$streamSoftDfJson,"stream_contain":$streamContainJson,"unified":$unifiedJson,"prep_full":$prepJson,"probe":$probeJson,"probe_floor":${fnum(probeFloor)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"ext":${qjson(extResults)},"stream":$streamJson,"stream_near":$streamNearJson,"stream_search":$streamSearchJson,"stream_hybrid":$streamHybridJson,"stream_knn":$streamKnnJson,"stream_hist":$streamHistJson,"stream_kmv":$streamKmvJson,"stream_softdf":$streamSoftDfJson,"stream_contain":$streamContainJson,"unified":$unifiedJson,"prep_full":$prepJson,"probe":$probeJson,"probe_floor":${fnum(probeFloor)},"n_contended":$nContended,"probe_max":${fnum(probeMax)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
     println(json)
     Files.writeString(Paths.get(outFile), json)
     // The driver's per-round artifact keeps only the LAST 2000 chars of

@@ -1505,11 +1505,17 @@ object Dedup extends Logging {
     *
     * Scale shape: ONE corpus scan — the shingle-hash kernel runs once
     * per document, `n_grams` is a row-local `size` over the same gram
-    * array the explosion consumes, and hit counting is a broadcast LEFT
-    * join of the exploded grams against the eval-gram set summed per
+    * array the explosion consumes, and hit counting is a LEFT join of
+    * the exploded grams against the eval-gram set summed per
     * (doc_id, n_grams) group (zero-hit and zero-gram documents survive
     * via explode_outer + the null-miss sum, so no second totals pass is
-    * needed). The keep flag compares the exact unrounded ratio
+    * needed). The join strategy is deliberately LEFT TO AQE — the
+    * [[decontaminate]] rule: eval suites are bounded by contract and
+    * broadcast at runtime size, but the set is unbounded by CODE, so a
+    * forced hint would OOM on a blocklist-sized eval side where the
+    * optimizer-chosen join degrades gracefully (and
+    * [[decontaminateBloom]] is the scale path). The keep flag compares
+    * the exact unrounded ratio
     * (integer/integer — bit-identical cross-engine); the reported
     * fraction is 6-dp display rounding. */
   def contamFraction(corpus: DataFrame, evalSet: DataFrame, idCol: String,
@@ -1522,8 +1528,7 @@ object Dedup extends Logging {
     val counted = grams
       .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
         explode_outer(col("grams")).as("gh"))
-      .join(broadcast(evalGrams.withColumn("hit", lit(1L))),
-        Seq("gh"), "left_outer")
+      .join(evalGrams.withColumn("hit", lit(1L)), Seq("gh"), "left_outer")
       .groupBy("doc_id", "n_grams")
       .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
     val ratio = col("n_hits").cast("double") / col("n_grams").cast("double")
@@ -1791,10 +1796,14 @@ object Dedup extends Logging {
     * the S-curve's w.h.p. guarantee, same as the self-join form).
     *
     * Scale shape: the eval side is bounded by contract (eval suites are
-    * fixed), so its banded table broadcasts and the corpus-side cost is
-    * one scan + band explosion — (doc_id, band, 8-byte hash) rows, never
-    * text. Candidate verification joins |candidates| rows back to the two
-    * shingle-set lookups, exactly the [[minhashLshPairs]] shape. */
+    * fixed), so AQE broadcasts its banded table at runtime size and the
+    * corpus-side cost is one scan + band explosion — (doc_id, band,
+    * 8-byte hash) rows, never text. The hints are deliberately omitted
+    * (the [[contamFraction]] rule): the eval set is unbounded by CODE,
+    * and a forced broadcast would OOM on a blocklist-sized suite where
+    * the optimizer-chosen join degrades gracefully. Candidate
+    * verification joins |candidates| rows back to the two shingle-set
+    * lookups, exactly the [[minhashLshPairs]] shape. */
   def nearDecontaminate(corpus: DataFrame, evalSet: DataFrame,
       idCol: String, textCol: String, evalIdCol: String,
       n: Int = 3, k: Int = 128, bands: Int = 32,
@@ -1812,13 +1821,13 @@ object Dedup extends Logging {
     val eSh = shingled(evalSet, evalIdCol, "eval_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded(cSh, "doc_id")
-      .join(broadcast(banded(eSh, "eval_id")), Seq("band", "bh"))
+      .join(banded(eSh, "eval_id"), Seq("band", "bh"))
       .select("doc_id", "eval_id").distinct()
     val pairs = cand
       .join(cSh.select(col("doc_id"), col("sh").as("sh_c"),
         size(col("sh")).as("sz_c")), "doc_id")
-      .join(broadcast(eSh.select(col("eval_id"), col("sh").as("sh_e"),
-        size(col("sh")).as("sz_e"))), "eval_id")
+      .join(eSh.select(col("eval_id"), col("sh").as("sh_e"),
+        size(col("sh")).as("sz_e")), "eval_id")
       .withColumn("inter",
         size(array_intersect(col("sh_c"), col("sh_e"))).cast("double"))
       .withColumn("jaccard",

@@ -146,41 +146,46 @@ private[streaming] object Generations {
     *    on restart, and must not ALSO live on inside a fold).
     *
     * SINGLE-MAINTENANCE-JOB CONTRACT: run inside the serial foreachBatch
-    * loop (the `compactEvery` hooks) or otherwise one at a time. */
+    * loop (the `compactEvery` hooks) or otherwise one at a time.
+    *
+    * `prefix` names the generation family — `gen-` for maintainer state,
+    * `batch-` for landed corpus generations ([[Retention.compactCorpus]]);
+    * folds land as `<prefix>compact-<epoch>`. */
   def compactManifested(spark: SparkSession, dir: String,
       fold: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
-      partitionCols: Seq[String] = Nil): Unit = {
+      partitionCols: Seq[String] = Nil, prefix: String = "gen-"): Unit = {
     val f = fs(spark, dir)
+    val compactPrefix = s"${prefix}compact-"
     // sweep invisible tmp leftovers from crashed folds
     val root = new Path(dir)
     if (f.exists(root)) f.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("tmp-gen-compact-"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"tmp-$compactPrefix"))
       .foreach(s => f.delete(s.getPath, true))
-    val all = committed(spark, dir, "gen-")
-    val priorAll = all.filter(_.startsWith("gen-compact-"))
+    val all = committed(spark, dir, prefix)
+    val priorAll = all.filter(_.startsWith(compactPrefix))
     val alreadyFolded = priorAll.flatMap(manifestOf(f, dir, _)).toSet
     // crash leftovers — folded (raw OR older compact) but not yet
     // deleted: finish the delete
     all.filter(alreadyFolded).foreach(g => f.delete(new Path(dir, g), true))
     val prior = priorAll.filterNot(alreadyFolded)
     val gens = all.filterNot(g =>
-      alreadyFolded(g) || g.startsWith("gen-compact-"))
+      alreadyFolded(g) || g.startsWith(compactPrefix))
     val newestBatchGen = gens
-      .flatMap(g => g.stripPrefix("gen-").toLongOption.map((_, g)))
+      .flatMap(g => g.stripPrefix(prefix).toLongOption.map((_, g)))
       .maxByOption(_._1).map(_._2)
     val sources = prior ++ gens.filterNot(newestBatchGen.contains)
     if (sources.size > 1) {
-      val epoch = prior.flatMap(_.stripPrefix("gen-compact-").toLongOption)
+      val epoch = prior.flatMap(_.stripPrefix(compactPrefix).toLongOption)
         .maxOption.getOrElse(0L) + 1
-      val tmp = s"$dir/tmp-gen-compact-$epoch"
-      val w = fold(readNames(spark, dir, sources, "gen-"))
+      val tmp = s"$dir/tmp-$compactPrefix$epoch"
+      val w = fold(readNames(spark, dir, sources, prefix))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(tmp)
       val out = f.create(new Path(s"$tmp/_sources.txt"), true)
       try out.write(sources.mkString("\n").getBytes("UTF-8"))
       finally out.close()
-      require(f.rename(new Path(tmp), new Path(s"$dir/gen-compact-$epoch")),
+      require(f.rename(new Path(tmp), new Path(s"$dir/$compactPrefix$epoch")),
         s"compaction rename failed for $tmp — sources left untouched")
       // sources now excluded by every reader via the manifest; their
       // physical delete is the NEXT run's leftover sweep (see scaladoc)

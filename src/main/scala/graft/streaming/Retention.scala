@@ -119,4 +119,44 @@ object Retention {
     * [[Generations.compactFold]] discipline applies). */
   def compactTombstones(spark: SparkSession, stateDir: String): Unit =
     Generations.compactFold(spark, root(stateDir))
+
+  /** True iff the tombstone generation for `requestId` has committed under
+    * `stateDir` — the guard the additive-delta delete paths
+    * ([[StreamSearchIndex.delete]], [[StreamSoftDf.delete]]) use to make a
+    * SPURIOUS replay of an already-completed delete a no-op: once the
+    * tombstone (the pair's LAST write) exists, the request's delta was
+    * written too, and rewriting it against since-purged live rows would
+    * corrupt the subtraction. */
+  def tombstoneCommitted(spark: SparkSession, stateDir: String,
+      requestId: String): Boolean =
+    Generations.committed(spark, root(stateDir), "gen-")
+      .contains(s"gen-$requestId")
+
+  /** The LANDED CORPUS of a streaming gate — every live committed
+    * `batch-<id>` generation under `corpusDir` (manifest-resolved, so a
+    * [[compactCorpus]] fold and its not-yet-swept sources are never both
+    * read), tombstoned rows excluded. The one reader every admitted-docs
+    * serve shares once the corpus root is compactable. */
+  def liveBatches(spark: SparkSession, corpusDir: String, idCol: String,
+      prefix: String = "batch-"): DataFrame =
+    filter(Generations.readNames(spark, corpusDir,
+      Generations.live(spark, corpusDir, prefix), prefix), corpusDir, idCol)
+
+  /** PHYSICAL PURGE of the landed corpus itself — the missing half the
+    * serve-side tombstone anti-join only hides: fold accumulated
+    * `batch-<id>` generations under `corpusDir` into one
+    * `batch-compact-<epoch>` with the tombstoned rows dropped, so deleted
+    * documents' raw text/payloads stop existing on disk (the GDPR
+    * obligation; index-side folds already purge their derived rows the
+    * same way). Landed corpus rows are NOT assumed duplication-inert
+    * (serves join and aggregate over them), so the fold is MANIFESTED
+    * ([[Generations.compactManifested]]): readers go through
+    * [[liveBatches]] and never observe a fold with its sources; the
+    * newest batch generation is never folded (replay rule); swept-source
+    * deletion is deferred one cycle. Wired into every gate's
+    * `compactEvery` hook and [[UnifiedIngest.compactAll]]. */
+  def compactCorpus(spark: SparkSession, corpusDir: String, idCol: String,
+      prefix: String = "batch-"): Unit =
+    Generations.compactManifested(spark, corpusDir,
+      df => filter(df, corpusDir, idCol), prefix = prefix)
 }

@@ -58,12 +58,12 @@ object StreamContain {
       indexDir, "doc_id")
   }
 
-  /** Every committed admitted batch, unioned — the continuously-growing
-    * excerpt-free corpus, tombstoned docs excluded. */
+  /** Every LIVE committed admitted batch, unioned — the continuously-
+    * growing excerpt-free corpus, tombstoned docs excluded and corpus
+    * folds manifest-resolved ([[Retention.liveBatches]]). */
   def admittedDocs(spark: SparkSession, outDir: String,
       idCol: String = "doc_id"): DataFrame =
-    Retention.filter(Generations.read(spark, outDir, "batch-"),
-      outDir, idCol)
+    Retention.liveBatches(spark, outDir, idCol)
 
   /** Targeted deletion across both maintained roots — the
     * [[StreamNearDedup.delete]] discipline (whose tombstone-aware
@@ -106,8 +106,12 @@ object StreamContain {
         Dedup.containmentIndexRows(
           spark.read.parquet(s"$outDir/batch-$id"), idCol, textCol, n)
           .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$own")
-        if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+        if (compactEvery > 0 && id % compactEvery == compactEvery - 1) {
           StreamNearDedup.compactIndex(spark, indexDir)
+          // landed-corpus purge (Retention's physical-purge half for the
+          // corpus root itself)
+          Retention.compactCorpus(spark, outDir, idCol)
+        }
         ()
       }
       .start()

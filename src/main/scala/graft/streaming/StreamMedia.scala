@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.Multimodal
@@ -41,7 +40,7 @@ import graft.operators.Multimodal
   * confirm touches |candidates| signature pairs. Landed payloads are
   * never re-read.
   */
-object StreamMedia extends Logging {
+object StreamMedia {
 
   /** Every committed signature generation, unioned, tombstoned assets
     * excluded ([[Retention]] — a deleted asset's signature must stop
@@ -56,13 +55,13 @@ object StreamMedia extends Logging {
       indexDir, "media_id")
   }
 
-  /** Every committed admitted batch, unioned — the continuously-growing
-    * deduplicated media corpus, tombstoned assets excluded. `idCol`
+  /** Every LIVE committed admitted batch, unioned — the continuously-
+    * growing deduplicated media corpus, tombstoned assets excluded and
+    * corpus folds manifest-resolved ([[Retention.liveBatches]]). `idCol`
     * names the landed id column (the one passed to [[start]]). */
   def admittedMedia(spark: SparkSession, outDir: String,
       idCol: String = "media_id"): DataFrame =
-    Retention.filter(Generations.read(spark, outDir, "batch-"),
-      outDir, idCol)
+    Retention.liveBatches(spark, outDir, idCol)
 
   /** Targeted deletion across both maintained roots (the
     * [[StreamNearDedup.delete]] discipline for media): tombstone the
@@ -74,41 +73,17 @@ object StreamMedia extends Logging {
     Retention.tombstone(spark, outDir, requestId, ids)
   }
 
-  /** Fold accumulated signature generations into one, keeping the
-    * newest batch generation out (the [[StreamNearDedup.compactIndex]]
-    * replay rule: an uncommitted trailing batch excludes its own
-    * generation from its probe BY NAME on replay — folded in, the
-    * replay would drop the whole batch as near-dups of itself at
-    * hamming 0). Full-row dropDuplicates makes an interrupted fold
-    * self-healing; duplicate signature rows are probe-inert anyway. */
-  def compactIndex(spark: SparkSession, indexDir: String): Unit = {
-    val gens = Generations.committed(spark, indexDir, "gen-")
-      .filterNot(_.startsWith("gen-compact-"))
-    val priorCompactions = Generations.committed(spark, indexDir, "gen-compact-")
-    val newestBatchGen = gens
-      .flatMap(g => g.stripPrefix("gen-").toLongOption.map((_, g)))
-      .maxByOption(_._1).map(_._2)
-    val sources = priorCompactions ++ gens.filterNot(newestBatchGen.contains)
-    if (sources.size > 1) {
-      val epoch = priorCompactions
-        .flatMap(_.stripPrefix("gen-compact-").toLongOption)
-        .maxOption.getOrElse(0L) + 1
-      // tombstoned assets drop from the fold — Retention's
-      // physical-purge half
-      Retention.filter(
-          spark.read.parquet(sources.map(g => s"$indexDir/$g"): _*)
-            .dropDuplicates(),
-          indexDir, "media_id")
-        .write.mode(SaveMode.Overwrite)
-        .parquet(s"$indexDir/gen-compact-$epoch")
-      val f = new org.apache.hadoop.fs.Path(indexDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      sources.foreach(g =>
-        f.delete(new org.apache.hadoop.fs.Path(indexDir, g), true))
-      logInfo(s"compacted ${sources.size} media index generations into " +
-        s"gen-compact-$epoch under $indexDir")
-    }
-  }
+  /** Fold accumulated signature generations into one — exactly the
+    * shared self-healing fold ([[Generations.compactFold]]: newest batch
+    * generation kept out per the replay rule, full-row dropDuplicates,
+    * epoch numbering, source deletes) composed with the tombstone purge
+    * ([[Retention]]'s physical-purge half), as [[StreamSemantic
+    * .compactIndex]] does. Duplicate signature rows are probe-inert (the
+    * candidate set is `distinct()`ed before the confirm), so the
+    * non-manifested discipline applies. */
+  def compactIndex(spark: SparkSession, indexDir: String): Unit =
+    Generations.compactFold(spark, indexDir,
+      Retention.filter(_, indexDir, "media_id"))
 
   /** Start gating `media` (a streaming DataFrame carrying `idCol` and
     * `payloadCol`) into `outDir`, growing the signature index at
@@ -140,8 +115,13 @@ object StreamMedia extends Logging {
         Multimodal.buildMediaSigIndex(
           spark.read.parquet(s"$outDir/batch-$id"), idCol, payloadCol)
           .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$own")
-        if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+        if (compactEvery > 0 && id % compactEvery == compactEvery - 1) {
           compactIndex(spark, indexDir)
+          // landed-corpus purge: deleted assets' payloads stop existing
+          // on disk, not just being serve-filtered (Retention's
+          // physical-purge half for the corpus root itself)
+          Retention.compactCorpus(spark, outDir, idCol)
+        }
         ()
       }
       .start()

@@ -74,19 +74,19 @@ object StreamNearDedup extends Logging {
       indexDir, "doc_id")
   }
 
-  /** Every committed cleaned batch, unioned — the continuously-growing
-    * deduplicated corpus, tombstoned docs excluded. `idCol` names the
-    * landed id column (the one passed to [[start]]). */
+  /** Every LIVE committed cleaned batch, unioned — the continuously-
+    * growing deduplicated corpus, tombstoned docs excluded and corpus
+    * folds manifest-resolved ([[Retention.liveBatches]]). `idCol` names
+    * the landed id column (the one passed to [[start]]). */
   def cleanedDocs(spark: SparkSession, outDir: String,
       idCol: String = "doc_id"): DataFrame =
-    Retention.filter(Generations.read(spark, outDir, "batch-"),
-      outDir, idCol)
+    Retention.liveBatches(spark, outDir, idCol)
 
   /** Targeted deletion across both maintained roots: the landed corpus
     * (`outDir` batch generations) and the signature index. Serve-side
     * exclusion is immediate; [[compactIndex]] purges the index rows
-    * physically at its next run (the corpus generations purge the same
-    * way when folded by a corpus compactor). */
+    * physically at its next run, and [[Retention.compactCorpus]] (wired
+    * into the same hook) purges the landed text itself. */
   def delete(spark: SparkSession, indexDir: String, outDir: String,
       requestId: String, ids: Seq[Long]): Unit = {
     Retention.tombstone(spark, indexDir, requestId, ids)
@@ -188,8 +188,12 @@ object StreamNearDedup extends Logging {
         Dedup.buildNearDupIndex(
           spark.read.parquet(s"$outDir/batch-$id"), idCol, textCol, n, k, seed)
           .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$own")
-        if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+        if (compactEvery > 0 && id % compactEvery == compactEvery - 1) {
           compactIndex(spark, indexDir)
+          // landed-corpus purge: deleted docs' text stops existing on
+          // disk, not just being serve-filtered
+          Retention.compactCorpus(spark, outDir, idCol)
+        }
         ()
       }
       .start()

@@ -203,11 +203,19 @@ object StreamSearchIndex {
     * fold or an overlapping later delete slotted into the window would
     * change what the byte-identical-rewrite argument may assume.
     *
+    * A SPURIOUS replay of an already-COMPLETED delete is additionally a
+    * structural no-op ([[Retention.tombstoneCommitted]] gates the pair):
+    * without the guard, a replay arriving after a [[compactIndex]] had
+    * purged the lens rows would recompute a ZERO delta and overwrite the
+    * real one if the stats fold hadn't absorbed it yet — a lost
+    * subtraction the out-of-band discipline alone had to prevent.
+    *
     * Cost: one live-lens read per deletion request (a maintenance op,
     * not a serve) + two bounded writes. Ids never landed (or already
     * deleted) contribute nothing. */
   def delete(spark: SparkSession, indexDir: String, requestId: String,
       docIds: Seq[Long]): Unit = {
+    if (Retention.tombstoneCommitted(spark, indexDir, requestId)) return
     import spark.implicits._
     val own = s"gen-$requestId"
     val fresh0 = docIds.distinct.sorted.toDF("doc_id")

@@ -105,10 +105,18 @@ object StreamSoftDf {
     * the deleted documents WITH their text and lands the negative
     * (gh, −df) generation derived from it, absorbed by the SUM fold.
     * Delta-first, tombstone-commit second, the [[StreamSearchIndex
-    * .delete]] order — and the crash window here is even simpler: the
-    * delta derives from the caller's rows, not from live state, so a
-    * replay under the SAME requestId rewrites it byte-identically
-    * regardless of folds in the window, then completes the tombstone.
+    * .delete]] order, and the SAME replay rule: a crashed delete is
+    * replayed under its requestId BEFORE any other maintenance on this
+    * root. The delta derives from the caller's rows, so the replay
+    * rewrites it byte-identically; a fold slotted INTO the crash window
+    * could have absorbed the first delta (its name stays
+    * manifest-excluded for one further fold cycle — the manifested
+    * discipline's self-heal — but not indefinitely), which is exactly
+    * what the replay-before-maintenance rule exists to keep out of the
+    * window. A SPURIOUS replay of an already-COMPLETED delete is a
+    * structural no-op: the committed tombstone
+    * ([[Retention.tombstoneCommitted]]) gates the whole pair, so a
+    * since-run fold can never be followed by a re-created delta.
     * Already-tombstoned ids (an earlier request) contribute nothing —
     * double-deletion cannot double-subtract. The id set per request is
     * deletion-sized (the documented bounded-collect class).
@@ -120,6 +128,7 @@ object StreamSoftDf {
   def delete(spark: SparkSession, stateDir: String, requestId: String,
       docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       n: Int = 3): Unit = {
+    if (Retention.tombstoneCommitted(spark, stateDir, requestId)) return
     val own = s"gen-$requestId"
     val fresh = Retention.deletedIds(spark, stateDir, exclude = Set(own))
       .map(t => docs.join(

@@ -197,15 +197,19 @@ object UnifiedIngest {
     StreamKmv.compactState(spark, s"$stateDir/kmv")
     StreamHist.compactState(spark, s"$stateDir/hist")
     StreamSoftDf.compactState(spark, s"$stateDir/softdf")
+    // the landed corpus itself: deleted docs' text/embeddings stop
+    // existing on disk (Retention's physical-purge half for the root
+    // every derived index regrows from)
+    Retention.compactCorpus(spark, s"$stateDir/corpus", "doc_id")
     budget.foreach(b =>
       StreamBudget.compactState(spark, s"$stateDir/budget", b))
   }
 
-  /** The admitted corpus — every committed landed batch, tombstoned
-    * docs excluded. */
+  /** The admitted corpus — every live committed landed batch
+    * (manifest-resolved across corpus folds), tombstoned docs
+    * excluded. */
   def admittedDocs(spark: SparkSession, stateDir: String): DataFrame =
-    Retention.filter(Generations.read(spark, s"$stateDir/corpus", "batch-"),
-      s"$stateDir/corpus", "doc_id")
+    Retention.liveBatches(spark, s"$stateDir/corpus", "doc_id")
 
   /** Serve: BM25 off the maintained bucket-pruned search index. */
   def search(spark: SparkSession, stateDir: String, query: Seq[String],
@@ -262,7 +266,12 @@ object UnifiedIngest {
     // deletion-request-sized — broadcast, like every tombstone probe.
     val delDocs = {
       import spark.implicits._
-      Generations.read(spark, s"$stateDir/corpus", "batch-")
+      // live batches (manifest-resolved — a corpus fold and its
+      // not-yet-swept sources must not double the gram counts), WITHOUT
+      // this request's not-yet-committed tombstone; earlier requests'
+      // tombstoned ids are already excluded, matching StreamSoftDf's
+      // own fresh-ids rule
+      Retention.liveBatches(spark, s"$stateDir/corpus", "doc_id")
         .join(broadcast(ids.distinct.toDF("doc_id")), Seq("doc_id"))
         .select("doc_id", "text")
     }

@@ -106,6 +106,18 @@ class DeletionSpec extends SparkTestBase {
       TextAnalysis.bm25Rank(remaining2.toDF("doc_id", "text"),
         "doc_id", "text", q, 10).as[(Long, Double)].collect().toSeq,
       "the law must survive the physical purge")
+
+    // SPURIOUS replay AFTER the purge: the committed tombstone gates the
+    // whole pair (Retention.tombstoneCommitted), so the replay cannot
+    // recompute a ZERO delta from the purged lens rows and overwrite the
+    // real subtraction — serves unchanged
+    StreamSearchIndex.delete(spark, indexDir, "r1", deleted)
+    StreamSearchIndex.delete(spark, indexDir, "r2", extra)
+    assert(StreamSearchIndex.search(spark, indexDir, q)
+      .as[(Long, Double)].collect().toSeq ==
+      TextAnalysis.bm25Rank(remaining2.toDF("doc_id", "text"),
+        "doc_id", "text", q, 10).as[(Long, Double)].collect().toSeq,
+      "a spurious replay of a completed delete must be a no-op")
   }
 
   test("IVF-PQ code list: post-delete search equals batch search on the remaining vectors") {
@@ -189,6 +201,23 @@ class DeletionSpec extends SparkTestBase {
     assert(StreamNearDedup.currentIndex(spark, indexDir,
       template = sys.error("index exists"))
       .select("doc_id").as[Long].collect().toSet == Set(2L, 4L))
+
+    // PHYSICAL CORPUS PURGE (Retention.compactCorpus): after the corpus
+    // fold + the next cycle's deferred sweep, the deleted doc's TEXT no
+    // longer exists anywhere under the corpus root — checked with a RAW
+    // read of every batch-* directory on disk, not the serve view the
+    // tombstone anti-join already filters
+    Retention.compactCorpus(spark, outDir, "doc_id")
+    Retention.compactCorpus(spark, outDir, "doc_id") // deferred source sweep
+    val batchDirs = Generations.committed(spark, outDir, "batch-")
+    val rawIds = spark.read.parquet(batchDirs.map(g => s"$outDir/$g"): _*)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!rawIds.contains(1L),
+      s"deleted text must not exist on disk (raw ids $rawIds)")
+    // serve view unchanged across the purge
+    assert(StreamNearDedup.cleanedDocs(spark, outDir)
+      .select("doc_id").as[Long].collect().toSet == Set(2L, 4L),
+      "the corpus serve must survive its own physical purge")
   }
 
   test("media gate: deleting an asset admits future near-copies") {
