@@ -90,6 +90,8 @@ object SparkEntry {
     "sim_topk_res_refine" -> ((s, d) => Similarity.topKPqIvfResRefined(s, d)),
     "sim_topk_ivfpq_steady" -> ((s, d) => Similarity.topKPqIvfSteady(s, d)),
     "sim_topk_ivfpq_landed" -> ((s, d) => Similarity.topKPqIvfLanded(s, d)),
+    "sim_topk_ivfpq_landed_scaled" -> ((s, d) => Similarity.topKPqIvfLandedScaled(s, d)),
+    "sim_topk_refine_landed_scaled" -> ((s, d) => Similarity.topKPqIvfRefinedLandedScaled(s, d)),
     "sim_kmeans_assign" -> (Similarity.kmeansAssignments _),
     "sim_ann_recall"    -> ((s, d) => Similarity.annRecall(s, d)),
     "sim_ann_recall_refined" -> ((s, d) => Similarity.annRecallRefined(s, d)),
@@ -395,6 +397,9 @@ object SparkEntry {
     "dedup_soft", "dedup_soft_steady", "dedup_near_decontam",
     "dedup_novelty", "txt_curation_report", "txt_retrieval_eval",
     "txt_retrieval_eval_steady", "txt_decontam_scrub",
+    // round-12 additions: the √N-sized IVF serves (the production sizing
+    // demonstrated — probed-list reads ∝ √N, vs the fixed family's ∝ N)
+    "sim_topk_ivfpq_landed_scaled", "sim_topk_refine_landed_scaled",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -580,9 +585,24 @@ object SparkEntry {
     * `c<iters>` (trained centroids) / `m<iters>` (per-lane means) — shared
     * by the sim_kmeans oracle and the trained IVF-PQ composition. */
   private def kmeansCteBlock(initEvery: Int = 29, iters: Int = 3,
+      from: String = "embeddings"): String =
+    kmeansCteBlockExpr(initEvery.toString, iters, from)
+
+  /** The √N init stride as a SQL expression — DuckDB recomputes the SAME
+    * corpus-count-derived stride Similarity.scaledInitEvery picks (half-up
+    * and half-away rounding agree on positives), so the scaled oracle
+    * replays the identical seed set at ANY scale factor with no literal
+    * baked in. */
+  private def scaledInitExpr(from: String = "embeddings"): String =
+    s"(SELECT greatest(2, CAST(round(sqrt(count(*)), 0) AS BIGINT)) FROM $from)"
+
+  /** [[kmeansCteBlock]] with the init stride as an arbitrary SQL scalar
+    * expression (a literal for the fixed-sizing family, the
+    * [[scaledInitExpr]] subquery for the √N family). */
+  private def kmeansCteBlockExpr(initExpr: String, iters: Int = 3,
       from: String = "embeddings"): String = {
     val init = s"c0 AS (SELECT vec_id AS cell_id, embedding AS c_emb " +
-      s"FROM $from WHERE vec_id % $initEvery = 0)"
+      s"FROM $from WHERE vec_id % $initExpr = 0)"
     val its = (1 to iters).map { i =>
       s"""a$i AS (
          |  SELECT vec_id, embedding, cell_id FROM (
@@ -1156,6 +1176,18 @@ object SparkEntry {
       k: Int = 5, nprobe: Int = 4,
       queryIds: String = "(0, 100, 200, 300, 400)"): String =
     s"WITH ${kmeansCteBlock(29, 3)},\n${trainedCbCtes(m, kc, subDim, 31, 2)}, " +
+      ivfPqBodySql(subDim, k, nprobe, "SELECT cell_id, c_emb FROM c3", queryIds)
+
+  /** The √N-sized sibling of [[ivfPqTrainedOracleSql]]: the identical
+    * composed replay with the k-means init stride swapped for the
+    * corpus-count-derived [[scaledInitExpr]] — DuckDB trains the same
+    * ≈√N coarse cells the scaled landed artifacts hold, then runs the
+    * same prune+ADC body. Shared PQ book (training is coarse-independent,
+    * the landQuantizersScaled contract). */
+  private def ivfPqScaledOracleSql(m: Int = 8, kc: Int = 16, subDim: Int = 8,
+      k: Int = 5, nprobe: Int = 4,
+      queryIds: String = "(0, 100, 200, 300, 400)"): String =
+    s"WITH ${kmeansCteBlockExpr(scaledInitExpr(), 3)},\n${trainedCbCtes(m, kc, subDim, 31, 2)}, " +
       ivfPqBodySql(subDim, k, nprobe, "SELECT cell_id, c_emb FROM c3", queryIds)
 
   /** sim_topk_refine oracle: the given IVF-PQ stage-1 block widened to
@@ -1825,6 +1857,12 @@ object SparkEntry {
     "sim_topk_pq_steady" -> oracleBase("sim_topk_pq_trained"),
     "sim_topk_ivfpq_steady" -> oracleBase("sim_topk_ivfpq_trained"),
     "sim_topk_ivfpq_landed" -> oracleBase("sim_topk_ivfpq_trained"),
+    // the √N-sized family trains its own coarse cells (the scaled init
+    // stride is a corpus-count subquery, not a literal), so these two
+    // get GENERATED oracles rather than sharing the fixed-sizing ones
+    "sim_topk_ivfpq_landed_scaled" -> ivfPqScaledOracleSql(),
+    "sim_topk_refine_landed_scaled" ->
+      refineOracleSql(ivfPqScaledOracleSql(k = 20)),
     "sim_kmeans_assign_steady" -> oracleBase("sim_kmeans_assign"),
     "sim_cluster_sample_steady" -> oracleBase("sim_cluster_sample"),
     "txt_bpe_apply_steady" -> oracleBase("txt_bpe_apply"),

@@ -1373,4 +1373,125 @@ object Similarity {
     val emb = Tables.load(spark, dir, "embeddings")
     topKCosineLshMp(emb, col("vec_id").isin(defaultProbeIds: _*), k)
   }
+
+  // --------------------------------------------------------------------
+  // √N-SIZED coarse quantizer — the production IVF sizing rule
+  // demonstrated, not just asserted: the fixed-initEvery trainer above
+  // grows |cells| ∝ N (constant ~29-vector lists, but the probe argmax
+  // scores |Q|·|cells| centroids and the bucketed layout's FIXED fan-out
+  // caps pruning at nprobe/16 of a linearly-growing table), while the
+  // textbook balance point (Jégou et al., TPAMI 2011 §V: |cells| = O(√N)
+  // equalizes the probe-selection and list-scan terms) holds BOTH
+  // per-query terms at O(√N): nprobe fixed ⇒ probed-list reads
+  // ∝ N/|cells| = √N, centroid scoring ∝ |cells| = √N. The serve plan is
+  // UNCHANGED ([[searchIvfPqIndex]]/[[refinedSearchIndex]] verbatim) —
+  // only the sizing and the landed layout's fan-out move with the corpus.
+  // --------------------------------------------------------------------
+
+  /** The √N sizing, as the trainer's init stride: every `round(√N)`-th
+    * vector seeds a cell, giving ≈ √N seeds (and, on this corpus, ≈ √N
+    * trained cells — Lloyd's drops only emptied cells). Deterministic
+    * from the corpus count and reproduced verbatim by the oracle's
+    * `round(sqrt(count(*)))` scalar subquery — Java's half-up round and
+    * DuckDB's half-away agree on positives. */
+  def scaledInitEvery(n: Long): Int =
+    math.max(2L, math.round(math.sqrt(n.toDouble))).toInt
+
+  /** Catalog prefix for the √N-sized artifacts — a separate family from
+    * [[quantizerPrefix]]'s fixed-sizing one (both are legitimate dials;
+    * the spec compares them). */
+  def quantizerPrefixScaled(dir: String): String = {
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    s"ivfpq_quant_scaled_$suffix"
+  }
+
+  /** Train and land the √N-cell coarse centroids. The PQ codebook is
+    * deliberately SHARED with the fixed-sizing family
+    * ([[loadLandedQuantizers]]'s `_codebook`): subspace quantization is
+    * independent of the coarse partition, so re-sizing the IVF never
+    * retrains PQ — exactly the production re-shard path (re-cluster +
+    * re-assign, codes unchanged per vector). */
+  def landQuantizersScaled(spark: SparkSession, dir: String, path: String): Unit = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    kmeansCentroids(emb, initEvery = scaledInitEvery(emb.count()))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .option("path", s"$path/centroids")
+      .saveAsTable(s"${quantizerPrefixScaled(dir)}_centroids")
+  }
+
+  /** The √N-sized quantizer pair: scaled centroids (landing them on
+    * first use) + the shared landed PQ book. */
+  def loadLandedQuantizersScaled(spark: SparkSession, dir: String): (DataFrame, Seq[(Int, Int, Array[Double])]) = {
+    val prefix = quantizerPrefixScaled(dir)
+    if (!spark.catalog.tableExists(s"${prefix}_centroids")) {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_scaled_").toString
+      landQuantizersScaled(spark, dir, path)
+    }
+    (spark.table(s"${prefix}_centroids"), loadLandedQuantizers(spark, dir)._2)
+  }
+
+  /** Land the √N-sized inverted code list, bucketed by `cell_id` with
+    * the fan-out GROWN WITH THE CELL COUNT (one bucket per trained cell
+    * here — ~√N buckets), so `cell_id IN (probed)` prunes to nprobe
+    * buckets of ~√N code rows each: per-query physical reads ∝ √N where
+    * the fixed-16-bucket layout reads nprobe/16 of a table ∝ N.
+    *
+    * Layout choice at production cell counts (PLANS.md round-12 note):
+    * thousands-to-millions of cells do NOT mean that many buckets — cap
+    * the fan-out at table-size/128–256 MiB ([[graft.sources.Layout]]'s
+    * rule) and let consecutive cells share a bucket; pruning granularity
+    * stays the bucket, so per-query reads become
+    * nprobe · cellsPerBucket · listLen — still ∝ √N for any FIXED
+    * cells-per-bucket, without the small-file pathology a
+    * bucket-per-cell (or `partitionBy("cell_id")`) layout hits when
+    * cells ≫ files-worth-of-data. `maxBuckets` models the cap; the test
+    * corpora sit below it, so the demo lands one cell per bucket. */
+  def landIvfPqCodesScaled(spark: SparkSession, dir: String, path: String,
+      m: Int = 8, subDim: Int = 8, maxBuckets: Int = 256): Unit = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val (centDf, book) = loadLandedQuantizersScaled(spark, dir)
+    val buckets = math.min(centDf.count(), maxBuckets.toLong).toInt
+    graft.sources.Layout.writeBucketed(
+      ivfPqIndexRows(emb, m, subDim, centDf, book),
+      s"${quantizerPrefixScaled(dir)}_codes", Seq("cell_id"),
+      Seq("cell_id", "vec_id", "sub"), buckets, s"$path/codes")
+  }
+
+  /** Ensure the √N-sized code list is landed and return it. */
+  def ensureIvfPqCodesScaled(spark: SparkSession, dir: String): DataFrame = {
+    val table = s"${quantizerPrefixScaled(dir)}_codes"
+    if (!spark.catalog.tableExists(table)) {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_scaled_codes_").toString
+      landIvfPqCodesScaled(spark, dir, path)
+    }
+    spark.table(table)
+  }
+
+  /** IVF-PQ serve off the √N-sized landed artifacts —
+    * [[topKPqIvfLanded]]'s plan verbatim (bucket-pruned candidate scan,
+    * broadcast probes/LUT, partial-merge ADC), only the quantizer sizing
+    * and bucket fan-out differ. The entry whose sf0.1→sf1 bench row
+    * demonstrates the flat(ish) serve the fixed sizing can't give. */
+  def topKPqIvfLandedScaled(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val (centDf, book) = loadLandedQuantizersScaled(spark, dir)
+    searchIvfPqIndex(ensureIvfPqCodesScaled(spark, dir), defaultQueries(emb),
+      k, nprobe = 4, m = 8, subDim = 8, centDf, book)
+  }
+
+  /** Two-stage refined serve off the √N-sized landed artifacts —
+    * [[topKPqIvfRefinedLanded]] with the scaled sizing: the wide ADC cut
+    * reads nprobe ≈ √N-row inverted lists, the exact re-rank touches
+    * |Q|·r·k full vectors. The production read path at the production
+    * sizing. */
+  def topKPqIvfRefinedLandedScaled(spark: SparkSession, dir: String,
+      k: Int = 5, r: Int = 4): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val (centDf, book) = loadLandedQuantizersScaled(spark, dir)
+    refinedSearchIndex(emb, ensureIvfPqCodesScaled(spark, dir),
+      defaultQueries(emb), k, r, nprobe = 4, m = 8, subDim = 8, centDf, book)
+  }
 }
