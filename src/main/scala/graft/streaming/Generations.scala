@@ -153,7 +153,33 @@ private[streaming] object Generations {
     * folds land as `<prefix>compact-<epoch>`. */
   def compactManifested(spark: SparkSession, dir: String,
       fold: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
-      partitionCols: Seq[String] = Nil, prefix: String = "gen-"): Unit = {
+      partitionCols: Seq[String] = Nil, prefix: String = "gen-"): Unit =
+    foldManifested(spark, dir, fold, partitionCols, prefix,
+      includeNewest = false, minSources = 2)
+
+  /** REPLACE the live state under `dir` with `rebuilt` — the compaction
+    * of the REBUILD-ONLY deletion classes ([[Retention]]'s KMV/histogram
+    * scaladoc): lossy-additive state retains no per-row contribution to
+    * subtract, so post-deletion repair re-derives the whole structure
+    * from the (purged) landed corpus and swaps it in atomically. The
+    * swap is a manifested fold whose manifest lists EVERY live
+    * generation — INCLUDING the newest raw batch generation, which
+    * ordinary folds must exclude: safe here because `rebuilt` derives
+    * from the landed corpus rather than from the folded rows, so a
+    * replayed batch rewrites its generation byte-identically and the
+    * manifest keeps it excluded (its contribution already lives in the
+    * corpus the rebuild read). Readers switch old → rebuilt in the one
+    * atomic rename every manifested fold commits through. */
+  def replaceManifested(spark: SparkSession, dir: String,
+      rebuilt: => org.apache.spark.sql.DataFrame,
+      partitionCols: Seq[String] = Nil, prefix: String = "gen-"): Unit =
+    foldManifested(spark, dir, _ => rebuilt, partitionCols, prefix,
+      includeNewest = true, minSources = 1)
+
+  private def foldManifested(spark: SparkSession, dir: String,
+      fold: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      partitionCols: Seq[String], prefix: String,
+      includeNewest: Boolean, minSources: Int): Unit = {
     val f = fs(spark, dir)
     val compactPrefix = s"${prefix}compact-"
     // sweep invisible tmp leftovers from crashed folds
@@ -170,11 +196,13 @@ private[streaming] object Generations {
     val prior = priorAll.filterNot(alreadyFolded)
     val gens = all.filterNot(g =>
       alreadyFolded(g) || g.startsWith(compactPrefix))
-    val newestBatchGen = gens
-      .flatMap(g => g.stripPrefix(prefix).toLongOption.map((_, g)))
-      .maxByOption(_._1).map(_._2)
+    val newestBatchGen =
+      if (includeNewest) None
+      else gens
+        .flatMap(g => g.stripPrefix(prefix).toLongOption.map((_, g)))
+        .maxByOption(_._1).map(_._2)
     val sources = prior ++ gens.filterNot(newestBatchGen.contains)
-    if (sources.size > 1) {
+    if (sources.size >= minSources) {
       val epoch = prior.flatMap(_.stripPrefix(compactPrefix).toLongOption)
         .maxOption.getOrElse(0L) + 1
       val tmp = s"$dir/tmp-$compactPrefix$epoch"

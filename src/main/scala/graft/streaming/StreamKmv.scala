@@ -30,10 +30,21 @@ import graft.operators.Sketches
   * counts stay answerable without re-scanning anything. */
 object StreamKmv {
 
-  /** The live folded sketch: (key, h), ≤ k rows per segment. */
+  /** The live folded sketch: (key, h), ≤ k rows per segment. The read is
+    * MANIFEST-RESOLVED ([[Generations.livePaths]]) even though the
+    * bottom-k fold is absorbing under ordinary compaction (a fold read
+    * with its sources serves the same answer): the post-deletion REBUILD
+    * ([[UnifiedIngest.rebuildSketches]] → [[Generations
+    * .replaceManifested]]) swaps in a sketch of the PURGED corpus, and
+    * absorbing-ness works against it there — folding the replaced state
+    * with its not-yet-swept sources would resurrect exactly the deleted
+    * hashes the rebuild removed. */
   def sketch(spark: SparkSession, stateDir: String,
-      k: Int = Sketches.DefaultK): DataFrame =
-    Sketches.kmvFold(Generations.read(spark, s"$stateDir/rows", "gen-"), k)
+      k: Int = Sketches.DefaultK): DataFrame = {
+    val paths = Generations.livePaths(spark, s"$stateDir/rows")
+    require(paths.nonEmpty, s"no committed 'gen-' generations under $stateDir/rows")
+    Sketches.kmvFold(paths.map(spark.read.parquet(_)).reduce(_.unionByName(_)), k)
+  }
 
   /** Serve: per-segment distinct estimates off live state alone. */
   def estimates(spark: SparkSession, stateDir: String,

@@ -184,7 +184,8 @@ object UnifiedIngest {
     * would discard rows the serve needs; callers serving multiple
     * budgets fold at the largest, or not at all — the default). */
   def compactAll(spark: SparkSession, stateDir: String,
-      budget: Option[Long] = None): Unit = {
+      budget: Option[Long] = None,
+      rebuildSketchState: Boolean = false): Unit = {
     Generations.compactFold(spark, s"$stateDir/fps",
       Retention.filter(_, s"$stateDir/fps", "doc_id"))
     StreamNearDedup.compactIndex(spark, s"$stateDir/near")
@@ -203,6 +204,35 @@ object UnifiedIngest {
     Retention.compactCorpus(spark, s"$stateDir/corpus", "doc_id")
     budget.foreach(b =>
       StreamBudget.compactState(spark, s"$stateDir/budget", b))
+    if (rebuildSketchState) rebuildSketches(spark, stateDir)
+  }
+
+  /** POST-DELETION SKETCH REBUILD — the automation for the documented
+    * rebuild-only classes ([[Retention]]'s scaladoc): a KMV sketch
+    * evicted hashes above its bottom-k cap and the histogram's per-doc
+    * provenance is gone, so a deleted document's contribution SURVIVES
+    * in their estimates until someone re-derives them — previously a
+    * by-hand operator step, now this one call. Both structures are
+    * re-derived from the purged admitted corpus (tombstones excluded)
+    * and swapped in atomically under the manifested discipline
+    * ([[Generations.replaceManifested]] — the manifest lists every live
+    * generation, so readers switch old → rebuilt in one rename and a
+    * replayed batch's rewritten generation stays excluded).
+    *
+    * Opt-in step of [[compactAll]] (`rebuildSketchState = true`) rather
+    * than always-on: the rebuild costs one corpus text-projection scan,
+    * which a deployment schedules with its deletion SLA (e.g. the daily
+    * compaction after a GDPR batch) instead of every compaction
+    * cadence. Idempotent: with no deletions since the last rebuild it
+    * re-derives the same state. */
+  def rebuildSketches(spark: SparkSession, stateDir: String): Unit = {
+    val docs = admittedDocs(spark, stateDir)
+    Generations.replaceManifested(spark, s"$stateDir/kmv/rows",
+      Sketches.kmvSketch(docs, "source", "doc_id"))
+    Generations.replaceManifested(spark, s"$stateDir/hist/rows",
+      Analytics.dailyValueHistograms(docs.select(
+        lit(HistDay).cast("timestamp").as("ts"),
+        size(TextAnalysis.tokens(col("text"))).cast("double").as("value"))))
   }
 
   /** The admitted corpus — every live committed landed batch
@@ -254,8 +284,10 @@ object UnifiedIngest {
   /** Targeted deletion across every per-doc root at once (vec_id ≡
     * doc_id): the corpus, all four gate indexes, the search index (with
     * its stats delta), codes, and vectors. The KMV and histogram sides
-    * are the documented rebuild-only classes — their tombstone is the
-    * intent record; rebuild them from the purged corpus. */
+    * are the documented rebuild-only classes — their repair is
+    * [[rebuildSketches]] (run it, or `compactAll(rebuildSketchState =
+    * true)`, after the deletion batch; until then their estimates still
+    * include the deleted docs' contribution, the documented lag). */
   def delete(spark: SparkSession, stateDir: String, requestId: String,
       ids: Seq[Long]): Unit = {
     // soft-df FIRST: its negative delta needs the deleted docs' TEXT,

@@ -245,6 +245,72 @@ class DeletionSpec extends SparkTestBase {
       "a near-copy of a deleted asset must be admitted")
   }
 
+  test("rebuild-only sketch classes: post-rebuild serves equal from-scratch on (corpus − deleted)") {
+    val docs = fixtureDocs().toMap
+    val embs = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    val ids = docs.keySet.intersect(embs.keySet).toSeq.sorted.take(24)
+    val all = ids.map(i =>
+      (i, docs(i), embs(i), if (i % 2 == 0) "even" else "odd"))
+    val (centDf, book) = Similarity.loadLandedQuantizers(spark, dir)
+    val tmp = Files.createTempDirectory("graft_del_sketch_").toString
+    val (state, ckpt) = (s"$tmp/state", s"$tmp/ckpt")
+    val input = MemoryStream[(Long, String, Array[Float], String)](
+      org.apache.spark.sql.Encoders
+        .product[(Long, String, Array[Float], String)], spark.sqlContext)
+    def runOnce(): Unit =
+      UnifiedIngest.start(
+        input.toDF().toDF("doc_id", "text", "embedding", "source"),
+        state, ckpt, centDf, book).awaitTermination()
+    Seq(all.take(12), all.drop(12)).foreach { b =>
+      input.addData(b: _*); runOnce()
+    }
+    val admitted = UnifiedIngest.admittedDocs(spark, state)
+      .select("doc_id", "text", "source")
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+
+    val ps = Seq(0.5, 0.95)
+    def histInput(d: org.apache.spark.sql.DataFrame) = d.select(
+      lit(UnifiedIngest.HistDay).cast("timestamp").as("ts"),
+      size(TextAnalysis.tokens(col("text"))).cast("double").as("value"))
+    def wantKmv(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sketches.kmvEstimates(
+        graft.operators.Sketches.kmvSketch(d, "source", "doc_id"))
+        .collect().map(_.toSeq).toSet
+    def wantHist(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Analytics.histQuantiles(
+        graft.operators.Analytics.dailyValueHistograms(histInput(d)),
+        UnifiedIngest.HistDay, UnifiedIngest.HistDay, ps)
+        .collect().map(_.toSeq).toSet
+    def gotKmv() = UnifiedIngest.kmvEstimates(spark, state)
+      .collect().map(_.toSeq).toSet
+    def gotHist() = UnifiedIngest.histQuantiles(spark, state, ps)
+      .collect().map(_.toSeq).toSet
+
+    val del = admitted.map(_._1).take(5)
+    UnifiedIngest.delete(spark, state, "gdpr-rb", del)
+    val fullDf = admitted.toDF("doc_id", "text", "source")
+    // the DOCUMENTED LAG: until the rebuild, estimates still carry the
+    // deleted docs' contribution (lossy-additive state has nothing to
+    // subtract) — that is what rebuildSketches exists to repair
+    assert(gotKmv() == wantKmv(fullDf),
+      "pre-rebuild KMV still reflects the full corpus (the documented lag)")
+
+    UnifiedIngest.compactAll(spark, state, rebuildSketchState = true)
+    val remDf = admitted.filterNot(r => del.contains(r._1))
+      .toDF("doc_id", "text", "source")
+    assert(gotKmv() == wantKmv(remDf),
+      "post-rebuild KMV estimates must equal a from-scratch sketch on (corpus − deleted)")
+    assert(gotHist() == wantHist(remDf),
+      "post-rebuild quantile serves must equal a from-scratch histogram on (corpus − deleted)")
+
+    // idempotent: a second rebuild with no new deletions re-derives the
+    // same state
+    UnifiedIngest.rebuildSketches(spark, state)
+    assert(gotKmv() == wantKmv(remDf) && gotHist() == wantHist(remDf),
+      "rebuild must be idempotent")
+  }
+
   test("hybrid state: one delete reaches the lexical, vector, and code sides") {
     val docs = fixtureDocs().toMap
     val embs = graft.sources.Tables.load(spark, dir, "embeddings")
