@@ -128,6 +128,7 @@ object SparkEntry {
     "txt_fingerprint"   -> (TextAnalysis.fingerprints _),
     "txt_quality_filter" -> (TextAnalysis.qualityFilter _),
     "txt_curation_report" -> (TextAnalysis.curationReportDocs _),
+    "txt_curation_report_steady" -> (TextAnalysis.curationReportSteadyDocs _),
     "txt_retrieval_eval" -> (TextAnalysis.retrievalEvalDocs _),
     "txt_retrieval_eval_steady" -> (TextAnalysis.retrievalEvalSteadyDocs _),
     "txt_decontam_scrub" -> (Dedup.decontamScrubDocs _),
@@ -399,7 +400,9 @@ object SparkEntry {
     "txt_retrieval_eval_steady", "txt_decontam_scrub",
     // round-12 additions: the √N-sized IVF serves (the production sizing
     // demonstrated — probed-list reads ∝ √N, vs the fixed family's ∝ N)
+    // and the curation report served off maintained per-source aggregates
     "sim_topk_ivfpq_landed_scaled", "sim_topk_refine_landed_scaled",
+    "txt_curation_report_steady",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1854,6 +1857,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = oracleBase ++ Map(
     "dedup_incr_near_steady" -> oracleBase("dedup_incr_near"),
     "dedup_incr_contain_steady" -> oracleBase("dedup_incr_contain"),
+    "txt_curation_report_steady" -> oracleBase("txt_curation_report"),
     "sim_topk_pq_steady" -> oracleBase("sim_topk_pq_trained"),
     "sim_topk_ivfpq_steady" -> oracleBase("sim_topk_ivfpq_trained"),
     "sim_topk_ivfpq_landed" -> oracleBase("sim_topk_ivfpq_trained"),

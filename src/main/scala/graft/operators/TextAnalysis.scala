@@ -2164,7 +2164,19 @@ object TextAnalysis {
     * aggregation; the corpus token total is a 1-row broadcast (the
     * adjudicated constant-side class). Every reported rate divides exact
     * integers — 6-dp rounding is display only. */
-  def curationReport(docs: DataFrame): DataFrame = {
+  def curationReport(docs: DataFrame): DataFrame =
+    curationReportTail(curationBySource(docs))
+
+  /** The |sources|-row ADDITIVE aggregate under the report — the half a
+    * maintained serve lands/folds: (source, n_docs, n_dups, tokens_sum,
+    * n_keep, g_sum, nov_sum). Every column is a sum/count, so per-batch
+    * contributions add (dup/novelty contributions add under the arrival
+    * contract — landed ids precede batch ids — via
+    * [[curationBatchRows]]'s incremental rules). `lang` is optional —
+    * the report never reads it. */
+  def curationBySource(docs0: DataFrame): DataFrame = {
+    val docs = if (docs0.columns.contains("lang")) docs0
+      else docs0.withColumn("lang", lit("und"))
     val withFp = docs.withColumn("fp", md5(col("text").cast("binary")))
     // pinned: the stats projection feeds BOTH the fingerprint-first
     // aggregate and the per-doc join — unpinned, the text scan and the
@@ -2178,17 +2190,22 @@ object TextAnalysis {
     val nov = Dedup.noveltyScores(docs, "doc_id", "text")
       .select("doc_id", "n_grams", "n_novel")
     val perDoc = stats.join(firstFp, "fp").join(nov, "doc_id")
-    // pinned: |sources| rows feeding the corpus-total aggregate AND the
-    // final select — unpinned, the whole per-doc pipeline replays for
-    // the 1-row total.
-    val bySource = perDoc.groupBy("source").agg(
+    perDoc.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(when(col("first_id") < col("doc_id"), 1L).otherwise(0L)).as("n_dups"),
       sum(col("n_tokens").cast("long")).as("tokens_sum"),
       sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
       sum(col("n_grams")).as("g_sum"),
       sum(col("n_novel")).as("nov_sum"))
-      .localCheckpoint()
+  }
+
+  /** The rate tail over any [[curationBySource]]-shaped relation —
+    * |sources| rows in, the report out. Pinned (the rows feed the 1-row
+    * corpus total AND the final select), exact-integer divisions, 6-dp
+    * display rounding. Shared by the direct report, the landed steady
+    * serve, and the unified loop's maintained serve. */
+  def curationReportTail(bySource0: DataFrame): DataFrame = {
+    val bySource = bySource0.localCheckpoint()
     val total = bySource.agg(sum("tokens_sum").as("tokens_total"))
     bySource.crossJoin(broadcast(total)).select(
       col("source"), col("n_docs"), col("n_dups"),
@@ -2201,9 +2218,97 @@ object TextAnalysis {
         .as("novel_gram_share"))
   }
 
+  /** One batch's ADDITIVE per-source contribution against accumulated
+    * state — the incremental form of [[curationBySource]] the unified
+    * loop lands per micro-batch: a doc is a DUP if its content
+    * fingerprint is already in `seenFps` (landed corpus) or held by an
+    * earlier (smaller-id) doc of the same batch; a gram is NOVEL iff
+    * absent from `seenGrams` (the maintained df relation) and the doc is
+    * its first in-batch holder (the [[graft.streaming.StreamSoftDf
+    * .noveltyArrivals]] rule). Under the arrival contract (landed ids
+    * precede batch ids), summing these contributions over batches equals
+    * [[curationBySource]] on the union — the serve ≡ batch law.
+    *
+    * Scale shape per batch: the quality/gram kernels are batch-local
+    * scan-side; the two probes join the BATCH side against the
+    * accumulated fp / gram-presence relations — the same per-batch cost
+    * class as the exact gate's fp anti-join and the soft-df weight
+    * serve. Text never shuffles. */
+  def curationBatchRows(batch: DataFrame, seenFps: DataFrame,
+      seenGrams: DataFrame, n: Int = 3): DataFrame = {
+    val stats = qualityStatsOf(batch
+      .withColumn("lang", lit("und"))
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .select("doc_id", "lang", "source", "fp", "text"))
+      .withColumn("keep", qualityKeep)
+      .localCheckpoint()
+    val batchFirstFp = stats.groupBy("fp").agg(min("doc_id").as("first_id"))
+    val seenFp = seenFps.select(col("fp")).distinct().withColumn("fseen", lit(1))
+    val withDup = stats.join(batchFirstFp, "fp")
+      .join(seenFp, Seq("fp"), "left_outer")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("keep"),
+        (col("fseen").isNotNull || col("first_id") < col("doc_id")).as("is_dup"))
+    val ex = batch.select(col("doc_id"),
+      explode(array_distinct(Dedup.shingleHashes(col("text"), n))).as("gh"))
+    val bfirst = ex.groupBy("gh").agg(min("doc_id").as("bfirst"))
+    val seenGh = seenGrams.select(col("gh")).withColumn("gseen", lit(1))
+    val nov = ex.join(bfirst, "gh")
+      .join(seenGh, Seq("gh"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gseen").isNull && col("bfirst") === col("doc_id"), 1L)
+          .otherwise(0L)).as("n_novel"))
+    withDup.join(nov, Seq("doc_id"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"),
+        sum(col("n_tokens").cast("long")).as("tokens_sum"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(col("n_grams")).as("g_sum"),
+        sum(col("n_novel")).as("nov_sum"))
+  }
+
+  /** Catalog prefix for the landed per-source curation stats of a corpus
+    * dir (the MD5 collision rationale shared with
+    * [[graft.operators.Dedup.softDfPrefix]]). */
+  def curationPrefix(dir: String): String = {
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    s"curation_steady_$suffix"
+  }
+
+  /** Land the |sources|-row additive aggregate as a catalog table — the
+    * corpus scan paid ONCE per (immutable) corpus dir. */
+  def landCurationStats(corpus: DataFrame, prefix: String,
+      path: String): Unit =
+    curationBySource(corpus)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .option("path", s"$path/src_stats").saveAsTable(s"${prefix}_src_stats")
+
   /** CORRECTNESS instantiation over the planted report corpus. */
   def curationReportDocs(spark: SparkSession, dir: String): DataFrame =
     curationReport(curationCorpus(spark, dir))
+
+  /** STEADY-STATE [[curationReportDocs]] — the report served off the
+    * MAINTAINED additive per-source aggregates instead of a per-request
+    * corpus rescan (the round-11 observation: the direct report is one
+    * text-projection pass, linear in the corpus — 3.2 s at sf1, a
+    * non-answer for a daily dashboard at 100 TB): the |sources|-row
+    * stats land once per corpus dir, every serve is the
+    * [[curationReportTail]] fold over |sources| rows — metadata-scale,
+    * corpus-size-independent. Same answer, same oracle as the direct
+    * entry (landed ≡ direct law); the streaming maintenance of the same
+    * relation lives in [[graft.streaming.UnifiedIngest]]'s curation
+    * generations. */
+  def curationReportSteadyDocs(spark: SparkSession, dir: String): DataFrame = {
+    val prefix = curationPrefix(dir)
+    if (!spark.catalog.tableExists(s"${prefix}_src_stats")) {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_curation_steady_").toString
+      landCurationStats(curationCorpus(spark, dir), prefix, path)
+    }
+    curationReportTail(spark.table(s"${prefix}_src_stats"))
+  }
 
   // --------------------------------------------------------------------
   // Retrieval evaluation — recall@k / MRR / nDCG@k for the lexical serve

@@ -32,9 +32,13 @@ object StreamSoftDf {
     * (manifest-resolved; per-gram rows may be split across generations
     * until the next fold — consumers sum, as the serve does). Grams whose
     * summed df reached 0 (every containing doc deleted) are excluded:
-    * absent ≡ df 0, exactly the rebuild-on-remaining relation. */
-  def dfRows(spark: SparkSession, stateDir: String): DataFrame =
-    liveRows(spark, stateDir).groupBy("gh").agg(sum("df").as("df"))
+    * absent ≡ df 0, exactly the rebuild-on-remaining relation.
+    * `exclude` drops named generations — a replayed batch reading
+    * "state before me" excludes its OWN generation, the gate families'
+    * rule. */
+  def dfRows(spark: SparkSession, stateDir: String,
+      exclude: Set[String] = Set.empty): DataFrame =
+    liveRows(spark, stateDir, exclude).groupBy("gh").agg(sum("df").as("df"))
       .filter(col("df") > 0)
 
   /** Serve: soft-dedup weights for `docs` against the maintained corpus
@@ -46,8 +50,10 @@ object StreamSoftDf {
     Dedup.softWeightsFromDf(ex, dfRows(spark, stateDir))
   }
 
-  private def liveRows(spark: SparkSession, stateDir: String): DataFrame = {
-    val paths = Generations.livePaths(spark, s"$stateDir/rows")
+  private def liveRows(spark: SparkSession, stateDir: String,
+      exclude: Set[String] = Set.empty): DataFrame = {
+    val paths = Generations.live(spark, s"$stateDir/rows")
+      .filterNot(exclude).map(g => s"$stateDir/rows/$g")
     require(paths.nonEmpty, s"no committed 'gen-' generations under $stateDir/rows")
     paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
   }

@@ -166,6 +166,21 @@ object UnifiedIngest {
           .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/budget/rows/$own")
         StreamSoftDf.dfBatchRows(landed)
           .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/softdf/rows/$own")
+        // additive per-source curation stats — dup probe against the
+        // accumulated fp index, novelty probe against the accumulated
+        // gram-df relation, both EXCLUDING this batch's own generation
+        // by name (the replay rule: "state before me")
+        val dfGens = Generations.live(spark, s"$stateDir/softdf/rows")
+          .filterNot(_ == own)
+        val seenGrams =
+          if (dfGens.isEmpty) landed.limit(0).select(lit(0L).as("gh"))
+          else StreamSoftDf.dfRows(spark, s"$stateDir/softdf",
+            exclude = Set(own))
+        TextAnalysis.curationBatchRows(landed,
+            Retention.filter(fps, s"$stateDir/fps", "doc_id").select("fp"),
+            seenGrams)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$stateDir/curation/rows/$own")
         }
 
         if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
@@ -198,6 +213,11 @@ object UnifiedIngest {
     StreamKmv.compactState(spark, s"$stateDir/kmv")
     StreamHist.compactState(spark, s"$stateDir/hist")
     StreamSoftDf.compactState(spark, s"$stateDir/softdf")
+    Generations.compactManifested(spark, s"$stateDir/curation/rows",
+      _.groupBy("source").agg(
+        sum("n_docs").as("n_docs"), sum("n_dups").as("n_dups"),
+        sum("tokens_sum").as("tokens_sum"), sum("n_keep").as("n_keep"),
+        sum("g_sum").as("g_sum"), sum("nov_sum").as("nov_sum")))
     // the landed corpus itself: deleted docs' text/embeddings stop
     // existing on disk (Retention's physical-purge half for the root
     // every derived index regrows from)
@@ -233,6 +253,12 @@ object UnifiedIngest {
       Analytics.dailyValueHistograms(docs.select(
         lit(HistDay).cast("timestamp").as("ts"),
         size(TextAnalysis.tokens(col("text"))).cast("double").as("value"))))
+    // the per-source curation aggregates are rebuild-only too (per-doc
+    // provenance is summed away); re-derive with the batch operator's
+    // id-order novelty — ≡ the arrival-order accumulation under the
+    // arrival contract the serve law already requires
+    Generations.replaceManifested(spark, s"$stateDir/curation/rows",
+      TextAnalysis.curationBySource(docs))
   }
 
   /** The admitted corpus — every live committed landed batch
@@ -274,6 +300,26 @@ object UnifiedIngest {
   def budgetKept(spark: SparkSession, stateDir: String,
       budget: Long): DataFrame =
     StreamBudget.kept(spark, s"$stateDir/budget", budget)
+
+  /** Serve: the per-source curation report off the MAINTAINED additive
+    * stats — the round-11 observation retired: the direct report rescans
+    * the corpus per invocation (one text-projection pass, linear), while
+    * this serve folds |sources|-row generations and never touches text.
+    * Equals [[graft.operators.TextAnalysis.curationReport]] on the
+    * admitted union under the arrival contract (the serve ≡ batch law,
+    * UnifiedIngestSpec). After deletions, serve the rebuilt state
+    * ([[rebuildSketches]] — this side is rebuild-only, like KMV). */
+  def curationReport(spark: SparkSession, stateDir: String): DataFrame = {
+    val paths = Generations.livePaths(spark, s"$stateDir/curation/rows")
+    require(paths.nonEmpty,
+      s"no committed 'gen-' generations under $stateDir/curation/rows")
+    TextAnalysis.curationReportTail(
+      paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+        .groupBy("source").agg(
+          sum("n_docs").as("n_docs"), sum("n_dups").as("n_dups"),
+          sum("tokens_sum").as("tokens_sum"), sum("n_keep").as("n_keep"),
+          sum("g_sum").as("g_sum"), sum("nov_sum").as("nov_sum")))
+  }
 
   /** Serve: soft-dedup sampling weights for the admitted corpus off the
     * maintained gram-df state ([[StreamSoftDf]]). */

@@ -205,4 +205,64 @@ class UnifiedIngestSpec extends SparkTestBase {
       .as[(Long, Long, Double, Double)].collect().toSet ==
       wantSoft(remaining), "soft-dedup weights after deletion replay")
   }
+
+  test("curation serve equals the batch report on the admitted union (arrival contract)") {
+    // ID-ORDERED batches — the arrival contract (landed ids precede
+    // batch ids) the incremental dup/novelty rules' additivity needs;
+    // the main test's %3 interleave deliberately violates it, so the
+    // curation law gets its own drive. One batch carries a verbatim
+    // re-arrival (dropped by the exact gate — the maintained report
+    // counts ADMITTED docs, so the serve ≡ batch law is over the
+    // admitted union, where fp-dups are structurally 0).
+    val rows = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text", "source")
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    val embs = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    val base: Seq[Arrival] = rows.collect {
+      case (id, text, src) if embs.contains(id) => (id, text, embs(id), src)
+    }.take(30)
+    val (centroids, book) = Similarity.loadLandedQuantizers(spark, dir)
+    val dup = (base.head._1 + 1000000L, base.head._2,
+      base.head._3, base.head._4) // verbatim re-arrival, higher id
+    val batches = Seq(base.take(10), base.slice(10, 20),
+      base.drop(20) :+ dup)
+
+    val tmp = Files.createTempDirectory("graft_unified_cur_").toString
+    val (state, ckpt) = (s"$tmp/state", s"$tmp/ckpt")
+    val input = MemoryStream[Arrival](
+      org.apache.spark.sql.Encoders.product[Arrival], spark.sqlContext)
+    def runOnce(): Unit =
+      UnifiedIngest.start(
+        input.toDF().toDF("doc_id", "text", "embedding", "source"),
+        state, ckpt, centroids, book, compactEvery = 2).awaitTermination()
+    batches.foreach { b => input.addData(b: _*); runOnce() }
+
+    val admitted = UnifiedIngest.admittedDocs(spark, state)
+      .select("doc_id", "text", "source")
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    assert(!admitted.map(_._1).contains(dup._1), "exact gate drops the dup")
+    def want(d: Seq[(Long, String, String)]) =
+      TextAnalysis.curationReport(d.toDF("doc_id", "text", "source"))
+        .collect().map(_.toSeq).toSet
+    assert(UnifiedIngest.curationReport(spark, state)
+      .collect().map(_.toSeq).toSet == want(admitted),
+      "curation serve must equal the batch report on the admitted union")
+
+    // another compaction cycle folds the per-source generations; law holds
+    UnifiedIngest.compactAll(spark, state)
+    assert(UnifiedIngest.curationReport(spark, state)
+      .collect().map(_.toSeq).toSet == want(admitted),
+      "curation serve must survive compaction")
+
+    // deletion: the side is rebuild-only — after the rebuild the serve
+    // equals the batch report on (admitted − deleted)
+    val del = admitted.map(_._1).take(3)
+    UnifiedIngest.delete(spark, state, "gdpr-cur", del)
+    UnifiedIngest.compactAll(spark, state, rebuildSketchState = true)
+    assert(UnifiedIngest.curationReport(spark, state)
+      .collect().map(_.toSeq).toSet ==
+      want(admitted.filterNot(r => del.contains(r._1))),
+      "post-rebuild curation serve must equal the report on (admitted − deleted)")
+  }
 }
