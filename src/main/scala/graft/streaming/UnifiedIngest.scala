@@ -21,7 +21,11 @@ import graft.operators.{Analytics, Dedup, Multimodal, Similarity, Sketches, Text
   *  4. **semantic gate** — fixed-cell cosine probe against the
   *     accumulated assignment index
   *     ([[Dedup.incrementalSemanticNewAssigned]], the caller's FIXED
-  *     trained cells);
+  *     trained cells); plus, when the stream carries a binary payload
+  *     column (`mediaCol`), the **perceptual media gate**
+  *     ([[Multimodal.incrementalMediaNew]] against the accumulated
+  *     signature index — the [[StreamMedia]] lifecycle folded into the
+  *     same DAG);
   *  5. the ADMITTED survivors land as `corpus/batch-<id>`, and every
   *     piece of derived state regrows FROM THE LANDED BYTES (so a
   *     replayed batch re-derives byte-identical generations): the four
@@ -76,12 +80,22 @@ object UnifiedIngest {
   /** Start the unified loop over `docs` — a streaming DataFrame carrying
     * `doc_id`, `text`, `embedding`, `source` — under `stateDir`, with
     * the caller's FIXED trained quantizers (the [[StreamIvfPq]] /
-    * [[StreamSemantic]] comparability contract). */
+    * [[StreamSemantic]] comparability contract).
+    *
+    * `mediaCol` names an OPTIONAL binary payload column: when present, a
+    * FIFTH gate — the perceptual media arrival gate
+    * ([[Multimodal.incrementalMediaNew]] against the accumulated
+    * signature index at `stateDir/media`) — runs after the semantic
+    * gate, and the loop additionally regrows the 32-byte-per-asset
+    * signature index from the landed bytes (the [[StreamMedia]]
+    * lifecycle folded into the one DAG). Absent ⇒ identity: the
+    * text-only composition is unchanged. */
   def start(docs: DataFrame, stateDir: String, checkpoint: String,
       centroids: DataFrame, book: Seq[(Int, Int, Array[Double])],
       tau: Double = 0.999, m: Int = 8, subDim: Int = 8,
       trigger: Trigger = Trigger.AvailableNow(),
-      compactEvery: Int = 0): StreamingQuery =
+      compactEvery: Int = 0,
+      mediaCol: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -128,8 +142,21 @@ object UnifiedIngest {
           semIdx.select(col("cell_id"), col("embedding").as("m_emb")),
           b3.select(col("doc_id").as("vec_id"), col("embedding")),
           centroids, tau)
-        val admitted = b3.join(
+        val b4 = b3.join(
           keptIds.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+
+        // 4b. media gate (only when the stream carries a payload column):
+        // drop arrivals whose payload is a perceptual near-copy of
+        // anything landed, or of a smaller-id fellow arrival
+        val admitted = mediaCol match {
+          case None => b4
+          case Some(pc) =>
+            val mIdx = StreamMedia.currentIndex(spark, s"$stateDir/media",
+              template = Multimodal.buildMediaSigIndex(
+                batch.limit(0), "doc_id", pc),
+              exclude = Set(own))
+            Multimodal.incrementalMediaNew(mIdx, b4, "doc_id", pc)
+        }
 
         // 5. land, then regrow all derived state from the landed bytes.
         // An all-dropped batch lands its (empty, still readable —
@@ -181,6 +208,13 @@ object UnifiedIngest {
             seenGrams)
           .write.mode(SaveMode.Overwrite)
           .parquet(s"$stateDir/curation/rows/$own")
+        // media signature index generation — derived from the landed
+        // bytes (a replayed batch re-derives byte-identically), 32 bytes
+        // per asset, payloads never enter the index
+        mediaCol.foreach { pc =>
+          Multimodal.buildMediaSigIndex(landed, "doc_id", pc)
+            .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/media/$own")
+        }
         }
 
         if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
@@ -206,6 +240,7 @@ object UnifiedIngest {
     StreamNearDedup.compactIndex(spark, s"$stateDir/near")
     StreamNearDedup.compactIndex(spark, s"$stateDir/contain")
     StreamSemantic.compactIndex(spark, s"$stateDir/sem")
+    StreamMedia.compactIndex(spark, s"$stateDir/media") // no-op when text-only
     StreamSearchIndex.compactIndex(spark, s"$stateDir/search")
     StreamIvfPq.compactIndex(spark, s"$stateDir/codes")
     Generations.compactManifested(spark, s"$stateDir/vecs",
@@ -301,6 +336,15 @@ object UnifiedIngest {
       budget: Long): DataFrame =
     StreamBudget.kept(spark, s"$stateDir/budget", budget)
 
+  /** Serve: the accumulated media signature index — the probe side of
+    * the perceptual gate (32 bytes per admitted asset), tombstoned
+    * assets excluded. Fails fast when the loop never ran with a media
+    * column. */
+  def mediaSignatures(spark: SparkSession, stateDir: String): DataFrame =
+    StreamMedia.currentIndex(spark, s"$stateDir/media",
+      template = throw new IllegalStateException(
+        s"no committed media generation under $stateDir/media"))
+
   /** Serve: the per-source curation report off the MAINTAINED additive
     * stats — the round-11 observation retired: the direct report rescans
     * the corpus per invocation (one text-projection pass, linear), while
@@ -359,6 +403,9 @@ object UnifiedIngest {
     Retention.tombstone(spark, s"$stateDir/near", requestId, ids)
     Retention.tombstone(spark, s"$stateDir/contain", requestId, ids)
     Retention.tombstone(spark, s"$stateDir/sem", requestId, ids)
+    // media signatures (media_id ≡ doc_id); harmless intent record when
+    // the loop runs text-only
+    Retention.tombstone(spark, s"$stateDir/media", requestId, ids)
     StreamSearchIndex.delete(spark, s"$stateDir/search", requestId, ids)
     StreamIvfPq.delete(spark, s"$stateDir/codes", requestId, ids)
     Retention.tombstone(spark, stateDir, requestId, ids) // vecs

@@ -20,6 +20,7 @@ class UnifiedIngestSpec extends SparkTestBase {
   private val dir = "/root/testdata/sf0.001"
 
   type Arrival = (Long, String, Array[Float], String)
+  type MArrival = (Long, String, Array[Float], String, Array[Byte])
 
   test("every family's serve equals its batch operator on the admitted union") {
     val rows = graft.sources.Tables.load(spark, dir, "documents")
@@ -204,6 +205,75 @@ class UnifiedIngestSpec extends SparkTestBase {
     assert(UnifiedIngest.softWeights(spark, state)
       .as[(Long, Long, Double, Double)].collect().toSet ==
       wantSoft(remaining), "soft-dedup weights after deletion replay")
+  }
+
+  test("media leg: the payload gate drops perceptual near-copies cross-batch, serves and deletes with the rest") {
+    import graft.operators.Multimodal
+    val rows = graft.sources.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text", "source")
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    val embs = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    val base: Seq[MArrival] = rows.collect {
+      case (id, text, src) if embs.contains(id) =>
+        (id, text, embs(id), src, text.getBytes("UTF-8"))
+    }.take(20)
+    val b0 = base.take(10)
+    // a PAYLOAD near-copy of a batch-0 asset whose text/embedding are
+    // fresh (so every text gate passes — only the media gate can catch
+    // it), plus a fully fresh asset as the control
+    val spare = rows.collect { case (id, _, _) if embs.contains(id) => id }
+      .filterNot(base.map(_._1).toSet).take(2)
+    val nearCopy: MArrival = (9000001L,
+      "a fresh never seen sentence about perceptual payload copies",
+      embs(spare(0)), "planted",
+      b0.head._5 ++ " graftdup".getBytes("UTF-8"))
+    val fresh: MArrival = (9000002L,
+      "another fresh sentence with entirely new payload bytes",
+      embs(spare(1)), "planted",
+      "totally unrelated payload bytes that hash far away".getBytes("UTF-8"))
+    val batches = Seq(b0, base.drop(10) ++ Seq(nearCopy, fresh))
+
+    val (centroids, book) = Similarity.loadLandedQuantizers(spark, dir)
+    val tmp = Files.createTempDirectory("graft_unified_media_").toString
+    val (state, ckpt) = (s"$tmp/state", s"$tmp/ckpt")
+    val input = MemoryStream[MArrival](
+      org.apache.spark.sql.Encoders.product[MArrival], spark.sqlContext)
+    def runOnce(): Unit =
+      UnifiedIngest.start(
+        input.toDF().toDF("doc_id", "text", "embedding", "source", "payload"),
+        state, ckpt, centroids, book, compactEvery = 2,
+        mediaCol = Some("payload")).awaitTermination()
+    batches.foreach { b => input.addData(b: _*); runOnce() }
+
+    val admitted = UnifiedIngest.admittedDocs(spark, state)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!admitted.contains(nearCopy._1),
+      "the cross-batch payload near-copy must be dropped by the media gate")
+    assert(admitted.contains(fresh._1), "the fresh payload must be admitted")
+
+    // media serve ≡ the batch signature index on the admitted union
+    val admDf = UnifiedIngest.admittedDocs(spark, state)
+    def sigSet(d: org.apache.spark.sql.DataFrame) =
+      Multimodal.buildMediaSigIndex(d, "doc_id", "payload")
+        .as[(Long, Array[Long])].collect().map(t => (t._1, t._2.toSeq)).toSet
+    assert(UnifiedIngest.mediaSignatures(spark, state)
+      .as[(Long, Array[Long])].collect().map(t => (t._1, t._2.toSeq)).toSet ==
+      sigSet(admDf),
+      "media signature serve must equal the batch index on the admitted union")
+
+    // one deletion reaches the media side: a near-copy of the DELETED
+    // asset's payload must be admitted afterwards
+    UnifiedIngest.delete(spark, state, "gdpr-m", Seq(b0.head._1))
+    val reCopy: MArrival = (9000003L,
+      "yet another fresh sentence for the re-arrival probe",
+      embs(b0.head._1), "planted",
+      b0.head._5 ++ " graftdup".getBytes("UTF-8"))
+    input.addData(reCopy); runOnce()
+    val admitted2 = UnifiedIngest.admittedDocs(spark, state)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted2.contains(reCopy._1),
+      "a near-copy of a deleted asset's payload must be admitted")
   }
 
   test("curation serve equals the batch report on the admitted union (arrival contract)") {
