@@ -651,34 +651,47 @@ object Bench {
       try {
         import org.apache.spark.sql.functions.col
         val tmp = Files.createTempDirectory("graft_unified_bench_").toString
+        // the FULL five-gate composition: the payload column engages the
+        // perceptual media gate + signature-index regrow (round 12)
         val rows = spark.read.parquet(s"$sfDir/documents.parquet")
           .select("doc_id", "text", "source")
           .join(spark.read.parquet(s"$sfDir/embeddings.parquet")
             .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
-          .select("doc_id", "text", "embedding", "source")
+          .select(col("doc_id"), col("text"), col("embedding"), col("source"),
+            col("text").cast("binary").as("payload"))
         val rowsIn = rows.count()
-        Files.createDirectory(Paths.get(s"$tmp/in"))
         def stagedFile(stage: String): java.nio.file.Path = {
           val st = Files.list(Paths.get(stage))
           try st.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
           finally st.close()
         }
-        (0 until 4).foreach { i =>
-          rows.filter(col("doc_id") % 4 === i)
-            .coalesce(1).write.parquet(s"$tmp/stage$i")
-          Files.move(stagedFile(s"$tmp/stage$i"), Paths.get(s"$tmp/in/f$i.parquet"))
-        }
         val (centDf, book) =
           graft.operators.Similarity.loadLandedQuantizers(spark, sfDir)
-        val stream = spark.readStream.schema(rows.schema)
-          .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
-        val t0 = System.nanoTime()
-        graft.streaming.UnifiedIngest.start(
-          stream, s"$tmp/state", s"$tmp/ckpt", centDf, book,
-          compactEvery = 2).awaitTermination()
-        val wallGrow = (System.nanoTime() - t0) / 1e9
+        // drive the same corpus in at a given batch size (nFiles batches
+        // of rowsIn/nFiles) — the batch-size economics dial: per-batch
+        // cost is dozens of bounded jobs, so rows/s should grow with
+        // batch size until data cost dominates the job floor
+        def grow(nFiles: Int, sub: String): Double = {
+          Files.createDirectory(Paths.get(s"$tmp/$sub-in"))
+          (0 until nFiles).foreach { i =>
+            rows.filter(col("doc_id") % nFiles === i)
+              .coalesce(1).write.parquet(s"$tmp/$sub-stage$i")
+            Files.move(stagedFile(s"$tmp/$sub-stage$i"),
+              Paths.get(s"$tmp/$sub-in/f$i.parquet"))
+          }
+          val stream = spark.readStream.schema(rows.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$tmp/$sub-in")
+          val t0 = System.nanoTime()
+          graft.streaming.UnifiedIngest.start(
+            stream, s"$tmp/$sub-state", s"$tmp/$sub-ckpt", centDf, book,
+            compactEvery = 2, mediaCol = Some("payload")).awaitTermination()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val wallGrow = grow(4, "b4")   // the round-over-round comparable drive
+        val wallGrow2 = grow(2, "b2")  // 2× batch size, same corpus
+        val state = s"$tmp/b4-state"
         val admitted = graft.streaming.UnifiedIngest
-          .admittedDocs(spark, s"$tmp/state").count()
+          .admittedDocs(spark, state).count()
         def med3(f: => Unit): Double = {
           val ts = (1 to 3).map { _ =>
             val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
@@ -686,7 +699,7 @@ object Bench {
           ts.sorted.apply(1)
         }
         val sBm25 = med3 {
-          graft.streaming.UnifiedIngest.search(spark, s"$tmp/state",
+          graft.streaming.UnifiedIngest.search(spark, state,
               graft.operators.TextAnalysis.searchQuery)
             .write.format("noop").mode("overwrite").save()
         }
@@ -694,33 +707,47 @@ object Bench {
           .filter(col("vec_id") === 0L)
           .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
         val sAnn = med3 {
-          graft.streaming.UnifiedIngest.searchAnn(spark, s"$tmp/state",
+          graft.streaming.UnifiedIngest.searchAnn(spark, state,
               queries, centDf, book)
             .write.format("noop").mode("overwrite").save()
         }
         val sKmv = med3 {
-          graft.streaming.UnifiedIngest.kmvEstimates(spark, s"$tmp/state")
+          graft.streaming.UnifiedIngest.kmvEstimates(spark, state)
             .write.format("noop").mode("overwrite").save()
         }
         val sHist = med3 {
-          graft.streaming.UnifiedIngest.histQuantiles(spark, s"$tmp/state",
+          graft.streaming.UnifiedIngest.histQuantiles(spark, state,
               Seq(0.5, 0.95, 0.99))
             .write.format("noop").mode("overwrite").save()
         }
         val sBudget = med3 {
-          graft.streaming.UnifiedIngest.budgetKept(spark, s"$tmp/state",
+          graft.streaming.UnifiedIngest.budgetKept(spark, state,
               budget = 1000L)
             .write.format("noop").mode("overwrite").save()
         }
         val sSoft = med3 {
-          graft.streaming.UnifiedIngest.softWeights(spark, s"$tmp/state")
+          graft.streaming.UnifiedIngest.softWeights(spark, state)
+            .write.format("noop").mode("overwrite").save()
+        }
+        // |sources|-row fold — the round-12 served report (0.1 s class)
+        val sCuration = med3 {
+          graft.streaming.UnifiedIngest.curationReport(spark, state)
+            .write.format("noop").mode("overwrite").save()
+        }
+        // the media probe side: signature-index read (32 B/asset)
+        val sMedia = med3 {
+          graft.streaming.UnifiedIngest.mediaSignatures(spark, state)
             .write.format("noop").mode("overwrite").save()
         }
         Some(s"""{"op":"unified_ingest","rows_in":$rowsIn,"batches":4,""" +
           s""""admitted":$admitted,"grow_wall_sec":${fnum(wallGrow)},""" +
+          s""""grow_rows_per_sec":${fnum(rowsIn / wallGrow)},""" +
+          s""""grow2x_batches":2,"grow2x_wall_sec":${fnum(wallGrow2)},""" +
+          s""""grow2x_rows_per_sec":${fnum(rowsIn / wallGrow2)},""" +
           s""""serve_bm25_sec":${fnum(sBm25)},"serve_ann_sec":${fnum(sAnn)},""" +
           s""""serve_kmv_sec":${fnum(sKmv)},"serve_hist_sec":${fnum(sHist)},""" +
-          s""""serve_budget_sec":${fnum(sBudget)},"serve_soft_sec":${fnum(sSoft)}}""")
+          s""""serve_budget_sec":${fnum(sBudget)},"serve_soft_sec":${fnum(sSoft)},""" +
+          s""""serve_curation_sec":${fnum(sCuration)},"serve_media_sec":${fnum(sMedia)}}""")
       } catch {
         case e: Throwable =>
           errors += s"unified: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
