@@ -92,6 +92,7 @@ object SparkEntry {
     "sim_topk_ivfpq_landed" -> ((s, d) => Similarity.topKPqIvfLanded(s, d)),
     "sim_topk_ivfpq_landed_scaled" -> ((s, d) => Similarity.topKPqIvfLandedScaled(s, d)),
     "sim_topk_refine_landed_scaled" -> ((s, d) => Similarity.topKPqIvfRefinedLandedScaled(s, d)),
+    "sim_topk_ivfpq_reshard" -> ((s, d) => graft.streaming.StreamIvfPq.reshardedDocs(s, d)),
     "sim_kmeans_assign" -> (Similarity.kmeansAssignments _),
     "sim_ann_recall"    -> ((s, d) => Similarity.annRecall(s, d)),
     "sim_ann_recall_refined" -> ((s, d) => Similarity.annRecallRefined(s, d)),
@@ -403,6 +404,9 @@ object SparkEntry {
     // and the curation report served off maintained per-source aggregates
     "sim_topk_ivfpq_landed_scaled", "sim_topk_refine_landed_scaled",
     "txt_curation_report_steady",
+    // the streamed store's re-shard life cycle: built under fixed cells,
+    // re-sized to √N at maintenance, served off the sidecar centroids
+    "sim_topk_ivfpq_reshard",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1867,6 +1871,10 @@ object SparkEntry {
     "sim_topk_ivfpq_landed_scaled" -> ivfPqScaledOracleSql(),
     "sim_topk_refine_landed_scaled" ->
       refineOracleSql(ivfPqScaledOracleSql(k = 20)),
+    // the re-sharded streamed store serves the SAME answer as the batch
+    // √N-sized operator (the store's fixed-cell history is invisible
+    // post-re-shard — that is the law the entry demonstrates)
+    "sim_topk_ivfpq_reshard" -> ivfPqScaledOracleSql(),
     "sim_kmeans_assign_steady" -> oracleBase("sim_kmeans_assign"),
     "sim_cluster_sample_steady" -> oracleBase("sim_cluster_sample"),
     "txt_bpe_apply_steady" -> oracleBase("txt_bpe_apply"),

@@ -153,9 +153,10 @@ private[streaming] object Generations {
     * folds land as `<prefix>compact-<epoch>`. */
   def compactManifested(spark: SparkSession, dir: String,
       fold: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
-      partitionCols: Seq[String] = Nil, prefix: String = "gen-"): Unit =
+      partitionCols: Seq[String] = Nil, prefix: String = "gen-",
+      decorate: Path => Unit = _ => ()): Unit =
     foldManifested(spark, dir, fold, partitionCols, prefix,
-      includeNewest = false, minSources = 2)
+      includeNewest = false, minSources = 2, decorate)
 
   /** REPLACE the live state under `dir` with `rebuilt` — the compaction
     * of the REBUILD-ONLY deletion classes ([[Retention]]'s KMV/histogram
@@ -172,14 +173,25 @@ private[streaming] object Generations {
     * atomic rename every manifested fold commits through. */
   def replaceManifested(spark: SparkSession, dir: String,
       rebuilt: => org.apache.spark.sql.DataFrame,
-      partitionCols: Seq[String] = Nil, prefix: String = "gen-"): Unit =
+      partitionCols: Seq[String] = Nil, prefix: String = "gen-",
+      decorate: Path => Unit = _ => ()): Unit =
     foldManifested(spark, dir, _ => rebuilt, partitionCols, prefix,
-      includeNewest = true, minSources = 1)
+      includeNewest = true, minSources = 1, decorate)
 
+  /** `decorate` runs against the STILL-INVISIBLE `tmp-` fold directory
+    * after the parquet write and before the manifest + rename — the hook
+    * that lets a fold carry an underscore-prefixed SIDECAR (hidden from
+    * the generation's own parquet scan, like `_sources.txt`) which
+    * publishes atomically WITH the folded rows: [[StreamIvfPq]] stores
+    * the quantizer centroids a re-shard retrains this way, because codes
+    * and the centroids that assigned their cells are only correct
+    * together — two separate commits would open a window where a serve
+    * probes new cells against old assignments (or vice versa). */
   private def foldManifested(spark: SparkSession, dir: String,
       fold: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
       partitionCols: Seq[String], prefix: String,
-      includeNewest: Boolean, minSources: Int): Unit = {
+      includeNewest: Boolean, minSources: Int,
+      decorate: Path => Unit = _ => ()): Unit = {
     val f = fs(spark, dir)
     val compactPrefix = s"${prefix}compact-"
     // sweep invisible tmp leftovers from crashed folds
@@ -210,6 +222,7 @@ private[streaming] object Generations {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(tmp)
+      decorate(new Path(tmp))
       val out = f.create(new Path(s"$tmp/_sources.txt"), true)
       try out.write(sources.mkString("\n").getBytes("UTF-8"))
       finally out.close()

@@ -70,12 +70,10 @@ object StreamHybrid {
           .select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
         vecs.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/vecs/gen-$id")
         quantizers.foreach { case (centroids, book) =>
-          // empty batch: skip (a zero-row partitionBy write lands no
-          // schema-bearing file — the StreamIvfPq rule)
-          if (!vecs.isEmpty)
-            Similarity.ivfPqIndexRows(vecs, m, subDim, centroids, book)
-              .write.mode(SaveMode.Overwrite).partitionBy("cell_id")
-              .parquet(s"$stateDir/codes/gen-$id")
+          // shared per-batch body — resolves a re-shard's sidecar
+          // centroids and skips empty batches (the StreamIvfPq rules)
+          StreamIvfPq.indexBatch(vecs, s"$stateDir/codes", id,
+            centroids, book, m, subDim)
         }
         if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
           compactState(spark, stateDir)
@@ -166,13 +164,17 @@ object StreamHybrid {
     val emb = liveVectors(spark, stateDir)
     val queries = emb.filter(col("vec_id") === queryVecId)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val probes = Similarity.collectProbes(queries, centroids, nprobe)
+    // resolve a re-shard's sidecar centroids (falls back to the caller's
+    // fixed quantizers) so probes match the codes' cell assignment
+    val cent = StreamIvfPq.currentCentroids(spark, s"$stateDir/codes",
+      centroids)
+    val probes = Similarity.collectProbes(queries, cent, nprobe)
     val index = StreamIvfPq.currentIndex(spark, s"$stateDir/codes",
       template = throw new IllegalStateException(
         s"no committed code generation under $stateDir/codes"),
       cells = Some(probes.map(_._2).distinct.sorted))
     val dense = Similarity.refinedSearchIndex(emb, index, queries, depth,
-        r, nprobe, m, subDim, centroids, book, probesPre = Some(probes))
+        r, nprobe, m, subDim, cent, book, probesPre = Some(probes))
       .select(col("vec_id").as("doc_id"), col("score"))
     TextAnalysis.rrfFuse(lex, dense, k, k0)
   }

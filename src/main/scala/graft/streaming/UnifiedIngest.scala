@@ -179,9 +179,11 @@ object UnifiedIngest {
           .select(col("vec_id"), col("cell_id"), col("embedding"))
           .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/sem/$own")
         StreamSearchIndex.indexBatch(landed, s"$stateDir/search", id)
-        Similarity.ivfPqIndexRows(vecs, m, subDim, centroids, book)
-          .write.mode(SaveMode.Overwrite).partitionBy("cell_id")
-          .parquet(s"$stateDir/codes/$own")
+        // shared per-batch encode — resolves an ANN re-shard's sidecar
+        // centroids ([[StreamIvfPq.currentCentroids]]), so batches after
+        // a compactAll(reshardAnn) encode at the re-sized cells
+        StreamIvfPq.indexBatch(vecs, s"$stateDir/codes", id,
+          centroids, book, m, subDim)
         vecs.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/vecs/$own")
         Sketches.kmvSketch(landed, "source", "doc_id")
           .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/kmv/rows/$own")
@@ -234,7 +236,8 @@ object UnifiedIngest {
     * budgets fold at the largest, or not at all — the default). */
   def compactAll(spark: SparkSession, stateDir: String,
       budget: Option[Long] = None,
-      rebuildSketchState: Boolean = false): Unit = {
+      rebuildSketchState: Boolean = false,
+      reshardAnn: Option[Seq[(Int, Int, Array[Double])]] = None): Unit = {
     Generations.compactFold(spark, s"$stateDir/fps",
       Retention.filter(_, s"$stateDir/fps", "doc_id"))
     StreamNearDedup.compactIndex(spark, s"$stateDir/near")
@@ -260,6 +263,25 @@ object UnifiedIngest {
     budget.foreach(b =>
       StreamBudget.compactState(spark, s"$stateDir/budget", b))
     if (rebuildSketchState) rebuildSketches(spark, stateDir)
+    // ANN re-shard at the maintenance cadence (pass the store's PQ book;
+    // the coarse centroids retrain at √N over the live vectors —
+    // [[StreamIvfPq.reshard]]'s hysteresis skips until the corpus has
+    // outgrown the current sizing ~4×). Scoped to the CODE store: the
+    // semantic GATE's cells stay caller-fixed — its admit/drop answers
+    // must not drift when the serve index re-shards.
+    reshardAnn.foreach { book =>
+      StreamIvfPq.reshard(spark, s"$stateDir/codes",
+        liveVectors(spark, stateDir), book)
+    }
+  }
+
+  /** Live (manifest-resolved) landed vectors, tombstoned ids
+    * excluded — the re-shard's retrain input. */
+  def liveVectors(spark: SparkSession, stateDir: String): DataFrame = {
+    val paths = Generations.livePaths(spark, s"$stateDir/vecs")
+    require(paths.nonEmpty, s"no committed 'gen-' generations under $stateDir/vecs")
+    Retention.filter(paths.map(spark.read.parquet(_)).reduce(_.unionByName(_)),
+      stateDir, "vec_id")
   }
 
   /** POST-DELETION SKETCH REBUILD — the automation for the documented

@@ -205,6 +205,30 @@ class UnifiedIngestSpec extends SparkTestBase {
     assert(UnifiedIngest.softWeights(spark, state)
       .as[(Long, Long, Double, Double)].collect().toSet ==
       wantSoft(remaining), "soft-dedup weights after deletion replay")
+
+    // ---- ANN re-shard at the maintenance cadence ----
+    // hysteresis: √N here has not outgrown the fixed 16-cell sizing by
+    // minGrowth, so the cadence call must SKIP (no sidecar commits) and
+    // the serve is unchanged
+    UnifiedIngest.compactAll(spark, state, reshardAnn = Some(book))
+    assert(StreamIvfPq.quantSidecarPath(spark, s"$state/codes").isEmpty,
+      "cadence re-shard must skip below the growth threshold")
+    // the corpus-outgrew-its-sizing path (forced here): serve ≡ batch at
+    // the √N sizing over the remaining corpus — the store's fixed-cell
+    // history is invisible post-re-shard
+    assert(StreamIvfPq.reshard(spark, s"$state/codes",
+      UnifiedIngest.liveVectors(spark, state), book, force = true),
+      "forced re-shard must run")
+    val liveVecRows = remaining
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val scaledCent = Similarity.kmeansCentroids(liveVecRows,
+      initEvery = Similarity.scaledInitEvery(remaining.count()))
+    assert(UnifiedIngest.searchAnn(spark, state, queries, centroids, book)
+      .as[(Long, Long, Double)].collect().toSet ==
+      Similarity.topKPqIvfWith(liveVecRows, queries,
+          k = 5, nprobe = 4, m = 8, subDim = 8, scaledCent, book)
+        .as[(Long, Long, Double)].collect().toSet,
+      "re-sharded ADC serve must equal batch at the √N sizing")
   }
 
   test("media leg: the payload gate drops perceptual near-copies cross-batch, serves and deletes with the rest") {
