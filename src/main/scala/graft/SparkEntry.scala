@@ -245,6 +245,8 @@ object SparkEntry {
     "q_union_evolve"    -> (Relational.unionEvolved _),
     "txt_pack"          -> ((s, d) => Packing.packedChunks(s, d)),
     "txt_batch_buckets" -> ((s, d) => Packing.bucketBatchesDocs(s, d)),
+    "txt_token_blocks"  -> ((s, d) => Packing.tokenBlocksDocs(s, d)),
+    "txt_collocations"  -> ((s, d) => TextAnalysis.collocationsDocs(s, d)),
     "dedup_incr_near"   -> (Dedup.incrementalNearArrivals _),
     "dedup_incr_contain" -> (Dedup.incrementalContainArrivals _),
     "dedup_incr_contain_steady" -> (Dedup.incrementalContainArrivalsSteady _),
@@ -407,6 +409,9 @@ object SparkEntry {
     // the streamed store's re-shard life cycle: built under fixed cells,
     // re-sized to √N at maintenance, served off the sidecar centroids
     "sim_topk_ivfpq_reshard",
+    // round-12 session-2: the concat-and-chunk pretraining block layout
+    // and PMI collocation mining
+    "txt_token_blocks", "txt_collocations",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -3787,6 +3792,67 @@ object SparkEntry {
         |  CAST(bucket_len * count(*) - sum(n_tok) AS DOUBLE)
         |    / (bucket_len * count(*)) AS pad_frac
         |FROM batched GROUP BY 1, 2""".stripMargin,
+    // Concat-and-chunk token blocks: the global prefix sum replayed as
+    // ONE window over doc_id order (the ground truth the range-bucketed
+    // distributed sum must equal); token counts, starts, and spans are
+    // all integers, so the manifest is hash-exact by construction.
+    // Blocks of 128, one EOS slot per document.
+    "txt_token_blocks" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(
+        |      string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS n
+        |  FROM documents
+        |), o AS (
+        |  SELECT doc_id, n,
+        |    CAST(COALESCE(SUM(n + 1) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+        |  FROM c
+        |), b AS (
+        |  SELECT doc_id, n, strt,
+        |    UNNEST(range(strt // 128, (strt + n - 1) // 128 + 1)) AS block_id
+        |  FROM o WHERE n >= 1
+        |)
+        |SELECT block_id, doc_id,
+        |  GREATEST(strt, block_id * 128) - strt AS doc_off,
+        |  GREATEST(strt, block_id * 128) - block_id * 128 AS block_off,
+        |  LEAST(strt + n - 1, block_id * 128 + 127)
+        |    - GREATEST(strt, block_id * 128) + 1 AS len
+        |FROM b""".stripMargin,
+    // PMI collocations: both distributions replayed off the same
+    // zip-with-successor pair projection the engine uses (unigram counts
+    // = Σ over w2 of the pair table); the log's operand multiplies in
+    // the engine's exact association order, 6-dp rounded before the
+    // (pmi desc, w1, w2) rank — the keyness discipline.
+    "txt_collocations" ->
+      """WITH toks AS (
+        |  SELECT list_filter(
+        |    string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT t[i] AS w1, CASE WHEN i < len(t) THEN t[i + 1] END AS w2
+        |  FROM (SELECT t, unnest(range(1, len(t) + 1)) AS i
+        |        FROM toks WHERE len(t) >= 1)
+        |), pc AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2
+        |), uni AS (
+        |  SELECT w1 AS w, CAST(sum(c) AS BIGINT) AS n FROM pc GROUP BY 1
+        |), big AS (
+        |  SELECT w1, w2, c AS n_pair FROM pc WHERE w2 IS NOT NULL
+        |), tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tn FROM uni),
+        |   btot AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS tb FROM big)
+        |SELECT w1, w2, n_pair,
+        |  round(ln(CAST(n_pair AS DOUBLE) * tn * tn
+        |    / (tb * CAST(u1.n AS DOUBLE) * CAST(u2.n AS DOUBLE))), 6) AS pmi
+        |FROM big
+        |JOIN uni u1 ON big.w1 = u1.w
+        |JOIN uni u2 ON big.w2 = u2.w
+        |CROSS JOIN tot CROSS JOIN btot
+        |WHERE n_pair >= 5
+        |ORDER BY pmi DESC, w1, w2
+        |LIMIT 50""".stripMargin,
     "txt_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id,

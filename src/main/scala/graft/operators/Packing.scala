@@ -142,4 +142,88 @@ object Packing {
   def bucketBatchesDocs(spark: SparkSession, dir: String): DataFrame =
     lengthBucketBatches(
       graft.sources.Tables.load(spark, dir, "documents"), "doc_id", "text")
+
+  /** CONCAT-AND-CHUNK token-block assembly — the canonical decoder-LM
+    * pretraining layout ([[firstFitPack]]'s other complement: first-fit
+    * keeps chunks whole and pads the remainder; concat-and-chunk pads
+    * NOTHING — documents are concatenated into one global token stream,
+    * each followed by `sepTokens` separator slots (the EOS convention),
+    * and the stream is cut at fixed `blockSize` boundaries, SPLITTING
+    * documents across blocks, so every training block is exactly full).
+    * This is the GPT-2/3 data recipe (Brown et al., NeurIPS'20 §2.1:
+    * "documents are packed into sequences of 2048 tokens, delimited by a
+    * special end-of-text token") and what every Megatron/LLaMA-class
+    * loader consumes.
+    *
+    * The output is the block MANIFEST, not materialized token arrays:
+    * one row per (block, document) overlap — (block_id, doc_id, doc_off,
+    * block_off, len) — which is simultaneously the loader's gather list
+    * and the loss-mask spec (document boundaries within each block).
+    * Separator slots are the implicit gaps between consecutive spans.
+    *
+    * Scale shape: tokenization is a row-local projection (text is read
+    * once and NEVER shuffles — only (doc_id, n_tokens) longs move); each
+    * document's global start offset is a DISTRIBUTED prefix sum in
+    * doc_id order — the id range buckets into `buckets` slices off a
+    * 1-row (min, max) aggregate (the broadcast-literal class), bucket
+    * offsets take a ≤`buckets`-row window, and each slice running-sums
+    * only its own rows (the [[TextAnalysis.budgetMix]] device, keyed by
+    * id range instead of hash order because HERE the order is the
+    * contract: block contents must be reproducible across runs, engines,
+    * and partitionings). The span fan-out is a row-local sequence
+    * explode (a doc of n tokens overlaps ⌈n/blockSize⌉+1 blocks at
+    * most), so output rows ∝ docs + blocks and no stage is ever
+    * corpus-quadratic or single-task. */
+  def tokenBlocks(docs: DataFrame, idCol: String, textCol: String,
+      blockSize: Int = 128, sepTokens: Int = 1, buckets: Int = 256): DataFrame = {
+    require(blockSize > 0 && sepTokens >= 0 && buckets > 0)
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      size(TextAnalysis.tokens(coalesce(col(textCol), lit(""))))
+        .cast("long").as("n"))
+    // global prefix sum of (n + sep) in doc_id order, range-bucketed:
+    // bucket = the id's position in [min, max] scaled to `buckets` slices
+    val stats = counts.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+    // integer `div` throughout: `/` on longs is DOUBLE division in Spark
+    // SQL, inexact past 2^53 — a 100 TB corpus's token stream is ~10^13,
+    // close enough that the layout must not ride float rounding
+    val based = counts.crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        expr(s"((doc_id - lo) * ${buckets}L) div (hi - lo + 1)"))
+    val wOff = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = based.groupBy("bucket")
+      .agg(sum(col("n") + lit(sepTokens.toLong)).as("bt"))
+      .select(col("bucket"),
+        coalesce(sum(col("bt")).over(wOff), lit(0L)).as("off"))
+    val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val started = based
+      .join(broadcast(offsets), "bucket")
+      .withColumn("start", col("off") +
+        coalesce(sum(col("n") + lit(sepTokens.toLong)).over(wIn), lit(0L)))
+    // row-local span fan-out: the blocks [start, start+n-1] overlaps
+    val b = lit(blockSize.toLong)
+    started.filter(col("n") >= 1L)
+      .withColumn("block_id", explode(sequence(
+        expr(s"start div ${blockSize}L"),
+        expr(s"(start + n - 1) div ${blockSize}L"))))
+      .withColumn("s", greatest(col("start"), col("block_id") * b))
+      .withColumn("e", least(col("start") + col("n") - 1,
+        col("block_id") * b + b - 1))
+      .select(
+        col("block_id"),
+        col("doc_id"),
+        (col("s") - col("start")).as("doc_off"),
+        (col("s") - col("block_id") * b).as("block_off"),
+        (col("e") - col("s") + 1).as("len"))
+  }
+
+  /** CORRECTNESS instantiation for `txt_token_blocks`: the documents
+    * table concatenated in doc_id order, 1 EOS slot per document,
+    * 128-token blocks. */
+  def tokenBlocksDocs(spark: SparkSession, dir: String): DataFrame =
+    tokenBlocks(
+      graft.sources.Tables.load(spark, dir, "documents"), "doc_id", "text")
 }

@@ -1661,6 +1661,60 @@ object TextAnalysis {
   def keyTermsDocs(spark: SparkSession, dir: String): DataFrame =
     keyTerms(Tables.load(spark, dir, "documents"), "source", "text")
 
+  /** PMI collocation mining — the published pointwise-mutual-information
+    * bigram association measure (Church & Hanks, CL'90: the standard
+    * "which word pairs co-occur far above chance" report; the phrase
+    * inventory word2vec-style phrase merging and tokenizer-vocab audits
+    * are built from). [[keyTerms]]'s ADJACENCY complement: keyness ranks
+    * term-vs-SOURCE association, PMI ranks term-vs-NEXT-TERM association
+    * — pmi(a,b) = ln(p(ab) / (p(a)·p(b))) over adjacent-pair and
+    * unigram occurrence distributions, with a `minCount` floor (raw PMI
+    * notoriously promotes hapax pairs — the floor is Church & Hanks'
+    * own remedy) and the global top-k cut.
+    *
+    * Scale shape: ONE pass over text — each token zips with its
+    * successor (null for the last, a row-local slice+concat), so the
+    * single exploded projection carries BOTH distributions: bigram
+    * counts are the (w1, w2≠null) aggregate and unigram counts DERIVE
+    * from the same model-sized pair table (Σ over w2, no second text
+    * scan — the [[keyTerms]] marginals discipline). Counts multiply as
+    * doubles in an association order mirrored exactly in the oracle,
+    * 6-dp rounded BEFORE ranking with (w1, w2) ascending ties, and the
+    * k-cut is a TakeOrdered — |vocab²|-bounded model rows, never text,
+    * cross the exchanges. */
+  def collocations(docs: DataFrame, textCol: String,
+      minCount: Long = 5L, k: Int = 50): DataFrame = {
+    val pairs = docs
+      .select(tokens(coalesce(col(textCol), lit(""))).as("t"))
+      .filter(size(col("t")) >= 1)
+      .withColumn("nx", concat(slice(col("t"), lit(2), size(col("t")) - 1),
+        array(lit(null).cast("string"))))
+      .select(explode(arrays_zip(col("t"), col("nx"))).as("p"))
+      .groupBy(col("p.t").as("w1"), col("p.nx").as("w2"))
+      .agg(count(lit(1)).as("c"))
+    val uni = pairs.groupBy(col("w1").as("w")).agg(sum(col("c")).as("n"))
+    val big = pairs.filter(col("w2").isNotNull)
+      .select(col("w1"), col("w2"), col("c").as("n_pair"))
+    val tot = uni.agg(sum(col("n")).cast("double").as("tn"))
+    val btot = big.agg(sum(col("n_pair")).cast("double").as("tb"))
+    big
+      .join(uni.select(col("w").as("w1"), col("n").as("n1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n").as("n2")), "w2")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+      .filter(col("n_pair") >= minCount)
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log(col("n_pair").cast("double") * col("tn") * col("tn")
+          / (col("tb") * col("n1").cast("double") * col("n2").cast("double"))),
+          6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  /** CORRECTNESS instantiation: top-50 collocations, 5-occurrence
+    * floor, over the documents table. */
+  def collocationsDocs(spark: SparkSession, dir: String): DataFrame =
+    collocations(Tables.load(spark, dir, "documents"), "text")
+
   /** Feature-hashed document vectors (the hashing trick — the published
     * fastText/Vowpal-Wabbit device): every token hashes into one of
     * `dims` lanes via the cross-engine 32-bit md5 prefix, lane values

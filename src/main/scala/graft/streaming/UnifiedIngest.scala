@@ -37,6 +37,12 @@ import graft.operators.{Analytics, Dedup, Multimodal, Similarity, Sketches, Text
   *     additive gram-df store behind soft-dedup weights
   *     ([[StreamSoftDf]]).
   *
+  * Every DROPPED arrival leaves a (doc_id, source, gate) row in the
+  * REJECTION LEDGER (`ledger/gen-<id>`, first-hit attribution — the
+  * audit trail for "why was my document dropped", served by
+  * [[rejectionReport]] / [[whyDropped]]): admitted ∪ ledger partitions
+  * the arrivals exactly.
+  *
   * SELECTION views (cap/budget/DSIR-class) are deliberately SERVE-side,
   * not admission gates: the absorbing-cut law (a kept document can be
   * displaced by a later lower-hash arrival) means the kept set is a
@@ -118,11 +124,18 @@ object UnifiedIngest {
           Retention.filter(fps, s"$stateDir/fps", "doc_id").select("fp"),
           batch, "doc_id", "text")
 
+        // Each gate's survivor set is BOTH the next gate's input and the
+        // rejection ledger's diff operand — localCheckpoint makes the
+        // chain single-evaluation (without it, the ledger's anti-joins
+        // would re-run every gate probe a second time)
+        val b1c = b1.localCheckpoint()
+
         // 2. near gate
         val nearIdx = StreamNearDedup.currentIndex(spark, s"$stateDir/near",
           template = Dedup.buildNearDupIndex(batch.limit(0), "doc_id", "text"),
           exclude = Set(own))
-        val b2 = Dedup.incrementalNearNew(nearIdx, b1, "doc_id", "text")
+        val b2 = Dedup.incrementalNearNew(nearIdx, b1c, "doc_id", "text")
+          .localCheckpoint()
 
         // 3. containment gate
         val cIdx = StreamContain.currentIndex(spark, s"$stateDir/contain",
@@ -132,6 +145,7 @@ object UnifiedIngest {
           cIdx.select(col("doc_id"), col("sz"), explode(col("sh")).as("shingle"))
             .select(col("shingle"), col("doc_id"), col("sz")),
           cIdx, b2, "doc_id", "text")
+          .localCheckpoint()
 
         // 4. semantic gate
         val semIdx = StreamSemantic.currentIndex(spark, s"$stateDir/sem",
@@ -144,6 +158,7 @@ object UnifiedIngest {
           centroids, tau)
         val b4 = b3.join(
           keptIds.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+          .localCheckpoint()
 
         // 4b. media gate (only when the stream carries a payload column):
         // drop arrivals whose payload is a perceptual near-copy of
@@ -156,7 +171,27 @@ object UnifiedIngest {
                 batch.limit(0), "doc_id", pc),
               exclude = Set(own))
             Multimodal.incrementalMediaNew(mIdx, b4, "doc_id", pc)
+              .localCheckpoint()
         }
+
+        // REJECTION LEDGER — the audit row every dropped arrival leaves
+        // behind: (doc_id, source, gate) where gate is the FIRST stage
+        // whose probe hit (the serial order makes attribution unique).
+        // Derived from the same checkpointed stages the admission chain
+        // ran — no probe re-runs — and written under the idempotent
+        // batch-id-named Overwrite discipline, so a replayed batch
+        // re-derives it byte-identically. An all-admitted batch lands an
+        // empty (still readable — non-partitioned) generation.
+        val stages = Seq(
+          (batch, b1c, "exact"), (b1c, b2, "near"),
+          (b2, b3, "contain"), (b3, b4, "semantic")) ++
+          (if (mediaCol.isDefined) Seq((b4, admitted, "media")) else Nil)
+        stages.map { case (before, after, gate) =>
+          before.select(col("doc_id"), col("source"))
+            .join(after.select("doc_id"), Seq("doc_id"), "left_anti")
+            .withColumn("gate", lit(gate))
+        }.reduce(_.unionByName(_))
+          .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/ledger/gen-$id")
 
         // 5. land, then regrow all derived state from the landed bytes.
         // An all-dropped batch lands its (empty, still readable —
@@ -240,6 +275,8 @@ object UnifiedIngest {
       reshardAnn: Option[Seq[(Int, Int, Array[Double])]] = None): Unit = {
     Generations.compactFold(spark, s"$stateDir/fps",
       Retention.filter(_, s"$stateDir/fps", "doc_id"))
+    Generations.compactFold(spark, s"$stateDir/ledger",
+      Retention.filter(_, s"$stateDir/ledger", "doc_id"))
     StreamNearDedup.compactIndex(spark, s"$stateDir/near")
     StreamNearDedup.compactIndex(spark, s"$stateDir/contain")
     StreamSemantic.compactIndex(spark, s"$stateDir/sem")
@@ -323,6 +360,43 @@ object UnifiedIngest {
     * excluded. */
   def admittedDocs(spark: SparkSession, stateDir: String): DataFrame =
     Retention.liveBatches(spark, s"$stateDir/corpus", "doc_id")
+
+  /** The rejection ledger — one (doc_id, source, gate) row per DROPPED
+    * arrival, gate = the first stage whose probe hit. Committed
+    * generations only, tombstones excluded; `dropDuplicates(doc_id)`
+    * makes rows COUNTING-inert under the simple-fold discipline (a
+    * fold's not-yet-swept sources may transiently double-read — inert
+    * for the gate probes that discipline was built for, not for an
+    * aggregate, so the read dedups; each dropped id has exactly one
+    * ledger row by the arrival contract). */
+  def rejectionLedger(spark: SparkSession, stateDir: String): DataFrame = {
+    val dirL = s"$stateDir/ledger"
+    val gens = Generations.committed(spark, dirL, "gen-")
+    val rows =
+      if (gens.isEmpty)
+        spark.range(0).select(col("id").as("doc_id"),
+          lit("").as("source"), lit("").as("gate"))
+      else Generations.readNames(spark, dirL, gens, "gen-")
+    Retention.filter(rows, dirL, "doc_id").dropDuplicates("doc_id")
+  }
+
+  /** Serve: drops by (source, gate) — the operational "where is my
+    * data going" dashboard next to [[curationReport]]'s quality rates;
+    * a |sources|·|gates|-row aggregate over id/source/gate rows (text
+    * and payloads never entered the ledger). */
+  def rejectionReport(spark: SparkSession, stateDir: String): DataFrame =
+    rejectionLedger(spark, stateDir)
+      .groupBy("source", "gate").agg(count(lit(1)).as("n_dropped"))
+
+  /** Serve: point lookup — WHY was this arrival dropped (empty ⇒ it
+    * was admitted, or never arrived). The deletion-request-sized id set
+    * broadcasts, like every tombstone probe. */
+  def whyDropped(spark: SparkSession, stateDir: String,
+      ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    rejectionLedger(spark, stateDir)
+      .join(broadcast(ids.distinct.toDF("doc_id")), Seq("doc_id"))
+  }
 
   /** Serve: BM25 off the maintained bucket-pruned search index. */
   def search(spark: SparkSession, stateDir: String, query: Seq[String],
@@ -422,6 +496,9 @@ object UnifiedIngest {
     StreamSoftDf.delete(spark, s"$stateDir/softdf", requestId, delDocs)
     Retention.tombstone(spark, s"$stateDir/corpus", requestId, ids)
     Retention.tombstone(spark, s"$stateDir/fps", requestId, ids)
+    // the rejection ledger holds (id, source) rows for DROPPED arrivals
+    // — personal data with the same erasure duty as landed docs
+    Retention.tombstone(spark, s"$stateDir/ledger", requestId, ids)
     Retention.tombstone(spark, s"$stateDir/near", requestId, ids)
     Retention.tombstone(spark, s"$stateDir/contain", requestId, ids)
     Retention.tombstone(spark, s"$stateDir/sem", requestId, ids)

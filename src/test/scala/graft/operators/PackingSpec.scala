@@ -125,4 +125,67 @@ class PackingSpec extends SparkTestBase {
       .collect().toSet
     assert(a == b, "batch manifest must not depend on input layout")
   }
+
+  test("tokenBlocks matches the sequential concat-and-chunk layout exactly") {
+    // blockSize=8, sep=1: counts 5, 10, 2 concatenate with EOS slots,
+    // global starts 0, 6, 17 — doc 1 splits across blocks 0/1; doc 2's
+    // tokens 17-18 sit whole in block 2 one slot past its boundary
+    val docs = Seq((0L, txt(5)), (1L, txt(10)), (2L, txt(2)))
+      .toDF("doc_id", "text")
+    val got = Packing.tokenBlocks(docs, "doc_id", "text", blockSize = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val want = Set(
+      (0L, 0L, 0L, 0L, 5L),             // doc 0: tokens 0-4 in block 0
+      (0L, 1L, 0L, 6L, 2L),             // doc 1: start 6, tokens 6-7
+      (1L, 1L, 2L, 0L, 8L),             // doc 1: tokens 8-15
+      (2L, 2L, 0L, 1L, 2L))             // doc 2: start 17, tokens 17-18
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("tokenBlocks tiles the corpus stream: spans conserve tokens, stay in bounds, and are layout-invariant") {
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val spans = Packing.tokenBlocksDocs(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val blockSize = 128L
+    // every document's spans cover exactly its token count, contiguously
+    val counts = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(coalesce(col("text"), lit(""))))
+        .cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val byDoc = spans.groupBy(_._2)
+    assert(byDoc.keySet == counts.filter(_._2 >= 1).keySet,
+      "every non-empty document appears; empty ones do not")
+    byDoc.foreach { case (d, ss) =>
+      val sorted = ss.sortBy(_._3)
+      assert(sorted.map(_._5).sum == counts(d), s"doc $d spans must sum to its count")
+      assert(sorted.head._3 == 0L, s"doc $d must start at doc_off 0")
+      sorted.sliding(2).foreach {
+        case Array(a2, b2) =>
+          assert(a2._3 + a2._5 == b2._3, s"doc $d spans must be contiguous")
+          assert(a2._1 + 1 == b2._1, s"doc $d spans must advance one block")
+        case _ => ()
+      }
+    }
+    // block occupancy: spans within a block fit and never overlap
+    spans.groupBy(_._1).foreach { case (blk, ss) =>
+      assert(ss.map(_._5).sum <= blockSize, s"block $blk over-full")
+      val occ = ss.sortBy(_._4)
+      occ.sliding(2).foreach {
+        case Array(a2, b2) =>
+          // the gap between consecutive docs in a block is the EOS slot(s)
+          assert(a2._4 + a2._5 <= b2._4, s"block $blk spans overlap")
+        case _ => ()
+      }
+      assert(occ.forall(s => s._4 >= 0 && s._4 + s._5 <= blockSize),
+        s"block $blk span out of bounds")
+    }
+    // the global stream is gapless: total slots = Σ(n + 1 EOS per doc)
+    val totalSlots = counts.values.map(_ + 1L).sum
+    val lastTokenSlot = spans.map(s => s._1 * blockSize + s._4 + s._5 - 1).max
+    assert(lastTokenSlot < totalSlots, "spans never pass the stream end")
+    // layout invariance: the manifest is a pure function of the data
+    val b = Packing.tokenBlocks(docs.repartition(13), "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(spans.toSet == b, "block manifest must not depend on input layout")
+  }
 }

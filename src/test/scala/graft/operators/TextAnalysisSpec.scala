@@ -1141,4 +1141,32 @@ class TextAnalysisSpec extends SparkTestBase {
       .as[(Int, Long, Long, Double, Double, Double)].collect().head
     assert(at1 == ((1, 2L, 1L, 0.5, 1.0, 1.0)), s"at1: $at1")
   }
+
+  test("collocations: PMI ranks the planted pair, honors the count floor, derives unigrams from the pair table") {
+    // unigrams: alpha 6, beta 6, c 7 (T = 19); bigrams: (alpha,beta)×5,
+    // (c,c)×4, three singletons (TB = 12) — the floor cuts the singletons
+    val docs = (Seq.fill(5)("alpha beta") ++
+      Seq("c c c c c", "alpha c beta c") ++ Seq("", "solo"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def pmi(np: Long, n1: Long, n2: Long, t: Long, tb: Long): Double =
+      BigDecimal(math.log(np.toDouble * t * t / (tb.toDouble * n1 * n2)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.collocations(docs, "text", minCount = 2L, k = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    // "solo" adds 1 to unigrams (T = 20) with no bigram
+    val want = Seq(
+      ("alpha", "beta", 5L, pmi(5, 6, 6, 20, 12)),
+      ("c", "c", 4L, pmi(4, 7, 7, 20, 12)))
+    assert(got == want, s"got $got want $want")
+    // the floor at 5 on the tiny corpus keeps only the planted pair
+    val floored = TextAnalysis.collocations(docs, "text", minCount = 5L, k = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(floored == want.take(1), s"floored: $floored")
+    // layout invariance
+    val rep = TextAnalysis.collocations(docs.repartition(7), "text",
+        minCount = 2L, k = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(rep == got, "collocations must not depend on input layout")
+  }
 }

@@ -78,6 +78,7 @@ class UnifiedIngestSpec extends SparkTestBase {
     var semIdx = Seq.empty[(Long, Long, Array[Float])]
       .toDF("vec_id", "cell_id", "embedding").localCheckpoint()
     var admitted = Seq.empty[Arrival]
+    var wantLedger = Seq.empty[(Long, String, String)]
     batches.foreach { b =>
       val bdf = b.toDF("doc_id", "text", "embedding", "source")
       val b1 = Dedup.incrementalNew(fps, bdf, "doc_id", "text")
@@ -94,6 +95,18 @@ class UnifiedIngestSpec extends SparkTestBase {
       val adm = b3.join(kept.select(col("vec_id").as("doc_id")), Seq("doc_id"))
         .as[Arrival].collect().toSeq.sortBy(_._1)
       admitted ++= adm
+      // first-hit gate attribution for every dropped arrival — the
+      // rejection-ledger ground truth
+      val srcOf = b.map(a => a._1 -> a._4).toMap
+      val ids1 = b1.select("doc_id").as[Long].collect().toSet
+      val ids2 = b2.select("doc_id").as[Long].collect().toSet
+      val ids3 = b3.select("doc_id").as[Long].collect().toSet
+      val idsA = adm.map(_._1).toSet
+      wantLedger ++=
+        (b.map(_._1).toSet -- ids1).toSeq.map(i => (i, srcOf(i), "exact")) ++
+        (ids1 -- ids2).toSeq.map(i => (i, srcOf(i), "near")) ++
+        (ids2 -- ids3).toSeq.map(i => (i, srcOf(i), "contain")) ++
+        (ids3 -- idsA).toSeq.map(i => (i, srcOf(i), "semantic"))
       val admDf = adm.toDF("doc_id", "text", "embedding", "source")
       fps = fps.unionByName(admDf
         .select(md5(col("text").cast("binary")).as("fp"))).localCheckpoint()
@@ -117,6 +130,25 @@ class UnifiedIngestSpec extends SparkTestBase {
       assert(!got.contains(planted), s"planted dup $planted must be dropped")
     }
     assert(got.contains(a0._1) && got.contains(a1._1))
+
+    // ---- rejection ledger: attribution ≡ serial fold + partition law ----
+    val gotLedger = UnifiedIngest.rejectionLedger(spark, state)
+      .as[(Long, String, String)].collect().toSet
+    assert(gotLedger == wantLedger.toSet,
+      s"ledger attribution: got ${gotLedger.size} want ${wantLedger.size}")
+    val allIds = batches.flatten.map(_._1).toSet
+    assert((gotLedger.map(_._1) ++ got) == allIds &&
+      gotLedger.map(_._1).intersect(got).isEmpty,
+      "admitted ∪ ledger must partition the arrivals exactly")
+    assert(UnifiedIngest.rejectionReport(spark, state)
+      .as[(String, String, Long)].collect().toSet ==
+      wantLedger.groupBy(l => (l._2, l._3))
+        .map { case ((s, g), xs) => (s, g, xs.size.toLong) }.toSet,
+      "rejection report ≡ ledger aggregate")
+    val probeDrop = wantLedger.head
+    assert(UnifiedIngest.whyDropped(spark, state, Seq(probeDrop._1))
+      .as[(Long, String, String)].collect().toSeq == Seq(probeDrop),
+      "whyDropped point lookup")
 
     val admDf = admitted.toDF("doc_id", "text", "embedding", "source")
       .localCheckpoint()
@@ -206,6 +238,19 @@ class UnifiedIngestSpec extends SparkTestBase {
       .as[(Long, Long, Double, Double)].collect().toSet ==
       wantSoft(remaining), "soft-dedup weights after deletion replay")
 
+    // ledger erasure: a DROPPED arrival's audit row is personal data too
+    // — one delete call hides it immediately and the fold purges it
+    assert(gotLedger.exists(_._1 == exactDup._1), "planted drop is in the ledger")
+    UnifiedIngest.delete(spark, state, "gdpr-2", Seq(exactDup._1))
+    assert(!UnifiedIngest.rejectionLedger(spark, state)
+      .select("doc_id").as[Long].collect().toSet.contains(exactDup._1),
+      "deleted dropped arrival must leave the ledger")
+    UnifiedIngest.compactAll(spark, state)
+    assert(UnifiedIngest.rejectionLedger(spark, state)
+      .as[(Long, String, String)].collect().toSet ==
+      gotLedger.filterNot(_._1 == exactDup._1),
+      "post-fold ledger ≡ ledger − deleted")
+
     // ---- ANN re-shard at the maintenance cadence ----
     // hysteresis: √N here has not outgrown the fixed 16-cell sizing by
     // minGrowth, so the cadence call must SKIP (no sidecar commits) and
@@ -275,6 +320,13 @@ class UnifiedIngestSpec extends SparkTestBase {
     assert(!admitted.contains(nearCopy._1),
       "the cross-batch payload near-copy must be dropped by the media gate")
     assert(admitted.contains(fresh._1), "the fresh payload must be admitted")
+
+    // the drop is attributed to the media gate in the rejection ledger
+    // (its text/embedding were fresh — no earlier gate could have hit)
+    assert(UnifiedIngest.whyDropped(spark, state, Seq(nearCopy._1))
+      .as[(Long, String, String)].collect().toSeq ==
+      Seq((nearCopy._1, "planted", "media")),
+      "payload drop must carry gate=media in the ledger")
 
     // media serve ≡ the batch signature index on the admitted union
     val admDf = UnifiedIngest.admittedDocs(spark, state)
