@@ -246,6 +246,8 @@ object SparkEntry {
     "txt_pack"          -> ((s, d) => Packing.packedChunks(s, d)),
     "txt_batch_buckets" -> ((s, d) => Packing.bucketBatchesDocs(s, d)),
     "txt_token_blocks"  -> ((s, d) => Packing.tokenBlocksDocs(s, d)),
+    "txt_token_blocks_steady" -> ((s, d) => Packing.tokenBlocksSteadyDocs(s, d)),
+    "txt_curriculum_blocks" -> ((s, d) => Packing.curriculumBlocksDocs(s, d)),
     "txt_collocations"  -> ((s, d) => TextAnalysis.collocationsDocs(s, d)),
     "dedup_incr_near"   -> (Dedup.incrementalNearArrivals _),
     "dedup_incr_contain" -> (Dedup.incrementalContainArrivals _),
@@ -410,8 +412,10 @@ object SparkEntry {
     // re-sized to √N at maintenance, served off the sidecar centroids
     "sim_topk_ivfpq_reshard",
     // round-12 session-2: the concat-and-chunk pretraining block layout
-    // and PMI collocation mining
-    "txt_token_blocks", "txt_collocations",
+    // (direct + served off landed counts + curriculum-ordered) and PMI
+    // collocation mining
+    "txt_token_blocks", "txt_token_blocks_steady", "txt_curriculum_blocks",
+    "txt_collocations",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1867,6 +1871,11 @@ object SparkEntry {
     "dedup_incr_near_steady" -> oracleBase("dedup_incr_near"),
     "dedup_incr_contain_steady" -> oracleBase("dedup_incr_contain"),
     "txt_curation_report_steady" -> oracleBase("txt_curation_report"),
+    // the landed-count block manifest serves the SAME layout as the
+    // direct operator (a pure function of the count table — where the
+    // counts came from is invisible, which is the law)
+    "txt_token_blocks_steady" -> oracleBase("txt_token_blocks"),
+    "txt_curriculum_blocks" -> curriculumBlocksOracleSql(),
     "sim_topk_pq_steady" -> oracleBase("sim_topk_pq_trained"),
     "sim_topk_ivfpq_steady" -> oracleBase("sim_topk_ivfpq_trained"),
     "sim_topk_ivfpq_landed" -> oracleBase("sim_topk_ivfpq_trained"),
@@ -1985,6 +1994,37 @@ object SparkEntry {
        |  FROM scored s CROSS JOIN cuts c
        |)""".stripMargin
   }
+
+  /** txt_curriculum_blocks oracle: the curriculum ordering replay
+    * (verbatim [[curriculumOracleSql]] as a CTE) joined to token counts,
+    * the prefix sum as ONE window over (phase, seq) order — the ground
+    * truth the gid-lifted bucketed sum must equal — and the same
+    * all-integer span arithmetic as txt_token_blocks. */
+  private def curriculumBlocksOracleSql(blockSize: Int = 128): String =
+    s"""WITH ord AS (
+       |${curriculumOracleSql()}
+       |), cnt AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(
+       |      string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+       |      x -> len(x) > 0)) AS BIGINT) AS n
+       |  FROM documents
+       |), o AS (
+       |  SELECT ord.doc_id, ord.phase, cnt.n,
+       |    CAST(COALESCE(SUM(cnt.n + 1) OVER (ORDER BY ord.phase, ord.seq
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+       |  FROM ord JOIN cnt USING (doc_id)
+       |), b AS (
+       |  SELECT doc_id, phase, n, strt,
+       |    UNNEST(range(strt // $blockSize, (strt + n - 1) // $blockSize + 1)) AS block_id
+       |  FROM o WHERE n >= 1
+       |)
+       |SELECT block_id, doc_id, phase,
+       |  GREATEST(strt, block_id * $blockSize) - strt AS doc_off,
+       |  GREATEST(strt, block_id * $blockSize) - block_id * $blockSize AS block_off,
+       |  LEAST(strt + n - 1, block_id * $blockSize + ${blockSize - 1})
+       |    - GREATEST(strt, block_id * $blockSize) + 1 AS len
+       |FROM b""".stripMargin
 
   /** sim_recall_hybrid_dense oracle: the annRecall overlap count with
     * the hybrid steady entry's dense branch (trained-quantizer ADC cut

@@ -175,13 +175,24 @@ object Packing {
     * most), so output rows ∝ docs + blocks and no stage is ever
     * corpus-quadratic or single-task. */
   def tokenBlocks(docs: DataFrame, idCol: String, textCol: String,
+      blockSize: Int = 128, sepTokens: Int = 1, buckets: Int = 256): DataFrame =
+    tokenBlocksFromCounts(docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      size(TextAnalysis.tokens(coalesce(col(textCol), lit(""))))
+        .cast("long").as("n")), blockSize, sepTokens, buckets)
+
+  /** [[tokenBlocks]] over PRE-TOKENIZED (doc_id, n) counts — the entry
+    * the steady serve uses: the manifest is a pure function of the count
+    * table, so a maintainer that lands token counts as documents arrive
+    * (16 bytes/doc — [[graft.streaming.UnifiedIngest]] already does, for
+    * the budget family) can re-derive the layout at ANY blockSize
+    * without ever re-reading text. At 100 TB that is the difference
+    * between re-blocking for a new context length being a metadata job
+    * and being a full-corpus scan. */
+  def tokenBlocksFromCounts(counts: DataFrame,
       blockSize: Int = 128, sepTokens: Int = 1, buckets: Int = 256): DataFrame = {
     require(blockSize > 0 && sepTokens >= 0 && buckets > 0)
     import org.apache.spark.sql.expressions.Window
-    val counts = docs.select(
-      col(idCol).cast("long").as("doc_id"),
-      size(TextAnalysis.tokens(coalesce(col(textCol), lit(""))))
-        .cast("long").as("n"))
     // global prefix sum of (n + sep) in doc_id order, range-bucketed:
     // bucket = the id's position in [min, max] scaled to `buckets` slices
     val stats = counts.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
@@ -225,5 +236,79 @@ object Packing {
     * 128-token blocks. */
   def tokenBlocksDocs(spark: SparkSession, dir: String): DataFrame =
     tokenBlocks(
+      graft.sources.Tables.load(spark, dir, "documents"), "doc_id", "text")
+
+  // process-local memo of landed count-state roots, keyed by corpus dir
+  // (the loadLandedQuantizers convention: built once per process)
+  private var countStates = Map.empty[String, String]
+
+  /** STEADY form for `txt_token_blocks_steady`: the manifest served off
+    * LANDED per-doc token counts (two id-split generations — the shape a
+    * maintainer accumulates as batches arrive), tokenizing nothing at
+    * serve time. Shares the batch oracle — landed ≡ direct is the law:
+    * the layout is a pure function of the count table, so where the
+    * counts came from (one scan or fifty batches) is invisible. */
+  def tokenBlocksSteadyDocs(spark: SparkSession, dir: String): DataFrame = {
+    val path = synchronized {
+      countStates.getOrElse(dir, {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_blocks_steady_").toString
+        val counts = graft.sources.Tables.load(spark, dir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"),
+            size(TextAnalysis.tokens(coalesce(col("text"), lit(""))))
+              .cast("long").as("n"))
+        counts.filter(col("doc_id") % 2 === 0)
+          .write.parquet(s"$p/gen-0")
+        counts.filter(col("doc_id") % 2 === 1)
+          .write.parquet(s"$p/gen-1")
+        countStates += dir -> p
+        p
+      })
+    }
+    tokenBlocksFromCounts(spark.read.parquet(s"$path/gen-0")
+      .unionByName(spark.read.parquet(s"$path/gen-1")))
+  }
+
+  /** CURRICULUM-ORDERED training blocks — [[tokenBlocks]] cut along
+    * [[TextAnalysis.curriculumOrder]]'s (phase, seq) stream instead of
+    * doc_id order: the composition a curriculum pretraining run actually
+    * consumes (Bengio et al.'s schedule prescribes the ORDER the trainer
+    * reads tokens in, and the trainer reads blocks — so the phase
+    * ordering has to survive the concat-and-chunk cut; blocking first
+    * and ordering after would interleave phases inside blocks).
+    *
+    * Composition, not re-derivation: (phase, seq) lifts to one
+    * orderable key — gid = phase·(max seq+1) + seq, the phase width off
+    * a 1-row aggregate — and [[tokenBlocksFromCounts]] runs verbatim on
+    * (gid, n); the real doc_id and phase join back by gid (model-sized,
+    * id-only). Every scale property is inherited: the ordering's
+    * bucketed rank windows, the layout's bucketed prefix sum, row-local
+    * span fan-out, text read once per side and never shuffled. */
+  def curriculumBlocks(docs: DataFrame, idCol: String, textCol: String,
+      blockSize: Int = 128, sepTokens: Int = 1, nPhases: Int = 3,
+      seed: String = "curriculum0"): DataFrame = {
+    val ord = TextAnalysis.curriculumOrder(docs, idCol, textCol, nPhases, seed)
+    val counts = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      size(TextAnalysis.tokens(coalesce(col(textCol), lit(""))))
+        .cast("long").as("n"))
+    val span = ord.agg((max(col("seq")) + 1L).as("pw"))
+    val keyed = ord.join(counts, "doc_id").crossJoin(broadcast(span))
+      .select(col("doc_id"), col("phase"),
+        (col("phase") * col("pw") + col("seq")).as("gid"), col("n"))
+    tokenBlocksFromCounts(
+        keyed.select(col("gid").as("doc_id"), col("n")),
+        blockSize, sepTokens)
+      .select(col("block_id"), col("doc_id").as("gid"), col("doc_off"),
+        col("block_off"), col("len"))
+      .join(keyed.select(col("gid"), col("doc_id"), col("phase")), "gid")
+      .select(col("block_id"), col("doc_id"), col("phase"),
+        col("doc_off"), col("block_off"), col("len"))
+  }
+
+  /** CORRECTNESS instantiation for `txt_curriculum_blocks`: the 3-phase
+    * curriculum stream over documents, 128-token blocks, 1 EOS slot. */
+  def curriculumBlocksDocs(spark: SparkSession, dir: String): DataFrame =
+    curriculumBlocks(
       graft.sources.Tables.load(spark, dir, "documents"), "doc_id", "text")
 }

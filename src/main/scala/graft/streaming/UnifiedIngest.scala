@@ -432,6 +432,26 @@ object UnifiedIngest {
       budget: Long): DataFrame =
     StreamBudget.kept(spark, s"$stateDir/budget", budget)
 
+  /** Serve: the concat-and-chunk training-block manifest
+    * ([[graft.operators.Packing.tokenBlocksFromCounts]]) off the
+    * MAINTAINED per-doc token counts the loop already lands for the
+    * budget family — re-blocking the admitted corpus at ANY context
+    * length is a metadata job here (16 bytes/doc), text is never
+    * re-read. Tombstoned docs drop out via the stateDir-level root
+    * (the vecs tombstones — same doc ids), so a deletion re-flows the
+    * layout exactly as the batch operator on the remaining corpus. */
+  def tokenBlockManifest(spark: SparkSession, stateDir: String,
+      blockSize: Int = 128): DataFrame = {
+    val paths = Generations.livePaths(spark, s"$stateDir/budget/rows")
+    require(paths.nonEmpty,
+      s"no committed 'gen-' generations under $stateDir/budget/rows")
+    val counts = Retention.filter(
+      paths.map(spark.read.parquet(_)).reduce(_.unionByName(_)),
+      stateDir, "doc_id")
+    graft.operators.Packing.tokenBlocksFromCounts(
+      counts.select(col("doc_id"), col("n_tokens").as("n")), blockSize)
+  }
+
   /** Serve: the accumulated media signature index — the probe side of
     * the perceptual gate (32 bytes per admitted asset), tombstoned
     * assets excluded. Fails fast when the loop never ran with a media

@@ -188,4 +188,38 @@ class PackingSpec extends SparkTestBase {
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(spans.toSet == b, "block manifest must not depend on input layout")
   }
+
+  test("curriculumBlocks cuts the phase-ordered stream exactly (sequential reference; phase-monotone)") {
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val got = Packing.curriculumBlocksDocs(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // sequential reference: curriculum order + counts, one running offset
+    val ord = TextAnalysis.curriculumOrder(docs, "doc_id", "text")
+      .select("doc_id", "phase", "seq").as[(Long, Long, Long)].collect()
+      .sortBy(t => (t._2, t._3))
+    val counts = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(coalesce(col("text"), lit(""))))
+        .cast("long").as("n")).as[(Long, Long)].collect().toMap
+    val bs = 128L
+    var off = 0L
+    val want = scala.collection.mutable.Set.empty[(Long, Long, Long, Long, Long, Long)]
+    ord.foreach { case (d, p, _) =>
+      val n = counts(d)
+      if (n >= 1) (off / bs to (off + n - 1) / bs).foreach { blk =>
+        val s = math.max(off, blk * bs); val e = math.min(off + n - 1, blk * bs + bs - 1)
+        want += ((blk, d, p, s - off, s - blk * bs, e - s + 1))
+      }
+      off += n + 1
+    }
+    assert(got.toSet == want.toSet,
+      s"curriculum block manifest: got ${got.length} want ${want.size}")
+    // the trainer reads phases in order: stream position order must be
+    // phase-monotone (the property blocking-before-ordering would break)
+    val stream = got.sortBy(s => (s._1, s._5))
+    stream.sliding(2).foreach {
+      case Array(a, b2) => assert(a._3 <= b2._3,
+        s"phase must never decrease along the stream: $a then $b2")
+      case _ => ()
+    }
+  }
 }

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, Dedup, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Packing, Similarity, Sketches, TextAnalysis}
 
 /** One-loop unified ingest: a single foreachBatch drives all four
   * hygiene gates and every serve index off one arrival stream. Laws:
@@ -207,6 +207,14 @@ class UnifiedIngestSpec extends SparkTestBase {
       .as[(Long, Long, Double, Double)].collect().toSet ==
       wantSoft(admDf), "soft-dedup weight serve")
 
+    def wantBlocks(d: DataFrame): Set[(Long, Long, Long, Long, Long)] =
+      Packing.tokenBlocks(d, "doc_id", "text")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(UnifiedIngest.tokenBlockManifest(spark, state)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet ==
+      wantBlocks(admDf),
+      "token-block manifest serve ≡ batch layout on the admitted union")
+
     // one more compaction cycle over every side keeps all laws
     UnifiedIngest.compactAll(spark, state)
     assert(UnifiedIngest.search(spark, state, q)
@@ -231,6 +239,10 @@ class UnifiedIngestSpec extends SparkTestBase {
     assert(UnifiedIngest.softWeights(spark, state)
       .as[(Long, Long, Double, Double)].collect().toSet ==
       wantSoft(remaining), "soft-dedup weights after deletion")
+    assert(UnifiedIngest.tokenBlockManifest(spark, state)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet ==
+      wantBlocks(remaining),
+      "deletion re-flows the block layout to batch-on-remaining")
     // the one deletion call propagated text-dependent subtraction too:
     // replaying it (the crash-window rule) stays inert
     UnifiedIngest.delete(spark, state, "gdpr-1", Seq(a1._1))
