@@ -248,7 +248,11 @@ object SparkEntry {
     "txt_token_blocks"  -> ((s, d) => Packing.tokenBlocksDocs(s, d)),
     "txt_token_blocks_steady" -> ((s, d) => Packing.tokenBlocksSteadyDocs(s, d)),
     "txt_curriculum_blocks" -> ((s, d) => Packing.curriculumBlocksDocs(s, d)),
+    "txt_curriculum_blocks_steady" ->
+      ((s, d) => Packing.curriculumBlocksSteadyDocs(s, d)),
     "txt_collocations"  -> ((s, d) => TextAnalysis.collocationsDocs(s, d)),
+    "txt_collocations_steady" ->
+      ((s, d) => TextAnalysis.collocationsSteadyDocs(s, d)),
     "dedup_incr_near"   -> (Dedup.incrementalNearArrivals _),
     "dedup_incr_contain" -> (Dedup.incrementalContainArrivals _),
     "dedup_incr_contain_steady" -> (Dedup.incrementalContainArrivalsSteady _),
@@ -415,7 +419,8 @@ object SparkEntry {
     // (direct + served off landed counts + curriculum-ordered) and PMI
     // collocation mining
     "txt_token_blocks", "txt_token_blocks_steady", "txt_curriculum_blocks",
-    "txt_collocations",
+    "txt_curriculum_blocks_steady", "txt_collocations",
+    "txt_collocations_steady",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1876,6 +1881,11 @@ object SparkEntry {
     // counts came from is invisible, which is the law)
     "txt_token_blocks_steady" -> oracleBase("txt_token_blocks"),
     "txt_curriculum_blocks" -> curriculumBlocksOracleSql(),
+    // ordering AND layout are pure functions of the landed 24-byte/doc
+    // (n, q_score) state — the steady serve shares the batch oracle
+    "txt_curriculum_blocks_steady" -> curriculumBlocksOracleSql(),
+    // pair counts are additive over any batch partition of the corpus
+    "txt_collocations_steady" -> oracleBase("txt_collocations"),
     "sim_topk_pq_steady" -> oracleBase("sim_topk_pq_trained"),
     "sim_topk_ivfpq_steady" -> oracleBase("sim_topk_ivfpq_trained"),
     "sim_topk_ivfpq_landed" -> oracleBase("sim_topk_ivfpq_trained"),

@@ -286,12 +286,34 @@ object Packing {
     * span fan-out, text read once per side and never shuffled. */
   def curriculumBlocks(docs: DataFrame, idCol: String, textCol: String,
       blockSize: Int = 128, sepTokens: Int = 1, nPhases: Int = 3,
-      seed: String = "curriculum0"): DataFrame = {
-    val ord = TextAnalysis.curriculumOrder(docs, idCol, textCol, nPhases, seed)
-    val counts = docs.select(
-      col(idCol).cast("long").as("doc_id"),
-      size(TextAnalysis.tokens(coalesce(col(textCol), lit(""))))
-        .cast("long").as("n"))
+      seed: String = "curriculum0"): DataFrame =
+    curriculumBlocksOf(
+      TextAnalysis.curriculumOrder(docs, idCol, textCol, nPhases, seed),
+      docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        size(TextAnalysis.tokens(coalesce(col(textCol), lit(""))))
+          .cast("long").as("n")),
+      blockSize, sepTokens)
+
+  /** [[curriculumBlocks]] over MAINTAINED per-doc metadata — (doc_id,
+    * n, q_score) rows, 24 bytes/doc: the ordering re-derives from the
+    * landed scores ([[TextAnalysis.curriculumOrderFromScores]]) and the
+    * layout from the landed counts, so re-running the ENTIRE
+    * curriculum+layout pipeline — new phase count, new context length,
+    * new seed — never touches text. At 100 TB this turns "re-order the
+    * corpus for the next training run" from a corpus scan into a
+    * metadata job. */
+  def curriculumBlocksFromState(state: DataFrame,
+      blockSize: Int = 128, sepTokens: Int = 1, nPhases: Int = 3,
+      seed: String = "curriculum0"): DataFrame =
+    curriculumBlocksOf(
+      TextAnalysis.curriculumOrderFromScores(
+        state.select(col("doc_id"), col("q_score")), nPhases, seed),
+      state.select(col("doc_id"), col("n")),
+      blockSize, sepTokens)
+
+  private def curriculumBlocksOf(ord: DataFrame, counts: DataFrame,
+      blockSize: Int, sepTokens: Int): DataFrame = {
     val span = ord.agg((max(col("seq")) + 1L).as("pw"))
     val keyed = ord.join(counts, "doc_id").crossJoin(broadcast(span))
       .select(col("doc_id"), col("phase"),
@@ -311,4 +333,33 @@ object Packing {
   def curriculumBlocksDocs(spark: SparkSession, dir: String): DataFrame =
     curriculumBlocks(
       graft.sources.Tables.load(spark, dir, "documents"), "doc_id", "text")
+
+  // process-local memo of landed curriculum-state roots (the
+  // countStates convention)
+  private var curStates = Map.empty[String, String]
+
+  /** STEADY form for `txt_curriculum_blocks_steady`: the curriculum
+    * layout served off LANDED (doc_id, n, q_score) metadata — two
+    * id-split generations, the shape a maintainer accumulates. Shares
+    * the batch oracle: ordering AND layout are pure functions of the
+    * 24-byte/doc state, so where it came from is invisible — which is
+    * the law, and the 100 TB point: re-ordering the corpus for the next
+    * training run (new phases, new context length, new seed) is a
+    * metadata job, not a corpus scan. */
+  def curriculumBlocksSteadyDocs(spark: SparkSession, dir: String): DataFrame = {
+    val path = synchronized {
+      curStates.getOrElse(dir, {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_cur_blocks_steady_").toString
+        val state = TextAnalysis.curriculumStateRows(
+          graft.sources.Tables.load(spark, dir, "documents"), "doc_id", "text")
+        state.filter(col("doc_id") % 2 === 0).write.parquet(s"$p/gen-0")
+        state.filter(col("doc_id") % 2 === 1).write.parquet(s"$p/gen-1")
+        curStates += dir -> p
+        p
+      })
+    }
+    curriculumBlocksFromState(spark.read.parquet(s"$path/gen-0")
+      .unionByName(spark.read.parquet(s"$path/gen-1")))
+  }
 }

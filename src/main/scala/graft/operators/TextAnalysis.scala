@@ -906,24 +906,52 @@ object TextAnalysis {
   def curriculumOrder(docs: DataFrame, idCol: String, textCol: String,
       nPhases: Int = 3, seed: String = "curriculum0",
       buckets: Int = 1024): DataFrame = {
-    require(nPhases >= 2, "a curriculum needs at least two phases")
-    require(buckets > 0 && (buckets & (buckets - 1)) == 0 && buckets <= (1 << 20),
-      "buckets must be a power of two (range-aligned key prefix), bounded")
     val toks = tokens(col(textCol))
-    // pinned: three consumers (cutoff aggregate, bucket counts, the
-    // ranked result) would each re-run the tokenize+stopword kernel
-    // over the corpus; the materialized (id, score) projection is 16
-    // bytes/doc — the cheap side of that trade at any SF (curriculum
-    // ordering runs once per training run, not per epoch, so the
-    // localCheckpoint blocks don't accumulate the way a per-epoch
-    // reshuffle's would — the deterministicShuffle trade goes the
-    // other way for exactly that reason)
-    val scored = docs
+    curriculumOrderFromScores(docs
       .select(col(idCol).as("doc_id"), size(toks).as("n_tokens"),
         size(filter(toks, t => t.isInCollection(qcStopwords))).as("n_stop"))
       .filter(col("n_tokens") > 0)
       .select(col("doc_id"),
-        round(col("n_stop").cast("double") / col("n_tokens"), 6).as("q_score"))
+        round(col("n_stop").cast("double") / col("n_tokens"), 6).as("q_score")),
+      nPhases, seed, buckets)
+  }
+
+  /** The 24-byte/doc metadata projection a curriculum-layout maintainer
+    * lands as documents arrive — (doc_id, n, q_score) for every
+    * scoreable (n > 0) document; [[curriculumOrderFromScores]] +
+    * [[Packing.curriculumBlocksFromState]] re-derive the entire
+    * ordering and block layout from it without re-reading text. */
+  def curriculumStateRows(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        size(toks).as("nt"),
+        size(filter(toks, t => t.isInCollection(qcStopwords))).as("ns"))
+      .filter(col("nt") > 0)
+      .select(col("doc_id"), col("nt").cast("long").as("n"),
+        round(col("ns").cast("double") / col("nt"), 6).as("q_score"))
+  }
+
+  /** [[curriculumOrder]] over PRE-SCORED (doc_id, q_score) rows — the
+    * entry a metadata serve uses: the ordering is a pure function of
+    * the score table (cutoffs, phases, shuffle keys, rank offsets all
+    * derive from it), so a maintainer that lands the row-local quality
+    * score as documents arrive can re-derive the ENTIRE curriculum at
+    * any phase count without re-reading text. */
+  def curriculumOrderFromScores(scores: DataFrame, nPhases: Int = 3,
+      seed: String = "curriculum0", buckets: Int = 1024): DataFrame = {
+    require(nPhases >= 2, "a curriculum needs at least two phases")
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0 && buckets <= (1 << 20),
+      "buckets must be a power of two (range-aligned key prefix), bounded")
+    // pinned: three consumers (cutoff aggregate, bucket counts, the
+    // ranked result) would each re-run the scoring input over the
+    // corpus; the materialized (id, score) projection is 16 bytes/doc —
+    // the cheap side of that trade at any SF (curriculum ordering runs
+    // once per training run, not per epoch, so the localCheckpoint
+    // blocks don't accumulate the way a per-epoch reshuffle's would —
+    // the deterministicShuffle trade goes the other way for exactly
+    // that reason)
+    val scored = scores.select(col("doc_id"), col("q_score"))
       .localCheckpoint()
     // nPhases−1 cutoffs, descending quantiles → ascending phase number
     // (phase 0 = top quality slice)
@@ -1683,8 +1711,16 @@ object TextAnalysis {
     * k-cut is a TakeOrdered — |vocab²|-bounded model rows, never text,
     * cross the exchanges. */
   def collocations(docs: DataFrame, textCol: String,
-      minCount: Long = 5L, k: Int = 50): DataFrame = {
-    val pairs = docs
+      minCount: Long = 5L, k: Int = 50): DataFrame =
+    collocationsFromPairs(collocationPairRows(docs, textCol), minCount, k)
+
+  /** The ADDITIVE (w1, w2, c) pair-count aggregate both distributions
+    * derive from — additive over any partition of the corpus into
+    * batches (pair counts are per-document sums), so a maintainer can
+    * land one generation per arrival batch and the report serves off
+    * the summed state without ever re-reading text. */
+  def collocationPairRows(docs: DataFrame, textCol: String): DataFrame =
+    docs
       .select(tokens(coalesce(col(textCol), lit(""))).as("t"))
       .filter(size(col("t")) >= 1)
       .withColumn("nx", concat(slice(col("t"), lit(2), size(col("t")) - 1),
@@ -1692,6 +1728,11 @@ object TextAnalysis {
       .select(explode(arrays_zip(col("t"), col("nx"))).as("p"))
       .groupBy(col("p.t").as("w1"), col("p.nx").as("w2"))
       .agg(count(lit(1)).as("c"))
+
+  /** The PMI rank over a pair-count table ([[collocationPairRows]], or
+    * the summed union of landed generations of it). */
+  def collocationsFromPairs(pairs: DataFrame,
+      minCount: Long = 5L, k: Int = 50): DataFrame = {
     val uni = pairs.groupBy(col("w1").as("w")).agg(sum(col("c")).as("n"))
     val big = pairs.filter(col("w2").isNotNull)
       .select(col("w1"), col("w2"), col("c").as("n_pair"))
@@ -1714,6 +1755,36 @@ object TextAnalysis {
     * floor, over the documents table. */
   def collocationsDocs(spark: SparkSession, dir: String): DataFrame =
     collocations(Tables.load(spark, dir, "documents"), "text")
+
+  // process-local memo of landed pair-count roots (the countStates
+  // convention)
+  private var collocStates = Map.empty[String, String]
+
+  /** STEADY form for `txt_collocations_steady`: the PMI report off
+    * LANDED additive pair-count generations (two doc-parity splits —
+    * the shape a maintainer accumulates per batch, summed at serve).
+    * Shares the batch oracle: pair counts are additive over any
+    * batch partition of the corpus, so where they came from is
+    * invisible — the report never re-reads text. */
+  def collocationsSteadyDocs(spark: SparkSession, dir: String): DataFrame = {
+    val path = synchronized {
+      collocStates.getOrElse(dir, {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_colloc_steady_").toString
+        val docs = Tables.load(spark, dir, "documents")
+        collocationPairRows(docs.filter(col("doc_id") % 2 === 0), "text")
+          .write.parquet(s"$p/gen-0")
+        collocationPairRows(docs.filter(col("doc_id") % 2 === 1), "text")
+          .write.parquet(s"$p/gen-1")
+        collocStates += dir -> p
+        p
+      })
+    }
+    collocationsFromPairs(
+      spark.read.parquet(s"$path/gen-0")
+        .unionByName(spark.read.parquet(s"$path/gen-1"))
+        .groupBy("w1", "w2").agg(sum(col("c")).as("c")))
+  }
 
   /** Feature-hashed document vectors (the hashing trick — the published
     * fastText/Vowpal-Wabbit device): every token hashes into one of

@@ -222,4 +222,23 @@ class PackingSpec extends SparkTestBase {
       case _ => ()
     }
   }
+
+  test("curriculumBlocksFromState re-derives ordering and layout off 24-byte/doc metadata") {
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    def spans(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Long, Long)] =
+      d.as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // the landed steady serve ≡ the direct operator (shared-oracle law)
+    assert(spans(Packing.curriculumBlocksSteadyDocs(spark, dir)) ==
+      spans(Packing.curriculumBlocksDocs(spark, dir)),
+      "steady serve ≡ direct curriculum layout")
+    // re-layout off the SAME state at a new context length and phase
+    // count ≡ the direct operator re-run — text untouched either way
+    val state = TextAnalysis.curriculumStateRows(docs, "doc_id", "text")
+      .localCheckpoint()
+    assert(spans(Packing.curriculumBlocksFromState(state,
+        blockSize = 64, nPhases = 4)) ==
+      spans(Packing.curriculumBlocks(docs, "doc_id", "text",
+        blockSize = 64, nPhases = 4)),
+      "re-blocking at a new context length/phase count off metadata only")
+  }
 }

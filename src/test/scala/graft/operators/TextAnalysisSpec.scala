@@ -1168,5 +1168,15 @@ class TextAnalysisSpec extends SparkTestBase {
         minCount = 2L, k = 10)
       .as[(String, String, Long, Double)].collect().toSeq
     assert(rep == got, "collocations must not depend on input layout")
+    // additivity: pair counts summed over ANY batch partition serve the
+    // same report (the steady-form law)
+    val merged = TextAnalysis.collocationsFromPairs(
+      TextAnalysis.collocationPairRows(docs.filter(col("doc_id") % 3 === 0), "text")
+        .unionByName(TextAnalysis.collocationPairRows(
+          docs.filter(col("doc_id") % 3 =!= 0), "text"))
+        .groupBy("w1", "w2").agg(sum(col("c")).as("c")),
+      minCount = 2L, k = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(merged == got, "pair counts must be additive over batches")
   }
 }
