@@ -289,6 +289,7 @@ object SparkEntry {
     "txt_bpe_apply"     -> (TextAnalysis.bpeTokenized _),
     "txt_bpe_apply_steady" -> (TextAnalysis.bpeTokenizedSteady _),
     "txt_bigram_lm"     -> (TextAnalysis.bigramScores _),
+    "txt_domain_reweight" -> ((s, d) => TextAnalysis.domainReweightDocs(s, d)),
     "txt_entropy"       -> (TextAnalysis.entropyScores _),
     "txt_len_bins"      -> (TextAnalysis.docLengthBins _),
     "txt_keywords"      -> ((s, d) => TextAnalysis.docKeywords(s, d)),
@@ -421,6 +422,8 @@ object SparkEntry {
     "txt_token_blocks", "txt_token_blocks_steady", "txt_curriculum_blocks",
     "txt_curriculum_blocks_steady", "txt_collocations",
     "txt_collocations_steady",
+    // DoReMi-class excess-loss domain reweighting (the fourth mixing form)
+    "txt_domain_reweight",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -2712,6 +2715,61 @@ object SparkEntry {
         |JOIN lc ON p.l = lc.l
         |CROSS JOIN v
         |GROUP BY 1""".stripMargin,
+    // DoReMi-class domain reweighting: both LM scorings replayed off
+    // the same pair projection (corpus model = the txt_bigram_lm body;
+    // domain model = the same with a source key), per-doc 6-dp rounds
+    // lifted to integer micro-nats so every per-source aggregate is an
+    // exact integer sum, one IEEE divide for the mean, and the softmax
+    // normalizer summed in source order (ordered full-frame window —
+    // engine-order-free).
+    "txt_domain_reweight" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT doc_id, source, w[j] AS l, w[j+1] AS r FROM (
+        |    SELECT doc_id, source, w, unnest(range(1, len(w))) AS j
+        |    FROM t WHERE len(w) >= 2
+        |  )
+        |), model AS (SELECT l, r, count(*) AS c_lr FROM pairs GROUP BY 1, 2),
+        |lc AS (SELECT l, sum(c_lr) AS c_l FROM model GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(w) AS tok FROM t)),
+        |dmodel AS (SELECT source, l, r, count(*) AS c_slr FROM pairs GROUP BY 1, 2, 3),
+        |dlc AS (SELECT source, l, sum(c_slr) AS c_sl FROM dmodel GROUP BY 1, 2),
+        |dv AS (SELECT source, count(DISTINCT tok) AS v_s
+        |       FROM (SELECT source, unnest(w) AS tok FROM t) GROUP BY 1),
+        |perdoc AS (
+        |  SELECT p.doc_id, p.source, count(*) AS n_bigrams,
+        |    CAST(round(round(sum(ln((dm.c_slr + 1.0) / (dlc.c_sl + dv.v_s))), 6) * 1000000) AS BIGINT)
+        |      - CAST(round(round(sum(ln((m.c_lr + 1.0) / (lc.c_l + v.v))), 6) * 1000000) AS BIGINT) AS micro
+        |  FROM pairs p
+        |  JOIN model m ON p.l = m.l AND p.r = m.r
+        |  JOIN lc ON p.l = lc.l
+        |  JOIN dmodel dm ON p.source = dm.source AND p.l = dm.l AND p.r = dm.r
+        |  JOIN dlc ON p.source = dlc.source AND p.l = dlc.l
+        |  CROSS JOIN v
+        |  JOIN dv ON p.source = dv.source
+        |  GROUP BY 1, 2
+        |), src AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(micro) AS BIGINT) AS micro
+        |  FROM perdoc GROUP BY 1
+        |), tot AS (SELECT CAST(sum(n_bigrams) AS BIGINT) AS tb FROM src),
+        |x AS (
+        |  SELECT source, n_docs, n_bigrams,
+        |    round(CAST(micro AS DOUBLE) / 1000000.0 / n_bigrams, 6) AS xloss
+        |  FROM src
+        |), u AS (
+        |  SELECT source, n_docs, n_bigrams, xloss,
+        |    CAST(n_bigrams AS DOUBLE) / tb * exp(1.0 * xloss) AS u
+        |  FROM x CROSS JOIN tot
+        |)
+        |SELECT source, n_docs, n_bigrams, xloss,
+        |  round(u / sum(u) OVER (ORDER BY source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6) AS weight
+        |FROM u""".stripMargin,
     // CCNet perplexity terciles: the txt_bigram_lm body, length-
     // normalized at 6 dp, per-LANG quantile_cont cutoffs (≡ Spark's
     // exact percentile interpolation) rounded 6 dp before the compare.

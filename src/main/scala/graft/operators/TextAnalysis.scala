@@ -384,6 +384,94 @@ object TextAnalysis {
   def bigramScores(spark: SparkSession, dir: String): DataFrame =
     bigramLogLik(Tables.load(spark, dir, "documents"), "doc_id", "text")
 
+  /** Domain reweighting by EXCESS LOSS — the DoReMi-class mixing form
+    * (Xie et al., NeurIPS'23: upweight domains whose loss under a
+    * generalist model exceeds their loss under a domain-fit reference;
+    * excess loss is the signal that a domain is distinctive /
+    * under-served by the mixture). The missing fourth member of the
+    * mixing family next to temperature (E56), token budgets
+    * (E124/E157), and DSIR importance weights (E153): those reweight by
+    * SIZE or by similarity to a target — this one reweights by how much
+    * the corpus-wide model UNDERFITS each domain. Deterministic
+    * replay of the one-step multiplicative update: reference = each
+    * domain's own add-one bigram LM, generalist = the corpus-wide
+    * bigram LM ([[bigramLogLik]]'s model, verbatim); per-domain mean
+    * excess NLL drives w_d ∝ share_d · exp(η · excess_d), normalized.
+    *
+    * Cross-engine float discipline (the curation-report lesson applied
+    * to a float signal): per-DOC log-lik sums round at 6 dp (the
+    * [[bigramLogLik]] tolerance) and lift to integer MICRO-NATS, so
+    * every per-source aggregate is an exact integer sum; the mean is
+    * one IEEE divide of exact inputs; exp/softmax touch |sources|
+    * scalars with the normalizer summed in source order (an ORDERED
+    * full-frame window — engine-order-free).
+    *
+    * Scale shape: ONE row-local bigram explode feeds both models
+    * (corpus-wide and per-source counts are two-phase aggregates over
+    * it); scoring is corpus-scale equi-joins on (l, r) and
+    * (source, l, r) — how you score against models too big to
+    * broadcast; everything after the per-doc aggregate is model- or
+    * |sources|-sized. */
+  def domainReweight(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, eta: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col(textCol))
+    def pairs = docs
+      .select(col(idCol).as("doc_id"), col(srcCol).as("source"), toks.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("source"), explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        j => struct(element_at(col("w"), j).as("l"),
+          element_at(col("w"), j + 1).as("r")))).as("p"))
+      .select(col("doc_id"), col("source"), col("p.l").as("l"), col("p.r").as("r"))
+    val model = pairs.groupBy("l", "r").agg(count(lit(1)).as("c_lr"))
+    val lc = model.groupBy("l").agg(sum(col("c_lr")).as("c_l"))
+    val vocab = docs.select(explode(toks).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    val dmodel = pairs.groupBy("source", "l", "r").agg(count(lit(1)).as("c_slr"))
+    val dlc = dmodel.groupBy("source", "l").agg(sum(col("c_slr")).as("c_sl"))
+    val dvocab = docs
+      .select(col(srcCol).as("source"), explode(toks).as("t"))
+      .groupBy("source").agg(count_distinct(col("t")).as("v_s"))
+    val perDoc = pairs
+      .join(model.join(lc, "l"), Seq("l", "r"))
+      .join(dmodel.join(dlc, Seq("source", "l")), Seq("source", "l", "r"))
+      .crossJoin(broadcast(vocab))
+      .join(broadcast(dvocab), "source")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(log((col("c_slr") + lit(1.0d)) / (col("c_sl") + col("v_s")))), 6)
+          .as("ll_dom"),
+        round(sum(log((col("c_lr") + lit(1.0d)) / (col("c_l") + col("v")))), 6)
+          .as("ll_cor"))
+      // excess of the GENERALIST's NLL over the domain reference's, in
+      // integer micro-nats: (−ll_cor) − (−ll_dom) = ll_dom − ll_cor
+      .select(col("doc_id"), col("source"), col("n_bigrams"),
+        (round(col("ll_dom") * 1e6).cast("long")
+          - round(col("ll_cor") * 1e6).cast("long")).as("micro"))
+    val tot = perDoc.agg(sum(col("n_bigrams")).as("tb"))
+    val wAll = Window.orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("n_bigrams"),
+        sum(col("micro")).as("micro"))
+      .crossJoin(broadcast(tot))
+      .withColumn("xloss",
+        round(col("micro").cast("double") / 1e6 / col("n_bigrams"), 6))
+      .withColumn("u",
+        col("n_bigrams").cast("double") / col("tb")
+          * exp(lit(eta) * col("xloss")))
+      .withColumn("weight", round(col("u") / sum(col("u")).over(wAll), 6))
+      .select(col("source"), col("n_docs"), col("n_bigrams"),
+        col("xloss"), col("weight"))
+  }
+
+  /** CORRECTNESS instantiation: η = 1 one-step DoReMi-class update over
+    * the documents table's sources. */
+  def domainReweightDocs(spark: SparkSession, dir: String): DataFrame =
+    domainReweight(Tables.load(spark, dir, "documents"),
+      "doc_id", "text", "source")
+
   /** CCNet-style perplexity bucketing — the published Common Crawl
     * recipe's final quality split (Wenzek et al. 2019: score every
     * document under a language model, cut each LANGUAGE's score

@@ -1179,4 +1179,36 @@ class TextAnalysisSpec extends SparkTestBase {
       .as[(String, String, Long, Double)].collect().toSeq
     assert(merged == got, "pair counts must be additive over batches")
   }
+
+  test("domainReweight upweights the domain the generalist model underfits") {
+    // 'niche': tiny vocabulary, few docs — its own bigram LM fits it far
+    // better than the corpus-wide model (whose vocab is inflated by
+    // 'bulk'); 'bulk': large vocabulary. Excess loss per bigram is
+    // ln((c_l + V)/(c_l + V_s)): large for niche (V ≫ V_s, small c_l),
+    // near zero for bulk (V ≈ V_s).
+    val bulk = (0 until 5).map { i =>
+      (i.toLong, (0 until 30).map(j => s"w${i}x$j").mkString(" "), "bulk")
+    }
+    val niche = Seq(
+      (100L, "p q p q p q p q", "niche"),
+      (101L, "q p q p q p", "niche"))
+    val docs = (bulk ++ niche).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.domainReweight(docs, "doc_id", "text", "source")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("bulk", "niche"))
+    val (xB, wB) = (got("bulk")._4, got("bulk")._5)
+    val (xN, wN) = (got("niche")._4, got("niche")._5)
+    assert(xN > xB, s"niche excess $xN must exceed bulk $xB")
+    assert(math.abs(wB + wN - 1.0) < 1e-5, "weights must normalize")
+    // the update must UPWEIGHT niche relative to its size share
+    val shareN = got("niche")._3.toDouble / (got("bulk")._3 + got("niche")._3)
+    assert(wN > shareN, s"niche weight $wN must exceed its share $shareN")
+    // layout invariance
+    val rep = TextAnalysis.domainReweight(docs.repartition(7),
+        "doc_id", "text", "source")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rep == got, "reweighting must not depend on input layout")
+  }
 }
