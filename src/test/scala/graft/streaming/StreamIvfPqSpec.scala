@@ -211,5 +211,26 @@ class StreamIvfPqSpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect().toSet
     assert(demo == want,
       "reshardedDocs must equal the batch √N-sized landed serve")
+
+    // CRASH WINDOW: a re-shard that died after writing its tmp- fold but
+    // before the rename leaves only an INVISIBLE directory — the store
+    // serves the old (committed) sizing unchanged, and the next
+    // maintenance sweeps the leftover and completes. Simulated by
+    // planting a stale tmp- fold (with a sidecar, the worst case: a
+    // crashed re-shard's half-written quantizers must never be read).
+    val preCrash = searchNow(probeIds)
+    val f = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = new org.apache.hadoop.fs.Path(s"$indexDir/tmp-gen-compact-99")
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$stale/${StreamIvfPq.QuantSidecar}"))
+    assert(searchNow(probeIds) == preCrash,
+      "a crashed re-shard's tmp fold must be invisible to the serve")
+    assert(StreamIvfPq.reshard(spark, indexDir,
+      remaining.toDF("vec_id", "embedding"), book, force = true),
+      "the retry re-shard must complete past the stale tmp fold")
+    assert(!f.exists(stale), "maintenance must sweep the crashed tmp fold")
+    assert(searchNow(probeIds) ==
+      scaledWant(remaining, remaining, probeIds),
+      "post-retry serve must equal the batch operator at the retrained sizing")
   }
 }
