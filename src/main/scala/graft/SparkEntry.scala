@@ -107,7 +107,9 @@ object SparkEntry {
     "q_lpa"             -> ((s, d) => GraphRank.labelPropagationDocs(s, d)),
     "q_lpa_steady"      -> ((s, d) => GraphRank.labelPropagationSteady(s, d)),
     "q_lpa_sample"      -> ((s, d) => GraphRank.communitySampleDocs(s, d)),
+    "q_lpa_sample_steady" -> ((s, d) => GraphRank.communitySampleSteadyDocs(s, d)),
     "q_modularity"      -> ((s, d) => GraphRank.modularityDocs(s, d)),
+    "q_modularity_steady" -> ((s, d) => GraphRank.modularitySteadyDocs(s, d)),
     "mm_near_dup"       -> ((s, d) => Multimodal.nearDupMedia(s, d)),
     "mm_incr_near_dup"  -> (Multimodal.incrementalMediaArrivals _),
     "mm_incr_near_dup_steady" -> (Multimodal.incrementalMediaArrivalsSteady _),
@@ -290,6 +292,7 @@ object SparkEntry {
     "txt_bpe_apply_steady" -> (TextAnalysis.bpeTokenizedSteady _),
     "txt_bigram_lm"     -> (TextAnalysis.bigramScores _),
     "txt_domain_reweight" -> ((s, d) => TextAnalysis.domainReweightDocs(s, d)),
+    "txt_domain_reweight_steady" -> ((s, d) => TextAnalysis.domainReweightSteadyDocs(s, d)),
     "txt_entropy"       -> (TextAnalysis.entropyScores _),
     "txt_len_bins"      -> (TextAnalysis.docLengthBins _),
     "txt_keywords"      -> ((s, d) => TextAnalysis.docKeywords(s, d)),
@@ -424,6 +427,10 @@ object SparkEntry {
     "txt_collocations_steady",
     // DoReMi-class excess-loss domain reweighting (the fourth mixing form)
     "txt_domain_reweight",
+    // round-13 additions: the graph-analytics monitors and the domain
+    // reweight served off LANDED state (no k-means/graph/LPA — or
+    // corpus-scale LM scoring — in the timed plan)
+    "q_modularity_steady", "q_lpa_sample_steady", "txt_domain_reweight_steady",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -1889,6 +1896,15 @@ object SparkEntry {
     "txt_curriculum_blocks_steady" -> curriculumBlocksOracleSql(),
     // pair counts are additive over any batch partition of the corpus
     "txt_collocations_steady" -> oracleBase("txt_collocations"),
+    // the reweight is a pure function of the landed (source, l, r, n)
+    // model + vocab + doc-stat relations, which additively equal the
+    // direct corpus scan's — landed ≡ direct, oracle shared
+    "txt_domain_reweight_steady" -> oracleBase("txt_domain_reweight"),
+    // landed centroids ≡ trained centroids, so the landed graph and
+    // every deterministic tail over it (LPA labels, the modularity
+    // counts, the capped draw) are identical to the direct rebuild's
+    "q_modularity_steady" -> oracleBase("q_modularity"),
+    "q_lpa_sample_steady" -> oracleBase("q_lpa_sample"),
     "sim_topk_pq_steady" -> oracleBase("sim_topk_pq_trained"),
     "sim_topk_ivfpq_steady" -> oracleBase("sim_topk_ivfpq_trained"),
     "sim_topk_ivfpq_landed" -> oracleBase("sim_topk_ivfpq_trained"),
@@ -2715,11 +2731,14 @@ object SparkEntry {
         |JOIN lc ON p.l = lc.l
         |CROSS JOIN v
         |GROUP BY 1""".stripMargin,
-    // DoReMi-class domain reweighting: both LM scorings replayed off
-    // the same pair projection (corpus model = the txt_bigram_lm body;
-    // domain model = the same with a source key), per-doc 6-dp rounds
-    // lifted to integer micro-nats so every per-source aggregate is an
-    // exact integer sum, one IEEE divide for the mean, and the softmax
+    // DoReMi-class domain reweighting, MODEL-ROW regrouped (the Spark
+    // operator's round-13 form): within a source every occurrence of a
+    // bigram scores the same log-prob, so per-source total log-lik =
+    // Σ_{(l,r)} c_slr·log p — a fold over distinct model rows. Log-probs
+    // round at 6 dp PER MODEL ROW and lift to integer micro-nats
+    // (multiplied by the exact occurrence count), so every per-source
+    // aggregate is an exact integer sum (DuckDB's HUGEINT ≡ Spark's
+    // decimal(38,0) sum); one IEEE divide for the mean; the softmax
     // normalizer summed in source order (ordered full-frame window —
     // engine-order-free).
     "txt_domain_reweight" ->
@@ -2728,34 +2747,36 @@ object SparkEntry {
         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
         |  FROM documents
         |), pairs AS (
-        |  SELECT doc_id, source, w[j] AS l, w[j+1] AS r FROM (
-        |    SELECT doc_id, source, w, unnest(range(1, len(w))) AS j
+        |  SELECT source, w[j] AS l, w[j+1] AS r FROM (
+        |    SELECT source, w, unnest(range(1, len(w))) AS j
         |    FROM t WHERE len(w) >= 2
         |  )
-        |), model AS (SELECT l, r, count(*) AS c_lr FROM pairs GROUP BY 1, 2),
+        |), dmodel AS (SELECT source, l, r, count(*) AS c_slr FROM pairs GROUP BY 1, 2, 3),
+        |model AS (SELECT l, r, sum(c_slr) AS c_lr FROM dmodel GROUP BY 1, 2),
         |lc AS (SELECT l, sum(c_lr) AS c_l FROM model GROUP BY 1),
-        |v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(w) AS tok FROM t)),
-        |dmodel AS (SELECT source, l, r, count(*) AS c_slr FROM pairs GROUP BY 1, 2, 3),
         |dlc AS (SELECT source, l, sum(c_slr) AS c_sl FROM dmodel GROUP BY 1, 2),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(w) AS tok FROM t)),
         |dv AS (SELECT source, count(DISTINCT tok) AS v_s
         |       FROM (SELECT source, unnest(w) AS tok FROM t) GROUP BY 1),
-        |perdoc AS (
-        |  SELECT p.doc_id, p.source, count(*) AS n_bigrams,
-        |    CAST(round(round(sum(ln((dm.c_slr + 1.0) / (dlc.c_sl + dv.v_s))), 6) * 1000000) AS BIGINT)
-        |      - CAST(round(round(sum(ln((m.c_lr + 1.0) / (lc.c_l + v.v))), 6) * 1000000) AS BIGINT) AS micro
-        |  FROM pairs p
-        |  JOIN model m ON p.l = m.l AND p.r = m.r
-        |  JOIN lc ON p.l = lc.l
-        |  JOIN dmodel dm ON p.source = dm.source AND p.l = dm.l AND p.r = dm.r
-        |  JOIN dlc ON p.source = dlc.source AND p.l = dlc.l
+        |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |       FROM t WHERE len(w) >= 2 GROUP BY 1),
+        |scored AS (
+        |  SELECT dm.source, dm.c_slr,
+        |    dm.c_slr * (
+        |      CAST(round(round(ln((dm.c_slr + 1.0) / (dlc.c_sl + dv.v_s)), 6) * 1000000) AS BIGINT)
+        |      - CAST(round(round(ln((m.c_lr + 1.0) / (lc.c_l + v.v)), 6) * 1000000) AS BIGINT)) AS micro
+        |  FROM dmodel dm
+        |  JOIN model m ON dm.l = m.l AND dm.r = m.r
+        |  JOIN lc ON dm.l = lc.l
+        |  JOIN dlc ON dm.source = dlc.source AND dm.l = dlc.l
         |  CROSS JOIN v
-        |  JOIN dv ON p.source = dv.source
-        |  GROUP BY 1, 2
+        |  JOIN dv ON dm.source = dv.source
         |), src AS (
-        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
-        |    CAST(sum(micro) AS BIGINT) AS micro
-        |  FROM perdoc GROUP BY 1
+        |  SELECT s.source, nd.n_docs,
+        |    CAST(sum(s.c_slr) AS BIGINT) AS n_bigrams,
+        |    sum(s.micro) AS micro
+        |  FROM scored s JOIN nd ON s.source = nd.source
+        |  GROUP BY 1, 2
         |), tot AS (SELECT CAST(sum(n_bigrams) AS BIGINT) AS tb FROM src),
         |x AS (
         |  SELECT source, n_docs, n_bigrams,

@@ -1554,13 +1554,19 @@ object Dedup extends Logging {
     * Output: (doc_id, n_tokens, n_removed, clean_text) for EVERY doc —
     * clean docs pass through with n_removed = 0.
     *
-    * Scale shape: eval windows reduce to DISTINCT 8-byte hashes
-    * (bounded, broadcast — the [[decontaminate]] contract); the corpus
-    * side is one pinned (tokens, positional window hashes) projection
-    * feeding the match probe and the row-local rewrite — only (doc_id,
-    * pos) pairs of MATCHING windows aggregate (contaminated docs only),
-    * and the rewrite filters each doc's own token array against its
-    * bounded match-position list. Text never shuffles. Hash-for-gram
+    * Scale shape: eval windows reduce to DISTINCT 8-byte hashes; the
+    * match-probe join strategy is deliberately LEFT TO AQE (the
+    * [[contamFraction]] rule: eval suites are bounded by CONTRACT and
+    * broadcast at runtime size, but the set is unbounded by CODE — a
+    * forced hint OOMs the driver on a blocklist-sized eval side where
+    * the optimizer-chosen join degrades gracefully to a shuffled
+    * equi-join, and [[decontaminateBloom]] is the scale path for that
+    * regime). The corpus side is one pinned (tokens, positional window
+    * hashes) projection feeding the match probe and the row-local
+    * rewrite — only (doc_id, pos) pairs of MATCHING windows aggregate
+    * (contaminated docs only), and the rewrite filters each doc's own
+    * token array against its bounded match-position list. Text never
+    * shuffles. Hash-for-gram
     * equality is the usual w.h.p. argument; the oracle checks string
     * space. Short docs (< w tokens) carry the kernel's single
     * whole-text window — a match covers every token, i.e. a sub-window
@@ -1577,7 +1583,7 @@ object Dedup extends Logging {
     val matches = base
       .select(col("doc_id"), posexplode(col("whs")))
       .toDF("doc_id", "pos", "wh")
-      .join(broadcast(evalGrams), "wh")
+      .join(evalGrams, "wh")
       .groupBy("doc_id").agg(collect_list(col("pos")).as("ps"))
     val kept = filter(col("toks"), (t, i) =>
       !exists(col("ps2"), p => i >= p && i <= p + lit(w - 1)))

@@ -310,4 +310,79 @@ object GraphRank {
             else g0.localCheckpoint()
     modularity(labelPropagation(emb.select("vec_id"), g, iters), g)
   }
+
+  /** Catalog table-name prefix for the LANDED community partition + its
+    * k-NN edge set of a corpus dir (the MD5 collision rationale shared
+    * with [[Similarity.quantizerPrefix]]). */
+  def communityPrefix(dir: String): String = {
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    s"graph_comm_$suffix"
+  }
+
+  /** Train and LAND the graph-analytics state of a corpus dir as parquet
+    * catalog tables: `<prefix>_edges` — the directed k-NN edge set under
+    * the LANDED trained centroids (nn·|V| rows, two long columns) — and
+    * `<prefix>_labels` — the `iters`-round LPA community partition over
+    * it (|V| rows). The [[Similarity.landQuantizers]] pattern applied to
+    * the graph monitors: k-means + the blocked graph build + the LPA
+    * rounds are paid ONCE per (immutable) corpus; every monitor serve
+    * afterwards is a metadata-class fold over the landed relations. At
+    * 100 TB this is the difference between a daily mix-audit dashboard
+    * and a daily graph rebuild; the STREAMED maintenance of the same
+    * edge state is [[graft.streaming.StreamKnn]], whose serves compose
+    * the identical [[labelPropagation]]/[[modularity]] tails. */
+  def landCommunities(spark: SparkSession, dir: String, path: String,
+      nn: Int = 4, iters: Int = 5): Unit = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val prefix = communityPrefix(dir)
+    val g0 = Similarity.knnGraph(emb,
+        Similarity.loadLandedQuantizers(spark, dir)._1, nn)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    // pinned: the graph feeds its own land AND the LPA rounds
+    val g = if (spark.sparkContext.getCheckpointDir.isDefined) g0.checkpoint()
+            else g0.localCheckpoint()
+    g.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .option("path", s"$path/edges").saveAsTable(s"${prefix}_edges")
+    labelPropagation(emb.select("vec_id"), g, iters)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+      .option("path", s"$path/labels").saveAsTable(s"${prefix}_labels")
+  }
+
+  /** Ensure the community state is landed for `dir` and return
+    * (labels — (vec_id, community), edges — (src, dst)). */
+  def loadLandedCommunities(spark: SparkSession, dir: String,
+      nn: Int = 4, iters: Int = 5): (DataFrame, DataFrame) = {
+    val prefix = communityPrefix(dir)
+    if (!spark.catalog.tableExists(s"${prefix}_labels") ||
+        !spark.catalog.tableExists(s"${prefix}_edges")) {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_graph_comm_").toString
+      landCommunities(spark, dir, path, nn, iters)
+    }
+    (spark.table(s"${prefix}_labels"), spark.table(s"${prefix}_edges"))
+  }
+
+  /** STEADY-STATE [[modularityDocs]] (`q_modularity_steady`) — the
+    * partition-quality monitor served off the LANDED community state
+    * instead of a per-request world rebuild (the round-12 observation:
+    * the direct entry re-runs k-means + the k-NN graph build + 5 LPA
+    * rounds + both modularity passes per invocation, 3.7 s at sf0.1 —
+    * a non-answer for a monitor a curation team reads daily): the serve
+    * is [[modularity]]'s two label joins + three counts over the landed
+    * edge/label tables. Same answer, same oracle as the direct entry
+    * (landed ≡ direct law: landed centroids ≡ trained centroids, so the
+    * graph — and every deterministic tail over it — is identical). */
+  def modularitySteadyDocs(spark: SparkSession, dir: String): DataFrame = {
+    val (labels, edges) = loadLandedCommunities(spark, dir)
+    modularity(labels, edges)
+  }
+
+  /** STEADY-STATE [[communitySampleDocs]] (`q_lpa_sample_steady`) — the
+    * capped community draw served off the LANDED partition: one
+    * TopKPerKey pass over |V| (vec_id, community) rows, no graph or LPA
+    * in the plan. Same answer, same oracle as the direct entry. */
+  def communitySampleSteadyDocs(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame =
+    communitySample(loadLandedCommunities(spark, dir)._1, k)
 }

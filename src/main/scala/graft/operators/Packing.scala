@@ -198,10 +198,16 @@ object Packing {
     val stats = counts.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
     // integer `div` throughout: `/` on longs is DOUBLE division in Spark
     // SQL, inexact past 2^53 — a 100 TB corpus's token stream is ~10^13,
-    // close enough that the layout must not ride float rounding
+    // close enough that the layout must not ride float rounding.
+    // Divide-by-width rather than multiply-then-divide: the textbook
+    // ((id−lo)·buckets) div span overflows long once the id span passes
+    // ~2^55 (sparse snowflake-style 64-bit ids), flipping buckets
+    // negative. Any monotonic-in-doc_id bucketing yields the SAME final
+    // offsets (the two-phase prefix sum telescopes), so only the slice
+    // balance — not the answer — rides the formula.
     val based = counts.crossJoin(broadcast(stats))
       .withColumn("bucket",
-        expr(s"((doc_id - lo) * ${buckets}L) div (hi - lo + 1)"))
+        expr(s"(doc_id - lo) div (((hi - lo) div ${buckets}L) + 1)"))
     val wOff = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = based.groupBy("bucket")

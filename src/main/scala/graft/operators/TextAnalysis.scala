@@ -399,62 +399,118 @@ object TextAnalysis {
     * excess NLL drives w_d ∝ share_d · exp(η · excess_d), normalized.
     *
     * Cross-engine float discipline (the curation-report lesson applied
-    * to a float signal): per-DOC log-lik sums round at 6 dp (the
-    * [[bigramLogLik]] tolerance) and lift to integer MICRO-NATS, so
-    * every per-source aggregate is an exact integer sum; the mean is
+    * to a float signal): log-probs round at 6 dp PER DISTINCT MODEL ROW
+    * and lift to integer MICRO-NATS, so every per-source aggregate is an
+    * exact integer sum (summed through decimal(38,0) — per-source totals
+    * run n_bigrams·|log p|·10⁶ ≈ 10²⁰ at 100 TB, past long); the mean is
     * one IEEE divide of exact inputs; exp/softmax touch |sources|
     * scalars with the normalizer summed in source order (an ORDERED
     * full-frame window — engine-order-free).
     *
-    * Scale shape: ONE row-local bigram explode feeds both models
-    * (corpus-wide and per-source counts are two-phase aggregates over
-    * it); scoring is corpus-scale equi-joins on (l, r) and
-    * (source, l, r) — how you score against models too big to
-    * broadcast; everything after the per-doc aggregate is model- or
+    * MODEL-ROW REGROUPING (what makes the state landable AND the
+    * scoring model-sized): within a source every occurrence of bigram
+    * (l, r) scores the same log-prob under both LMs, so the per-source
+    * total log-lik regroups as Σ_{(l,r)} c_slr · log p — a fold over
+    * DISTINCT (source, l, r) model rows, never the corpus-scale
+    * occurrence stream. Per-source n_docs = docs with ≥ 1 bigram is the
+    * one extra additive relation. The round-12 form scored per
+    * occurrence (one scoring-join row per corpus bigram, ~10¹³ at
+    * 100 TB, then rounded per doc); the output is per-SOURCE, so the
+    * per-doc granularity bought nothing — this form's scoring join is
+    * model-sized given the counts, and the counts are exactly the
+    * additive (source, l, r, n) generations
+    * [[graft.streaming.UnifiedIngest]] maintains
+    * ([[domainReweightFromModel]] is the shared tail; the steady serve
+    * is the same fold over landed state with no corpus pass at all).
+    *
+    * Scale shape: ONE row-local bigram explode feeds the (source, l, r)
+    * two-phase count (map-side combine collapses occurrences before the
+    * exchange); the corpus-wide model folds out of the per-source one
+    * (model-sized); everything downstream of the counts is model- or
     * |sources|-sized. */
   def domainReweight(docs: DataFrame, idCol: String, textCol: String,
-      srcCol: String, eta: Double = 1.0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      srcCol: String, eta: Double = 1.0): DataFrame =
+    domainReweightFromModel(
+      bigramModelRows(docs, textCol, srcCol),
+      lmVocabRows(docs, textCol, srcCol),
+      lmDocStats(docs, textCol, srcCol), eta)
+
+  /** The per-source add-one bigram LM as data: one (source, l, r, n) row
+    * per distinct per-source bigram — the ADDITIVE relation the unified
+    * loop lands per batch (occurrence counts sum across batches to the
+    * union's counts, with no arrival-order dependence at all). The
+    * corpus-wide model is its (l, r) regroup — derived, never stored. */
+  def bigramModelRows(docs: DataFrame, textCol: String,
+      srcCol: String): DataFrame = {
     val toks = tokens(col(textCol))
-    def pairs = docs
-      .select(col(idCol).as("doc_id"), col(srcCol).as("source"), toks.as("w"))
+    docs
+      .select(col(srcCol).as("source"), toks.as("w"))
       .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), col("source"), explode(transform(
+      .select(col("source"), explode(transform(
         sequence(lit(1), size(col("w")) - 1),
         j => struct(element_at(col("w"), j).as("l"),
           element_at(col("w"), j + 1).as("r")))).as("p"))
-      .select(col("doc_id"), col("source"), col("p.l").as("l"), col("p.r").as("r"))
-    val model = pairs.groupBy("l", "r").agg(count(lit(1)).as("c_lr"))
+      .groupBy(col("source"), col("p.l").as("l"), col("p.r").as("r"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** DISTINCT (source, token) rows — the vocabulary-size side of the LM
+    * state (per-source V_s and the corpus V are counts over it; distinct
+    * rows union across batches to the union's distinct set, so the
+    * landed fold is `distinct`, duplication-inert under a
+    * distinct-serving read). */
+  def lmVocabRows(docs: DataFrame, textCol: String,
+      srcCol: String): DataFrame =
+    docs.select(col(srcCol).as("source"),
+        explode(tokens(col(textCol))).as("t"))
+      .distinct()
+
+  /** Per-source count of documents with ≥ 1 bigram (= ≥ 2 tokens) —
+    * the n_docs relation of the reweight output, additive per batch. */
+  def lmDocStats(docs: DataFrame, textCol: String,
+      srcCol: String): DataFrame =
+    docs.filter(size(tokens(col(textCol))) >= 2)
+      .groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** The DoReMi-class tail over LM state: `dmodel` = (source, l, r, n)
+    * per-source bigram counts, `dvocab` = distinct (source, t) token
+    * rows (re-distincted here, so duplication-inert generation reads are
+    * safe), `stats` = (source, n_docs). Everything here is model- or
+    * |sources|-sized — the 100 TB serve path given maintained counts.
+    * Shared verbatim by the batch operator, the landed steady serve
+    * ([[domainReweightSteadyDocs]]) and the unified loop's serve
+    * ([[graft.streaming.UnifiedIngest.domainWeights]]), which is what
+    * makes serve ≡ batch a one-liner. */
+  def domainReweightFromModel(dmodel: DataFrame, dvocab: DataFrame,
+      stats: DataFrame, eta: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vrows = dvocab.distinct()
+    val model = dmodel.groupBy("l", "r").agg(sum(col("n")).as("c_lr"))
     val lc = model.groupBy("l").agg(sum(col("c_lr")).as("c_l"))
-    val vocab = docs.select(explode(toks).as("t"))
-      .agg(count_distinct(col("t")).as("v"))
-    val dmodel = pairs.groupBy("source", "l", "r").agg(count(lit(1)).as("c_slr"))
-    val dlc = dmodel.groupBy("source", "l").agg(sum(col("c_slr")).as("c_sl"))
-    val dvocab = docs
-      .select(col(srcCol).as("source"), explode(toks).as("t"))
-      .groupBy("source").agg(count_distinct(col("t")).as("v_s"))
-    val perDoc = pairs
+    val dlc = dmodel.groupBy("source", "l").agg(sum(col("n")).as("c_sl"))
+    val vocab = vrows.select(col("t")).distinct().agg(count(lit(1)).as("v"))
+    val dv = vrows.groupBy("source").agg(count(lit(1)).as("v_s"))
+    // integer micro-nats per DISTINCT model row: 6-dp-round the log-prob,
+    // lift, multiply by the occurrence count — exact integers from here
+    def micro(c: Column, denom: Column): Column =
+      round(round(log((c + lit(1.0d)) / denom), 6) * 1e6).cast("long")
+    val scored = dmodel
       .join(model.join(lc, "l"), Seq("l", "r"))
-      .join(dmodel.join(dlc, Seq("source", "l")), Seq("source", "l", "r"))
+      .join(dlc, Seq("source", "l"))
       .crossJoin(broadcast(vocab))
-      .join(broadcast(dvocab), "source")
-      .groupBy("doc_id", "source")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(log((col("c_slr") + lit(1.0d)) / (col("c_sl") + col("v_s")))), 6)
-          .as("ll_dom"),
-        round(sum(log((col("c_lr") + lit(1.0d)) / (col("c_l") + col("v")))), 6)
-          .as("ll_cor"))
-      // excess of the GENERALIST's NLL over the domain reference's, in
-      // integer micro-nats: (−ll_cor) − (−ll_dom) = ll_dom − ll_cor
-      .select(col("doc_id"), col("source"), col("n_bigrams"),
-        (round(col("ll_dom") * 1e6).cast("long")
-          - round(col("ll_cor") * 1e6).cast("long")).as("micro"))
-    val tot = perDoc.agg(sum(col("n_bigrams")).as("tb"))
+      .join(broadcast(dv), "source")
+      .select(col("source"), col("n"),
+        (col("n") * (micro(col("n"), col("c_sl") + col("v_s"))
+          - micro(col("c_lr"), col("c_l") + col("v")))).as("micro"))
+    val bySrc = scored.groupBy("source")
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(col("micro").cast("decimal(38,0)")).as("micro"))
+      .join(stats.select(col("source"), col("n_docs")), "source")
+    val tot = bySrc.agg(sum(col("n_bigrams")).as("tb"))
     val wAll = Window.orderBy("source")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    perDoc.groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("n_bigrams"),
-        sum(col("micro")).as("micro"))
+    bySrc
       .crossJoin(broadcast(tot))
       .withColumn("xloss",
         round(col("micro").cast("double") / 1e6 / col("n_bigrams"), 6))
@@ -471,6 +527,52 @@ object TextAnalysis {
   def domainReweightDocs(spark: SparkSession, dir: String): DataFrame =
     domainReweight(Tables.load(spark, dir, "documents"),
       "doc_id", "text", "source")
+
+  /** Catalog prefix for the landed LM state of a corpus dir (the MD5
+    * collision rationale shared with [[curationPrefix]]). */
+  def lmPrefix(dir: String): String = {
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    s"lm_state_$suffix"
+  }
+
+  /** Land the three LM-state relations as catalog tables — the corpus
+    * scan paid ONCE per (immutable) corpus dir: the per-source bigram
+    * model (model-sized), the distinct (source, token) vocabulary rows,
+    * and the |sources|-row doc stats. */
+  def landLmState(docs: DataFrame, prefix: String, path: String): Unit = {
+    def land(df: DataFrame, name: String): Unit =
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+        .option("path", s"$path/$name").saveAsTable(s"${prefix}_$name")
+    land(bigramModelRows(docs, "text", "source"), "model")
+    land(lmVocabRows(docs, "text", "source"), "vocab")
+    land(lmDocStats(docs, "text", "source"), "stats")
+  }
+
+  /** STEADY-STATE [[domainReweightDocs]] — the reweight served off the
+    * MAINTAINED LM state instead of a per-request corpus rescan (the
+    * round-12 observation: the direct form pays two corpus-scale LM
+    * scorings per invocation, 2.4 s at sf0.1 and linear — a non-answer
+    * for a train-time mixing dial re-tuned per run at 100 TB): the
+    * model/vocab/stats relations land once per corpus dir, every serve
+    * is [[domainReweightFromModel]] over model-sized state — η can be
+    * re-swept per training run with no text read. Same answer, same
+    * oracle as the direct entry (landed ≡ direct law: occurrence counts
+    * are additive, distinct-token rows union — no arrival-order term);
+    * the streaming maintenance of the same relations lives in
+    * [[graft.streaming.UnifiedIngest]]'s `lm/` generations. */
+  def domainReweightSteadyDocs(spark: SparkSession, dir: String,
+      eta: Double = 1.0): DataFrame = {
+    val prefix = lmPrefix(dir)
+    if (!Seq("model", "vocab", "stats")
+        .forall(t => spark.catalog.tableExists(s"${prefix}_$t"))) {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_lm_state_").toString
+      landLmState(Tables.load(spark, dir, "documents"), prefix, path)
+    }
+    domainReweightFromModel(spark.table(s"${prefix}_model"),
+      spark.table(s"${prefix}_vocab"), spark.table(s"${prefix}_stats"), eta)
+  }
 
   /** CCNet-style perplexity bucketing — the published Common Crawl
     * recipe's final quality split (Wenzek et al. 2019: score every
@@ -863,11 +965,16 @@ object TextAnalysis {
   /** The (doc_id, source, n_tokens) projection the budget cuts run over —
     * tokenization happens here ONCE; the cut itself never needs text
     * (which is what lets the streamed form fold landed rows without
-    * re-reading any document). */
+    * re-reading any document). NULL text coalesces to "" BEFORE the
+    * size — the [[graft.operators.Packing.tokenBlocks]] convention
+    * (`size(split(NULL))` is −1 under legacy sizeOfNull, which would
+    * subtract a phantom token here and shift every later doc's offsets
+    * in any layout built from these counts relative to the from-text
+    * batch operator). */
   private[graft] def tokenCountRows(docs: DataFrame, idCol: String,
       textCol: String, srcCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
-      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      size(tokens(coalesce(col(textCol), lit("")))).cast("long").as("n_tokens"))
 
   /** The distributed per-source prefix sum under the md5 hash order (see
     * [[budgetMix]]'s scaladoc for why this is range-bucketed rather than

@@ -152,11 +152,25 @@ object StreamIvfPq extends Logging {
         case None if fallbackCentroids != null => fallbackCentroids.count()
         case None =>
           // no sidecar, no caller centroids: the live cell count off the
-          // store's partition VALUES (directory-derived — no data read)
+          // store's partition VALUES — a FileSystem listing of the
+          // `cell_id=` directory names under each live generation, so
+          // this genuinely reads no data (the hysteresis check runs on
+          // every unconditional maintenance call; a parquet-scan +
+          // distinct exchange here would tax stores that never
+          // resharded on every compaction cadence)
           val paths = Generations.livePaths(spark, indexDir)
           if (paths.isEmpty) 0L
-          else paths.map(p => spark.read.parquet(p).select("cell_id"))
-            .reduce(_.unionByName(_)).distinct().count()
+          else {
+            val conf = spark.sessionState.newHadoopConf()
+            paths.flatMap { p =>
+              val hp = new org.apache.hadoop.fs.Path(p)
+              hp.getFileSystem(conf).listStatus(hp).toSeq.collect {
+                case st if st.isDirectory &&
+                    st.getPath.getName.startsWith("cell_id=") =>
+                  st.getPath.getName
+              }
+            }.distinct.size.toLong
+          }
       }
       if (current > 0L && target < minGrowth * current) return false
     }

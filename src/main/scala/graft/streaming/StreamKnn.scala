@@ -98,15 +98,58 @@ object StreamKnn {
     * (StreamKnnSpec pins it) — the composition is free once the graph
     * law holds, because PageRank is a pure function of (V, E). */
   def pageRank(spark: SparkSession, stateDir: String, nn: Int,
-      iters: Int = 5, damping: Double = 0.85): DataFrame = {
-    val edges = graph(spark, stateDir, nn)
-      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      iters: Int = 5, damping: Double = 0.85): DataFrame =
+    graft.operators.GraphRank.pageRank(liveVertices(spark, stateDir),
+      graph(spark, stateDir, nn)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst")),
+      iters, damping)
+
+  /** Every arrived vector (the live assignment index) — the vertex set
+    * each graph-analytics serve runs over. */
+  private def liveVertices(spark: SparkSession, stateDir: String): DataFrame = {
     val paths = Generations.livePaths(spark, s"$stateDir/asg")
     require(paths.nonEmpty, s"no committed 'gen-' generations under $stateDir/asg")
-    val verts = paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
       .select("vec_id").distinct()
-    graft.operators.GraphRank.pageRank(verts, edges, iters, damping)
   }
+
+  /** Community discovery served FROM THE MAINTAINED GRAPH — the
+    * [[graft.operators.GraphRank.labelPropagation]] tail over the served
+    * top-nn re-cut, with every arrived vector a vertex. Equals the batch
+    * LPA over the batch graph on the union of all arrivals under the
+    * same fixed cells (StreamKnnSpec pins it) — the [[pageRank]]
+    * argument: LPA is a pure function of (V, E) and the graph law makes
+    * E identical. */
+  def communities(spark: SparkSession, stateDir: String, nn: Int,
+      iters: Int = 5): DataFrame =
+    graft.operators.GraphRank.labelPropagation(liveVertices(spark, stateDir),
+      graph(spark, stateDir, nn)
+        .select(col("vec_id").as("src"), col("nbr_id").as("dst")), iters)
+
+  /** Per-community modularity contributions served FROM THE MAINTAINED
+    * GRAPH — the partition-quality monitor with no batch graph build:
+    * [[communities]]' discovered partition scored by
+    * [[graft.operators.GraphRank.modularity]] over the same served
+    * edges. The graph is pinned once (it feeds the LPA rounds AND both
+    * modularity passes — the batch entry's convention). */
+  def modularity(spark: SparkSession, stateDir: String, nn: Int,
+      iters: Int = 5): DataFrame = {
+    val g0 = graph(spark, stateDir, nn)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val g = if (spark.sparkContext.getCheckpointDir.isDefined) g0.checkpoint()
+            else g0.localCheckpoint()
+    graft.operators.GraphRank.modularity(
+      graft.operators.GraphRank.labelPropagation(
+        liveVertices(spark, stateDir), g, iters), g)
+  }
+
+  /** The capped community draw served FROM THE MAINTAINED GRAPH —
+    * [[graft.operators.GraphRank.communitySample]] over [[communities]]'
+    * partition. */
+  def communitySample(spark: SparkSession, stateDir: String, nn: Int,
+      k: Int = 5, iters: Int = 5): DataFrame =
+    graft.operators.GraphRank.communitySample(
+      communities(spark, stateDir, nn, iters), k)
 
   /** Fold both state sides (manifested — see the object scaladoc): the
     * assignment index by identity, the edges through the absorbing

@@ -245,6 +245,18 @@ object UnifiedIngest {
             seenGrams)
           .write.mode(SaveMode.Overwrite)
           .parquet(s"$stateDir/curation/rows/$own")
+        // additive LM state behind the DoReMi-class domain-reweight
+        // serve ([[domainWeights]]): per-source bigram counts
+        // (model-sized), distinct (source, token) vocabulary rows, and
+        // per-source ≥1-bigram doc counts — occurrence counts sum
+        // across batches to the union's counts with NO arrival-order
+        // term, so the serve ≡ batch law is exact, not contractual
+        TextAnalysis.bigramModelRows(landed, "text", "source")
+          .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/lm/model/$own")
+        TextAnalysis.lmVocabRows(landed, "text", "source")
+          .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/lm/vocab/$own")
+        TextAnalysis.lmDocStats(landed, "text", "source")
+          .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/lm/stats/$own")
         // media signature index generation — derived from the landed
         // bytes (a replayed batch re-derives byte-identically), 32 bytes
         // per asset, payloads never enter the index
@@ -293,6 +305,14 @@ object UnifiedIngest {
         sum("n_docs").as("n_docs"), sum("n_dups").as("n_dups"),
         sum("tokens_sum").as("tokens_sum"), sum("n_keep").as("n_keep"),
         sum("g_sum").as("g_sum"), sum("nov_sum").as("nov_sum")))
+    // LM state: counts are NOT duplication-inert (manifested additive
+    // folds); the distinct vocab rows are, under [[domainWeights]]'s
+    // re-distincting read (simple self-healing fold — the ledger class)
+    Generations.compactManifested(spark, s"$stateDir/lm/model",
+      _.groupBy("source", "l", "r").agg(sum("n").as("n")))
+    Generations.compactFold(spark, s"$stateDir/lm/vocab", _.distinct())
+    Generations.compactManifested(spark, s"$stateDir/lm/stats",
+      _.groupBy("source").agg(sum("n_docs").as("n_docs")))
     // the landed corpus itself: deleted docs' text/embeddings stop
     // existing on disk (Retention's physical-purge half for the root
     // every derived index regrows from)
@@ -353,6 +373,15 @@ object UnifiedIngest {
     // arrival contract the serve law already requires
     Generations.replaceManifested(spark, s"$stateDir/curation/rows",
       TextAnalysis.curationBySource(docs))
+    // the LM state is rebuild-only for the same reason: occurrence
+    // counts' per-doc provenance is summed away, and the distinct vocab
+    // rows can't tell whether a deleted doc was a token's only holder
+    Generations.replaceManifested(spark, s"$stateDir/lm/model",
+      TextAnalysis.bigramModelRows(docs, "text", "source"))
+    Generations.replaceManifested(spark, s"$stateDir/lm/vocab",
+      TextAnalysis.lmVocabRows(docs, "text", "source"))
+    Generations.replaceManifested(spark, s"$stateDir/lm/stats",
+      TextAnalysis.lmDocStats(docs, "text", "source"))
   }
 
   /** The admitted corpus — every live committed landed batch
@@ -363,12 +392,18 @@ object UnifiedIngest {
 
   /** The rejection ledger — one (doc_id, source, gate) row per DROPPED
     * arrival, gate = the first stage whose probe hit. Committed
-    * generations only, tombstones excluded; `dropDuplicates(doc_id)`
+    * generations only, tombstones excluded; FULL-ROW `dropDuplicates()`
     * makes rows COUNTING-inert under the simple-fold discipline (a
     * fold's not-yet-swept sources may transiently double-read — inert
     * for the gate probes that discipline was built for, not for an
-    * aggregate, so the read dedups; each dropped id has exactly one
-    * ledger row by the arrival contract). */
+    * aggregate, so the read dedups). Full-row, not by-id: fold
+    * double-reads are byte-identical, which full-row healing exactly
+    * covers — while a by-id dedup would pick an ARBITRARY survivor if
+    * the same doc_id legitimately re-arrives with a different payload
+    * and is dropped at a different gate (or source), making
+    * [[rejectionReport]]'s attribution nondeterministic across reads.
+    * Two distinct rejection events for one id are two ledger rows by
+    * design. */
   def rejectionLedger(spark: SparkSession, stateDir: String): DataFrame = {
     val dirL = s"$stateDir/ledger"
     val gens = Generations.committed(spark, dirL, "gen-")
@@ -377,7 +412,7 @@ object UnifiedIngest {
         spark.range(0).select(col("id").as("doc_id"),
           lit("").as("source"), lit("").as("gate"))
       else Generations.readNames(spark, dirL, gens, "gen-")
-    Retention.filter(rows, dirL, "doc_id").dropDuplicates("doc_id")
+    Retention.filter(rows, dirL, "doc_id").dropDuplicates()
   }
 
   /** Serve: drops by (source, gate) — the operational "where is my
@@ -479,6 +514,29 @@ object UnifiedIngest {
           sum("n_docs").as("n_docs"), sum("n_dups").as("n_dups"),
           sum("tokens_sum").as("tokens_sum"), sum("n_keep").as("n_keep"),
           sum("g_sum").as("g_sum"), sum("nov_sum").as("nov_sum")))
+  }
+
+  /** Serve: DoReMi-class domain mixing weights off the MAINTAINED LM
+    * state ([[graft.operators.TextAnalysis.domainReweightFromModel]]
+    * over the folded `lm/` generations) — a model-sized fold, no corpus
+    * read, so η re-sweeps per training run are free. Equals the batch
+    * [[graft.operators.TextAnalysis.domainReweight]] on the admitted
+    * union EXACTLY (occurrence counts are additive, distinct vocab rows
+    * union — no arrival-order term; UnifiedIngestSpec pins it).
+    * Rebuild-only under deletion (the KMV/curation class — repair is
+    * [[rebuildSketches]]). */
+  def domainWeights(spark: SparkSession, stateDir: String,
+      eta: Double = 1.0): DataFrame = {
+    def live(sub: String): DataFrame = {
+      val paths = Generations.livePaths(spark, s"$stateDir/lm/$sub")
+      require(paths.nonEmpty,
+        s"no committed 'gen-' generations under $stateDir/lm/$sub")
+      paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    }
+    TextAnalysis.domainReweightFromModel(
+      live("model").groupBy("source", "l", "r").agg(sum("n").as("n")),
+      live("vocab"),
+      live("stats").groupBy("source").agg(sum("n_docs").as("n_docs")), eta)
   }
 
   /** Serve: soft-dedup sampling weights for the admitted corpus off the
