@@ -753,6 +753,100 @@ object Bench {
           errors += s"unified: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
           None
       }
+    // ONE DAG vs TEN — the unified loop's raison d'être, measured: the
+    // same 4-batch arrival sequence driven once through UnifiedIngest
+    // (text-only, for parity) and then through the individual Stream*
+    // maintainers SERIALLY (near, contain, semantic, search, ivfpq,
+    // kmv, hist, softdf, budget — each its own readStream over the same
+    // staged files, own checkpoint, same compaction cadence). The
+    // separate composition re-reads every arrival once per loop and
+    // schedules loops×batches micro-batch DAGs where unified schedules
+    // `batches`; at 1000 executors that multiplier is the ingestion
+    // bill. Comparability caveat (PLANS.md): the separate gates filter
+    // RAW arrivals independently instead of serially composed — they do
+    // slightly LESS admission work and keep MORE rows than unified, so
+    // the measured ratio if anything understates the one-DAG advantage.
+    // Explicit-selection only (SPARK_GRAFT_BENCH_ONLY=unified_vs_separate):
+    // a one-off architecture measurement, not a per-round tripwire.
+    def unifiedVsSeparateBench(): Option[String] =
+      try {
+        import org.apache.spark.sql.functions.{col, lit, size}
+        val tmp = Files.createTempDirectory("graft_uvs_").toString
+        val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text", "source")
+          .join(spark.read.parquet(s"$sfDir/embeddings.parquet")
+            .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+          .select("doc_id", "text", "embedding", "source")
+        val rowsIn = rows.count()
+        def stagedFile(stage: String): java.nio.file.Path = {
+          val st = Files.list(Paths.get(stage))
+          try st.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          finally st.close()
+        }
+        Files.createDirectory(Paths.get(s"$tmp/in"))
+        (0 until 4).foreach { i =>
+          rows.filter(col("doc_id") % 4 === i)
+            .coalesce(1).write.parquet(s"$tmp/stage$i")
+          Files.move(stagedFile(s"$tmp/stage$i"),
+            Paths.get(s"$tmp/in/f$i.parquet"))
+        }
+        def stream() = spark.readStream.schema(rows.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+        val (centDf, book) =
+          graft.operators.Similarity.loadLandedQuantizers(spark, sfDir)
+        def wall(q: => org.apache.spark.sql.streaming.StreamingQuery): Double = {
+          val t0 = System.nanoTime(); q.awaitTermination()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val wallU = wall(graft.streaming.UnifiedIngest.start(stream(),
+          s"$tmp/u-state", s"$tmp/u-ckpt", centDf, book, compactEvery = 2))
+        val parts = collection.mutable.LinkedHashMap[String, Double]()
+        parts("near") = wall(graft.streaming.StreamNearDedup.start(stream(),
+          s"$tmp/near-idx", s"$tmp/near-out", s"$tmp/near-ckpt",
+          "doc_id", "text", compactEvery = 2))
+        parts("contain") = wall(graft.streaming.StreamContain.start(stream(),
+          s"$tmp/con-idx", s"$tmp/con-out", s"$tmp/con-ckpt",
+          "doc_id", "text", compactEvery = 2))
+        parts("semantic") = wall(graft.streaming.StreamSemantic.start(
+          stream().select(col("doc_id").as("vec_id"), col("embedding")),
+          s"$tmp/sem-idx", s"$tmp/sem-out", s"$tmp/sem-ckpt", centDf,
+          compactEvery = 2))
+        parts("search") = wall(graft.streaming.StreamSearchIndex.start(
+          stream(), s"$tmp/search", s"$tmp/search-ckpt", compactEvery = 2))
+        parts("ivfpq") = wall(graft.streaming.StreamIvfPq.start(
+          stream().select(col("doc_id").as("vec_id"), col("embedding")),
+          s"$tmp/codes", s"$tmp/codes-ckpt", centDf, book, compactEvery = 2))
+        parts("kmv") = wall(graft.streaming.StreamKmv.start(
+          stream().select(col("source").as("event_type"),
+            col("doc_id").as("user_id")),
+          s"$tmp/kmv", s"$tmp/kmv-ckpt", compactEvery = 2))
+        parts("hist") = wall(graft.streaming.StreamHist.start(
+          stream().select(
+            lit(graft.streaming.UnifiedIngest.HistDay)
+              .cast("timestamp").as("ts"),
+            size(graft.operators.TextAnalysis.tokens(col("text")))
+              .cast("double").as("value")),
+          s"$tmp/hist", s"$tmp/hist-ckpt", compactEvery = 2))
+        parts("softdf") = wall(graft.streaming.StreamSoftDf.start(
+          stream().select(col("doc_id"), col("text")),
+          s"$tmp/softdf", s"$tmp/softdf-ckpt", compactEvery = 2))
+        parts("budget") = wall(graft.streaming.StreamBudget.start(stream(),
+          s"$tmp/budget", s"$tmp/budget-ckpt", budget = 1000L,
+          compactEvery = 2))
+        val wallSep = parts.values.sum
+        val partsJson = parts
+          .map { case (k, v) => jstr(k) + ":" + fnum(v) }
+          .mkString("{", ",", "}")
+        Some(s"""{"op":"unified_vs_separate","rows_in":$rowsIn,""" +
+          s""""batches":4,"unified_wall_sec":${fnum(wallU)},""" +
+          s""""separate":$partsJson,""" +
+          s""""separate_total_sec":${fnum(wallSep)},""" +
+          s""""separate_over_unified":${fnum(wallSep / wallU)}}""")
+      } catch {
+        case e: Throwable =>
+          errors += s"unified_vs_separate: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          None
+      }
     // Selection by EXACT name (Set membership, not substring): "stream"
     // runs both streaming benches (back-compat umbrella), "stream_near"
     // runs only the near-dedup bench; no filter runs both.
@@ -796,6 +890,10 @@ object Bench {
       if (only.forall(sel => sel.contains("stream") || sel.contains("unified")))
         unifiedBench().getOrElse("null")
       else "null"
+    val unifiedVsSepJson: String =
+      if (only.exists(_.contains("unified_vs_separate")))
+        unifiedVsSeparateBench().getOrElse("null")
+      else "null"
     val prepJson: String =
       if (only.forall(_.contains("prep_full"))) prepBench().getOrElse("null")
       else "null"
@@ -820,7 +918,7 @@ object Bench {
     // "probe" is the per-query contention sentinel (see scaladoc):
     // probe[q] >> probe_floor ⇒ q was timed in a contended window.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"ext":${qjson(extResults)},"stream":$streamJson,"stream_near":$streamNearJson,"stream_search":$streamSearchJson,"stream_hybrid":$streamHybridJson,"stream_knn":$streamKnnJson,"stream_hist":$streamHistJson,"stream_kmv":$streamKmvJson,"stream_softdf":$streamSoftDfJson,"stream_contain":$streamContainJson,"unified":$unifiedJson,"prep_full":$prepJson,"probe":$probeJson,"probe_floor":${fnum(probeFloor)},"n_contended":$nContended,"probe_max":${fnum(probeMax)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"ext":${qjson(extResults)},"stream":$streamJson,"stream_near":$streamNearJson,"stream_search":$streamSearchJson,"stream_hybrid":$streamHybridJson,"stream_knn":$streamKnnJson,"stream_hist":$streamHistJson,"stream_kmv":$streamKmvJson,"stream_softdf":$streamSoftDfJson,"stream_contain":$streamContainJson,"unified":$unifiedJson,"unified_vs_separate":$unifiedVsSepJson,"prep_full":$prepJson,"probe":$probeJson,"probe_floor":${fnum(probeFloor)},"n_contended":$nContended,"probe_max":${fnum(probeMax)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
     println(json)
     Files.writeString(Paths.get(outFile), json)
     // The driver's per-round artifact keeps only the LAST 2000 chars of

@@ -471,6 +471,18 @@ class DedupSpec extends SparkTestBase {
       (2L, 9, 0, "b1 b2 b3 b4 b5 b6 b7 b8 b9"),
       (3L, 3, 3, ""),
       (4L, 4, 0, "s1 s2 s3 s4")))
+
+    // round-13: the match probe's join strategy is AQE's choice, not a
+    // hint — a blocklist-sized eval suite must degrade to a shuffled
+    // equi-join instead of OOMing the driver (the contamFraction rule);
+    // pinned on the un-checkpointed plan via the plan-audit escape hatch
+    sys.props("graft.dedup.lazyPlans") = "true"
+    try {
+      val plan = Dedup.decontaminateScrub(corpus, evalSet, "doc_id", "text")
+        .queryExecution.analyzed.toString
+      assert(!plan.contains("ResolvedHint"),
+        s"scrub must carry no forced join hint:\n$plan")
+    } finally sys.props.remove("graft.dedup.lazyPlans")
   }
 
   test("nearDecontaminate flags lightly-edited eval overlap cross-side only, nothing else") {

@@ -168,4 +168,25 @@ class GraphRankSpec extends SparkTestBase {
       assert(got == want, s"seed=$seed: got $got want $want")
     }
   }
+
+  test("landed community state serves the direct monitor answers (landed ≡ direct)") {
+    // the steady serves fold the landed edge/label tables — same
+    // deterministic tails, so they must equal the direct rebuild
+    // bit-for-bit (the shared-oracle law, pinned locally at sf0.001);
+    // landing is paid once: the second serve must reuse the catalog
+    // tables (the quantizer-memo discipline)
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(GraphRank.modularitySteadyDocs(spark, dir))
+      == rows(GraphRank.modularityDocs(spark, dir)),
+      "steady modularity must equal the direct rebuild")
+    assert(rows(GraphRank.communitySampleSteadyDocs(spark, dir))
+      == rows(GraphRank.communitySampleDocs(spark, dir)),
+      "steady community sample must equal the direct rebuild")
+    val prefix = GraphRank.communityPrefix(dir)
+    assert(spark.catalog.tableExists(s"${prefix}_labels") &&
+      spark.catalog.tableExists(s"${prefix}_edges"),
+      "the community state must be landed as catalog tables")
+  }
 }

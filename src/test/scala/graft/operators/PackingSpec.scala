@@ -142,6 +142,48 @@ class PackingSpec extends SparkTestBase {
     assert(got == want, s"got $got want $want")
   }
 
+  test("maintained token counts reproduce the batch layout on null-text docs") {
+    // a null-text admitted doc holds no span but still contributes its
+    // EOS slot — under the pre-round-13 tokenCountRows (size(null) = −1)
+    // the maintained serve dropped that slot and every later doc's
+    // offsets shifted vs the from-text batch layout
+    val docs = Seq((1L, "alpha beta gamma"), (2L, null: String),
+      (3L, "delta epsilon"))
+      .toDF("doc_id", "text").withColumn("source", lit("s"))
+    val direct = Packing.tokenBlocks(docs, "doc_id", "text", blockSize = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val fromCounts = Packing.tokenBlocksFromCounts(
+        TextAnalysis.tokenCountRows(docs, "doc_id", "text", "source")
+          .select(col("doc_id"), col("n_tokens").as("n")), blockSize = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(fromCounts == direct,
+      "counts-fed layout must equal the from-text layout on null-text docs")
+  }
+
+  test("tokenBlocksFromCounts survives sparse 64-bit id spans (no bucket overflow)") {
+    // snowflake-style ids spanning nearly the whole long range: the
+    // round-12 bucket expression ((id−lo)·256) div span overflowed long
+    // past ~2^55, flipping buckets negative and scrambling the layout;
+    // the divide-by-width form must reproduce the sequential reference
+    val ids = Seq(0L, 3L, 1L << 40, 1L << 62, (1L << 62) + 7L,
+      Long.MaxValue - 9L)
+    val counts = ids.zipWithIndex.map { case (id, i) => (id, (i + 3).toLong) }
+    val got = Packing.tokenBlocksFromCounts(
+        counts.toDF("doc_id", "n"), blockSize = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // sequential reference: concat in doc_id order, 1 EOS slot per doc
+    var start = 0L
+    val want = counts.sortBy(_._1).flatMap { case (d, n) =>
+      val s0 = start; start += n + 1
+      (s0 / 8 to (s0 + n - 1) / 8).map { blk =>
+        val s = math.max(s0, blk * 8)
+        val e = math.min(s0 + n - 1, blk * 8 + 7)
+        (blk, d, s - s0, s - blk * 8, e - s + 1)
+      }
+    }.toSet
+    assert(got == want, s"got $got want $want")
+  }
+
   test("tokenBlocks tiles the corpus stream: spans conserve tokens, stay in bounds, and are layout-invariant") {
     val docs = graft.sources.Tables.load(spark, dir, "documents")
     val spans = Packing.tokenBlocksDocs(spark, dir)

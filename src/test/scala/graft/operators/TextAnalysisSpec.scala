@@ -1211,4 +1211,33 @@ class TextAnalysisSpec extends SparkTestBase {
       .map(r => r._1 -> r).toMap
     assert(rep == got, "reweighting must not depend on input layout")
   }
+
+  test("landed LM state serves the direct domain reweight (landed ≡ direct)") {
+    // the steady serve folds the landed model/vocab/stats catalog
+    // tables — additive relations with no arrival-order term, so it
+    // must equal the direct corpus scan bit-for-bit (the shared-oracle
+    // law, pinned locally at sf0.001); the second serve reuses the
+    // catalog tables (the quantizer-memo discipline)
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(TextAnalysis.domainReweightSteadyDocs(spark, dir))
+      == rows(TextAnalysis.domainReweightDocs(spark, dir)),
+      "steady domain reweight must equal the direct scan")
+    val prefix = TextAnalysis.lmPrefix(dir)
+    assert(Seq("model", "vocab", "stats")
+      .forall(t => spark.catalog.tableExists(s"${prefix}_$t")),
+      "the LM state must be landed as catalog tables")
+    // η re-sweeps off the same landed state stay consistent: weights
+    // re-normalize, the integer state (n_docs, n_bigrams) is unchanged
+    val e2 = TextAnalysis.domainReweightSteadyDocs(spark, dir, eta = 2.0)
+      .as[(String, Long, Long, Double, Double)].collect()
+    val e1 = TextAnalysis.domainReweightSteadyDocs(spark, dir)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(e2.map(r => (r._1, r._2, r._3)).toSet
+      == e1.map(r => (r._1, r._2, r._3)).toSet,
+      "η must not change the integer state")
+    assert(math.abs(e2.map(_._5).sum - 1.0) < 1e-4,
+      "η-swept weights must still normalize")
+  }
 }

@@ -95,5 +95,28 @@ class StreamKnnSpec extends SparkTestBase {
     assert(StreamKnn.pageRank(spark, state, nn)
       .as[(Long, Double)].collect().toSet == wantRank,
       "served PageRank must equal the batch operator on the union")
+
+    // the graph-analytics monitors served from the maintained graph:
+    // LPA communities, the modularity audit, and the capped community
+    // draw each equal their batch operator over the batch graph on the
+    // union — all pure functions of (V, E), so the laws are free once
+    // the graph law holds, and together they retire the per-request
+    // world rebuild (k-means + graph + LPA) the round-12 monitors paid
+    val verts = all.toDF("vec_id", "embedding").select("vec_id")
+    val batchComm = graft.operators.GraphRank.labelPropagation(verts, batchEdges)
+    assert(StreamKnn.communities(spark, state, nn)
+      .as[(Long, Long)].collect().toSet
+      == batchComm.as[(Long, Long)].collect().toSet,
+      "served LPA communities must equal the batch operator on the union")
+    val wantMod = graft.operators.GraphRank.modularity(batchComm, batchEdges)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(StreamKnn.modularity(spark, state, nn)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet == wantMod,
+      "served modularity must equal the batch operator on the union")
+    val wantSamp = graft.operators.GraphRank.communitySample(batchComm, 5)
+      .as[(Long, Long)].collect().toSet
+    assert(StreamKnn.communitySample(spark, state, nn, 5)
+      .as[(Long, Long)].collect().toSet == wantSamp,
+      "served community sample must equal the batch operator on the union")
   }
 }

@@ -407,11 +407,24 @@ class UnifiedIngestSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet == want(admitted),
       "curation serve must equal the batch report on the admitted union")
 
+    // domain-reweight serve off the maintained LM state: occurrence
+    // counts are additive and vocab rows union, so serve ≡ batch is
+    // EXACT (no arrival-order term, unlike curation's dup/novelty)
+    def wantW(d: Seq[(Long, String, String)]) =
+      TextAnalysis.domainReweight(d.toDF("doc_id", "text", "source"),
+        "doc_id", "text", "source").collect().map(_.toSeq).toSet
+    assert(UnifiedIngest.domainWeights(spark, state)
+      .collect().map(_.toSeq).toSet == wantW(admitted),
+      "domain-weight serve must equal the batch reweight on the admitted union")
+
     // another compaction cycle folds the per-source generations; law holds
     UnifiedIngest.compactAll(spark, state)
     assert(UnifiedIngest.curationReport(spark, state)
       .collect().map(_.toSeq).toSet == want(admitted),
       "curation serve must survive compaction")
+    assert(UnifiedIngest.domainWeights(spark, state)
+      .collect().map(_.toSeq).toSet == wantW(admitted),
+      "domain-weight serve must survive compaction (manifested count folds + distinct vocab fold)")
 
     // deletion: the side is rebuild-only — after the rebuild the serve
     // equals the batch report on (admitted − deleted)
@@ -422,5 +435,9 @@ class UnifiedIngestSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet ==
       want(admitted.filterNot(r => del.contains(r._1))),
       "post-rebuild curation serve must equal the report on (admitted − deleted)")
+    assert(UnifiedIngest.domainWeights(spark, state)
+      .collect().map(_.toSeq).toSet ==
+      wantW(admitted.filterNot(r => del.contains(r._1))),
+      "post-rebuild domain-weight serve must equal the reweight on (admitted − deleted)")
   }
 }
