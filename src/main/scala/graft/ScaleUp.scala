@@ -23,6 +23,21 @@ import org.apache.spark.sql.functions._
   *    keeps neighborhoods realistic while scaling the corpus.
   *  - `events`: id/user offsets, timestamps and values unchanged (the
   *    histogram/sketch families scale by row count, not key range).
+  *  - star schema (round 13, for the FULL-registry scaling run): the
+  *    FACT and per-entity tables (`lineitem orders customer supplier
+  *    part`) replicate with a consistent offset on every join key —
+  *    `l_orderkey`/`o_orderkey`, `o_custkey`/`c_custkey`,
+  *    `l_partkey`/`p_partkey`, `l_suppkey`/`s_suppkey` all shift by the
+  *    same `i·off`, so each replica joins ONLY within itself and every
+  *    equi-join's output grows linearly (offset-free replication would
+  *    instead square the join fan-out: each lineitem row would match
+  *    `copies` order rows). `c_name` gets the documents-style per-token
+  *    replica prefix so name-duplicate GROUPS scale linearly too
+  *    (verbatim copies would deepen the existing groups instead).
+  *    DIMENSION tables (`region nation`) copy UNCHANGED — nationkey/
+  *    regionkey references stay valid and the dimensions keep their
+  *    fixed small cardinality, which is how a real star scales: facts
+  *    grow, dimensions don't (and broadcast-ability is preserved).
   *
   * Usage: `runMain graft.ScaleUp /root/testdata/sf0.1 <outDir> [copies]`.
   * The output is generated state, never committed (see .gitignore). */
@@ -54,6 +69,27 @@ object ScaleUp {
       if (i == 0) d
       else d.withColumn("event_id", col("event_id") + lit(i * off))
         .withColumn("user_id", col("user_id") + lit(i * off)))
+
+    // star schema: every join key shifts by the SAME i*off so each
+    // replica is self-contained (see scaladoc); dimensions copy as-is
+    def shift(d: DataFrame, i: Int, keys: String*): DataFrame =
+      keys.foldLeft(d)((df, k) => df.withColumn(k, col(k) + lit(i * off)))
+    replicate("lineitem", (d, i) =>
+      if (i == 0) d else shift(d, i, "l_orderkey", "l_partkey", "l_suppkey"))
+    replicate("orders", (d, i) =>
+      if (i == 0) d else shift(d, i, "o_orderkey", "o_custkey"))
+    replicate("customer", (d, i) =>
+      if (i == 0) d
+      else shift(d, i, "c_custkey").withColumn("c_name",
+        regexp_replace(col("c_name"), "([A-Za-z0-9]+)", s"r$i$$1")))
+    replicate("supplier", (d, i) =>
+      if (i == 0) d else shift(d, i, "s_suppkey"))
+    replicate("part", (d, i) =>
+      if (i == 0) d else shift(d, i, "p_partkey"))
+    Seq("region", "nation").foreach { name =>
+      spark.read.parquet(s"$src/$name.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
+    }
     spark.stop()
   }
 }
