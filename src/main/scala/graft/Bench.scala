@@ -112,11 +112,27 @@ object Bench {
         }
         val corpusFps = static.filter(col("doc_id") % 100 === 0)
           .select(md5(col("text").cast("binary")).as("fp"))
-        // the file source wants a DIRECTORY: expose the single parquet
-        // file through a symlink in the bench's temp dir (no copy)
+        // the file source wants a DIRECTORY of plain files: expose the
+        // table through symlinks in the bench's temp dir (no copy).
+        // Driver testdata is a single parquet FILE; ScaleUp output is a
+        // Spark-written DIRECTORY of part files (which the stream source
+        // would not traverse through one nested symlink) — link each
+        // part file flat in either case.
         Files.createDirectory(Paths.get(s"$tmp/in"))
-        Files.createSymbolicLink(
-          Paths.get(s"$tmp/in/documents.parquet"), Paths.get(docsPath))
+        val docsSrc = Paths.get(docsPath)
+        if (Files.isDirectory(docsSrc)) {
+          val st = Files.list(docsSrc)
+          try {
+            val it = st.filter(p => p.toString.endsWith(".parquet")).iterator()
+            var i = 0
+            while (it.hasNext) {
+              Files.createSymbolicLink(
+                Paths.get(s"$tmp/in/part$i.parquet"), it.next()); i += 1
+            }
+          } finally st.close()
+        } else
+          Files.createSymbolicLink(
+            Paths.get(s"$tmp/in/documents.parquet"), docsSrc)
         val stream = spark.readStream.schema(static.schema).parquet(s"$tmp/in")
           .withColumn("ts", timestamp_seconds(col("doc_id")))
         val cleaned = graft.streaming.StreamClean.clean(

@@ -9,14 +9,29 @@ import org.apache.spark.sql.functions._
   * and per-replica content transforms chosen so the STATISTICS that
   * drive those plans scale linearly instead of degenerately:
   *
-  *  - `documents`: every token gets a per-replica prefix
-  *    (`r<i>token`), so shingle/minhash/band distributions replicate
-  *    per copy but NO cross-replica near-dup pairs appear — without
-  *    this, 10 verbatim copies of each document would inflate the LSH
-  *    candidate count ~45× per duplicate set and the "sf1" point would
-  *    measure an artifact, not scale. Within-replica structure
-  *    (planted near-dups, term statistics shape, doc lengths ± the
-  *    prefix) is preserved.
+  *  - `documents`: replica i's text goes through a PER-REPLICA ALPHABET
+  *    ROTATION — letters Caesar-rotate by `i mod 26` (case-aligned),
+  *    digits by `i div 26`, punctuation/whitespace fixed — so
+  *    shingle/minhash/band distributions replicate per copy but NO
+  *    cross-replica near-dup pairs appear: replica vocabularies are
+  *    DISJOINT (injective for i < 260 copies), where 10 verbatim copies
+  *    of each document would inflate the LSH candidate count ~45× per
+  *    duplicate set and the "sf1" point would measure an artifact, not
+  *    scale. A rotation (vs the additive token-tag spellings this
+  *    replaced) is the unique transform that preserves within-replica
+  *    structure EXACTLY: token lengths, doc lengths (`n_chars` stays
+  *    truthful), shingle/term-statistics shape, and every byte-level
+  *    histogram are permutation-isomorphic to the base corpus, so
+  *    signature families built on byte statistics (the perceptual
+  *    `phash_bands` kernel, hashed token-lane vectors) keep their
+  *    sf0.1 pair structure per replica instead of collapsing. Measured
+  *    on the mm (phash τ=3) pair count at ×10, base 28 258 pairs: a
+  *    constant per-replica token PREFIX adds the same byte-bigram mass
+  *    to every doc, converges all margins, and explodes pairs 598×
+  *    (16.9 M); a token-hash-spread two-letter tag cuts that to 28×
+  *    but leaks 110 k cross-replica pairs (thin tags no longer
+  *    separate replicas of the same base doc); the rotation is the
+  *    construction that gets both right.
   *  - `embeddings`: per-replica additive perturbation (+i·0.001 per
   *    lane) — a scalar MULTIPLE would leave cosine unchanged and make
   *    every replica an exact semantic duplicate; the additive shift
@@ -31,8 +46,8 @@ import org.apache.spark.sql.functions._
   *    same `i·off`, so each replica joins ONLY within itself and every
   *    equi-join's output grows linearly (offset-free replication would
   *    instead square the join fan-out: each lineitem row would match
-  *    `copies` order rows). `c_name` gets the documents-style per-token
-  *    replica prefix so name-duplicate GROUPS scale linearly too
+  *    `copies` order rows). `c_name` gets the documents-style per-replica
+  *    alphabet rotation so name-duplicate GROUPS scale linearly too
   *    (verbatim copies would deepen the existing groups instead).
   *    DIMENSION tables (`region nation`) copy UNCHANGED — nationkey/
   *    regionkey references stay valid and the dimensions keep their
@@ -55,11 +70,22 @@ object ScaleUp {
     }
 
     val off = 10000000L
+    // Replica-i alphabet rotation (see scaladoc): letters by i mod 26,
+    // digits by i div 26, everything else fixed. A single translate —
+    // length- and structure-preserving, vocab-disjoint across replicas.
+    def rotate(c: org.apache.spark.sql.Column, i: Int) = {
+      def rot(s: String, k: Int): String =
+        s.drop(k % s.length) + s.take(k % s.length)
+      val lo = "abcdefghijklmnopqrstuvwxyz"
+      val up = lo.toUpperCase
+      val dg = "0123456789"
+      translate(c, lo + up + dg,
+        rot(lo, i % 26) + rot(up, i % 26) + rot(dg, i / 26))
+    }
     replicate("documents", (d, i) =>
       if (i == 0) d
       else d.withColumn("doc_id", col("doc_id") + lit(i * off))
-        .withColumn("text",
-          regexp_replace(col("text"), "([a-z0-9]+)", s"r$i$$1")))
+        .withColumn("text", rotate(col("text"), i)))
     replicate("embeddings", (d, i) =>
       if (i == 0) d
       else d.withColumn("vec_id", col("vec_id") + lit(i * off))
@@ -81,7 +107,7 @@ object ScaleUp {
     replicate("customer", (d, i) =>
       if (i == 0) d
       else shift(d, i, "c_custkey").withColumn("c_name",
-        regexp_replace(col("c_name"), "([A-Za-z0-9]+)", s"r$i$$1")))
+        rotate(col("c_name"), i)))
     replicate("supplier", (d, i) =>
       if (i == 0) d else shift(d, i, "s_suppkey"))
     replicate("part", (d, i) =>
