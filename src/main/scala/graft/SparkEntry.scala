@@ -121,6 +121,7 @@ object SparkEntry {
     "q_kmv_steady"      -> ((s, d) => Sketches.kmvDistinctSteady(s, d)),
     "q_kmv_setops_steady" -> ((s, d) => Sketches.kmvSetOpsSteady(s, d)),
     "sim_kmeans_assign_steady" -> (Similarity.kmeansAssignmentsSteady _),
+    "sim_kmeans_assign_hier" -> (Similarity.kmeansAssignmentsHier _),
     "sim_cluster_sample" -> ((s, d) => Similarity.clusterSample(s, d)),
     "sim_cluster_sample_steady" -> ((s, d) => Similarity.clusterSampleSteady(s, d)),
     "q_sliding_distinct" -> (Analytics.eventSlidingDistinct _),
@@ -366,6 +367,7 @@ object SparkEntry {
     // round-9 additions: the landed-quantizer serve path and the
     // steady (landed-centroid) k-means labeling/sampling siblings
     "sim_topk_ivfpq_landed", "sim_kmeans_assign_steady",
+    "sim_kmeans_assign_hier",
     "sim_cluster_sample_steady", "txt_bm25", "dedup_semantic",
     "txt_bm25_steady", "txt_phrase", "txt_phrase_steady",
     "txt_decontam_bloom", "txt_hybrid_rrf", "sim_ann_recall",
@@ -631,11 +633,11 @@ object SparkEntry {
     * expression (a literal for the fixed-sizing family, the
     * [[scaledInitExpr]] subquery for the √N family). */
   private def kmeansCteBlockExpr(initExpr: String, iters: Int = 3,
-      from: String = "embeddings"): String = {
-    val init = s"c0 AS (SELECT vec_id AS cell_id, embedding AS c_emb " +
+      from: String = "embeddings", prefix: String = ""): String = {
+    val init = s"${prefix}c0 AS (SELECT vec_id AS cell_id, embedding AS c_emb " +
       s"FROM $from WHERE vec_id % $initExpr = 0)"
     val its = (1 to iters).map { i =>
-      s"""a$i AS (
+      s"""${prefix}a$i AS (
          |  SELECT vec_id, embedding, cell_id FROM (
          |    SELECT e.vec_id, e.embedding, c.cell_id,
          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -643,17 +645,17 @@ object SparkEntry {
          |          / sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
          |               * list_inner_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))) DESC,
          |        c.cell_id ASC) AS rn
-         |    FROM $from e, c${i - 1} c
+         |    FROM $from e, ${prefix}c${i - 1} c
          |  ) WHERE rn = 1
-         |), m$i AS (
+         |), ${prefix}m$i AS (
          |  SELECT cell_id, u.lane AS lane, round(avg(u.v), 6) AS m FROM (
          |    SELECT cell_id, unnest(list_transform(range(1, len(embedding) + 1),
          |      j -> struct_pack(lane := j - 1, v := CAST(embedding[j] AS DOUBLE)))) AS u
-         |    FROM a$i
+         |    FROM ${prefix}a$i
          |  ) GROUP BY cell_id, u.lane
-         |), c$i AS (
+         |), ${prefix}c$i AS (
          |  SELECT cell_id, list_transform(list(m ORDER BY lane), x -> CAST(x AS FLOAT)) AS c_emb
-         |  FROM m$i GROUP BY cell_id
+         |  FROM ${prefix}m$i GROUP BY cell_id
          |)""".stripMargin
     }
     s"$init,\n${its.mkString(",\n")}"
@@ -1005,6 +1007,56 @@ object SparkEntry {
        |      c.cell_id ASC) AS rn
        |  FROM embeddings e CROSS JOIN c$iters c
        |) WHERE rn = 1""".stripMargin
+
+  /** sim_kmeans_assign_hier oracle: the same trained-centroid CTE block
+    * (landed ≡ trained), then the operator's stages replayed verbatim —
+    * the coarse level TRAINED by the same Lloyd's recurrence over the
+    * centroid set under dense rank ids (the `g`-prefixed CTE block,
+    * init every ⌈√k⌉-th); each centroid grouped under its nearest
+    * coarse centroid; each vector argmaxed over the coarse centroids
+    * and then over its picked group's members. Every argmax carries
+    * the engine's (score DESC, id ASC) tie-break. */
+  private def hierAssignOracleSql(iters: Int = 3): String = {
+    def cos(a: String, b: String) =
+      s"""list_inner_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
+         |        / sqrt(list_inner_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))
+         |             * list_inner_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))""".stripMargin
+    s"""WITH ${kmeansCteBlock(29, iters)},
+       |cden AS (
+       |  SELECT row_number() OVER (ORDER BY cell_id) - 1 AS vec_id,
+       |    c_emb AS embedding
+       |  FROM c$iters
+       |),
+       |${kmeansCteBlockExpr(
+             s"(SELECT greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM c$iters)",
+             iters, from = "cden", prefix = "g")},
+       |coarse AS (
+       |  SELECT cell_id AS g_id, c_emb AS g_emb FROM gc$iters
+       |), grouped AS (
+       |  SELECT cell_id, c_emb, g_id FROM (
+       |    SELECT c.cell_id, c.c_emb, co.g_id,
+       |      row_number() OVER (PARTITION BY c.cell_id ORDER BY
+       |        ${cos("c.c_emb", "co.g_emb")} DESC,
+       |        co.g_id ASC) AS rn
+       |    FROM c$iters c CROSS JOIN coarse co
+       |  ) WHERE rn = 1
+       |), v1 AS (
+       |  SELECT vec_id, embedding, g_id FROM (
+       |    SELECT e.vec_id, e.embedding, co.g_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cos("e.embedding", "co.g_emb")} DESC,
+       |        co.g_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN coarse co
+       |  ) WHERE rn = 1
+       |)
+       |SELECT vec_id, cell_id FROM (
+       |  SELECT v.vec_id, g.cell_id,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      ${cos("v.embedding", "g.c_emb")} DESC,
+       |      g.cell_id ASC) AS rn
+       |  FROM v1 v JOIN grouped g ON v.g_id = g.g_id
+       |) WHERE rn = 1""".stripMargin
+  }
 
   /** dedup_semantic oracle: the planted near-dup corpus (same `base` CTE
     * as dedup_embed_cos), k-means trained ON that corpus (same CTE block
@@ -2516,6 +2568,7 @@ object SparkEntry {
     "sim_density_prune" -> densityPruneOracleSql(),
     "sim_density_prune_steady" -> densityPruneOracleSql(),
     "sim_kmeans_assign" -> kmeansAssignOracleSql(),
+    "sim_kmeans_assign_hier" -> hierAssignOracleSql(),
     "sim_psi_drift" -> psiDriftOracleSql(),
     "sim_cluster_sample" -> clusterSampleOracleSql(),
     "dedup_semantic" -> semanticDedupOracleSql(),

@@ -157,6 +157,95 @@ object Similarity {
         max_by(col("cell_id"), struct(col("cs"), -col("cell_id"))).as("cell_id"),
         first(col("embedding")).as("embedding"))
 
+  /** TWO-LEVEL (hierarchical) cell assignment — the O(N·√k) form of
+    * [[ivfAssign]] for the k ∝ N regime (SemDedup-class sizing trains
+    * k ≈ N/29 cells so cell SIZE stays constant; the flat argmax then
+    * scores every vector against every centroid and the assignment term
+    * is O(N²/29) — the structural super-linear row the round-13 sf1
+    * full-registry run surfaced on `sim_kmeans_assign_steady` /
+    * `dedup_semantic_text_steady`, BASELINE.md round-13 table).
+    *
+    * Construction (the classic coarse-quantizer trick, applied to the
+    * assignment itself): TRAIN a coarse level over the k centroids —
+    * Lloyd's on the centroid set itself, init every ⌈√k⌉-th centroid in
+    * dense cell_id-rank order (k rows: the training is trivial and must
+    * be trained, not subsampled — a blind 1-in-√k seed pick leaves
+    * stage 1 with no signal for any vector whose centroid wasn't
+    * picked, measured 0.50 agreement on clusterable data vs ~1.0
+    * trained); group every centroid under its nearest coarse centroid
+    * (k·√k scores, paid once per centroid set); then each vector scores
+    * the √k coarse centroids, picks one group, and scores only that
+    * group's ~√k members — 2·√k scores per vector instead of k. Total
+    * O(N·√k) = O(N^1.5/√29) when k ∝ N, vs the flat form's O(N²/29).
+    *
+    * APPROXIMATE by design: a vector whose true nearest centroid was
+    * grouped under a different coarse seed lands in a neighbouring cell
+    * — the published IVF recall trade, acceptable for cell-scoped dedup
+    * and labeling (the cross-cell near-pair was already invisible to
+    * SemDedup). Exactness law: with `stride = Some(1)` every centroid
+    * is its own coarse seed and the result ≡ [[ivfAssign]]
+    * (SimilaritySpec pins it). Both argmaxes keep the (score DESC, id
+    * ASC) tie-break so the assignment is deterministic and the oracle
+    * replays every stage.
+    *
+    * Scale shape: the coarse side broadcast is ⌈√k⌉ rows (√N-class, the
+    * same budget as the √N-cell ANN family); the per-group stage is an
+    * EQUI-join on g_id whose build side is the k-row grouped centroid
+    * table; the rank window ordering centroids runs over k rows, not
+    * the corpus. */
+  def ivfAssignHier(emb: DataFrame, centroids: DataFrame,
+      stride: Option[Long] = None): DataFrame = {
+    val k = centroids.count() // bounded: |centroids| rows
+    val s = stride.getOrElse(
+      math.max(1L, math.ceil(math.sqrt(k.toDouble)).toLong))
+    // stride 1: the coarse level IS the centroid set (the degeneracy
+    // law SimilaritySpec pins); otherwise train it — Lloyd's over the
+    // k centroid rows under DENSE rank ids, so the init stride always
+    // seeds (raw cell_ids are sparse and a blind modulus can miss).
+    val coarse =
+      if (s <= 1)
+        centroids.select(col("cell_id").as("g_id"), col("c_emb").as("g_emb"))
+      else
+        kmeansCentroids(
+          centroids
+            .withColumn("rn", row_number().over(Window.orderBy(col("cell_id"))))
+            .select((col("rn") - 1).cast("long").as("vec_id"),
+              col("c_emb").as("embedding")),
+          initEvery = s.toInt)
+          .select(col("cell_id").as("g_id"), col("c_emb").as("g_emb"))
+    val grouped = centroids.crossJoin(broadcast(coarse))
+      .select(col("cell_id"), col("c_emb"), col("g_id"),
+        GraftFunctions.cosineSim(col("c_emb"), col("g_emb")).as("gs"))
+      .groupBy("cell_id")
+      .agg(max_by(col("g_id"), struct(col("gs"), -col("g_id"))).as("g_id"),
+        first(col("c_emb")).as("c_emb"))
+    val v1 = emb.crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("embedding"), col("g_id"),
+        GraftFunctions.cosineSim(col("embedding"), col("g_emb")).as("gs"))
+      .groupBy("vec_id")
+      .agg(max_by(col("g_id"), struct(col("gs"), -col("g_id"))).as("g_id"),
+        first(col("embedding")).as("embedding"))
+    v1.join(broadcast(grouped), Seq("g_id"))
+      .select(col("vec_id"), col("embedding"), col("cell_id"),
+        GraftFunctions.cosineSim(col("embedding"), col("c_emb")).as("cs"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell_id"), struct(col("cs"), -col("cell_id"))).as("cell_id"),
+        first(col("embedding")).as("embedding"))
+  }
+
+  /** CORRECTNESS/bench instantiation of [[ivfAssignHier]]: two-level
+    * assignment of the embeddings corpus under the LANDED trained
+    * centroids (the [[kmeansAssignmentsSteady]] serve shape — training
+    * amortized to the land; the timed plan is the production labeling
+    * pass at the O(N·√k) cost). Landed ≡ trained (deterministic
+    * trainer), so the oracle replays the kmeans CTE block and then the
+    * same two argmax stages. */
+  def kmeansAssignmentsHier(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    ivfAssignHier(emb, loadLandedQuantizers(spark, dir)._1)
+      .select("vec_id", "cell_id")
+  }
+
   /** Deterministic stand-in for trained centroids: every 37th vector. */
   def defaultCentroids(emb: DataFrame): DataFrame =
     emb.filter(col("vec_id") % 37 === 0)

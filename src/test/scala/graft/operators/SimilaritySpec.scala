@@ -673,4 +673,49 @@ class SimilaritySpec extends SparkTestBase {
       .agg(sum("contrib")).as[Double].head()
     assert(psi > 0.25, s"collapsed mix must cross the actionable PSI, got $psi")
   }
+
+  test("ivfAssignHier: stride 1 degenerates to the exact flat assignment") {
+    // with every centroid its own coarse seed, stage 1 IS the flat
+    // argmax and stage 2 re-confirms it within a singleton-or-better
+    // group — the law that pins the two-level construction to ivfAssign
+    val emb = corpus.toDF("vec_id", "embedding")
+    val cent = Similarity.defaultCentroids(emb)
+    val flat = Similarity.ivfAssign(emb, cent)
+      .select("vec_id", "cell_id").as[(Long, Long)].collect().toMap
+    val hier = Similarity.ivfAssignHier(emb, cent, stride = Some(1L))
+      .select("vec_id", "cell_id").as[(Long, Long)].collect().toMap
+    assert(hier == flat)
+  }
+
+  test("ivfAssignHier: deterministic, complete, and exact-tracking on clusterable data") {
+    // The operator's use case is a CLUSTERABLE corpus (SemDedup/IVF
+    // train cells because density exists) — on such data a vector and
+    // its true centroid see the same coarse-seed landscape, so the
+    // vector follows its centroid into the same group and the
+    // two-level argmax recovers the exact one. (On an isotropic
+    // no-structure corpus coarse pruning degrades by construction —
+    // the implementation's stage-for-stage correctness is pinned
+    // hash-exact by the sim_kmeans_assign_hier oracle, and the
+    // degenerate stride-1 law above is corpus-free.)
+    val clustered = (0 until 232).map { i =>
+      val v = Array.fill(16)(0f)
+      v(i % 8) = 1f                       // 8 well-separated directions
+      v(8 + (i % 7)) = 0.02f * ((i % 5) + 1) // deterministic jitter lanes
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    // 232 rows -> init seeds 0,29,...,203, whose ids mod 8 cover all 8
+    // directions: Lloyd's converges to one true centroid per cluster
+    val cent = Similarity.kmeansCentroids(clustered)
+    val a = Similarity.ivfAssignHier(clustered, cent)
+      .select("vec_id", "cell_id").as[(Long, Long)].collect().toMap
+    val b = Similarity.ivfAssignHier(clustered, cent)
+      .select("vec_id", "cell_id").as[(Long, Long)].collect().toMap
+    assert(a == b, "two-level assignment must be deterministic")
+    val exact = Similarity.ivfAssign(clustered, cent)
+      .select("vec_id", "cell_id").as[(Long, Long)].collect().toMap
+    assert(a.keySet == exact.keySet, "every vector must receive a cell")
+    val agree = a.count { case (v, c) => exact(v) == c }.toDouble / a.size
+    assert(agree >= 0.95,
+      s"two-level must track exact on clusterable data: agreement $agree")
+  }
 }
