@@ -10,16 +10,22 @@ import org.apache.spark.sql.functions._
   * drive those plans scale linearly instead of degenerately:
   *
   *  - `documents`: replica i's text goes through a PER-REPLICA ALPHABET
-  *    ROTATION — letters Caesar-rotate by `i mod 26` (case-aligned),
-  *    digits by `i div 26`, punctuation/whitespace fixed — so
+  *    PERMUTATION — letters through the affine index map
+  *    `l → (u·l + i mod 26) mod 26` with `u` the `(i div 26)`-th unit
+  *    mod 26 (case-aligned; the identity multiplier for the first 26
+  *    replicas makes those layers the plain Caesar rotation), digits
+  *    rotated by `i div 26`, punctuation/whitespace fixed — so
   *    shingle/minhash/band distributions replicate per copy but NO
-  *    cross-replica near-dup pairs appear: replica vocabularies are
-  *    DISJOINT (injective for i < 260 copies), where 10 verbatim copies
+  *    cross-replica near-dup pairs appear: the letter maps are pairwise
+  *    DISTINCT permutations for i < 312 copies (distinct (u, b) affine
+  *    maps differ; a rotation-only transform repeated the letter map
+  *    every 26 replicas, reproducing pure-letter text verbatim across
+  *    those pairs), where 10 verbatim copies
   *    of each document would inflate the LSH candidate count ~45× per
   *    duplicate set and the "sf1" point would measure an artifact, not
-  *    scale. A rotation (vs the additive token-tag spellings this
-  *    replaced) is the unique transform that preserves within-replica
-  *    structure EXACTLY: token lengths, doc lengths (`n_chars` stays
+  *    scale. An alphabet permutation (vs the additive token-tag
+  *    spellings this replaced) is the transform class that preserves
+  *    within-replica structure EXACTLY: token lengths, doc lengths (`n_chars` stays
   *    truthful), shingle/term-statistics shape, and every byte-level
   *    histogram are permutation-isomorphic to the base corpus, so
   *    signature families built on byte statistics (the perceptual
@@ -30,8 +36,8 @@ import org.apache.spark.sql.functions._
   *    to every doc, converges all margins, and explodes pairs 598×
   *    (16.9 M); a token-hash-spread two-letter tag cuts that to 28×
   *    but leaks 110 k cross-replica pairs (thin tags no longer
-  *    separate replicas of the same base doc); the rotation is the
-  *    construction that gets both right.
+  *    separate replicas of the same base doc); the per-replica
+  *    permutation is the construction that gets both right.
   *  - `embeddings`: per-replica additive perturbation (+i·0.001 per
   *    lane) — a scalar MULTIPLE would leave cosine unchanged and make
   *    every replica an exact semantic duplicate; the additive shift
@@ -70,17 +76,34 @@ object ScaleUp {
     }
 
     val off = 10000000L
-    // Replica-i alphabet rotation (see scaladoc): letters by i mod 26,
-    // digits by i div 26, everything else fixed. A single translate —
-    // length- and structure-preserving, vocab-disjoint across replicas.
+    // Replica-i alphabet permutation (see scaladoc): letters through the
+    // AFFINE map l -> (u·l + i mod 26) mod 26 with u the (i div 26)-th
+    // unit mod 26, digits rotated by i div 26, everything else fixed.
+    // One translate — length- and structure-preserving. For i < 26 the
+    // multiplier is 1 and the map is the plain Caesar rotation (earlier
+    // sf1 runs stay comparable); for i >= 26 the multiplier makes
+    // pure-letter text differ across same-rotation layers — replicas i
+    // and i+26 under the rotation-only transform shared the identical
+    // letter map (only the digit layer moved), so pure-letter tokens —
+    // the bulk of any corpus — reproduced verbatim across those pairs
+    // and reintroduced the cross-replica near-dup explosion. Affine maps
+    // with distinct (u, b) are distinct permutations (evaluate at
+    // indices 0 and 1), so letter maps are pairwise distinct for
+    // i < 26·12 = 312 copies (asserted below).
+    val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    require(copies <= 26 * units.size,
+      s"per-replica letter maps are distinct only for copies <= ${26 * units.size}")
     def rotate(c: org.apache.spark.sql.Column, i: Int) = {
+      def affine(s: String, u: Int, b: Int): String =
+        s.indices.map(l => s((u * l + b) % s.length)).mkString
       def rot(s: String, k: Int): String =
         s.drop(k % s.length) + s.take(k % s.length)
       val lo = "abcdefghijklmnopqrstuvwxyz"
       val up = lo.toUpperCase
       val dg = "0123456789"
+      val u = units(i / 26)
       translate(c, lo + up + dg,
-        rot(lo, i % 26) + rot(up, i % 26) + rot(dg, i / 26))
+        affine(lo, u, i % 26) + affine(up, u, i % 26) + rot(dg, i / 26))
     }
     replicate("documents", (d, i) =>
       if (i == 0) d

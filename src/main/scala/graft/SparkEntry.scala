@@ -122,6 +122,7 @@ object SparkEntry {
     "q_kmv_setops_steady" -> ((s, d) => Sketches.kmvSetOpsSteady(s, d)),
     "sim_kmeans_assign_steady" -> (Similarity.kmeansAssignmentsSteady _),
     "sim_kmeans_assign_hier" -> (Similarity.kmeansAssignmentsHier _),
+    "sim_kmeans_assign_flat" -> (Similarity.kmeansAssignmentsFlat _),
     "sim_cluster_sample" -> ((s, d) => Similarity.clusterSample(s, d)),
     "sim_cluster_sample_steady" -> ((s, d) => Similarity.clusterSampleSteady(s, d)),
     "q_sliding_distinct" -> (Analytics.eventSlidingDistinct _),
@@ -433,6 +434,10 @@ object SparkEntry {
     // reweight served off LANDED state (no k-means/graph/LPA — or
     // corpus-scale LM scoring — in the timed plan)
     "q_modularity_steady", "q_lpa_sample_steady", "txt_domain_reweight_steady",
+    // round-14 addition: after the hier adoption made the two-level
+    // argmax the default assignment, the exact flat form stays on the
+    // board as the exactness baseline / flat-vs-hier crossover comparator
+    "sim_kmeans_assign_flat",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -660,6 +665,79 @@ object SparkEntry {
     }
     s"$init,\n${its.mkString(",\n")}"
   }
+
+  /** Shared cosine-similarity SQL fragment (DOUBLE casts on both sides —
+    * the house cross-engine cosine spelling). */
+  private def cosSql(a: String, b: String): String =
+    s"""list_inner_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
+       |        / sqrt(list_inner_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))
+       |             * list_inner_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))""".stripMargin
+
+  /** The TWO-LEVEL assignment's per-CENTROID-SET CTEs — the
+    * [[graft.operators.Similarity.hierIndex]] replay over trained
+    * centroids in CTE `cents` (cell_id, c_emb): dense-rank the centroid
+    * rows (`${p}cden`), train the coarse level with the same Lloyd's
+    * block (prefix `${p}g`, init every ⌈√k⌉-th — TRAINED, not
+    * subsampled), group every centroid under its nearest coarse centroid
+    * (`${p}grouped`), and keep only coarse centroids that own ≥1 member
+    * after the regroup (`${p}live` — the completeness semi-join: a
+    * vector routed to an emptied group would otherwise vanish through
+    * the member join). Multiply-referenced CTEs are AS MATERIALIZED
+    * (the pageRankOracleSql lesson: DuckDB's default inlining re-expands
+    * the embedded k-means training once per reference). Shared by every
+    * round-14 hier-adoption oracle. */
+  private def hierIndexCtes(cents: String, p: String = "h",
+      iters: Int = 3): String =
+    s"""${p}cmat AS MATERIALIZED (SELECT cell_id, c_emb FROM $cents),
+       |${p}cden AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY cell_id) - 1 AS vec_id,
+       |    c_emb AS embedding
+       |  FROM ${p}cmat
+       |),
+       |${kmeansCteBlockExpr(
+             s"(SELECT greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM ${p}cmat)",
+             iters, from = s"${p}cden", prefix = s"${p}g")},
+       |${p}coarse AS MATERIALIZED (
+       |  SELECT cell_id AS g_id, c_emb AS g_emb FROM ${p}gc$iters
+       |), ${p}grouped AS MATERIALIZED (
+       |  SELECT cell_id, c_emb, g_id FROM (
+       |    SELECT c.cell_id, c.c_emb, co.g_id,
+       |      row_number() OVER (PARTITION BY c.cell_id ORDER BY
+       |        ${cosSql("c.c_emb", "co.g_emb")} DESC,
+       |        co.g_id ASC) AS rn
+       |    FROM ${p}cmat c CROSS JOIN ${p}coarse co
+       |  ) WHERE rn = 1
+       |), ${p}live AS MATERIALIZED (
+       |  SELECT g_id, g_emb FROM ${p}coarse
+       |  WHERE g_id IN (SELECT g_id FROM ${p}grouped)
+       |)""".stripMargin
+
+  /** The TWO-LEVEL assignment's per-VECTOR-SET CTEs over source CTE/table
+    * `src` (vec_id, embedding) against [[hierIndexCtes]]' index (prefix
+    * `p`): the stage-1 argmax over the live coarse set and the
+    * within-group argmax over the member table, ending in `$name`
+    * (vec_id, cell_id, embedding). Both stages carry the engine's
+    * (score DESC, id ASC) tie-break. `$name` is MATERIALIZED — the
+    * adopting oracles self-join it. */
+  private def hierAsgCtes(src: String, name: String,
+      p: String = "h"): String =
+    s"""${name}v1 AS (
+       |  SELECT vec_id, embedding, g_id FROM (
+       |    SELECT e.vec_id, e.embedding, co.g_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e.embedding", "co.g_emb")} DESC,
+       |        co.g_id ASC) AS rn
+       |    FROM $src e CROSS JOIN ${p}live co
+       |  ) WHERE rn = 1
+       |), $name AS MATERIALIZED (
+       |  SELECT vec_id, cell_id, embedding FROM (
+       |    SELECT v.vec_id, v.embedding, g.cell_id,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${cosSql("v.embedding", "g.c_emb")} DESC,
+       |        g.cell_id ASC) AS rn
+       |    FROM ${name}v1 v JOIN ${p}grouped g ON v.g_id = g.g_id
+       |  ) WHERE rn = 1
+       |)""".stripMargin
 
   private def annOracleSql: String = {
     val planes = graft.operators.Similarity.planeVectors()
@@ -996,100 +1074,61 @@ object SparkEntry {
        |FROM p""".stripMargin
   }
 
+  /** sim_kmeans_assign oracle (round-14 hier adoption): the trained
+    * centroids (same CTE block the sim_kmeans oracle replays), then the
+    * TWO-LEVEL assignment replayed stage for stage — the coarse level
+    * TRAINED by the same Lloyd's recurrence over the centroid set under
+    * dense rank ids ([[hierIndexCtes]]), each centroid grouped under its
+    * nearest coarse centroid, each vector argmaxed over the LIVE coarse
+    * set and then over its picked group's members ([[hierAsgCtes]]).
+    * Every argmax carries the engine's (score DESC, id ASC) tie-break. */
   private def kmeansAssignOracleSql(iters: Int = 3): String =
+    s"""WITH ${kmeansCteBlock(29, iters)},
+       |${hierIndexCtes(s"c$iters")},
+       |${hierAsgCtes("embeddings", "asg")}
+       |SELECT vec_id, cell_id FROM asg""".stripMargin
+
+  /** sim_kmeans_assign_flat oracle — the exact O(N·k) flat argmax over
+    * the same trained centroids (r13's sim_kmeans_assign plan, kept as
+    * the exactness baseline / crossover comparator after the hier
+    * adoption). */
+  private def kmeansAssignFlatOracleSql(iters: Int = 3): String =
     s"""WITH ${kmeansCteBlock(29, iters)}
        |SELECT vec_id, cell_id FROM (
        |  SELECT e.vec_id, c.cell_id,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |      list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
-       |        / sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
-       |             * list_inner_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))) DESC,
+       |      ${cosSql("e.embedding", "c.c_emb")} DESC,
        |      c.cell_id ASC) AS rn
        |  FROM embeddings e CROSS JOIN c$iters c
        |) WHERE rn = 1""".stripMargin
 
-  /** sim_kmeans_assign_hier oracle: the same trained-centroid CTE block
-    * (landed ≡ trained), then the operator's stages replayed verbatim —
-    * the coarse level TRAINED by the same Lloyd's recurrence over the
-    * centroid set under dense rank ids (the `g`-prefixed CTE block,
-    * init every ⌈√k⌉-th); each centroid grouped under its nearest
-    * coarse centroid; each vector argmaxed over the coarse centroids
-    * and then over its picked group's members. Every argmax carries
-    * the engine's (score DESC, id ASC) tie-break. */
-  private def hierAssignOracleSql(iters: Int = 3): String = {
-    def cos(a: String, b: String) =
-      s"""list_inner_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
-         |        / sqrt(list_inner_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))
-         |             * list_inner_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))""".stripMargin
-    s"""WITH ${kmeansCteBlock(29, iters)},
-       |cden AS (
-       |  SELECT row_number() OVER (ORDER BY cell_id) - 1 AS vec_id,
-       |    c_emb AS embedding
-       |  FROM c$iters
-       |),
-       |${kmeansCteBlockExpr(
-             s"(SELECT greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM c$iters)",
-             iters, from = "cden", prefix = "g")},
-       |coarse AS (
-       |  SELECT cell_id AS g_id, c_emb AS g_emb FROM gc$iters
-       |), grouped AS (
-       |  SELECT cell_id, c_emb, g_id FROM (
-       |    SELECT c.cell_id, c.c_emb, co.g_id,
-       |      row_number() OVER (PARTITION BY c.cell_id ORDER BY
-       |        ${cos("c.c_emb", "co.g_emb")} DESC,
-       |        co.g_id ASC) AS rn
-       |    FROM c$iters c CROSS JOIN coarse co
-       |  ) WHERE rn = 1
-       |), v1 AS (
-       |  SELECT vec_id, embedding, g_id FROM (
-       |    SELECT e.vec_id, e.embedding, co.g_id,
-       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |        ${cos("e.embedding", "co.g_emb")} DESC,
-       |        co.g_id ASC) AS rn
-       |    FROM embeddings e CROSS JOIN coarse co
-       |  ) WHERE rn = 1
-       |)
-       |SELECT vec_id, cell_id FROM (
-       |  SELECT v.vec_id, g.cell_id,
-       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-       |      ${cos("v.embedding", "g.c_emb")} DESC,
-       |      g.cell_id ASC) AS rn
-       |  FROM v1 v JOIN grouped g ON v.g_id = g.g_id
-       |) WHERE rn = 1""".stripMargin
-  }
+  /** sim_kmeans_assign_hier oracle: landed ≡ trained, and after the
+    * round-14 adoption the two-level assignment IS sim_kmeans_assign's
+    * plan — one oracle. */
+  private def hierAssignOracleSql(iters: Int = 3): String =
+    kmeansAssignOracleSql(iters)
 
   /** dedup_semantic oracle: the planted near-dup corpus (same `base` CTE
     * as dedup_embed_cos), k-means trained ON that corpus (same CTE block
-    * as sim_kmeans_assign, `from = base`), within-cell pairwise cosine ≥
-    * τ, keep-smallest anti-join — the full SemDedup recurrence replayed
-    * in SQL. */
+    * as sim_kmeans_assign, `from = base`), the TWO-LEVEL assignment
+    * (round-14 adoption — [[hierIndexCtes]]/[[hierAsgCtes]]), within-cell
+    * pairwise cosine ≥ τ, keep-smallest anti-join — the full SemDedup
+    * recurrence replayed in SQL. */
   private def semanticDedupOracleSql(iters: Int = 3, tau: Double = 0.999): String =
-    s"""WITH base AS (
+    s"""WITH base AS MATERIALIZED (
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL
        |  SELECT vec_id + 500000,
        |         list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT))
        |  FROM embeddings WHERE vec_id % 20 = 0
        |), ${kmeansCteBlock(29, iters, from = "base")},
-       |asg AS (
-       |  SELECT vec_id, cell_id FROM (
-       |    SELECT e.vec_id, c.cell_id,
-       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |        list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
-       |          / sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
-       |               * list_inner_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))) DESC,
-       |        c.cell_id ASC) AS rn
-       |    FROM base e CROSS JOIN c$iters c
-       |  ) WHERE rn = 1
-       |), drops AS (
+       |${hierIndexCtes(s"c$iters")},
+       |${hierAsgCtes("base", "asg")},
+       |drops AS (
        |  SELECT DISTINCT b.vec_id
        |  FROM asg a
        |  JOIN asg b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
-       |  JOIN base ea ON ea.vec_id = a.vec_id
-       |  JOIN base eb ON eb.vec_id = b.vec_id
-       |  WHERE list_inner_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
-       |      / sqrt(list_inner_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[]))
-       |           * list_inner_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))) >= $tau
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= $tau
        |)
        |SELECT vec_id FROM base WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin
 
@@ -1099,13 +1138,10 @@ object SparkEntry {
     * those cells, drops = batch-vs-corpus same-cell cosine ≥ τ plus
     * smaller-id batch-vs-batch same-cell pairs, survivors = batch minus
     * drops. */
-  private def incrSemanticOracleSql(iters: Int = 3, tau: Double = 0.999): String = {
-    val cos = (a: String, b: String) =>
-      s"""list_inner_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
-         |      / sqrt(list_inner_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))
-         |           * list_inner_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))""".stripMargin
+  private def incrSemanticOracleSql(iters: Int = 3, tau: Double = 0.999): String =
     s"""WITH ${kmeansCteBlock(29, iters)},
-       |batch AS (
+       |${hierIndexCtes(s"c$iters")},
+       |batch AS MATERIALIZED (
        |  SELECT vec_id + 500000 AS vec_id,
        |         list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT)) AS embedding
        |  FROM embeddings WHERE vec_id % 20 = 0
@@ -1113,33 +1149,19 @@ object SparkEntry {
        |  SELECT vec_id + 600000,
        |         list_transform(embedding, x -> CAST(-x AS FLOAT))
        |  FROM embeddings WHERE vec_id % 30 = 7
-       |), basg AS (
-       |  SELECT vec_id, cell_id, embedding FROM (
-       |    SELECT e.vec_id, e.embedding, c.cell_id,
-       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |        ${cos("e.embedding", "c.c_emb")} DESC,
-       |        c.cell_id ASC) AS rn
-       |    FROM batch e CROSS JOIN c$iters c
-       |  ) WHERE rn = 1
-       |), casg AS (
-       |  SELECT vec_id, cell_id, embedding FROM (
-       |    SELECT e.vec_id, e.embedding, c.cell_id,
-       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |        ${cos("e.embedding", "c.c_emb")} DESC,
-       |        c.cell_id ASC) AS rn
-       |    FROM embeddings e CROSS JOIN c$iters c
-       |  ) WHERE rn = 1
-       |), drops AS (
+       |),
+       |${hierAsgCtes("batch", "basg")},
+       |${hierAsgCtes("embeddings", "casg")},
+       |drops AS (
        |  SELECT DISTINCT b.vec_id
        |  FROM basg b JOIN casg m ON b.cell_id = m.cell_id
-       |  WHERE ${cos("b.embedding", "m.embedding")} >= $tau
+       |  WHERE ${cosSql("b.embedding", "m.embedding")} >= $tau
        |  UNION
        |  SELECT DISTINCT b.vec_id
        |  FROM basg a JOIN basg b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
-       |  WHERE ${cos("a.embedding", "b.embedding")} >= $tau
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= $tau
        |)
        |SELECT vec_id FROM batch WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin
-  }
 
   /** dedup_semantic_text oracle: the semanticDedup recurrence with
     * `base` = the hashed-vector projection of documents (the
@@ -1158,30 +1180,18 @@ object SparkEntry {
        |    list_transform(range(8), j -> CAST(len(list_filter(toks,
        |      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT) % 8 = j)) AS DOUBLE)) AS v
        |  FROM dt WHERE len(toks) > 0
-       |), base AS (
+       |), base AS MATERIALIZED (
        |  SELECT doc_id AS vec_id,
        |    list_transform(v, x -> CAST(round(x / sqrt(list_sum(list_transform(v, y -> y * y))), 6) AS FLOAT)) AS embedding
        |  FROM hv
        |), ${kmeansCteBlock(29, iters, from = "base")},
-       |asg AS (
-       |  SELECT vec_id, cell_id FROM (
-       |    SELECT e.vec_id, c.cell_id,
-       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |        list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
-       |          / sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
-       |               * list_inner_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))) DESC,
-       |        c.cell_id ASC) AS rn
-       |    FROM base e CROSS JOIN c$iters c
-       |  ) WHERE rn = 1
-       |), drops AS (
+       |${hierIndexCtes(s"c$iters")},
+       |${hierAsgCtes("base", "asg")},
+       |drops AS (
        |  SELECT DISTINCT b.vec_id
        |  FROM asg a
        |  JOIN asg b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
-       |  JOIN base ea ON ea.vec_id = a.vec_id
-       |  JOIN base eb ON eb.vec_id = b.vec_id
-       |  WHERE list_inner_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
-       |      / sqrt(list_inner_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[]))
-       |           * list_inner_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))) >= $tau
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= $tau
        |)
        |SELECT vec_id FROM base WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin
 
@@ -1229,21 +1239,13 @@ object SparkEntry {
        |) WHERE rn <= $k""".stripMargin
   }
 
-  /** sim_cluster_sample oracle: trained assignment (same CTE block as
-    * sim_kmeans_assign) + a per-cell rank over the identical md5 order. */
+  /** sim_cluster_sample oracle: the TWO-LEVEL trained assignment (same
+    * CTE blocks as sim_kmeans_assign — round-14 adoption) + a per-cell
+    * rank over the identical md5 order. */
   private def clusterSampleOracleSql(iters: Int = 3, k: Int = 5): String =
     s"""WITH ${kmeansCteBlock(29, iters)},
-       |asg AS (
-       |  SELECT vec_id, cell_id FROM (
-       |    SELECT e.vec_id, c.cell_id,
-       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |        list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
-       |          / sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
-       |               * list_inner_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))) DESC,
-       |      c.cell_id ASC) AS rn
-       |    FROM embeddings e CROSS JOIN c$iters c
-       |  ) WHERE rn = 1
-       |)
+       |${hierIndexCtes(s"c$iters")},
+       |${hierAsgCtes("embeddings", "asg")}
        |SELECT cell_id, vec_id FROM (
        |  SELECT cell_id, vec_id,
        |    row_number() OVER (PARTITION BY cell_id
@@ -1348,27 +1350,19 @@ object SparkEntry {
        |LIMIT $k""".stripMargin
 
   /** sim_knn_graph oracle: the trained centroids (the sim_kmeans CTE
-    * block), the cosine-argmax assignment KEEPING the embedding, the
-    * within-cell pairwise cosine, and the per-vector (score DESC, nbr)
-    * nn-cut with the NaN gate — the whole blocked graph build replayed
-    * in SQL. */
-  private def knnGraphOracleSql(iters: Int = 3, nn: Int = 4): String = {
-    val cos = (a: String, b: String) =>
-      s"""list_inner_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
-         |      / sqrt(list_inner_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))
-         |           * list_inner_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))""".stripMargin
+    * block), the TWO-LEVEL assignment KEEPING the embedding (round-14
+    * adoption — [[hierIndexCtes]]/[[hierAsgCtes]]), the within-cell
+    * pairwise cosine, and the per-vector (score DESC, nbr) nn-cut with
+    * the NaN gate — the whole blocked graph build replayed in SQL. Also
+    * the edge CTE of the pagerank/lpa/modularity oracles, which inherit
+    * the adoption wholesale. */
+  private def knnGraphOracleSql(iters: Int = 3, nn: Int = 4): String =
     s"""WITH ${kmeansCteBlock(29, iters)},
-       |asg AS (
-       |  SELECT vec_id, cell_id, embedding FROM (
-       |    SELECT e.vec_id, e.embedding, c.cell_id,
-       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |        ${cos("e.embedding", "c.c_emb")} DESC,
-       |        c.cell_id ASC) AS rn
-       |    FROM embeddings e CROSS JOIN c$iters c
-       |  ) WHERE rn = 1
-       |), pairs AS (
+       |${hierIndexCtes(s"c$iters")},
+       |${hierAsgCtes("embeddings", "asg")},
+       |pairs AS (
        |  SELECT a.vec_id, b.vec_id AS nbr_id,
-       |    ${cos("a.embedding", "b.embedding")} AS score
+       |    ${cosSql("a.embedding", "b.embedding")} AS score
        |  FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
        |)
        |SELECT vec_id, nbr_id, score FROM (
@@ -1376,7 +1370,6 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, nbr_id) AS rn
        |  FROM pairs WHERE NOT isnan(score)
        |) WHERE rn <= $nn""".stripMargin
-  }
 
   /** q_pagerank oracle: the whole sim_knn_graph oracle as the edge CTE
     * (the annRecall WITH-inside-CTE device), then the power method
@@ -1532,26 +1525,17 @@ object SparkEntry {
        |CROSS JOIN md""".stripMargin
 
   /** sim_bitext_mine oracle: trained cells (the sim_kmeans CTE block),
-    * the argmax assignment, the cell-blocked cross-side pair scoring,
-    * both top-k margin denominators, the 6-dp-rounded margin (rounded
-    * BEFORE ranking, so the argmax compares identical doubles on both
-    * engines), and the mutual-best intersection — the whole mine
-    * replayed in SQL. */
+    * the TWO-LEVEL assignment (round-14 adoption), the cell-blocked
+    * cross-side pair scoring, both top-k margin denominators, the
+    * 6-dp-rounded margin (rounded BEFORE ranking, so the argmax compares
+    * identical doubles on both engines), and the mutual-best
+    * intersection — the whole mine replayed in SQL. */
   private def bitextOracleSql(iters: Int = 3, k: Int = 4): String = {
-    val cos = (a: String, b: String) =>
-      s"""list_inner_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
-         |      / sqrt(list_inner_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))
-         |           * list_inner_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))""".stripMargin
+    val cos = cosSql _
     s"""WITH ${kmeansCteBlock(29, iters)},
-       |asg AS MATERIALIZED (
-       |  SELECT vec_id, cell_id, embedding FROM (
-       |    SELECT e.vec_id, e.embedding, c.cell_id,
-       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |        ${cos("e.embedding", "c.c_emb")} DESC,
-       |        c.cell_id ASC) AS rn
-       |    FROM embeddings e CROSS JOIN c$iters c
-       |  ) WHERE rn = 1
-       |), pairs AS MATERIALIZED (
+       |${hierIndexCtes(s"c$iters")},
+       |${hierAsgCtes("embeddings", "asg")},
+       |pairs AS MATERIALIZED (
        |  SELECT src_id, tgt_id, score FROM (
        |    SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
        |      ${cos("a.embedding", "b.embedding")} AS score
@@ -2568,6 +2552,7 @@ object SparkEntry {
     "sim_density_prune" -> densityPruneOracleSql(),
     "sim_density_prune_steady" -> densityPruneOracleSql(),
     "sim_kmeans_assign" -> kmeansAssignOracleSql(),
+    "sim_kmeans_assign_flat" -> kmeansAssignFlatOracleSql(),
     "sim_kmeans_assign_hier" -> hierAssignOracleSql(),
     "sim_psi_drift" -> psiDriftOracleSql(),
     "sim_cluster_sample" -> clusterSampleOracleSql(),

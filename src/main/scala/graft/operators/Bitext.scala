@@ -47,7 +47,9 @@ object Bitext {
     * (side B) `vec_id` halves of `emb`, blocked by `centroids`. */
   def mineMarginPairs(emb: DataFrame, centroids: DataFrame,
       k: Int = 4): DataFrame = {
-    val asg = Similarity.ivfAssign(emb, centroids)
+    // two-level assignment (round-14 adoption — k ∝ N under the trained
+    // sizing; see Similarity.ivfAssignHier for the recall trade)
+    val asg = Similarity.ivfAssignHier(emb, centroids)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val a = asg.filter(col("vec_id") % 2 === 0)
       .select(col("vec_id").as("src_id"), col("cell_id"),

@@ -897,7 +897,12 @@ object Dedup extends Logging {
     * in the plan). */
   def semanticDedupWith(emb: DataFrame, centroids: DataFrame,
       tau: Double): DataFrame = {
-    val asg = Similarity.ivfAssign(emb, centroids)
+    // two-level assignment (round-14 adoption): SemDedup sizes k ≈ N/29,
+    // so the flat N·k argmax is O(N²/29) — the measured super-linear
+    // term; the two-level form is O(N·√k) within the documented recall
+    // trade (a vector mis-grouped at the coarse level lands in a
+    // neighbouring cell, whose near-pairs SemDedup never examined anyway)
+    val asg = Similarity.ivfAssignHier(emb, centroids)
       .select(col("vec_id"), col("cell_id"))
     val withCell = emb.select(col("vec_id"), col("embedding"))
       .join(asg, "vec_id")
@@ -1020,28 +1025,47 @@ object Dedup extends Logging {
     * Corpus–corpus pairs are never examined — that dedup happened when
     * the corpus landed ([[semanticDedup]]).
     *
-    * Scale shape: both assignments are the bounded corpus×constant
-    * broadcast cross; the verify joins are equi-joins on cell_id whose
+    * Scale shape: both assignments are the TWO-LEVEL O(rows·√k) argmax
+    * ([[Similarity.ivfAssignHier]] — k ∝ N under SemDedup sizing, so the
+    * flat cross was the measured super-linear term; the coarse level
+    * trains once per centroid set via [[Similarity.hierIndex]]); the
+    * verify joins are equi-joins on cell_id whose
     * BATCH side is small by contract, so the per-batch cost is
     * |batch|·|cell| — and with the corpus assignment landed bucketed by
     * cell_id the probe side needs no exchange (the
     * [[landNearDupIndex]] discipline; the cells themselves are already
     * landed by [[graft.operators.Similarity.landQuantizers]]). */
   def incrementalSemanticNew(corpus: DataFrame, batch: DataFrame,
-      centroids: DataFrame, tau: Double = 0.999): DataFrame =
-    incrementalSemanticNewAssigned(
-      Similarity.ivfAssign(corpus, centroids)
+      centroids: DataFrame, tau: Double = 0.999): DataFrame = {
+    // one hierIndex for BOTH assignment passes (corpus + batch): the
+    // O(k·√k) coarse training is per-centroid-set work, paid once
+    val (coarseLive, grouped) = Similarity.hierIndex(centroids)
+    incrementalSemanticNewWith(
+      Similarity.ivfAssignHierWith(corpus, coarseLive, grouped)
         .select(col("cell_id"), col("embedding").as("m_emb")),
-      batch, centroids, tau)
+      batch, coarseLive, grouped, tau)
+  }
 
   /** [[incrementalSemanticNew]] against a PRE-ASSIGNED corpus side
     * (cell_id, m_emb rows — an already-landed assignment index): the
     * seam the streaming maintainer ([[graft.streaming.StreamSemantic]])
     * probes, where the corpus assignment accumulated at land time and
-    * must not be recomputed per batch. */
+    * must not be recomputed per batch. Builds a fresh [[Similarity.hierIndex]]
+    * per call; a caller probing MANY batches against one centroid set
+    * (the streaming maintainers) should build the index once and use
+    * [[incrementalSemanticNewWith]]. */
   def incrementalSemanticNewAssigned(cAsg: DataFrame, batch: DataFrame,
       centroids: DataFrame, tau: Double = 0.999): DataFrame = {
-    val bAsg = Similarity.ivfAssign(batch, centroids)
+    val (coarseLive, grouped) = Similarity.hierIndex(centroids)
+    incrementalSemanticNewWith(cAsg, batch, coarseLive, grouped, tau)
+  }
+
+  /** The per-batch half: two-level batch assignment against a PREBUILT
+    * [[Similarity.hierIndex]] pair + the two cell-scoped verifies. */
+  def incrementalSemanticNewWith(cAsg: DataFrame, batch: DataFrame,
+      coarseLive: DataFrame, grouped: DataFrame,
+      tau: Double = 0.999): DataFrame = {
+    val bAsg = Similarity.ivfAssignHierWith(batch, coarseLive, grouped)
       .select(col("vec_id"), col("cell_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vsCorpus = bAsg.join(cAsg, Seq("cell_id"))

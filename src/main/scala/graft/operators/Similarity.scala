@@ -190,11 +190,41 @@ object Similarity {
     *
     * Scale shape: the coarse side broadcast is ⌈√k⌉ rows (√N-class, the
     * same budget as the √N-cell ANN family); the per-group stage is an
-    * EQUI-join on g_id whose build side is the k-row grouped centroid
-    * table; the rank window ordering centroids runs over k rows, not
-    * the corpus. */
+    * EQUI-join on g_id against the k-row grouped centroid table with NO
+    * forced strategy hint — k ∝ N in this operator's target regime, so
+    * a forced broadcast would ship a corpus-proportional embedding
+    * table (the decontaminateScrub lesson); AQE picks broadcast while
+    * the table is small and degrades to a shuffled equi-join when it
+    * isn't. The rank window ordering centroids runs over k rows, not
+    * the corpus.
+    *
+    * COMPLETENESS: stage 1 argmaxes over only the coarse centroids
+    * that own ≥1 member after the final regroup (`hierIndex`'s
+    * semi-join) — the regroup re-derives memberships against the
+    * re-centered coarse set, so a coarse centroid can end up empty, and
+    * a vector routed to an empty group would vanish through the inner
+    * member join. With the live-set filter every vector lands in a
+    * non-empty group and gets a cell (spec-pinned). */
   def ivfAssignHier(emb: DataFrame, centroids: DataFrame,
       stride: Option[Long] = None): DataFrame = {
+    val (coarseLive, grouped) = hierIndex(centroids, stride)
+    ivfAssignHierWith(emb, coarseLive, grouped)
+  }
+
+  /** The per-CENTROID-SET half of [[ivfAssignHier]] — train the coarse
+    * level, group every centroid under its nearest coarse centroid, and
+    * drop emptied coarse centroids: returns (`coarseLive` — the ⌈√k⌉-row
+    * (g_id, g_emb) stage-1 argmax set, restricted to groups with ≥1
+    * member; `grouped` — the k-row (g_id, cell_id, c_emb) member table).
+    * Split out so callers that assign SEVERAL vector sets against one
+    * centroid set (the incremental gates: corpus + batch; the streaming
+    * maintainers: every micro-batch) pay the O(k·√k) coarse training
+    * ONCE — at production k a per-batch retrain would dominate small
+    * batches. Both outputs are localCheckpoint'd (k-row class, the
+    * kmeansCentroids discipline) so multi-consumer plans read
+    * materialized leaves. */
+  def hierIndex(centroids: DataFrame,
+      stride: Option[Long] = None): (DataFrame, DataFrame) = {
     val k = centroids.count() // bounded: |centroids| rows
     val s = stride.getOrElse(
       math.max(1L, math.ceil(math.sqrt(k.toDouble)).toLong))
@@ -219,13 +249,27 @@ object Similarity {
       .groupBy("cell_id")
       .agg(max_by(col("g_id"), struct(col("gs"), -col("g_id"))).as("g_id"),
         first(col("c_emb")).as("c_emb"))
-    val v1 = emb.crossJoin(broadcast(coarse))
+      .localCheckpoint()
+    // completeness (see ivfAssignHier's scaladoc): a coarse centroid
+    // the regroup emptied must not be a stage-1 target
+    val coarseLive = coarse
+      .join(grouped.select("g_id").distinct(), Seq("g_id"), "left_semi")
+      .localCheckpoint()
+    (coarseLive, grouped)
+  }
+
+  /** The per-VECTOR-SET half of [[ivfAssignHier]]: the two-stage argmax
+    * of `emb` against a prebuilt [[hierIndex]] pair. */
+  def ivfAssignHierWith(emb: DataFrame, coarseLive: DataFrame,
+      grouped: DataFrame): DataFrame = {
+    val v1 = emb.crossJoin(broadcast(coarseLive))
       .select(col("vec_id"), col("embedding"), col("g_id"),
         GraftFunctions.cosineSim(col("embedding"), col("g_emb")).as("gs"))
       .groupBy("vec_id")
       .agg(max_by(col("g_id"), struct(col("gs"), -col("g_id"))).as("g_id"),
         first(col("embedding")).as("embedding"))
-    v1.join(broadcast(grouped), Seq("g_id"))
+    // no broadcast hint: grouped is k rows and k ∝ N here — AQE chooses
+    v1.join(grouped, Seq("g_id"))
       .select(col("vec_id"), col("embedding"), col("cell_id"),
         GraftFunctions.cosineSim(col("embedding"), col("c_emb")).as("cs"))
       .groupBy("vec_id")
@@ -797,22 +841,39 @@ object Similarity {
   /** Corpus cluster assignments under the TRAINED k-means centroids —
     * the labeling a user actually consumes after [[kmeansCentroids]]
     * (cluster-then-sample, cluster-balanced training mixes, per-cluster
-    * dedup all start here). Same bounded corpus×constant broadcast cross
-    * + `max_by` two-phase argmax as [[ivfAssign]]; one row per vector
-    * crosses the shuffle. */
+    * dedup all start here). The assignment stage is the TWO-LEVEL form
+    * ([[ivfAssignHier]], round-14 adoption): with SemDedup sizing
+    * (k ≈ N/29) the flat argmax is O(N²/29) — the one super-linear term
+    * the sf1 registry run measured (3.2–3.9× wall for 10× rows); the
+    * two-level argmax is O(N·√k) within the documented IVF recall
+    * trade. The exact flat form stays available as
+    * [[kmeansAssignmentsFlat]] (the crossover comparator). */
   def kmeansAssignments(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
-    ivfAssign(emb, kmeansCentroids(emb)).select("vec_id", "cell_id")
+    ivfAssignHier(emb, kmeansCentroids(emb)).select("vec_id", "cell_id")
   }
 
-  /** STEADY-STATE form of [[kmeansAssignments]] — assignment under the
-    * LANDED trained centroids ([[landQuantizers]]), no Lloyd's in the
-    * plan: the timed cost is the one bounded corpus×constant broadcast
-    * cross + `max_by` argmax a production labeling job actually pays
-    * (training is a separate, amortized land). Same centroids (the
-    * trainers are deterministic), same answer, same oracle as the
-    * retrain entry. */
-  def kmeansAssignmentsSteady(spark: SparkSession, dir: String): DataFrame = {
+  /** STEADY-STATE form of [[kmeansAssignments]] — two-level assignment
+    * under the LANDED trained centroids ([[landQuantizers]]), no Lloyd's
+    * over the corpus in the plan: the timed cost is the O(N·√k)
+    * production labeling pass (training is a separate, amortized land;
+    * the coarse level trains over the k centroid ROWS per call — o(N·√k),
+    * landable alongside the quantizers if a deployment wants it). Same
+    * centroids (the trainers are deterministic), same answer, same
+    * oracle as the retrain entry — and the same plan as
+    * [[kmeansAssignmentsHier]], which this adoption made the default. */
+  def kmeansAssignmentsSteady(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssignmentsHier(spark, dir)
+
+  /** FLAT exact assignment under the LANDED centroids — r13's
+    * `sim_kmeans_assign_steady` plan, kept as a named entry after the
+    * hier adoption: (a) the exactness baseline the two-level recall
+    * trade is measured against, (b) the flat-vs-hier crossover
+    * comparator (BASELINE.md series — flat wins below ~100 k vectors
+    * where the whole N·k cross is smaller than the coarse-training job
+    * floor), (c) the right call when k is FIXED rather than ∝ N. The
+    * O(N·k) cross is this entry's documented cost. */
+  def kmeansAssignmentsFlat(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
     ivfAssign(emb, loadLandedQuantizers(spark, dir)._1).select("vec_id", "cell_id")
   }
@@ -922,8 +983,11 @@ object Similarity {
   def knnGraph(emb: DataFrame, centroids: DataFrame, nn: Int): DataFrame = {
     // persist the assignment so the corpus is scored against the
     // centroids ONCE, not once per self-join side (the semanticDedupWith
-    // discipline — at scale the assignment cross is the dominant scan)
-    val asg = ivfAssign(emb, centroids)
+    // discipline — at scale the assignment scan is the dominant term);
+    // the assignment itself is the TWO-LEVEL argmax (round-14 adoption:
+    // k ∝ N here, so the flat N·k cross is the measured super-linear
+    // term — see ivfAssignHier's scaladoc for the recall trade)
+    val asg = ivfAssignHier(emb, centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scored = asg
       .select(col("vec_id").as("query_id"), col("cell_id"),

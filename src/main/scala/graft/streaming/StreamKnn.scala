@@ -167,14 +167,19 @@ object StreamKnn {
   def start(vectors: DataFrame, stateDir: String, checkpoint: String,
       centroids: DataFrame, nn: Int = 4,
       trigger: Trigger = Trigger.AvailableNow(),
-      compactEvery: Int = 0): StreamingQuery =
+      compactEvery: Int = 0): StreamingQuery = {
+    // two-level assignment index, built ONCE per stream (the
+    // Similarity.hierIndex contract — coarse training is
+    // per-centroid-set work, not per-batch work)
+    val (coarseLive, grouped) = Similarity.hierIndex(centroids)
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
         val own = s"gen-$id"
-        Similarity.ivfAssign(batch.select("vec_id", "embedding"), centroids)
+        Similarity.ivfAssignHierWith(
+            batch.select("vec_id", "embedding"), coarseLive, grouped)
           .select(col("vec_id"), col("cell_id"), col("embedding"))
           .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/asg/$own")
         // re-read the landed bytes so a replayed batch derives the
@@ -216,6 +221,7 @@ object StreamKnn {
         ()
       }
       .start()
+  }
 
   /** [[start]] with the cells from the corpus dir's landed
     * trained-quantizer artifact tables (the [[StreamSemantic]] seam). */

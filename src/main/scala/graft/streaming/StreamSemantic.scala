@@ -75,7 +75,11 @@ object StreamSemantic {
   def start(vectors: DataFrame, indexDir: String, outDir: String,
       checkpoint: String, centroids: DataFrame, tau: Double = 0.999,
       trigger: Trigger = Trigger.AvailableNow(),
-      compactEvery: Int = 0): StreamingQuery =
+      compactEvery: Int = 0): StreamingQuery = {
+    // two-level assignment index, built ONCE per stream (the
+    // Similarity.hierIndex contract — the O(k·√k) coarse training must
+    // not re-run per micro-batch)
+    val (coarseLive, grouped) = Similarity.hierIndex(centroids)
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -86,13 +90,13 @@ object StreamSemantic {
           template = batch.limit(0).select(col("vec_id"),
             lit(0L).as("cell_id"), col("embedding")),
           exclude = Set(own))
-        val survivorIds = Dedup.incrementalSemanticNewAssigned(
+        val survivorIds = Dedup.incrementalSemanticNewWith(
           idx.select(col("cell_id"), col("embedding").as("m_emb")),
-          batch, centroids, tau)
+          batch, coarseLive, grouped, tau)
         batch.join(survivorIds, Seq("vec_id"))
           .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch-$id")
-        Similarity.ivfAssign(
-            spark.read.parquet(s"$outDir/batch-$id"), centroids)
+        Similarity.ivfAssignHierWith(
+            spark.read.parquet(s"$outDir/batch-$id"), coarseLive, grouped)
           .select(col("vec_id"), col("cell_id"), col("embedding"))
           .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$own")
         if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
@@ -100,6 +104,7 @@ object StreamSemantic {
         ()
       }
       .start()
+  }
 
   /** [[start]] with the cells from the corpus dir's landed
     * trained-quantizer artifact tables. */
@@ -126,7 +131,10 @@ object StreamSemantic {
     val cent = Similarity.loadLandedQuantizers(spark, corpusDir)._1
     val emb = graft.sources.Tables.load(spark, corpusDir, "embeddings")
       .select("vec_id", "embedding")
-    val nb = Similarity.ivfAssign(emb, cent)
+    // two-level assignment, matching the gate's index rows: both PSI
+    // slices must be binned by the SAME assignment function or the
+    // monitor reads quantizer disagreement as traffic drift
+    val nb = Similarity.ivfAssignHier(emb, cent)
       .groupBy("cell_id").agg(count(lit(1)).as("n_base"))
     val nc = currentIndex(spark, indexDir,
         template = emb.limit(0).select(col("vec_id"), lit(0L).as("cell_id")))

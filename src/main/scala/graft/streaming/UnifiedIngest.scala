@@ -101,7 +101,12 @@ object UnifiedIngest {
       tau: Double = 0.999, m: Int = 8, subDim: Int = 8,
       trigger: Trigger = Trigger.AvailableNow(),
       compactEvery: Int = 0,
-      mediaCol: Option[String] = None): StreamingQuery =
+      mediaCol: Option[String] = None): StreamingQuery = {
+    // two-level assignment index, built ONCE per stream (the
+    // Similarity.hierIndex contract): the O(k·√k) coarse training is
+    // per-centroid-set work — re-deriving it per micro-batch would
+    // dominate small batches at production k
+    val (coarseLive, grouped) = Similarity.hierIndex(centroids)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -152,10 +157,10 @@ object UnifiedIngest {
           template = batch.limit(0).select(col("doc_id").as("vec_id"),
             lit(0L).as("cell_id"), col("embedding")),
           exclude = Set(own))
-        val keptIds = Dedup.incrementalSemanticNewAssigned(
+        val keptIds = Dedup.incrementalSemanticNewWith(
           semIdx.select(col("cell_id"), col("embedding").as("m_emb")),
           b3.select(col("doc_id").as("vec_id"), col("embedding")),
-          centroids, tau)
+          coarseLive, grouped, tau)
         val b4 = b3.join(
           keptIds.select(col("vec_id").as("doc_id")), Seq("doc_id"))
           .localCheckpoint()
@@ -210,7 +215,7 @@ object UnifiedIngest {
           .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/near/$own")
         Dedup.containmentIndexRows(landed, "doc_id", "text")
           .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/contain/$own")
-        Similarity.ivfAssign(vecs, centroids)
+        Similarity.ivfAssignHierWith(vecs, coarseLive, grouped)
           .select(col("vec_id"), col("cell_id"), col("embedding"))
           .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/sem/$own")
         StreamSearchIndex.indexBatch(landed, s"$stateDir/search", id)
@@ -271,6 +276,7 @@ object UnifiedIngest {
         ()
       }
       .start()
+  }
 
   /** ONE compaction cadence for every side, each under its own
     * discipline: simple self-healing folds where rows are

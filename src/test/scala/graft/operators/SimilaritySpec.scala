@@ -687,6 +687,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(hier == flat)
   }
 
+  test("ivfAssignHier: no forced hint on the k-proportional grouped join") {
+    // the ONLY allowed hint is the stage-1 broadcast of the ⌈√k⌉-row
+    // live coarse set; the grouped member table is k rows and k ∝ N in
+    // the operator's target regime — a forced broadcast there is the
+    // decontaminateScrub OOM class (round-13 advisory). AQE picks the
+    // strategy for that join instead.
+    val emb = corpus.toDF("vec_id", "embedding")
+    val cent = Similarity.defaultCentroids(emb)
+    val plan = Similarity.ivfAssignHier(emb, cent)
+      .queryExecution.analyzed.toString
+    val hints = "ResolvedHint".r.findAllIn(plan).size
+    assert(hints == 1,
+      s"expected exactly the coarse-side broadcast hint, got $hints:\n$plan")
+  }
+
   test("ivfAssignHier: deterministic, complete, and exact-tracking on clusterable data") {
     // The operator's use case is a CLUSTERABLE corpus (SemDedup/IVF
     // train cells because density exists) — on such data a vector and

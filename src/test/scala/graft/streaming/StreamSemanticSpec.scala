@@ -99,11 +99,14 @@ class StreamSemanticSpec extends SparkTestBase {
 
     val cent = graft.operators.Similarity.loadLandedQuantizers(spark, dir)._1
     import org.apache.spark.sql.functions.{count => fcount, lit => flit}
-    val nb = graft.operators.Similarity.ivfAssign(emb, cent)
+    // both slices through the TWO-LEVEL assignment — the gate lands hier
+    // cells (round-14 adoption), and the monitor law is "same binning
+    // function on both sides"
+    val nb = graft.operators.Similarity.ivfAssignHier(emb, cent)
       .groupBy("cell_id").agg(fcount(flit(1)).as("n_base"))
     val survivors = StreamSemantic.cleanedVectors(spark, s"$tmp/out")
       .select("vec_id", "embedding")
-    val nc = graft.operators.Similarity.ivfAssign(survivors, cent)
+    val nc = graft.operators.Similarity.ivfAssignHier(survivors, cent)
       .groupBy("cell_id").agg(fcount(flit(1)).as("n_cur"))
     val want = graft.operators.Similarity
       .psiFromCounts(cent.select("cell_id"), nb, nc)
