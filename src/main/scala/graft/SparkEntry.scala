@@ -1034,26 +1034,20 @@ object SparkEntry {
     * sim_kmeans oracle replays) + the cosine-argmax assignment with the
     * engine's (score DESC, cell ASC) tie-break. */
   /** sim_psi_drift oracle: cells trained on the even-id half only (the
-    * kmeans CTE block with from = base), BOTH halves assigned under the
-    * identical argmax, add-one smoothing over the full trained cell
-    * list, p's rounded 6 dp BEFORE the contribution. */
+    * kmeans CTE block with from = base), BOTH halves binned under the
+    * identical TWO-LEVEL assignment (round-14 adoption — same
+    * [[hierIndexCtes]]/[[hierAsgCtes]] stages as every other adopter),
+    * add-one smoothing over the full trained cell list, p's rounded
+    * 6 dp BEFORE the contribution. */
   private def psiDriftOracleSql(iters: Int = 3): String = {
-    def assign(side: String, out: String) =
-      s"""$out AS (
-         |  SELECT cell_id, count(*) AS n FROM (
-         |    SELECT e.vec_id, c.cell_id,
-         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |        list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
-         |          / sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
-         |               * list_inner_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))) DESC,
-         |        c.cell_id ASC) AS rn
-         |    FROM $side e CROSS JOIN c$iters c
-         |  ) WHERE rn = 1 GROUP BY cell_id)""".stripMargin
-    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
-       |cur AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 <> 0),
+    s"""WITH base AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+       |cur AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 <> 0),
        |${kmeansCteBlock(29, iters, from = "base")},
-       |${assign("base", "nb")},
-       |${assign("cur", "nc")},
+       |${hierIndexCtes(s"c$iters")},
+       |${hierAsgCtes("base", "basg")},
+       |${hierAsgCtes("cur", "casg")},
+       |nb AS (SELECT cell_id, count(*) AS n FROM basg GROUP BY cell_id),
+       |nc AS (SELECT cell_id, count(*) AS n FROM casg GROUP BY cell_id),
        |cells AS (SELECT DISTINCT cell_id FROM c$iters),
        |j AS (
        |  SELECT cells.cell_id,

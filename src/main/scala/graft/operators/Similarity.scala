@@ -903,14 +903,21 @@ object Similarity {
   }
 
   /** The PSI tail over ANY (reference, current, centroids) triple —
-    * reusable by the streamed monitor against landed quantizers. */
+    * reusable by the streamed monitor against landed quantizers. Both
+    * slices bin through the TWO-LEVEL assignment (round-14 adoption —
+    * one [[hierIndex]] for both passes: the binning function must be
+    * the SAME on both sides, and it must be the one the gates/indexes
+    * actually assign with, or the monitor reads quantizer disagreement
+    * as traffic drift). */
   def psiDriftOver(base: DataFrame, cur: DataFrame,
-      centroids: DataFrame): DataFrame =
+      centroids: DataFrame): DataFrame = {
+    val (coarseLive, grouped) = hierIndex(centroids)
     psiFromCounts(centroids.select("cell_id"),
-      ivfAssign(base, centroids)
+      ivfAssignHierWith(base, coarseLive, grouped)
         .groupBy("cell_id").agg(count(lit(1)).as("n_base")),
-      ivfAssign(cur, centroids)
+      ivfAssignHierWith(cur, coarseLive, grouped)
         .groupBy("cell_id").agg(count(lit(1)).as("n_cur")))
+  }
 
   /** The smoothing + contribution tail over already-aggregated per-cell
     * counts — what a monitor with LANDED baseline counts (or a streamed
