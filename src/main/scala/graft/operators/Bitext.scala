@@ -47,9 +47,17 @@ object Bitext {
     * (side B) `vec_id` halves of `emb`, blocked by `centroids`. */
   def mineMarginPairs(emb: DataFrame, centroids: DataFrame,
       k: Int = 4): DataFrame = {
+    val (coarseLive, grouped) = Similarity.hierIndex(centroids)
+    mineMarginPairsWith(emb, coarseLive, grouped, k)
+  }
+
+  /** [[mineMarginPairs]] against a PREBUILT (or landed) two-level
+    * assignment index — the steady serve's form. */
+  def mineMarginPairsWith(emb: DataFrame, coarseLive: DataFrame,
+      grouped: DataFrame, k: Int = 4): DataFrame = {
     // two-level assignment (round-14 adoption — k ∝ N under the trained
     // sizing; see Similarity.ivfAssignHier for the recall trade)
-    val asg = Similarity.ivfAssignHier(emb, centroids)
+    val asg = Similarity.ivfAssignHierWith(emb, coarseLive, grouped)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val a = asg.filter(col("vec_id") % 2 === 0)
       .select(col("vec_id").as("src_id"), col("cell_id"),
@@ -103,12 +111,14 @@ object Bitext {
     mineMarginPairs(emb, Similarity.kmeansCentroids(emb), k)
   }
 
-  /** STEADY-STATE [[mineDocs]]: cells from the LANDED trained centroids
-    * — no Lloyd's in the plan; the timed cost is assignment + blocked
+  /** STEADY-STATE [[mineDocs]]: cells AND the two-level assignment
+    * index from the LANDED artifacts — no Lloyd's anywhere in the
+    * plan; the timed cost is the two-stage assignment + blocked
     * scoring + the margin algebra, the recurring production mine. Same
     * answer, same oracle. */
   def mineSteady(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
-    mineMarginPairs(emb, Similarity.loadLandedQuantizers(spark, dir)._1, k)
+    val (coarseLive, grouped) = Similarity.loadLandedHierIndex(spark, dir)
+    mineMarginPairsWith(emb, coarseLive, grouped, k)
   }
 }

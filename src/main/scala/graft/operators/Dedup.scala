@@ -897,12 +897,22 @@ object Dedup extends Logging {
     * in the plan). */
   def semanticDedupWith(emb: DataFrame, centroids: DataFrame,
       tau: Double): DataFrame = {
+    val (coarseLive, grouped) = Similarity.hierIndex(centroids)
+    semanticDedupWithIndex(emb, coarseLive, grouped, tau)
+  }
+
+  /** [[semanticDedupWith]] against a PREBUILT (or landed —
+    * [[graft.operators.Similarity.ensureHierIndex]]) two-level
+    * assignment index — the steady serves' form, coarse training
+    * amortized to the land. */
+  def semanticDedupWithIndex(emb: DataFrame, coarseLive: DataFrame,
+      grouped: DataFrame, tau: Double): DataFrame = {
     // two-level assignment (round-14 adoption): SemDedup sizes k ≈ N/29,
     // so the flat N·k argmax is O(N²/29) — the measured super-linear
     // term; the two-level form is O(N·√k) within the documented recall
     // trade (a vector mis-grouped at the coarse level lands in a
     // neighbouring cell, whose near-pairs SemDedup never examined anyway)
-    val asg = Similarity.ivfAssignHier(emb, centroids)
+    val asg = Similarity.ivfAssignHierWith(emb, coarseLive, grouped)
       .select(col("vec_id"), col("cell_id"))
     val withCell = emb.select(col("vec_id"), col("embedding"))
       .join(asg, "vec_id")
@@ -962,10 +972,13 @@ object Dedup extends Logging {
     * deterministic), same answer, same oracle as the retrain entry. */
   def semanticDedupPlantedSteady(spark: SparkSession, dir: String): DataFrame = {
     val emb = plantedNearVectors(spark, dir)
-    semanticDedupWith(emb,
-      ensureSemanticCells(spark, semanticCellsTable(dir, "emb"),
-        Similarity.kmeansCentroids(emb)),
-      tau = 0.999)
+    val table = semanticCellsTable(dir, "emb")
+    val cells = ensureSemanticCells(spark, table,
+      Similarity.kmeansCentroids(emb))
+    // the hier index lands NEXT TO the cells (keyed by the same table
+    // name) — the steady serve reads both, trains neither
+    val (coarseLive, grouped) = Similarity.ensureHierIndex(spark, table, cells)
+    semanticDedupWithIndex(emb, coarseLive, grouped, tau = 0.999)
   }
 
   /** SemDedup over a RAW TEXT corpus — the composition
@@ -1005,10 +1018,11 @@ object Dedup extends Logging {
   def semanticDedupTextSteady(spark: SparkSession, dir: String,
       tau: Double = 0.99): DataFrame = {
     val emb = hashedCorpusVectors(spark, dir)
-    semanticDedupWith(emb,
-      ensureSemanticCells(spark, semanticCellsTable(dir, "text"),
-        Similarity.kmeansCentroids(emb)),
-      tau)
+    val table = semanticCellsTable(dir, "text")
+    val cells = ensureSemanticCells(spark, table,
+      Similarity.kmeansCentroids(emb))
+    val (coarseLive, grouped) = Similarity.ensureHierIndex(spark, table, cells)
+    semanticDedupWithIndex(emb, coarseLive, grouped, tau)
   }
 
   /** Incremental SEMANTIC arrival dedup — the E77/E78 incremental
@@ -1116,8 +1130,11 @@ object Dedup extends Logging {
     * Same cells, same answer, same oracle as the retrain entry. */
   def incrementalSemanticArrivalsSteady(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
-    incrementalSemanticNew(emb, incrementalSemanticBatch(emb),
-      Similarity.loadLandedQuantizers(spark, dir)._1)
+    val (coarseLive, grouped) = Similarity.loadLandedHierIndex(spark, dir)
+    incrementalSemanticNewWith(
+      Similarity.ivfAssignHierWith(emb, coarseLive, grouped)
+        .select(col("cell_id"), col("embedding").as("m_emb")),
+      incrementalSemanticBatch(emb), coarseLive, grouped)
   }
 
   /** RECORD linkage by deletion-neighborhood blocking — the structured

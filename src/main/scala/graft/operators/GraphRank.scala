@@ -127,8 +127,8 @@ object GraphRank {
   def pageRankSteady(spark: SparkSession, dir: String, nn: Int = 4,
       iters: Int = 5, damping: Double = 0.85): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
-    val g = Similarity.knnGraph(emb,
-      Similarity.loadLandedQuantizers(spark, dir)._1, nn)
+    val (coarseLive, grouped) = Similarity.loadLandedHierIndex(spark, dir)
+    val g = Similarity.knnGraphWith(emb, coarseLive, grouped, nn)
     pageRank(emb.select("vec_id"),
       g.select(col("vec_id").as("src"), col("nbr_id").as("dst")),
       iters, damping)
@@ -214,8 +214,8 @@ object GraphRank {
   def labelPropagationSteady(spark: SparkSession, dir: String, nn: Int = 4,
       iters: Int = 5): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
-    val g = Similarity.knnGraph(emb,
-      Similarity.loadLandedQuantizers(spark, dir)._1, nn)
+    val (coarseLive, grouped) = Similarity.loadLandedHierIndex(spark, dir)
+    val g = Similarity.knnGraphWith(emb, coarseLive, grouped, nn)
     labelPropagation(emb.select("vec_id"),
       g.select(col("vec_id").as("src"), col("nbr_id").as("dst")), iters)
   }
@@ -336,8 +336,8 @@ object GraphRank {
       nn: Int = 4, iters: Int = 5): Unit = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
     val prefix = communityPrefix(dir)
-    val g0 = Similarity.knnGraph(emb,
-        Similarity.loadLandedQuantizers(spark, dir)._1, nn)
+    val (coarseLive, grouped) = Similarity.loadLandedHierIndex(spark, dir)
+    val g0 = Similarity.knnGraphWith(emb, coarseLive, grouped, nn)
       .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
     // pinned: the graph feeds its own land AND the LPA rounds
     val g = if (spark.sparkContext.getCheckpointDir.isDefined) g0.checkpoint()

@@ -131,10 +131,12 @@ object StreamSemantic {
     val cent = Similarity.loadLandedQuantizers(spark, corpusDir)._1
     val emb = graft.sources.Tables.load(spark, corpusDir, "embeddings")
       .select("vec_id", "embedding")
-    // two-level assignment, matching the gate's index rows: both PSI
-    // slices must be binned by the SAME assignment function or the
-    // monitor reads quantizer disagreement as traffic drift
-    val nb = Similarity.ivfAssignHier(emb, cent)
+    // two-level assignment off the LANDED hier index, matching the
+    // gate's index rows: both PSI slices must be binned by the SAME
+    // assignment function or the monitor reads quantizer disagreement
+    // as traffic drift
+    val (coarseLive, grouped) = Similarity.loadLandedHierIndex(spark, corpusDir)
+    val nb = Similarity.ivfAssignHierWith(emb, coarseLive, grouped)
       .groupBy("cell_id").agg(count(lit(1)).as("n_base"))
     val nc = currentIndex(spark, indexDir,
         template = emb.limit(0).select(col("vec_id"), lit(0L).as("cell_id")))
