@@ -687,6 +687,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(hier == flat)
   }
 
+  test("ensureHierIndex: the landed index equals a fresh hierIndex computation") {
+    // the landed ≡ trained law for the round-14 index artifact: landing
+    // through parquet and reloading must change neither the live coarse
+    // set nor the centroid→group membership, so every steady serve off
+    // the landed tables answers exactly like the in-plan form
+    val emb = corpus.toDF("vec_id", "embedding")
+    val cent = Similarity.kmeansCentroids(emb)
+    val (cl0, g0) = Similarity.hierIndex(cent)
+    val prefix = s"hieridx_spec_${System.nanoTime()}"
+    val (cl1, g1) = Similarity.ensureHierIndex(spark, prefix, cent)
+    // second call must READ, not retrain — same rows again
+    val (cl2, g2) = Similarity.ensureHierIndex(spark, prefix,
+      sys.error("must not retrain when the tables exist"))
+    def liveSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("g_id").as[Long].collect().toSet
+    def membership(df: org.apache.spark.sql.DataFrame) =
+      df.select("cell_id", "g_id").as[(Long, Long)].collect().toMap
+    assert(liveSet(cl1) == liveSet(cl0) && liveSet(cl2) == liveSet(cl0))
+    assert(membership(g1) == membership(g0) && membership(g2) == membership(g0))
+  }
+
   test("ivfAssignHier: no forced hint on the k-proportional grouped join") {
     // the ONLY allowed hint is the stage-1 broadcast of the ⌈√k⌉-row
     // live coarse set; the grouped member table is k rows and k ∝ N in
