@@ -221,6 +221,7 @@ object SparkEntry {
     "dedup_entities"    -> (Dedup.resolveCustomers _),
     "q_bloom_join"      -> (BloomJoin.negBalanceActivity _),
     "txt_neg_pairs"     -> (Contrastive.docNegativePairs _),
+    "txt_pref_pairs"    -> (Contrastive.docPreferencePairs _),
     "txt_mix"           -> (TextAnalysis.mixCorpus _),
     "txt_decontam"      -> (Dedup.decontamDocs _),
     "txt_decontam_bloom" -> (Dedup.decontamDocsBloom _),
@@ -305,6 +306,7 @@ object SparkEntry {
     "q_anomaly"         -> ((s, d) => Analytics.eventAnomalies(s, d)),
     "q_dense_days"      -> (Analytics.eventDenseDays _),
     "sim_rp_reduce"     -> (Similarity.rpReduce _),
+    "sim_whiten_moments" -> (Similarity.whitenMomentsDocs _),
     "sim_int8_quant"    -> (Similarity.int8Embeddings _),
     // ── Skew-safe salted aggregation (same values as a plain group-by) ──
     "agg_salted"        -> ((s, d) => {
@@ -438,6 +440,9 @@ object SparkEntry {
     // argmax the default assignment, the exact flat form stays on the
     // board as the exactness baseline / flat-vs-hier crossover comparator
     "sim_kmeans_assign_flat",
+    // round-14 session-2: quality-contrastive preference pairs and the
+    // whitening moment pass
+    "txt_pref_pairs", "sim_whiten_moments",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -3551,6 +3556,94 @@ object SparkEntry {
         |      ORDER BY length(text) DESC, doc_id) AS rn
         |  FROM labeled
         |) WHERE rn = 1""".stripMargin,
+    // Preference pairs: the dedup_keep_best closure (same planted corpus,
+    // same exact-Jaccard pair set), then per component the opposite-facing
+    // lexicographic extremes — chosen under (len DESC, id ASC), rejected
+    // under (len ASC, id DESC) — and the component's min/max lengths,
+    // which ARE the two sides' scores by construction. Only clustered
+    // docs (INNER join on comps): singletons have no counterfactual.
+    "txt_pref_pairs" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' graftdup' FROM documents WHERE doc_id % 10 = 0
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM base
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM toks
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  ) WHERE jaccard >= 0.7
+        |), e AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION
+        |  SELECT doc_b, doc_a FROM pairs
+        |), reach(n, m) AS (
+        |  SELECT u, u FROM e
+        |  UNION
+        |  SELECT reach.n, e.v FROM reach JOIN e ON reach.m = e.u
+        |), comps AS (
+        |  SELECT n AS node, min(m) AS component FROM reach GROUP BY n
+        |), labeled AS (
+        |  SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS s,
+        |    CAST(c.component AS BIGINT) AS component
+        |  FROM base d JOIN comps c ON d.doc_id = c.node
+        |), sel AS (
+        |  SELECT component, doc_id, s,
+        |    row_number() OVER (PARTITION BY component ORDER BY s DESC, doc_id ASC) AS rc,
+        |    row_number() OVER (PARTITION BY component ORDER BY s ASC, doc_id DESC) AS rr
+        |  FROM labeled
+        |)
+        |SELECT component,
+        |  max(CASE WHEN rc = 1 THEN doc_id END) AS chosen_id,
+        |  max(CASE WHEN rr = 1 THEN doc_id END) AS rejected_id,
+        |  max(s) AS chosen_score,
+        |  min(s) AS rejected_score,
+        |  count(*) AS n_members
+        |FROM sel GROUP BY component""".stripMargin,
+    // Whitening moment pass: the 6-dp micro lift, the row-local l ≤ m
+    // pair fan-out, and the EXACT integer sums (HUGEINT here, decimal(38)
+    // on the Spark side) replayed literally; the one IEEE divide + 6-dp
+    // round happens after the exact sum on both engines, so partial-agg
+    // order cannot show through. Row classes: (l,m) second moments,
+    // (l,-1) first moments, (-1,-1) the count.
+    "sim_whiten_moments" ->
+      """WITH mm AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(round(round(CAST(x AS DOUBLE), 6) * 1000000) AS BIGINT)) AS mi
+        |  FROM embeddings
+        |), e1 AS (
+        |  SELECT mi, unnest(range(1, len(mi) + 1)) AS i FROM mm
+        |), nn AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n FROM mm
+        |), pr AS (
+        |  SELECT i, j, mi[i] * mi[j] AS p
+        |  FROM (SELECT mi, i, unnest(range(i, len(mi) + 1)) AS j FROM e1)
+        |), sec AS (
+        |  SELECT CAST(i - 1 AS BIGINT) AS l, CAST(j - 1 AS BIGINT) AS m,
+        |    round(CAST(sum(p) AS DOUBLE) / nn.n / 1e12, 6) AS v
+        |  FROM pr, nn GROUP BY i, j, nn.n
+        |), fir AS (
+        |  SELECT CAST(i - 1 AS BIGINT) AS l, CAST(-1 AS BIGINT) AS m,
+        |    round(CAST(sum(mi[i]) AS DOUBLE) / nn.n / 1e6, 6) AS v
+        |  FROM e1, nn GROUP BY i, nn.n
+        |), cn AS (
+        |  SELECT CAST(-1 AS BIGINT) AS l, CAST(-1 AS BIGINT) AS m,
+        |    round(n, 6) AS v FROM nn
+        |)
+        |SELECT l, m, v FROM sec
+        |UNION ALL SELECT l, m, v FROM fir
+        |UNION ALL SELECT l, m, v FROM cn""".stripMargin,
     // Duplicated 8-token spans: the window STRING is the ground-truth
     // key; the Spark side keys on the XXH64 window hash — isomorphic
     // modulo 64-bit collisions, same argument as dedup_minhash_lsh. A

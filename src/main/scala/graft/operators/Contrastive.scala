@@ -72,4 +72,57 @@ object Contrastive {
   /** CORRECTNESS instantiation over the documents table. */
   def docNegativePairs(spark: SparkSession, dir: String): DataFrame =
     negativePairs(Tables.load(spark, dir, "documents"), "doc_id")
+
+  /** Quality-contrastive PREFERENCE pairs from near-dup clusters — the
+    * corpus-side analog of DPO/RLHF (chosen, rejected) assembly: a
+    * near-dup cluster is several crawls/edits of the SAME content, so
+    * (best copy, worst copy) is a natural preference pair — "same
+    * context, one response strictly preferred" — usable for reward-model
+    * or quality-classifier training without any human labels (the
+    * weak-supervision recipe behind quality-contrastive filtering:
+    * treat the kept side of dedup survivorship as the positive).
+    *
+    * Exact over transitive chains, like [[Dedup.keepBestPerCluster]]:
+    * pairs → [[Dedup.connectedComponents]] → per component the CHOSEN is
+    * the lexicographic max under (score, then smallest id) and the
+    * REJECTED the lexicographic min under the same key (ties to the
+    * LARGEST id — the two tie-breaks are opposite-facing, so with ≥ 2
+    * members chosen ≠ rejected always, and chosen_score = max(score) /
+    * rejected_score = min(score) by construction). Components are ≥ 2
+    * members by construction (every CC node appears in some pair), so
+    * every output row is a genuine pair; singleton docs have no
+    * counterfactual and emit nothing.
+    *
+    * Scale shape (100 TB): the star rounds of the CC are the cost
+    * ceiling (see [[Dedup.connectedComponents]]); the pair selection is
+    * ONE two-phase aggregate moving one row per component, and the
+    * docs→label join is an equi-join on the id. No window over the
+    * corpus, no all-pairs structure beyond the candidate `pairs` input
+    * (itself banded/bucketed upstream). Returns one row per cluster:
+    * (component, chosen_id, rejected_id, chosen_score, rejected_score,
+    * n_members). */
+  def preferencePairs(docs: DataFrame, pairs: DataFrame, idCol: String,
+      score: Column): DataFrame = {
+    val cc = Dedup.connectedComponents(pairs).withColumnRenamed("node", idCol)
+    // inner: only clustered docs can be paired (singletons emit nothing)
+    docs.join(cc, Seq(idCol))
+      .groupBy("component")
+      .agg(
+        max_by(col(idCol), struct(score, -col(idCol))).as("chosen_id"),
+        min_by(col(idCol), struct(score, -col(idCol))).as("rejected_id"),
+        max(score).as("chosen_score"),
+        min(score).as("rejected_score"),
+        count(lit(1)).as("n_members"))
+  }
+
+  /** CORRECTNESS instantiation: preference pairs over the planted
+    * near-dup corpus with score = text length — the planted copy (one
+    * token longer) is provably the chosen side of every planted
+    * cluster, its original the rejected side, so the pairing differs
+    * from any id-ordered strawman by construction. */
+  def docPreferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Dedup.plantedNearDocs(spark, dir)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+    preferencePairs(docs, pairs, "doc_id", length(col("text")).cast("long"))
+  }
 }

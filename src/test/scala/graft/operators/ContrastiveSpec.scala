@@ -62,4 +62,49 @@ class ContrastiveSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet
     assert(all == again, "partitioning changed the draw")
   }
+
+  // ── preference pairs (E208) ──────────────────────────────────────────
+
+  test("preference pairs: chosen/rejected are the score extremes, transitive chains resolved") {
+    // one 3-doc chain (A~B, B~C — A and C are NOT a candidate pair), one
+    // 2-doc pair, one singleton: the chain must land in ONE component
+    // with chosen/rejected pulled from its extremes, the singleton must
+    // emit nothing
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 20L),  // chain: chosen=2 (30), rejected=1 (10)
+      (7L, 5L), (8L, 5L),               // tie pair: chosen=7 (smaller id), rejected=8 (larger id)
+      (9L, 99L)                         // singleton
+    ).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val got = Contrastive.preferencePairs(docs, pairs, "doc_id", col("q"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 7L), s"components: ${got.keySet}")
+    assert(got(1L) == ((1L, 2L, 1L, 30L, 10L, 3L)),
+      s"chain pair wrong: ${got(1L)}")
+    // all-tied scores: opposite-facing tie-breaks still yield a real pair
+    assert(got(7L) == ((7L, 7L, 8L, 5L, 5L, 2L)),
+      s"tie pair wrong: ${got(7L)}")
+  }
+
+  test("preference pairs over the planted corpus: invariants + the copy wins its pure pair") {
+    val got = Contrastive.docPreferencePairs(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty, "planted corpus must yield clusters")
+    got.foreach { case (_, chosen, rejected, cs, rs, n) =>
+      assert(n >= 2, "singleton leaked into the pair set")
+      assert(chosen != rejected, "degenerate pair")
+      assert(cs >= rs, "score extremes inverted")
+    }
+    // in every PURE planted pair — a 2-member cluster {x, x+1e6} — the
+    // copy (one token longer) must be the chosen side; clusters that
+    // chain through natural near-dups carry no such guarantee
+    val pure = got.filter { case (_, c, r, _, _, n) =>
+      n == 2 && c == r + 1000000L }
+    assert(pure.nonEmpty, "no pure planted pair surfaced — planting broken?")
+    // and no pure pair resolved the other way around (copy rejected)
+    assert(!got.exists { case (_, c, r, _, _, n) =>
+      n == 2 && r == c + 1000000L },
+      "a planted copy lost to its strictly-shorter original")
+  }
 }

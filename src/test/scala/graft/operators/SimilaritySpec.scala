@@ -754,4 +754,110 @@ class SimilaritySpec extends SparkTestBase {
     assert(agree >= 0.95,
       s"two-level must track exact on clusterable data: agreement $agree")
   }
+
+  // ── embedding whitening (E209) ───────────────────────────────────────
+
+  test("embedMomentSums: exact integer moments on a hand corpus") {
+    val tiny = Seq(
+      (1L, Array(0.5f, -0.25f, 0.0f)),
+      (2L, Array(0.1f, 0.75f, -1.0f)),
+      (3L, Array(-0.2f, 0.5f, 0.25f))
+    ).toDF("vec_id", "embedding")
+    val micros = Seq(
+      Array(500000L, -250000L, 0L),
+      Array(100000L, 750000L, -1000000L),
+      Array(-200000L, 500000L, 250000L))
+    val got = Similarity.embedMomentSums(tiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> BigInt(r.getDecimal(2).toBigInteger))
+      .toMap
+    assert(got((-1L, -1L)) == BigInt(3))
+    for (l <- 0 until 3) {
+      assert(got((l.toLong, -1L)) == BigInt(micros.map(_(l)).sum),
+        s"first moment lane $l")
+      for (m <- l until 3)
+        assert(got((l.toLong, m.toLong)) ==
+          BigInt(micros.map(v => v(l) * v(m)).sum), s"second moment ($l,$m)")
+    }
+    // exactly d(d+1)/2 + d + 1 rows — the tail-slice fan-out emits no l > m
+    assert(got.size == 6 + 3 + 1)
+  }
+
+  test("whitenEmbeddings: whitened covariance is I (degenerate lane floored to 0), mean 0") {
+    val rnd = new scala.util.Random(7)
+    val n = 500
+    val rows = (0 until n).map { i =>
+      val g1 = rnd.nextGaussian(); val g2 = rnd.nextGaussian()
+      val g3 = rnd.nextGaussian(); val g4 = rnd.nextGaussian()
+      val g5 = rnd.nextGaussian()
+      // correlated but FULL-RANK (5 factors → 5 data lanes) + one
+      // CONSTANT (zero-variance) lane at index 3: exactly one null
+      // direction, the constant lane's
+      (i.toLong,
+        Array(g1, 0.5 * g1 + g2, g3, 0.7, g1 + g3 + g4, g2 - g3 + 0.3 * g5)
+          .map(_.toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val white = Similarity.whitenEmbeddings(emb)
+      .as[(Long, Long, Double)].collect()
+    val byVec = white.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toArray).toMap
+    assert(byVec.size == n && byVec.values.forall(_.length == 6))
+    val d = 6
+    val mean = Array.tabulate(d)(j => byVec.values.map(_(j)).sum / n)
+    mean.foreach(m => assert(math.abs(m) < 1e-4, s"whitened mean $m != 0"))
+    // degenerate-lane law: the constant lane whitens to (an eps-quantum
+    // of) exactly 0 per ROW — the transform rounds lanes with the same
+    // 6-dp lift the moment pass used, so x₃ − μ₃ is exactly 0, not the
+    // raw-float residual amplified 1/√eps
+    byVec.values.foreach(v => assert(math.abs(v(3)) <= 1e-6,
+      s"constant lane must whiten to 0, got ${v(3)}"))
+    for (i <- 0 until d; j <- i until d) {
+      val c = byVec.values.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n
+      // empirical whitening ⇒ cov(Wx) = U diag(λ/(λ+ε)) Uᵀ: identity on
+      // every direction with real variance, EXACTLY 0 on the constant
+      // lane (its null direction has no data component)
+      val want = if (i == j && i != 3) 1.0 else 0.0
+      assert(math.abs(c - want) < 5e-3, s"whitened cov($i,$j)=$c want $want")
+    }
+  }
+
+  test("whitenEmbeddings: deterministic and partitioning-invariant (exact integer moments)") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val a = Similarity.whitenEmbeddings(emb).as[(Long, Long, Double)].collect().toSet
+    val b = Similarity.whitenEmbeddings(emb.repartition(13))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a == b, "partitioning changed the whitening")
+    assert(a.forall { case (_, _, v) => !v.isNaN && !v.isInfinite },
+      "NaN/Inf leaked through the eps floor")
+  }
+
+  test("whitenEmbeddingsSteady: the landed whitener equals the direct computation") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    val direct = Similarity.whitenEmbeddings(emb)
+      .as[(Long, Long, Double)].collect().toSet
+    val first = Similarity.whitenEmbeddingsSteady(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    // second call serves off the landed table (no moment pass)
+    val second = Similarity.whitenEmbeddingsSteady(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(first == direct, "landing changed the whitening")
+    assert(second == direct, "the landed read changed the whitening")
+  }
+
+  test("jacobiEigen: reconstructs a symmetric matrix") {
+    val a = Array(
+      Array(4.0, 1.0, 0.5),
+      Array(1.0, 3.0, -0.25),
+      Array(0.5, -0.25, 2.0))
+    val (lam, u) = Similarity.jacobiEigen(a)
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val rec = (0 until 3).map(k => u(i)(k) * lam(k) * u(j)(k)).sum
+      assert(math.abs(rec - a(i)(j)) < 1e-9, s"A($i,$j) reconstruction")
+      val orth = (0 until 3).map(k => u(k)(i) * u(k)(j)).sum
+      assert(math.abs(orth - (if (i == j) 1.0 else 0.0)) < 1e-9, "U orthonormal")
+    }
+  }
 }
