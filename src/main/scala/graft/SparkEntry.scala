@@ -131,6 +131,7 @@ object SparkEntry {
     "txt_langid"        -> (TextAnalysis.langId _),
     "txt_tokens"        -> (TextAnalysis.tokenCounts _),
     "txt_fingerprint"   -> (TextAnalysis.fingerprints _),
+    "txt_normalize"     -> (TextAnalysis.normalizeFingerprints _),
     "txt_quality_filter" -> (TextAnalysis.qualityFilter _),
     "txt_curation_report" -> (TextAnalysis.curationReportDocs _),
     "txt_curation_report_steady" -> (TextAnalysis.curationReportSteadyDocs _),
@@ -440,9 +441,9 @@ object SparkEntry {
     // argmax the default assignment, the exact flat form stays on the
     // board as the exactness baseline / flat-vs-hier crossover comparator
     "sim_kmeans_assign_flat",
-    // round-14 session-2: quality-contrastive preference pairs and the
-    // whitening moment pass
-    "txt_pref_pairs", "sim_whiten_moments",
+    // round-14 session-2: quality-contrastive preference pairs, the
+    // whitening moment pass, and normalized content fingerprints
+    "txt_pref_pairs", "sim_whiten_moments", "txt_normalize",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -3644,6 +3645,21 @@ object SparkEntry {
         |SELECT l, m, v FROM sec
         |UNION ALL SELECT l, m, v FROM fir
         |UNION ALL SELECT l, m, v FROM cn""".stripMargin,
+    // Normalized fingerprints: the oracle recomputes NFC with DuckDB's
+    // nfc_normalize over the same planted corpus (chr(769)/chr(776) are
+    // the combining acute/diaeresis the Spark side plants as \u escapes);
+    // md5 hashes the normalized UTF-8 bytes on both engines.
+    "txt_normalize" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber'
+        |  FROM documents WHERE doc_id % 10 = 0
+        |)
+        |SELECT doc_id, md5(nfc_normalize(text)) AS fp,
+        |  nfc_normalize(text) <> text AS changed
+        |FROM base""".stripMargin,
     // Duplicated 8-token spans: the window STRING is the ground-truth
     // key; the Spark side keys on the XXH64 window hash — isomorphic
     // modulo 64-bit collisions, same argument as dedup_minhash_lsh. A

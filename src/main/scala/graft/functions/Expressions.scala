@@ -32,6 +32,31 @@ private[graft] object TypeChecks {
 }
 import TypeChecks._
 
+/** `nfc_norm(s)` → Unicode NFC (canonical-composition) normalization —
+  * the normalize-before-hash step (CCNet/C4 class): without it, the same
+  * text in composed vs decomposed spelling defeats every byte-keyed
+  * signature (MD5 content dedup, shingles, MinHash). Codegen'd static
+  * call; the already-normalized fast path returns the input without
+  * allocating (see [[TextNormKernels.nfc]]). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nfc_norm"
+  override def checkInputDataTypes(): TypeCheckResult =
+    expect(prettyName, child.dataType.isInstanceOf[StringType], "string", Seq(child.dataType))
+
+  override def nullSafeEval(input: Any): Any =
+    TextNormKernels.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextNormKernels.nfc($c);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** `hex_to_dec(hexString)` → arbitrary-precision decimal string.
   * Exists for MD5-pseudonym parity with the reference (see HexKernels). */
 case class HexToDecimal(child: Expression) extends UnaryExpression {

@@ -20,6 +20,9 @@ object GraftFunctions {
   /** Arbitrary-precision hex→decimal string (MD5 pseudonym building block). */
   def hexToDec(c: Column): Column = col(HexToDecimal(expr(c)))
 
+  /** Unicode NFC normalization (normalize-before-hash). */
+  def nfcNorm(c: Column): Column = col(NfcNormalize(expr(c)))
+
   /** Reference `encrypt_zip` parity: decimal string of the 128-bit MD5.
     * (dags/producer/kafka_streaming_service.py:142-146) */
   def md5Pseudonym(c: Column): Column = {
@@ -80,6 +83,8 @@ object GraftFunctions {
   val registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("hex_to_dec"), info("hex_to_dec", classOf[HexToDecimal]),
       (es: Seq[Expression]) => HexToDecimal(es.head)),
+    (FunctionIdentifier("nfc_norm"), info("nfc_norm", classOf[NfcNormalize]),
+      (es: Seq[Expression]) => NfcNormalize(es.head)),
     (FunctionIdentifier("cosine_sim"), info("cosine_sim", classOf[CosineSimilarity]),
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
     (FunctionIdentifier("dot_f"), info("dot_f", classOf[DotProductF]),

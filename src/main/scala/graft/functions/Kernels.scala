@@ -299,6 +299,22 @@ object HexKernels {
   }
 }
 
+object TextNormKernels {
+  /** Unicode NFC normalization (canonical compose) — the
+    * normalize-before-hash step every dedup/fingerprint pipeline needs:
+    * "café" spelled e+COMBINING ACUTE and é are DIFFERENT byte strings
+    * (different MD5s, shingles, MinHash signatures) but the SAME text.
+    * Fast path: `isNormalized` is a scan without allocation, and real
+    * corpora are overwhelmingly already-NFC, so the common case returns
+    * the input UTF8String untouched. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 object ZOrderKernels {
   /** Spread the 32 bits of `x` (taken unsigned) to the even bit positions
     * of a long — the classic Morton-code magic-mask ladder. */

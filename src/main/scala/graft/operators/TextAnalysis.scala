@@ -1623,6 +1623,36 @@ object TextAnalysis {
         GraftFunctions.docFingerprint(col("text")).as("fp"),
         GraftFunctions.rollingMinHash(col("text"), 8).as("rolling_fp"))
 
+  /** Unicode-normalized content fingerprints (E210 — the CCNet/C4
+    * normalize-before-hash step): every byte-keyed signature in the dedup
+    * family (MD5 content keys, shingles, MinHash) treats composed é and
+    * decomposed e+COMBINING ACUTE as DIFFERENT documents; fingerprinting
+    * `nfc_norm(text)` instead of the raw bytes makes spelling-form
+    * variants of the same text collide, which is the correct dedup key.
+    * Pure scan-side codegen (the `nfc_norm` expression's fast path does
+    * not even allocate on already-normalized text — the overwhelming
+    * case): zero shuffles, zero joins at any corpus size.
+    *
+    * The synthetic corpus is pure ASCII (NFC-trivially), so the entry
+    * PLANTS decomposed-form docs (the plantedNearDocs discipline — an
+    * unplanted oracle would be vacuously green): every 10th doc gains a
+    * shifted-id copy suffixed with combining-mark spellings; `changed`
+    * must read true exactly on the planted rows, and the DuckDB oracle
+    * recomputes the same normalization with `nfc_normalize`. */
+  def normalizeFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          // DECOMPOSED spellings (e/u + combining mark) as explicit escapes
+          // — NFC composes them, so `changed` reads true on these rows
+          concat(col("text"), lit(" cafe\u0301 u\u0308ber")).as("text")))
+    val norm = GraftFunctions.nfcNorm(col("text"))
+    planted.select(col("doc_id"),
+      md5(norm.cast("binary")).as("fp"),
+      (norm =!= col("text")).as("changed"))
+  }
+
   /** Token-window document chunking — the segmentation step every
     * training pipeline runs before tokenizer/packing: overlapping windows
     * of `chunk` tokens advancing by `stride` (context preserved across

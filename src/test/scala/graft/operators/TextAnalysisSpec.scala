@@ -1240,4 +1240,46 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(math.abs(e2.map(_._5).sum - 1.0) < 1e-4,
       "η-swept weights must still normalize")
   }
+
+  // ── NFC normalization (E210) ─────────────────────────────────────────
+
+  test("nfc_norm: composed and decomposed spellings fingerprint identically") {
+    import org.apache.spark.sql.functions.md5
+    val rows = Seq(
+      (1L, "caf\u00e9 \u00fcber"),       // composed e-acute, u-umlaut
+      (2L, "café über"),      // decomposed e+´, u+¨
+      (3L, "plain ascii stays put"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val got = rows.select(col("id"),
+        graft.functions.GraftFunctions.nfcNorm(col("t")).as("n"),
+        md5(graft.functions.GraftFunctions.nfcNorm(col("t")).cast("binary")).as("fp"))
+      .collect().map(r => r.getLong(0) -> (Option(r.getString(1)), Option(r.getString(2)))).toMap
+    assert(got(1L)._2 == got(2L)._2,
+      "composed and decomposed forms must share a fingerprint")
+    assert(got(1L)._1.get == "caf\u00e9 \u00fcber", "NFC output is the composed form")
+    assert(got(2L)._1.get == "caf\u00e9 \u00fcber", "decomposed input composes")
+    assert(got(3L)._1.get == "plain ascii stays put", "ASCII is untouched")
+    assert(got(4L)._1.isEmpty && got(4L)._2.isEmpty, "null in → null out")
+    // idempotence: normalizing the normalized form is identity
+    val twice = rows.filter(col("t").isNotNull).select(
+      graft.functions.GraftFunctions.nfcNorm(
+        graft.functions.GraftFunctions.nfcNorm(col("t"))).as("n2"),
+      graft.functions.GraftFunctions.nfcNorm(col("t")).as("n1"))
+      .collect()
+    assert(twice.forall(r => r.getString(0) == r.getString(1)), "NFC idempotent")
+  }
+
+  test("normalizeFingerprints: changed flags exactly the planted decomposed rows") {
+    val dir = "/root/testdata/sf0.001"
+    val got = TextAnalysis.normalizeFingerprints(spark, dir)
+      .as[(Long, String, Boolean)].collect()
+    val (planted, base) = got.partition(_._1 >= 2000000L)
+    assert(planted.nonEmpty, "planting broken")
+    assert(planted.forall(_._3), "every planted row carries decomposed marks")
+    assert(base.forall(!_._3), "the ASCII base corpus must be NFC-identity")
+    // the planted copy's fp differs from its base doc's (suffix appended)
+    val baseFp = base.map(r => r._1 -> r._2).toMap
+    assert(planted.forall(p => baseFp(p._1 - 2000000L) != p._2))
+  }
 }
