@@ -78,6 +78,15 @@ object SparkEntry {
         .select(col("cell_id"), col("lane").cast("long").as("lane"),
           round(col("v").cast("double"), 6).as("v"))
     }),
+    "sim_kmeans_hier_train" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, posexplode, round}
+      Similarity.kmeansCentroidsHier(
+          graft.sources.Tables.load(s, d, "embeddings").select("vec_id", "embedding"))
+        .select(col("cell_id"), posexplode(col("c_emb")))
+        .toDF("cell_id", "lane", "v")
+        .select(col("cell_id"), col("lane").cast("long").as("lane"),
+          round(col("v").cast("double"), 6).as("v"))
+    }),
     "sim_topk_ann"      -> ((s, d) => Similarity.topKCosineLsh(s, d)),
     "sim_topk_ann_mp"   -> ((s, d) => Similarity.topKCosineLshMp(s, d, k = 5)),
     "sim_topk_ivf"      -> ((s, d) => Similarity.topKCosineIvf(s, d)),
@@ -223,6 +232,7 @@ object SparkEntry {
     "q_bloom_join"      -> (BloomJoin.negBalanceActivity _),
     "txt_neg_pairs"     -> (Contrastive.docNegativePairs _),
     "txt_pref_pairs"    -> (Contrastive.docPreferencePairs _),
+    "txt_pref_pairs_steady" -> (Contrastive.docPreferencePairsSteady _),
     "txt_mix"           -> (TextAnalysis.mixCorpus _),
     "txt_decontam"      -> (Dedup.decontamDocs _),
     "txt_decontam_bloom" -> (Dedup.decontamDocsBloom _),
@@ -444,6 +454,10 @@ object SparkEntry {
     // round-14 session-2: quality-contrastive preference pairs, the
     // whitening moment pass, and normalized content fingerprints
     "txt_pref_pairs", "sim_whiten_moments", "txt_normalize",
+    // round-15: the two-level (coarse-pruned) Lloyd's trainer — the
+    // train-once path that stays runnable at k ∝ N — and the preference
+    // pairs served off landed component state
+    "sim_kmeans_hier_train", "txt_pref_pairs_steady",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -625,9 +639,12 @@ object SparkEntry {
     s"WITH ${kmeansCteBlock(initEvery, iters)}\n" +
       s"SELECT cell_id, CAST(lane AS BIGINT) AS lane, m AS v FROM m$iters"
 
-  /** The k-means training recurrence as a reusable CTE block ending in
-    * `c<iters>` (trained centroids) / `m<iters>` (per-lane means) — shared
-    * by the sim_kmeans oracle and the trained IVF-PQ composition. */
+  /** The FLAT k-means training recurrence as a reusable CTE block ending
+    * in `c<iters>` (trained centroids) / `m<iters>` (per-lane means) —
+    * since the round-15 trainer adoption, used only by the flat trainer's
+    * own entry (sim_kmeans) and, via [[kmeansCteBlockExpr]], the √N-sized
+    * family, where the exact trainer is the right call (bounded k). Every
+    * k∝N adopter replays [[kmeansHierCteBlock]] instead. */
   private def kmeansCteBlock(initEvery: Int = 29, iters: Int = 3,
       from: String = "embeddings"): String =
     kmeansCteBlockExpr(initEvery.toString, iters, from)
@@ -667,6 +684,98 @@ object SparkEntry {
          |), ${prefix}c$i AS (
          |  SELECT cell_id, list_transform(list(m ORDER BY lane), x -> CAST(x AS FLOAT)) AS c_emb
          |  FROM ${prefix}m$i GROUP BY cell_id
+         |)""".stripMargin
+    }
+    s"$init,\n${its.mkString(",\n")}"
+  }
+
+  /** txt_pref_pairs oracle — shared verbatim by the steady sibling
+    * (landed ≡ direct): the dedup_keep_best closure (same planted
+    * corpus, same exact-Jaccard pair set), then per component the
+    * opposite-facing lexicographic extremes and min/max scores. */
+  private val prefPairsOracleSql: String =
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' graftdup' FROM documents WHERE doc_id % 10 = 0
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM base
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [array_to_string(w, ' ')] END AS s
+        |  FROM toks
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  ) WHERE jaccard >= 0.7
+        |), e AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION
+        |  SELECT doc_b, doc_a FROM pairs
+        |), reach(n, m) AS (
+        |  SELECT u, u FROM e
+        |  UNION
+        |  SELECT reach.n, e.v FROM reach JOIN e ON reach.m = e.u
+        |), comps AS (
+        |  SELECT n AS node, min(m) AS component FROM reach GROUP BY n
+        |), labeled AS (
+        |  SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS s,
+        |    CAST(c.component AS BIGINT) AS component
+        |  FROM base d JOIN comps c ON d.doc_id = c.node
+        |), sel AS (
+        |  SELECT component, doc_id, s,
+        |    row_number() OVER (PARTITION BY component ORDER BY s DESC, doc_id ASC) AS rc,
+        |    row_number() OVER (PARTITION BY component ORDER BY s ASC, doc_id DESC) AS rr
+        |  FROM labeled
+        |)
+        |SELECT component,
+        |  max(CASE WHEN rc = 1 THEN doc_id END) AS chosen_id,
+        |  max(CASE WHEN rr = 1 THEN doc_id END) AS rejected_id,
+        |  max(s) AS chosen_score,
+        |  min(s) AS rejected_score,
+        |  count(*) AS n_members
+        |FROM sel GROUP BY component""".stripMargin
+
+  /** The TWO-LEVEL k-means training recurrence as a reusable CTE block
+    * ending in `c<iters>` (trained centroids) / `m<iters>` (per-lane
+    * means) — the oracle replay of
+    * [[graft.operators.Similarity.kmeansCentroidsHier]], the round-15
+    * trainer every k∝N (SemDedup-sized) call site adopts. Same init and
+    * re-center CTEs as [[kmeansCteBlockExpr]]; the per-iteration
+    * assignment is the PRUNED recurrence instead of the flat N×k argmax:
+    * train a ⌈√k⌉-seed coarse level over the previous frontier
+    * ([[hierIndexCtes]], prefix `kt<i>`), then the two-stage argmax of
+    * the corpus against it ([[hierAsgCtes]], name `kta<i>`). Each
+    * frontier `c<i>` is AS MATERIALIZED — it feeds the next iteration's
+    * index AND (in several adopters) a downstream cell list, and
+    * DuckDB's default inlining would re-expand the whole embedded
+    * training per reference (the pageRankOracleSql lesson). The FLAT
+    * block remains the oracle for the flat trainer's own entry
+    * (`sim_kmeans`) and the √N-sized family ([[scaledInitExpr]]), which
+    * keep the exact trainer by design. */
+  private def kmeansHierCteBlock(initEvery: Int = 29, iters: Int = 3,
+      from: String = "embeddings"): String = {
+    val init = s"c0 AS (SELECT vec_id AS cell_id, embedding AS c_emb " +
+      s"FROM $from WHERE vec_id % $initEvery = 0)"
+    val its = (1 to iters).map { i =>
+      s"""${hierIndexCtes(s"c${i - 1}", p = s"kt$i")},
+         |${hierAsgCtes(from, s"kta$i", p = s"kt$i")},
+         |m$i AS (
+         |  SELECT cell_id, u.lane AS lane, round(avg(u.v), 6) AS m FROM (
+         |    SELECT cell_id, unnest(list_transform(range(1, len(embedding) + 1),
+         |      j -> struct_pack(lane := j - 1, v := CAST(embedding[j] AS DOUBLE)))) AS u
+         |    FROM kta$i
+         |  ) GROUP BY cell_id, u.lane
+         |), c$i AS MATERIALIZED (
+         |  SELECT cell_id, list_transform(list(m ORDER BY lane), x -> CAST(x AS FLOAT)) AS c_emb
+         |  FROM m$i GROUP BY cell_id
          |)""".stripMargin
     }
     s"$init,\n${its.mkString(",\n")}"
@@ -822,8 +931,9 @@ object SparkEntry {
        |) WHERE rn <= $k""".stripMargin
   }
 
-  /** sim_topk_ivfpq_res oracle: trained coarse cells (the sim_kmeans CTE
-    * block), the cosine-argmax assignment KEEPING (embedding, c_emb),
+  /** sim_topk_ivfpq_res oracle: trained coarse cells (the two-level
+    * [[kmeansHierCteBlock]] — round-15 trainer adoption), the
+    * cosine-argmax assignment KEEPING (embedding, c_emb),
     * the DOUBLE residual table, per-subspace Lloyd's trained ON the
     * residuals (trainedCbCtes with from = resid), then the residual ADC
     * body — encode argmin over residual slices, per-probe q·c additive
@@ -835,7 +945,7 @@ object SparkEntry {
       s"""list_inner_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
          |          / sqrt(list_inner_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))
          |               * list_inner_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))""".stripMargin
-    s"""WITH ${kmeansCteBlock(29, iters)},
+    s"""WITH ${kmeansHierCteBlock(29, iters)},
        |asgc AS (
        |  SELECT vec_id, cell_id, embedding, c_emb FROM (
        |    SELECT e.vec_id, e.embedding, c.cell_id, c.c_emb,
@@ -1036,9 +1146,10 @@ object SparkEntry {
       "SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings WHERE vec_id % 37 = 0")
   }
 
-  /** sim_kmeans_assign oracle: the trained centroids (same CTE block the
-    * sim_kmeans oracle replays) + the cosine-argmax assignment with the
-    * engine's (score DESC, cell ASC) tie-break. */
+  /** sim_kmeans_assign oracle: the trained centroids (the two-level
+    * [[kmeansHierCteBlock]] — round-15 trainer adoption) + the
+    * cosine-argmax assignment with the engine's (score DESC, cell ASC)
+    * tie-break. */
   /** sim_psi_drift oracle: cells trained on the even-id half only (the
     * kmeans CTE block with from = base), BOTH halves binned under the
     * identical TWO-LEVEL assignment (round-14 adoption — same
@@ -1048,7 +1159,7 @@ object SparkEntry {
   private def psiDriftOracleSql(iters: Int = 3): String = {
     s"""WITH base AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
        |cur AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 <> 0),
-       |${kmeansCteBlock(29, iters, from = "base")},
+       |${kmeansHierCteBlock(29, iters, from = "base")},
        |${hierIndexCtes(s"c$iters")},
        |${hierAsgCtes("base", "basg")},
        |${hierAsgCtes("cur", "casg")},
@@ -1075,7 +1186,8 @@ object SparkEntry {
   }
 
   /** sim_kmeans_assign oracle (round-14 hier adoption): the trained
-    * centroids (same CTE block the sim_kmeans oracle replays), then the
+    * centroids (the two-level [[kmeansHierCteBlock]] — round-15 trainer
+    * adoption), then the
     * TWO-LEVEL assignment replayed stage for stage — the coarse level
     * TRAINED by the same Lloyd's recurrence over the centroid set under
     * dense rank ids ([[hierIndexCtes]]), each centroid grouped under its
@@ -1083,7 +1195,7 @@ object SparkEntry {
     * set and then over its picked group's members ([[hierAsgCtes]]).
     * Every argmax carries the engine's (score DESC, id ASC) tie-break. */
   private def kmeansAssignOracleSql(iters: Int = 3): String =
-    s"""WITH ${kmeansCteBlock(29, iters)},
+    s"""WITH ${kmeansHierCteBlock(29, iters)},
        |${hierIndexCtes(s"c$iters")},
        |${hierAsgCtes("embeddings", "asg")}
        |SELECT vec_id, cell_id FROM asg""".stripMargin
@@ -1093,7 +1205,7 @@ object SparkEntry {
     * the exactness baseline / crossover comparator after the hier
     * adoption). */
   private def kmeansAssignFlatOracleSql(iters: Int = 3): String =
-    s"""WITH ${kmeansCteBlock(29, iters)}
+    s"""WITH ${kmeansHierCteBlock(29, iters)}
        |SELECT vec_id, cell_id FROM (
        |  SELECT e.vec_id, c.cell_id,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -1109,8 +1221,9 @@ object SparkEntry {
     kmeansAssignOracleSql(iters)
 
   /** dedup_semantic oracle: the planted near-dup corpus (same `base` CTE
-    * as dedup_embed_cos), k-means trained ON that corpus (same CTE block
-    * as sim_kmeans_assign, `from = base`), the TWO-LEVEL assignment
+    * as dedup_embed_cos), k-means trained ON that corpus (the two-level
+    * [[kmeansHierCteBlock]], `from = base` — round-15 trainer adoption),
+    * the TWO-LEVEL assignment
     * (round-14 adoption — [[hierIndexCtes]]/[[hierAsgCtes]]), within-cell
     * pairwise cosine ≥ τ, keep-smallest anti-join — the full SemDedup
     * recurrence replayed in SQL. */
@@ -1121,7 +1234,7 @@ object SparkEntry {
        |  SELECT vec_id + 500000,
        |         list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT))
        |  FROM embeddings WHERE vec_id % 20 = 0
-       |), ${kmeansCteBlock(29, iters, from = "base")},
+       |), ${kmeansHierCteBlock(29, iters, from = "base")},
        |${hierIndexCtes(s"c$iters")},
        |${hierAsgCtes("base", "asg")},
        |drops AS (
@@ -1139,7 +1252,7 @@ object SparkEntry {
     * smaller-id batch-vs-batch same-cell pairs, survivors = batch minus
     * drops. */
   private def incrSemanticOracleSql(iters: Int = 3, tau: Double = 0.999): String =
-    s"""WITH ${kmeansCteBlock(29, iters)},
+    s"""WITH ${kmeansHierCteBlock(29, iters)},
        |${hierIndexCtes(s"c$iters")},
        |batch AS MATERIALIZED (
        |  SELECT vec_id + 500000 AS vec_id,
@@ -1184,7 +1297,7 @@ object SparkEntry {
        |  SELECT doc_id AS vec_id,
        |    list_transform(v, x -> CAST(round(x / sqrt(list_sum(list_transform(v, y -> y * y))), 6) AS FLOAT)) AS embedding
        |  FROM hv
-       |), ${kmeansCteBlock(29, iters, from = "base")},
+       |), ${kmeansHierCteBlock(29, iters, from = "base")},
        |${hierIndexCtes(s"c$iters")},
        |${hierAsgCtes("base", "asg")},
        |drops AS (
@@ -1243,7 +1356,7 @@ object SparkEntry {
     * CTE blocks as sim_kmeans_assign — round-14 adoption) + a per-cell
     * rank over the identical md5 order. */
   private def clusterSampleOracleSql(iters: Int = 3, k: Int = 5): String =
-    s"""WITH ${kmeansCteBlock(29, iters)},
+    s"""WITH ${kmeansHierCteBlock(29, iters)},
        |${hierIndexCtes(s"c$iters")},
        |${hierAsgCtes("embeddings", "asg")}
        |SELECT cell_id, vec_id FROM (
@@ -1260,7 +1373,7 @@ object SparkEntry {
   private def ivfPqTrainedOracleSql(m: Int = 8, kc: Int = 16, subDim: Int = 8,
       k: Int = 5, nprobe: Int = 4,
       queryIds: String = "(0, 100, 200, 300, 400)"): String =
-    s"WITH ${kmeansCteBlock(29, 3)},\n${trainedCbCtes(m, kc, subDim, 31, 2)}, " +
+    s"WITH ${kmeansHierCteBlock(29, 3)},\n${trainedCbCtes(m, kc, subDim, 31, 2)}, " +
       ivfPqBodySql(subDim, k, nprobe, "SELECT cell_id, c_emb FROM c3", queryIds)
 
   /** The √N-sized sibling of [[ivfPqTrainedOracleSql]]: the identical
@@ -1349,15 +1462,16 @@ object SparkEntry {
        |ORDER BY rrf DESC, doc_id
        |LIMIT $k""".stripMargin
 
-  /** sim_knn_graph oracle: the trained centroids (the sim_kmeans CTE
-    * block), the TWO-LEVEL assignment KEEPING the embedding (round-14
+  /** sim_knn_graph oracle: the trained centroids (the two-level
+    * [[kmeansHierCteBlock]] — round-15 trainer adoption), the TWO-LEVEL
+    * assignment KEEPING the embedding (round-14
     * adoption — [[hierIndexCtes]]/[[hierAsgCtes]]), the within-cell
     * pairwise cosine, and the per-vector (score DESC, nbr) nn-cut with
     * the NaN gate — the whole blocked graph build replayed in SQL. Also
     * the edge CTE of the pagerank/lpa/modularity oracles, which inherit
     * the adoption wholesale. */
   private def knnGraphOracleSql(iters: Int = 3, nn: Int = 4): String =
-    s"""WITH ${kmeansCteBlock(29, iters)},
+    s"""WITH ${kmeansHierCteBlock(29, iters)},
        |${hierIndexCtes(s"c$iters")},
        |${hierAsgCtes("embeddings", "asg")},
        |pairs AS (
@@ -1524,7 +1638,8 @@ object SparkEntry {
        |LEFT JOIN ine ON ine.community = mem.community
        |CROSS JOIN md""".stripMargin
 
-  /** sim_bitext_mine oracle: trained cells (the sim_kmeans CTE block),
+  /** sim_bitext_mine oracle: trained cells (the two-level
+    * [[kmeansHierCteBlock]] — round-15 trainer adoption),
     * the TWO-LEVEL assignment (round-14 adoption), the cell-blocked
     * cross-side pair scoring, both top-k margin denominators, the
     * 6-dp-rounded margin (rounded BEFORE ranking, so the argmax compares
@@ -1532,7 +1647,7 @@ object SparkEntry {
     * intersection — the whole mine replayed in SQL. */
   private def bitextOracleSql(iters: Int = 3, k: Int = 4): String = {
     val cos = cosSql _
-    s"""WITH ${kmeansCteBlock(29, iters)},
+    s"""WITH ${kmeansHierCteBlock(29, iters)},
        |${hierIndexCtes(s"c$iters")},
        |${hierAsgCtes("embeddings", "asg")},
        |pairs AS MATERIALIZED (
@@ -2575,6 +2690,14 @@ object SparkEntry {
         |SELECT win_day, count(DISTINCT user_id) AS n_users
         |FROM f GROUP BY 1""".stripMargin,
     "sim_kmeans" -> kmeansOracleSql(),
+    // The two-level trainer's own entry: the full pruned recurrence
+    // (per iteration: coarse training over the previous frontier, the
+    // two-stage corpus argmax, the 6-dp re-center) replayed in SQL —
+    // the same per-lane-mean emit as sim_kmeans, so the two entries
+    // differ exactly by the trainer's assignment rule.
+    "sim_kmeans_hier_train" ->
+      (s"WITH ${kmeansHierCteBlock(29, 3)}\n" +
+        "SELECT cell_id, CAST(lane AS BIGINT) AS lane, m AS v FROM m3"),
     "txt_bpe" -> bpeOracleSql(),
     "q_stationary" -> stationaryOracleSql(),
     // Interleaved multimodal sample manifests: non-overlapping 16-token
@@ -3563,55 +3686,10 @@ object SparkEntry {
     // under (len ASC, id DESC) — and the component's min/max lengths,
     // which ARE the two sides' scores by construction. Only clustered
     // docs (INNER join on comps): singletons have no counterfactual.
-    "txt_pref_pairs" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text || ' graftdup' FROM documents WHERE doc_id % 10 = 0
-        |), toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
-        |  FROM base
-        |), sh AS (
-        |  SELECT doc_id, CASE WHEN len(w) >= 3 THEN
-        |      list_distinct(list_transform(range(1, len(w) - 1),
-        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-        |    ELSE [array_to_string(w, ' ')] END AS s
-        |  FROM toks
-        |), pairs AS (
-        |  SELECT doc_a, doc_b FROM (
-        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |      CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |        / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  ) WHERE jaccard >= 0.7
-        |), e AS (
-        |  SELECT doc_a AS u, doc_b AS v FROM pairs
-        |  UNION
-        |  SELECT doc_b, doc_a FROM pairs
-        |), reach(n, m) AS (
-        |  SELECT u, u FROM e
-        |  UNION
-        |  SELECT reach.n, e.v FROM reach JOIN e ON reach.m = e.u
-        |), comps AS (
-        |  SELECT n AS node, min(m) AS component FROM reach GROUP BY n
-        |), labeled AS (
-        |  SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS s,
-        |    CAST(c.component AS BIGINT) AS component
-        |  FROM base d JOIN comps c ON d.doc_id = c.node
-        |), sel AS (
-        |  SELECT component, doc_id, s,
-        |    row_number() OVER (PARTITION BY component ORDER BY s DESC, doc_id ASC) AS rc,
-        |    row_number() OVER (PARTITION BY component ORDER BY s ASC, doc_id DESC) AS rr
-        |  FROM labeled
-        |)
-        |SELECT component,
-        |  max(CASE WHEN rc = 1 THEN doc_id END) AS chosen_id,
-        |  max(CASE WHEN rr = 1 THEN doc_id END) AS rejected_id,
-        |  max(s) AS chosen_score,
-        |  min(s) AS rejected_score,
-        |  count(*) AS n_members
-        |FROM sel GROUP BY component""".stripMargin,
+    "txt_pref_pairs" -> prefPairsOracleSql,
+    // landed ≡ direct (the CC closure is deterministic from the banded
+    // pair set), so the steady serve shares the oracle verbatim
+    "txt_pref_pairs_steady" -> prefPairsOracleSql,
     // Whitening moment pass: the 6-dp micro lift, the row-local l ≤ m
     // pair fan-out, and the EXACT integer sums (HUGEINT here, decimal(38)
     // on the Spark side) replayed literally; the one IEEE divide + 6-dp
@@ -3648,7 +3726,13 @@ object SparkEntry {
     // Normalized fingerprints: the oracle recomputes NFC with DuckDB's
     // nfc_normalize over the same planted corpus (chr(769)/chr(776) are
     // the combining acute/diaeresis the Spark side plants as \u escapes);
-    // md5 hashes the normalized UTF-8 bytes on both engines.
+    // md5 hashes the normalized UTF-8 bytes on both engines. CROSS-ENGINE
+    // CAVEAT: the law depends on the JDK's java.text.Normalizer and
+    // DuckDB's utf8proc agreeing on the Unicode version's composition
+    // tables — stable for these planted U+0301/U+0308 compositions (NFC
+    // is normalization-stable for assigned codepoints), but a natural
+    // corpus carrying codepoints assigned in a NEWER Unicode than one
+    // engine ships could diverge here without being a plan bug.
     "txt_normalize" ->
       """WITH base AS (
         |  SELECT doc_id, text FROM documents

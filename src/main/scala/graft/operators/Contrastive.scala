@@ -102,12 +102,29 @@ object Contrastive {
     * (component, chosen_id, rejected_id, chosen_score, rejected_score,
     * n_members). */
   def preferencePairs(docs: DataFrame, pairs: DataFrame, idCol: String,
+      score: Column): DataFrame =
+    preferencePairsWith(docs,
+      Dedup.connectedComponents(pairs).withColumnRenamed("node", idCol),
+      idCol, score)
+
+  /** [[preferencePairs]] against a PREBUILT (or landed) component table
+    * (idCol, component) — the train/serve seam: the CC closure is the
+    * operator's whole cost ceiling and is a pure function of the pair
+    * set, so a per-corpus-snapshot landed component table (the same
+    * artifact class as the landed centroids / community state) turns
+    * every later pairs pass into one equi-join + one two-phase
+    * aggregate. Landed ≡ direct is spec-pinned in ContrastiveSpec. */
+  def preferencePairsWith(docs: DataFrame, cc: DataFrame, idCol: String,
       score: Column): DataFrame = {
-    val cc = Dedup.connectedComponents(pairs).withColumnRenamed("node", idCol)
     // inner: only clustered docs can be paired (singletons emit nothing)
     docs.join(cc, Seq(idCol))
       .groupBy("component")
       .agg(
+        // lexicographic (score, -id) tie-break assumes NONNEGATIVE ids —
+        // the keepBestPerCluster contract: a negative id (or
+        // Long.MinValue, whose negation wraps) would silently invert the
+        // tie order. Every corpus id in this library is nonnegative by
+        // construction; callers feeding external ids must remap first.
         max_by(col(idCol), struct(score, -col(idCol))).as("chosen_id"),
         min_by(col(idCol), struct(score, -col(idCol))).as("rejected_id"),
         max(score).as("chosen_score"),
@@ -125,4 +142,44 @@ object Contrastive {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
     preferencePairs(docs, pairs, "doc_id", length(col("text")).cast("long"))
   }
+
+  /** Catalog table name for the LANDED near-dup component state of one
+    * corpus dir — MD5 of the dir (the steadyIndexPrefix collision
+    * rationale: a 31-bit `String.hashCode` clash between two corpus dirs
+    * would silently pair against the wrong clusters). */
+  def prefComponentsTable(dir: String): String = {
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    s"prefcc_$suffix"
+  }
+
+  /** Land-or-load the near-dup COMPONENT table for the planted corpus:
+    * the CC closure is deterministic from the banded pair set, so
+    * landing changes no answer — it amortizes the star rounds (the
+    * operator's cost ceiling) to the first call, exactly like the
+    * near-dup index generations land their band state. */
+  def ensurePrefComponents(spark: SparkSession, dir: String): DataFrame = {
+    val table = prefComponentsTable(dir)
+    if (!spark.catalog.tableExists(table)) {
+      val docs = Dedup.plantedNearDocs(spark, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_prefcc_").toString
+      Dedup.connectedComponents(Dedup.minhashLshPairs(docs, "doc_id", "text"))
+        .withColumnRenamed("node", "doc_id")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
+        .option("path", s"$path/prefcc").saveAsTable(table)
+    }
+    spark.table(table)
+  }
+
+  /** STEADY-STATE [[docPreferencePairs]]: pairs served off the LANDED
+    * component table — no shingling, no banded join, no CC star rounds
+    * in the timed plan; the serve is one docs→component equi-join and
+    * one per-component two-phase aggregate. Same components (the
+    * closure is deterministic), same answer, same oracle as the direct
+    * entry. */
+  def docPreferencePairsSteady(spark: SparkSession, dir: String): DataFrame =
+    preferencePairsWith(Dedup.plantedNearDocs(spark, dir),
+      ensurePrefComponents(spark, dir),
+      "doc_id", length(col("text")).cast("long"))
 }

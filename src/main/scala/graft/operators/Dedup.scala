@@ -888,7 +888,7 @@ object Dedup extends Logging {
     * anti-join. The corpus assignment is persisted across its two
     * self-join sides, not recomputed. */
   def semanticDedup(emb: DataFrame, tau: Double = 0.999): DataFrame =
-    semanticDedupWith(emb, Similarity.kmeansCentroids(emb), tau)
+    semanticDedupWith(emb, Similarity.kmeansCentroidsHier(emb), tau)
 
   /** [[semanticDedup]] with caller-supplied cells — the train/serve seam
     * the STEADY instantiations use: production SemDedup trains its
@@ -974,7 +974,7 @@ object Dedup extends Logging {
     val emb = plantedNearVectors(spark, dir)
     val table = semanticCellsTable(dir, "emb")
     val cells = ensureSemanticCells(spark, table,
-      Similarity.kmeansCentroids(emb))
+      Similarity.kmeansCentroidsHier(emb))
     // the hier index lands NEXT TO the cells (keyed by the same table
     // name) — the steady serve reads both, trains neither
     val (coarseLive, grouped) = Similarity.ensureHierIndex(spark, table, cells)
@@ -1020,7 +1020,7 @@ object Dedup extends Logging {
     val emb = hashedCorpusVectors(spark, dir)
     val table = semanticCellsTable(dir, "text")
     val cells = ensureSemanticCells(spark, table,
-      Similarity.kmeansCentroids(emb))
+      Similarity.kmeansCentroidsHier(emb))
     val (coarseLive, grouped) = Similarity.ensureHierIndex(spark, table, cells)
     semanticDedupWithIndex(emb, coarseLive, grouped, tau)
   }
@@ -1119,7 +1119,7 @@ object Dedup extends Logging {
   def incrementalSemanticArrivals(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
     incrementalSemanticNew(emb, incrementalSemanticBatch(emb),
-      Similarity.kmeansCentroids(emb))
+      Similarity.kmeansCentroidsHier(emb))
   }
 
   /** STEADY-STATE [[incrementalSemanticArrivals]]: the cells come from

@@ -310,6 +310,70 @@ object Relational {
       col(idCol))
   }
 
+  /** Dense 0-based rank of `df` by a DISTINCT long key — `row_number()
+    * OVER (ORDER BY keyCol) − 1` without the single-partition global
+    * sort that window spells (one task sorting the whole input — the
+    * unbounded-single-task class [[deterministicShuffle]] exists to
+    * avoid). Same device, with the key itself as the order: keys are
+    * RANGE-bucketed by fixed-width intervals derived from (min, max)
+    * (floor-interval bucketing is order-preserving, so bucket order ≡
+    * key order for ANY interval width), per-bucket ranks come from a
+    * window partitioned BY bucket (each task sorts only its slice), and
+    * bucket offsets re-enter as a dense plan literal built from the
+    * ≤`buckets`-row count table (a bounded collect — the broadcast-
+    * literal legitimacy class). offset + rank − 1 equals the global
+    * row_number EXACTLY, independent of `buckets` (spec-pinned law).
+    *
+    * Contract: `keyCol` values must be DISTINCT (ranks among equal keys
+    * would be partition-order-dependent; every call site ranks a group
+    * key). The input is scanned three times (min/max, counts, final) —
+    * callers pass checkpointed/landed k-row tables, never raw plans.
+    * The interval arithmetic runs in decimal(38,0) so a full-Long-range
+    * key span cannot overflow the subtraction. Returns `df`'s columns
+    * plus `outCol`. */
+  def denseRankByKey(df: DataFrame, keyCol: String, outCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 20),
+      "buckets bounded so the dense offset literal stays plan-sized")
+    val mm = df.agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long"))
+      .head()
+    if (mm.isNullAt(0)) return df.withColumn(outCol, lit(0L)) // empty input
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    // width = floor(span/buckets) + 1 > span/buckets. It can exceed
+    // Long.MaxValue (full-Long-range span with buckets = 1), so it enters
+    // the plan as an exact decimal literal, never a truncated long.
+    val width = (BigInt(mx) - BigInt(mn)) / buckets + 1
+    val keyDec = col(keyCol).cast("decimal(38,0)")
+    // The quotient divides at Spark's decimal scale (HALF_UP at 6 dp) —
+    // NOT an exact floor division: a key within 5e-7 widths of a bucket
+    // boundary can round across it. That is harmless BY CONSTRUCTION:
+    // the rank law needs the bucketing to be (a) monotone in the key
+    // (rounding a monotone quotient is monotone) and (b) the same
+    // expression in the counts pass and the final plan — not any
+    // particular boundary placement. Only the array bound needs the
+    // clamp: the top key's quotient can round up to exactly `buckets`.
+    val withB = df.withColumn("__b",
+      least(
+        floor((keyDec - lit(mn).cast("decimal(38,0)")) /
+          lit(new java.math.BigDecimal(width.bigInteger))),
+        lit(buckets - 1).cast("long")).cast("int"))
+    val counts = withB.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val dense = new Array[Long](buckets)
+    var run = 0L; var ci = 0; var b = 0
+    while (b < buckets) {
+      dense(b) = run
+      if (ci < counts.length && counts(ci)._1 == b) { run += counts(ci)._2; ci += 1 }
+      b += 1
+    }
+    withB.withColumn("__r",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("__b").orderBy(col(keyCol))).cast("long"))
+      .withColumn(outCol,
+        element_at(typedlit(dense.toSeq), col("__b") + 1) + col("__r") - 1)
+      .drop("__b", "__r")
+  }
+
   /** CORRECTNESS instantiation: epoch-0 shuffle order of documents. */
   def docShuffle(spark: SparkSession, dir: String): DataFrame =
     deterministicShuffle(

@@ -195,8 +195,9 @@ object Similarity {
     * a forced broadcast would ship a corpus-proportional embedding
     * table (the decontaminateScrub lesson); AQE picks broadcast while
     * the table is small and degrades to a shuffled equi-join when it
-    * isn't. The rank window ordering centroids runs over k rows, not
-    * the corpus.
+    * isn't. The dense re-key ordering centroids is the range-bucketed
+    * distributed rank ([[Relational.denseRankByKey]]) — the table is
+    * k rows but k ∝ N, so no single task ever sorts it.
     *
     * COMPLETENESS: stage 1 argmaxes over only the coarse centroids
     * that own ≥1 member after the final regroup (`hierIndex`'s
@@ -220,9 +221,17 @@ object Similarity {
     * centroid set (the incremental gates: corpus + batch; the streaming
     * maintainers: every micro-batch) pay the O(k·√k) coarse training
     * ONCE — at production k a per-batch retrain would dominate small
-    * batches. Both outputs are localCheckpoint'd (k-row class, the
-    * kmeansCentroids discipline) so multi-consumer plans read
-    * materialized leaves. */
+    * batches. Both outputs are localCheckpoint'd (the kmeansCentroids
+    * discipline) so multi-consumer plans read materialized leaves.
+    * BYTE BOUND, stated honestly: "k-row" is NOT constant — under
+    * SemDedup sizing k ≈ N/29, so `grouped` pins ≈ k·(dim·4 + ~16) B of
+    * embedding rows to executor local disk (64-lane floats ≈ 272 B/row
+    * → ~9 GB per 10⁹ corpus vectors, spread across executors) and
+    * `coarseLive` ⌈√k⌉·dim·4 B. The centroid table inherently EXISTS at
+    * that size — the checkpoint adds one materialized copy, not a new
+    * asymptote — and the production spelling is the LANDED form
+    * ([[ensureHierIndex]]), where both tables live as parquet and no
+    * call pins local disk. */
   def hierIndex(centroids: DataFrame,
       stride: Option[Long] = None): (DataFrame, DataFrame) = {
     val k = centroids.count() // bounded: |centroids| rows
@@ -232,15 +241,21 @@ object Similarity {
     // law SimilaritySpec pins); otherwise train it — Lloyd's over the
     // k centroid rows under DENSE rank ids, so the init stride always
     // seeds (raw cell_ids are sparse and a blind modulus can miss).
+    // The dense rank is the DISTRIBUTED range-bucketed device
+    // ([[Relational.denseRankByKey]] — bit-identical to
+    // `row_number() OVER (ORDER BY cell_id) − 1`, which the oracle still
+    // spells), NOT a global window: k ∝ N in this operator's target
+    // regime (SemDedup sizing, k ≈ N/29), and an unpartitioned window
+    // would sort a corpus-proportional embedding table through ONE task
+    // — the same unbounded-single-task class the E75 shuffle device
+    // exists to avoid.
     val coarse =
       if (s <= 1)
         centroids.select(col("cell_id").as("g_id"), col("c_emb").as("g_emb"))
       else
         kmeansCentroids(
-          centroids
-            .withColumn("rn", row_number().over(Window.orderBy(col("cell_id"))))
-            .select((col("rn") - 1).cast("long").as("vec_id"),
-              col("c_emb").as("embedding")),
+          Relational.denseRankByKey(centroids, "cell_id", "vec_id")
+            .select(col("vec_id"), col("c_emb").as("embedding")),
           initEvery = s.toInt)
           .select(col("cell_id").as("g_id"), col("c_emb").as("g_emb"))
     val grouped = centroids.crossJoin(broadcast(coarse))
@@ -355,15 +370,63 @@ object Similarity {
         .groupBy("vec_id")
         .agg(max_by(col("cell_id"), struct(col("cs"), -col("cell_id"))).as("cell_id"),
           first(col("embedding")).as("embedding"))
-      cent = assigned
-        .select(col("cell_id"), posexplode(col("embedding")))
-        .toDF("cell_id", "lane", "v")
-        .groupBy("cell_id", "lane")
-        .agg(round(avg(col("v").cast("double")), 6).as("m"))
-        .groupBy("cell_id")
-        .agg(transform(array_sort(collect_list(struct(col("lane"), col("m")))),
-          x => x.getField("m").cast("float")).as("c_emb"))
-        .localCheckpoint()
+      cent = recenter(assigned)
+    }
+    cent
+  }
+
+  /** Lloyd's re-centering step, shared by both trainers: per-(cell, lane)
+    * means over the assigned rows (row-local posexplode + a two-phase
+    * avg — k·dim rows cross the shuffle, never vectors), 6-dp rounded
+    * before the float cast so partial-aggregation orders and the
+    * oracle's sequential sums collapse to identical centroids. The k-row
+    * frontier is localCheckpoint'd so the plan stays one-iteration-deep. */
+  private def recenter(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell_id"), posexplode(col("embedding")))
+      .toDF("cell_id", "lane", "v")
+      .groupBy("cell_id", "lane")
+      .agg(round(avg(col("v").cast("double")), 6).as("m"))
+      .groupBy("cell_id")
+      .agg(transform(array_sort(collect_list(struct(col("lane"), col("m")))),
+        x => x.getField("m").cast("float")).as("c_emb"))
+      .localCheckpoint()
+
+  /** Lloyd's k-means with the TWO-LEVEL argmax inside the training loop
+    * — the trainer that stays runnable when k ∝ N (SemDedup sizing,
+    * k ≈ N/29). [[kmeansCentroids]]' per-iteration assignment is an N×k
+    * broadcast cross: at that sizing the broadcast side is a
+    * corpus-proportional embedding table (OOM before the compute
+    * starts) and the compute is O(iters·N²/29). Here each iteration
+    * instead (1) trains a ⌈√k⌉-seed coarse level over the CURRENT
+    * centroid frontier ([[hierIndex]] — O(k·√k), the round-14 device),
+    * and (2) assigns the corpus through the two-stage argmax
+    * ([[ivfAssignHierWith]] — O(N·√k) + a per-group equi-join), then
+    * re-centers exactly like the flat trainer. Per-iteration cost drops
+    * from N·k to ≈ (N + k)·√k; no forced broadcast of any k∝N side
+    * anywhere in the loop.
+    *
+    * APPROXIMATE exactly like serve-time two-level assignment — a vector
+    * whose true nearest centroid was grouped under a different coarse
+    * seed re-centers a neighbouring cell instead (the published
+    * hierarchical/coarse-pruned k-means trade; the trainer is still a
+    * strict descent on the pruned objective). Deterministic end to end:
+    * the same seeded init, the same (score DESC, id ASC) tie-breaks in
+    * BOTH argmax stages and inside the coarse training, the same 6-dp
+    * re-center rounding — so the DuckDB oracle replays the full pruned
+    * recurrence stage for stage. The FLAT trainer remains the correct
+    * choice (and the spelling in use) for bounded-k sizing: the IVF √N
+    * family, [[hierIndex]]'s own ⌈√k⌉-seed coarse level, and the
+    * streaming √N maintainer — there the broadcast side is √N-class by
+    * construction. */
+  def kmeansCentroidsHier(emb: DataFrame, initEvery: Int = 29,
+      iters: Int = 3): DataFrame = {
+    var cent = emb.filter(col("vec_id") % initEvery === 0)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+      .localCheckpoint() // k-row frontier: hierIndex counts + scans it 4×
+    for (_ <- 1 to iters) {
+      val (coarseLive, grouped) = hierIndex(cent)
+      cent = recenter(ivfAssignHierWith(emb, coarseLive, grouped))
     }
     cent
   }
@@ -883,7 +946,7 @@ object Similarity {
     * [[kmeansAssignmentsFlat]] (the crossover comparator). */
   def kmeansAssignments(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
-    ivfAssignHier(emb, kmeansCentroids(emb)).select("vec_id", "cell_id")
+    ivfAssignHier(emb, kmeansCentroidsHier(emb)).select("vec_id", "cell_id")
   }
 
   /** STEADY-STATE form of [[kmeansAssignments]] — two-level assignment
@@ -932,7 +995,7 @@ object Similarity {
       iters: Int = 3): DataFrame = {
     val base = emb.filter(col("vec_id") % 2 === 0)
     val cur = emb.filter(col("vec_id") % 2 =!= 0)
-    psiDriftOver(base, cur, kmeansCentroids(base, initEvery, iters))
+    psiDriftOver(base, cur, kmeansCentroidsHier(base, initEvery, iters))
   }
 
   /** The PSI tail over ANY (reference, current, centroids) triple —
@@ -1075,10 +1138,11 @@ object Similarity {
         col("score"))
 
   /** CORRECTNESS instantiation: 4 neighbors per vector under the TRAINED
-    * k-means cells (same centroids, same oracle CTEs as `sim_kmeans`). */
+    * k-means cells (two-level-trained — same centroids and oracle CTEs
+    * as `sim_kmeans_assign`). */
   def knnGraphDocs(spark: SparkSession, dir: String, nn: Int = 4): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
-    knnGraph(emb, kmeansCentroids(emb), nn)
+    knnGraph(emb, kmeansCentroidsHier(emb), nn)
   }
 
   /** STEADY-STATE [[knnGraphDocs]]: cells AND the two-level assignment
@@ -1139,7 +1203,7 @@ object Similarity {
   def densityPruneDocs(spark: SparkSession, dir: String, nn: Int = 4,
       pct: Double = 0.2): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
-    densityPrune(emb, kmeansCentroids(emb), nn, pct)
+    densityPrune(emb, kmeansCentroidsHier(emb), nn, pct)
   }
 
   /** STEADY-STATE [[densityPruneDocs]]: landed centroids AND landed
@@ -1161,7 +1225,7 @@ object Similarity {
   def topKPqIvfTrained(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
     topKPqIvfWith(emb, defaultQueries(emb), k, nprobe = 4, m = 8, subDim = 8,
-      kmeansCentroids(emb), pqCodebookTrained(emb))
+      kmeansCentroidsHier(emb), pqCodebookTrained(emb))
   }
 
   /** Coarse-cell RESIDUALS — r = e − c(cell(e)), computed in DOUBLE so
@@ -1252,7 +1316,7 @@ object Similarity {
     * a landed form would persist it with the other artifacts. */
   def topKPqIvfResTrained(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
-    val cents = kmeansCentroids(emb)
+    val cents = kmeansCentroidsHier(emb)
     val resid = residuals(emb, cents)
     val book = pqCodebookTrained(resid.select("vec_id", "embedding"))
     searchIvfPqResIndex(ivfPqResIndexRows(resid, m = 8, subDim = 8, book),
@@ -1360,7 +1424,7 @@ object Similarity {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
     val prefix = quantizerPrefix(dir)
     import spark.implicits._
-    kmeansCentroids(emb)
+    kmeansCentroidsHier(emb)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
       .option("path", s"$path/centroids").saveAsTable(s"${prefix}_centroids")
     pqCodebookTrained(emb).toDF("sub", "cell", "cv")
@@ -1588,7 +1652,12 @@ object Similarity {
       .groupBy(col("l").cast("long").as("l"),
         (col("l") + col("dm")).cast("long").as("m"))
       .agg(
-        sum((col("xl") * col("xm")).cast("decimal(38,0)")).as("s"),
+        // the multiply runs in decimal(38,0), not Long: micro lanes reach
+        // ±9.2e18 only past |x| ≈ 3e12, but two lanes at |x| ≳ 3000
+        // (micro ≈ 3e9) already overflow the 64-bit PRODUCT — an ANSI
+        // error at best, a silent wrap at worst. Casting the factors
+        // first keeps the product exact for the full lane domain.
+        sum(col("xl").cast("decimal(38,0)") * col("xm").cast("decimal(38,0)")).as("s"),
         sum(col("xl").cast("decimal(38,0)")).as("f"),
         count(lit(1)).cast("decimal(38,0)").as("c"))
       .localCheckpoint() // d(d+1)/2 rows — bounded, read three ways below
@@ -1684,7 +1753,12 @@ object Similarity {
     * (landed ≡ direct, spec-pinned) and the steady serve whitens
     * arrivals/corpus WITHOUT re-paying the corpus moment pass — the same
     * per-corpus-snapshot artifact class as the landed centroids and the
-    * hier index. d rows with d-lane arrays: metadata-scale. */
+    * hier index. d rows with d-lane arrays: metadata-scale. Shares the
+    * repo-wide land-or-load pattern's known limits (check-then-write is
+    * not atomic under concurrent first callers, and the parquet lives
+    * under a process-temp dir — the catalog entry can outlive the /tmp
+    * data across hosts); a hardened landing (atomic create, durable
+    * path) should include this table with the other ~30 sites. */
   def ensureWhitener(spark: SparkSession, prefix: String,
       emb: => DataFrame, eps: Double = 1e-6): (Array[Array[Double]], Array[Double]) = {
     val table = s"${prefix}_whiten"

@@ -107,4 +107,20 @@ class ContrastiveSpec extends SparkTestBase {
       n == 2 && r == c + 1000000L },
       "a planted copy lost to its strictly-shorter original")
   }
+
+  test("preference pairs: landed component state ≡ direct (the steady serve law)") {
+    // the CC closure is deterministic from the banded pair set, so the
+    // landed component table must reproduce the direct entry row for
+    // row — and the second ensure call must READ, not re-run the CC
+    type Rec = (Long, Long, Long, Long, Long, Long)
+    val direct = Contrastive.docPreferencePairs(spark, dir)
+      .as[Rec].collect().toSet
+    val steady = Contrastive.docPreferencePairsSteady(spark, dir)
+      .as[Rec].collect().toSet
+    assert(steady == direct, "landed ≡ direct broken")
+    assert(spark.catalog.tableExists(Contrastive.prefComponentsTable(dir)))
+    val again = Contrastive.docPreferencePairsSteady(spark, dir)
+      .as[Rec].collect().toSet
+    assert(again == direct)
+  }
 }

@@ -229,6 +229,25 @@ class RelationalSpec extends SparkTestBase {
     assert(out.toMap == again.toMap)
   }
 
+  test("denseRankByKey: rank-device equivalence law — ≡ global row_number, any buckets") {
+    // sparse, unordered, negative-spanning distinct keys: the distributed
+    // range-bucketed rank must equal row_number() OVER (ORDER BY key) − 1
+    // exactly, for ANY bucket count (bucketing is order-preserving, so
+    // offset + per-bucket rank is the global rank by construction)
+    val keys = Seq(-900000L, -7L, 0L, 3L, 37L, 41L, 1L << 40, Long.MaxValue - 5) ++
+      (0L until 200L).map(i => i * i * 13 + 11)
+    val df = keys.distinct.reverse.toDF("k").repartition(7)
+    val want = keys.distinct.sorted.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toMap
+    for (b <- Seq(1, 8, 1024)) {
+      val got = Relational.denseRankByKey(df, "k", "r", buckets = b)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"buckets=$b must reproduce the global dense rank")
+    }
+    // empty input: total function, no rows
+    assert(Relational.denseRankByKey(Seq.empty[Long].toDF("k"), "k", "r")
+      .count() == 0)
+  }
+
   test("stratifiedSample: rate monotonicity law — raising a rate only adds rows") {
     // the keep decision is bucket(event_id) < rate, with the bucket a pure
     // function of the row — so for every stratum, sample(r1) ⊆ sample(r2)

@@ -687,6 +687,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(hier == flat)
   }
 
+  test("hierIndex: the distributed dense re-key ≡ the global row_number re-key") {
+    // round-15 rank-device law: the coarse-training prep ranks the
+    // centroid table with [[Relational.denseRankByKey]] (range-bucketed,
+    // no single-partition sort — k ∝ N in the target regime); it must
+    // hand the inner trainer EXACTLY the ids the oracle's
+    // `row_number() OVER (ORDER BY cell_id) − 1` spells, or the seed set
+    // (vec_id % ⌈√k⌉ = 0) diverges and every adopting oracle breaks
+    val emb = corpus.toDF("vec_id", "embedding")
+    val cent = Similarity.kmeansCentroids(emb).localCheckpoint()
+    val got = Relational.denseRankByKey(cent, "cell_id", "vec_id")
+      .select("cell_id", "vec_id").as[(Long, Long)].collect().toMap
+    val want = cent
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("cell_id"))))
+      .select(col("cell_id"), (col("rn") - 1).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, "distributed rank must be bit-identical to the global window")
+  }
+
   test("ensureHierIndex: the landed index equals a fresh hierIndex computation") {
     // the landed ≡ trained law for the round-14 index artifact: landing
     // through parquet and reloading must change neither the live coarse
