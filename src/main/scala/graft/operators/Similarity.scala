@@ -359,7 +359,18 @@ object Similarity {
     * frontier is localCheckpoint'd so the plan stays one-iteration-deep.
     * Cells that lose all members drop out (standard Lloyd degeneracy;
     * callers needing fixed k re-seed — at corpus scale with k ≪ n this
-    * does not occur). */
+    * does not occur).
+    *
+    * SIZING CONTRACT (round 15): this exact flat form is for BOUNDED-k
+    * sizing only — the √N family ([[scaledInitEvery]]), [[hierIndex]]'s
+    * internal ⌈√k⌉-seed coarse level, and the streaming √N maintainer —
+    * where the per-iteration `broadcast(cent)` side is bounded by
+    * construction. Under k ∝ N sizing (the initEvery=29 SemDedup
+    * default) the broadcast ships a corpus-proportional embedding table
+    * and the cross is O(N²/29): every such call site trains with
+    * [[kmeansCentroidsHier]] instead; the default stride survives here
+    * for the `sim_kmeans` entry, which pins this recurrence against its
+    * oracle. */
   def kmeansCentroids(emb: DataFrame, initEvery: Int = 29, iters: Int = 3): DataFrame = {
     var cent = emb.filter(col("vec_id") % initEvery === 0)
       .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))

@@ -112,15 +112,14 @@ class ContrastiveSpec extends SparkTestBase {
     // the CC closure is deterministic from the banded pair set, so the
     // landed component table must reproduce the direct entry row for
     // row — and the second ensure call must READ, not re-run the CC
-    type Rec = (Long, Long, Long, Long, Long, Long)
     val direct = Contrastive.docPreferencePairs(spark, dir)
-      .as[Rec].collect().toSet
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
     val steady = Contrastive.docPreferencePairsSteady(spark, dir)
-      .as[Rec].collect().toSet
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
     assert(steady == direct, "landed ≡ direct broken")
     assert(spark.catalog.tableExists(Contrastive.prefComponentsTable(dir)))
     val again = Contrastive.docPreferencePairsSteady(spark, dir)
-      .as[Rec].collect().toSet
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
     assert(again == direct)
   }
 }

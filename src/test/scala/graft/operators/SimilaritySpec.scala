@@ -195,10 +195,11 @@ class SimilaritySpec extends SparkTestBase {
     val freshBook = Similarity.pqCodebookTrained(emb)
     assert(landedBook.map(t => (t._1, t._2, t._3.toSeq)) ==
       freshBook.map(t => (t._1, t._2, t._3.toSeq)))
-    // landed centroids ≡ a fresh kmeansCentroids run
+    // landed centroids ≡ a fresh kmeansCentroidsHier run (round 15: the
+    // k∝N landed family trains with the two-level trainer)
     val landedCents = Similarity.loadLandedQuantizers(spark, dir)._1
       .as[(Long, Array[Float])].collect().map(t => (t._1, t._2.toSeq)).toSet
-    val freshCents = Similarity.kmeansCentroids(emb)
+    val freshCents = Similarity.kmeansCentroidsHier(emb)
       .as[(Long, Array[Float])].collect().map(t => (t._1, t._2.toSeq)).toSet
     assert(landedCents == freshCents)
   }
@@ -314,7 +315,7 @@ class SimilaritySpec extends SparkTestBase {
       .select("vec_id", "embedding")
     val want = Similarity.topKPqIvfRefined(emb, Similarity.defaultQueries(emb),
         k = 5, r = 4, nprobe = 4, m = 8, subDim = 8,
-        Similarity.kmeansCentroids(emb), Similarity.pqCodebookTrained(emb))
+        Similarity.kmeansCentroidsHier(emb), Similarity.pqCodebookTrained(emb))
       .as[(Long, Long, Double)].collect().toSet
     assert(Similarity.topKPqIvfRefinedLanded(spark, dir)
       .as[(Long, Long, Double)].collect().toSet == want)
