@@ -50,6 +50,10 @@ object SparkEntry {
     "dedup_novelty"     -> (Dedup.noveltyDocs _),
     "dedup_spans"       -> ((s, d) => Dedup.duplicateSpans(
                               Dedup.plantedNearDocs(s, d), "doc_id", "text", w = 8)),
+    "dedup_span_ranges" -> ((s, d) => Dedup.duplicateSpanRanges(
+                              Dedup.plantedNearDocs(s, d), "doc_id", "text", w = 8)),
+    "dedup_span_scrub"  -> ((s, d) => Dedup.scrubSpanRanges(
+                              Dedup.plantedNearDocs(s, d), "doc_id", "text", w = 8)),
     "cdc_apply"         -> (Cdc.userSnapshot _),
     "cdc_diff"          -> (Cdc.eventsDiff _),
     "cdc_scd2"          -> (Cdc.userHistory _),
@@ -458,6 +462,9 @@ object SparkEntry {
     // train-once path that stays runnable at k ∝ N — and the preference
     // pairs served off landed component state
     "sim_kmeans_hier_train", "txt_pref_pairs_steady",
+    // round-15 session-2: ExactSubstr-style maximal duplicated ranges +
+    // the all-occurrences scrub
+    "dedup_span_ranges", "dedup_span_scrub",
   )
 
   /** sim_topk_ann oracle, generated: the LSH signature is deterministic
@@ -3771,6 +3778,101 @@ object SparkEntry {
         |SELECT doc_id, CAST(pos AS BIGINT) AS pos, df FROM (
         |  SELECT doc_id, pos, count(*) OVER (PARTITION BY s) AS df FROM flat
         |) WHERE df >= 2""".stripMargin,
+    // Maximal duplicated ranges: the same planted corpus / window flags,
+    // then the per-doc gaps-and-islands fold (break when the next flagged
+    // position starts past the previous window's coverage) and one
+    // aggregate per island. End EXCLUSIVE; window strings stand in for
+    // the Spark side's XXH64 window hashes (the dedup_spans isomorphism).
+    "dedup_span_ranges" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' graftdup' FROM documents WHERE doc_id % 10 = 0
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM base
+        |), win AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(w) - 6, 2)),
+        |      i -> struct_pack(pos := i - 1, s := array_to_string(w[i:i+7], ' ')))) AS u
+        |  FROM toks
+        |), flat AS (
+        |  SELECT doc_id, u.pos AS pos, u.s AS s FROM win
+        |), fl AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY s) AS df FROM flat
+        |  ) WHERE df >= 2
+        |), brk AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |           OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM fl
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+        |  FROM brk
+        |)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 8 AS BIGINT) AS span_end,
+        |  CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens,
+        |  count(*) AS n_windows
+        |FROM isl GROUP BY doc_id, g""".stripMargin,
+    // ExactSubstr scrub: the ranges CTE above folded to a per-doc list,
+    // every token whose 0-based position falls inside any range cut, the
+    // survivors rejoined — all-occurrences removal over the normalized
+    // token stream.
+    "dedup_span_scrub" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' graftdup' FROM documents WHERE doc_id % 10 = 0
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+        |  FROM base
+        |), win AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(w) - 6, 2)),
+        |      i -> struct_pack(pos := i - 1, s := array_to_string(w[i:i+7], ' ')))) AS u
+        |  FROM toks
+        |), flat AS (
+        |  SELECT doc_id, u.pos AS pos, u.s AS s FROM win
+        |), fl AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY s) AS df FROM flat
+        |  ) WHERE df >= 2
+        |), brk AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |           OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM fl
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+        |  FROM brk
+        |), rng AS (
+        |  SELECT doc_id, min(pos) AS a, max(pos) + 8 AS b
+        |  FROM isl GROUP BY doc_id, g
+        |), rl AS (
+        |  SELECT doc_id, list(struct_pack(a := a, b := b)) AS rs
+        |  FROM rng GROUP BY doc_id
+        |)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(kept, ' '), '') AS clean_text,
+        |  CAST(n - len(kept) AS BIGINT) AS n_removed
+        |FROM (
+        |  SELECT t.doc_id, len(t.w) AS n,
+        |    CASE WHEN rl.rs IS NULL THEN t.w
+        |         ELSE list_transform(list_filter(
+        |           list_transform(range(1, len(t.w) + 1),
+        |             i -> struct_pack(p := i - 1, tk := t.w[i])),
+        |           sx -> len(list_filter(rl.rs, r -> sx.p >= r.a AND sx.p < r.b)) = 0),
+        |           sx -> sx.tk) END AS kept
+        |  FROM toks t LEFT JOIN rl ON t.doc_id = rl.doc_id
+        |)""".stripMargin,
     // Snapshot ⊕ changelog: highest-(ts, event_id) change per user from
     // the deterministic event_id % 3 subset wins; a winning 'error'
     // deletes the user's snapshot row, anything else replaces-or-inserts

@@ -1405,6 +1405,86 @@ object Dedup extends Logging {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("df"))
   }
 
+  /** Maximal duplicated token RANGES per document — the ExactSubstr
+    * remove-range semantics (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499 — public): merge
+    * [[duplicateSpans]]' flagged w-token windows into maximal contiguous
+    * coverage intervals, so downstream policy reasons about each
+    * duplicated REGION once instead of its O(len) overlapping windows.
+    * Two flagged windows at positions p < q share a range iff their
+    * coverage overlaps or touches (q ≤ p + w) — the classic
+    * gaps-and-islands fold. Returns (doc_id, span_start, span_end,
+    * span_tokens, n_windows), end EXCLUSIVE in token positions.
+    * Short-doc note: texts under w tokens contribute one whole-sequence
+    * window at pos 0 (the kernel's short-input rule), so their range
+    * reads [0, w) — already "the whole doc"; callers clamping to the
+    * true token count do so against their own lengths.
+    *
+    * Scale shape: [[duplicateSpans]]' plan plus per-DOC windows only
+    * (lag + running sum partitioned BY doc_id — bounded by tokens per
+    * document, never corpus-wide) and one two-phase aggregate per
+    * island. */
+  def duplicateSpanRanges(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 50, minDf: Long = 2L): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    duplicateSpans(docs, idCol, textCol, w, minDf)
+      .withColumn("__prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("pos") > col("__prev") + w, 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__brk")).over(
+        byDoc.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + w).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"),
+        col("n_windows"))
+  }
+
+  /** ExactSubstr SCRUB — the cleaned corpus: every maximal duplicated
+    * range ([[duplicateSpanRanges]]) is CUT from every document carrying
+    * it (the paper's all-occurrences policy — unlike keep-first
+    * paragraph dedup, a region duplicated across k docs disappears from
+    * all k) and the surviving tokens reassemble in order. Returns
+    * (doc_id, clean_text, n_removed) over the NORMALIZED token stream
+    * (the [[dedupParagraphs]] reassembly convention — the oracle replays
+    * the tokenizer). Documents with no flagged range pass through as
+    * their token join with n_removed = 0.
+    *
+    * Scale shape: two scan-side passes over the text (the window
+    * flagging and the token projection — Generate chains, no text ever
+    * shuffles), the per-doc island fold above, a per-doc range-list
+    * aggregate (≤ a few rows per doc), one equi-join of that bounded
+    * list back onto the token projection, and a ROW-LOCAL
+    * filter-by-position (higher-order `filter`/`exists` — codegen'd, no
+    * explode of the token stream). */
+  def scrubSpanRanges(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 50, minDf: Long = 2L): DataFrame = {
+    val ranges = duplicateSpanRanges(docs, idCol, textCol, w, minDf)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__rs"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      graft.operators.TextAnalysis.tokens(coalesce(col(textCol), lit("")))
+        .as("__toks"))
+    // exists() is order-independent, so collect_list's nondeterministic
+    // range order cannot change the kept set
+    val kept = when(col("__rs").isNull, col("__toks"))
+      .otherwise(filter(col("__toks"), (_, i) =>
+        !exists(col("__rs"), r =>
+          i >= r.getField("span_start") && i < r.getField("span_end"))))
+    toks.join(ranges, Seq("doc_id"), "left")
+      .withColumn("__kept", kept)
+      .select(col("doc_id"),
+        array_join(col("__kept"), " ").as("clean_text"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long")
+          .as("n_removed"))
+  }
+
   /** Cross-document PARAGRAPH-level dedup with reassembly — the CCNet
     * dedup step (the public Common Crawl recipe: hash every paragraph,
     * drop all but the corpus-wide FIRST occurrence of each, and keep the

@@ -345,6 +345,65 @@ class DedupSpec extends SparkTestBase {
     assert(out == expected, s"got $out want $expected")
   }
 
+  test("duplicateSpanRanges merges overlapping/adjacent windows into maximal islands") {
+    // doc 1/2 share windows 0..4 (12 shared tokens, w=8): ONE maximal
+    // range [0, 12) each, 5 windows — not five overlapping rows; the
+    // short-doc pair gets its whole-sequence window as [0, 8); the
+    // unrelated doc emits nothing
+    val t = doc(1, n = 12)
+    val docs = Seq(
+      (1L, t), (2L, t + " extra"), (3L, doc(99, n = 12)),
+      (4L, "tiny doc here"), (5L, "tiny doc here"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanRanges(docs, "doc_id", "text", w = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val expected = Set(
+      (1L, 0L, 12L, 12L, 5L), (2L, 0L, 12L, 12L, 5L),
+      (4L, 0L, 8L, 8L, 1L), (5L, 0L, 8L, 8L, 1L))
+    assert(out == expected, s"got $out want $expected")
+  }
+
+  test("duplicateSpanRanges: a gap past the window width splits islands") {
+    // two docs share an 8-token run at the START and another at the END
+    // of a 30-token doc, with 14 unshared tokens between: flagged
+    // windows 0 and 22 are 22 apart (> w) → TWO ranges, not one
+    val shared1 = (0 until 8).map(i => s"aa$i").mkString(" ")
+    val shared2 = (0 until 8).map(i => s"zz$i").mkString(" ")
+    def mid(tag: String) = (0 until 14).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared1 ${mid("m")} $shared2"),
+      (2L, s"$shared1 ${mid("q")} $shared2"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanRanges(docs, "doc_id", "text", w = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val expected = Set(
+      (1L, 0L, 8L, 8L, 1L), (1L, 22L, 30L, 8L, 1L),
+      (2L, 0L, 8L, 8L, 1L), (2L, 22L, 30L, 8L, 1L))
+    assert(out == expected, s"got $out want $expected")
+  }
+
+  test("scrubSpanRanges cuts every occurrence of a duplicated region, passes clean docs through") {
+    val shared = (0 until 8).map(i => s"dd$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"$shared delta epsilon"),
+      (3L, "entirely clean text here"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubSpanRanges(docs, "doc_id", "text", w = 8)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // all-occurrences policy: the shared run leaves BOTH docs
+    assert(out(1L) == (("alpha beta gamma", 8L)), s"got ${out(1L)}")
+    assert(out(2L) == (("delta epsilon", 8L)), s"got ${out(2L)}")
+    // clean doc: token-joined identity, nothing removed
+    assert(out(3L) == (("entirely clean text here", 0L)))
+    // conservation: kept + removed = token count, per doc
+    val toks = Map(1L -> 11L, 2L -> 10L, 3L -> 4L)
+    out.foreach { case (id, (txt, rm)) =>
+      val kept = if (txt.isEmpty) 0 else txt.split(" ").length
+      assert(kept + rm == toks(id), s"doc $id: $kept + $rm != ${toks(id)}")
+    }
+  }
+
   test("incrementalNew keeps first-by-id within the batch and drops corpus-known content") {
     val corpusFps = Seq("known text").toDF("text")
       .select(md5(col("text").cast("binary")).as("fp"))
