@@ -651,7 +651,7 @@ object SparkEntry {
     * since the round-15 trainer adoption, used only by the flat trainer's
     * own entry (sim_kmeans) and, via [[kmeansCteBlockExpr]], the √N-sized
     * family, where the exact trainer is the right call (bounded k). Every
-    * k∝N adopter replays [[kmeansHierCteBlock]] instead. */
+    * k∝N adopter replays [[kmeansAutoCteBlock]] instead. */
   private def kmeansCteBlock(initEvery: Int = 29, iters: Int = 3,
       from: String = "embeddings"): String =
     kmeansCteBlockExpr(initEvery.toString, iters, from)
@@ -768,25 +768,61 @@ object SparkEntry {
     * (`sim_kmeans`) and the √N-sized family ([[scaledInitExpr]]), which
     * keep the exact trainer by design. */
   private def kmeansHierCteBlock(initEvery: Int = 29, iters: Int = 3,
-      from: String = "embeddings"): String = {
-    val init = s"c0 AS (SELECT vec_id AS cell_id, embedding AS c_emb " +
+      from: String = "embeddings", prefix: String = ""): String = {
+    val init = s"${prefix}c0 AS (SELECT vec_id AS cell_id, embedding AS c_emb " +
       s"FROM $from WHERE vec_id % $initEvery = 0)"
     val its = (1 to iters).map { i =>
-      s"""${hierIndexCtes(s"c${i - 1}", p = s"kt$i")},
-         |${hierAsgCtes(from, s"kta$i", p = s"kt$i")},
-         |m$i AS (
+      s"""${hierIndexCtes(s"${prefix}c${i - 1}", p = s"${prefix}kt$i")},
+         |${hierAsgCtes(from, s"${prefix}kta$i", p = s"${prefix}kt$i")},
+         |${prefix}m$i AS (
          |  SELECT cell_id, u.lane AS lane, round(avg(u.v), 6) AS m FROM (
          |    SELECT cell_id, unnest(list_transform(range(1, len(embedding) + 1),
          |      j -> struct_pack(lane := j - 1, v := CAST(embedding[j] AS DOUBLE)))) AS u
-         |    FROM kta$i
+         |    FROM ${prefix}kta$i
          |  ) GROUP BY cell_id, u.lane
-         |), c$i AS MATERIALIZED (
+         |), ${prefix}c$i AS MATERIALIZED (
          |  SELECT cell_id, list_transform(list(m ORDER BY lane), x -> CAST(x AS FLOAT)) AS c_emb
-         |  FROM m$i GROUP BY cell_id
+         |  FROM ${prefix}m$i GROUP BY cell_id
          |)""".stripMargin
     }
     s"$init,\n${its.mkString(",\n")}"
   }
+
+  /** The SIZE-DISPATCHED training recurrence — the oracle replay of
+    * [[graft.operators.Similarity.kmeansCentroidsAuto]], the round-16
+    * trainer every k∝N (SemDedup-sized) adopter uses. Emits BOTH
+    * recurrences under disjoint prefixes (`fl` — the exact flat
+    * [[kmeansCteBlockExpr]]; `hx` — the two-level pruned
+    * [[kmeansHierCteBlock]]) plus the dispatch scalar (`kdis` — the
+    * SAME deterministic seed count the Scala side measures, against the
+    * same pinned [[graft.operators.Similarity.FlatTrainerMaxSeeds]]
+    * boundary), and selects the matching frontier into the `c<iters>` /
+    * `m<iters>` names the adopting oracles consume — so one SQL string
+    * replays the dispatched trainer at ANY scale factor. The dead
+    * branch's CTEs still evaluate at oracle scale (sf ≤ 0.01 — both
+    * recurrences are sub-second there); the point is the predicate, not
+    * the oracle's wall-clock. `c<iters>` is AS MATERIALIZED: adopters
+    * reference it 2+ times and DuckDB's default inlining would re-expand
+    * both embedded trainings per reference (the pageRankOracleSql
+    * lesson). */
+  private def kmeansAutoCteBlock(initEvery: Int = 29, iters: Int = 3,
+      from: String = "embeddings"): String =
+    s"""${kmeansCteBlockExpr(initEvery.toString, iters, from, prefix = "fl")},
+       |${kmeansHierCteBlock(initEvery, iters, from, prefix = "hx")},
+       |kdis AS MATERIALIZED (
+       |  SELECT (SELECT count(*) FROM $from WHERE vec_id % $initEvery = 0)
+       |    <= ${graft.operators.Similarity.FlatTrainerMaxSeeds} AS use_flat
+       |),
+       |m$iters AS (
+       |  SELECT cell_id, lane, m FROM flm$iters WHERE (SELECT use_flat FROM kdis)
+       |  UNION ALL
+       |  SELECT cell_id, lane, m FROM hxm$iters WHERE NOT (SELECT use_flat FROM kdis)
+       |),
+       |c$iters AS MATERIALIZED (
+       |  SELECT cell_id, c_emb FROM flc$iters WHERE (SELECT use_flat FROM kdis)
+       |  UNION ALL
+       |  SELECT cell_id, c_emb FROM hxc$iters WHERE NOT (SELECT use_flat FROM kdis)
+       |)""".stripMargin
 
   /** Shared cosine-similarity SQL fragment (DOUBLE casts on both sides —
     * the house cross-engine cosine spelling). */
@@ -939,7 +975,7 @@ object SparkEntry {
   }
 
   /** sim_topk_ivfpq_res oracle: trained coarse cells (the two-level
-    * [[kmeansHierCteBlock]] — round-15 trainer adoption), the
+    * [[kmeansAutoCteBlock]] — round-16 size dispatch), the
     * cosine-argmax assignment KEEPING (embedding, c_emb),
     * the DOUBLE residual table, per-subspace Lloyd's trained ON the
     * residuals (trainedCbCtes with from = resid), then the residual ADC
@@ -952,7 +988,7 @@ object SparkEntry {
       s"""list_inner_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
          |          / sqrt(list_inner_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))
          |               * list_inner_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))""".stripMargin
-    s"""WITH ${kmeansHierCteBlock(29, iters)},
+    s"""WITH ${kmeansAutoCteBlock(29, iters)},
        |asgc AS (
        |  SELECT vec_id, cell_id, embedding, c_emb FROM (
        |    SELECT e.vec_id, e.embedding, c.cell_id, c.c_emb,
@@ -1154,7 +1190,7 @@ object SparkEntry {
   }
 
   /** sim_kmeans_assign oracle: the trained centroids (the two-level
-    * [[kmeansHierCteBlock]] — round-15 trainer adoption) + the
+    * [[kmeansAutoCteBlock]] — round-16 size dispatch) + the
     * cosine-argmax assignment with the engine's (score DESC, cell ASC)
     * tie-break. */
   /** sim_psi_drift oracle: cells trained on the even-id half only (the
@@ -1166,7 +1202,7 @@ object SparkEntry {
   private def psiDriftOracleSql(iters: Int = 3): String = {
     s"""WITH base AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
        |cur AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 <> 0),
-       |${kmeansHierCteBlock(29, iters, from = "base")},
+       |${kmeansAutoCteBlock(29, iters, from = "base")},
        |${hierIndexCtes(s"c$iters")},
        |${hierAsgCtes("base", "basg")},
        |${hierAsgCtes("cur", "casg")},
@@ -1193,8 +1229,8 @@ object SparkEntry {
   }
 
   /** sim_kmeans_assign oracle (round-14 hier adoption): the trained
-    * centroids (the two-level [[kmeansHierCteBlock]] — round-15 trainer
-    * adoption), then the
+    * centroids (the size-dispatched [[kmeansAutoCteBlock]] — round-16 size
+    * dispatch), then the
     * TWO-LEVEL assignment replayed stage for stage — the coarse level
     * TRAINED by the same Lloyd's recurrence over the centroid set under
     * dense rank ids ([[hierIndexCtes]]), each centroid grouped under its
@@ -1202,7 +1238,7 @@ object SparkEntry {
     * set and then over its picked group's members ([[hierAsgCtes]]).
     * Every argmax carries the engine's (score DESC, id ASC) tie-break. */
   private def kmeansAssignOracleSql(iters: Int = 3): String =
-    s"""WITH ${kmeansHierCteBlock(29, iters)},
+    s"""WITH ${kmeansAutoCteBlock(29, iters)},
        |${hierIndexCtes(s"c$iters")},
        |${hierAsgCtes("embeddings", "asg")}
        |SELECT vec_id, cell_id FROM asg""".stripMargin
@@ -1212,7 +1248,7 @@ object SparkEntry {
     * the exactness baseline / crossover comparator after the hier
     * adoption). */
   private def kmeansAssignFlatOracleSql(iters: Int = 3): String =
-    s"""WITH ${kmeansHierCteBlock(29, iters)}
+    s"""WITH ${kmeansAutoCteBlock(29, iters)}
        |SELECT vec_id, cell_id FROM (
        |  SELECT e.vec_id, c.cell_id,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -1229,7 +1265,7 @@ object SparkEntry {
 
   /** dedup_semantic oracle: the planted near-dup corpus (same `base` CTE
     * as dedup_embed_cos), k-means trained ON that corpus (the two-level
-    * [[kmeansHierCteBlock]], `from = base` — round-15 trainer adoption),
+    * [[kmeansAutoCteBlock]], `from = base` — round-16 size dispatch),
     * the TWO-LEVEL assignment
     * (round-14 adoption — [[hierIndexCtes]]/[[hierAsgCtes]]), within-cell
     * pairwise cosine ≥ τ, keep-smallest anti-join — the full SemDedup
@@ -1241,7 +1277,7 @@ object SparkEntry {
        |  SELECT vec_id + 500000,
        |         list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT))
        |  FROM embeddings WHERE vec_id % 20 = 0
-       |), ${kmeansHierCteBlock(29, iters, from = "base")},
+       |), ${kmeansAutoCteBlock(29, iters, from = "base")},
        |${hierIndexCtes(s"c$iters")},
        |${hierAsgCtes("base", "asg")},
        |drops AS (
@@ -1259,16 +1295,18 @@ object SparkEntry {
     * smaller-id batch-vs-batch same-cell pairs, survivors = batch minus
     * drops. */
   private def incrSemanticOracleSql(iters: Int = 3, tau: Double = 0.999): String =
-    s"""WITH ${kmeansHierCteBlock(29, iters)},
+    s"""WITH ${kmeansAutoCteBlock(29, iters)},
        |${hierIndexCtes(s"c$iters")},
        |batch AS MATERIALIZED (
        |  SELECT vec_id + 500000 AS vec_id,
        |         list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT)) AS embedding
-       |  FROM embeddings WHERE vec_id % 20 = 0
+       |  FROM embeddings
+       |  WHERE vec_id % 20 = 0 AND vec_id < ${Dedup.FixedBatchVecIdBound}
        |  UNION ALL
        |  SELECT vec_id + 600000,
        |         list_transform(embedding, x -> CAST(-x AS FLOAT))
-       |  FROM embeddings WHERE vec_id % 30 = 7
+       |  FROM embeddings
+       |  WHERE vec_id % 30 = 7 AND vec_id < ${Dedup.FixedBatchVecIdBound}
        |),
        |${hierAsgCtes("batch", "basg")},
        |${hierAsgCtes("embeddings", "casg")},
@@ -1304,7 +1342,7 @@ object SparkEntry {
        |  SELECT doc_id AS vec_id,
        |    list_transform(v, x -> CAST(round(x / sqrt(list_sum(list_transform(v, y -> y * y))), 6) AS FLOAT)) AS embedding
        |  FROM hv
-       |), ${kmeansHierCteBlock(29, iters, from = "base")},
+       |), ${kmeansAutoCteBlock(29, iters, from = "base")},
        |${hierIndexCtes(s"c$iters")},
        |${hierAsgCtes("base", "asg")},
        |drops AS (
@@ -1363,7 +1401,7 @@ object SparkEntry {
     * CTE blocks as sim_kmeans_assign — round-14 adoption) + a per-cell
     * rank over the identical md5 order. */
   private def clusterSampleOracleSql(iters: Int = 3, k: Int = 5): String =
-    s"""WITH ${kmeansHierCteBlock(29, iters)},
+    s"""WITH ${kmeansAutoCteBlock(29, iters)},
        |${hierIndexCtes(s"c$iters")},
        |${hierAsgCtes("embeddings", "asg")}
        |SELECT cell_id, vec_id FROM (
@@ -1380,7 +1418,7 @@ object SparkEntry {
   private def ivfPqTrainedOracleSql(m: Int = 8, kc: Int = 16, subDim: Int = 8,
       k: Int = 5, nprobe: Int = 4,
       queryIds: String = "(0, 100, 200, 300, 400)"): String =
-    s"WITH ${kmeansHierCteBlock(29, 3)},\n${trainedCbCtes(m, kc, subDim, 31, 2)}, " +
+    s"WITH ${kmeansAutoCteBlock(29, 3)},\n${trainedCbCtes(m, kc, subDim, 31, 2)}, " +
       ivfPqBodySql(subDim, k, nprobe, "SELECT cell_id, c_emb FROM c3", queryIds)
 
   /** The √N-sized sibling of [[ivfPqTrainedOracleSql]]: the identical
@@ -1470,7 +1508,7 @@ object SparkEntry {
        |LIMIT $k""".stripMargin
 
   /** sim_knn_graph oracle: the trained centroids (the two-level
-    * [[kmeansHierCteBlock]] — round-15 trainer adoption), the TWO-LEVEL
+    * [[kmeansAutoCteBlock]] — round-16 size dispatch), the TWO-LEVEL
     * assignment KEEPING the embedding (round-14
     * adoption — [[hierIndexCtes]]/[[hierAsgCtes]]), the within-cell
     * pairwise cosine, and the per-vector (score DESC, nbr) nn-cut with
@@ -1478,7 +1516,7 @@ object SparkEntry {
     * the edge CTE of the pagerank/lpa/modularity oracles, which inherit
     * the adoption wholesale. */
   private def knnGraphOracleSql(iters: Int = 3, nn: Int = 4): String =
-    s"""WITH ${kmeansHierCteBlock(29, iters)},
+    s"""WITH ${kmeansAutoCteBlock(29, iters)},
        |${hierIndexCtes(s"c$iters")},
        |${hierAsgCtes("embeddings", "asg")},
        |pairs AS (
@@ -1646,7 +1684,7 @@ object SparkEntry {
        |CROSS JOIN md""".stripMargin
 
   /** sim_bitext_mine oracle: trained cells (the two-level
-    * [[kmeansHierCteBlock]] — round-15 trainer adoption),
+    * [[kmeansAutoCteBlock]] — round-16 size dispatch),
     * the TWO-LEVEL assignment (round-14 adoption), the cell-blocked
     * cross-side pair scoring, both top-k margin denominators, the
     * 6-dp-rounded margin (rounded BEFORE ranking, so the argmax compares
@@ -1654,7 +1692,7 @@ object SparkEntry {
     * intersection — the whole mine replayed in SQL. */
   private def bitextOracleSql(iters: Int = 3, k: Int = 4): String = {
     val cos = cosSql _
-    s"""WITH ${kmeansHierCteBlock(29, iters)},
+    s"""WITH ${kmeansAutoCteBlock(29, iters)},
        |${hierIndexCtes(s"c$iters")},
        |${hierAsgCtes("embeddings", "asg")},
        |pairs AS MATERIALIZED (
@@ -1784,13 +1822,16 @@ object SparkEntry {
        |  FROM documents WHERE doc_id % 4 <> 1
        |  UNION ALL
        |  SELECT doc_id AS media_id, text, 1 AS is_batch
-       |  FROM documents WHERE doc_id % 4 = 1
+       |  FROM documents
+       |  WHERE doc_id % 4 = 1 AND doc_id < ${Dedup.FixedBatchDocIdBound}
        |  UNION ALL
        |  SELECT doc_id + 2000000, text || ' graftdup', 1
        |  FROM documents WHERE doc_id % 4 <> 1 AND doc_id % 10 = 0
+       |    AND doc_id < ${Dedup.FixedBatchDocIdBound}
        |  UNION ALL
        |  SELECT doc_id + 3000000, text || ' graftdup', 1
        |  FROM documents WHERE doc_id % 8 = 1
+       |    AND doc_id < ${Dedup.FixedBatchDocIdBound}
        |), ${phashBandsCtes(maxHamming)}, batchids AS (
        |  SELECT media_id, CAST(length(text) AS BIGINT) AS n_bytes
        |  FROM corpus WHERE is_batch = 1
@@ -4678,15 +4719,21 @@ object SparkEntry {
     // dedup_minhash_lsh, restricted to batch×(corpus ∪ batch). The LSH
     // probe recalls qualifying pairs w.h.p. and verification removes every
     // false positive, so survivor sets match exactly when it does.
+    // Batch arms carry the fixed id window (Dedup.FixedBatchDocIdBound —
+    // the round-16 fixed-|batch| fixture): non-binding at sf ≤ 0.1,
+    // pins the batch to the sf0.1 arrivals at sf1/sf10.
     "dedup_incr_near" ->
-      """WITH corpus AS (
+      s"""WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 1
         |), batch AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 4 = 1 AND doc_id < ${Dedup.FixedBatchDocIdBound}
         |  UNION ALL
-        |  SELECT doc_id + 2000000, text || ' graftdup' FROM corpus WHERE doc_id % 10 = 0
+        |  SELECT doc_id + 2000000, text || ' graftdup' FROM corpus
+        |  WHERE doc_id % 10 = 0 AND doc_id < ${Dedup.FixedBatchDocIdBound}
         |  UNION ALL
-        |  SELECT doc_id + 3000000, text || ' graftdup' FROM documents WHERE doc_id % 8 = 1
+        |  SELECT doc_id + 3000000, text || ' graftdup' FROM documents
+        |  WHERE doc_id % 8 = 1 AND doc_id < ${Dedup.FixedBatchDocIdBound}
         |), bs AS (
         |  SELECT doc_id, text, CASE WHEN len(w) >= 3 THEN
         |      list_distinct(list_transform(range(1, len(w) - 1),
@@ -4728,22 +4775,24 @@ object SparkEntry {
     // smallest id. Superset arrivals are kept (new content). Ground
     // truth is the all-pairs directed ratio over the same fixture.
     "dedup_incr_contain" ->
-      """WITH docw AS (
+      s"""WITH docw AS (
         |  SELECT doc_id, text,
         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
         |  FROM documents
         |), batch AS (
-        |  SELECT doc_id, text, w FROM docw WHERE doc_id % 4 = 1
+        |  SELECT doc_id, text, w FROM docw
+        |  WHERE doc_id % 4 = 1 AND doc_id < ${Dedup.FixedBatchDocIdBound}
         |  UNION ALL
         |  SELECT doc_id + 1000000,
         |    array_to_string(list_slice(w, 1, greatest(len(w) // 2, 1)), ' '),
         |    list_slice(w, 1, greatest(len(w) // 2, 1))
         |  FROM docw WHERE doc_id % 4 <> 1 AND doc_id % 10 = 0
+        |    AND doc_id < ${Dedup.FixedBatchDocIdBound}
         |  UNION ALL
         |  SELECT doc_id + 2000000,
         |    array_to_string(list_slice(w, 1, greatest(len(w) // 2, 1)), ' '),
         |    list_slice(w, 1, greatest(len(w) // 2, 1))
-        |  FROM docw WHERE doc_id % 8 = 1
+        |  FROM docw WHERE doc_id % 8 = 1 AND doc_id < ${Dedup.FixedBatchDocIdBound}
         |), bs AS (
         |  SELECT doc_id, text, CASE WHEN len(w) >= 3 THEN
         |      list_distinct(list_transform(range(1, len(w) - 1),

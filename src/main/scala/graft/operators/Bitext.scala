@@ -108,7 +108,7 @@ object Bitext {
     * (same centroids, same oracle CTEs as `sim_kmeans`). */
   def mineDocs(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
-    mineMarginPairs(emb, Similarity.kmeansCentroidsHier(emb), k)
+    mineMarginPairs(emb, Similarity.kmeansCentroidsAuto(emb), k)
   }
 
   /** STEADY-STATE [[mineDocs]]: cells AND the two-level assignment

@@ -251,11 +251,26 @@ object Dedup extends Logging {
     * exact incremental dedup misses by construction) ∪ perturbed copies
     * of the % 8 = 1 batch docs (higher ids — the within-batch drop path).
     * Survivors are exactly the original % 4 = 1 rows. */
+  /** FIXED-BATCH id windows for the incremental-gate fixtures (round-16
+    * fixture fix): the arrival batch derives only from ids below these
+    * bounds — the FULL sf0.1 id space (doc_id 0..4999 / vec_id 0..1999,
+    * which is also exactly replica 0 of every ScaleUp corpus; replica i
+    * ids are shifted by i·10⁷, far above). So at sf ≤ 0.1 the bound
+    * never binds (every entry's answer is unchanged) and at sf1/sf10
+    * the batch IS the sf0.1 batch while the probed index keeps growing
+    * with the corpus — the entry finally measures the steady gates'
+    * headline number, per-arrival cost at FIXED |batch| against a
+    * growing index, instead of conflating it with corpus growth (the
+    * r11–r15 fixture defect). The oracle replays the same bound. */
+  val FixedBatchDocIdBound = 5000L
+  val FixedBatchVecIdBound = 2000L
+
   /** The arrival batch both incr-near instantiations probe with: the
     * % 4 = 1 docs ∪ near-copies of every 10th corpus doc (corpus-near
     * drop path) ∪ near-copies of the % 8 = 1 batch docs (within-batch
-    * drop path). */
-  private def nearArrivalBatch(docs: DataFrame): DataFrame = {
+    * drop path) — all drawn from the [[FixedBatchDocIdBound]] window. */
+  private def nearArrivalBatch(docsAll: DataFrame): DataFrame = {
+    val docs = docsAll.filter(col("doc_id") < FixedBatchDocIdBound)
     val corpus = docs.filter(col("doc_id") % 4 =!= 1)
     docs.filter(col("doc_id") % 4 === 1)
       .unionByName(corpus.filter(col("doc_id") % 10 === 0)
@@ -723,8 +738,10 @@ object Dedup extends Logging {
     * the % 4 = 1 docs ∪ half-token excerpts of the % 10 = 0 corpus docs
     * (excerpt-of-landed drop path — the case the near-dup gate misses by
     * construction) ∪ half-token excerpts of the % 8 = 1 batch docs
-    * (within-batch drop path). */
-  private def containArrivalBatch(docs: DataFrame): DataFrame = {
+    * (within-batch drop path) — all drawn from the
+    * [[FixedBatchDocIdBound]] window (fixed |batch| across SF). */
+  private def containArrivalBatch(docsAll: DataFrame): DataFrame = {
+    val docs = docsAll.filter(col("doc_id") < FixedBatchDocIdBound)
     val corpus = docs.filter(col("doc_id") % 4 =!= 1)
     docs.filter(col("doc_id") % 4 === 1)
       .unionByName(corpus.filter(col("doc_id") % 10 === 0)
@@ -888,7 +905,7 @@ object Dedup extends Logging {
     * anti-join. The corpus assignment is persisted across its two
     * self-join sides, not recomputed. */
   def semanticDedup(emb: DataFrame, tau: Double = 0.999): DataFrame =
-    semanticDedupWith(emb, Similarity.kmeansCentroidsHier(emb), tau)
+    semanticDedupWith(emb, Similarity.kmeansCentroidsAuto(emb), tau)
 
   /** [[semanticDedup]] with caller-supplied cells — the train/serve seam
     * the STEADY instantiations use: production SemDedup trains its
@@ -974,7 +991,7 @@ object Dedup extends Logging {
     val emb = plantedNearVectors(spark, dir)
     val table = semanticCellsTable(dir, "emb")
     val cells = ensureSemanticCells(spark, table,
-      Similarity.kmeansCentroidsHier(emb))
+      Similarity.kmeansCentroidsAuto(emb))
     // the hier index lands NEXT TO the cells (keyed by the same table
     // name) — the steady serve reads both, trains neither
     val (coarseLive, grouped) = Similarity.ensureHierIndex(spark, table, cells)
@@ -1020,7 +1037,7 @@ object Dedup extends Logging {
     val emb = hashedCorpusVectors(spark, dir)
     val table = semanticCellsTable(dir, "text")
     val cells = ensureSemanticCells(spark, table,
-      Similarity.kmeansCentroidsHier(emb))
+      Similarity.kmeansCentroidsAuto(emb))
     val (coarseLive, grouped) = Similarity.ensureHierIndex(spark, table, cells)
     semanticDedupWithIndex(emb, coarseLive, grouped, tau)
   }
@@ -1104,14 +1121,18 @@ object Dedup extends Logging {
     * to the float re-round) plus NEGATED copies of every 30th-offset-7
     * vector (must survive — negation flips cosine to −1 against the
     * original, and a ≥0.999 match to anything else would require a
-    * ≤−0.999 pair in the corpus). Mirrored exactly in the oracle SQL. */
-  def incrementalSemanticBatch(emb: DataFrame): DataFrame =
+    * ≤−0.999 pair in the corpus). Drawn from the
+    * [[FixedBatchVecIdBound]] window (fixed |batch| across SF — the
+    * round-16 fixture fix). Mirrored exactly in the oracle SQL. */
+  def incrementalSemanticBatch(embAll: DataFrame): DataFrame = {
+    val emb = embAll.filter(col("vec_id") < FixedBatchVecIdBound)
     emb.filter(col("vec_id") % 20 === 0)
       .select((col("vec_id") + 500000L).as("vec_id"),
         transform(col("embedding"), x => (x * lit(1.01d)).cast("float")).as("embedding"))
       .unionByName(emb.filter(col("vec_id") % 30 === 7)
         .select((col("vec_id") + 600000L).as("vec_id"),
           transform(col("embedding"), x => (-x).cast("float")).as("embedding")))
+  }
 
   /** CORRECTNESS instantiation (retrain-in-plan form): cells trained on
     * the CORPUS only — arrivals never influence the quantizer, exactly
@@ -1119,7 +1140,7 @@ object Dedup extends Logging {
   def incrementalSemanticArrivals(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
     incrementalSemanticNew(emb, incrementalSemanticBatch(emb),
-      Similarity.kmeansCentroidsHier(emb))
+      Similarity.kmeansCentroidsAuto(emb))
   }
 
   /** STEADY-STATE [[incrementalSemanticArrivals]]: the cells come from
@@ -1448,9 +1469,14 @@ object Dedup extends Logging {
 
   /** ExactSubstr SCRUB — the cleaned corpus: every maximal duplicated
     * range ([[duplicateSpanRanges]]) is CUT from every document carrying
-    * it (the paper's all-occurrences policy — unlike keep-first
-    * paragraph dedup, a region duplicated across k docs disappears from
-    * all k) and the surviving tokens reassemble in order. Returns
+    * it and the surviving tokens reassemble in order. All-occurrences
+    * removal is the policy of the RELEASED ExactSubstr tooling (the
+    * deduplicate-text-datasets implementation accompanying Lee et al.
+    * 2021), which drops every copy of a duplicated region; the paper's
+    * prose describes the keep-one variant (remove from all but one
+    * occurrence). This operator implements the released tooling's
+    * semantics — unlike keep-first paragraph dedup, a region duplicated
+    * across k docs disappears from all k. Returns
     * (doc_id, clean_text, n_removed) over the NORMALIZED token stream
     * (the [[dedupParagraphs]] reassembly convention — the oracle replays
     * the tokenizer). Documents with no flagged range pass through as

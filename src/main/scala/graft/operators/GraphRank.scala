@@ -113,7 +113,7 @@ object GraphRank {
   def pageRankDocs(spark: SparkSession, dir: String, nn: Int = 4,
       iters: Int = 5, damping: Double = 0.85): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
-    val g = Similarity.knnGraph(emb, Similarity.kmeansCentroidsHier(emb), nn)
+    val g = Similarity.knnGraph(emb, Similarity.kmeansCentroidsAuto(emb), nn)
     pageRank(emb.select("vec_id"),
       g.select(col("vec_id").as("src"), col("nbr_id").as("dst")),
       iters, damping)
@@ -203,7 +203,7 @@ object GraphRank {
   def labelPropagationDocs(spark: SparkSession, dir: String, nn: Int = 4,
       iters: Int = 5): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
-    val g = Similarity.knnGraph(emb, Similarity.kmeansCentroidsHier(emb), nn)
+    val g = Similarity.knnGraph(emb, Similarity.kmeansCentroidsAuto(emb), nn)
     labelPropagation(emb.select("vec_id"),
       g.select(col("vec_id").as("src"), col("nbr_id").as("dst")), iters)
   }
@@ -304,7 +304,7 @@ object GraphRank {
     // LPA's edge build AND both modularity passes — unpinned, the whole
     // k-means + knn build would replay per consumer
     val sc = spark.sparkContext
-    val g0 = Similarity.knnGraph(emb, Similarity.kmeansCentroidsHier(emb), nn)
+    val g0 = Similarity.knnGraph(emb, Similarity.kmeansCentroidsAuto(emb), nn)
       .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
     val g = if (sc.getCheckpointDir.isDefined) g0.checkpoint()
             else g0.localCheckpoint()

@@ -483,13 +483,17 @@ object Multimodal {
       d.select(col("doc_id").as("media_id"),
         encode(col("text"), "UTF-8").as("payload"))
     val corpus = media(docs.filter(col("doc_id") % 4 =!= 1))
-    val batch = media(docs.filter(col("doc_id") % 4 === 1))
+    // batch from the fixed sf0.1 id window only (Dedup's round-16
+    // fixture fix): |batch| stays constant across SF while the landed
+    // signature index grows with the corpus
+    val bdocs = docs.filter(col("doc_id") < Dedup.FixedBatchDocIdBound)
+    val batch = media(bdocs.filter(col("doc_id") % 4 === 1))
       .unionByName(media(
-        docs.filter(col("doc_id") % 4 =!= 1 && col("doc_id") % 10 === 0)
+        bdocs.filter(col("doc_id") % 4 =!= 1 && col("doc_id") % 10 === 0)
           .select((col("doc_id") + 2000000L).as("doc_id"),
             concat(col("text"), lit(" graftdup")).as("text"))))
       .unionByName(media(
-        docs.filter(col("doc_id") % 8 === 1)
+        bdocs.filter(col("doc_id") % 8 === 1)
           .select((col("doc_id") + 3000000L).as("doc_id"),
             concat(col("text"), lit(" graftdup")).as("text"))))
     (corpus, batch)

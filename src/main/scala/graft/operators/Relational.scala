@@ -326,7 +326,11 @@ object Relational {
     *
     * Contract: `keyCol` values must be DISTINCT (ranks among equal keys
     * would be partition-order-dependent; every call site ranks a group
-    * key). The input is scanned three times (min/max, counts, final) —
+    * key) and NON-NULL — enforced with a fail-fast require piggybacked
+    * on the min/max pass: a null key's quotient is null, `least` skips
+    * nulls, and the row would silently land in the top bucket with a
+    * WRONG global rank rather than an error (round-16 advice fix).
+    * The input is scanned three times (min/max, counts, final) —
     * callers pass checkpointed/landed k-row tables, never raw plans.
     * The interval arithmetic runs in decimal(38,0) so a full-Long-range
     * key span cannot overflow the subtraction. Returns `df`'s columns
@@ -335,8 +339,11 @@ object Relational {
       buckets: Int = 1024): DataFrame = {
     require(buckets > 0 && buckets <= (1 << 20),
       "buckets bounded so the dense offset literal stays plan-sized")
-    val mm = df.agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long"))
-      .head()
+    val mm = df.agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long"),
+      (count(lit(1)) - count(col(keyCol))).as("__nulls")).head()
+    require(mm.getLong(2) == 0L,
+      s"denseRankByKey: $keyCol carries ${mm.getLong(2)} null keys — a null " +
+        "quotient would silently rank into the top bucket (contract: non-null)")
     if (mm.isNullAt(0)) return df.withColumn(outCol, lit(0L)) // empty input
     val (mn, mx) = (mm.getLong(0), mm.getLong(1))
     // width = floor(span/buckets) + 1 > span/buckets. It can exceed

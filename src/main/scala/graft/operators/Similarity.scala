@@ -442,6 +442,39 @@ object Similarity {
     cent
   }
 
+  /** Dispatch boundary between the exact flat trainer and the two-level
+    * pruned trainer, pinned from the round-15 wall-clock measurements:
+    * flat beat hier at 60 k vectors (k ≈ 2 069 seeds: 5.06 s vs 7.97 s —
+    * the hier loop's ~25 extra job floors dominate) and lost by 17.5×
+    * at 600 k vectors (k ≈ 20.7 k seeds: 369.8 s vs 21.1 s — the N·k
+    * cross dominates). 4 096 sits between the two measured seed counts
+    * and is exactly the regime where the flat trainer's per-iteration
+    * `broadcast(cent)` side is provably small (≤ 4 096 centroid rows —
+    * ~1 MB at 64 float lanes, far under any broadcast threshold). */
+  val FlatTrainerMaxSeeds: Long = 4096L
+
+  /** Size-dispatched Lloyd's — the trainer every k∝N (SemDedup-sized)
+    * call site uses. The seed count k = |{vec_id % initEvery = 0}| is a
+    * deterministic function of the corpus, so the dispatch predicate is
+    * replayable: the DuckDB oracle computes the SAME count and selects
+    * the matching recurrence, keeping every adopting entry hash-green
+    * at any scale factor. At or below [[FlatTrainerMaxSeeds]] seeds the
+    * EXACT flat recurrence ([[kmeansCentroids]]) is both cheaper (no
+    * per-iteration coarse training — ~25 job floors at sf0.1) and
+    * exact; above it the two-level pruned recurrence
+    * ([[kmeansCentroidsHier]]) is the only one that stays runnable
+    * (flat is O(iters·N·k) with a k∝N broadcast side). The count costs
+    * one extra pass over `emb` — at corpus scale one scan, amortized
+    * against the 3-iteration training it sizes. `flatMaxSeeds` is
+    * parameterized only so the dispatch-boundary law is spec-testable;
+    * production callers take the pinned default. */
+  def kmeansCentroidsAuto(emb: DataFrame, initEvery: Int = 29,
+      iters: Int = 3, flatMaxSeeds: Long = FlatTrainerMaxSeeds): DataFrame = {
+    val seeds = emb.filter(col("vec_id") % initEvery === 0).count()
+    if (seeds <= flatMaxSeeds) kmeansCentroids(emb, initEvery, iters)
+    else kmeansCentroidsHier(emb, initEvery, iters)
+  }
+
   def topKCosineIvf(spark: SparkSession, dir: String, k: Int = 5, nprobe: Int = 4): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
     topKCosineIvf(emb, defaultQueries(emb), k, nprobe)
@@ -957,7 +990,7 @@ object Similarity {
     * [[kmeansAssignmentsFlat]] (the crossover comparator). */
   def kmeansAssignments(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
-    ivfAssignHier(emb, kmeansCentroidsHier(emb)).select("vec_id", "cell_id")
+    ivfAssignHier(emb, kmeansCentroidsAuto(emb)).select("vec_id", "cell_id")
   }
 
   /** STEADY-STATE form of [[kmeansAssignments]] — two-level assignment
@@ -1006,7 +1039,7 @@ object Similarity {
       iters: Int = 3): DataFrame = {
     val base = emb.filter(col("vec_id") % 2 === 0)
     val cur = emb.filter(col("vec_id") % 2 =!= 0)
-    psiDriftOver(base, cur, kmeansCentroidsHier(base, initEvery, iters))
+    psiDriftOver(base, cur, kmeansCentroidsAuto(base, initEvery, iters))
   }
 
   /** The PSI tail over ANY (reference, current, centroids) triple —
@@ -1149,11 +1182,11 @@ object Similarity {
         col("score"))
 
   /** CORRECTNESS instantiation: 4 neighbors per vector under the TRAINED
-    * k-means cells (two-level-trained — same centroids and oracle CTEs
+    * k-means cells (size-dispatch-trained — same centroids and oracle CTEs
     * as `sim_kmeans_assign`). */
   def knnGraphDocs(spark: SparkSession, dir: String, nn: Int = 4): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
-    knnGraph(emb, kmeansCentroidsHier(emb), nn)
+    knnGraph(emb, kmeansCentroidsAuto(emb), nn)
   }
 
   /** STEADY-STATE [[knnGraphDocs]]: cells AND the two-level assignment
@@ -1214,7 +1247,7 @@ object Similarity {
   def densityPruneDocs(spark: SparkSession, dir: String, nn: Int = 4,
       pct: Double = 0.2): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
-    densityPrune(emb, kmeansCentroidsHier(emb), nn, pct)
+    densityPrune(emb, kmeansCentroidsAuto(emb), nn, pct)
   }
 
   /** STEADY-STATE [[densityPruneDocs]]: landed centroids AND landed
@@ -1236,7 +1269,7 @@ object Similarity {
   def topKPqIvfTrained(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
     topKPqIvfWith(emb, defaultQueries(emb), k, nprobe = 4, m = 8, subDim = 8,
-      kmeansCentroidsHier(emb), pqCodebookTrained(emb))
+      kmeansCentroidsAuto(emb), pqCodebookTrained(emb))
   }
 
   /** Coarse-cell RESIDUALS — r = e − c(cell(e)), computed in DOUBLE so
@@ -1327,7 +1360,7 @@ object Similarity {
     * a landed form would persist it with the other artifacts. */
   def topKPqIvfResTrained(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
-    val cents = kmeansCentroidsHier(emb)
+    val cents = kmeansCentroidsAuto(emb)
     val resid = residuals(emb, cents)
     val book = pqCodebookTrained(resid.select("vec_id", "embedding"))
     searchIvfPqResIndex(ivfPqResIndexRows(resid, m = 8, subDim = 8, book),
@@ -1435,7 +1468,7 @@ object Similarity {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
     val prefix = quantizerPrefix(dir)
     import spark.implicits._
-    kmeansCentroidsHier(emb)
+    kmeansCentroidsAuto(emb)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
       .option("path", s"$path/centroids").saveAsTable(s"${prefix}_centroids")
     pqCodebookTrained(emb).toDF("sub", "cell", "cv")

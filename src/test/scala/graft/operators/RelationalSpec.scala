@@ -246,6 +246,14 @@ class RelationalSpec extends SparkTestBase {
     // empty input: total function, no rows
     assert(Relational.denseRankByKey(Seq.empty[Long].toDF("k"), "k", "r")
       .count() == 0)
+    // null keys fail FAST (round-16 advice): a null quotient would
+    // otherwise silently rank into the top bucket with a wrong global
+    // rank — the contract is non-null, enforced, not assumed
+    val withNull = Seq(Some(1L), None, Some(5L)).toDF("k")
+    val ex = intercept[IllegalArgumentException] {
+      Relational.denseRankByKey(withNull, "k", "r").collect()
+    }
+    assert(ex.getMessage.contains("null"))
   }
 
   test("stratifiedSample: rate monotonicity law — raising a rate only adds rows") {

@@ -195,11 +195,12 @@ class SimilaritySpec extends SparkTestBase {
     val freshBook = Similarity.pqCodebookTrained(emb)
     assert(landedBook.map(t => (t._1, t._2, t._3.toSeq)) ==
       freshBook.map(t => (t._1, t._2, t._3.toSeq)))
-    // landed centroids ≡ a fresh kmeansCentroidsHier run (round 15: the
-    // k∝N landed family trains with the two-level trainer)
+    // landed centroids ≡ a fresh kmeansCentroidsAuto run (round 16: the
+    // k∝N landed family trains through the size dispatch — flat at this
+    // fixture's seed count, hier above the pinned crossover)
     val landedCents = Similarity.loadLandedQuantizers(spark, dir)._1
       .as[(Long, Array[Float])].collect().map(t => (t._1, t._2.toSeq)).toSet
-    val freshCents = Similarity.kmeansCentroidsHier(emb)
+    val freshCents = Similarity.kmeansCentroidsAuto(emb)
       .as[(Long, Array[Float])].collect().map(t => (t._1, t._2.toSeq)).toSet
     assert(landedCents == freshCents)
   }
@@ -315,7 +316,7 @@ class SimilaritySpec extends SparkTestBase {
       .select("vec_id", "embedding")
     val want = Similarity.topKPqIvfRefined(emb, Similarity.defaultQueries(emb),
         k = 5, r = 4, nprobe = 4, m = 8, subDim = 8,
-        Similarity.kmeansCentroidsHier(emb), Similarity.pqCodebookTrained(emb))
+        Similarity.kmeansCentroidsAuto(emb), Similarity.pqCodebookTrained(emb))
       .as[(Long, Long, Double)].collect().toSet
     assert(Similarity.topKPqIvfRefinedLanded(spark, dir)
       .as[(Long, Long, Double)].collect().toSet == want)
@@ -705,6 +706,30 @@ class SimilaritySpec extends SparkTestBase {
       .select(col("cell_id"), (col("rn") - 1).cast("long"))
       .as[(Long, Long)].collect().toMap
     assert(got == want, "distributed rank must be bit-identical to the global window")
+  }
+
+  test("kmeansCentroidsAuto: flat at/below the dispatch boundary, hier above") {
+    // round-16 dispatch law: the trainer is chosen by the deterministic
+    // seed count |{vec_id % initEvery = 0}| against the pinned
+    // crossover, and each branch is BIT-IDENTICAL to the trainer it
+    // names — so the DuckDB oracle's replay of the same count+predicate
+    // (kmeansAutoCteBlock's kdis scalar) selects the same recurrence
+    // at every scale factor
+    val emb = corpus.toDF("vec_id", "embedding")
+    val seeds = emb.filter(col("vec_id") % 29 === 0).count()
+    def lanes(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("cell_id"), posexplode(col("c_emb")))
+      .toDF("cell_id", "lane", "v")
+      .as[(Long, Int, Float)].collect().toSet
+    val flat = lanes(Similarity.kmeansCentroids(emb))
+    assert(lanes(Similarity.kmeansCentroidsAuto(emb, flatMaxSeeds = seeds)) == flat,
+      "seeds <= boundary must run the exact flat recurrence")
+    val hier = lanes(Similarity.kmeansCentroidsHier(emb))
+    assert(lanes(Similarity.kmeansCentroidsAuto(emb, flatMaxSeeds = seeds - 1)) == hier,
+      "seeds > boundary must run the two-level pruned recurrence")
+    // the production default is the measured 60k-600k-vector crossover pin;
+    // the oracle generator bakes the same literal — move both together
+    assert(Similarity.FlatTrainerMaxSeeds == 4096L)
   }
 
   test("ensureHierIndex: the landed index equals a fresh hierIndex computation") {
