@@ -34,6 +34,11 @@ object Bench {
     def keep(qs: Seq[String]): Seq[String] = only match {
       case Some(sel) => qs.filter(sel); case None => qs
     }
+    // Per-run landed-state root: the gate must measure its own land every
+    // round (warm-up pass pays it, timed serves read it), never inherit a
+    // prior round's artifacts. Library callers get Landing's durable
+    // default instead; here stale roots from earlier runs are swept.
+    Sessions.pinPerRunStateDir("bench")
     val spark = Sessions.local("graft-bench")
     val names = keep(SparkEntry.benchQueries)
 
@@ -403,10 +408,30 @@ object Bench {
             queryVecId = 0L, centDf, book)
             .write.format("noop").mode("overwrite").save()
         }
+        // maintenance re-shard to the √N production sizing (the
+        // sim_topk_ivfpq_reshard device, run INSIDE the hybrid drive):
+        // the store was built under the fixed 16-cell quantizers, whose
+        // probed lists grow ∝ N — after the re-shard the steady serve's
+        // probed lists are ≈√N rows, which is the sizing the crossover
+        // claim is about. searchSteady resolves the re-shard's sidecar
+        // centroids itself; the timed serve is the same call.
+        val tReshard = System.nanoTime()
+        graft.streaming.StreamIvfPq.reshard(spark, s"$tmp/state/codes",
+          graft.streaming.StreamHybrid.liveVectors(spark, s"$tmp/state"),
+          book, force = true)
+        val wallReshard = (System.nanoTime() - tReshard) / 1e9
+        val serveResharded = med3 {
+          graft.streaming.StreamHybrid.searchSteady(
+            spark, s"$tmp/state", graft.operators.TextAnalysis.searchQuery,
+            queryVecId = 0L, centDf, book)
+            .write.format("noop").mode("overwrite").save()
+        }
         Some(s"""{"op":"stream_hybrid","rows_in":$rowsIn,"batches":4,""" +
           s""""grow_wall_sec":${fnum(wallGrow)},""" +
           s""""serve_hybrid_sec":${fnum(serve)},""" +
-          s""""serve_hybrid_steady_sec":${fnum(serveSteady)}}""")
+          s""""serve_hybrid_steady_sec":${fnum(serveSteady)},""" +
+          s""""reshard_wall_sec":${fnum(wallReshard)},""" +
+          s""""serve_hybrid_steady_resharded_sec":${fnum(serveResharded)}}""")
       } catch {
         case e: Throwable =>
           errors += s"stream_hybrid: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"

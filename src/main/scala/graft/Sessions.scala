@@ -33,4 +33,30 @@ object Sessions {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Pin [[graft.sources.Landing]]'s state root to a fresh per-run dir
+    * under `target/graft_state` and sweep prior runs' roots (best-effort —
+    * a concurrent run's files disappearing mid-read would be its own bug;
+    * the driver runs gates sequentially). Gates call this so each round
+    * measures its own land; library users keep Landing's durable default. */
+  def pinPerRunStateDir(tag: String): Unit = {
+    val base = java.nio.file.Paths.get("target", "graft_state")
+    try {
+      if (java.nio.file.Files.isDirectory(base)) {
+        val old = java.nio.file.Files.list(base)
+        try old.forEach { p =>
+          try {
+            val walk = java.nio.file.Files.walk(p)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+            finally walk.close()
+          } catch { case _: java.io.IOException => () }
+        } finally old.close()
+      }
+    } catch { case _: java.io.IOException => () }
+    val run = base.resolve(
+      s"$tag-${java.util.UUID.randomUUID().toString.take(8)}")
+    java.nio.file.Files.createDirectories(run)
+    sys.props("graft.state.dir") = run.toAbsolutePath.toString
+  }
 }

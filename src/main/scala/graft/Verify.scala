@@ -10,6 +10,9 @@ object Verify {
     // comma-separated query names to dump instead of the full registry
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(',').toSet) else None
+    // fresh landed-state root per run: the correctness gate must rebuild
+    // every artifact under the round's own code, never read a stale one
+    Sessions.pinPerRunStateDir("verify")
     val spark = Sessions.local("graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

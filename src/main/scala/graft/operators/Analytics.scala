@@ -787,9 +787,8 @@ object Analytics {
 
   private def ensureHistograms(spark: SparkSession, dir: String): Unit = {
     val prefix = histPrefix(dir)
-    if (!spark.catalog.tableExists(s"${prefix}_hist")) {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_hist_steady_").toString
+    graft.sources.Landing.ensureLanded(spark, prefix,
+      Seq(s"${prefix}_hist")) { path =>
       landDailyHistograms(Tables.load(spark, dir, "events"), prefix, path)
     }
   }

@@ -160,10 +160,8 @@ object Contrastive {
     * near-dup index generations land their band state. */
   def ensurePrefComponents(spark: SparkSession, dir: String): DataFrame = {
     val table = prefComponentsTable(dir)
-    if (!spark.catalog.tableExists(table)) {
+    graft.sources.Landing.ensureLanded(spark, table, Seq(table)) { path =>
       val docs = Dedup.plantedNearDocs(spark, dir)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_prefcc_").toString
       Dedup.connectedComponents(Dedup.minhashLshPairs(docs, "doc_id", "text"))
         .withColumnRenamed("node", "doc_id")
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")

@@ -319,13 +319,8 @@ object Dedup extends Logging {
 
   def incrementalNearArrivalsSteady(spark: SparkSession, dir: String): DataFrame = {
     val prefix = steadyIndexPrefix(dir)
-    // BOTH tables must exist: a land that failed between the two writes
-    // must re-land (Overwrite), not wedge every later probe on the
-    // missing _sh side
-    if (!spark.catalog.tableExists(s"${prefix}_bands") ||
-        !spark.catalog.tableExists(s"${prefix}_sh")) {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_neardup_steady_").toString
+    graft.sources.Landing.ensureLanded(spark, prefix,
+      Seq(s"${prefix}_bands", s"${prefix}_sh")) { path =>
       val corpus = Tables.load(spark, dir, "documents")
         .select("doc_id", "text").filter(col("doc_id") % 4 =!= 1)
       val index = buildNearDupIndex(corpus, "doc_id", "text")
@@ -782,10 +777,8 @@ object Dedup extends Logging {
     * bucket-aligned on `shingle`). Same answer, same oracle. */
   def incrementalContainArrivalsSteady(spark: SparkSession, dir: String): DataFrame = {
     val prefix = steadyContainPrefix(dir)
-    if (!spark.catalog.tableExists(s"${prefix}_post") ||
-        !spark.catalog.tableExists(s"${prefix}_sh")) {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_contain_steady_").toString
+    graft.sources.Landing.ensureLanded(spark, prefix,
+      Seq(s"${prefix}_post", s"${prefix}_sh")) { path =>
       val corpus = Tables.load(spark, dir, "documents")
         .select("doc_id", "text").filter(col("doc_id") % 4 =!= 1)
       val index = containmentIndexRows(corpus, "doc_id", "text")
@@ -972,9 +965,7 @@ object Dedup extends Logging {
     * the [[graft.operators.Similarity.landQuantizers]] pattern. */
   private def ensureSemanticCells(spark: SparkSession, table: String,
       train: => DataFrame): DataFrame = {
-    if (!spark.catalog.tableExists(table)) {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_semdedup_cells_").toString
+    graft.sources.Landing.ensureLanded(spark, table, Seq(table)) { path =>
       train.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .format("parquet").option("path", s"$path/cells").saveAsTable(table)
     }
@@ -1881,9 +1872,8 @@ object Dedup extends Logging {
     * `<prefix>_*` tables). */
   def softDedupDocsSteady(spark: SparkSession, dir: String): DataFrame = {
     val prefix = softDfPrefix(dir)
-    if (!spark.catalog.tableExists(s"${prefix}_df")) {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_softdf_steady_").toString
+    graft.sources.Landing.ensureLanded(spark, prefix,
+      Seq(s"${prefix}_df")) { path =>
       landGramDfIndex(plantedNearDocs(spark, dir), "doc_id", "text",
         prefix, path)
     }

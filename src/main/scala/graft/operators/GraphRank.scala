@@ -354,10 +354,8 @@ object GraphRank {
   def loadLandedCommunities(spark: SparkSession, dir: String,
       nn: Int = 4, iters: Int = 5): (DataFrame, DataFrame) = {
     val prefix = communityPrefix(dir)
-    if (!spark.catalog.tableExists(s"${prefix}_labels") ||
-        !spark.catalog.tableExists(s"${prefix}_edges")) {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_graph_comm_").toString
+    graft.sources.Landing.ensureLanded(spark, prefix,
+      Seq(s"${prefix}_labels", s"${prefix}_edges")) { path =>
       landCommunities(spark, dir, path, nn, iters)
     }
     (spark.table(s"${prefix}_labels"), spark.table(s"${prefix}_edges"))

@@ -526,10 +526,8 @@ object Multimodal {
     * discipline). */
   def incrementalMediaArrivalsSteady(spark: SparkSession, dir: String): DataFrame = {
     val prefix = mediaSteadyPrefix(dir)
-    if (!spark.catalog.tableExists(s"${prefix}_bands") ||
-        !spark.catalog.tableExists(s"${prefix}_sigs")) {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_mediadup_steady_").toString
+    graft.sources.Landing.ensureLanded(spark, prefix,
+      Seq(s"${prefix}_bands", s"${prefix}_sigs")) { path =>
       val (corpus, _) = mediaArrivalFixture(spark, dir)
       val index = buildMediaSigIndex(corpus, "media_id", "payload")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

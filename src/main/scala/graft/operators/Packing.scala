@@ -244,10 +244,6 @@ object Packing {
     tokenBlocks(
       graft.sources.Tables.load(spark, dir, "documents"), "doc_id", "text")
 
-  // process-local memo of landed count-state roots, keyed by corpus dir
-  // (the loadLandedQuantizers convention: built once per process)
-  private var countStates = Map.empty[String, String]
-
   /** STEADY form for `txt_token_blocks_steady`: the manifest served off
     * LANDED per-doc token counts (two id-split generations — the shape a
     * maintainer accumulates as batches arrive), tokenizing nothing at
@@ -255,21 +251,18 @@ object Packing {
     * the layout is a pure function of the count table, so where the
     * counts came from (one scan or fifty batches) is invisible. */
   def tokenBlocksSteadyDocs(spark: SparkSession, dir: String): DataFrame = {
-    val path = synchronized {
-      countStates.getOrElse(dir, {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft_blocks_steady_").toString
-        val counts = graft.sources.Tables.load(spark, dir, "documents")
-          .select(col("doc_id").cast("long").as("doc_id"),
-            size(TextAnalysis.tokens(coalesce(col("text"), lit(""))))
-              .cast("long").as("n"))
-        counts.filter(col("doc_id") % 2 === 0)
-          .write.parquet(s"$p/gen-0")
-        counts.filter(col("doc_id") % 2 === 1)
-          .write.parquet(s"$p/gen-1")
-        countStates += dir -> p
-        p
-      })
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val path = graft.sources.Landing.ensureDir(spark,
+      s"blocks_steady_$suffix") { p =>
+      val counts = graft.sources.Tables.load(spark, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          size(TextAnalysis.tokens(coalesce(col("text"), lit(""))))
+            .cast("long").as("n"))
+      counts.filter(col("doc_id") % 2 === 0)
+        .write.parquet(s"$p/gen-0")
+      counts.filter(col("doc_id") % 2 === 1)
+        .write.parquet(s"$p/gen-1")
     }
     tokenBlocksFromCounts(spark.read.parquet(s"$path/gen-0")
       .unionByName(spark.read.parquet(s"$path/gen-1")))
@@ -342,8 +335,6 @@ object Packing {
 
   // process-local memo of landed curriculum-state roots (the
   // countStates convention)
-  private var curStates = Map.empty[String, String]
-
   /** STEADY form for `txt_curriculum_blocks_steady`: the curriculum
     * layout served off LANDED (doc_id, n, q_score) metadata — two
     * id-split generations, the shape a maintainer accumulates. Shares
@@ -353,17 +344,14 @@ object Packing {
     * training run (new phases, new context length, new seed) is a
     * metadata job, not a corpus scan. */
   def curriculumBlocksSteadyDocs(spark: SparkSession, dir: String): DataFrame = {
-    val path = synchronized {
-      curStates.getOrElse(dir, {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft_cur_blocks_steady_").toString
-        val state = TextAnalysis.curriculumStateRows(
-          graft.sources.Tables.load(spark, dir, "documents"), "doc_id", "text")
-        state.filter(col("doc_id") % 2 === 0).write.parquet(s"$p/gen-0")
-        state.filter(col("doc_id") % 2 === 1).write.parquet(s"$p/gen-1")
-        curStates += dir -> p
-        p
-      })
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val path = graft.sources.Landing.ensureDir(spark,
+      s"cur_blocks_steady_$suffix") { p =>
+      val state = TextAnalysis.curriculumStateRows(
+        graft.sources.Tables.load(spark, dir, "documents"), "doc_id", "text")
+      state.filter(col("doc_id") % 2 === 0).write.parquet(s"$p/gen-0")
+      state.filter(col("doc_id") % 2 === 1).write.parquet(s"$p/gen-1")
     }
     curriculumBlocksFromState(spark.read.parquet(s"$path/gen-0")
       .unionByName(spark.read.parquet(s"$path/gen-1")))

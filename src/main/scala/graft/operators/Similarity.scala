@@ -285,10 +285,8 @@ object Similarity {
     * later call reads. */
   def ensureHierIndex(spark: SparkSession, prefix: String,
       centroids: => DataFrame): (DataFrame, DataFrame) = {
-    if (!spark.catalog.tableExists(s"${prefix}_hlive") ||
-        !spark.catalog.tableExists(s"${prefix}_hgrouped")) {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_hier_idx_").toString
+    graft.sources.Landing.ensureLanded(spark, s"${prefix}_hidx",
+      Seq(s"${prefix}_hlive", s"${prefix}_hgrouped")) { path =>
       val (cl, g) = hierIndex(centroids)
       cl.write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("parquet")
         .option("path", s"$path/hlive").saveAsTable(s"${prefix}_hlive")
@@ -1397,10 +1395,8 @@ object Similarity {
     * coarse centroid table, residual book literals). */
   def ensureResArtifacts(spark: SparkSession, dir: String): (DataFrame, DataFrame, Seq[(Int, Int, Array[Double])]) = {
     val prefix = quantizerPrefix(dir)
-    if (!spark.catalog.tableExists(s"${prefix}_res_codebook") ||
-        !spark.catalog.tableExists(s"${prefix}_res_codes")) {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_ivfpq_res_").toString
+    graft.sources.Landing.ensureLanded(spark, s"${prefix}_res",
+      Seq(s"${prefix}_res_codebook", s"${prefix}_res_codes")) { path =>
       landResQuantizers(spark, dir, path)
     }
     val book = spark.table(s"${prefix}_res_codebook").collect()
@@ -1485,10 +1481,8 @@ object Similarity {
     * on the missing codebook side. */
   def loadLandedQuantizers(spark: SparkSession, dir: String): (DataFrame, Seq[(Int, Int, Array[Double])]) = {
     val prefix = quantizerPrefix(dir)
-    if (!spark.catalog.tableExists(s"${prefix}_centroids") ||
-        !spark.catalog.tableExists(s"${prefix}_codebook")) {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_ivfpq_quant_").toString
+    graft.sources.Landing.ensureLanded(spark, s"${prefix}_quant",
+      Seq(s"${prefix}_centroids", s"${prefix}_codebook")) { path =>
       landQuantizers(spark, dir, path)
     }
     val book = spark.table(s"${prefix}_codebook").collect()
@@ -1524,9 +1518,7 @@ object Similarity {
     * catalog — reads the table. */
   def ensureIvfPqCodes(spark: SparkSession, dir: String): DataFrame = {
     val table = s"${quantizerPrefix(dir)}_codes"
-    if (!spark.catalog.tableExists(table)) {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_ivfpq_codes_").toString
+    graft.sources.Landing.ensureLanded(spark, table, Seq(table)) { path =>
       landIvfPqCodes(spark, dir, path)
     }
     spark.table(table)
@@ -1797,19 +1789,15 @@ object Similarity {
     * (landed ≡ direct, spec-pinned) and the steady serve whitens
     * arrivals/corpus WITHOUT re-paying the corpus moment pass — the same
     * per-corpus-snapshot artifact class as the landed centroids and the
-    * hier index. d rows with d-lane arrays: metadata-scale. Shares the
-    * repo-wide land-or-load pattern's known limits (check-then-write is
-    * not atomic under concurrent first callers, and the parquet lives
-    * under a process-temp dir — the catalog entry can outlive the /tmp
-    * data across hosts); a hardened landing (atomic create, durable
-    * path) should include this table with the other ~30 sites. */
+    * hier index. d rows with d-lane arrays: metadata-scale. Landed
+    * through [[graft.sources.Landing.ensureLanded]] (stage + atomic
+    * rename + register-last, durable state root) like every other
+    * landed artifact. */
   def ensureWhitener(spark: SparkSession, prefix: String,
       emb: => DataFrame, eps: Double = 1e-6): (Array[Array[Double]], Array[Double]) = {
     val table = s"${prefix}_whiten"
-    if (!spark.catalog.tableExists(table)) {
+    graft.sources.Landing.ensureLanded(spark, table, Seq(table)) { path =>
       val (w, shift) = whitener(emb, eps)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_whiten_").toString
       import spark.implicits._
       w.zipWithIndex.map { case (row, j) => (j.toLong, shift(j), row.toSeq) }
         .toSeq.toDF("j", "shift", "w")
@@ -1995,9 +1983,8 @@ object Similarity {
     * first use) + the shared landed PQ book. */
   def loadLandedQuantizersScaled(spark: SparkSession, dir: String): (DataFrame, Seq[(Int, Int, Array[Double])]) = {
     val prefix = quantizerPrefixScaled(dir)
-    if (!spark.catalog.tableExists(s"${prefix}_centroids")) {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_ivfpq_scaled_").toString
+    graft.sources.Landing.ensureLanded(spark, s"${prefix}_quant",
+      Seq(s"${prefix}_centroids")) { path =>
       landQuantizersScaled(spark, dir, path)
     }
     (spark.table(s"${prefix}_centroids"), loadLandedQuantizers(spark, dir)._2)
@@ -2033,9 +2020,7 @@ object Similarity {
   /** Ensure the √N-sized code list is landed and return it. */
   def ensureIvfPqCodesScaled(spark: SparkSession, dir: String): DataFrame = {
     val table = s"${quantizerPrefixScaled(dir)}_codes"
-    if (!spark.catalog.tableExists(table)) {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_ivfpq_scaled_codes_").toString
+    graft.sources.Landing.ensureLanded(spark, table, Seq(table)) { path =>
       landIvfPqCodesScaled(spark, dir, path)
     }
     spark.table(table)

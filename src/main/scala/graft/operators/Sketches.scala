@@ -162,9 +162,8 @@ object Sketches {
       .option("path", s"$path/kmv").saveAsTable(s"${kmvPrefix(dir)}_kmv")
 
   private def ensureKmv(spark: SparkSession, dir: String, k: Int): Unit =
-    if (!spark.catalog.tableExists(s"${kmvPrefix(dir)}_kmv")) {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_kmv_steady_").toString
+    graft.sources.Landing.ensureLanded(spark, kmvPrefix(dir),
+      Seq(s"${kmvPrefix(dir)}_kmv")) { path =>
       landKmv(spark, dir, path, k)
     }
 

@@ -601,11 +601,10 @@ object TextAnalysis {
   def domainReweightSteadyDocs(spark: SparkSession, dir: String,
       eta: Double = 1.0): DataFrame = {
     val prefix = lmPrefix(dir)
-    if (!Seq("model", "vocab", "stats", "excess")
-        .forall(t => spark.catalog.tableExists(s"${prefix}_$t"))) {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_lm_state_").toString
-      landLmState(Tables.load(spark, dir, "documents"), prefix, path)
+    graft.sources.Landing.ensureLanded(spark, prefix,
+      Seq("model", "vocab", "stats", "excess").map(t => s"${prefix}_$t")) {
+      path =>
+        landLmState(Tables.load(spark, dir, "documents"), prefix, path)
     }
     // serve = the η tail over the LANDED |sources|-row excess fold: the
     // model relations stay landed for audits/other serves, but an η
@@ -954,10 +953,8 @@ object TextAnalysis {
     * must re-land (Overwrite), not wedge every later serve. */
   private def ensureSearchIndex(spark: SparkSession, dir: String): Unit = {
     val prefix = searchIndexPrefix(dir)
-    val tables = Seq("_postings", "_positions", "_stats")
-    if (tables.exists(t => !spark.catalog.tableExists(s"$prefix$t"))) {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_search_steady_").toString
+    val tables = Seq("_postings", "_positions", "_stats").map(prefix + _)
+    graft.sources.Landing.ensureLanded(spark, prefix, tables) { path =>
       landSearchIndex(Tables.load(spark, dir, "documents"),
         "doc_id", "text", prefix, path)
     }
@@ -2022,10 +2019,6 @@ object TextAnalysis {
   def collocationsDocs(spark: SparkSession, dir: String): DataFrame =
     collocations(Tables.load(spark, dir, "documents"), "text")
 
-  // process-local memo of landed pair-count roots (the countStates
-  // convention)
-  private var collocStates = Map.empty[String, String]
-
   /** STEADY form for `txt_collocations_steady`: the PMI report off
     * LANDED additive pair-count generations (two doc-parity splits —
     * the shape a maintainer accumulates per batch, summed at serve).
@@ -2033,18 +2026,15 @@ object TextAnalysis {
     * batch partition of the corpus, so where they came from is
     * invisible — the report never re-reads text. */
   def collocationsSteadyDocs(spark: SparkSession, dir: String): DataFrame = {
-    val path = synchronized {
-      collocStates.getOrElse(dir, {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft_colloc_steady_").toString
-        val docs = Tables.load(spark, dir, "documents")
-        collocationPairRows(docs.filter(col("doc_id") % 2 === 0), "text")
-          .write.parquet(s"$p/gen-0")
-        collocationPairRows(docs.filter(col("doc_id") % 2 === 1), "text")
-          .write.parquet(s"$p/gen-1")
-        collocStates += dir -> p
-        p
-      })
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val path = graft.sources.Landing.ensureDir(spark,
+      s"colloc_steady_$suffix") { p =>
+      val docs = Tables.load(spark, dir, "documents")
+      collocationPairRows(docs.filter(col("doc_id") % 2 === 0), "text")
+        .write.parquet(s"$p/gen-0")
+      collocationPairRows(docs.filter(col("doc_id") % 2 === 1), "text")
+        .write.parquet(s"$p/gen-1")
     }
     collocationsFromPairs(
       spark.read.parquet(s"$path/gen-0")
@@ -2482,9 +2472,8 @@ object TextAnalysis {
   }
 
   private def ensureDsirModel(spark: SparkSession, dir: String): Unit =
-    if (!spark.catalog.tableExists(s"${dsirPrefix(dir)}_llr")) {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_dsir_steady_").toString
+    graft.sources.Landing.ensureLanded(spark, dsirPrefix(dir),
+      Seq(s"${dsirPrefix(dir)}_llr")) { path =>
       landDsirModel(Tables.load(spark, dir, "documents"),
         "doc_id", "text", col("lang") === "en", 64, dsirPrefix(dir), path)
     }
@@ -2693,9 +2682,8 @@ object TextAnalysis {
     * generations. */
   def curationReportSteadyDocs(spark: SparkSession, dir: String): DataFrame = {
     val prefix = curationPrefix(dir)
-    if (!spark.catalog.tableExists(s"${prefix}_src_stats")) {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_curation_steady_").toString
+    graft.sources.Landing.ensureLanded(spark, prefix,
+      Seq(s"${prefix}_src_stats")) { path =>
       landCurationStats(curationCorpus(spark, dir), prefix, path)
     }
     curationReportTail(spark.table(s"${prefix}_src_stats"))

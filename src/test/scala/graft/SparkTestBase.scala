@@ -12,7 +12,11 @@ trait SparkTestBase extends AnyFunSuite {
 }
 
 object SparkTestBase {
-  lazy val session: SparkSession =
+  lazy val session: SparkSession = {
+    // test fixtures are per-run temp corpora, so the landed-state root is
+    // per-JVM too (set BEFORE first Landing use; suites share this JVM)
+    sys.props.getOrElseUpdate("graft.state.dir", java.nio.file.Files
+      .createTempDirectory("graft_test_state_").toString)
     SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
@@ -23,4 +27,5 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
+  }
 }
