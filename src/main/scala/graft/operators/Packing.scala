@@ -333,8 +333,6 @@ object Packing {
     curriculumBlocks(
       graft.sources.Tables.load(spark, dir, "documents"), "doc_id", "text")
 
-  // process-local memo of landed curriculum-state roots (the
-  // countStates convention)
   /** STEADY form for `txt_curriculum_blocks_steady`: the curriculum
     * layout served off LANDED (doc_id, n, q_score) metadata — two
     * id-split generations, the shape a maintainer accumulates. Shares

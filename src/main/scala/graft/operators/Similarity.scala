@@ -441,15 +441,23 @@ object Similarity {
   }
 
   /** Dispatch boundary between the exact flat trainer and the two-level
-    * pruned trainer, pinned from the round-15 wall-clock measurements:
-    * flat beat hier at 60 k vectors (k ≈ 2 069 seeds: 5.06 s vs 7.97 s —
-    * the hier loop's ~25 extra job floors dominate) and lost by 17.5×
-    * at 600 k vectors (k ≈ 20.7 k seeds: 369.8 s vs 21.1 s — the N·k
-    * cross dominates). 4 096 sits between the two measured seed counts
-    * and is exactly the regime where the flat trainer's per-iteration
-    * `broadcast(cent)` side is provably small (≤ 4 096 centroid rows —
-    * ~1 MB at 64 float lanes, far under any broadcast threshold). */
-  val FlatTrainerMaxSeeds: Long = 4096L
+    * pruned trainer. Round 16 re-bracketed the crossover with same-window
+    * flat/hier pairs on BOTH trainer corpora (each point is trainer-only
+    * wall-clock, two interleaved passes per point):
+    * d=64 planted vectors — k=724: flat 7.6–9.8 s vs hier 8.3–11.4 s
+    * (flat narrowly); k=1 086: 8.9–12.7 vs 8.7–10.9 (parity); k=1 448:
+    * 13.9–18.7 vs 10.5–14.5 (hier); k=2 172: 27.2–32.6 vs 13.9–19.6
+    * (hier ~2×); d=8 hashed text vectors — k=1 724: 23.6–26.6 vs
+    * 12.2–13.8 (hier 2×). The round-15 pin (4 096, from a one-window
+    * "flat 5.06 s at k≈2 070" read) did NOT reproduce under the
+    * interleaved brackets — that read was window luck, and it cost the
+    * sf1 text entry a 31 s flat train where hier does it in ~12. The
+    * crossover sits at ≈1 000 seeds on both corpora, so 1 024 is the
+    * pin: below it flat's win is ≤ ~1.1× (and its per-iteration
+    * `broadcast(cent)` side is provably small — ≤ 1 024 centroid rows);
+    * above it hier's win grows with k (17.5× by k ≈ 20.7 k — the r15
+    * sf10 asymptote, unchanged). */
+  val FlatTrainerMaxSeeds: Long = 1024L
 
   /** Size-dispatched Lloyd's — the trainer every k∝N (SemDedup-sized)
     * call site uses. The seed count k = |{vec_id % initEvery = 0}| is a

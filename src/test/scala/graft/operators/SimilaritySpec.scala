@@ -727,9 +727,10 @@ class SimilaritySpec extends SparkTestBase {
     val hier = lanes(Similarity.kmeansCentroidsHier(emb))
     assert(lanes(Similarity.kmeansCentroidsAuto(emb, flatMaxSeeds = seeds - 1)) == hier,
       "seeds > boundary must run the two-level pruned recurrence")
-    // the production default is the measured 60k-600k-vector crossover pin;
-    // the oracle generator bakes the same literal — move both together
-    assert(Similarity.FlatTrainerMaxSeeds == 4096L)
+    // the production default is the measured ≈1k-seed crossover pin
+    // (round-16 interleaved brackets on both trainer corpora); the
+    // oracle generator bakes the same literal — move both together
+    assert(Similarity.FlatTrainerMaxSeeds == 1024L)
   }
 
   test("ensureHierIndex: the landed index equals a fresh hierIndex computation") {
