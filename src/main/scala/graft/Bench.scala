@@ -72,7 +72,7 @@ object Bench {
     // bursty enough that any single pass can read several× high; a median
     // discards one arbitrary stall per query (matches how the DuckDB
     // baseline in BASELINE.md is measured).
-    def timeAll(qs: Seq[String]): Seq[(String, Option[Double])] = qs.map { name =>
+    def timeAll(qs: Seq[String]): Seq[(String, Option[Double], Double)] = qs.map { name =>
       val pts = collection.mutable.ListBuffer[Double]()
       val times = (1 to 3).flatMap { _ =>
         pts += probeOnce()
@@ -81,11 +81,34 @@ object Bench {
         err.foreach(errors += _)
         if (err.isEmpty) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      probes(name) = pts.sorted.apply(pts.size / 2)
-      name -> (if (times.size == 3) Some(times.sorted.apply(1)) else None)
+      (name,
+        if (times.size == 3) Some(times.sorted.apply(1)) else None,
+        pts.sorted.apply(pts.size / 2))
     }
-    val results = timeAll(names)
-    val extResults = timeAll(extNames)
+    // Contention-robust committed rows (round-16 verdict): the whole-run
+    // "n_contended ≤ K" criterion is box-unachievable — contention bursts
+    // hit SOME rows in EVERY window, just different ones. Instead, with
+    // SPARK_GRAFT_BENCH_WINDOWS=W (default 1: the driver's per-round
+    // single-pass behavior, unchanged), the full timed pass runs W times
+    // and each query keeps its measurement from the window where ITS OWN
+    // probe read lowest — a per-row best-of-windows with the selecting
+    // probe attached, so every committed row self-certifies the
+    // conditions it was measured under and cross-round diffs need no
+    // whole-window caveat.
+    val windows = sys.env.get("SPARK_GRAFT_BENCH_WINDOWS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
+    val runs = (1 to windows).map(_ => (timeAll(names), timeAll(extNames)))
+    def merge(per: Seq[Seq[(String, Option[Double], Double)]]) =
+      per.head.indices.map { i =>
+        // quietest window for THIS query; probe ties break to lower time
+        per.map(_(i)).minBy { case (_, t, p) =>
+          (p, t.getOrElse(Double.MaxValue)) }
+      }
+    val resultsM = merge(runs.map(_._1))
+    val extResultsM = merge(runs.map(_._2))
+    (resultsM ++ extResultsM).foreach { case (n, _, p) => probes(n) = p }
+    val results = resultsM.map(r => (r._1, r._2))
+    val extResults = extResultsM.map(r => (r._1, r._2))
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -435,6 +458,110 @@ object Bench {
       } catch {
         case e: Throwable =>
           errors += s"stream_hybrid: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          None
+      }
+    // Dense-leg crossover at a large live set (round-16 verdict ask #3):
+    // StreamHybrid.search and .searchSteady differ ONLY in their dense
+    // legs — the BM25 lex leg and the RRF fuse are the same calls on both
+    // sides — so the fused hybrid serves cross in wall-clock exactly
+    // where the dense legs cross. This op measures those two legs (exact
+    // cosine scan of the live vectors vs probed+refined serve off the
+    // re-sharded √N code store) against a ScaleUp vectors-only corpus
+    // (point SPARK_GRAFT_SF_DIR at it), which buys the sf30-class
+    // 600 k-vector point without paying a multi-hour text-indexing grow
+    // over millions of replicated documents that both serves would read
+    // identically anyway. Explicit-selection only
+    // (SPARK_GRAFT_BENCH_ONLY=stream_cross): a one-off scale
+    // measurement, not a per-round tripwire.
+    def streamCrossBench(): Option[String] =
+      try {
+        import org.apache.spark.sql.functions.col
+        val tmp = Files.createTempDirectory("graft_stream_cross_").toString
+        val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select("vec_id", "embedding")
+        val rowsIn = vecs.count()
+        Files.createDirectory(Paths.get(s"$tmp/in"))
+        def stagedFile(stage: String): java.nio.file.Path = {
+          val st = Files.list(Paths.get(stage))
+          try st.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+          finally st.close()
+        }
+        (0 until 4).foreach { i =>
+          vecs.filter(col("vec_id") % 4 === i)
+            .coalesce(1).write.parquet(s"$tmp/stage$i")
+          Files.move(stagedFile(s"$tmp/stage$i"), Paths.get(s"$tmp/in/f$i.parquet"))
+        }
+        // the store grows under a FIXED 16-cell quantizer (cheap encode;
+        // the re-shard retires it before the measured serve — the store's
+        // build history is invisible to the served answer by the
+        // landed ≡ direct law)
+        val cent16 = vecs.orderBy("vec_id").limit(16)
+          .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+          .localCheckpoint()
+        val book = graft.operators.Similarity.pqCodebook()
+        val stream = spark.readStream.schema(vecs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+        val t0 = System.nanoTime()
+        graft.streaming.StreamIvfPq.start(stream, s"$tmp/codes", s"$tmp/ckpt",
+          cent16, book, compactEvery = 2).awaitTermination()
+        val wallGrow = (System.nanoTime() - t0) / 1e9
+        val queries = vecs.filter(col("vec_id") === 0L)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+          .localCheckpoint()
+        def med3(f: => Unit): Double = {
+          val ts = (1 to 3).map { _ =>
+            val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+          }
+          ts.sorted.apply(1)
+        }
+        def probeMed3(): Double = {
+          val ts = (1 to 3).map(_ => probeOnce()); ts.sorted.apply(1)
+        }
+        // the searchSteady dense leg, verbatim: sidecar-resolved
+        // centroids, collected probe assignment, cell-pruned generation
+        // read, ADC cut widened r×, exact re-rank on the candidates
+        def denseProbed(): Unit = {
+          val cent = graft.streaming.StreamIvfPq.currentCentroids(
+            spark, s"$tmp/codes", cent16)
+          val probes = graft.operators.Similarity.collectProbes(queries, cent, 4)
+          val index = graft.streaming.StreamIvfPq.currentIndex(spark, s"$tmp/codes",
+            template = throw new IllegalStateException(
+              s"no committed code generation under $tmp/codes"),
+            cells = Some(probes.map(_._2).distinct.sorted))
+          graft.operators.Similarity.refinedSearchIndex(
+              vecs, index, queries, 50, 4, 4, 8, 8, cent, book,
+              probesPre = Some(probes))
+            .write.format("noop").mode("overwrite").save()
+        }
+        val pBefore = probeMed3()
+        val exact = med3 {
+          graft.operators.Similarity.topKCosine(vecs, queries, 50)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val fixed = med3 { denseProbed() }
+        val tReshard = System.nanoTime()
+        graft.streaming.StreamIvfPq.reshard(spark, s"$tmp/codes", vecs, book,
+          force = true)
+        val wallReshard = (System.nanoTime() - tReshard) / 1e9
+        val resharded = med3 { denseProbed() }
+        // re-bracket the exact leg AFTER the long reshard so the pair of
+        // exact reads + the probe medians certify the window
+        val exact2 = med3 {
+          graft.operators.Similarity.topKCosine(vecs, queries, 50)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val pAfter = probeMed3()
+        Some(s"""{"op":"stream_cross","rows_in":$rowsIn,"batches":4,""" +
+          s""""grow_wall_sec":${fnum(wallGrow)},""" +
+          s""""serve_dense_exact_sec":${fnum(exact)},""" +
+          s""""serve_dense_exact2_sec":${fnum(exact2)},""" +
+          s""""serve_dense_probed_fixed_sec":${fnum(fixed)},""" +
+          s""""reshard_wall_sec":${fnum(wallReshard)},""" +
+          s""""serve_dense_probed_resharded_sec":${fnum(resharded)},""" +
+          s""""probe_before":${fnum(pBefore)},"probe_after":${fnum(pAfter)}}""")
+      } catch {
+        case e: Throwable =>
+          errors += s"stream_cross: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
           None
       }
     // Streaming k-NN graph maintenance: drive the embedding corpus in as
@@ -935,6 +1062,10 @@ object Bench {
       if (only.exists(_.contains("unified_vs_separate")))
         unifiedVsSeparateBench().getOrElse("null")
       else "null"
+    val streamCrossJson: String =
+      if (only.exists(_.contains("stream_cross")))
+        streamCrossBench().getOrElse("null")
+      else "null"
     val prepJson: String =
       if (only.forall(_.contains("prep_full"))) prepBench().getOrElse("null")
       else "null"
@@ -959,7 +1090,7 @@ object Bench {
     // "probe" is the per-query contention sentinel (see scaladoc):
     // probe[q] >> probe_floor ⇒ q was timed in a contended window.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(results)},"ext":${qjson(extResults)},"stream":$streamJson,"stream_near":$streamNearJson,"stream_search":$streamSearchJson,"stream_hybrid":$streamHybridJson,"stream_knn":$streamKnnJson,"stream_hist":$streamHistJson,"stream_kmv":$streamKmvJson,"stream_softdf":$streamSoftDfJson,"stream_contain":$streamContainJson,"unified":$unifiedJson,"unified_vs_separate":$unifiedVsSepJson,"prep_full":$prepJson,"probe":$probeJson,"probe_floor":${fnum(probeFloor)},"n_contended":$nContended,"probe_max":${fnum(probeMax)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","windows":$windows,"queries":${qjson(results)},"ext":${qjson(extResults)},"stream":$streamJson,"stream_near":$streamNearJson,"stream_search":$streamSearchJson,"stream_hybrid":$streamHybridJson,"stream_knn":$streamKnnJson,"stream_hist":$streamHistJson,"stream_kmv":$streamKmvJson,"stream_softdf":$streamSoftDfJson,"stream_contain":$streamContainJson,"unified":$unifiedJson,"unified_vs_separate":$unifiedVsSepJson,"stream_cross":$streamCrossJson,"prep_full":$prepJson,"probe":$probeJson,"probe_floor":${fnum(probeFloor)},"n_contended":$nContended,"probe_max":${fnum(probeMax)},"errors":$errJson,"sf":${jstr(sfDir)}}"""
     println(json)
     Files.writeString(Paths.get(outFile), json)
     // The driver's per-round artifact keeps only the LAST 2000 chars of
@@ -971,7 +1102,7 @@ object Bench {
     // scalars. The full JSON (with probes and stream objects) stays in
     // `outFile` and the line above.
     val tailJson =
-      s"""{"metric":"tail","ext":${qjson(extResults)},"queries":${qjson(results)},"value":$total,"unit":"sec","prep_full":$prepJson,"probe_floor":${fnum(probeFloor)},"n_contended":$nContended,"probe_max":${fnum(probeMax)},"n_errors":${errors.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"tail","ext":${qjson(extResults)},"queries":${qjson(results)},"value":$total,"unit":"sec","windows":$windows,"prep_full":$prepJson,"probe_floor":${fnum(probeFloor)},"n_contended":$nContended,"probe_max":${fnum(probeMax)},"n_errors":${errors.size},"sf":${jstr(sfDir)}}"""
     println(tailJson)
     spark.stop()
   }

@@ -60,16 +60,23 @@ import org.apache.spark.sql.functions._
   *    fixed small cardinality, which is how a real star scales: facts
   *    grow, dimensions don't (and broadcast-ability is preserved).
   *
-  * Usage: `runMain graft.ScaleUp /root/testdata/sf0.1 <outDir> [copies]`.
+  * Usage: `runMain graft.ScaleUp /root/testdata/sf0.1 <outDir> [copies]
+  * [tables]` — the optional comma-separated `tables` arg replicates only
+  * those tables (e.g. `embeddings` for a vectors-only sf100-class live
+  * set: a full-star ×300 replication would write 180 M lineitem rows the
+  * dense-crossover measurement never reads).
   * The output is generated state, never committed (see .gitignore). */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
     val copies = if (args.length > 2) args(2).toInt else 10
+    val tables: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
     val spark = Sessions.local("graft-scaleup")
 
     def replicate(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
+      if (!tables.forall(_.contains(name))) return
       val base = spark.read.parquet(s"$src/$name.parquet")
       (0 until copies).map(i => f(base, i)).reduce(_.unionByName(_))
         .write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
@@ -136,8 +143,9 @@ object ScaleUp {
     replicate("part", (d, i) =>
       if (i == 0) d else shift(d, i, "p_partkey"))
     Seq("region", "nation").foreach { name =>
-      spark.read.parquet(s"$src/$name.parquet")
-        .write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
+      if (tables.forall(_.contains(name)))
+        spark.read.parquet(s"$src/$name.parquet")
+          .write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
     }
     spark.stop()
   }

@@ -35,21 +35,30 @@ object Sessions {
   }
 
   /** Pin [[graft.sources.Landing]]'s state root to a fresh per-run dir
-    * under `target/graft_state` and sweep prior runs' roots (best-effort —
-    * a concurrent run's files disappearing mid-read would be its own bug;
-    * the driver runs gates sequentially). Gates call this so each round
+    * under `target/graft_state` and sweep STALE prior runs' roots. Only
+    * roots whose mtime is older than [[SweepAgeMs]] are deleted: a gate
+    * running concurrently (or a TrainProbe alongside a gate) keeps its
+    * root's mtime fresh by landing artifacts into it, so the sweep can no
+    * longer yank a live run's parquet mid-read — the round-16 hazard of
+    * the unconditional delete. Still best-effort: a root idle longer than
+    * the threshold while still mid-read loses, which bounds leakage at
+    * roughly two runs' artifacts on disk. Gates call this so each round
     * measures its own land; library users keep Landing's durable default. */
+  val SweepAgeMs: Long = 60L * 60 * 1000
   def pinPerRunStateDir(tag: String): Unit = {
     val base = java.nio.file.Paths.get("target", "graft_state")
     try {
       if (java.nio.file.Files.isDirectory(base)) {
+        val cutoff = System.currentTimeMillis() - SweepAgeMs
         val old = java.nio.file.Files.list(base)
         try old.forEach { p =>
           try {
-            val walk = java.nio.file.Files.walk(p)
-            try walk.sorted(java.util.Comparator.reverseOrder())
-              .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
-            finally walk.close()
+            if (java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
+              val walk = java.nio.file.Files.walk(p)
+              try walk.sorted(java.util.Comparator.reverseOrder())
+                .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+              finally walk.close()
+            }
           } catch { case _: java.io.IOException => () }
         } finally old.close()
       }

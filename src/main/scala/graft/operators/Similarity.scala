@@ -369,9 +369,17 @@ object Similarity {
     * [[kmeansCentroidsHier]] instead; the default stride survives here
     * for the `sim_kmeans` entry, which pins this recurrence against its
     * oracle. */
-  def kmeansCentroids(emb: DataFrame, initEvery: Int = 29, iters: Int = 3): DataFrame = {
-    var cent = emb.filter(col("vec_id") % initEvery === 0)
+  def kmeansCentroids(emb: DataFrame, initEvery: Int = 29, iters: Int = 3): DataFrame =
+    kmeansIterFlat(emb, seedInit(emb, initEvery), iters)
+
+  /** The shared seeded init: every `initEvery`-th vector as a centroid. */
+  private def seedInit(emb: DataFrame, initEvery: Int): DataFrame =
+    emb.filter(col("vec_id") % initEvery === 0)
       .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+
+  private def kmeansIterFlat(emb: DataFrame, init: DataFrame,
+      iters: Int): DataFrame = {
+    var cent = init
     for (_ <- 1 to iters) {
       val assigned = emb.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("embedding"), col("cell_id"),
@@ -429,10 +437,13 @@ object Similarity {
     * streaming √N maintainer — there the broadcast side is √N-class by
     * construction. */
   def kmeansCentroidsHier(emb: DataFrame, initEvery: Int = 29,
-      iters: Int = 3): DataFrame = {
-    var cent = emb.filter(col("vec_id") % initEvery === 0)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
-      .localCheckpoint() // k-row frontier: hierIndex counts + scans it 4×
+      iters: Int = 3): DataFrame =
+    // k-row frontier checkpointed: hierIndex counts + scans it 4×
+    kmeansIterHier(emb, seedInit(emb, initEvery).localCheckpoint(), iters)
+
+  private def kmeansIterHier(emb: DataFrame, init: DataFrame,
+      iters: Int): DataFrame = {
+    var cent = init
     for (_ <- 1 to iters) {
       val (coarseLive, grouped) = hierIndex(cent)
       cent = recenter(ivfAssignHierWith(emb, coarseLive, grouped))
@@ -469,16 +480,20 @@ object Similarity {
     * per-iteration coarse training — ~25 job floors at sf0.1) and
     * exact; above it the two-level pruned recurrence
     * ([[kmeansCentroidsHier]]) is the only one that stays runnable
-    * (flat is O(iters·N·k) with a k∝N broadcast side). The count costs
-    * one extra pass over `emb` — at corpus scale one scan, amortized
-    * against the 3-iteration training it sizes. `flatMaxSeeds` is
-    * parameterized only so the dispatch-boundary law is spec-testable;
-    * production callers take the pinned default. */
+    * (flat is O(iters·N·k) with a k∝N broadcast side). The count is
+    * folded into the init job both trainers already pay: the seed frame
+    * is materialized ONCE (eager localCheckpoint — the single corpus
+    * scan), the count reads the cached k-row frame (a job floor, not a
+    * scan — the round-16 nit), and the chosen recurrence iterates from
+    * that same frame. `flatMaxSeeds` is parameterized only so the
+    * dispatch-boundary law is spec-testable; production callers take
+    * the pinned default. */
   def kmeansCentroidsAuto(emb: DataFrame, initEvery: Int = 29,
       iters: Int = 3, flatMaxSeeds: Long = FlatTrainerMaxSeeds): DataFrame = {
-    val seeds = emb.filter(col("vec_id") % initEvery === 0).count()
-    if (seeds <= flatMaxSeeds) kmeansCentroids(emb, initEvery, iters)
-    else kmeansCentroidsHier(emb, initEvery, iters)
+    val init = seedInit(emb, initEvery).localCheckpoint()
+    val seeds = init.count()
+    if (seeds <= flatMaxSeeds) kmeansIterFlat(emb, init, iters)
+    else kmeansIterHier(emb, init, iters)
   }
 
   def topKCosineIvf(spark: SparkSession, dir: String, k: Int = 5, nprobe: Int = 4): DataFrame = {

@@ -33,12 +33,17 @@ import org.apache.spark.sql.catalyst.TableIdentifier
   *     start could not rebuild a `CLUSTERED BY` registration and would
   *     silently lose bucket pruning.
   *  3. Publish = one atomic rename of the staging dir onto the final dir
-  *     (`java.nio` ATOMIC_MOVE on `file://`; `FileSystem.rename` elsewhere —
-  *     atomic on HDFS; an object store without atomic rename needs a
-  *     committer layer, which is out of scope for the state root). Losers of
-  *     a cross-process race see the rename fail, delete their staging, and
-  *     read the winner's artifact — which is complete by construction, since
-  *     it only becomes visible through the rename.
+  *     (`java.nio` ATOMIC_MOVE on `file://`; `FileContext.rename` with
+  *     `Rename.NONE` elsewhere — atomic on HDFS, and it FAILS atomically
+  *     when the destination exists, unlike `FileSystem.rename`, whose
+  *     POSIX-style move-INTO-existing-dir would nest the loser's staging
+  *     inside the winner's artifact). Losers of a cross-process race see
+  *     the rename fail, delete their staging, and read the winner's
+  *     artifact — which is complete by construction, since it only becomes
+  *     visible through the rename. On an object store WITHOUT atomic
+  *     rename (s3/s3a/gs/…, or any store opted in via the
+  *     `graft.landing.commit=pointer` system property) the publish is a
+  *     marker-pointer commit instead — see [[pointerMode]].
   *  4. Registration (`CREATE TABLE IF NOT EXISTS … USING parquet LOCATION`)
   *     happens LAST, against the final dir only — no reader can ever resolve
   *     a table to half-built files.
@@ -59,6 +64,24 @@ object Landing {
     * token: artifacts are cheap to rebuild relative to the cost of a stale
     * read, so any builder change invalidates the whole root). */
   val FormatVersion = "v1"
+
+  /** Filesystem schemes with no atomic directory rename: on these the
+    * publish step is a marker-pointer commit ([[commitPointer]]) instead
+    * of a rename. */
+  private val RenamelessSchemes = Set(
+    "s3", "s3a", "s3n", "gs", "oss", "wasb", "wasbs", "abfs", "abfss",
+    "cos", "swift")
+
+  /** Whether artifacts at `fin` publish by pointer commit: forced either
+    * way by the `graft.landing.commit` system property (`pointer` — the
+    * spec's simulated rename-less store — or `rename`), else decided by
+    * the scheme ([[RenamelessSchemes]]). */
+  private[sources] def pointerMode(fin: Path): Boolean =
+    sys.props.get("graft.landing.commit") match {
+      case Some("pointer") => true
+      case Some("rename")  => false
+      case _ => RenamelessSchemes(Option(fin.toUri.getScheme).getOrElse("file"))
+    }
 
   // per-artifact in-process build lock: a second thread ensuring the same
   // artifact blocks here, re-checks, and returns without building (the
@@ -86,32 +109,61 @@ object Landing {
     * process (lock) and across processes (rename). */
   def ensureLanded(spark: SparkSession, artifact: String,
       tables: Seq[String])(build: String => Unit): Unit = {
-    if (tables.forall(spark.catalog.tableExists)) return
+    // the tableExists check lives INSIDE the lock: a lock-free fast path
+    // can observe tables a concurrent in-process builder just registered
+    // against its .staging-* dir (renamed away / dropped moments later) —
+    // the lock is only ever contended during a build, so this costs an
+    // uncontended monitor enter on the hot path
     lockFor(artifact).synchronized {
       if (tables.forall(spark.catalog.tableExists)) return
       val root = stateRoot(spark)
       val fs = fsFor(spark, root)
       val fin = fs.makeQualified(new Path(root, artifact))
-      if (!fs.exists(fin)) {
-        fs.mkdirs(root)
-        val staging = fs.makeQualified(new Path(root,
-          s".staging-$artifact-${UUID.randomUUID().toString.take(8)}"))
-        build(staging.toString)
-        writeSidecar(spark, fs, staging, tables)
-        val won = publish(fs, staging, fin)
-        // the build registered `tables` against staging paths (renamed away
+      if (committedDir(fs, fin).isEmpty) {
+        fs.mkdirs(if (pointerMode(fin)) fin else root)
+        val staging = stagingFor(fs, root, fin, artifact)
+        val won =
+          try {
+            build(staging.toString)
+            writeSidecar(spark, fs, staging, tables)
+            publish(fs, staging, fin)
+          } catch {
+            case e: Throwable =>
+              // a failed build must not leak its staging dir or leave
+              // catalog entries pointing at half-built staging data
+              dropStagingTables(spark, fs, staging, tables)
+              try fs.delete(staging, true)
+              catch { case _: java.io.IOException => () }
+              throw e
+          }
+        // the build registered `tables` against staging paths (published
         // if we won, about to be deleted if we lost) — drop those bindings
-        // before re-registering against the published dir
+        // before re-registering against the committed dir
         tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
         if (!won) {
           fs.delete(staging, true)
-          require(fs.exists(fin),
+          require(committedDir(fs, fin).isDefined,
             s"publish of landed artifact $artifact failed with no winner at $fin")
         }
       }
-      registerAll(spark, fs, fin, tables)
+      registerAll(spark, fs, committedDir(fs, fin).get, tables)
     }
   }
+
+  /** Drop any of `tables` whose catalog binding points under `staging` —
+    * the failed-build cleanup (a successful publish re-registers them). */
+  private def dropStagingTables(spark: SparkSession, fs: FileSystem,
+      staging: Path, tables: Seq[String]): Unit =
+    tables.foreach { t =>
+      try {
+        if (spark.catalog.tableExists(t)) {
+          val loc = fs.makeQualified(new Path(spark.sessionState.catalog
+            .getTableMetadata(TableIdentifier(t)).location)).toString
+          if (loc.startsWith(staging.toString))
+            spark.sql(s"DROP TABLE IF EXISTS `$t`")
+        }
+      } catch { case _: Throwable => () }
+    }
 
   /** Land-or-load a plain parquet DIRECTORY artifact (no catalog tables):
     * `build(stagingPath)` writes files under the staging dir; the published
@@ -122,25 +174,58 @@ object Landing {
     val root = stateRoot(spark)
     val fs = fsFor(spark, root)
     val fin = fs.makeQualified(new Path(root, artifact))
-    if (!fs.exists(fin)) lockFor(artifact).synchronized {
-      if (!fs.exists(fin)) {
-        fs.mkdirs(root)
-        val staging = fs.makeQualified(new Path(root,
-          s".staging-$artifact-${UUID.randomUUID().toString.take(8)}"))
-        build(staging.toString)
-        if (!publish(fs, staging, fin)) {
-          fs.delete(staging, true)
-          require(fs.exists(fin),
-            s"publish of landed artifact $artifact failed with no winner at $fin")
+    // double-checked: a committed dir only ever becomes visible complete
+    // (rename or marker), so the lock-free read is safe here — no catalog
+    // involvement, unlike ensureLanded's table fast path
+    committedDir(fs, fin).map(_.toString).getOrElse {
+      lockFor(artifact).synchronized {
+        committedDir(fs, fin).map(_.toString).getOrElse {
+          fs.mkdirs(if (pointerMode(fin)) fin else root)
+          val staging = stagingFor(fs, root, fin, artifact)
+          val won =
+            try { build(staging.toString); publish(fs, staging, fin) }
+            catch {
+              case e: Throwable =>
+                try fs.delete(staging, true)
+                catch { case _: java.io.IOException => () }
+                throw e
+            }
+          if (!won) fs.delete(staging, true)
+          committedDir(fs, fin).getOrElse(sys.error(
+            s"publish of landed artifact $artifact failed with no winner at $fin"))
+            .toString
         }
       }
     }
-    fin.toString
   }
 
-  /** Atomic publish of `staging` onto `fin`. Returns true iff THIS call's
-    * staging became the artifact (false = a concurrent lander won). */
+  /** Where a build writes: a sibling staging dir (rename mode — published
+    * by moving it onto `fin`) or a version dir INSIDE `fin` (pointer mode —
+    * never moved; published by the `_committed` marker naming it). */
+  private def stagingFor(fs: FileSystem, root: Path, fin: Path,
+      artifact: String): Path = {
+    val tag = UUID.randomUUID().toString.take(8)
+    fs.makeQualified(
+      if (pointerMode(fin)) new Path(fin, s".v-$tag")
+      else new Path(root, s".staging-$artifact-$tag"))
+  }
+
+  /** The committed artifact data dir, if any publish has succeeded: the
+    * final dir itself (rename mode — it only exists complete) or the
+    * version dir the `_committed` marker names (pointer mode). */
+  private[sources] def committedDir(fs: FileSystem, fin: Path): Option[Path] =
+    if (!pointerMode(fin)) { if (fs.exists(fin)) Some(fin) else None }
+    else readMarkerName(fs, new Path(fin, Marker)).map { name =>
+      val v = new Path(fin, name)
+      require(fs.exists(v),
+        s"landed-artifact marker at $fin names a missing version dir $name")
+      v
+    }
+
+  /** Atomic publish of `staging`. Returns true iff THIS call's staging
+    * became the artifact (false = a concurrent lander won). */
   private def publish(fs: FileSystem, staging: Path, fin: Path): Boolean = {
+    if (pointerMode(fin)) return commitPointer(fs, staging, fin)
     if (fs.exists(fin)) return false
     val scheme = Option(fin.toUri.getScheme).getOrElse("file")
     if (scheme == "file") {
@@ -154,11 +239,80 @@ object Landing {
         true
       } catch { case _: java.nio.file.FileSystemException => false }
     } else {
-      // HDFS rename is atomic and returns false when fin exists; object
-      // stores without atomic rename need a committer layer (scaladoc)
-      fs.rename(staging, fin)
+      // FileContext.rename with Rename.NONE is atomic on HDFS and FAILS
+      // when fin exists — FileSystem.rename would instead move staging
+      // INTO an existing fin (POSIX mv semantics) and report success,
+      // nesting the race loser's whole staging dir inside the published
+      // artifact
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          fin.toUri, fs.getConf)
+        fc.rename(fc.makeQualified(staging), fc.makeQualified(fin),
+          org.apache.hadoop.fs.Options.Rename.NONE)
+        true
+      } catch {
+        // lost-race (fin exists) or transient failure: either way this
+        // call did not publish; the caller verifies a winner exists
+        case _: java.io.IOException => false
+      }
     }
   }
+
+  /** Name of the pointer-commit marker inside a pointer-mode artifact
+    * dir; its content is the committed version dir's name. */
+  private[sources] val Marker = "_committed"
+
+  /** Pointer commit for rename-less stores: the version dir is already in
+    * its final location (under `fin`); publishing it = creating the
+    * `_committed` marker with create-exclusive (`overwrite=false`) naming
+    * it. Exactly one concurrent committer's create succeeds; losers read
+    * the winner's name and discard their version dir. On a real object
+    * store the create maps to a conditional PUT (If-None-Match), which is
+    * atomic INCLUDING the content; on the Hadoop FileSystem API the
+    * create→write window can tear (crash mid-commit leaves an EMPTY
+    * marker), so an empty marker is treated as uncommitted: cleared and
+    * the commit retried. Crash BEFORE the marker leaves an orphan `.v-*`
+    * dir that no marker names — never read, rebuilt by the next ensure
+    * (bounded by crash count; sweeping it would race an in-flight
+    * builder, so it is deliberately left). */
+  private[sources] def commitPointer(fs: FileSystem, versionDir: Path,
+      fin: Path): Boolean = {
+    val m = new Path(fin, Marker)
+    var attempts = 0
+    while (attempts < 3) {
+      attempts += 1
+      try {
+        val out = fs.create(m, false) // create-exclusive: the commit point
+        try out.write(versionDir.getName.getBytes("UTF-8")) finally out.close()
+        return true
+      } catch {
+        case e: java.io.IOException =>
+          readMarkerName(fs, m) match {
+            case Some(_) => return false // complete marker: lost the race
+            case None if fs.exists(m) =>
+              // torn marker (a committer crashed between create and
+              // write): names nothing — clear it and retry the commit
+              try fs.delete(m, false)
+              catch { case _: java.io.IOException => () }
+            case None if attempts < 3 => () // transient create failure
+            case None => throw e
+          }
+      }
+    }
+    false
+  }
+
+  private def readMarkerName(fs: FileSystem, m: Path): Option[String] =
+    try {
+      if (!fs.exists(m)) None
+      else {
+        val in = fs.open(m)
+        val s =
+          try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+        if (s.isEmpty) None else Some(s)
+      }
+    } catch { case _: java.io.IOException => None }
 
   // ------------------------------------------------------------------
   // sidecar: enough catalog metadata to re-register every table of the

@@ -124,6 +124,145 @@ class LandingSpec extends SparkTestBase {
     assert(leftovers.isEmpty)
   }
 
+  private def withPointerMode[A](body: => A): A = {
+    val prev = sys.props.get("graft.landing.commit")
+    sys.props("graft.landing.commit") = "pointer"
+    try body
+    finally prev match {
+      case Some(v) => sys.props("graft.landing.commit") = v
+      case None    => sys.props -= "graft.landing.commit"
+    }
+  }
+
+  private def fsRoot = {
+    val root = Landing.stateRoot(spark)
+    (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+  }
+
+  test("pointer mode: ensureLanded commits by marker and warm-starts without rebuild") {
+    withPointerMode {
+      val t = uniq("ptr")
+      var builds = 0
+      def ensure(): Unit = Landing.ensureLanded(spark, t, Seq(t)) { path =>
+        builds += 1
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+          .write.mode("overwrite").format("parquet")
+          .option("path", s"$path/data").saveAsTable(t)
+      }
+      ensure(); ensure()
+      assert(builds === 1)
+      assert(spark.table(t).count() === 3)
+      // registered INSIDE the committed version dir (never renamed)
+      val loc = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+        .location.toString
+      assert(loc.contains(s"/$t/.v-"))
+      val (fs, root) = fsRoot
+      val fin = fs.makeQualified(new org.apache.hadoop.fs.Path(root, t))
+      val committed = Landing.committedDir(fs, fin)
+      assert(committed.isDefined)
+      assert(loc.contains(committed.get.getName))
+      // warm start (fresh catalog): re-register from the sidecar, no rebuild
+      spark.sql(s"DROP TABLE `$t`")
+      Landing.ensureLanded(spark, t, Seq(t)) { _ =>
+        fail("pointer warm start must register from the sidecar, not rebuild")
+      }
+      assert(spark.table(t).count() === 3)
+    }
+  }
+
+  test("pointer mode: exactly one concurrent commit wins; the loser reads the winner") {
+    withPointerMode {
+      val t = uniq("ptrrace")
+      val (fs, root) = fsRoot
+      val fin = fs.makeQualified(new org.apache.hadoop.fs.Path(root, t))
+      fs.mkdirs(fin)
+      val v1 = new org.apache.hadoop.fs.Path(fin, ".v-one")
+      val v2 = new org.apache.hadoop.fs.Path(fin, ".v-two")
+      fs.mkdirs(v1); fs.mkdirs(v2)
+      val w1 = Landing.commitPointer(fs, v1, fin)
+      val w2 = Landing.commitPointer(fs, v2, fin)
+      assert(w1 && !w2)
+      assert(Landing.committedDir(fs, fin).map(_.getName) === Some(".v-one"))
+    }
+  }
+
+  test("pointer mode: crash windows — orphan version dirs rebuild; torn markers clear") {
+    withPointerMode {
+      // crash AFTER the version dir, BEFORE the marker: nothing committed,
+      // so the next ensure rebuilds; the orphan is never read and is
+      // deliberately left (sweeping would race an in-flight builder)
+      val t = uniq("ptrcrash")
+      val (fs, root) = fsRoot
+      val fin = fs.makeQualified(new org.apache.hadoop.fs.Path(root, t))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(fin, ".v-orphan"))
+      var builds = 0
+      Landing.ensureLanded(spark, t, Seq(t)) { path =>
+        builds += 1
+        spark.range(7).toDF("id")
+          .write.mode("overwrite").format("parquet")
+          .option("path", s"$path/data").saveAsTable(t)
+      }
+      assert(builds === 1)
+      assert(spark.table(t).count() === 7)
+      assert(Landing.committedDir(fs, fin).exists(_.getName != ".v-orphan"))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(fin, ".v-orphan")))
+      // crash BETWEEN marker create and write: an EMPTY marker names
+      // nothing — committedDir treats it as uncommitted and the next
+      // commit clears it and succeeds
+      val t2 = uniq("ptrtorn")
+      val fin2 = fs.makeQualified(new org.apache.hadoop.fs.Path(root, t2))
+      fs.mkdirs(fin2)
+      fs.create(new org.apache.hadoop.fs.Path(fin2, Landing.Marker), false).close()
+      val v = new org.apache.hadoop.fs.Path(fin2, ".v-new")
+      fs.mkdirs(v)
+      assert(Landing.committedDir(fs, fin2).isEmpty)
+      assert(Landing.commitPointer(fs, v, fin2))
+      assert(Landing.committedDir(fs, fin2).map(_.getName) === Some(".v-new"))
+    }
+  }
+
+  test("pointer mode: ensureDir returns the committed version dir, stable across calls") {
+    withPointerMode {
+      val a = uniq("ptrdir")
+      var builds = 0
+      def ensure(): String = Landing.ensureDir(spark, a) { p =>
+        builds += 1
+        spark.range(4).toDF("id").write.parquet(s"$p/gen-0")
+      }
+      val p1 = ensure(); val p2 = ensure()
+      assert(builds === 1)
+      assert(p1 === p2)
+      assert(p1.contains("/.v-"))
+      assert(spark.read.parquet(s"$p1/gen-0").count() === 4)
+    }
+  }
+
+  test("a failed build leaks neither its staging dir nor staging-registered tables") {
+    val t = uniq("fail")
+    val boom = intercept[RuntimeException] {
+      Landing.ensureLanded(spark, t, Seq(t)) { path =>
+        Seq((1L, "a")).toDF("id", "v")
+          .write.mode("overwrite").format("parquet")
+          .option("path", s"$path/data").saveAsTable(t)
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(boom.getMessage === "boom")
+    assert(!spark.catalog.tableExists(t))
+    val (fs, root) = fsRoot
+    val leftovers = fs.listStatus(root)
+      .map(_.getPath.getName).filter(_.startsWith(s".staging-$t"))
+    assert(leftovers.isEmpty)
+    // and a subsequent ensure lands cleanly
+    Landing.ensureLanded(spark, t, Seq(t)) { path =>
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"$path/data").saveAsTable(t)
+    }
+    assert(spark.table(t).count() === 2)
+  }
+
   test("ensureDir publishes atomically and is stable across calls") {
     val a = uniq("dir")
     var builds = 0
