@@ -44,13 +44,17 @@ object Bench {
 
     def runOnce(name: String): Option[String] =
       try {
+        // label the query's jobs (guide §1.5) so event-log / UI time is
+        // attributable per operator; cleared after so probe jobs stay
+        // unlabeled
+        spark.sparkContext.setJobDescription(s"bench:$name")
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         None
       } catch {
         case e: Throwable =>
           Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
-      }
+      } finally spark.sparkContext.setJobDescription(null)
 
     val extNames = keep(SparkEntry.benchExtQueries)
     (names ++ extNames).foreach(runOnce) // warm-up pass, unmeasured

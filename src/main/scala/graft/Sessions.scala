@@ -17,10 +17,19 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
   def local(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Opt-in event log (SPARK_GRAFT_EVENTLOG_DIR): job/stage-level time
+    // attribution while optimizing — parse JobStart/JobEnd + descriptions
+    // offline. Off by default; the driver's bench runs are unaffected.
+    val evDir = sys.env.get("SPARK_GRAFT_EVENTLOG_DIR")
+    evDir.foreach(d => java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(d)))
     val spark = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.eventLog.enabled", evDir.isDefined.toString)
+      .config("spark.eventLog.dir", evDir.map("file://" + _)
+        .getOrElse("/tmp/spark-events"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Input parquet may carry isAdjustedToUTC=false timestamps; read them

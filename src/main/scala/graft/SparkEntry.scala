@@ -3327,13 +3327,18 @@ object SparkEntry {
         |)
         |SELECT doc_id, len(w) AS n_tokens,
         |  len(w) - len(kept) AS n_removed,
-        |  array_to_string(kept, ' ') AS clean_text
+        |  coalesce(array_to_string(kept, ' '), '') AS clean_text
         |FROM (
         |  SELECT c.doc_id, c.w,
         |    list_transform(list_filter(range(1, len(c.w) + 1),
         |      i -> len(list_filter(COALESCE(p.ps, []), q -> i >= q AND i <= q + 7)) = 0),
         |      i -> c.w[i]) AS kept
         |  FROM ctoks c LEFT JOIN ps p USING (doc_id))""".stripMargin,
+    // ^ r17 correctness fix: DuckDB's array_to_string over an EMPTY kept
+    // list yields NULL where Spark's concat of zero kept tokens yields ''
+    // — fires when a doc is scrubbed to nothing (sf0.001 doc 50, whose
+    // every token sits inside a flagged 8-gram window). dedup_span_scrub
+    // already carried the coalesce; this entry had the latent form.
     // Per-source curation report: every rate divides exact integers
     // (dup = fingerprint held by an earlier doc; keep = the shared
     // qualityKeep rule replayed verbatim — FALSE AND NULL = FALSE on
@@ -3512,29 +3517,23 @@ object SparkEntry {
         |      / (len(c.s) + len(e.s) - len(list_intersect(c.s, e.s))) AS jac
         |  FROM sh c CROSS JOIN esh e
         |) WHERE jac >= 0.7""".stripMargin,
-    // SimHash's only SQL-expressible ground truth: over a corpus planted
-    // with VERBATIM copies, Hamming-0 pairs are exactly the pairs whose
-    // TOKEN SEQUENCES match (identical token sequence ⇒ identical shingle
-    // windows ⇒ identical fingerprint) — the join key is the tokenizer's
-    // canonical form, not raw text, since shingling is case/punctuation/
-    // whitespace-insensitive. The converse (hamming 0 without equal
-    // sequences) needs a same-window-SET permutation or a 64-bit
-    // collision, ~|pairs|·2⁻⁶⁴. This hash-checks the whole pipeline on a
-    // hash-independent ground truth; the near-dup variant (dedup_simhash)
-    // is additionally checked against the generated XXH64-exact oracle
-    // (graft.oracle.SimhashOracle).
-    "dedup_simhash_exact" ->
-      """WITH base AS (
-        |  SELECT doc_id,
-        |    array_to_string(list_filter(
-        |      string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0), ' ') AS toks
-        |  FROM (
-        |    SELECT doc_id, text FROM documents
-        |    UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0
-        |  )
-        |)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0 AS hamming
-        |FROM base a JOIN base b ON a.doc_id < b.doc_id AND a.toks = b.toks""".stripMargin,
+    // r17 correctness fix (found by the round's sf0.001 oracle sweep):
+    // the previous hand-written oracle modeled Hamming-0 pairs as equal
+    // token SEQUENCES, claiming the converse needed a ~2⁻⁶⁴ collision.
+    // That rarity argument holds for a UNIFORM hash, not for simhash —
+    // a bitwise MAJORITY VOTE that is deliberately robust to small
+    // edits: at sf0.001, docs 474/498 differ by one trailing token (96
+    // vs 95) yet fingerprint identically, so the engine correctly
+    // reports the pair and the token-equality oracle missed it. The
+    // oracle is now the same faithful XXH64→simhash replay as
+    // dedup_simhash (graft.oracle.SimhashOracle), with this entry's
+    // planted-exact base and the Hamming-0 cut. sf0.01 output is
+    // unchanged (no natural collision exists there — the entry's hash
+    // history stays intact); sf0.001 now matches.
+    "dedup_simhash_exact" -> graft.oracle.SimhashOracle.pairsSql(0,
+      """SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0""".stripMargin),
     // Score formula mirrors the cosine_sim kernel bit-exactly (double-cast
     // inner products, dot/sqrt(na*nb)); DuckDB's builtin
     // list_cosine_similarity accumulates in float and diverges at 1e-7.

@@ -99,6 +99,56 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
     copy(left = newLeft, right = newRight)
 }
 
+/** `nearest_cell(array<float>)` → bigint: the id of the cosine-nearest
+  * centroid among a COLLECTED centroid set, evaluated entirely scan-side
+  * ([[VectorKernels.nearestCell]] — same doubles, same NaN-greatest /
+  * tie-to-smaller-id total order as the `max_by` aggregate form it
+  * replaces). The centroid arrays ride the plan as codegen reference
+  * objects (the broadcast-equivalent byte budget); no join, no exchange,
+  * no per-candidate row blow-up — one corpus scan emits the assignment.
+  * Equality/canonicalization note: the arrays are compared by the
+  * deterministic `centsKey` fingerprint, not reference identity, so
+  * identical plans still dedup. */
+case class NearestCellId(child: Expression, ids: Array[Long],
+    cents: Array[Array[Float]]) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_cell"
+  override def checkInputDataTypes(): TypeCheckResult =
+    expect(prettyName, isFloatArray(child.dataType), "array<float>", Seq(child.dataType))
+
+  // deterministic value fingerprint so equals/hashCode don't fall back to
+  // array reference identity (Catalyst compares expressions structurally)
+  private lazy val centsKey: Long = {
+    var h = 1125899906842597L
+    var j = 0
+    while (j < ids.length) {
+      h = 31 * h + ids(j)
+      val c = cents(j); var i = 0
+      while (i < c.length) { h = 31 * h + java.lang.Float.floatToIntBits(c(i)); i += 1 }
+      j += 1
+    }
+    h
+  }
+  override def equals(other: Any): Boolean = other match {
+    case o: NearestCellId => o.child == child && o.centsKey == centsKey
+    case _ => false
+  }
+  override def hashCode(): Int = (child, centsKey).hashCode()
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.nearestCell(input.asInstanceOf[ArrayData], ids, cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("nearestCellIds", ids, "long[]")
+    val centsRef = ctx.addReferenceObj("nearestCellCents", cents, "float[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.nearestCell($c, $idsRef, $centsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellId =
+    copy(child = newChild)
+}
+
 /** `dot_f(array<float>, array<float>)` → double. */
 case class DotProductF(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType

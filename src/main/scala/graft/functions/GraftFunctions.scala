@@ -31,6 +31,10 @@ object GraftFunctions {
   }
 
   def cosineSim(a: Column, b: Column): Column = col(CosineSimilarity(expr(a), expr(b)))
+  /** Scan-side nearest-centroid argmax over a collected centroid set
+    * (see [[NearestCellId]] — the zero-shuffle assignment primitive). */
+  def nearestCell(e: Column, ids: Array[Long], cents: Array[Array[Float]]): Column =
+    col(NearestCellId(expr(e), ids, cents))
   def dotF(a: Column, b: Column): Column = col(DotProductF(expr(a), expr(b)))
   def minhashSig(c: Column, k: Int, seed: Long): Column = col(MinHashSig(expr(c), k, seed))
   def simhash64(c: Column): Column = col(SimHash64(expr(c)))

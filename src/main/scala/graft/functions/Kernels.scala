@@ -36,6 +36,54 @@ object VectorKernels {
     while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     s
   }
+
+  /** Spark SQL's double comparison semantics (SQLOrderingUtil): IEEE
+    * equality first (so -0.0 == 0.0), else `Double.compare` (so NaN is
+    * GREATER than every non-NaN and equal to itself) — the exact total
+    * order `max_by(_, struct(cs, …))` aggregates under. Replicated here
+    * so the scan-side argmax below is bit-equivalent to the aggregate
+    * form it replaces. */
+  private def cmpDouble(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+
+  /** Scan-side nearest-centroid argmax — the zero-shuffle replacement
+    * for `crossJoin(broadcast(centroids)) → groupBy(id).agg(max_by(cell,
+    * struct(cs, -cell)))`: per row, score every centroid with the SAME
+    * double-accumulated cosine as [[cosine]] (identical loop order, so
+    * identical doubles) and keep the best under the SAME total order
+    * (cosine DESC with Spark's NaN-greatest double semantics, ties to
+    * the SMALLER cell id). The aggregate form shuffles one row per
+    * corpus vector — embedding payload included — per assignment; this
+    * form emits the winning cell id in the scan stage and shuffles
+    * nothing. Centroids arrive as plain arrays (collected by the caller
+    * — the same driver/executor byte budget the broadcast already paid,
+    * since a broadcast relation is collected to the driver first). */
+  def nearestCell(e: ArrayData, ids: Array[Long],
+      cents: Array[Array[Float]]): Long = {
+    val ne = e.numElements()
+    var bestId = 0L
+    var bestCs = 0.0
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val n = math.min(ne, c.length)
+      var dotv = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = e.getFloat(i).toDouble
+        val y = c(i).toDouble
+        dotv += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val cs = dotv / math.sqrt(na * nb)
+      val cmp = if (j == 0) 1 else cmpDouble(cs, bestCs)
+      if (cmp > 0 || (cmp == 0 && ids(j) < bestId)) {
+        bestCs = cs; bestId = ids(j)
+      }
+      j += 1
+    }
+    bestId
+  }
 }
 
 object HashKernels {

@@ -133,29 +133,59 @@ object Similarity {
       .withColumnRenamed("col", "bucket")
   }
 
+  /** Collect a bounded centroid frame to driver arrays for the scan-side
+    * argmax ([[graft.functions.NearestCellId]]). Same byte budget as the
+    * `broadcast(centroids)` it replaces — a broadcast relation is
+    * collected to the driver before shipping — paid at the SAME sites
+    * (every argmax side here is bounded by the r15 sizing contract:
+    * ≤ [[FlatTrainerMaxSeeds]] trainer frontiers, √N IVF cell sets, ⌈√k⌉
+    * coarse levels). Sorted by id so the expression fingerprint — and
+    * the argmax scan order — is deterministic. */
+  private def collectCellArrays(cents: DataFrame, idCol: String,
+      embCol: String): (Array[Long], Array[Array[Float]]) = {
+    val rows = cents.select(col(idCol).cast("long"), col(embCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    (rows.map(_._1), rows.map(_._2))
+  }
+
+  /** The scan-side assignment shared by [[ivfAssign]] /
+    * [[ivfAssignHierWith]] / the flat trainer: one [[collectCellArrays]]
+    * job, then a single projection — no join, no exchange, no
+    * per-candidate row blow-up. An empty centroid set keeps the old
+    * crossJoin semantics (empty result). */
+  private def assignScan(emb: DataFrame, cents: DataFrame,
+      centIdCol: String, centEmbCol: String, embCol: String,
+      outIdCol: String, outCols: Seq[String]): DataFrame = {
+    val (ids, vecs) = collectCellArrays(cents, centIdCol, centEmbCol)
+    val base =
+      if (ids.isEmpty) emb.filter(lit(false))
+        .withColumn(outIdCol, lit(null).cast("long"))
+      else emb.withColumn(outIdCol,
+        GraftFunctions.nearestCell(col(embCol), ids, vecs))
+    base.select(outCols.map(col): _*)
+  }
+
   /** IVF (inverted-file) coarse quantization: assign every vector to its
     * nearest centroid's cell. Real IVF trains centroids with k-means; here
     * the centroid set is a deterministic corpus subset (every 37th vector)
     * so the index is reproducible and oracle-checkable — the quantize/
     * probe/search plan shape is identical either way.
     *
-    * The centroid "join" is a broadcast nested-loop over a CONSTANT-sized
-    * side (|centroids| vectors) — a deliberate bounded cross, not a
-    * data×data cartesian: cost is |corpus|·|centroids| scan-side scores,
-    * the embarrassingly parallel index build every IVF system pays. The
-    * argmax is a `max_by` two-phase aggregate (one row per vector crosses
-    * the shuffle), not a rank window over all pairs. */
+    * Round 17: the argmax is evaluated SCAN-SIDE ([[assignScan]] — the
+    * centroid set rides the plan as a codegen reference object, the same
+    * collected bytes the previous `broadcast` shipped). The old spelling
+    * — broadcast nested-loop to |corpus|·|centroids| rows, then a
+    * `max_by` two-phase aggregate — shuffled one row PER CORPUS VECTOR,
+    * embedding payload included, purely to re-group candidate rows the
+    * scan had just fanned out; at 100 TB that is a full corpus shuffle
+    * per assignment (guide §2.4 "remove shuffles outright"). Scores,
+    * tie-breaks (cosine DESC, cell ASC) and NaN ordering are
+    * bit-identical to the aggregate form ([[graft.functions.VectorKernels.nearestCell]]);
+    * cost is the same |corpus|·|centroids| scan-side scores, now with no
+    * exchange behind them. */
   def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cell_id"),
-        GraftFunctions.cosineSim(col("embedding"), col("c_emb")).as("cs"))
-      .groupBy("vec_id")
-      // tie-break on smaller cell_id (negated id in the ordering struct)
-      // so assignment is deterministic and matches the oracle's
-      // ORDER BY cs DESC, cell_id ASC
-      .agg(
-        max_by(col("cell_id"), struct(col("cs"), -col("cell_id"))).as("cell_id"),
-        first(col("embedding")).as("embedding"))
+    assignScan(emb, centroids, "cell_id", "c_emb", "embedding",
+      "cell_id", Seq("vec_id", "cell_id", "embedding"))
 
   /** TWO-LEVEL (hierarchical) cell assignment — the O(N·√k) form of
     * [[ivfAssign]] for the k ∝ N regime (SemDedup-class sizing trains
@@ -258,12 +288,11 @@ object Similarity {
             .select(col("vec_id"), col("c_emb").as("embedding")),
           initEvery = s.toInt)
           .select(col("cell_id").as("g_id"), col("c_emb").as("g_emb"))
-    val grouped = centroids.crossJoin(broadcast(coarse))
-      .select(col("cell_id"), col("c_emb"), col("g_id"),
-        GraftFunctions.cosineSim(col("c_emb"), col("g_emb")).as("gs"))
-      .groupBy("cell_id")
-      .agg(max_by(col("g_id"), struct(col("gs"), -col("g_id"))).as("g_id"),
-        first(col("c_emb")).as("c_emb"))
+    // regroup via the scan-side argmax (r17): same scores and (gs DESC,
+    // g_id ASC) tie-break as the old crossJoin + max_by aggregate, with
+    // the k-row exchange it paid removed — see ivfAssign's scaladoc
+    val grouped = assignScan(centroids, coarse, "g_id", "g_emb", "c_emb",
+        "g_id", Seq("cell_id", "g_id", "c_emb"))
       .localCheckpoint()
     // completeness (see ivfAssignHier's scaladoc): a coarse centroid
     // the regroup emptied must not be a stage-1 target
@@ -306,12 +335,12 @@ object Similarity {
     * of `emb` against a prebuilt [[hierIndex]] pair. */
   def ivfAssignHierWith(emb: DataFrame, coarseLive: DataFrame,
       grouped: DataFrame): DataFrame = {
-    val v1 = emb.crossJoin(broadcast(coarseLive))
-      .select(col("vec_id"), col("embedding"), col("g_id"),
-        GraftFunctions.cosineSim(col("embedding"), col("g_emb")).as("gs"))
-      .groupBy("vec_id")
-      .agg(max_by(col("g_id"), struct(col("gs"), -col("g_id"))).as("g_id"),
-        first(col("embedding")).as("embedding"))
+    // stage 1 via the scan-side argmax (r17): the ⌈√k⌉ coarse set is the
+    // bounded side, so the group pick needs no exchange at all — the old
+    // crossJoin + max_by shuffled one embedding-carrying row per vector
+    // before the member join (see ivfAssign's scaladoc)
+    val v1 = assignScan(emb, coarseLive, "g_id", "g_emb", "embedding",
+      "g_id", Seq("vec_id", "g_id", "embedding"))
     // no broadcast hint: grouped is k rows and k ∝ N here — AQE chooses
     v1.join(grouped, Seq("g_id"))
       .select(col("vec_id"), col("embedding"), col("cell_id"),
@@ -379,16 +408,13 @@ object Similarity {
 
   private def kmeansIterFlat(emb: DataFrame, init: DataFrame,
       iters: Int): DataFrame = {
+    // each iteration's assignment is exactly ivfAssign against the
+    // current frontier — scan-side argmax (r17), so the only exchange
+    // per iteration is recenter's k·dim (cell, lane) partial-agg rows;
+    // the old spelling also shuffled the full corpus (with embeddings)
+    // through the per-vector argmax aggregate every iteration
     var cent = init
-    for (_ <- 1 to iters) {
-      val assigned = emb.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("embedding"), col("cell_id"),
-          GraftFunctions.cosineSim(col("embedding"), col("c_emb")).as("cs"))
-        .groupBy("vec_id")
-        .agg(max_by(col("cell_id"), struct(col("cs"), -col("cell_id"))).as("cell_id"),
-          first(col("embedding")).as("embedding"))
-      cent = recenter(assigned)
-    }
+    for (_ <- 1 to iters) cent = recenter(ivfAssign(emb, cent))
     cent
   }
 
@@ -1289,8 +1315,21 @@ object Similarity {
     * form. */
   def topKPqIvfTrained(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    // The two quantizer trainings are INDEPENDENT job chains (the coarse
+    // k-means never reads the codebook and vice versa — the raw-vector
+    // book, unlike the residual form's). Overlap them from a second
+    // driver thread (guide §2.6): each trainer is a sequence of
+    // small-result barriers whose tails leave most executor slots idle,
+    // and the scheduler back-fills those slots with the other trainer's
+    // jobs. Results are unchanged — same two trainings, same inputs.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val bookF = Future(pqCodebookTrained(emb))
+    val cents = kmeansCentroidsAuto(emb)
+    val book = Await.result(bookF, Duration.Inf)
     topKPqIvfWith(emb, defaultQueries(emb), k, nprobe = 4, m = 8, subDim = 8,
-      kmeansCentroidsAuto(emb), pqCodebookTrained(emb))
+      cents, book)
   }
 
   /** Coarse-cell RESIDUALS — r = e − c(cell(e)), computed in DOUBLE so
@@ -1376,13 +1415,18 @@ object Similarity {
     * per-subspace Lloyd's over the RESIDUAL table (training on
     * residuals is the point — a book trained on raw vectors wastes its
     * cells on between-cell variance the coarse quantizer already
-    * removed). The residual table is computed twice (once feeding the
-    * trainer, once the encode) — the retrain entry's documented cost;
-    * a landed form would persist it with the other artifacts. */
+    * removed). The residual table feeds TWO consumers — the codebook
+    * trainer and the encode — and until r17 was computed twice (a full
+    * assignment + subtraction pass each, the then-documented retrain
+    * cost). It is now pinned ONCE (localCheckpoint — the multi-consumer
+    * mid-plan convention shared with `modularityDocs`; byte bound:
+    * corpus × (dim doubles + ids), executor-local — the same
+    * materialization a landed build writes as parquet anyway). One full
+    * assignment + subtraction pass saved per rebuild. */
   def topKPqIvfResTrained(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
     val cents = kmeansCentroidsAuto(emb)
-    val resid = residuals(emb, cents)
+    val resid = residuals(emb, cents).localCheckpoint()
     val book = pqCodebookTrained(resid.select("vec_id", "embedding"))
     searchIvfPqResIndex(ivfPqResIndexRows(resid, m = 8, subDim = 8, book),
       defaultQueries(emb), k, nprobe = 4, m = 8, subDim = 8, cents, book)

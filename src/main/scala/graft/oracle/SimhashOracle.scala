@@ -135,11 +135,21 @@ object SimhashOracle {
 
   /** The dedup_simhash oracle over the planted near-dup corpus: all pairs
     * within Hamming ≤ `maxHamming` of the exact fingerprints. */
-  def pairsSql(maxHamming: Int = 3): String =
-    s"""WITH base AS (
-       |  SELECT doc_id, text FROM documents
+  /** `baseSql` is the corpus CTE body — parameterized (r17) because BOTH
+    * simhash entries need the faithful fingerprint replay: the r16-era
+    * `dedup_simhash_exact` oracle modeled Hamming-0 pairs as equal token
+    * SEQUENCES, which under-counts — simhash is a majority vote over
+    * window hashes, deliberately robust to small edits, so two documents
+    * differing by one trailing token can (and at sf0.001 do: docs
+    * 474/498) collide at Hamming 0 without equal sequences. The 2⁻⁶⁴
+    * rarity argument in the old comment applied to a UNIFORM hash, not
+    * to simhash. */
+  def pairsSql(maxHamming: Int = 3,
+      baseSql: String = """SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 1000000, text || ' graftdup' FROM documents WHERE doc_id % 10 = 0
+       |  SELECT doc_id + 1000000, text || ' graftdup' FROM documents WHERE doc_id % 10 = 0""".stripMargin): String =
+    s"""WITH base AS (
+       |  $baseSql
        |), $shingleFpSql
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming

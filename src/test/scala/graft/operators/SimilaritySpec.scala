@@ -35,6 +35,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("ivfAssign: scan-side argmax ≡ the crossJoin+max_by aggregate, NaN and tie edges included") {
+    // r17 replaced the assignment's broadcast-cross + per-vector max_by
+    // shuffle with the scan-side NearestCellId expression; this law pins
+    // the two formulations equal on the edges where they could diverge:
+    // a zero-norm vector (every cosine NaN — Spark's double order ranks
+    // NaN greatest and equal to itself, so the tie-break to the SMALLER
+    // cell id decides) and duplicated centroid vectors (exact score tie).
+    val base = corpus ++ Seq(
+      (900L, Array.fill(32)(0f)),            // zero-norm → all-NaN scores
+      (901L, corpus(3)._2.clone()))          // exact twin of a centroid
+    val emb = base.toDF("vec_id", "embedding")
+    // duplicate centroid vectors under two distinct ids → score ties
+    val cents = Seq((3L, corpus(3)._2), (17L, corpus(17)._2),
+      (23L, corpus(3)._2), (40L, corpus(40)._2))
+      .toDF("cell_id", "c_emb")
+    val got = Similarity.ivfAssign(emb, cents)
+      .select("vec_id", "cell_id").as[(Long, Long)].collect().toSet
+    val want = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cell_id"),
+        graft.functions.GraftFunctions.cosineSim(col("embedding"), col("c_emb")).as("cs"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell_id"), struct(col("cs"), -col("cell_id"))).as("cell_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == want)
+    // the zero-norm row must tie-break to the smallest cell id, and the
+    // centroid twin must land on the smaller of the two duplicate ids
+    assert(got.contains((900L, 3L)) && got.contains((901L, 3L)))
+  }
+
   test("hardNegatives bands out probable duplicates, keeps the best of the rest") {
     // plant a near-twin of query 0: it would top the plain cosine cut
     // but sits above the dup ceiling, so mining must skip it
@@ -755,18 +784,19 @@ class SimilaritySpec extends SparkTestBase {
   }
 
   test("ivfAssignHier: no forced hint on the k-proportional grouped join") {
-    // the ONLY allowed hint is the stage-1 broadcast of the ⌈√k⌉-row
-    // live coarse set; the grouped member table is k rows and k ∝ N in
-    // the operator's target regime — a forced broadcast there is the
-    // decontaminateScrub OOM class (round-13 advisory). AQE picks the
-    // strategy for that join instead.
+    // the grouped member table is k rows and k ∝ N in the operator's
+    // target regime — a forced broadcast there is the decontaminateScrub
+    // OOM class (round-13 advisory); AQE picks that join's strategy.
+    // Since r17 stage 1 is the scan-side argmax (no join at all), so the
+    // plan must carry ZERO forced hints — and zero broadcast joins on
+    // any k-proportional side.
     val emb = corpus.toDF("vec_id", "embedding")
     val cent = Similarity.defaultCentroids(emb)
     val plan = Similarity.ivfAssignHier(emb, cent)
       .queryExecution.analyzed.toString
     val hints = "ResolvedHint".r.findAllIn(plan).size
-    assert(hints == 1,
-      s"expected exactly the coarse-side broadcast hint, got $hints:\n$plan")
+    assert(hints == 0,
+      s"expected no forced hints (stage 1 is scan-side since r17), got $hints:\n$plan")
   }
 
   test("ivfAssignHier: deterministic, complete, and exact-tracking on clusterable data") {
