@@ -129,8 +129,15 @@ case class NearestCellId(child: Expression, ids: Array[Long],
     }
     h
   }
+  // equals is STRUCTURAL (r17 advisory): centsKey alone would let a 2^-64
+  // fingerprint collision silently substitute one centroid set for another
+  // via Catalyst subexpression elimination / plan dedup; the key stays the
+  // cheap hashCode, equality checks the payload (bounded by contract).
   override def equals(other: Any): Boolean = other match {
-    case o: NearestCellId => o.child == child && o.centsKey == centsKey
+    case o: NearestCellId => o.child == child && o.centsKey == centsKey &&
+      java.util.Arrays.equals(o.ids, ids) &&
+      o.cents.length == cents.length &&
+      cents.indices.forall(i => java.util.Arrays.equals(o.cents(i), cents(i)))
     case _ => false
   }
   override def hashCode(): Int = (child, centsKey).hashCode()
@@ -147,6 +154,172 @@ case class NearestCellId(child: Expression, ids: Array[Long],
 
   override protected def withNewChildInternal(newChild: Expression): NearestCellId =
     copy(child = newChild)
+}
+
+/** `nearest_cell_in(array<float>, array<struct<cell_id bigint, c_emb
+  * array<float>>>)` → bigint: the stage-2 argmax of the two-level
+  * assignment, evaluated scan-side against the vector's own coarse
+  * group's member array ([[VectorKernels.nearestCellIn]] — same doubles,
+  * same (cosine DESC, cell ASC) total order, same null ordering as the
+  * `max_by(cell, struct(cs, -cell))` aggregate it replaces). The member
+  * array rides each joined row, so the per-vector argmax needs NO
+  * re-grouping exchange of the corpus and no |group|-way row fan-out:
+  * one projection after the group equi-join emits the cell. */
+case class NearestCellIn(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_cell_in"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val memberOk = right.dataType match {
+      case ArrayType(StructType(fields), _) if fields.length == 2 =>
+        fields(0).dataType.isInstanceOf[LongType] && isFloatArray(fields(1).dataType)
+      case _ => false
+    }
+    expect(prettyName, isFloatArray(left.dataType) && memberOk,
+      "(array<float>, array<struct<bigint, array<float>>>)",
+      Seq(left.dataType, right.dataType))
+  }
+
+  override def nullSafeEval(e: Any, m: Any): Any =
+    VectorKernels.nearestCellIn(e.asInstanceOf[ArrayData], m.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (e, m) =>
+      s"${ev.value} = graft.functions.VectorKernels.nearestCellIn($e, $m);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCellIn =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Shared payload of the PQ codebook-literal expressions: the per-sub
+  * sorted cell ids, centroid arrays, and ‖c‖² terms (precomputed with the
+  * SAME Scala `.sum` fold the literal tree used), plus the deterministic
+  * fingerprint [[NearestCellId]]-style equality rides on. */
+private[functions] object PqBookRef {
+  def sumSq(cents: Array[Array[Array[Double]]]): Array[Array[Double]] =
+    cents.map(_.map(cv => cv.map(x => x * x).sum))
+  def key(ids: Array[Array[Long]], cents: Array[Array[Array[Double]]]): Long = {
+    var h = 1125899906842597L
+    var s = 0
+    while (s < ids.length) {
+      val is = ids(s); val cs = cents(s)
+      var c = 0
+      while (c < is.length) {
+        h = 31 * h + is(c)
+        val cv = cs(c); var i = 0
+        while (i < cv.length) {
+          h = 31 * h + java.lang.Double.doubleToLongBits(cv(i)); i += 1
+        }
+        c += 1
+      }
+      s += 1
+    }
+    h
+  }
+  def same(aIds: Array[Array[Long]], aC: Array[Array[Array[Double]]],
+      bIds: Array[Array[Long]], bC: Array[Array[Array[Double]]]): Boolean =
+    aIds.length == bIds.length &&
+      aIds.indices.forall(s => java.util.Arrays.equals(aIds(s), bIds(s))) &&
+      aC.length == bC.length &&
+      aC.indices.forall(s => aC(s).length == bC(s).length &&
+        aC(s).indices.forall(c => java.util.Arrays.equals(aC(s)(c), bC(s)(c))))
+  def isVec(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  def isDoubleVec(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) => true; case _ => false
+  }
+}
+
+/** `pq_codes(array<float|double>)` → array<bigint>: all m PQ subspace
+  * codes of one vector, evaluated scan-side against a codebook carried as
+  * a codegen reference object ([[VectorKernels.pqCodes]] — bit-equivalent
+  * to the `array_min(array(struct(‖c‖²−2·e_s·c, cell), …))` literal tree
+  * it replaces). The literal spelling planned m·kc candidate structs with
+  * a zip_with-fold dot EACH (m=8, kc=16 → a ~10⁵-char expression tree per
+  * encode site): semantically fine, but every materialization re-planned
+  * and re-codegen'd that tree — the dominant constant of the PQ entries
+  * (guide §1.2 step 2 / §4: make the per-task code cheap once the job
+  * shape is right). */
+case class PqEncodeCodes(child: Expression, subDim: Int,
+    ids: Array[Array[Long]], cents: Array[Array[Array[Double]]])
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+  override def checkInputDataTypes(): TypeCheckResult =
+    expect(prettyName, PqBookRef.isVec(child.dataType),
+      "array<float> or array<double>", Seq(child.dataType))
+
+  private lazy val isDouble = PqBookRef.isDoubleVec(child.dataType)
+  @transient private lazy val sq = PqBookRef.sumSq(cents)
+  private lazy val bookKey: Long = PqBookRef.key(ids, cents)
+  override def equals(other: Any): Boolean = other match {
+    case o: PqEncodeCodes => o.child == child && o.subDim == subDim &&
+      o.bookKey == bookKey && PqBookRef.same(o.ids, o.cents, ids, cents)
+    case _ => false
+  }
+  override def hashCode(): Int = (child, subDim, bookKey).hashCode()
+
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.pqCodes(input.asInstanceOf[ArrayData], isDouble, subDim,
+      ids, cents, sq)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("pqIds", ids, "long[][]")
+    val centsRef = ctx.addReferenceObj("pqCents", cents, "double[][][]")
+    val sqRef = ctx.addReferenceObj("pqSumSq", sq, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernels.pqCodes($c, $isDouble, " +
+        s"$subDim, $idsRef, $centsRef, $sqRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeCodes =
+    copy(child = newChild)
+}
+
+/** `pq_cell(sub, sv)` → bigint: one subspace's PQ argmin code for a
+  * subvector row, the trainer-iteration form of [[PqEncodeCodes]] (the
+  * subs table carries (sub, sv) rows; the codebook rides as a reference
+  * object). Same kernel, same tie/null semantics. */
+case class PqAssignCell(left: Expression, right: Expression,
+    ids: Array[Array[Long]], cents: Array[Array[Array[Double]]])
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_cell"
+  override def checkInputDataTypes(): TypeCheckResult =
+    expect(prettyName,
+      left.dataType.isInstanceOf[IntegerType] && PqBookRef.isVec(right.dataType),
+      "(int, array<float> or array<double>)", Seq(left.dataType, right.dataType))
+
+  private lazy val isDouble = PqBookRef.isDoubleVec(right.dataType)
+  @transient private lazy val sq = PqBookRef.sumSq(cents)
+  private lazy val bookKey: Long = PqBookRef.key(ids, cents)
+  override def equals(other: Any): Boolean = other match {
+    case o: PqAssignCell => o.left == left && o.right == right &&
+      o.bookKey == bookKey && PqBookRef.same(o.ids, o.cents, ids, cents)
+    case _ => false
+  }
+  override def hashCode(): Int = (left, right, bookKey).hashCode()
+
+  override def nullSafeEval(sub: Any, sv: Any): Any = {
+    val s = sub.asInstanceOf[Int]
+    val v = sv.asInstanceOf[ArrayData]
+    VectorKernels.pqCell(v, isDouble, 0, cents(s)(0).length, ids(s), cents(s), sq(s))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("pqIds", ids, "long[][]")
+    val centsRef = ctx.addReferenceObj("pqCents", cents, "double[][][]")
+    val sqRef = ctx.addReferenceObj("pqSumSq", sq, "double[][]")
+    nullSafeCodeGen(ctx, ev, (s, v) =>
+      s"${ev.value} = graft.functions.VectorKernels.pqCell($v, $isDouble, 0, " +
+        s"$centsRef[$s][0].length, $idsRef[$s], $centsRef[$s], $sqRef[$s]);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAssignCell =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `dot_f(array<float>, array<float>)` → double. */

@@ -35,6 +35,20 @@ object GraftFunctions {
     * (see [[NearestCellId]] — the zero-shuffle assignment primitive). */
   def nearestCell(e: Column, ids: Array[Long], cents: Array[Array[Float]]): Column =
     col(NearestCellId(expr(e), ids, cents))
+  /** Stage-2 scan-side argmax over a row-carried member array (see
+    * [[NearestCellIn]]). */
+  def nearestCellIn(e: Column, members: Column): Column =
+    col(NearestCellIn(expr(e), expr(members)))
+  /** All m PQ subspace codes against a reference-object codebook (see
+    * [[PqEncodeCodes]]). */
+  def pqCodes(e: Column, subDim: Int, ids: Array[Array[Long]],
+      cents: Array[Array[Array[Double]]]): Column =
+    col(PqEncodeCodes(expr(e), subDim, ids, cents))
+  /** One subspace's PQ argmin code for a (sub, subvector) row (see
+    * [[PqAssignCell]]). */
+  def pqCell(sub: Column, sv: Column, ids: Array[Array[Long]],
+      cents: Array[Array[Array[Double]]]): Column =
+    col(PqAssignCell(expr(sub), expr(sv), ids, cents))
   def dotF(a: Column, b: Column): Column = col(DotProductF(expr(a), expr(b)))
   def minhashSig(c: Column, k: Int, seed: Long): Column = col(MinHashSig(expr(c), k, seed))
   def simhash64(c: Column): Column = col(SimHash64(expr(c)))
@@ -51,6 +65,12 @@ object GraftFunctions {
     * map-side-cut replacement for a rank-window top-k (see TopKByScore). */
   def topKBy(score: Column, id: Column, k: Int): Column =
     col(TopKByScore(expr(score), expr(id), k).toAggregateExpression())
+
+  /** Exact integer moment relation in ONE partial-merge buffer (see
+    * [[MomentSums]] — the whitening moment pass without the d(d+1)/2
+    * row fan-out). */
+  def momentSums(mi: Column): Column =
+    col(MomentSums(expr(mi)).toAggregateExpression())
 
   /** First 32 bits of md5(c) as a long — THE deterministic-uniform
     * primitive every hash-draw operator shares (stratified/weighted

@@ -84,6 +84,108 @@ object VectorKernels {
     }
     bestId
   }
+
+  /** [[nearestCell]] over a ROW-CARRIED member array — the stage-2 argmax
+    * of the two-level assignment evaluated scan-side: `members` is an
+    * array of (cell_id bigint, c_emb array<float>) structs (one coarse
+    * group's member centroids, pre-grouped once per centroid set), and
+    * the result is the member id maximizing (cosine, then SMALLER id)
+    * under the same total order as [[nearestCell]] / the
+    * `max_by(cell, struct(cs, -cell))` aggregate this replaces. The
+    * comparison is a total order, so the result is independent of member
+    * order (collect_list order is partitioning-dependent). Null member
+    * embeddings replicate the aggregate's null-ordering: a null cosine
+    * sorts below every value (NaN included), ties among nulls to the
+    * smaller id. */
+  def nearestCellIn(e: ArrayData, members: ArrayData): Long = {
+    val ne = e.numElements()
+    val nm = members.numElements()
+    var bestId = 0L
+    var bestCs = 0.0
+    var bestNull = true
+    var first = true
+    var j = 0
+    while (j < nm) {
+      val row = members.getStruct(j, 2)
+      val id = row.getLong(0)
+      if (row.isNullAt(1)) {
+        if (first || (bestNull && id < bestId)) { bestId = id; first = false }
+      } else {
+        val c = row.getArray(1)
+        val n = math.min(ne, c.numElements())
+        var dotv = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < n) {
+          val x = e.getFloat(i).toDouble
+          val y = c.getFloat(i).toDouble
+          dotv += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        val cs = dotv / math.sqrt(na * nb)
+        val cmp = if (first || bestNull) 1 else cmpDouble(cs, bestCs)
+        if (cmp > 0 || (cmp == 0 && id < bestId)) {
+          bestCs = cs; bestId = id; bestNull = false; first = false
+        }
+      }
+      j += 1
+    }
+    bestId
+  }
+
+  /** One PQ subspace's argmin code — the kernel behind
+    * [[graft.functions.PqEncodeCodes]] / [[graft.functions.PqAssignCell]],
+    * bit-equivalent to the literal-tree spelling it replaces
+    * (`array_min` over `struct(‖c‖² − 2·e_s·c, cell)` candidates built
+    * from plan literals): the dot is the same left-to-right double fold
+    * as `aggregate(zip_with(...))`, ‖c‖² arrives precomputed by the SAME
+    * Scala `.sum` fold, comparison is SQL double ordering (d ASC
+    * nulls-excluded-by-construction, NaN greatest), ties to the SMALLER
+    * cell id. Short or null-holed slices replicate Spark's
+    * null-propagation exactly: `zip_with` pads a short slice with nulls,
+    * nulling the dot — and therefore d — for EVERY cell of the subspace,
+    * and a null-d struct sorts FIRST in array_min with ties to the
+    * smaller cell, so the argmin degenerates to the smallest cell id
+    * (`ids` arrive sorted ascending). */
+  def pqCell(e: ArrayData, isDouble: Boolean, off: Int, subDim: Int,
+      ids: Array[Long], cents: Array[Array[Double]],
+      sumSq: Array[Double]): Long = {
+    val ne = e.numElements()
+    if (ne < off + subDim) return ids(0)
+    var i = 0
+    while (i < subDim) { if (e.isNullAt(off + i)) return ids(0); i += 1 }
+    var bestId = 0L; var bestD = 0.0
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var dot = 0.0
+      var j = 0
+      while (j < subDim) {
+        val x = if (isDouble) e.getDouble(off + j)
+                else e.getFloat(off + j).toDouble
+        dot += x * cv(j)
+        j += 1
+      }
+      val d = sumSq(c) - 2.0 * dot
+      val cmp = if (c == 0) -1 else cmpDouble(d, bestD)
+      if (cmp < 0 || (cmp == 0 && ids(c) < bestId)) { bestD = d; bestId = ids(c) }
+      c += 1
+    }
+    bestId
+  }
+
+  /** All m PQ subspace codes of one vector in one call (see [[pqCell]]). */
+  def pqCodes(e: ArrayData, isDouble: Boolean, subDim: Int,
+      ids: Array[Array[Long]], cents: Array[Array[Array[Double]]],
+      sumSq: Array[Array[Double]]): ArrayData = {
+    val m = ids.length
+    val out = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      out(s) = pqCell(e, isDouble, s * subDim, subDim, ids(s), cents(s), sumSq(s))
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
 }
 
 object HashKernels {

@@ -1341,18 +1341,25 @@ object Dedup extends Logging {
       if (reliable) df.checkpoint() else df.localCheckpoint()
     // (count, xor-of-hashes): order-independent, overflow-free under ANSI
     // (a sum of 64-bit hashes overflows); edges are distinct so the xor is
-    // a proper set signature
-    def sig(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+    // a proper set signature. r18 (the r17 verdict ask): the signature is
+    // FOLDED INTO THE PIN JOB as an observed metric (CollectMetrics
+    // accumulates task-side during the checkpoint materialization —
+    // Dataset.checkpoint is a listener-visible action), so each round
+    // runs ONE job instead of pin + a follow-up 1-row signature read.
+    def pinSig(e: DataFrame): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val pinned = pin(e.observe(obs,
+        count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("x")))
+      val row = obs.get
+      (pinned, (row("n").asInstanceOf[Long], row("x").asInstanceOf[Long]))
     }
     // canonical big→small directed edges (the small-star invariant)
-    var edges = pin(pairs
+    var (edges, s) = pinSig(pairs
       .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
       .filter(col("x") =!= col("y"))
       .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
       .distinct())
-    var s = sig(edges)
     var done = false
     var it = 0
     while (!done && it < maxIter) {
@@ -1367,12 +1374,11 @@ object Dedup extends Logging {
         .distinct()
       // small-star over the large→small edges
       val mins2 = ls.groupBy("u").agg(min(col("v")).as("m"))
-      val next = pin(ls.join(mins2, "u")
+      val (next, s2) = pinSig(ls.join(mins2, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
         .union(mins2.select(col("u"), col("m").as("v")))
         .distinct())
-      val s2 = sig(next)
       done = s2 == s
       s = s2
       edges = next

@@ -24,6 +24,35 @@ import graft.sources.Tables
   */
 object Similarity {
 
+  /** Overlap two INDEPENDENT driver-side job chains (guide §2.6): `side`
+    * runs on a dedicated thread that explicitly inherits the caller's
+    * job description (a shared ForkJoinPool inherits local properties
+    * nondeterministically — the r17 advisory: bench:<name> attribution
+    * went missing on the overlapped trainer's jobs), `main` runs on the
+    * calling thread, and the side chain is AWAITED even when `main`
+    * throws, so a failure cannot leak a still-submitting orphan chain.
+    * FIFO scheduling back-fills each chain's stage tails with the
+    * other's tasks; results are the same two computations, unchanged. */
+  private[graft] def overlapJobs[A, B](spark: SparkSession)(side: => A)(
+      main: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val sc = spark.sparkContext
+    val desc = sc.getLocalProperty("spark.job.description")
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor()
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(exec)
+    val f = Future { sc.setJobDescription(desc); side }
+    try {
+      val b = main
+      (Await.result(f, Duration.Inf), b)
+    } finally {
+      try { Await.ready(f, Duration.Inf); () }
+      catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+      exec.shutdown()
+    }
+  }
+
   /** The default probe ids — a FIXED literal set, because the operator
     * family's contract is "query set small by contract, explicitly
     * broadcast". A fraction-of-the-corpus probe set (e.g. every 100th
@@ -143,20 +172,50 @@ object Similarity {
     * the argmax scan order — is deterministic. */
   private def collectCellArrays(cents: DataFrame, idCol: String,
       embCol: String): (Array[Long], Array[Array[Float]]) = {
-    val rows = cents.select(col(idCol).cast("long"), col(embCol)).collect()
+    // null centroid embeddings are dropped (r17 advisory): in the
+    // crossJoin+max_by form a null cosine never won the argmax, so
+    // skipping the row is value-identical — and getSeq would NPE on it
+    val rows = cents.select(col(idCol).cast("long"), col(embCol))
+      .filter(col(embCol).isNotNull).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
     (rows.map(_._1), rows.map(_._2))
+  }
+
+  /** Rebuild a (cell_id, c_emb) centroid frame from driver arrays as a
+    * LOCAL relation — the zero-job leaf the driver-side flat trainer
+    * returns: every downstream [[collectCellArrays]] of it is a direct
+    * read (LocalTableScan collect launches no job), and a broadcast of it
+    * builds straight from the local rows. Bounded by the same contract
+    * as the collect that produced the arrays. */
+  private def centArraysToDf(spark: SparkSession, ids: Array[Long],
+      vecs: Array[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    ids.zip(vecs).map { case (id, v) => (id, v) }.toSeq
+      .toDF("cell_id", "c_emb")
   }
 
   /** The scan-side assignment shared by [[ivfAssign]] /
     * [[ivfAssignHierWith]] / the flat trainer: one [[collectCellArrays]]
     * job, then a single projection — no join, no exchange, no
     * per-candidate row blow-up. An empty centroid set keeps the old
-    * crossJoin semantics (empty result). */
+    * crossJoin semantics (empty result). CONTRACT (r17 advisory): input
+    * keys must be unique per row — the old crossJoin+max_by emitted one
+    * row per DISTINCT key, this form one row per INPUT row; every caller
+    * assigns tables keyed by a unique vec_id/cell_id, and a future
+    * duplicate-key caller would change cardinality here. */
   private def assignScan(emb: DataFrame, cents: DataFrame,
       centIdCol: String, centEmbCol: String, embCol: String,
       outIdCol: String, outCols: Seq[String]): DataFrame = {
     val (ids, vecs) = collectCellArrays(cents, centIdCol, centEmbCol)
+    assignScanArrays(emb, ids, vecs, embCol, outIdCol, outCols)
+  }
+
+  /** [[assignScan]] when the centroid arrays are ALREADY on the driver
+    * (the flat trainer's frontier, [[hierIndex]]'s locally-trained coarse
+    * level) — zero jobs, one projection. */
+  private def assignScanArrays(emb: DataFrame, ids: Array[Long],
+      vecs: Array[Array[Float]], embCol: String,
+      outIdCol: String, outCols: Seq[String]): DataFrame = {
     val base =
       if (ids.isEmpty) emb.filter(lit(false))
         .withColumn(outIdCol, lit(null).cast("long"))
@@ -279,27 +338,47 @@ object Similarity {
     // would sort a corpus-proportional embedding table through ONE task
     // — the same unbounded-single-task class the E75 shuffle device
     // exists to avoid.
-    val coarse =
-      if (s <= 1)
+    if (s <= 1) {
+      val coarse =
         centroids.select(col("cell_id").as("g_id"), col("c_emb").as("g_emb"))
-      else
-        kmeansCentroids(
-          Relational.denseRankByKey(centroids, "cell_id", "vec_id")
-            .select(col("vec_id"), col("c_emb").as("embedding")),
-          initEvery = s.toInt)
-          .select(col("cell_id").as("g_id"), col("c_emb").as("g_emb"))
-    // regroup via the scan-side argmax (r17): same scores and (gs DESC,
-    // g_id ASC) tie-break as the old crossJoin + max_by aggregate, with
-    // the k-row exchange it paid removed — see ivfAssign's scaladoc
-    val grouped = assignScan(centroids, coarse, "g_id", "g_emb", "c_emb",
-        "g_id", Seq("cell_id", "g_id", "c_emb"))
-      .localCheckpoint()
-    // completeness (see ivfAssignHier's scaladoc): a coarse centroid
-    // the regroup emptied must not be a stage-1 target
-    val coarseLive = coarse
-      .join(grouped.select("g_id").distinct(), Seq("g_id"), "left_semi")
-      .localCheckpoint()
-    (coarseLive, grouped)
+      // regroup via the scan-side argmax (r17): same scores and (gs DESC,
+      // g_id ASC) tie-break as the old crossJoin + max_by aggregate, with
+      // the k-row exchange it paid removed — see ivfAssign's scaladoc
+      val grouped = assignScan(centroids, coarse, "g_id", "g_emb", "c_emb",
+          "g_id", Seq("cell_id", "g_id", "c_emb"))
+        .localCheckpoint()
+      // completeness (see ivfAssignHier's scaladoc): a coarse centroid
+      // the regroup emptied must not be a stage-1 target
+      val coarseLive = coarse
+        .join(grouped.select("g_id").distinct(), Seq("g_id"), "left_semi")
+        .localCheckpoint()
+      (coarseLive, grouped)
+    } else {
+      // the coarse training is the driver-frontier flat recurrence (r18):
+      // its ⌈√k⌉-row result comes back as arrays — same values as the
+      // distributed spelling (bit-identical recenter arithmetic), with
+      // the per-iteration frontier checkpoint jobs gone — so the regroup
+      // assigns scan-side with zero collect jobs and coarseLive is a
+      // LOCAL relation (stage-1 argmax consumers collect it for free)
+      val coarseDf = kmeansCentroids(
+        Relational.denseRankByKey(centroids, "cell_id", "vec_id")
+          .select(col("vec_id"), col("c_emb").as("embedding")),
+        initEvery = s.toInt)
+      val (gids, gvecs) = collectCellArrays(coarseDf, "cell_id", "c_emb")
+      val grouped = assignScanArrays(centroids, gids, gvecs, "c_emb",
+          "g_id", Seq("cell_id", "g_id", "c_emb"))
+        .localCheckpoint()
+      // completeness: same live-group cut as the semi-join it replaces —
+      // the distinct g_id set is ⌈√k⌉-bounded, the same collect class as
+      // the coarse set itself
+      val live = grouped.select("g_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val keep = gids.indices.filter(i => live(gids(i)))
+      val coarseLive = centArraysToDf(centroids.sparkSession,
+          keep.map(gids(_)).toArray, keep.map(gvecs(_)).toArray)
+        .select(col("cell_id").as("g_id"), col("c_emb").as("g_emb"))
+      (coarseLive, grouped)
+    }
   }
 
   /** Land-or-load the two-level assignment index for a LANDED centroid
@@ -341,13 +420,27 @@ object Similarity {
     // before the member join (see ivfAssign's scaladoc)
     val v1 = assignScan(emb, coarseLive, "g_id", "g_emb", "embedding",
       "g_id", Seq("vec_id", "g_id", "embedding"))
-    // no broadcast hint: grouped is k rows and k ∝ N here — AQE chooses
-    v1.join(grouped, Seq("g_id"))
-      .select(col("vec_id"), col("embedding"), col("cell_id"),
-        GraftFunctions.cosineSim(col("embedding"), col("c_emb")).as("cs"))
-      .groupBy("vec_id")
-      .agg(max_by(col("cell_id"), struct(col("cs"), -col("cell_id"))).as("cell_id"),
-        first(col("embedding")).as("embedding"))
+    // stage 2 (r18): fold each coarse group's ~√k member centroids into
+    // ONE array row (a ⌈√k⌉-row regroup of the k-row member table), join
+    // every vector to its single group row, and evaluate the member
+    // argmax SCAN-SIDE ([[graft.functions.NearestCellIn]] — same cosine
+    // loop, same (cs DESC, cell ASC) total order, same null ordering as
+    // the max_by it replaces, order-independent so collect_list order
+    // cannot show through). The old spelling fanned every vector out to
+    // its ~√k member candidates and re-grouped them with a struct-ordered
+    // max_by — a SortAggregate pair around an Exchange carrying one
+    // embedding-payload row PER CORPUS VECTOR per assignment (guide §2.4:
+    // at 100 TB, a full corpus shuffle). Now the only corpus-side
+    // operator after the join is a projection; the join itself is the
+    // same no-hint g_id equi-join (AQE broadcasts the member side while
+    // it is small, degrades to a shuffled join when k ∝ N says it must).
+    val gm = grouped.groupBy("g_id")
+      .agg(collect_list(struct(col("cell_id"), col("c_emb"))).as("members"))
+    v1.join(gm, Seq("g_id"))
+      .select(col("vec_id"),
+        GraftFunctions.nearestCellIn(col("embedding"), col("members"))
+          .as("cell_id"),
+        col("embedding"))
   }
 
   /** CORRECTNESS/bench instantiation of [[ivfAssignHier]]: two-level
@@ -408,14 +501,42 @@ object Similarity {
 
   private def kmeansIterFlat(emb: DataFrame, init: DataFrame,
       iters: Int): DataFrame = {
-    // each iteration's assignment is exactly ivfAssign against the
-    // current frontier — scan-side argmax (r17), so the only exchange
-    // per iteration is recenter's k·dim (cell, lane) partial-agg rows;
-    // the old spelling also shuffled the full corpus (with embeddings)
-    // through the per-vector argmax aggregate every iteration
-    var cent = init
-    for (_ <- 1 to iters) cent = recenter(ivfAssign(emb, cent))
-    cent
+    val (ids, vecs) = collectCellArrays(init, "cell_id", "c_emb")
+    val (oids, ovecs) = kmeansIterFlatArrays(emb, ids, vecs, iters)
+    centArraysToDf(emb.sparkSession, oids, ovecs)
+  }
+
+  /** The flat Lloyd's recurrence with the k-row frontier held ON THE
+    * DRIVER between iterations (r18; bounded by the same sizing contract
+    * as the scan-side argmax it feeds — ≤ [[FlatTrainerMaxSeeds]] rows
+    * at every dispatched call site). Each iteration is ONE job: the
+    * corpus scan assigns scan-side ([[assignScanArrays]] — frontier rides
+    * as codegen literals) and the per-(cell, lane) means come back as a
+    * k·dim-row collect (the same bounded byte budget the old frontier
+    * localCheckpoint + next-iteration collect moved TWICE through block
+    * storage — r17 paid 2 jobs per iteration plus a final re-collect in
+    * the first consumer). Arithmetic is bit-identical to [[recenter]]:
+    * the 6-dp round happens in the aggregate, the float cast on the
+    * driver is the same double→float narrowing. */
+  private def kmeansIterFlatArrays(emb: DataFrame, init: Array[Long],
+      initVecs: Array[Array[Float]], iters: Int): (Array[Long], Array[Array[Float]]) = {
+    var ids = init
+    var vecs = initVecs
+    for (_ <- 1 to iters) {
+      if (ids.nonEmpty) {
+        val laneMeans = assignScanArrays(emb, ids, vecs, "embedding",
+            "cell_id", Seq("cell_id", "embedding"))
+          .select(col("cell_id"), posexplode(col("embedding")))
+          .toDF("cell_id", "lane", "v")
+          .groupBy("cell_id", "lane")
+          .agg(round(avg(col("v").cast("double")), 6).as("m"))
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        val byCell = laneMeans.groupBy(_._1).toArray.sortBy(_._1)
+        ids = byCell.map(_._1)
+        vecs = byCell.map(_._2.sortBy(_._2).map(_._3.toFloat))
+      }
+    }
+    (ids, vecs)
   }
 
   /** Lloyd's re-centering step, shared by both trainers: per-(cell, lane)
@@ -517,9 +638,24 @@ object Similarity {
   def kmeansCentroidsAuto(emb: DataFrame, initEvery: Int = 29,
       iters: Int = 3, flatMaxSeeds: Long = FlatTrainerMaxSeeds): DataFrame = {
     val init = seedInit(emb, initEvery).localCheckpoint()
-    val seeds = init.count()
-    if (seeds <= flatMaxSeeds) kmeansIterFlat(emb, init, iters)
-    else kmeansIterHier(emb, init, iters)
+    // dispatch + flat-path seed fetch in ONE bounded read (r18): a
+    // limit(flatMaxSeeds + 1) collect answers "seeds ≤ flatMaxSeeds?"
+    // exactly like the r16 count job did (same pinned frame, same
+    // count), and when the answer is yes the collected rows ARE the full
+    // seed set — the flat recurrence starts from driver arrays with no
+    // further collect. When the answer is no, at most flatMaxSeeds + 1
+    // rows were pulled (the bounded-collect class), and the hier
+    // recurrence proceeds distributed as before.
+    val lim = math.min(flatMaxSeeds + 1L, Int.MaxValue.toLong).toInt
+    val head = init.select(col("cell_id").cast("long"), col("c_emb"))
+      .limit(lim).collect()
+    if (head.length <= flatMaxSeeds) {
+      val rows = head.filter(_.get(1) != null)
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val (oids, ovecs) =
+        kmeansIterFlatArrays(emb, rows.map(_._1), rows.map(_._2), iters)
+      centArraysToDf(emb.sparkSession, oids, ovecs)
+    } else kmeansIterHier(emb, init, iters)
   }
 
   def topKCosineIvf(spark: SparkSession, dir: String, k: Int = 5, nprobe: Int = 4): DataFrame = {
@@ -597,20 +733,32 @@ object Similarity {
   def pqEncode(emb: DataFrame, m: Int = 8, kc: Int = 16, subDim: Int = 8): DataFrame =
     pqEncodeWithBook(emb, m, subDim, pqCodebook(m, kc, subDim))
 
+  /** The per-sub (cell-id, centroid) arrays of a codebook, cell-sorted —
+    * the reference-object payload of the kernel encode below. */
+  private def bookArrays(m: Int,
+      book: Seq[(Int, Int, Array[Double])]): (Array[Array[Long]], Array[Array[Array[Double]]]) = {
+    val bySub = book.groupBy(_._1)
+    val ids = Array.tabulate(m)(s =>
+      bySub.getOrElse(s, Seq.empty).map(_._2.toLong).sorted.toArray)
+    val cents = Array.tabulate(m)(s =>
+      bySub.getOrElse(s, Seq.empty).sortBy(_._2).map(_._3).toArray)
+    (ids, cents)
+  }
+
   def pqEncodeWithBook(emb: DataFrame, m: Int, subDim: Int,
       book: Seq[(Int, Int, Array[Double])]): DataFrame = {
-    val bySub = book.groupBy(_._1).map { case (s, rows) =>
-      s -> rows.map(r => (r._2, r._3)).sortBy(_._1)
-    }
-    val codeCols = (0 until m).map { s =>
-      val sub = slice(col("embedding"), s * subDim + 1, subDim)
-      val cands = array(bySub(s).map { case (c, cb) =>
-        struct((lit(cb.map(x => x * x).sum) - lit(2.0d) * litDot(sub, cb)).as("d"),
-          lit(c.toLong).as("cell"))
-      }: _*)
-      array_min(cands).getField("cell").as(s"code_$s")
-    }
-    emb.select(col("vec_id") +: codeCols: _*)
+    // r18: the per-sub argmin is ONE kernel call with the codebook as a
+    // codegen reference object ([[graft.functions.PqEncodeCodes]] — same
+    // fold order, ‖c‖² precomputed by the same Scala sum, same
+    // (d ASC, cell ASC) order and null degeneracy as the literal tree).
+    // The r9–r17 spelling planned m·kc candidate structs each wrapping a
+    // zip_with-fold dot — a ~10⁵-char expression tree that every
+    // materialization of every PQ entry re-planned and re-codegen'd
+    // (guide §4: the job shape was right, the per-task code was not).
+    val (ids, cents) = bookArrays(m, book)
+    val codes = GraftFunctions.pqCodes(col("embedding"), subDim, ids, cents)
+    emb.select(col("vec_id") +: (0 until m).map(s =>
+      element_at(codes, s + 1).as(s"code_$s")): _*)
   }
 
   /** Train the PQ codebook with per-subspace Lloyd's — the
@@ -649,15 +797,14 @@ object Similarity {
             r.getSeq[Number](2).map(_.doubleValue).toArray)
         }.toMap
     for (_ <- 1 to iters) {
-      val perSubCands = array((0 until m).map { s =>
-        val cells = book.keys.collect { case (`s`, c) => c }.toSeq.sorted
-        array(cells.map { c =>
-          val cv = book((s, c))
-          struct((lit(cv.map(x => x * x).sum) - lit(2.0d) * litDot(col("sv"), cv)).as("d"),
-            lit(c).as("cell"))
-        }: _*)
-      }: _*)
-      val cell = array_min(element_at(perSubCands, col("sub") + 1)).getField("cell")
+      // r18: the per-row assignment is the same kernel argmin as the
+      // encode ([[graft.functions.PqAssignCell]] — book as a reference
+      // object), replacing the per-iteration m·kc literal candidate tree
+      // the trainer re-planned and re-codegen'd every Lloyd step
+      val (bids, bcents) = bookArrays(m,
+        book.toSeq.map { case ((s, c), arr) => (s, c, arr) })
+      val cell = GraftFunctions.pqCell(col("sub"), col("sv"), bids, bcents)
+        .cast("int")
       book = subs.withColumn("cell", cell)
         .select(col("sub"), col("cell"), posexplode(col("sv")))
         .toDF("sub", "cell", "lane", "v")
@@ -997,10 +1144,19 @@ object Similarity {
     val queries = emb.filter(col("vec_id") === 0L)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val (centDf, book) = loadLandedQuantizers(spark, dir)
-    val ann = refinedSearchIndex(emb, ensureIvfPqCodes(spark, dir), queries,
-        depth, r, nprobe = 4, m = 8, subDim = 8, centDf, book)
-      .select("query_id", "vec_id")
-    val exact = topKCosine(emb, queries, depth).select("query_id", "vec_id")
+    // the exact ground-truth leg (one corpus-linear scan, lazy until an
+    // action) and the ANN leg's eager probe/candidate collects are
+    // independent chains — overlap them (guide §2.6 via [[overlapJobs]];
+    // the r17 verdict ask). The exact leg pins its ≤ depth·|Q|-row cut
+    // (bounded by construction) so the fusion tail reads a materialized
+    // leaf; values are unchanged on both legs.
+    val (exact, ann) = overlapJobs(spark)(
+      topKCosine(emb, queries, depth).select("query_id", "vec_id")
+        .localCheckpoint()) {
+      refinedSearchIndex(emb, ensureIvfPqCodes(spark, dir), queries,
+          depth, r, nprobe = 4, m = 8, subDim = 8, centDf, book)
+        .select("query_id", "vec_id")
+    }
     val overlap = ann.join(exact, Seq("query_id", "vec_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
     ann.select("query_id").distinct()
@@ -1011,10 +1167,17 @@ object Similarity {
           .as("recall"))
   }
 
-  private def recallAgainstExact(ann0: DataFrame, spark: SparkSession,
+  private def recallAgainstExact(ann0: => DataFrame, spark: SparkSession,
       dir: String, k: Int): DataFrame = {
-    val ann = ann0.select("query_id", "vec_id")
-    val exact = topKCosine(spark, dir, k).select("query_id", "vec_id")
+    // the exact ground-truth leg and the ANN leg (whose probe/candidate
+    // collects — for the refined form, the whole stage-1 ADC search —
+    // run eagerly at construction) are independent chains: overlap them
+    // (guide §2.6 via [[overlapJobs]]; the r17 verdict ask). The exact
+    // cut pins ≤ k·|Q| rows — bounded by construction.
+    val (exact, ann1) = overlapJobs(spark)(
+      topKCosine(spark, dir, k).select("query_id", "vec_id")
+        .localCheckpoint())(ann0)
+    val ann = ann1.select("query_id", "vec_id")
     val overlap = ann.join(exact, Seq("query_id", "vec_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
     ann.select("query_id").distinct()
@@ -1322,14 +1485,17 @@ object Similarity {
     // small-result barriers whose tails leave most executor slots idle,
     // and the scheduler back-fills those slots with the other trainer's
     // jobs. Results are unchanged — same two trainings, same inputs.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val bookF = Future(pqCodebookTrained(emb))
-    val cents = kmeansCentroidsAuto(emb)
-    val book = Await.result(bookF, Duration.Inf)
-    topKPqIvfWith(emb, defaultQueries(emb), k, nprobe = 4, m = 8, subDim = 8,
-      cents, book)
+    // r18: the overlap runs through [[overlapJobs]] (r17 advisory — the
+    // dedicated-thread/description/await-in-finally discipline), and the
+    // probe assignment (which needs only the coarse cells) now also
+    // overlaps the codebook trainer's tail on the main thread.
+    val queries = defaultQueries(emb)
+    val (book, (cents, probes)) = overlapJobs(spark)(pqCodebookTrained(emb)) {
+      val cents = kmeansCentroidsAuto(emb)
+      (cents, collectProbes(queries, cents, nprobe = 4))
+    }
+    searchIvfPqIndex(ivfPqIndexRows(emb, m = 8, subDim = 8, cents, book),
+      queries, k, nprobe = 4, m = 8, subDim = 8, cents, book, Some(probes))
   }
 
   /** Coarse-cell RESIDUALS — r = e − c(cell(e)), computed in DOUBLE so
@@ -1392,8 +1558,10 @@ object Similarity {
     * the k-cut, the shared ADC drift rule. */
   def searchIvfPqResIndex(index: DataFrame, queries: DataFrame, k: Int,
       nprobe: Int, m: Int, subDim: Int, centroids: DataFrame,
-      b: Seq[(Int, Int, Array[Double])]): DataFrame = {
-    val probePairs = collectProbesDot(queries, centroids, nprobe)
+      b: Seq[(Int, Int, Array[Double])],
+      probesPre: Option[Seq[(Long, Long, Double)]] = None): DataFrame = {
+    val probePairs = probesPre.getOrElse(
+      collectProbesDot(queries, centroids, nprobe))
     val cells = probePairs.map(_._2).distinct.sorted
     val spark = index.sparkSession
     import spark.implicits._
@@ -1427,9 +1595,16 @@ object Similarity {
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
     val cents = kmeansCentroidsAuto(emb)
     val resid = residuals(emb, cents).localCheckpoint()
-    val book = pqCodebookTrained(resid.select("vec_id", "embedding"))
+    // the residual-book training and the probe-dot collect are
+    // independent job chains once cents and the pinned residual table
+    // exist — overlap them the way the raw trained form overlaps its two
+    // trainers ([[overlapJobs]], guide §2.6)
+    val queries = defaultQueries(emb)
+    val (book, probes) = overlapJobs(spark)(
+      pqCodebookTrained(resid.select("vec_id", "embedding")))(
+      collectProbesDot(queries, cents, nprobe = 4))
     searchIvfPqResIndex(ivfPqResIndexRows(resid, m = 8, subDim = 8, book),
-      defaultQueries(emb), k, nprobe = 4, m = 8, subDim = 8, cents, book)
+      queries, k, nprobe = 4, m = 8, subDim = 8, cents, book, Some(probes))
   }
 
   /** Land the RESIDUAL-form artifacts next to the raw ones: the
@@ -1728,48 +1903,25 @@ object Similarity {
     * (l, m, s) with 0 ≤ l ≤ m < dim → s = Σ micro_l·micro_m;
     * (l, -1, s) → s = Σ micro_l; (-1, -1, n) → the row count.
     *
-    * ONE corpus scan, ONE two-phase aggregate, NO corpus-sized cache:
-    * the (row, l) lanes explode once, each lane's tail slices once more
-    * (exactly d(d+1)/2 scalar rows per vector, no l > m waste — the
-    * tail length is the exact size − l; a lit(Int.MaxValue) length
-    * overflows Slice's start+length arithmetic into empty tails), and
-    * the single d(d+1)/2-group aggregate computes ALL THREE moment
-    * classes at once — Σxl·xm per group, Σxl on the diagonal groups,
-    * n on the (0,0) group — so the first moments and the count ride
-    * the pair aggregate instead of re-scanning the corpus. The bounded
-    * group table is localCheckpoint'd (d²-row class) and reshaped
-    * row-locally into the three output classes. (A first cut
-    * localCheckpoint'd the LIFTED CORPUS to share it across three
-    * aggregates — a corpus-sized block-storage pin the minhashLshPairs
-    * release discipline exists to avoid; a second cut generated the
-    * three classes as per-row struct arrays — one scan, but the
-    * 2 145-struct-per-row allocation ran 11× slower than this
-    * codegen'd posexplode chain.) */
-  def embedMomentSums(emb: DataFrame): DataFrame = {
-    val g = emb.select(microLanes(col("embedding")).as("mi"))
-      .select(col("mi"), posexplode(col("mi")))
-      .toDF("mi", "l", "xl")
-      .select(col("l"), col("xl"),
-        posexplode(slice(col("mi"), col("l") + 1, size(col("mi")) - col("l"))))
-      .toDF("l", "xl", "dm", "xm")
-      .groupBy(col("l").cast("long").as("l"),
-        (col("l") + col("dm")).cast("long").as("m"))
-      .agg(
-        // the multiply runs in decimal(38,0), not Long: micro lanes reach
-        // ±9.2e18 only past |x| ≈ 3e12, but two lanes at |x| ≳ 3000
-        // (micro ≈ 3e9) already overflow the 64-bit PRODUCT — an ANSI
-        // error at best, a silent wrap at worst. Casting the factors
-        // first keeps the product exact for the full lane domain.
-        sum(col("xl").cast("decimal(38,0)") * col("xm").cast("decimal(38,0)")).as("s"),
-        sum(col("xl").cast("decimal(38,0)")).as("f"),
-        count(lit(1)).cast("decimal(38,0)").as("c"))
-      .localCheckpoint() // d(d+1)/2 rows — bounded, read three ways below
-    g.select(col("l"), col("m"), col("s"))
-      .unionByName(g.filter(col("l") === col("m"))
-        .select(col("l"), lit(-1L).as("m"), col("f").as("s")))
-      .unionByName(g.filter(col("l") === 0 && col("m") === 0)
-        .select(lit(-1L).as("l"), lit(-1L).as("m"), col("c").as("s")))
-  }
+    * ONE corpus scan, ONE partial-merge aggregate buffer, NO row fan-out
+    * (r18): [[graft.functions.MomentSums]] folds each row's d lanes into
+    * a per-partition buffer of all d(d+1)/2 + d + 1 exact 128-bit sums —
+    * the exchange carries one ~50 KB buffer per partition and the output
+    * explodes row-locally from the single merged buffer. The r15–r17
+    * spelling generated d(d+1)/2 ≈ 2 145 scalar rows PER VECTOR (the
+    * posexplode + tail-slice chain — ~42 M generated rows at sf0.1,
+    * ~420 M at sf1) purely to re-group them by (l, m) in a two-phase
+    * aggregate; the generation was row-local (the scale SHAPE was
+    * right), but it was the registry's largest per-task constant
+    * (guide §1.2 step 2). Sums are exact integers computed in full
+    * 128-bit (the same overflow headroom as the old decimal(38,0)
+    * arithmetic — see MomentSums), so they are order-free and the
+    * relation is bit-identical to the fan-out form's. */
+  def embedMomentSums(emb: DataFrame): DataFrame =
+    emb.select(microLanes(col("embedding")).as("mi"))
+      .agg(GraftFunctions.momentSums(col("mi")).as("ms"))
+      .select(explode(col("ms")).as("r"))
+      .select(col("r.l").as("l"), col("r.m").as("m"), col("r.s").as("s"))
 
   /** CORRECTNESS/bench entry (`sim_whiten_moments`): the moment pass over
     * the embeddings corpus, reported in x-units — v = s/n/1e12 for pair

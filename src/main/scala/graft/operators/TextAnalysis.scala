@@ -1354,16 +1354,23 @@ object TextAnalysis {
   def hybridDocsSteady(spark: SparkSession, dir: String,
       depth: Int = 50, k: Int = 25, k0: Int = 60, r: Int = 4): DataFrame = {
     ensureSearchIndex(spark, dir)
-    val lex = bm25RankIndexed(spark, searchIndexPrefix(dir), searchQuery,
-      k = depth).select(col("doc_id"), col("score"))
     val emb = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
     val queries = emb.filter(col("vec_id") === 0L)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val (centDf, book) = Similarity.loadLandedQuantizers(spark, dir)
-    val dense = Similarity.refinedSearchIndex(emb,
-        Similarity.ensureIvfPqCodes(spark, dir), queries, depth, r,
-        nprobe = 4, m = 8, subDim = 8, centDf, book)
-      .select(col("vec_id").as("doc_id"), col("score"))
+    val codes = Similarity.ensureIvfPqCodes(spark, dir)
+    // the lexical top-depth cut and the dense leg's eager probe/refine
+    // collects are INDEPENDENT job chains — overlap them (guide §2.6 via
+    // [[Similarity.overlapJobs]]; the r17 verdict ask). The lex leg pins
+    // its ≤ depth-row cut (bounded by the k-cut above it) so the fusion
+    // tail reads a materialized leaf; both legs' values are unchanged.
+    val (lex, dense) = Similarity.overlapJobs(spark)(
+      bm25RankIndexed(spark, searchIndexPrefix(dir), searchQuery, k = depth)
+        .select(col("doc_id"), col("score")).localCheckpoint()) {
+      Similarity.refinedSearchIndex(emb, codes, queries, depth, r,
+          nprobe = 4, m = 8, subDim = 8, centDf, book)
+        .select(col("vec_id").as("doc_id"), col("score"))
+    }
     rrfFuse(lex, dense, k, k0)
   }
 

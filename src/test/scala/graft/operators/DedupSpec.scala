@@ -212,6 +212,40 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == truth, s"got $pairs want $truth")
   }
 
+  test("simhashPairs at maxHamming=0: token-equality pairs are a guaranteed subset") {
+    // the hash-independent LOWER BOUND the r17 oracle rewrite lost (r17
+    // advisory): equal token SEQUENCES fingerprint identically (simhash
+    // is a pure function of the token hash sequence), so every
+    // token-equal pair MUST surface at Hamming 0 — retained here as
+    // ground truth independent of the XXH64→simhash replay both the
+    // engine and the oracle now share. (The converse is deliberately NOT
+    // asserted: simhash is a bitwise majority vote, robust to one-token
+    // edits, so Hamming-0 pairs need not be token-equal.)
+    val base = (1 to 15).map(i => (i.toLong, doc(i, n = 60)))
+    // token-equal twins under different RAW bytes: case + punctuation
+    // differ, the ASCII-lowercase [a-z0-9]+ tokenizer sees identical
+    // token sequences
+    val twins = Seq(
+      (205L, doc(5, n = 60).toUpperCase),
+      (207L, doc(7, n = 60).replace(" ", ",  ") + "!"))
+    val all = base ++ twins
+    val docs = all.toDF("doc_id", "text")
+    // driver-side token sequences under the kernel's tokenizer contract
+    // (ASCII-lowercase [a-z0-9]+ runs) — no hashing anywhere
+    def toks(s: String): Seq[String] =
+      s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val tokenEqual = (for {
+      (a, ta) <- all; (b, tb) <- all
+      if a < b && toks(ta) == toks(tb)
+    } yield (a, b)).toSet
+    assert(tokenEqual == Set((5L, 205L), (7L, 207L)),
+      s"planted token-equal twins must be the ground truth: $tokenEqual")
+    val engine = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(tokenEqual.subsetOf(engine),
+      s"token-equal pairs missing from Hamming-0: ${tokenEqual -- engine}")
+  }
+
   test("embedCosinePairs finds scaled twins and nothing else") {
     val rng = new scala.util.Random(7)
     val base = (0 until 40).map(i => (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat)))

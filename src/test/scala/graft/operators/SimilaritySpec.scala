@@ -923,6 +923,71 @@ class SimilaritySpec extends SparkTestBase {
     assert(second == direct, "the landed read changed the whitening")
   }
 
+  test("embedMomentSums: 128-bit exactness beyond the 64-bit product range") {
+    // two lanes at |x| ≈ 4000 lift to micro ≈ ±4e9, whose PRODUCT
+    // (1.6e19) overflows a signed long — the r15 formulation survived it
+    // by summing in decimal(38,0); the r18 single-buffer aggregate must
+    // survive it in its 128-bit limbs. Ground truth is BigInt arithmetic
+    // over the exact micro lift.
+    val vals = Seq(
+      Array(4000f, -4000f),
+      Array(4000f, 4000f),
+      Array(-3999.5f, 0.5f))
+    val micros = vals.map(_.map(x =>
+      BigInt(math.round(BigDecimal(x.toDouble).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6))))
+    val tiny = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embedMomentSums(tiny).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> BigInt(r.getDecimal(2).toBigInteger))
+      .toMap
+    assert(got((-1L, -1L)) == BigInt(3))
+    for (l <- 0 until 2) {
+      assert(got((l.toLong, -1L)) == micros.map(_(l)).sum, s"first moment $l")
+      for (m <- l until 2)
+        assert(got((l.toLong, m.toLong)) == micros.map(v => v(l) * v(m)).sum,
+          s"second moment ($l,$m): got ${got((l.toLong, m.toLong))} " +
+            s"want ${micros.map(v => v(l) * v(m)).sum}")
+    }
+  }
+
+  test("ivfAssignHierWith: member-array argmax ≡ the join+max_by aggregate (ties, NaN)") {
+    // r18 moved the stage-2 per-vector argmax scan-side (NearestCellIn
+    // over a row-carried member array); this law pins it equal to the
+    // r14–r17 join + max_by(cell, struct(cs, -cell)) spelling over the
+    // SAME hier index, on the edges where they could diverge: a
+    // zero-norm vector (all-NaN member scores — NaN-greatest, tie to the
+    // smaller cell id) and duplicated member vectors (exact score ties).
+    val base = corpus ++ Seq(
+      (900L, Array.fill(32)(0f)),            // zero-norm → all-NaN scores
+      (901L, corpus(3)._2.clone()))          // exact twin of a centroid
+    val emb = base.toDF("vec_id", "embedding")
+    // duplicated centroid vectors under distinct ids → same coarse group,
+    // exact stage-2 ties
+    val cents = (Seq((3L, corpus(3)._2), (17L, corpus(17)._2),
+      (23L, corpus(3)._2), (40L, corpus(40)._2), (41L, corpus(41)._2),
+      (55L, corpus(55)._2)) ++
+      (0 until 12).map(i => ((60 + i).toLong, corpus(i * 4)._2)))
+      .toDF("cell_id", "c_emb")
+    val (coarseLive, grouped) = Similarity.hierIndex(cents)
+    val got = Similarity.ivfAssignHierWith(emb, coarseLive, grouped)
+      .select("vec_id", "cell_id").as[(Long, Long)].collect().toSet
+    val v1 = emb.crossJoin(broadcast(coarseLive))
+      .select(col("vec_id"), col("embedding"), col("g_id"),
+        graft.functions.GraftFunctions.cosineSim(col("embedding"), col("g_emb")).as("gs"))
+      .groupBy("vec_id")
+      .agg(max_by(col("g_id"), struct(col("gs"), -col("g_id"))).as("g_id"),
+        first(col("embedding")).as("embedding"))
+    val want = v1.join(grouped, Seq("g_id"))
+      .select(col("vec_id"), col("embedding"), col("cell_id"),
+        graft.functions.GraftFunctions.cosineSim(col("embedding"), col("c_emb")).as("cs"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell_id"), struct(col("cs"), -col("cell_id"))).as("cell_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == want,
+      s"member-array argmax diverged: extra=${got -- want} missing=${want -- got}")
+  }
+
   test("jacobiEigen: reconstructs a symmetric matrix") {
     val a = Array(
       Array(4.0, 1.0, 0.5),
