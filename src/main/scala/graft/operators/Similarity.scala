@@ -610,12 +610,27 @@ object Similarity {
     * "flat 5.06 s at k≈2 070" read) did NOT reproduce under the
     * interleaved brackets — that read was window luck, and it cost the
     * sf1 text entry a 31 s flat train where hier does it in ~12. The
-    * crossover sits at ≈1 000 seeds on both corpora, so 1 024 is the
-    * pin: below it flat's win is ≤ ~1.1× (and its per-iteration
-    * `broadcast(cent)` side is provably small — ≤ 1 024 centroid rows);
-    * above it hier's win grows with k (17.5× by k ≈ 20.7 k — the r15
-    * sf10 asymptote, unchanged). */
-  val FlatTrainerMaxSeeds: Long = 1024L
+    * crossover sits at ≈1 000 seeds on both corpora, so round 16 pinned
+    * 1 024: below it flat's win was ≤ ~1.1×; above it hier's win grew
+    * with k (17.5× by k ≈ 20.7 k — the r15 sf10 asymptote, unchanged).
+    *
+    * Round 18 RE-BRACKETED after the driver-frontier flat recurrence and
+    * the scan-side assignment cheapened flat iterations (the r17 verdict
+    * ask): same interleaved flat/hier pairs, two passes per point —
+    * d=64 planted vectors: k=724 flat 1.8–3.2 vs hier 5.4–7.3 (flat
+    * 2–3×); k=1 448: 3.1–5.0 vs 6.1–10.0 (flat ~2×); k=2 172: 4.2–6.0
+    * vs 10.7–13.1 (flat ~2.4×); k=4 344: 10.8–13.7 vs 9.5–13.1
+    * (PARITY); k=8 689: 36.6–40.5 vs 12.9–16.8 (hier 2.4–2.8×);
+    * d=8 hashed text: k=1 724 flat 1.6–5.0 vs hier 12.0–13.8; k=3 448:
+    * 2.2–3.7 vs 4.7–9.1; k=5 173: 2.9–4.3 vs 6.2–8.3 (all flat ~2×+ —
+    * the d=8 crossover sits higher because flat's per-seed row cost is
+    * 8× smaller). The d=64 parity point bounds the shared pin: 4 096.
+    * Below it flat wins ≥2× on both corpora; above it the d=64 corpus
+    * inverts by k≈8.7 k (text in (4 096, ~5 k] pays hier's ~2× as the
+    * price of one shared constant protecting the d=64 worst case). The
+    * driver-side frontier this implies is ≤ 4 096·dim floats — ~1 MB at
+    * d=64, the same bounded-collect class as before. */
+  val FlatTrainerMaxSeeds: Long = 4096L
 
   /** Size-dispatched Lloyd's — the trainer every k∝N (SemDedup-sized)
     * call site uses. The seed count k = |{vec_id % initEvery = 0}| is a

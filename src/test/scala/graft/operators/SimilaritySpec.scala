@@ -756,10 +756,11 @@ class SimilaritySpec extends SparkTestBase {
     val hier = lanes(Similarity.kmeansCentroidsHier(emb))
     assert(lanes(Similarity.kmeansCentroidsAuto(emb, flatMaxSeeds = seeds - 1)) == hier,
       "seeds > boundary must run the two-level pruned recurrence")
-    // the production default is the measured ≈1k-seed crossover pin
-    // (round-16 interleaved brackets on both trainer corpora); the
-    // oracle generator bakes the same literal — move both together
-    assert(Similarity.FlatTrainerMaxSeeds == 1024L)
+    // the production default is the measured crossover pin (round-18
+    // interleaved brackets on both trainer corpora: d=64 parity at
+    // k≈4.3k, inversion by k≈8.7k); the oracle generator interpolates
+    // the same constant — move both together
+    assert(Similarity.FlatTrainerMaxSeeds == 4096L)
   }
 
   test("ensureHierIndex: the landed index equals a fresh hierIndex computation") {
